@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship query smoke check at sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2 + the
+                LLM-pipeline extensions); each callable (spark, sf_dir) -> DF.
+oracle_sql()  — DuckDB-equivalent SQL per query for the correctness gate.
+
+The genomic operators run on variant-shaped frames derived deterministically
+from the TPC-H-ish testdata (seqarray_spark/sources/testdata.py); each
+oracle replays the same derivation via a shared CTE prelude so both engines
+see identical inputs.
 """
 
 from __future__ import annotations
@@ -12,27 +16,416 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqarray_spark.dataset import SeqDataset
+from seqarray_spark.operators import aggregates as agg
+from seqarray_spark.sources import testdata as td
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fused per-variant AF+AC+missing profile (seqGetAF_AC_Missing
+    parity) joined back to variant annotations, filtered to a chrom set —
+    exercises derivation, higher-order array aggregation, broadcast
+    semi-join filtering, and a single-shuffle fused agg."""
+    sf_dir = "/root/testdata/sf0.001"
+    ds = td.variant_dataset(spark, sf_dir)
+    ds.set_filter_chrom([str(c) for c in range(1, 12)])
+    stats = agg.af_ac_missing(ds.calls)
+    return (
+        stats.join(F.broadcast(ds.variants.select("variant_id", "chromosome", "position")), "variant_id")
+        .orderBy("variant_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# query registry
+# ---------------------------------------------------------------------------
+
+_P = None  # filled lazily with oracle prelude
+
+
+def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # -- relational core (scan/filter/agg/join/sort/limit/window) -----
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue": q3_top_revenue,
+        # -- SeqArray aggregation suite (SURVEY §2.5) ----------------------
+        "seq_allele_freq_ref": seq_allele_freq_ref,
+        "seq_allele_count_minor": seq_allele_count_minor,
+        "seq_per_allele_counts": seq_per_allele_counts,
+        "seq_missing_variant": seq_missing_variant,
+        "seq_missing_sample": seq_missing_sample,
+        "seq_af_ac_missing": seq_af_ac_missing,
+        "seq_num_allele": seq_num_allele,
+        "seq_summary_chrom": seq_summary_chrom,
+        # -- filters (SURVEY §2.3) -----------------------------------------
+        "seq_filter_chrom_range": seq_filter_chrom_range,
+        "seq_filter_cond": seq_filter_cond,
+        "seq_filter_pos": seq_filter_pos,
+        # -- projections (SURVEY §2.2) ---------------------------------
+        "seq_chrom_pos2": seq_chrom_pos2,
+        "seq_dosage_alt": seq_dosage_alt,
+        # -- events ---------------------------------------------------------
+        "ev_hourly_by_type": ev_hourly_by_type,
+        # -- text / dedup ----------------------------------------------------
+        "doc_token_count": doc_token_count,
+        "dedup_exact": dedup_exact,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return _queries()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# relational core
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single scan, map-side partial agg, one shuffle on a
+    low-cardinality key. Decimal casts make the sums exact (stable across
+    engines and partition orders)."""
+    li = td.load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pipeline: broadcast dims into the fact scan, exact-decimal
+    revenue, deterministic top-20."""
+    cust = td.load_table(spark, sf_dir, "customer")
+    orders = td.load_table(spark, sf_dir, "orders")
+    li = td.load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+        "decimal(28,8)"
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_orderdate", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SeqArray operator queries (on derived variant-shaped frames)
+# ---------------------------------------------------------------------------
+
+def seq_allele_freq_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqAlleleFreq(ref=0) parity (reference: R/Methods.R:905-1021)."""
+    return agg.allele_freq(td.gcalls(spark, sf_dir), ref_allele=0)
+
+
+def seq_allele_count_minor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqAlleleCount + minor fold (reference: R/Methods.R:1028-1144)."""
+    return agg.allele_count(td.gcalls(spark, sf_dir), ref_allele=0, minor=True)
+
+
+def seq_per_allele_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-allele count vectors (reference: FC_AlleleCount
+    src/Methods.cpp:828-895) as a long table."""
+    return agg.per_allele_table(td.gcalls(spark, sf_dir))
+
+
+def seq_missing_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.missing_rate(td.gcalls(spark, sf_dir), per="variant")
+
+
+def seq_missing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.missing_rate(td.gcalls(spark, sf_dir), per="sample")
+
+
+def seq_af_ac_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.af_ac_missing(td.gcalls(spark, sf_dir))
+
+
+def seq_num_allele(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.num_allele(td.gvariants(spark, sf_dir))
+
+
+def seq_summary_chrom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.summary_by_chrom(td.gvariants(spark, sf_dir))
+
+
+def seq_filter_chrom_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqSetFilterChrom with bp bounds (reference: R/Methods.R:310-327)."""
+    ds = td.variant_dataset(spark, sf_dir)
+    ds.set_filter_chrom(["1", "5", "9"], from_bp=1000, to_bp=400000)
+    return ds.variants.select("variant_id", "chromosome", "position")
+
+
+def seq_filter_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqSetFilterCond(maf/mac/missing.rate) (reference:
+    R/Methods.R:426-470): aggregate-then-threshold-then-semijoin."""
+    ds = td.variant_dataset(spark, sf_dir)
+    ds.set_filter_cond(maf=0.35, missing_rate=0.3)
+    return ds.variants.select("variant_id")
+
+
+def seq_filter_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqSetFilterPos probe-list join (reference: R/Methods.R:334-420) —
+    probes = every 13th variant's (chrom,pos); broadcast semi-join."""
+    ds = td.variant_dataset(spark, sf_dir)
+    probes = ds.variants.filter(F.col("variant_id") % 13 == 0).select(
+        "chromosome", "position"
+    )
+    ds.set_filter_pos(probes, match_alleles=False)
+    return ds.variants.select("variant_id", "chromosome", "position")
+
+
+def seq_chrom_pos2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$chrom_pos2 duplicate-suffix key (reference: src/GetData.cpp:710-748)."""
+    ds = td.variant_dataset(spark, sf_dir)
+    return ds.get_data("$chrom_pos2")
+
+
+def seq_dosage_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$dosage_alt vs $dosage_alt2 in one projection (reference:
+    src/GetData.cpp:345-410)."""
+    from seqarray_spark.functions.variant import dosage_alt
+
+    calls = td.gcalls(spark, sf_dir)
+    return calls.select(
+        "variant_id",
+        "sample_id",
+        dosage_alt("alleles", partial_missing=False).alias("dos_alt"),
+        dosage_alt("alleles", partial_missing=True).alias("dos_alt2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events / text / dedup
+# ---------------------------------------------------------------------------
+
+def ev_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (batch form of the streaming
+    rollup; hour buckets via date_trunc for oracle parity)."""
+    ev = td.load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (LLM-pipeline text analysis)."""
+    docs = td.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9']+"), 0)).alias(
+            "n_tokens"
+        ),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: keeper = min doc_id per md5(text)."""
+    docs = td.load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("content_md5")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_NONMISS = (
+    "CASE WHEN a1 IS NOT NULL THEN 1 ELSE 0 END + "
+    "CASE WHEN a2 IS NOT NULL THEN 1 ELSE 0 END"
+)
+_REFCNT = (
+    "CASE WHEN a1 = 0 THEN 1 ELSE 0 END + CASE WHEN a2 = 0 THEN 1 ELSE 0 END"
+)
+_MISS = "CASE WHEN a1 IS NULL OR a2 IS NULL THEN 1.0 ELSE 0.0 END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    P = td.oracle_prelude()
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE)
+                       AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue": """
+            SELECT o_orderkey, o_orderdate, CAST(_rev AS DOUBLE) AS revenue FROM (
+              SELECT o_orderkey, o_orderdate,
+                     SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                         (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS _rev
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY o_orderkey, o_orderdate
+              ORDER BY _rev DESC, o_orderkey
+              LIMIT 20
+            ) t
+        """,
+        "seq_allele_freq_ref": P
+        + f"""
+            SELECT variant_id,
+                   CASE WHEN SUM({_NONMISS}) = 0 THEN NULL
+                        ELSE CAST(SUM({_REFCNT}) AS DOUBLE) / CAST(SUM({_NONMISS}) AS DOUBLE)
+                   END AS af
+            FROM gcalls GROUP BY variant_id
+        """,
+        "seq_allele_count_minor": P
+        + f"""
+            SELECT variant_id, ac, an, LEAST(ac, an - ac) AS mac FROM (
+              SELECT variant_id,
+                     CAST(SUM({_REFCNT}) AS BIGINT) AS ac,
+                     CAST(SUM({_NONMISS}) AS BIGINT) AS an
+              FROM gcalls GROUP BY variant_id
+            ) t
+        """,
+        "seq_per_allele_counts": P
+        + """
+            , exploded AS (
+              SELECT variant_id, a1 AS allele FROM gcalls WHERE a1 IS NOT NULL
+              UNION ALL
+              SELECT variant_id, a2 AS allele FROM gcalls WHERE a2 IS NOT NULL
+            )
+            SELECT e.variant_id, e.allele, e.count, t.total FROM
+              (SELECT variant_id, allele, COUNT(*) AS count FROM exploded GROUP BY 1,2) e
+              JOIN (SELECT variant_id, COUNT(*) AS total FROM exploded GROUP BY 1) t
+              USING (variant_id)
+        """,
+        "seq_missing_variant": P
+        + f"""
+            SELECT variant_id, AVG({_MISS}) AS missing_rate
+            FROM gcalls GROUP BY variant_id
+        """,
+        "seq_missing_sample": P
+        + f"""
+            SELECT sample_id, AVG({_MISS}) AS missing_rate
+            FROM gcalls GROUP BY sample_id
+        """,
+        "seq_af_ac_missing": P
+        + f"""
+            SELECT variant_id,
+                   CASE WHEN an > 0 THEN CAST(ac AS DOUBLE) / CAST(an AS DOUBLE) END AS af,
+                   ac, an,
+                   CASE WHEN an > 0 THEN LEAST(CAST(ac AS DOUBLE) / CAST(an AS DOUBLE),
+                                               1.0 - CAST(ac AS DOUBLE) / CAST(an AS DOUBLE)) END AS maf,
+                   LEAST(ac, an - ac) AS mac, missing_rate, ns
+            FROM (
+              SELECT variant_id,
+                     CAST(SUM({_REFCNT}) AS BIGINT) AS ac,
+                     CAST(SUM({_NONMISS}) AS BIGINT) AS an,
+                     AVG({_MISS}) AS missing_rate,
+                     CAST(SUM(CASE WHEN a1 IS NULL OR a2 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS ns
+              FROM gcalls GROUP BY variant_id
+            ) t
+        """,
+        "seq_num_allele": P
+        + """
+            SELECT variant_id,
+                   CAST(LENGTH(alt_str) - LENGTH(REPLACE(alt_str, ',', '')) + 2 AS INT) AS num_allele
+            FROM gvariants
+        """,
+        "seq_summary_chrom": P
+        + """
+            SELECT chromosome, COUNT(*) AS n_variants FROM gvariants GROUP BY chromosome
+        """,
+        "seq_filter_chrom_range": P
+        + """
+            SELECT variant_id, chromosome, position FROM gvariants
+            WHERE chromosome IN ('1','5','9') AND position BETWEEN 1000 AND 400000
+        """,
+        "seq_filter_cond": P
+        + f"""
+            SELECT variant_id FROM (
+              SELECT variant_id,
+                     CAST(SUM({_REFCNT}) AS BIGINT) AS ac,
+                     CAST(SUM({_NONMISS}) AS BIGINT) AS an,
+                     AVG({_MISS}) AS missing_rate
+              FROM gcalls GROUP BY variant_id
+            ) t
+            WHERE an > 0
+              AND LEAST(CAST(ac AS DOUBLE)/CAST(an AS DOUBLE), 1.0 - CAST(ac AS DOUBLE)/CAST(an AS DOUBLE)) >= 0.35
+              AND missing_rate <= 0.3
+        """,
+        "seq_filter_pos": P
+        + """
+            SELECT variant_id, chromosome, position FROM gvariants v
+            WHERE EXISTS (
+              SELECT 1 FROM gvariants p
+              WHERE p.variant_id % 13 = 0
+                AND p.chromosome = v.chromosome AND p.position = v.position
+            )
+        """,
+        "seq_chrom_pos2": P
+        + """
+            SELECT variant_id,
+                   CASE WHEN n = 1 THEN key ELSE key || '_' || CAST(rn AS STRING) END AS chrom_pos2
+            FROM (
+              SELECT variant_id,
+                     chromosome || ':' || CAST(position AS STRING) AS key,
+                     ROW_NUMBER() OVER (PARTITION BY chromosome, position ORDER BY variant_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY chromosome, position) AS n
+              FROM gvariants
+            ) t
+        """,
+        "seq_dosage_alt": P
+        + """
+            SELECT variant_id, sample_id,
+                   CASE WHEN a1 IS NULL OR a2 IS NULL THEN NULL
+                        ELSE CAST((CASE WHEN a1 <> 0 THEN 1 ELSE 0 END +
+                                   CASE WHEN a2 <> 0 THEN 1 ELSE 0 END) AS INT) END AS dos_alt,
+                   CASE WHEN a1 IS NULL AND a2 IS NULL THEN NULL
+                        ELSE CAST((CASE WHEN a1 IS NOT NULL AND a1 <> 0 THEN 1 ELSE 0 END +
+                                   CASE WHEN a2 IS NOT NULL AND a2 <> 0 THEN 1 ELSE 0 END) AS INT) END AS dos_alt2
+            FROM gcalls
+        """,
+        "ev_hourly_by_type": """
+            SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "doc_token_count": """
+            SELECT doc_id,
+                   CAST(LENGTH(regexp_extract_all(text, '[A-Za-z0-9'']+')) AS INT) AS n_tokens,
+                   CAST(LENGTH(text) AS INT) AS n_chars_actual
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_md5,
+                   MIN(doc_id) AS keeper_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+    }

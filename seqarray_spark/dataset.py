@@ -1,0 +1,397 @@
+"""SeqDataset — the engine's central object: three DataFrames plus a
+filter stack.
+
+Reference parity map:
+- variants/calls/samples triple  <- GDS node tree (SURVEY.md §1.1)
+- the filter stack               <- TSelection mask stack
+  (reference: src/Index.h:324-363, src/SeqArray.cpp:77-124,
+   R/Methods.R:274-303)
+- get_data name dispatch         <- seqGetData TVarMap
+  (reference: src/GetData.cpp:1248-1395, R/Methods.R:510-522)
+
+Design for scale: filters are *composed lazily* as DataFrame predicates so
+Catalyst pushes them into the parquet scan (predicate pushdown + partition
+pruning when the dataset is partitioned by chromosome). The calls table —
+the 100 TB side — is never filtered by materializing id lists on the driver;
+variant/sample selections reach it via broadcast left-semi joins, which at
+cluster scale is a map-side-only operation (no shuffle of the big fact
+table).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class _Selection:
+    """One level of the filter stack: current variant/sample frames plus a
+    flag for whether each differs from the unfiltered base (so we can skip
+    the semi-join when no filter is active)."""
+
+    variants: DataFrame
+    samples: DataFrame | None
+    variant_filtered: bool = False
+    sample_filtered: bool = False
+
+
+class SeqDataset:
+    """Variant-call dataset = (variants, calls, samples) + filter stack.
+
+    All filter methods follow the reference's action semantics
+    (reference: R/Methods.R:106-213): ``intersect=True`` ANDs with the
+    current selection; ``intersect=False`` replaces it (after a reset to
+    the full set for the touched axis).
+    """
+
+    def __init__(
+        self,
+        variants: DataFrame,
+        calls: DataFrame | None = None,
+        samples: DataFrame | None = None,
+        ploidy: int = 2,
+    ):
+        self._base_variants = variants
+        self._base_calls = calls
+        self._base_samples = samples
+        self.ploidy = ploidy
+        self._sel = _Selection(variants, samples)
+        self._stack: list[_Selection] = []
+
+    # ------------------------------------------------------------------
+    # current selection accessors
+    # ------------------------------------------------------------------
+    @property
+    def variants(self) -> DataFrame:
+        """Variant frame under the current selection."""
+        return self._sel.variants
+
+    @property
+    def samples(self) -> DataFrame | None:
+        return self._sel.samples
+
+    @property
+    def calls(self) -> DataFrame:
+        """Calls frame under the current selection.
+
+        Variant/sample masks reach the fact table as broadcast left-semi
+        joins (map-side only at scale). When the selection predicate is a
+        pure column predicate that also exists on calls, prefer
+        filtering calls directly before constructing the dataset.
+        """
+        if self._base_calls is None:
+            raise ValueError("dataset has no calls table")
+        df = self._base_calls
+        if self._sel.variant_filtered:
+            df = df.join(
+                F.broadcast(self._sel.variants.select("variant_id")),
+                "variant_id",
+                "left_semi",
+            )
+        if self._sel.sample_filtered and self._sel.samples is not None:
+            df = df.join(
+                F.broadcast(self._sel.samples.select("sample_id")),
+                "sample_id",
+                "left_semi",
+            )
+        return df
+
+    # ------------------------------------------------------------------
+    # filter stack  (reference: seqFilterPush/Pop/Reset R/Methods.R:274-303)
+    # ------------------------------------------------------------------
+    def filter_push(self) -> "SeqDataset":
+        self._stack.append(self._sel)
+        return self
+
+    def filter_pop(self) -> "SeqDataset":
+        if not self._stack:
+            raise IndexError("filter stack is empty")
+        self._sel = self._stack.pop()
+        return self
+
+    def reset_filter(self, variant: bool = True, sample: bool = True) -> "SeqDataset":
+        v = self._base_variants if variant else self._sel.variants
+        s = self._base_samples if sample else self._sel.samples
+        self._sel = _Selection(
+            v,
+            s,
+            variant_filtered=(not variant) and self._sel.variant_filtered,
+            sample_filtered=(not sample) and self._sel.sample_filtered,
+        )
+        return self
+
+    # ------------------------------------------------------------------
+    # filters (reference: §2.3 of SURVEY.md)
+    # ------------------------------------------------------------------
+    def _set_variants(self, df: DataFrame, intersect: bool) -> "SeqDataset":
+        base = self._sel.variants if intersect else self._base_variants
+        del base  # caller already filtered from the right base
+        self._sel = _Selection(
+            df,
+            self._sel.samples,
+            variant_filtered=True,
+            sample_filtered=self._sel.sample_filtered,
+        )
+        return self
+
+    def set_filter_variant(self, predicate: Column, intersect: bool = True) -> "SeqDataset":
+        """Arbitrary Column predicate over the variants frame (the general
+        expression language the reference lacks — SURVEY.md §2.3)."""
+        base = self._sel.variants if intersect else self._base_variants
+        return self._set_variants(base.filter(predicate), intersect)
+
+    def set_filter_sample(self, predicate: Column, intersect: bool = True) -> "SeqDataset":
+        if self._base_samples is None:
+            raise ValueError("dataset has no samples table")
+        base = self._sel.samples if intersect else self._base_samples
+        self._sel = _Selection(
+            self._sel.variants,
+            base.filter(predicate),
+            variant_filtered=self._sel.variant_filtered,
+            sample_filtered=True,
+        )
+        return self
+
+    def set_filter_variant_id(self, ids, intersect: bool = True) -> "SeqDataset":
+        """By-id selection (reference: SEQ_SetSpaceVariant
+        src/SeqArray.cpp:374). Small id lists become an IN-list predicate
+        (pushed to parquet); large ones should use a semi-join via
+        set_filter_variant_df."""
+        base = self._sel.variants if intersect else self._base_variants
+        return self._set_variants(base.filter(F.col("variant_id").isin(list(ids))), intersect)
+
+    def set_filter_variant_df(self, ids_df: DataFrame, intersect: bool = True) -> "SeqDataset":
+        base = self._sel.variants if intersect else self._base_variants
+        return self._set_variants(
+            base.join(F.broadcast(ids_df.select("variant_id")), "variant_id", "left_semi"),
+            intersect,
+        )
+
+    def set_filter_sample_id(self, ids, intersect: bool = True) -> "SeqDataset":
+        if self._base_samples is None:
+            raise ValueError("dataset has no samples table")
+        base = self._sel.samples if intersect else self._base_samples
+        self._sel = _Selection(
+            self._sel.variants,
+            base.filter(F.col("sample_id").isin(list(ids))),
+            variant_filtered=self._sel.variant_filtered,
+            sample_filtered=True,
+        )
+        return self
+
+    def set_filter_chrom(
+        self,
+        include,
+        from_bp: int | None = None,
+        to_bp: int | None = None,
+        intersect: bool = True,
+    ) -> "SeqDataset":
+        """Chromosome membership ± bp window (reference: seqSetFilterChrom
+        R/Methods.R:310-327, SEQ_SetSpaceChrom src/SeqArray.cpp:709-883).
+
+        With the variants dataset partitioned by chromosome this is pure
+        partition pruning + row-group min/max skipping on position.
+        """
+        if isinstance(include, (str, int)):
+            include = [include]
+        include = [str(c) for c in include]
+        pred = F.col("chromosome").isin(include)
+        if from_bp is not None:
+            pred = pred & (F.col("position") >= int(from_bp))
+        if to_bp is not None:
+            pred = pred & (F.col("position") <= int(to_bp))
+        return self.set_filter_variant(pred, intersect)
+
+    def set_filter_pos(
+        self,
+        probes: DataFrame,
+        match_alleles: bool = True,
+        multi_pos: bool = True,
+        intersect: bool = True,
+    ) -> "SeqDataset":
+        """Point-lookup probe join (reference: seqSetFilterPos
+        R/Methods.R:334-420, sorted-merge SEQ_FindMatchIndex
+        src/Methods.cpp:1234-1415).
+
+        probes: DataFrame with columns chromosome, position [, ref, alt_one].
+        The reference's hand-written sorted merge becomes a broadcast hash
+        semi-join — the probe list is small by construction.
+        multi_pos=False keeps only the first variant per probe (lowest
+        variant_id), matching the reference's first-hit semantics.
+        """
+        keys = ["chromosome", "position"]
+        if match_alleles and "ref" in probes.columns:
+            keys.append("ref")
+        base = self._sel.variants if intersect else self._base_variants
+        matched = base.join(F.broadcast(probes.select(*keys).distinct()), keys, "left_semi")
+        if not multi_pos:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("chromosome", "position").orderBy("variant_id")
+            matched = (
+                matched.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        return self._set_variants(matched, intersect)
+
+    def set_filter_annot_id(self, ids, intersect: bool = True) -> "SeqDataset":
+        """Membership of annotation id (reference: seqSetFilterAnnotID
+        R/Methods.R:477-490)."""
+        base = self._sel.variants if intersect else self._base_variants
+        return self._set_variants(base.filter(F.col("id").isin(list(ids))), intersect)
+
+    def set_filter_cond(
+        self,
+        maf: float | tuple | None = None,
+        mac: int | tuple | None = None,
+        missing_rate: float | None = None,
+        intersect: bool = True,
+    ) -> "SeqDataset":
+        """Aggregate-then-filter (reference: seqSetFilterCond
+        R/Methods.R:426-470): compute per-variant MAF/MAC/missing over the
+        *current* selection, threshold, and intersect.
+
+        Scalar maf/mac = lower bound on the minor value; tuple = [lo, hi).
+        """
+        from seqarray_spark.operators.aggregates import af_ac_missing
+
+        stats = af_ac_missing(self.calls, ploidy=self.ploidy)
+        pred = F.lit(True)
+        if maf is not None:
+            lo, hi = maf if isinstance(maf, tuple) else (maf, None)
+            pred = pred & (F.col("maf") >= float(lo))
+            if hi is not None:
+                pred = pred & (F.col("maf") < float(hi))
+        if mac is not None:
+            lo, hi = mac if isinstance(mac, tuple) else (mac, None)
+            pred = pred & (F.col("mac") >= int(lo))
+            if hi is not None:
+                pred = pred & (F.col("mac") < int(hi))
+        if missing_rate is not None:
+            pred = pred & (F.col("missing_rate") <= float(missing_rate))
+        keep = stats.filter(pred).select("variant_id")
+        base = self._sel.variants if intersect else self._base_variants
+        return self._set_variants(base.join(keep, "variant_id", "left_semi"), intersect)
+
+    # ------------------------------------------------------------------
+    # projections (reference: seqGetData §2.2)
+    # ------------------------------------------------------------------
+    def get_data(self, name: str) -> DataFrame:
+        """Name-dispatched projection (reference: seqGetData TVarMap,
+        src/GetData.cpp:1248-1395). Derived names use Column expressions —
+        the reference's C kernels become Catalyst expressions."""
+        from seqarray_spark.functions.variant import (
+            chrom_pos,
+            chrom_pos2,
+            chrom_pos_allele,
+            dosage_alt,
+            dosage_ref,
+            num_allele,
+        )
+
+        v, c = self.variants, None
+        if name in ("sample.id", "sample_id"):
+            return self.samples.select("sample_id")
+        if name in ("variant.id", "variant_id"):
+            return v.select("variant_id")
+        if name in ("position", "chromosome", "id", "ref", "alt", "qual", "filter"):
+            return v.select("variant_id", name)
+        if name == "allele":
+            return v.select(
+                "variant_id",
+                F.concat_ws(",", F.concat(F.array("ref"), F.col("alt"))).alias("allele"),
+            )
+        if name == "$num_allele":
+            return v.select("variant_id", num_allele().alias("num_allele"))
+        if name == "$ref":
+            return v.select("variant_id", F.col("ref").alias("ref"))
+        if name == "$alt":
+            return v.select(
+                "variant_id", F.concat_ws(",", F.col("alt")).alias("alt")
+            )
+        if name == "$chrom_pos":
+            return v.select("variant_id", chrom_pos().alias("chrom_pos"))
+        if name == "$chrom_pos2":
+            return chrom_pos2(v)
+        if name == "$chrom_pos_allele":
+            return v.select("variant_id", chrom_pos_allele().alias("chrom_pos_allele"))
+        if name == "genotype":
+            c = self.calls
+            return c.select("variant_id", "sample_id", "alleles")
+        if name == "phase":
+            c = self.calls
+            return c.select("variant_id", "sample_id", "phased")
+        if name == "$dosage" or name == "$dosage_ref":
+            c = self.calls
+            return c.select(
+                "variant_id", "sample_id", dosage_ref("alleles").alias("dosage")
+            )
+        if name in ("$dosage_alt", "$dosage_alt2"):
+            c = self.calls
+            partial = name.endswith("2")
+            return c.select(
+                "variant_id",
+                "sample_id",
+                dosage_alt("alleles", partial_missing=partial).alias("dosage_alt"),
+            )
+        if name == "$dosage_sp":
+            c = self.calls
+            d = c.select(
+                "variant_id", "sample_id", dosage_alt("alleles").alias("dosage_alt")
+            )
+            return d.filter(F.col("dosage_alt").isNotNull() & (F.col("dosage_alt") != 0))
+        if name.startswith("annotation/info/") or name.startswith("info."):
+            fld = name.split("/")[-1] if "/" in name else name.split(".", 1)[1]
+            return v.select("variant_id", F.col(f"info.{fld}").alias(fld))
+        if name.startswith("annotation/format/") or name.startswith("format."):
+            fld = name.split("/")[-1] if "/" in name else name.split(".", 1)[1]
+            c = self.calls
+            return c.select("variant_id", "sample_id", F.col(fld))
+        if name.startswith("sample.annotation/"):
+            fld = name.split("/")[-1]
+            return self.samples.select("sample_id", F.col(fld))
+        if name == "annotation/id":
+            return v.select("variant_id", "id")
+        if name == "annotation/qual":
+            return v.select("variant_id", "qual")
+        if name == "annotation/filter":
+            return v.select("variant_id", "filter")
+        raise KeyError(f"unknown variable name: {name}")
+
+    # ------------------------------------------------------------------
+    def export(self, out_dir: str, partition_by_chrom: bool = True) -> None:
+        """Subset-copy of the current selection (reference: seqExport
+        R/UtilsExport.R:13-355). Under Spark this is a filtered write —
+        the reference's ragged-@data expansion machinery vanishes because
+        ArrayType values travel with their row."""
+        vw = self.variants.write.mode("overwrite")
+        if partition_by_chrom:
+            vw = vw.partitionBy("chromosome")
+        vw.parquet(f"{out_dir}/variants.parquet")
+        if self._base_calls is not None:
+            self.calls.write.mode("overwrite").parquet(f"{out_dir}/calls.parquet")
+        if self.samples is not None:
+            self.samples.write.mode("overwrite").parquet(f"{out_dir}/samples.parquet")
+
+    @staticmethod
+    def read(spark: SparkSession, path: str, ploidy: int = 2) -> "SeqDataset":
+        """Open a dataset previously written by export()/VCF ingest
+        (reference: seqOpen R/Methods.R:12-98 — schema assertion replaces
+        the FileFormat/FileVersion check)."""
+        variants = spark.read.parquet(f"{path}/variants.parquet")
+        required = {"variant_id", "chromosome", "position", "ref", "alt"}
+        missing = required - set(variants.columns)
+        if missing:
+            raise ValueError(f"not a seqarray_spark dataset; missing {missing}")
+        calls = samples = None
+        import os
+
+        if os.path.isdir(f"{path}/calls.parquet"):
+            calls = spark.read.parquet(f"{path}/calls.parquet")
+        if os.path.isdir(f"{path}/samples.parquet"):
+            samples = spark.read.parquet(f"{path}/samples.parquet")
+        return SeqDataset(variants, calls, samples, ploidy=ploidy)

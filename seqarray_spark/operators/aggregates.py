@@ -1,0 +1,210 @@
+"""Per-variant / per-sample aggregations (SURVEY.md §2.5).
+
+All are single groupBy().agg() plans: Spark's partial aggregation
+(map-side combine) + AQE replaces the reference's split-selection →
+per-worker C kernel → combine pattern (reference: R/Utilities.R:1008-1124
+seqParallel; kernels src/Methods.cpp:122-1009).
+
+Scale notes: every aggregate here shuffles once on variant_id (or
+sample_id). At 100 TB the map-side combine reduces each group's traffic to
+a handful of longs before the shuffle, so these plans are shuffle-light;
+none of them collect to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from seqarray_spark.functions.variant import (
+    allele_count_in_call,
+    nonmissing_in_call,
+)
+
+# Missing-call predicate: a call is missing if its alleles array is NULL or
+# contains any NULL slot (reference: FC_Missing_* src/Methods.cpp:122-246;
+# raw 0xFF missing code src/Index.h:56).
+def _call_missing(col="alleles"):
+    a = F.col(col)
+    return a.isNull() | (F.size(F.filter(a, lambda x: x.isNull())) > 0)
+
+
+def allele_freq(
+    calls: DataFrame,
+    ref_allele: int | None = 0,
+    minor: bool = False,
+    ploidy: int = 2,
+) -> DataFrame:
+    """Per-variant allele frequency (reference: seqAlleleFreq
+    R/Methods.R:905-1021; kernels FC_AF_* src/Methods.cpp:333-606).
+
+    ref_allele=k: frequency of allele index k among non-missing slots.
+    ref_allele=None: full per-allele frequency list (reference FC_AF_List).
+    minor=True folds to min(f, 1-f) — MAF.
+    """
+    if ref_allele is None:
+        return per_allele_table(calls).withColumn(
+            "freq", F.col("count") / F.col("total")
+        )
+    cnt = allele_count_in_call("alleles", ref_allele)
+    out = calls.groupBy("variant_id").agg(
+        (
+            F.sum(cnt).cast("double")
+            / F.sum(nonmissing_in_call("alleles")).cast("double")
+        ).alias("af")
+    )
+    if minor:
+        out = out.withColumn(
+            "af", F.least(F.col("af"), F.lit(1.0) - F.col("af"))
+        ).withColumnRenamed("af", "maf")
+    return out
+
+
+def allele_count(calls: DataFrame, ref_allele: int | None = 0, minor: bool = False) -> DataFrame:
+    """Per-variant allele counts (reference: seqAlleleCount
+    R/Methods.R:1028-1144; FC_AC_* src/Methods.cpp:613-806)."""
+    if ref_allele is None:
+        return per_allele_table(calls).select("variant_id", "allele", "count")
+    cnt = allele_count_in_call("alleles", ref_allele)
+    out = calls.groupBy("variant_id").agg(
+        F.sum(cnt).cast("bigint").alias("ac"),
+        F.sum(nonmissing_in_call("alleles")).cast("bigint").alias("an"),
+    )
+    if minor:
+        out = out.withColumn("mac", F.least(F.col("ac"), F.col("an") - F.col("ac")))
+    return out
+
+
+def per_allele_table(calls: DataFrame) -> DataFrame:
+    """Per-(variant, allele-index) counts — the explode form of the
+    reference's per-allele count vectors (reference: FC_AlleleCount
+    src/Methods.cpp:828-895)."""
+    exploded = calls.select(
+        "variant_id", F.explode(F.col("alleles")).alias("allele")
+    ).filter(F.col("allele").isNotNull())
+    counts = exploded.groupBy("variant_id", "allele").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    totals = exploded.groupBy("variant_id").agg(F.count(F.lit(1)).alias("total"))
+    return counts.join(totals, "variant_id")
+
+
+def missing_rate(calls: DataFrame, per: str = "variant") -> DataFrame:
+    """Missing rate per variant, per sample, or both (reference: seqMissing
+    R/Methods.R:794-898; kernels src/Methods.cpp:122-246).
+
+    A call is missing if its alleles array is NULL or has a NULL slot.
+    per='both' returns (per-variant DF, per-sample DF) computed over one
+    cached scan — the reference's fused one-pass FC_Missing_SampVariant.
+    """
+    miss = _call_missing().cast("double")
+    if per == "variant":
+        return calls.groupBy("variant_id").agg(F.avg(miss).alias("missing_rate"))
+    if per == "sample":
+        return calls.groupBy("sample_id").agg(F.avg(miss).alias("missing_rate"))
+    if per == "both":
+        cached = calls.select("variant_id", "sample_id", miss.alias("m")).cache()
+        v = cached.groupBy("variant_id").agg(F.avg("m").alias("missing_rate"))
+        s = cached.groupBy("sample_id").agg(F.avg("m").alias("missing_rate"))
+        return v, s
+    raise ValueError(f"per must be variant|sample|both, got {per}")
+
+
+def af_ac_missing(calls: DataFrame, ploidy: int = 2, alt: bool = False) -> DataFrame:
+    """Fused AF + AC + missing-rate + NS in one scan (reference:
+    seqGetAF_AC_Missing R/Methods.R:1152-1210; FC_AF_AC_MISS_*
+    src/Methods.cpp:897-1009). One groupBy with multiple aggregate
+    expressions — Catalyst fuses them into a single shuffle.
+
+    Returns: variant_id, af, ac, an, maf, mac, missing_rate, ns.
+    alt=True reports ALT-allele af/ac instead of REF.
+    """
+    ref_cnt = allele_count_in_call("alleles", 0)
+    nonmiss = nonmissing_in_call("alleles")
+    miss = _call_missing().cast("double")
+    agg = calls.groupBy("variant_id").agg(
+        F.sum(ref_cnt).cast("bigint").alias("_ref_ac"),
+        F.sum(nonmiss).cast("bigint").alias("an"),
+        F.avg(miss).alias("missing_rate"),
+        F.sum((~_call_missing()).cast("int")).cast("bigint").alias("ns"),
+    )
+    ac = (F.col("an") - F.col("_ref_ac")) if alt else F.col("_ref_ac")
+    return (
+        agg.withColumn("ac", ac)
+        .withColumn(
+            "af",
+            F.when(F.col("an") > 0, F.col("ac").cast("double") / F.col("an").cast("double")),
+        )
+        .withColumn(
+            "maf",
+            F.when(F.col("an") > 0, F.least(F.col("af"), F.lit(1.0) - F.col("af"))),
+        )
+        .withColumn("mac", F.least(F.col("ac"), F.col("an") - F.col("ac")))
+        .select("variant_id", "af", "ac", "an", "maf", "mac", "missing_rate", "ns")
+    )
+
+
+def num_allele(variants: DataFrame) -> DataFrame:
+    """#alleles per variant (reference: seqNumAllele R/Methods.R:780-784)."""
+    from seqarray_spark.functions.variant import num_allele as na
+
+    return variants.select("variant_id", na().alias("num_allele"))
+
+
+def summary_by_chrom(variants: DataFrame) -> DataFrame:
+    """Per-chromosome variant counts — the core of the reference's dataset
+    profile (reference: seqSummary R/Summary.R:652-775)."""
+    return variants.groupBy("chromosome").agg(F.count(F.lit(1)).alias("n_variants"))
+
+
+def summary_filter_hist(variants: DataFrame) -> DataFrame:
+    """FILTER histogram (reference: seqSummary R/Summary.R:560-600)."""
+    return variants.groupBy("filter").agg(F.count(F.lit(1)).alias("n"))
+
+
+def digest(df: DataFrame, cols: list[str], group_col: str | None = None) -> DataFrame:
+    """Content fingerprint (reference: seqDigest R/Summary.R:781-820;
+    FC_Digest* src/Methods.cpp:1011-1117).
+
+    The reference streams md5 over a node in file order; a distributed
+    engine has no inherent order, so we define the digest as md5 over the
+    '|'-joined values sorted lexicographically within the group — an
+    order-insensitive content hash with the same fingerprinting power.
+    Implemented as sort_array(collect_list(...)) per group; for very large
+    groups prefer xor/sum of per-row hashes (digest_xor below).
+    """
+    row_repr = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    grouped = df.groupBy(group_col) if group_col else df.groupBy()
+    return grouped.agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(row_repr)))).alias("digest")
+    )
+
+
+def digest_xor(df: DataFrame, cols: list[str], group_col: str | None = None) -> DataFrame:
+    """Scale-safe content fingerprint: bit_xor of per-row xxhash64 values —
+    commutative and overflow-free, so no collect_list and no ordering
+    requirement. This is the 100 TB path; digest() is the md5-parity path."""
+    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    grouped = df.groupBy(group_col) if group_col else df.groupBy()
+    return grouped.agg(F.bit_xor(row_hash).alias("digest"))
+
+
+def check_dims(variants: DataFrame, calls: DataFrame, samples: DataFrame | None) -> dict:
+    """Integrity check (reference: seqCheck R/Summary.R:928-1020):
+    dimension consistency between the three frames."""
+    n_var = variants.count()
+    stats = calls.agg(
+        F.countDistinct("variant_id").alias("nv"),
+        F.countDistinct("sample_id").alias("ns"),
+    ).first()
+    out = {
+        "n_variants": n_var,
+        "n_call_variants": stats["nv"],
+        "variants_consistent": stats["nv"] <= n_var,
+    }
+    if samples is not None:
+        n_samp = samples.count()
+        out.update(
+            {"n_samples": n_samp, "n_call_samples": stats["ns"], "samples_consistent": stats["ns"] <= n_samp}
+        )
+    return out

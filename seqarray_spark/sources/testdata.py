@@ -1,0 +1,150 @@
+"""Adapters from the driver's TPC-H-ish testdata to the engine's
+variant-call data model.
+
+The driver's correctness gate compares each Spark query against a DuckDB
+oracle over the same parquet tables (TESTDATA.md). The genomic tables the
+engine natively consumes (variants/calls/samples) are therefore *derived
+deterministically* from `part` / `lineitem` / `supplier` with SQL that both
+Spark SQL and DuckDB execute identically; the engine operators then run on
+the derived frames, and each oracle replays derivation + operator math in
+pure SQL.
+
+Derivation sketch (seeded entirely by table keys, no randomness):
+  gvariants <- part      (variant_id=p_partkey; chrom/pos/ref/alt/filter
+                          are arithmetic on p_partkey)
+  gcalls    <- lineitem  (variant_id=l_partkey, sample_id from l_suppkey;
+                          two allele slots from l_linenumber/l_quantity;
+                          missingness from l_discount thresholds so the
+                          partial-missing path is exercised)
+  gsamples  <- supplier-ish (distinct sample ids + a deterministic pheno)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong read (see session.py): int64 nanos -> TIMESTAMP
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_testdata(spark: SparkSession, sf_dir: str, tables=None) -> None:
+    """Register the testdata parquet files as temp views (idempotent)."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Dialect-common derivation SQL (runs identically under Spark SQL and DuckDB).
+# Alleles are kept as scalar slots a1/a2 here because array syntax diverges
+# between the dialects; the Spark-side adapter assembles ARRAY<INT> alleles.
+# ---------------------------------------------------------------------------
+
+GVARIANTS_SQL = """
+SELECT
+  p_partkey                                   AS variant_id,
+  CAST(1 + p_partkey % 22 AS STRING)          AS chromosome,
+  CAST(1 + (p_partkey * 37) % 1000000 AS INT) AS position,
+  CASE WHEN p_partkey % 7 = 0
+       THEN CONCAT('rs', CAST(p_partkey AS STRING)) END AS id,
+  SUBSTRING('ACGT', CAST(p_partkey % 4 AS INT) + 1, 1)  AS ref,
+  CASE
+    WHEN p_partkey % 15 = 0 THEN
+      CONCAT(SUBSTRING('ACGTACGT', CAST(p_partkey % 4 AS INT) + 2, 1), ',',
+             SUBSTRING('ACGTACGT', CAST(p_partkey % 4 AS INT) + 3, 1), ',',
+             SUBSTRING('ACGTACGT', CAST(p_partkey % 4 AS INT) + 4, 1))
+    WHEN p_partkey % 5 = 0 THEN
+      CONCAT(SUBSTRING('ACGTACGT', CAST(p_partkey % 4 AS INT) + 2, 1), ',',
+             SUBSTRING('ACGTACGT', CAST(p_partkey % 4 AS INT) + 3, 1))
+    ELSE SUBSTRING('ACGTACGT', CAST(p_partkey % 4 AS INT) + 2, 1)
+  END                                         AS alt_str,
+  CAST(CAST(p_partkey % 1000 AS DOUBLE) / 10.0 AS DOUBLE) AS qual,
+  CASE WHEN p_partkey % 10 < 8 THEN 'PASS' ELSE 'q10' END AS filter
+FROM part
+"""
+
+GCALLS_SQL = """
+SELECT
+  l_partkey                                        AS variant_id,
+  CONCAT('S', CAST(l_suppkey % 100 AS STRING))     AS sample_id,
+  CASE WHEN l_discount > 0.09 THEN NULL
+       ELSE CAST(l_linenumber % 2 AS INT) END      AS a1,
+  CASE WHEN l_discount > 0.07 THEN NULL
+       ELSE CAST(CAST(l_quantity AS INT) % 3 AS INT) END AS a2,
+  (l_orderkey % 4 = 0)                             AS is_phased
+FROM lineitem
+"""
+
+GSAMPLES_SQL = """
+SELECT DISTINCT
+  CONCAT('S', CAST(l_suppkey % 100 AS STRING)) AS sample_id,
+  CASE WHEN l_suppkey % 100 < 50 THEN 'POP1' ELSE 'POP2' END AS population
+FROM lineitem
+"""
+
+
+def oracle_prelude() -> str:
+    """CTE prefix for oracle SQL strings: WITH gvariants AS (...), ..."""
+    return (
+        "WITH gvariants AS ("
+        + GVARIANTS_SQL
+        + "), gcalls AS ("
+        + GCALLS_SQL
+        + "), gsamples AS ("
+        + GSAMPLES_SQL
+        + ")"
+    )
+
+
+def gvariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived variants frame with a real ARRAY<STRING> alt column."""
+    register_testdata(spark, sf_dir, ["part"])
+    return spark.sql(GVARIANTS_SQL).withColumn("alt", F.split("alt_str", ","))
+
+
+def gcalls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived calls frame with ARRAY<INT> alleles / ARRAY<BOOLEAN> phased."""
+    register_testdata(spark, sf_dir, ["lineitem"])
+    df = spark.sql(GCALLS_SQL)
+    return df.select(
+        "variant_id",
+        "sample_id",
+        F.array("a1", "a2").alias("alleles"),
+        F.array("is_phased", "is_phased").alias("phased"),
+    )
+
+
+def gsamples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata(spark, sf_dir, ["lineitem"])
+    return spark.sql(GSAMPLES_SQL)
+
+
+def variant_dataset(spark: SparkSession, sf_dir: str):
+    """Full SeqDataset view over the derived tables."""
+    from seqarray_spark.dataset import SeqDataset
+
+    return SeqDataset(
+        gvariants(spark, sf_dir), gcalls(spark, sf_dir), gsamples(spark, sf_dir)
+    )

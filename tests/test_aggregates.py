@@ -1,0 +1,86 @@
+"""Aggregation suite vs hand-computed values on a tiny in-memory dataset —
+the golden-value pattern of the reference's test suite
+(reference: inst/unitTests/test_func.R:45-90)."""
+
+import pytest
+from pyspark.sql import Row
+
+from seqarray_spark.operators import aggregates as agg
+
+
+@pytest.fixture(scope="module")
+def tiny_calls(spark):
+    # variant 1: alleles (0,1),(0,0),(None,None) -> af_ref 3/4, miss 1/3
+    # variant 2: (1,1),(0,1),(1,None)            -> af_ref 1/5... a partial
+    rows = [
+        Row(variant_id=1, sample_id="a", alleles=[0, 1]),
+        Row(variant_id=1, sample_id="b", alleles=[0, 0]),
+        Row(variant_id=1, sample_id="c", alleles=[None, None]),
+        Row(variant_id=2, sample_id="a", alleles=[1, 1]),
+        Row(variant_id=2, sample_id="b", alleles=[0, 1]),
+        Row(variant_id=2, sample_id="c", alleles=[1, None]),
+    ]
+    return spark.createDataFrame(rows, "variant_id int, sample_id string, alleles array<int>")
+
+
+def _by_id(df, key="variant_id"):
+    return {r[key]: r for r in df.collect()}
+
+
+def test_allele_freq_ref(tiny_calls):
+    out = _by_id(agg.allele_freq(tiny_calls, ref_allele=0))
+    assert out[1]["af"] == pytest.approx(3 / 4)
+    assert out[2]["af"] == pytest.approx(1 / 5)
+
+
+def test_allele_freq_minor(tiny_calls):
+    out = _by_id(agg.allele_freq(tiny_calls, ref_allele=0, minor=True))
+    assert out[1]["maf"] == pytest.approx(1 / 4)
+    assert out[2]["maf"] == pytest.approx(1 / 5)
+
+
+def test_allele_count(tiny_calls):
+    out = _by_id(agg.allele_count(tiny_calls, ref_allele=0, minor=True))
+    assert (out[1]["ac"], out[1]["an"], out[1]["mac"]) == (3, 4, 1)
+    assert (out[2]["ac"], out[2]["an"], out[2]["mac"]) == (1, 5, 1)
+
+
+def test_missing_rate(tiny_calls):
+    v = _by_id(agg.missing_rate(tiny_calls, per="variant"))
+    assert v[1]["missing_rate"] == pytest.approx(1 / 3)
+    assert v[2]["missing_rate"] == pytest.approx(1 / 3)
+    s = _by_id(agg.missing_rate(tiny_calls, per="sample"), key="sample_id")
+    assert s["a"]["missing_rate"] == 0.0
+    assert s["c"]["missing_rate"] == 1.0
+
+
+def test_missing_both(tiny_calls):
+    v, s = agg.missing_rate(tiny_calls, per="both")
+    assert v.count() == 2 and s.count() == 3
+
+
+def test_af_ac_missing_fused(tiny_calls):
+    out = _by_id(agg.af_ac_missing(tiny_calls))
+    r = out[2]
+    assert r["af"] == pytest.approx(1 / 5)
+    assert (r["ac"], r["an"], r["mac"], r["ns"]) == (1, 5, 1, 2)
+    assert r["missing_rate"] == pytest.approx(1 / 3)
+    assert r["maf"] == pytest.approx(1 / 5)
+
+
+def test_per_allele_table(tiny_calls):
+    rows = {(r["variant_id"], r["allele"]): r for r in agg.per_allele_table(tiny_calls).collect()}
+    assert rows[(1, 0)]["count"] == 3 and rows[(1, 0)]["total"] == 4
+    assert rows[(2, 1)]["count"] == 4 and rows[(2, 1)]["total"] == 5
+
+
+def test_digest_is_order_insensitive(spark, tiny_calls):
+    d1 = agg.digest(tiny_calls, ["variant_id", "sample_id"]).first()["digest"]
+    d2 = agg.digest(tiny_calls.orderBy("sample_id"), ["variant_id", "sample_id"]).first()["digest"]
+    assert d1 == d2
+
+
+def test_digest_xor_matches_across_partitionings(spark, tiny_calls):
+    a = agg.digest_xor(tiny_calls, ["variant_id", "sample_id"]).first()["digest"]
+    b = agg.digest_xor(tiny_calls.repartition(7), ["variant_id", "sample_id"]).first()["digest"]
+    assert a == b

@@ -1,0 +1,109 @@
+"""SeqDataset filter-stack semantics (reference: TSelection stack,
+src/SeqArray.cpp:77-124; seqSetFilter* R/Methods.R:106-420)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqarray_spark.sources import testdata as td
+
+
+@pytest.fixture(scope="module")
+def ds(spark, sf_dir):
+    return td.variant_dataset(spark, sf_dir)
+
+
+def test_filter_chrom(ds):
+    ds.reset_filter()
+    n_all = ds.variants.count()
+    ds.set_filter_chrom(["1", "2"])
+    n = ds.variants.count()
+    assert 0 < n < n_all
+    assert ds.variants.select("chromosome").distinct().count() <= 2
+    ds.reset_filter()
+
+
+def test_filter_intersect_vs_replace(ds):
+    ds.reset_filter()
+    ds.set_filter_chrom(["1", "2", "3"])
+    n1 = ds.variants.count()
+    ds.set_filter_chrom(["1"], intersect=True)
+    n2 = ds.variants.count()
+    assert n2 < n1
+    ds.set_filter_chrom(["1", "2", "3"], intersect=False)
+    assert ds.variants.count() == n1
+    ds.reset_filter()
+
+
+def test_filter_stack_push_pop(ds):
+    ds.reset_filter()
+    n_all = ds.variants.count()
+    ds.set_filter_chrom(["7"])
+    n7 = ds.variants.count()
+    ds.filter_push()
+    ds.set_filter_variant(F.col("position") > 1000, intersect=True)
+    assert ds.variants.count() <= n7
+    ds.filter_pop()
+    assert ds.variants.count() == n7
+    ds.reset_filter()
+    assert ds.variants.count() == n_all
+
+
+def test_calls_follow_variant_filter(ds):
+    ds.reset_filter()
+    total = ds.calls.count()
+    ds.set_filter_chrom(["1"])
+    filtered = ds.calls.count()
+    assert 0 < filtered < total
+    # every surviving call belongs to a selected variant
+    ids = {r[0] for r in ds.variants.select("variant_id").collect()}
+    got = {r[0] for r in ds.calls.select("variant_id").distinct().collect()}
+    assert got <= ids
+    ds.reset_filter()
+
+
+def test_sample_filter_reaches_calls(ds):
+    ds.reset_filter()
+    ds.set_filter_sample(F.col("population") == "POP1")
+    pops = ds.calls.join(ds.samples, "sample_id").select("population").distinct().collect()
+    assert [r[0] for r in pops] == ["POP1"]
+    ds.reset_filter()
+
+
+def test_random_subset_equivalence(ds, spark):
+    """The reference's dominant test pattern: any filtered read equals the
+    in-memory slice of the full read (inst/unitTests/test_func.R:92-117)."""
+    import random
+
+    random.seed(42)
+    full = {r["variant_id"]: r["af"] for r in _af(ds).collect()}
+    ids = random.sample(sorted(full), 25)
+    ds.reset_filter()
+    ds.set_filter_variant_id(ids)
+    sub = {r["variant_id"]: r["af"] for r in _af(ds).collect()}
+    assert set(sub) == set(ids) & set(full)
+    for k, v in sub.items():
+        assert v == pytest.approx(full[k])
+    ds.reset_filter()
+
+
+def _af(ds):
+    from seqarray_spark.operators.aggregates import allele_freq
+
+    return allele_freq(ds.calls, ref_allele=0)
+
+
+def test_get_data_names(ds):
+    ds.reset_filter()
+    for name in ["position", "allele", "$num_allele", "$chrom_pos", "$chrom_pos_allele", "$dosage_alt", "genotype"]:
+        df = ds.get_data(name)
+        assert df.count() > 0
+
+
+def test_filter_pos_multi_pos_first_hit(ds, spark):
+    ds.reset_filter()
+    probes = ds.variants.select("chromosome", "position").limit(5)
+    ds.filter_push()
+    ds.set_filter_pos(probes, match_alleles=False, multi_pos=False)
+    out = ds.variants.groupBy("chromosome", "position").count().filter(F.col("count") > 1)
+    assert out.count() == 0
+    ds.filter_pop()
