@@ -1,0 +1,145 @@
+"""VCF reader/writer: header parse, typed INFO/FORMAT, edge cases from
+FIXTURES.md fixture 4, and the reference's round-trip oracle
+(reference test analogue: inst/unitTests/test_asVCF.R:70-186)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqarray_spark.sources import vcf as vcfmod
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "toy.vcf")
+
+
+@pytest.fixture(scope="module")
+def header():
+    return vcfmod.parse_vcf_header(FIXTURE)
+
+
+@pytest.fixture(scope="module")
+def ds(spark):
+    return vcfmod.read_vcf(spark, FIXTURE)
+
+
+def test_header(header):
+    assert header.samples == ["NA001", "NA002", "NA003"]
+    assert header.ploidy == 2
+    assert header.info["AF"].number == "A" and header.info["AF"].is_array
+    assert header.info["DB"].type == "Flag"
+    assert header.formats["HQ"].is_array
+    assert "q10" in header.filters
+
+
+def test_variants(ds):
+    v = {r["variant_id"]: r for r in ds.variants.collect()}
+    assert len(v) == 7
+    assert v[1]["chromosome"] == "1" and v[1]["position"] == 100
+    assert v[1]["ref"] == "G" and v[1]["alt"] == ["A"]
+    assert v[1]["info"]["DP"] == 14 and v[1]["info"]["DB"] is True
+    assert v[1]["info"]["AF"] == [pytest.approx(0.5)]
+    assert v[2]["filter"] == "q10" and v[2]["info"]["DB"] is False
+    assert v[3]["id"] is None and v[3]["info"]["BN"] == [1, 2, 3]
+    # multiallelic
+    assert v[4]["alt"] == ["A", "C", "G"]
+    assert v[4]["info"]["AF"] == [pytest.approx(0.333), pytest.approx(0.333), pytest.approx(0.167)]
+    # ALT='.' -> empty alt array
+    assert v[5]["alt"] == []
+    # chr prefix stripped
+    assert v[7]["chromosome"] == "3" and v[7]["ref"] == "C" and v[7]["alt"] == ["CTAG"]
+
+
+def test_calls_genotypes(ds):
+    c = {(r["variant_id"], r["sample_id"]): r for r in ds.calls.collect()}
+    assert len(c) == 21
+    assert c[(1, "NA001")]["alleles"] == [0, 0] and c[(1, "NA001")]["phased"] == [True]
+    assert c[(1, "NA003")]["alleles"] == [1, 1] and c[(1, "NA003")]["phased"] == [False]
+    # triploid call in diploid file (the reference's 'extra' mechanism)
+    assert c[(4, "NA001")]["alleles"] == [0, 0, 1]
+    assert c[(4, "NA001")]["phased"] == [False, False]
+    # fully missing './.'
+    assert c[(4, "NA003")]["alleles"] == [None, None]
+    # haploid call
+    assert c[(5, "NA002")]["alleles"] == [0] and c[(5, "NA002")]["phased"] == []
+    # partial missing './1'
+    assert c[(5, "NA003")]["alleles"] == [None, 1]
+    # single '.' GT -> one missing slot
+    assert c[(7, "NA002")]["alleles"] == [None]
+
+
+def test_calls_format_fields(ds):
+    c = {(r["variant_id"], r["sample_id"]): r for r in ds.calls.collect()}
+    assert c[(1, "NA001")]["DP"] == 1
+    assert c[(1, "NA001")]["HQ"] == [51, 51]
+    assert c[(1, "NA003")]["HQ"] == [None, None]  # '.,.'
+    assert c[(2, "NA003")]["HQ"] is None  # bare '.' -> whole field absent
+    assert c[(6, "NA001")]["DP"] is None  # GT-only FORMAT on variant 6
+    assert c[(4, "NA003")]["DP"] is None  # '.' DP
+
+
+def test_dosage_on_vcf(ds):
+    from seqarray_spark.operators.aggregates import af_ac_missing
+
+    stats = {r["variant_id"]: r for r in af_ac_missing(ds.calls).collect()}
+    # variant 1: alleles 0|0, 1|0, 1/1 -> ref count 3 of 6
+    assert stats[1]["af"] == pytest.approx(0.5)
+    assert stats[1]["ac"] == 3 and stats[1]["an"] == 6
+    # variant 4: 0/0/1, 2|3, ./. -> ref 2 of 5, 1 missing call of 3
+    assert stats[4]["ac"] == 2 and stats[4]["an"] == 5
+    assert stats[4]["missing_rate"] == pytest.approx(1 / 3)
+
+
+def test_roundtrip(spark, ds, tmp_path):
+    """ingest → export → re-ingest equality on variants and genotypes."""
+    out = str(tmp_path / "rt.vcf")
+    hdr = vcfmod.parse_vcf_header(FIXTURE)
+    vcfmod.write_vcf(ds, out, header=hdr)
+
+    # reassemble a single file: header + sorted part files
+    import glob
+
+    txt = open(f"{out}/_header.vcf").read()
+    body = []
+    for part in sorted(glob.glob(f"{out}/part-*")):
+        body.append(open(part).read())
+    single = str(tmp_path / "single.vcf")
+    with open(single, "w") as fh:
+        fh.write(txt + "".join(body))
+
+    ds2 = vcfmod.read_vcf(spark, single)
+    v1 = ds.variants.select("chromosome", "position", "ref", "alt", "qual", "filter").orderBy(
+        "chromosome", "position", "ref", "alt"
+    )
+    v2 = ds2.variants.select("chromosome", "position", "ref", "alt", "qual", "filter").orderBy(
+        "chromosome", "position", "ref", "alt"
+    )
+    assert [tuple(r) for r in v1.collect()] == [tuple(r) for r in v2.collect()]
+
+    key = ["chromosome", "position", "ref", "alt", "sample_id"]
+    c1 = (
+        ds.calls.join(ds.variants, "variant_id")
+        .select(*key, "alleles", "phased", "DP", "HQ")
+        .orderBy(*key)
+    )
+    c2 = (
+        ds2.calls.join(ds2.variants, "variant_id")
+        .select(*key, "alleles", "phased", "DP", "HQ")
+        .orderBy(*key)
+    )
+    assert [tuple(r) for r in c1.collect()] == [tuple(r) for r in c2.collect()]
+
+
+def test_sites_only_vcf(spark, tmp_path):
+    """Empty-sample dataset (sites-only VCF; reference no_sample path
+    R/Conversion.R:56-65)."""
+    p = str(tmp_path / "sites.vcf")
+    with open(p, "w") as fh:
+        fh.write(
+            "##fileformat=VCFv4.2\n"
+            '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            "1\t10\t.\tA\tC\t5\tPASS\tDP=3\n"
+        )
+    ds = vcfmod.read_vcf(spark, p)
+    assert ds.variants.count() == 1
+    assert ds._base_calls is None and ds.samples is None
