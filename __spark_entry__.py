@@ -66,6 +66,13 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- projections (SURVEY §2.2) ---------------------------------
         "seq_chrom_pos2": seq_chrom_pos2,
         "seq_dosage_alt": seq_dosage_alt,
+        # -- windows (SURVEY §2.7) -------------------------------------
+        "seq_sliding_windows": seq_sliding_windows,
+        "seq_window_dosage": seq_window_dosage,
+        # -- merge (SURVEY §2.4) ------------------------------------------
+        "seq_merge_variant_af": seq_merge_variant_af,
+        # -- digest (SURVEY §2.5) -------------------------------------------
+        "seq_digest_chrom": seq_digest_chrom,
         # -- events ---------------------------------------------------------
         "ev_hourly_by_type": ev_hourly_by_type,
         # -- text / dedup ----------------------------------------------------
@@ -210,6 +217,72 @@ def seq_dosage_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_id",
         dosage_alt("alleles", partial_missing=False).alias("dos_alt"),
         dosage_alt("alleles", partial_missing=True).alias("dos_alt2"),
+    )
+
+
+WIN_SIZE, WIN_SHIFT = 100000, 50000
+
+
+def seq_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqUnitSlidingWindows + per-window counts (reference:
+    R/UnitList.R:121-175)."""
+    from seqarray_spark.operators.windows import sliding_windows, unit_counts
+
+    units = sliding_windows(
+        td.gvariants(spark, sf_dir), win_size=WIN_SIZE, win_shift=WIN_SHIFT, dup_rm=False
+    )
+    return unit_counts(units)
+
+
+def seq_window_dosage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregate over member variants' calls (seqUnitApply-style
+    fold, declarative form)."""
+    from seqarray_spark.functions.variant import dosage_alt
+    from seqarray_spark.operators.windows import sliding_windows, unit_apply_agg
+
+    units = sliding_windows(
+        td.gvariants(spark, sf_dir), win_size=WIN_SIZE, win_shift=WIN_SHIFT, dup_rm=False
+    )
+    calls = td.gcalls(spark, sf_dir).withColumn(
+        "dos", dosage_alt("alleles", partial_missing=True)
+    )
+    return unit_apply_agg(
+        units,
+        calls,
+        F.sum("dos").cast("bigint").alias("sum_dosage"),
+        F.count(F.lit(1)).alias("n_calls"),
+    )
+
+
+def seq_merge_variant_af(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-mode merge of two disjoint halves, then AF over the merged
+    dataset (reference: seqMerge variant mode R/UtilsMerge.R:258-611) —
+    validates that calls follow their variants through id renumbering."""
+    from seqarray_spark.operators.merge import merge_variants
+
+    full = td.variant_dataset(spark, sf_dir)
+    halves = []
+    for parity in (0, 1):
+        v = full._base_variants.filter(F.col("variant_id") % 2 == parity)
+        c = full._base_calls.filter(F.col("variant_id") % 2 == parity)
+        halves.append(SeqDataset(v, c, full._base_samples))
+    merged = merge_variants(halves)
+    stats = agg.allele_freq(merged.calls, ref_allele=0)
+    return (
+        stats.join(merged.variants.select("variant_id", "chromosome", "position", "ref"), "variant_id")
+        .select("chromosome", "position", "ref", "af")
+    )
+
+
+def seq_digest_chrom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digest per chromosome (reference: seqDigest
+    R/Summary.R:781-820) — md5 over the sorted member (pos:ref) strings."""
+    return agg.digest(
+        td.gvariants(spark, sf_dir).select(
+            "chromosome", F.concat_ws(":", "position", "ref").alias("k")
+        ),
+        ["k"],
+        group_col="chromosome",
     )
 
 
@@ -409,6 +482,66 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST((CASE WHEN a1 IS NOT NULL AND a1 <> 0 THEN 1 ELSE 0 END +
                                    CASE WHEN a2 IS NOT NULL AND a2 <> 0 THEN 1 ELSE 0 END) AS INT) END AS dos_alt2
             FROM gcalls
+        """,
+        "seq_sliding_windows": P
+        + f"""
+            , membership AS (
+              SELECT chromosome,
+                     CAST(1 + k * {WIN_SHIFT} AS BIGINT) AS unit_start,
+                     CAST(k * {WIN_SHIFT} + {WIN_SIZE} AS BIGINT) AS unit_end,
+                     variant_id
+              FROM (
+                SELECT chromosome, variant_id,
+                       UNNEST(generate_series(
+                         CAST(GREATEST(CEIL((position - {WIN_SIZE}) / {WIN_SHIFT}.0), 0) AS BIGINT),
+                         CAST(FLOOR((position - 1) / {WIN_SHIFT}.0) AS BIGINT))) AS k
+                FROM gvariants WHERE position >= 1
+              ) t
+            )
+            SELECT chromosome, unit_start, unit_end, COUNT(*) AS n_variants
+            FROM membership GROUP BY 1, 2, 3
+        """,
+        "seq_window_dosage": P
+        + f"""
+            , membership AS (
+              SELECT chromosome,
+                     CAST(1 + k * {WIN_SHIFT} AS BIGINT) AS unit_start,
+                     CAST(k * {WIN_SHIFT} + {WIN_SIZE} AS BIGINT) AS unit_end,
+                     variant_id
+              FROM (
+                SELECT chromosome, variant_id,
+                       UNNEST(generate_series(
+                         CAST(GREATEST(CEIL((position - {WIN_SIZE}) / {WIN_SHIFT}.0), 0) AS BIGINT),
+                         CAST(FLOOR((position - 1) / {WIN_SHIFT}.0) AS BIGINT))) AS k
+                FROM gvariants WHERE position >= 1
+              ) t
+            ), dosed AS (
+              SELECT variant_id,
+                     CASE WHEN a1 IS NULL AND a2 IS NULL THEN NULL
+                          ELSE (CASE WHEN a1 IS NOT NULL AND a1 <> 0 THEN 1 ELSE 0 END +
+                                CASE WHEN a2 IS NOT NULL AND a2 <> 0 THEN 1 ELSE 0 END) END AS dos
+              FROM gcalls
+            )
+            SELECT m.chromosome, m.unit_start, m.unit_end,
+                   CAST(SUM(d.dos) AS BIGINT) AS sum_dosage,
+                   COUNT(*) AS n_calls
+            FROM membership m JOIN dosed d USING (variant_id)
+            GROUP BY 1, 2, 3
+        """,
+        "seq_merge_variant_af": P
+        + f"""
+            SELECT v.chromosome, v.position, v.ref,
+                   CASE WHEN SUM({_NONMISS}) = 0 THEN NULL
+                        ELSE CAST(SUM({_REFCNT}) AS DOUBLE) / CAST(SUM({_NONMISS}) AS DOUBLE)
+                   END AS af
+            FROM gcalls c JOIN gvariants v USING (variant_id)
+            GROUP BY v.chromosome, v.position, v.ref
+        """,
+        "seq_digest_chrom": P
+        + """
+            SELECT chromosome,
+                   md5(string_agg(CAST(position AS STRING) || ':' || ref, ',' ORDER BY CAST(position AS STRING) || ':' || ref)) AS digest
+            FROM gvariants GROUP BY chromosome
         """,
         "ev_hourly_by_type": """
             SELECT DATE_TRUNC('hour', ts) AS hour, event_type,

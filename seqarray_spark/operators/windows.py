@@ -1,0 +1,151 @@
+"""Genomic sliding-window units and unit algebra (SURVEY.md §2.7).
+
+Reference parity:
+- seqUnitSlidingWindows (R/UnitList.R:121-175; SEQ_Unit_SlidingWindows
+  src/ReadByUnit.cpp:30-114)
+- seqUnitCreate/Subset/Merge/SetDiff (R/UnitList.R:181-284)
+- seqUnitFilterCond (R/UnitList.R:12-114)
+- seqUnitApply (R/UnitList.R:290-443)
+
+Representation: a *units* DataFrame in long form —
+    (chromosome, unit_start, unit_end, variant_id)
+one row per (window, member variant). The reference's list-of-index-vectors
+becomes this relation; empty windows never materialize.
+
+Scale: window membership is computed per-variant with a bounded explode
+(size/shift window ids per variant — a constant), so there is no range
+join and no driver-side window enumeration. Everything downstream is
+groupBy(chromosome, unit_start) — one shuffle, prunable by chromosome.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sliding_windows(
+    variants: DataFrame,
+    win_size: int = 5000,
+    win_shift: int = 2500,
+    win_start: int = 1,
+    dup_rm: bool = True,
+) -> DataFrame:
+    """Per chromosome, assign each variant to every sliding bp window
+    [start, start+size) covering its position (reference defaults
+    win.size=5000, win.shift=2500, R/UnitList.R:121-124).
+
+    Each variant belongs to at most ceil(size/shift) windows: window ids
+    k with  win_start + k*shift <= pos < win_start + k*shift + size.
+    dup_rm drops duplicate-content windows (keeps the earliest start),
+    matching the reference's dup.rm=TRUE; empty windows never appear.
+    """
+    if win_size <= 0 or win_shift <= 0:
+        raise ValueError("win_size and win_shift must be positive")
+    pos = F.col("position")
+    k_hi = F.floor((pos - F.lit(win_start)) / F.lit(win_shift)).cast("long")
+    k_lo = F.greatest(
+        F.ceil((pos - F.lit(win_start) - F.lit(win_size) + 1) / F.lit(win_shift)).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    units = (
+        variants.select("variant_id", "chromosome", "position")
+        .filter(pos >= win_start)
+        .withColumn("__k", F.explode(F.sequence(k_lo, k_hi)))
+        .select(
+            "chromosome",
+            (F.lit(win_start) + F.col("__k") * F.lit(win_shift)).cast("long").alias("unit_start"),
+            "variant_id",
+        )
+        .withColumn("unit_end", (F.col("unit_start") + F.lit(win_size) - 1).cast("long"))
+        .select("chromosome", "unit_start", "unit_end", "variant_id")
+    )
+    if dup_rm:
+        content = units.groupBy("chromosome", "unit_start", "unit_end").agg(
+            F.sort_array(F.collect_list("variant_id")).alias("__content")
+        )
+        keep = (
+            content.groupBy("chromosome", "__content")
+            .agg(F.min("unit_start").alias("unit_start"))
+            .select("chromosome", "unit_start")
+        )
+        units = units.join(keep, ["chromosome", "unit_start"], "left_semi")
+    return units
+
+
+def unit_counts(units: DataFrame) -> DataFrame:
+    """Variants per window — the basic windowed profile."""
+    return units.groupBy("chromosome", "unit_start", "unit_end").agg(
+        F.count(F.lit(1)).alias("n_variants")
+    )
+
+
+def unit_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of unit lists (reference: seqUnitMerge R/UnitList.R:242-260)."""
+    return a.unionByName(b).distinct()
+
+
+def unit_set_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Units of `a` not fully present in `b` — membership rows removed
+    (reference: seqUnitSetDiff R/UnitList.R:262-284)."""
+    return a.exceptAll(b.select(*a.columns))
+
+
+def unit_subset(units: DataFrame, chromosome=None, start=None, end=None) -> DataFrame:
+    """Window subset by coordinates (reference: seqUnitSubset)."""
+    out = units
+    if chromosome is not None:
+        chroms = [chromosome] if isinstance(chromosome, str) else list(chromosome)
+        out = out.filter(F.col("chromosome").isin(chroms))
+    if start is not None:
+        out = out.filter(F.col("unit_start") >= int(start))
+    if end is not None:
+        out = out.filter(F.col("unit_end") <= int(end))
+    return out
+
+
+def unit_filter_cond(
+    units: DataFrame,
+    calls: DataFrame,
+    maf: float | None = None,
+    mac: int | None = None,
+    missing_rate: float | None = None,
+    min_num: int = 1,
+) -> DataFrame:
+    """Threshold variants *within each window unit* and drop units that
+    fall below min_num members (reference: seqUnitFilterCond
+    R/UnitList.R:12-114).
+
+    Per-variant stats are computed once (one shuffle) and broadcast-joined
+    into the membership relation — the per-unit re-aggregation the
+    reference does per worker is unnecessary because stats are
+    variant-level.
+    """
+    from seqarray_spark.operators.aggregates import af_ac_missing
+
+    stats = af_ac_missing(calls)
+    pred = F.lit(True)
+    if maf is not None:
+        pred = pred & (F.col("maf") >= float(maf))
+    if mac is not None:
+        pred = pred & (F.col("mac") >= int(mac))
+    if missing_rate is not None:
+        pred = pred & (F.col("missing_rate") <= float(missing_rate))
+    kept = units.join(
+        stats.filter(pred).select("variant_id"), "variant_id", "left_semi"
+    )
+    big_enough = (
+        kept.groupBy("chromosome", "unit_start")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= int(min_num))
+        .select("chromosome", "unit_start")
+    )
+    return kept.join(big_enough, ["chromosome", "unit_start"], "left_semi")
+
+
+def unit_apply_agg(units: DataFrame, calls: DataFrame, *aggs) -> DataFrame:
+    """Declarative per-unit aggregation over member variants' calls —
+    covers the dominant seqUnitApply use (fold over each window) without
+    Python. For arbitrary python kernels use apply.unit_apply."""
+    joined = units.join(calls, "variant_id")
+    return joined.groupBy("chromosome", "unit_start", "unit_end").agg(*aggs)

@@ -1,0 +1,97 @@
+"""Merge modes (reference: R/UtilsMerge.R; FIXTURES.md fixture 5)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from seqarray_spark.dataset import SeqDataset
+from seqarray_spark.operators import merge as M
+
+
+def _mk(spark, variants, calls, samples):
+    v = spark.createDataFrame(
+        variants,
+        "variant_id long, chromosome string, position int, ref string, alt array<string>",
+    )
+    c = spark.createDataFrame(
+        calls, "variant_id long, sample_id string, alleles array<int>"
+    )
+    s = spark.createDataFrame([(x,) for x in samples], "sample_id string")
+    return SeqDataset(v, c, s)
+
+
+@pytest.fixture(scope="module")
+def parts_variant_mode(spark):
+    """same samples, disjoint variants"""
+    a = _mk(
+        spark,
+        [(1, "1", 100, "A", ["C"]), (2, "1", 200, "G", ["T"])],
+        [(1, "s1", [0, 1]), (1, "s2", [0, 0]), (2, "s1", [1, 1]), (2, "s2", [0, 1])],
+        ["s1", "s2"],
+    )
+    b = _mk(
+        spark,
+        [(1, "2", 300, "T", ["A"]), (2, "2", 400, "C", ["G", "T"])],
+        [(1, "s1", [0, 0]), (1, "s2", [0, 1]), (2, "s1", [0, 2]), (2, "s2", [1, 1])],
+        ["s1", "s2"],
+    )
+    return a, b
+
+
+def test_variant_mode_merge(parts_variant_mode):
+    a, b = parts_variant_mode
+    m = M.merge([a, b])
+    assert m.variants.count() == 4
+    assert m.calls.count() == 8
+    assert m.samples.count() == 2
+    # ids renumbered uniquely and calls follow
+    assert m.variants.select("variant_id").distinct().count() == 4
+    joined = m.calls.join(m.variants, "variant_id")
+    assert joined.count() == 8
+
+
+def test_sample_mode_merge(spark):
+    """same variants (one with extra ALT in b), disjoint samples —
+    exercises SEQ_MergeAllele append + genotype remap."""
+    a = _mk(
+        spark,
+        [(1, "1", 100, "A", ["C"]), (2, "1", 200, "G", ["T"])],
+        [(1, "s1", [0, 1]), (2, "s1", [1, 1])],
+        ["s1"],
+    )
+    b = _mk(
+        spark,
+        # same locus 1:100 A but alt list ordered differently: G first, then C
+        [(10, "1", 100, "A", ["G", "C"]), (20, "1", 200, "G", ["T"])],
+        # s2 at 1:100 carries allele 1 = 'G', allele 2 = 'C'
+        [(10, "s2", [1, 2]), (20, "s2", [0, 1])],
+        ["s2"],
+    )
+    m = M.merge([a, b])
+    assert m.variants.count() == 2
+    v = {(r["chromosome"], r["position"]): r for r in m.variants.collect()}
+    # merged alt at 1:100 = a's order then unseen from b: [C, G]
+    assert v[("1", 100)]["alt"] == ["C", "G"]
+    calls = {
+        (r["sample_id"], r["position"]): r["alleles"]
+        for r in m.calls.join(m.variants, "variant_id").select(
+            "sample_id", "position", "alleles"
+        ).collect()
+    }
+    # a's calls unchanged
+    assert calls[("s1", 100)] == [0, 1]
+    # b's 'G'(old idx1) -> merged idx2; 'C'(old idx2) -> merged idx1
+    assert calls[("s2", 100)] == [2, 1]
+    assert calls[("s2", 200)] == [0, 1]
+    assert m.samples.count() == 2
+
+
+def test_overlap_detection_error(spark, parts_variant_mode):
+    a, _ = parts_variant_mode
+    with pytest.raises(ValueError):
+        M.merge([a, a])  # overlaps in both variants and samples
+
+
+def test_merge_mode_autodetect(parts_variant_mode):
+    a, b = parts_variant_mode
+    assert M._overlap_mode([a, b]) == "variant"
