@@ -78,6 +78,15 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- text / dedup ----------------------------------------------------
         "doc_token_count": doc_token_count,
         "dedup_exact": dedup_exact,
+        "doc_quality": doc_quality,
+        "doc_lang_guess": doc_lang_guess,
+        "doc_minhash_dups": doc_minhash_dups,
+        "doc_ngram_dups": doc_ngram_dups,
+        "doc_simhash": doc_simhash,
+        "doc_fingerprint": doc_fingerprint,
+        # -- similarity search ------------------------------------------------
+        "emb_cosine_topk": emb_cosine_topk,
+        "emb_dup_pairs": emb_dup_pairs,
     }
 
 
@@ -324,6 +333,95 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring heuristics over documents (pre-training filters)."""
+    from seqarray_spark.operators.text import quality_score
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "digit_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+        "unique_ratio",
+        "quality_score",
+    )
+
+
+def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-inventory language ID."""
+    from seqarray_spark.operators.text import lang_guess
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return lang_guess(docs).select("doc_id", "lang_guess")
+
+
+def doc_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified (16 hashes, 4 bands,
+    word 3-gram shingles, tau=0.7)."""
+    from seqarray_spark.operators.dedup import minhash_dup_pairs
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return minhash_dup_pairs(docs, num_hashes=16, bands=4, shingle_n=3, tau=0.7)
+
+
+def doc_ngram_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (trigram, tau=0.8)."""
+    from seqarray_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, shingle_n=3, tau=0.8)
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash sketch per document."""
+    from seqarray_spark.operators.dedup import simhash16
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return simhash16(docs).select("doc_id", "simhash")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min-k shingle-hash document fingerprint."""
+    from seqarray_spark.operators.text import fingerprint
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return fingerprint(docs, k=8, n=3).select("doc_id", "fingerprint")
+
+
+EMB_TOPK = 20
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the min-id anchor vector. Scores
+    rounded to 6dp before ranking so float fold order can't flip the
+    boundary (ties broken by vec_id)."""
+    from seqarray_spark.operators.dedup import cosine
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    anchor = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(anchor)).select(
+        "vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(EMB_TOPK)
+
+
+def emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (all-pairs exact form, tau=0.4)."""
+    from seqarray_spark.operators.dedup import embedding_dup_pairs
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    # pre-filter slightly below tau, then threshold on the ROUNDED score so
+    # float fold order can't flip boundary pairs between engines
+    out = embedding_dup_pairs(emb, tau=0.399, bucketed=False)
+    return (
+        out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
@@ -336,6 +434,13 @@ _REFCNT = (
     "CASE WHEN a1 = 0 THEN 1 ELSE 0 END + CASE WHEN a2 = 0 THEN 1 ELSE 0 END"
 )
 _MISS = "CASE WHEN a1 IS NULL OR a2 IS NULL THEN 1.0 ELSE 0.0 END"
+
+
+def _SW(lang: str) -> str:
+    """DuckDB list literal of the engine's stopword inventory."""
+    from seqarray_spark.operators.text import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -560,5 +665,187 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keeper_doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "doc_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+              FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                CAST(len(toks) AS INT) AS n_tokens,
+                CASE WHEN len(toks) > 0 THEN
+                  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) END AS mean_word_len,
+                CASE WHEN length(text) > 0 THEN
+                  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) END AS digit_ratio,
+                CASE WHEN length(text) > 0 THEN
+                  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+                CASE WHEN len(toks) > 0 THEN
+                  CAST(len(list_filter(toks, x -> list_contains({_SW('en')}, x))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+                CASE WHEN len(toks) > 0 THEN
+                  CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) END AS unique_ratio
+              FROM t
+            )
+            SELECT doc_id, n_tokens, mean_word_len, digit_ratio, punct_ratio,
+                   stopword_ratio, unique_ratio,
+                   CAST(CASE WHEN n_tokens >= 20 THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN unique_ratio >= 0.3 THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN digit_ratio <= 0.1 THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality_score
+            FROM feats
+        """,
+        "doc_lang_guess": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, text,
+                len(list_filter(toks, x -> list_contains({_SW('de')}, x))) AS h_de,
+                len(list_filter(toks, x -> list_contains({_SW('en')}, x))) AS h_en,
+                len(list_filter(toks, x -> list_contains({_SW('es')}, x))) AS h_es,
+                len(list_filter(toks, x -> list_contains({_SW('fr')}, x))) AS h_fr
+              FROM t
+            )
+            SELECT doc_id,
+              CASE
+                WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+                WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+                WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr'
+              END AS lang_guess
+            FROM hits
+        """,
+        "doc_minhash_dups": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+              FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t)-2)) AS i
+                    FROM toks WHERE len(t) >= 3) z
+            ), mh AS (
+              SELECT doc_id, j, MIN(md5(CAST(j AS STRING) || ':' || s)) AS h
+              FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS j) seeds
+              GROUP BY doc_id, j
+            ), bands AS (
+              SELECT doc_id, CAST(FLOOR(j / 4.0) AS INT) AS band_idx,
+                     md5(string_agg(h, '|' ORDER BY j)) AS band_key
+              FROM mh GROUP BY doc_id, CAST(FLOOR(j / 4.0) AS INT)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id
+            ), sz AS (
+              SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS i
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.id_a
+              JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT i.id_a, i.id_b,
+                   CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.id_a
+            JOIN sz sb ON sb.doc_id = i.id_b
+            WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.7
+        """,
+        "doc_ngram_dups": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+              FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t)-2)) AS i
+                    FROM toks WHERE len(t) >= 3) z
+            ), sz AS (
+              SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.id_a
+            JOIN sz sb ON sb.doc_id = i.id_b
+            WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.8
+        """,
+        "doc_simhash": """
+            WITH tok AS (
+              SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
+              FROM documents
+            ), votes AS (
+              SELECT doc_id, i,
+                SUM(CASE WHEN substring(md5(t), CAST(i AS INT) + 1, 1)
+                         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
+              FROM tok CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS i) bits
+              GROUP BY doc_id, i
+            ), sums AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN CAST(POWER(2, i) AS BIGINT) ELSE 0 END) AS INT) AS simhash
+              FROM votes GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN len(regexp_extract_all(lower(d.text), '[a-z0-9'']+')) > 0
+                        THEN s.simhash END AS simhash
+            FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
+        """,
+        "doc_fingerprint": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS h
+              FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t)-2)) AS i
+                    FROM toks WHERE len(t) >= 3) z
+            ), ranked AS (
+              SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+              FROM sh
+            )
+            SELECT doc_id, md5(string_agg(h, ',' ORDER BY h)) AS fingerprint
+            FROM ranked WHERE rn <= 8 GROUP BY doc_id
+        """,
+        "emb_cosine_topk": f"""
+            WITH q AS (
+              SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+            ), z AS (
+              SELECT vec_id, UNNEST(embedding) AS x, UNNEST((SELECT qv FROM q)) AS y
+              FROM embeddings
+            ), scored AS (
+              SELECT vec_id,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cosine
+              FROM z GROUP BY vec_id
+            )
+            SELECT vec_id, cosine FROM scored
+            ORDER BY cosine DESC, vec_id LIMIT {EMB_TOPK}
+        """,
+        "emb_dup_pairs": """
+            WITH z AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ), scored AS (
+              SELECT id_a, id_b,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cosine
+              FROM z GROUP BY id_a, id_b
+            )
+            SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
         """,
     }

@@ -1,0 +1,296 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the whole point of these):
+- exact: one groupBy on a 128-bit content hash — the only full shuffle,
+  and it is on pre-hashed fixed-width keys.
+- MinHash+LSH: per-doc signature is a narrow map-side expression; the
+  candidate join is an equi-join on band keys (only docs sharing a band
+  collide), so the quadratic all-pairs never materializes. Exact Jaccard
+  verification runs only on candidates.
+- n-gram Jaccard: exact but intersection-driven — explode distinct
+  shingles, self-join on shingle, count per pair; pairs with zero overlap
+  never appear. For 100 TB use minhash_dup_pairs and verify=True instead.
+- SimHash: 16-bit majority sketch from md5 nibbles; bucket-collision
+  candidates, Hamming-style verification.
+- embedding cosine: normalized dot via zip_with/aggregate; all-pairs form
+  for small N, LSH-bucketed form (random-hyperplane signs) for scale.
+
+MinHash permutations are simulated as min(md5(seed || shingle)) — engine-
+portable (md5 is standardized) and deterministic, so results are
+reproducible across runs, partitionings, and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from seqarray_spark.operators.text import word_shingles
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: keeper = min id per md5(text)."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("content_md5")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return docs with duplicates removed (keeper = min id)."""
+    keepers = exact_dup_groups(docs, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return docs.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: element j = min over shingles of
+    md5(j:shingle). Adds `mh_sig ARRAY<STRING>[num_hashes]`."""
+    sh = F.array_distinct(word_shingles(text_col, shingle_n))
+    def hash_j(j):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, hash_j(j))) for j in range(num_hashes)]
+    )
+    return docs.withColumn("mh_sig", sig)
+
+
+def lsh_band_keys(num_hashes: int, bands: int) -> list[Column]:
+    """Band keys over a minhash signature column: band b = md5 of its rows
+    concatenated. Docs agreeing on ANY band become join candidates."""
+    rows = num_hashes // bands
+    return [
+        F.md5(
+            F.concat_ws("|", *[F.col("mh_sig")[b * rows + r] for r in range(rows)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (assumed distinct elements)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(None)
+    )
+
+
+def minhash_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    tau: float | None = 0.7,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, optionally verified
+    with exact Jaccard >= tau (tau=None returns raw candidates).
+
+    Plan shape: narrow signature projection -> explode to (band_idx, key)
+    -> self equi-join per band key -> distinct pairs -> verify. The join
+    key space is ~uniform md5 values, so the shuffle is skew-free.
+    """
+    sigs = minhash_signature(docs, text_col, num_hashes, shingle_n)
+    keys = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
+        F.posexplode(F.array(*[c for c in lsh_band_keys(num_hashes, bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    left = keys.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band_idx", "band_key"
+    )
+    right = keys.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band_idx", "band_key"
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if tau is None:
+        return cand.select("id_a", "id_b")
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= float(tau))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, intersection-driven)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= tau, computed via the inverted index:
+    explode distinct shingles, self-join on shingle, count intersections
+    per pair, derive the union from per-doc sizes. Only overlapping pairs
+    are ever materialized."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= float(tau))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash: for each of the 16 md5-hex nibble positions of each
+    token hash, take the majority of the nibble's top bit across tokens.
+    Engine-portable (md5 + substring only). Adds `simhash INT`."""
+    from seqarray_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    def vote(i):
+        return lambda acc, h: acc + F.when(
+            F.substring(h, i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), vote(i)) for i in range(16)]
+    value = None
+    for i, v in enumerate(bit_votes):
+        term = F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    return docs.withColumn(
+        "simhash", F.when(F.size(toks) > 0, value).cast("int")
+    )
+
+
+def simhash_dup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs sharing an identical 16-bit simhash bucket (for
+    longer sketches, band the bits and join per band)."""
+    s = simhash16(docs, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    a = s.select(F.col("_id").alias("id_a"), "simhash")
+    b = s.select(F.col("_id").alias("id_b"), "simhash")
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (_norm(a) * _norm(b))
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tau: float = 0.95,
+    bucketed: bool = False,
+    planes: int = 8,
+) -> DataFrame:
+    """Pairs with cosine >= tau.
+
+    bucketed=False: exact all-pairs (self-join) — fine to ~10^4 vectors.
+    bucketed=True: random-hyperplane LSH — vectors are first keyed by the
+    sign pattern of `planes` deterministic pseudo-hyperplanes (md5-seeded
+    ±1 components), the self-join runs per bucket, then exact cosine
+    verifies. This is the 100 TB path: the shuffle key is the bucket, and
+    only same-bucket pairs are scored.
+    """
+    df = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if bucketed:
+        df = df.withColumn("_bucket", _hyperplane_bucket(F.col("_v"), planes))
+        join_on = ["_bucket"]
+    else:
+        df = df.withColumn("_bucket", F.lit(0))
+        join_on = ["_bucket"]
+    a = df.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), *join_on)
+    b = df.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), *join_on)
+    return (
+        a.join(b, join_on)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= float(tau))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplane_bucket(vec: Column, planes: int) -> Column:
+    """Sign pattern of `planes` deterministic hyperplanes. Component (p,d)
+    = +1 if md5('p:d') first nibble >= 8 else -1 — reproducible anywhere,
+    no stored model."""
+    bits = []
+    for p in range(planes):
+        def signed(p):
+            return lambda x, d: x.cast("double") * F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{p}:"), d.cast("string"))), 1, 1
+                ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), signed(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")

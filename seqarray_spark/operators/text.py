@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, fingerprinting.
+
+These extend the reference's surface (BASELINE.json north star): every
+operator is a pure Column expression pipeline — no UDFs — so a 100 TB
+documents table runs them inside whole-stage codegen at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"[a-z0-9']+"
+
+# tiny deterministic stopword inventories for n-gram-free language ID
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "des", "que"],
+    "es": ["el", "la", "los", "las", "es", "no", "un", "una", "que", "por"],
+}
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: str | Column) -> Column:
+    """Lowercased word tokens (whitespace+punct splitting via regex)."""
+    return F.regexp_extract_all(F.lower(_col(text)), F.lit(TOKEN_RE), 0)
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text)).cast("int")
+
+
+def word_shingles(text: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles — the unit of near-dup detection."""
+    toks = tokens(text)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality metrics (length, word stats, punctuation/digit
+    ratios, stopword ratio, repetition) — the standard pre-training
+    corpus filters."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    uniq = F.size(F.array_distinct(toks))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return docs.withColumns(
+        {
+            "n_chars_q": n_chars.cast("int"),
+            "n_tokens": n_tok.cast("int"),
+            "mean_word_len": F.when(
+                n_tok > 0,
+                (
+                    F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+                    / n_tok.cast("double")
+                ),
+            ),
+            "digit_ratio": F.when(
+                n_chars > 0,
+                F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+                / n_chars.cast("double"),
+            ),
+            "punct_ratio": F.when(
+                n_chars > 0,
+                F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+                / n_chars.cast("double"),
+            ),
+            "stopword_ratio": F.when(
+                n_tok > 0, n_stop.cast("double") / n_tok.cast("double")
+            ),
+            "unique_ratio": F.when(
+                n_tok > 0, uniq.cast("double") / n_tok.cast("double")
+            ),
+        }
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score: rewards mid-length docs with diverse
+    vocabulary and low digit/punct noise. All exact integer/ratio math so
+    scores are reproducible across engines."""
+    feats = quality_features(docs, text_col)
+    score = (
+        F.when(F.col("n_tokens") >= 20, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("unique_ratio") >= 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("digit_ratio") <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return feats.withColumn("quality_score", score)
+
+
+def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-inventory language ID (n-gram-heuristic family): count
+    stopword hits per language, take the argmax; CJK detected by Unicode
+    range. Deterministic tie-break by language code order."""
+    toks = tokens(text_col)
+    hits = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+    t = F.col(text_col)
+    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    best = F.greatest(*[hits[lang] for lang in sorted(STOPWORDS)])
+    guess = F.when(cjk > 0, F.lit("zh")).when(best == 0, F.lit("unknown"))
+    for lang in sorted(STOPWORDS):  # alphabetical tie-break
+        guess = guess.when(hits[lang] == best, F.lit(lang))
+    return docs.withColumn("lang_guess", guess)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8, n: int = 3) -> DataFrame:
+    """Document fingerprint: md5 over the k smallest shingle hashes
+    (min-k sketch — the order-free analogue of winnowing/rolling hashes).
+    Documents sharing most shingles collide with high probability."""
+    sh = word_shingles(text_col, n)
+    hashes = F.sort_array(F.transform(F.array_distinct(sh), lambda s: F.md5(s)))
+    mink = F.slice(hashes, 1, k)
+    return docs.withColumn("fingerprint", F.md5(F.concat_ws(",", mink)))

@@ -1,0 +1,174 @@
+"""LLM-pipeline operators: dedup, similarity, text analysis, multimodal."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from seqarray_spark.operators import dedup as D
+from seqarray_spark.operators import similarity as S
+from seqarray_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again for fun"
+    near = "the quick brown fox jumps over the lazy dog again and again for profit"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),  # exact dup of 1
+        Row(doc_id=3, text=near),  # near dup of 1
+        Row(doc_id=4, text="completely different words about spark dataframes and shuffles here"),
+        Row(doc_id=5, text="der hund und die katze sind nicht zu hause mit den kindern"),
+        Row(doc_id=6, text="12345 67890 11 22 33 44 55 66 77 88 99 00 111 222"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        angle = (i % 8) * math.pi / 16
+        v = [math.cos(angle), math.sin(angle)] + [0.001 * i] * 6
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+# -- exact + minhash + jaccard ------------------------------------------------
+
+def test_exact_dedup(docs):
+    groups = D.exact_dup_groups(docs).collect()
+    assert sum(r["n_copies"] for r in groups) == 6
+    dups = [r for r in groups if r["n_copies"] > 1]
+    assert len(dups) == 1 and dups[0]["keeper_id"] == 1
+    assert D.exact_dedup(docs).count() == 5
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, tau=0.5).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)  # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_dup_pairs(docs, tau=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+    # LSH candidates are a superset of verified pairs
+    cand = {(r["id_a"], r["id_b"]) for r in D.minhash_dup_pairs(docs, tau=None).collect()}
+    assert pairs <= cand
+
+
+def test_simhash(docs):
+    s = {r["doc_id"]: r["simhash"] for r in D.simhash16(docs).collect()}
+    assert s[1] == s[2]  # identical text, identical sketch
+    assert 0 <= s[1] < 65536
+    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_dup_pairs(docs).collect()}
+    assert (1, 2) in pairs
+
+
+def test_simhash_partition_invariance(docs):
+    a = {r["doc_id"]: r["simhash"] for r in D.simhash16(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in D.simhash16(docs.repartition(5)).collect()}
+    assert a == b
+
+
+# -- embeddings ---------------------------------------------------------------
+
+def test_embedding_dup_pairs(emb):
+    pairs = D.embedding_dup_pairs(emb, tau=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # vectors with the same angle (i % 8 equal) are near-identical
+    assert (0, 8) in got and (1, 9) in got
+    assert (0, 4) not in got  # far apart angles
+
+
+def test_embedding_dup_pairs_bucketed_recall(emb):
+    exact = {(r["id_a"], r["id_b"]) for r in D.embedding_dup_pairs(emb, tau=0.999).collect()}
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_dup_pairs(emb, tau=0.999, bucketed=True, planes=4).collect()
+    }
+    assert approx <= exact
+    assert len(approx) >= len(exact) * 0.5  # same-bucket recall is decent
+
+
+def test_cosine_topk(emb):
+    q = [1.0, 0.0] + [0.0] * 6
+    top = S.cosine_topk(emb, q, k=5).collect()
+    assert len(top) == 5
+    assert top[0]["vec_id"] == 0  # angle 0 vector
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_and_ivf_topk_contain_best(emb):
+    q = [1.0, 0.0] + [0.0] * 6
+    exact_ids = [r["vec_id"] for r in S.cosine_topk(emb, q, k=3).collect()]
+    lsh_ids = [r["vec_id"] for r in S.lsh_topk(emb, q, k=3, planes=2).collect()]
+    ivf_ids = [r["vec_id"] for r in S.ivf_topk(emb, q, k=3, ncells=8, nprobe=4).collect()]
+    assert exact_ids[0] in lsh_ids or exact_ids[0] in ivf_ids
+    assert len(set(lsh_ids)) == len(lsh_ids)
+
+
+# -- text ---------------------------------------------------------------------
+
+def test_token_count_and_shingles(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="One two, THREE four five")])
+    out = df.select(
+        X.token_count("text").alias("n"),
+        X.word_shingles("text", 3).alias("sh"),
+    ).first()
+    assert out["n"] == 5
+    assert out["sh"][0] == "one two three"
+    assert len(out["sh"]) == 3
+
+
+def test_quality_score(docs):
+    q = {r["doc_id"]: r for r in X.quality_score(docs).collect()}
+    assert q[6]["digit_ratio"] > 0.5  # the number-soup doc
+    assert q[6]["quality_score"] < q[1]["quality_score"]
+    assert 0 <= q[1]["quality_score"] <= 1
+
+
+def test_lang_guess(docs):
+    g = {r["doc_id"]: r["lang_guess"] for r in X.lang_guess(docs).collect()}
+    assert g[1] == "en"
+    assert g[5] == "de"
+
+
+def test_fingerprint(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in X.fingerprint(docs).collect()}
+    assert fp[1] == fp[2]  # identical docs -> same fingerprint
+    assert fp[1] != fp[4]
+
+
+# -- multimodal ---------------------------------------------------------------
+
+def test_multimodal_features(spark, docs):
+    from seqarray_spark.operators import multimodal as MM
+
+    media = MM.make_media_table(spark, docs)
+    assert media.schema.simpleString().count("binary") == 1
+    feats = MM.extract_features(media, dim=8).collect()
+    assert len(feats) == 6
+    by_id = {r["media_id"]: r["feat"] for r in feats}
+    assert len(by_id[1]) == 8
+    assert by_id[1] == by_id[2]  # identical payloads -> identical features
+    assert all(r["decode_ok"] for r in feats)
+    # real decoder is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media, fake=False)
+
+
+def test_frame_sample_plan(spark, docs):
+    from seqarray_spark.operators import multimodal as MM
+
+    media = MM.make_media_table(spark, docs)
+    plan = MM.frame_sample_plan(media, every_n=2)
+    assert plan.count() > 0
+    assert plan.filter(F.col("frame_idx") % 2 != 0).count() == 0
