@@ -73,8 +73,13 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_merge_variant_af": seq_merge_variant_af,
         # -- digest (SURVEY §2.5) -------------------------------------------
         "seq_digest_chrom": seq_digest_chrom,
+        # -- dosage-backed aggregates (SURVEY §2.5 DS paths) -----------
+        "seq_dosage_af": seq_dosage_af,
+        # -- packed genotype export (SURVEY §2.6 seqGet2bGeno) — rows-only
+        "seq_pack_genotypes": seq_pack_genotypes,
         # -- events ---------------------------------------------------------
         "ev_hourly_by_type": ev_hourly_by_type,
+        "ev_sessionize": ev_sessionize,
         # -- text / dedup ----------------------------------------------------
         "doc_token_count": doc_token_count,
         "dedup_exact": dedup_exact,
@@ -298,6 +303,58 @@ def seq_digest_chrom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # events / text / dedup
 # ---------------------------------------------------------------------------
+
+GDOSAGE_SQL = """
+SELECT
+  l_partkey                                    AS variant_id,
+  CONCAT('S', CAST(l_suppkey % 100 AS STRING)) AS sample_id,
+  CASE WHEN l_tax > 0.05 THEN NULL
+       ELSE FLOOR(l_discount * 40) / 2 END     AS DS
+FROM lineitem
+"""
+
+
+def seq_dosage_af(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dosage-backed AF + AC + missing (reference: FC_AF_DS / FC_AC_DS /
+    FC_Missing_DS paths, src/Methods.cpp:443-750) on a derived DS table.
+    DS values are exact halves so double sums are order-independent."""
+    td.register_testdata(spark, sf_dir, ["lineitem"])
+    dcalls = spark.sql(GDOSAGE_SQL)
+    af = agg.allele_freq_dosage(dcalls, ploidy=2)
+    ac = agg.allele_count_dosage(dcalls, ploidy=2)
+    miss = agg.missing_rate_dosage(dcalls)
+    return af.join(ac, "variant_id").join(miss, "variant_id")
+
+
+def seq_pack_genotypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-bit packed genotype export (reference: seqGet2bGeno
+    R/Methods.R:1224-1342) — binary payload, driver checks rows-only."""
+    from seqarray_spark.sources.packed import pack_2bit_genotypes
+
+    ds = td.variant_dataset(spark, sf_dir)
+    out = pack_2bit_genotypes(ds)
+    return out.select("variant_id", "n_samples", F.length("packed").alias("n_bytes"))
+
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (lag + gap>30min cumulative session ids) —
+    the batch twin of streaming session_window."""
+    from pyspark.sql.window import Window
+
+    ev = td.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("sess_id").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
 
 def ev_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregate (batch form of the streaming
@@ -647,6 +704,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT chromosome,
                    md5(string_agg(CAST(position AS STRING) || ':' || ref, ',' ORDER BY CAST(position AS STRING) || ':' || ref)) AS digest
             FROM gvariants GROUP BY chromosome
+        """,
+        "seq_dosage_af": f"""
+            WITH gdosage AS ({GDOSAGE_SQL})
+            SELECT variant_id,
+                   CAST(SUM(DS) AS DOUBLE) / (2.0 * COUNT(DS)) AS af_alt,
+                   CAST(SUM(DS) AS DOUBLE) AS ac_alt,
+                   CAST(2 * COUNT(DS) AS BIGINT) AS an,
+                   AVG(CASE WHEN DS IS NULL THEN 1.0 ELSE 0.0 END) AS missing_rate
+            FROM gdosage GROUP BY variant_id
+        """,
+        "ev_sessionize": """
+            WITH lagged AS (
+              SELECT user_id, ts, event_id,
+                     epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+              FROM events
+            ), marked AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM lagged
+            ), sess AS (
+              SELECT user_id,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+              FROM marked
+            )
+            SELECT user_id,
+                   CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id
         """,
         "ev_hourly_by_type": """
             SELECT DATE_TRUNC('hour', ts) AS hour, event_type,

@@ -189,6 +189,46 @@ def digest_xor(df: DataFrame, cols: list[str], group_col: str | None = None) -> 
     return grouped.agg(F.bit_xor(row_hash).alias("digest"))
 
 
+def allele_freq_dosage(
+    calls: DataFrame, ds_col: str = "DS", ploidy: int = 2, minor: bool = False
+) -> DataFrame:
+    """Dosage-backed allele frequency (reference: seqAlleleFreq DS path,
+    FC_AF_DS src/Methods.cpp:443-506; .has_dosage R/Internal.R:135-142):
+    imputed datasets carry an alt-dosage in [0, ploidy] instead of
+    genotypes; ALT AF = sum(DS) / (ploidy * #non-missing)."""
+    d = F.col(ds_col)
+    out = calls.groupBy("variant_id").agg(
+        (
+            F.sum(d).cast("double")
+            / (F.lit(float(ploidy)) * F.count(d).cast("double"))
+        ).alias("af_alt")
+    )
+    if minor:
+        out = out.select(
+            "variant_id",
+            F.least(F.col("af_alt"), F.lit(1.0) - F.col("af_alt")).alias("maf"),
+        )
+    return out
+
+
+def allele_count_dosage(calls: DataFrame, ds_col: str = "DS", ploidy: int = 2) -> DataFrame:
+    """Dosage-backed allele counts (reference: FC_AC_DS
+    src/Methods.cpp:690-750): AC = sum(DS) (fractional), AN = ploidy*NS."""
+    d = F.col(ds_col)
+    return calls.groupBy("variant_id").agg(
+        F.sum(d).cast("double").alias("ac_alt"),
+        (F.lit(ploidy) * F.count(d)).cast("bigint").alias("an"),
+    )
+
+
+def missing_rate_dosage(calls: DataFrame, ds_col: str = "DS", per: str = "variant") -> DataFrame:
+    """Dosage-backed missing rate (reference: FC_Missing_DS paths
+    src/Methods.cpp:170-246)."""
+    miss = F.col(ds_col).isNull().cast("double")
+    key = "variant_id" if per == "variant" else "sample_id"
+    return calls.groupBy(key).agg(F.avg(miss).alias("missing_rate"))
+
+
 def check_dims(variants: DataFrame, calls: DataFrame, samples: DataFrame | None) -> dict:
     """Integrity check (reference: seqCheck R/Summary.R:928-1020):
     dimension consistency between the three frames."""

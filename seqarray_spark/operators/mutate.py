@@ -1,0 +1,171 @@
+"""Mutation / DDL-ish operators (SURVEY.md §2.9).
+
+Reference parity:
+- seqAddValue   (R/AddValue.R:520-591)  -> withColumn + dataset rewrite
+- seqDelete     (R/Utilities.R:1176-1227) -> drop columns
+- seqRecompress (R/UtilsExport.R:357-463) -> rewrite with another codec
+- seqTranspose/seqOptimize (R/Utilities.R:1235-1429) -> sample-major
+  secondary layout / chromosome partitioning
+- seqEmptyFile  (R/Conversion.R:1453+)   -> empty frames with the schema
+- seqSystem     (R/Summary.R:826-833)    -> runtime capability report
+
+In Spark these are thin by design: immutability + columnar storage make
+most of the reference's node-level surgery a projection + write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from seqarray_spark.dataset import SeqDataset
+
+
+def add_variant_value(ds: SeqDataset, name: str, col_or_df, join_key: str = "variant_id") -> SeqDataset:
+    """Add/replace a variant-level variable (reference: seqAddValue
+    R/AddValue.R:520-591). Accepts a Column expression or a
+    (variant_id, value) DataFrame — the latter is the reference's
+    'length must equal #variants' path, here a broadcast join."""
+    v = ds._base_variants
+    if isinstance(col_or_df, DataFrame):
+        aux = col_or_df.withColumnRenamed(
+            [c for c in col_or_df.columns if c != join_key][0], name
+        )
+        v = v.drop(name).join(F.broadcast(aux), join_key, "left")
+    else:
+        v = v.withColumn(name, col_or_df)
+    return SeqDataset(v, ds._base_calls, ds._base_samples, ploidy=ds.ploidy)
+
+
+def add_sample_value(ds: SeqDataset, name: str, col_or_df) -> SeqDataset:
+    """Per-sample annotation add (reference: seqAddValue
+    'sample.annotation/<name>' path)."""
+    s = ds._base_samples
+    if s is None:
+        raise ValueError("dataset has no samples table")
+    if isinstance(col_or_df, DataFrame):
+        aux = col_or_df.withColumnRenamed(
+            [c for c in col_or_df.columns if c != "sample_id"][0], name
+        )
+        s = s.drop(name).join(F.broadcast(aux), "sample_id", "left")
+    else:
+        s = s.withColumn(name, col_or_df)
+    return SeqDataset(ds._base_variants, ds._base_calls, s, ploidy=ds.ploidy)
+
+
+def delete_vars(
+    ds: SeqDataset,
+    info_vars: list[str] | None = None,
+    fmt_vars: list[str] | None = None,
+    samp_vars: list[str] | None = None,
+) -> SeqDataset:
+    """Drop INFO / FORMAT / sample-annotation variables (reference:
+    seqDelete R/Utilities.R:1176-1227)."""
+    v, c, s = ds._base_variants, ds._base_calls, ds._base_samples
+    if info_vars:
+        if "info" in v.columns:
+            keep = [
+                f.name
+                for f in v.schema["info"].dataType.fields
+                if f.name not in set(info_vars)
+            ]
+            v = v.withColumn(
+                "info", F.struct(*[F.col(f"info.{n}").alias(n) for n in keep])
+            )
+        v = v.drop(*[x for x in info_vars if x in v.columns])
+    if fmt_vars and c is not None:
+        c = c.drop(*[x for x in fmt_vars if x in c.columns])
+    if samp_vars and s is not None:
+        s = s.drop(*[x for x in samp_vars if x in s.columns])
+    return SeqDataset(v, c, s, ploidy=ds.ploidy)
+
+
+def recompress(
+    spark: SparkSession, path: str, out_path: str, codec: str = "zstd"
+) -> None:
+    """Re-encode a stored dataset with another codec (reference:
+    seqRecompress R/UtilsExport.R:357-463). Parquet handles per-column
+    encodings; only the file codec is a choice."""
+    import os
+
+    for sub in ("variants.parquet", "calls.parquet", "samples.parquet"):
+        src = f"{path}/{sub}"
+        if os.path.isdir(src):
+            (
+                spark.read.parquet(src)
+                .write.mode("overwrite")
+                .option("compression", codec)
+                .parquet(f"{out_path}/{sub}")
+            )
+
+
+def transpose_sample_major(ds: SeqDataset, out_path: str | None = None) -> DataFrame:
+    """Sample-major calls layout (reference: seqTranspose/seqOptimize
+    'by.sample' — the on-disk '~data' duplicate, R/Utilities.R:1235-1323).
+    In Spark this is a repartition+sort, optionally persisted as a second
+    dataset for hot per-sample scan paths."""
+    c = ds._base_calls
+    out = c.repartition("sample_id").sortWithinPartitions("sample_id", "variant_id")
+    if out_path:
+        out.write.mode("overwrite").parquet(out_path)
+    return out
+
+
+def optimize_by_chromosome(ds: SeqDataset, out_dir: str) -> None:
+    """Chromosome-partitioned, position-sorted layout (reference:
+    seqOptimize 'chromosome' target + the RLE chrom index,
+    R/Utilities.R:1351-1429). This is what makes set_filter_chrom pure
+    partition pruning + row-group skipping."""
+    (
+        ds._base_variants.repartition("chromosome")
+        .sortWithinPartitions("position")
+        .write.mode("overwrite")
+        .partitionBy("chromosome")
+        .parquet(f"{out_dir}/variants.parquet")
+    )
+    if ds._base_calls is not None:
+        ds._base_calls.write.mode("overwrite").parquet(f"{out_dir}/calls.parquet")
+    if ds._base_samples is not None:
+        ds._base_samples.write.mode("overwrite").parquet(f"{out_dir}/samples.parquet")
+
+
+def empty_dataset(spark: SparkSession, ploidy: int = 2) -> SeqDataset:
+    """Minimal valid empty dataset (reference: seqEmptyFile
+    R/Conversion.R:1453+)."""
+    v = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("variant_id", T.LongType()),
+                T.StructField("chromosome", T.StringType()),
+                T.StructField("position", T.IntegerType()),
+                T.StructField("id", T.StringType()),
+                T.StructField("ref", T.StringType()),
+                T.StructField("alt", T.ArrayType(T.StringType())),
+                T.StructField("qual", T.DoubleType()),
+                T.StructField("filter", T.StringType()),
+            ]
+        ),
+    )
+    c = spark.createDataFrame(
+        [],
+        "variant_id long, sample_id string, alleles array<smallint>, phased array<boolean>",
+    )
+    s = spark.createDataFrame([], "sample_id string")
+    return SeqDataset(v, c, s, ploidy=ploidy)
+
+
+def system_info(spark: SparkSession) -> dict:
+    """Runtime capability report (reference: seqSystem R/Summary.R:826-833
+    — SIMD flags become Spark/JVM/conf facts)."""
+    sc = spark.sparkContext
+    return {
+        "spark_version": spark.version,
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe_enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "arrow_enabled": spark.conf.get("spark.sql.execution.arrow.pyspark.enabled"),
+        "ansi_mode": spark.conf.get("spark.sql.ansi.enabled", "true"),
+    }

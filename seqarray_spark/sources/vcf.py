@@ -205,16 +205,7 @@ def read_vcf(
     the extra pass (the 100 TB default — id stability across re-imports
     instead of file-order density).
     """
-    from seqarray_spark.dataset import SeqDataset
-
     header = header or parse_vcf_header(path)
-    info_fields = list(header.info) if info_fields is None else info_fields
-    format_fields = (
-        [f for f in header.formats if f != "GT"]
-        if format_fields is None
-        else format_fields
-    )
-
     lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
 
     if assign_ids == "order":
@@ -225,6 +216,31 @@ def read_vcf(
         lines = rdd.toDF(["value", "__idx"]).withColumn(
             "variant_id", (F.col("__idx") + 1).cast("long")
         ).drop("__idx")
+    return parse_vcf_lines(
+        lines, header, info_fields, format_fields, ignore_chr_prefix, assign_ids
+    )
+
+
+def parse_vcf_lines(
+    lines,
+    header: VcfHeader,
+    info_fields: list[str] | None = None,
+    format_fields: list[str] | None = None,
+    ignore_chr_prefix: str = "chr",
+    assign_ids: str = "hash",
+):
+    """Core line-parse: a DataFrame with a 'value' column of VCF data lines
+    (and optionally a precomputed variant_id) → SeqDataset. Works on batch
+    and streaming inputs alike (streaming must use assign_ids='hash')."""
+    from seqarray_spark.dataset import SeqDataset
+
+    spark = lines.sparkSession
+    info_fields = list(header.info) if info_fields is None else info_fields
+    format_fields = (
+        [f for f in header.formats if f != "GT"]
+        if format_fields is None
+        else format_fields
+    )
     parsed = lines.withColumn("__f", F.split("value", "\t"))
 
     chrom = F.col("__f")[0]

@@ -1,0 +1,154 @@
+"""Structured Streaming ingest & rollups.
+
+The reference is batch-only (SURVEY.md §2.11); this module is the
+extension the Spark engine gets for free: streaming VCF ingestion
+(files-arriving-in-a-directory source, the standard genomics drop-box
+pattern) and event-time windowed aggregation with watermarked late-data
+handling.
+
+Scale notes: the VCF stream reuses the exact batch parse expressions
+(parse_vcf_lines) — whole-stage codegen, no Python per line; ids must be
+hash-derived (no global ordering exists in a stream). Windowed aggs use
+watermark + window(), so state is bounded and late rows beyond the
+watermark are dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_vcf(
+    spark: SparkSession,
+    input_dir: str,
+    header,
+    ignore_chr_prefix: str = "chr",
+):
+    """Streaming VCF ingest: watch a directory for arriving VCF part files
+    and parse them with the batch expression pipeline. The header must be
+    supplied (parsed once from a reference file — a stream has no driver-
+    readable prefix). Returns the (variants, calls) streaming frames."""
+    from seqarray_spark.sources.vcf import parse_vcf_lines
+
+    lines = (
+        spark.readStream.format("text")
+        .load(input_dir)
+        .filter(~F.col("value").startswith("#"))
+    )
+    ds = parse_vcf_lines(
+        lines, header, ignore_chr_prefix=ignore_chr_prefix, assign_ids="hash"
+    )
+    return ds.variants, ds._base_calls
+
+
+def write_stream_dataset(
+    variants: DataFrame,
+    calls: DataFrame | None,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Sink the streaming parse into the engine's parquet layout with
+    exactly-once file semantics (checkpointed)."""
+    queries = []
+    vq = (
+        variants.writeStream.format("parquet")
+        .option("path", f"{out_dir}/variants.parquet")
+        .option("checkpointLocation", f"{checkpoint_dir}/variants")
+        .trigger(availableNow=True)
+        .start()
+    )
+    queries.append(vq)
+    if calls is not None:
+        cq = (
+            calls.writeStream.format("parquet")
+            .option("path", f"{out_dir}/calls.parquet")
+            .option("checkpointLocation", f"{checkpoint_dir}/calls")
+            .trigger(availableNow=True)
+            .start()
+        )
+        queries.append(cq)
+    return queries
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of the events table (parquet file source; stands in
+    for kafka in this container)."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # the file stream source requires a directory; expose single-file
+        # testdata through a symlink dir
+        d = tempfile.mkdtemp(prefix="seqarray-stream-")
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(path), link)
+        path = d
+    ev = spark.readStream.schema(schema).parquet(path)
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time rollup — the streaming
+    sibling of the batch ev_hourly_by_type query (and of the reference's
+    positional sliding windows, SURVEY §2.7: same window math, time
+    domain instead of bp)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_events(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based), the canonical stateful
+    streaming op."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete"):
+    """Drive a streaming frame to completion against the memory sink
+    (synchronous; for tests/smoke runs)."""
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,155 @@
+"""PLINK BED round-trip, packed genotypes, dosage matrix interop,
+mutation ops (reference: seqBED2GDS/seqGet2bGeno/seqGDS2SNP/seqAddValue)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from seqarray_spark.dataset import SeqDataset
+
+
+@pytest.fixture(scope="module")
+def ds(spark):
+    v = spark.createDataFrame(
+        [
+            (1, "1", 100, "rs1", "A", ["G"]),
+            (2, "1", 200, "rs2", "C", ["T"]),
+            (3, "2", 50, "rs3", "G", ["A"]),
+        ],
+        "variant_id long, chromosome string, position int, id string, ref string, alt array<string>",
+    )
+    c = spark.createDataFrame(
+        [
+            (1, "s1", [0, 0]), (1, "s2", [0, 1]), (1, "s3", [1, 1]), (1, "s4", [None, None]),
+            (2, "s1", [1, 0]), (2, "s2", [0, 0]), (2, "s3", [0, 0]), (2, "s4", [0, 1]),
+            (3, "s1", [1, 1]), (3, "s2", [1, 1]), (3, "s3", [0, 1]), (3, "s4", [0, 0]),
+        ],
+        "variant_id long, sample_id string, alleles array<smallint>",
+    )
+    s = spark.createDataFrame([("s1",), ("s2",), ("s3",), ("s4",)], "sample_id string")
+    return SeqDataset(v, c, s)
+
+
+def test_plink_roundtrip(spark, ds, tmp_path):
+    from seqarray_spark.sources import plink
+
+    prefix = str(tmp_path / "toy")
+    plink.write_plink(ds, prefix)
+
+    with open(prefix + ".bed", "rb") as fh:
+        blob = fh.read()
+    assert blob[:3] == b"\x6c\x1b\x01"
+    assert len(blob) == 3 + 3 * math.ceil(4 / 4)
+
+    back = plink.read_plink(spark, prefix + ".bed")
+    assert back.variants.count() == 3
+    assert back.samples.count() == 4
+    # dosages survive the round trip
+    from seqarray_spark.functions.variant import dosage_alt
+
+    def dos(d):
+        return {
+            (r["variant_id"], r["sample_id"]): r["d"]
+            for r in d.calls.select(
+                "variant_id", "sample_id", dosage_alt("alleles").alias("d")
+            ).collect()
+        }
+
+    orig = dos(ds)
+    # read_plink renumbers variant ids by bim order (chrom,pos sorted =
+    # same order here); sample ids preserved
+    got = dos(back)
+    assert got == orig
+
+
+def test_pack_unpack_2bit(spark, ds):
+    from seqarray_spark.sources import packed
+
+    p = packed.pack_2bit_genotypes(ds)
+    rows = p.collect()
+    assert len(rows) == 3
+    assert all(len(bytes(r["packed"])) == 1 for r in rows)  # 4 samples -> 1 byte
+    back = packed.unpack_2bit_genotypes(p, ["s1", "s2", "s3", "s4"])
+    got = {(r["variant_id"], r["sample_id"]): r["dosage_alt"] for r in back.collect()}
+    assert got[(1, "s1")] == 0 and got[(1, "s2")] == 1 and got[(1, "s3")] == 2
+    assert got[(1, "s4")] is None
+    assert got[(2, "s1")] == 1
+
+
+def test_dosage_matrix_roundtrip(spark, ds):
+    from seqarray_spark.sources import packed
+
+    m = packed.to_dosage_matrix(ds)
+    rows = {r["variant_id"]: r["dosages"] for r in m.collect()}
+    assert rows[1] == [0, 1, 2, None]
+    back = packed.from_dosage_matrix(m, ["s1", "s2", "s3", "s4"])
+    from seqarray_spark.operators.aggregates import af_ac_missing
+
+    orig = {r["variant_id"]: r["ac"] for r in af_ac_missing(ds.calls).collect()}
+    new = {r["variant_id"]: r["ac"] for r in af_ac_missing(back).collect()}
+    assert orig == new
+
+
+def test_dosage_aggregates(spark):
+    from seqarray_spark.operators import aggregates as agg
+
+    calls = spark.createDataFrame(
+        [(1, "a", 0.5), (1, "b", 1.5), (1, "c", None), (2, "a", 2.0), (2, "b", 0.0)],
+        "variant_id int, sample_id string, DS double",
+    )
+    af = {r["variant_id"]: r["af_alt"] for r in agg.allele_freq_dosage(calls).collect()}
+    assert af[1] == pytest.approx(2.0 / 4.0)
+    assert af[2] == pytest.approx(2.0 / 4.0)
+    miss = {r["variant_id"]: r["missing_rate"] for r in agg.missing_rate_dosage(calls).collect()}
+    assert miss[1] == pytest.approx(1 / 3)
+    ac = {r["variant_id"]: (r["ac_alt"], r["an"]) for r in agg.allele_count_dosage(calls).collect()}
+    assert ac[1] == (2.0, 4)
+
+
+def test_mutate_ops(spark, ds):
+    from seqarray_spark.operators import mutate as M
+
+    ds2 = M.add_variant_value(ds, "is_snv", F.length("ref") == 1)
+    assert ds2.variants.filter("is_snv").count() == 3
+    aux = spark.createDataFrame([(1, 0.9), (2, 0.1)], "variant_id long, score double")
+    ds3 = M.add_variant_value(ds2, "score", aux)
+    got = {r["variant_id"]: r["score"] for r in ds3.variants.collect()}
+    assert got[1] == 0.9 and got[3] is None
+    ds4 = M.add_sample_value(ds3, "batch", F.lit("b1"))
+    assert ds4.samples.select("batch").distinct().first()[0] == "b1"
+    ds5 = M.delete_vars(ds4, samp_vars=["batch"])
+    assert "batch" not in ds5.samples.columns
+    info = M.system_info(spark)
+    assert info["spark_version"].startswith("4.")
+    empty = M.empty_dataset(spark)
+    assert empty.variants.count() == 0 and empty.calls.count() == 0
+
+
+def test_transpose_and_optimize(spark, ds, tmp_path):
+    from seqarray_spark.operators import mutate as M
+
+    t = M.transpose_sample_major(ds)
+    assert t.count() == ds._base_calls.count()
+    out = str(tmp_path / "opt")
+    M.optimize_by_chromosome(ds, out)
+    back = SeqDataset.read(spark, out)
+    assert back.variants.count() == 3
+    assert back.calls.count() == 12
+    # chromosome partition pruning is structural: partition dir exists
+    import os
+
+    assert any("chromosome=" in d for d in os.listdir(f"{out}/variants.parquet"))
+
+
+def test_recompress(spark, ds, tmp_path):
+    from seqarray_spark.operators import mutate as M
+
+    src = str(tmp_path / "src")
+    ds.export(src, partition_by_chrom=False)
+    dst = str(tmp_path / "dst")
+    M.recompress(spark, src, dst, codec="zstd")
+    back = SeqDataset.read(spark, dst)
+    assert back.variants.count() == 3

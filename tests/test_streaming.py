@@ -1,0 +1,64 @@
+"""Structured Streaming surface: streaming VCF ingest, windowed rollups,
+sessionization (extension beyond the batch-only reference)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqarray_spark.streaming import ingest as S
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "toy.vcf")
+
+
+def test_stream_vcf_ingest(spark, tmp_path):
+    from seqarray_spark.sources.vcf import parse_vcf_header, read_vcf
+
+    header = parse_vcf_header(FIXTURE)
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir)
+    shutil.copy(FIXTURE, f"{in_dir}/part1.vcf")
+
+    variants, calls = S.stream_vcf(spark, in_dir, header)
+    assert variants.isStreaming and calls.isStreaming
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    for q in S.write_stream_dataset(variants, calls, out, ck):
+        q.awaitTermination()
+
+    got_v = spark.read.parquet(f"{out}/variants.parquet")
+    got_c = spark.read.parquet(f"{out}/calls.parquet")
+    batch = read_vcf(spark, FIXTURE, assign_ids="hash")
+    assert got_v.count() == batch.variants.count()
+    assert got_c.count() == batch._base_calls.count()
+    # hash ids line up between the batch and streaming parses
+    a = {r["variant_id"] for r in got_v.collect()}
+    b = {r["variant_id"] for r in batch.variants.collect()}
+    assert a == b
+
+
+def test_windowed_event_counts(spark, sf_dir):
+    ev = S.stream_events(spark, sf_dir)
+    agg = S.windowed_event_counts(ev, window="1 hour")
+    out = S.run_stream_to_memory(agg, "win_counts", mode="complete")
+    rows = out.collect()
+    assert len(rows) > 0
+    # streaming result == batch result over the same data
+    from seqarray_spark.sources.testdata import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sum(r["n"] for r in rows) == batch.agg(F.sum("n")).first()[0]
+
+
+def test_sessionize(spark, sf_dir):
+    ev = S.stream_events(spark, sf_dir)
+    sess = S.sessionize_events(ev, gap="30 minutes")
+    out = S.run_stream_to_memory(sess, "sessions", mode="complete")
+    rows = out.limit(5).collect()
+    assert rows and all(r["n_events"] >= 1 for r in rows)
