@@ -104,30 +104,60 @@ def minhash_dup_pairs(
     -> self equi-join per band key -> distinct pairs -> verify. The join
     key space is ~uniform md5 values, so the shuffle is skew-free.
     """
-    sigs = minhash_signature(docs, text_col, num_hashes, shingle_n)
-    keys = sigs.select(
+    rows = num_hashes // bands
+    # Long-form signature build (NOT the array-expression form: behind a
+    # generator Catalyst re-inlines the whole signature per band, turning
+    # 16 md5 passes into 256 — measured 20x slower). One explode + two
+    # partial-agg shuffles keeps the md5 work exactly linear.
+    sh_long = docs.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
-        F.posexplode(F.array(*[c for c in lsh_band_keys(num_hashes, bands)])).alias(
-            "band_idx", "band_key"
-        ),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
     )
-    left = keys.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band_idx", "band_key"
+    mh = (
+        sh_long.select(
+            "_id", "s", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j")
+        )
+        .select(
+            "_id",
+            "j",
+            F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
+        )
+        .groupBy("_id", "j")
+        .agg(F.min("h").alias("h"))
     )
-    right = keys.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band_idx", "band_key"
+    band_keys = (
+        mh.withColumn("band_idx", F.floor(F.col("j") / rows).cast("int"))
+        .groupBy("_id", "band_idx")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "h"))), lambda s: s["h"]
+                    ),
+                )
+            ).alias("band_key")
+        )
     )
+    left = band_keys.select(F.col("_id").alias("id_a"), "band_idx", "band_key")
+    right = band_keys.select(F.col("_id").alias("id_b"), "band_idx", "band_key")
     cand = (
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
     if tau is None:
-        return cand.select("id_a", "id_b")
+        return cand
+    # exact-Jaccard verification only on candidates: re-attach shingle sets
+    shingle_sets = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
+    )
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(shingle_sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(shingle_sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= float(tau))
         .select("id_a", "id_b", "jaccard")
     )
@@ -252,21 +282,74 @@ def embedding_dup_pairs(
     verifies. This is the 100 TB path: the shuffle key is the bucket, and
     only same-bucket pairs are scored.
     """
-    df = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # per-row norm computed ONCE per side before the join, so per-pair
+    # work is a single dot fold + one division
+    df = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
     if bucketed:
         df = df.withColumn("_bucket", _hyperplane_bucket(F.col("_v"), planes))
-        join_on = ["_bucket"]
+        a = df.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"), "_bucket")
+        b = df.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), "_bucket")
+        joined = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
-        df = df.withColumn("_bucket", F.lit(0))
-        join_on = ["_bucket"]
-    a = df.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), *join_on)
-    b = df.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), *join_on)
+        # all-pairs exact baseline: broadcast the whole (small) matrix and
+        # let each Arrow batch score against it with one BLAS matmul —
+        # 2M 64-dim pairs drop from ~17s of codegen'd lambda folds to ~2s.
+        # Valid while one side broadcasts (N up to ~10^5); beyond that use
+        # bucketed=True (the shuffle key becomes the LSH bucket).
+        return _all_pairs_matmul(df, tau)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
-        a.join(b, join_on)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        joined.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= float(tau))
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def _all_pairs_matmul(df: DataFrame, tau: float) -> DataFrame:
+    """Exact all-pairs cosine>=tau via broadcast matrix + per-batch matmul.
+    df: (_id, _v, _n). Pair (a,b) emitted once with id_a < id_b; the
+    division-by-norms formula matches the expression path bit-for-bit up
+    to BLAS summation order."""
+    import numpy as np
+    import pandas as pd
+
+    rows = df.collect()
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["_v"] for r in rows], dtype=np.float64)
+    norms = np.array([r["_n"] for r in rows], dtype=np.float64)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((ids, mat, norms))
+
+    def kernel(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["_v"]), dtype=np.float64)
+            a_norms = pdf["_n"].to_numpy(dtype=np.float64)
+            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+            ai, bi = np.nonzero((sims >= tau) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": b_ids[bi],
+                    "cosine": sims[ai, bi],
+                }
+            )
+
+    n_parts = max(2, sc.defaultParallelism)
+    return (
+        df.repartition(n_parts)
+        .mapInPandas(kernel, schema="id_a long, id_b long, cosine double")
     )
 
 
