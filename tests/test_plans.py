@@ -1,0 +1,87 @@
+"""Plan-shape regression tests: the scale guarantees (pushdown, pruning,
+broadcast, partial agg) asserted at the physical-plan level — the Spark
+equivalents of the reference's hand-built mechanisms (SURVEY.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqarray_spark.dataset import SeqDataset
+from seqarray_spark.plans import explain as E
+from seqarray_spark.sources import testdata as td
+
+
+@pytest.fixture(scope="module")
+def stored(spark, sf_dir, tmp_path_factory):
+    """Dataset written in the recommended layout: variants partitioned by
+    chromosome, calls plain parquet."""
+    out = str(tmp_path_factory.mktemp("layout"))
+    ds = td.variant_dataset(spark, sf_dir)
+    from seqarray_spark.operators.mutate import optimize_by_chromosome
+
+    optimize_by_chromosome(ds, out)
+    return SeqDataset.read(spark, out)
+
+
+def test_chrom_filter_is_partition_pruning(stored):
+    """set_filter_chrom must prune partition directories AND push the
+    position predicate to the scan (reference's RLE chrom index + bp
+    range test, src/SeqArray.cpp:709-883)."""
+    stored.reset_filter()
+    stored.set_filter_chrom(["5"], from_bp=1000, to_bp=500000)
+    v = stored.variants
+    parts = " ".join(E.partition_filters(v))
+    assert "chromosome" in parts
+    pushed = " ".join(E.pushed_filters(v))
+    assert "position" in pushed
+    stored.reset_filter()
+
+
+def test_projection_prunes_columns(stored):
+    """A 2-column projection must not read the whole variant schema."""
+    df = stored.variants.select("variant_id", "position")
+    schemas = E.read_schemas(df)
+    assert schemas and all("ref" not in s and "alt" not in s for s in schemas)
+
+
+def test_allele_freq_has_partial_agg_and_one_shuffle(stored):
+    from seqarray_spark.operators.aggregates import allele_freq
+
+    df = allele_freq(stored._base_calls, ref_allele=0)
+    assert E.has_partial_aggregation(df)
+    assert E.num_shuffles(df) == 1
+
+
+def test_variant_filter_reaches_calls_as_broadcast(stored):
+    """Calls filtered through a variant selection must use a broadcast
+    join (no shuffle of the fact table)."""
+    stored.reset_filter()
+    stored.set_filter_chrom(["1", "2"])
+    df = stored.calls
+    assert E.broadcast_join_count(df) >= 1
+    assert E.sortmerge_join_count(df) == 0
+    stored.reset_filter()
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    df = entry.q3_top_revenue(spark, sf_dir)
+    assert E.broadcast_join_count(df) >= 2
+
+
+def test_probe_join_is_broadcast(stored, spark):
+    stored.reset_filter()
+    probes = stored.variants.filter(F.col("variant_id") % 50 == 0).select(
+        "chromosome", "position"
+    )
+    stored.set_filter_pos(probes, match_alleles=False)
+    assert E.broadcast_join_count(stored.variants) >= 1
+    stored.reset_filter()
+
+
+def test_fused_agg_is_single_pass(stored):
+    """seqGetAF_AC_Missing parity: one scan, one shuffle, all stats."""
+    from seqarray_spark.operators.aggregates import af_ac_missing
+
+    df = af_ac_missing(stored._base_calls)
+    assert E.num_shuffles(df) == 1
