@@ -50,6 +50,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- relational core (scan/filter/agg/join/sort/limit/window) -----
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
+        "q5_region_volume": q5_region_volume,
+        "q_topk_per_group": q_topk_per_group,
         # -- SeqArray aggregation suite (SURVEY §2.5) ----------------------
         "seq_allele_freq_ref": seq_allele_freq_ref,
         "seq_allele_count_minor": seq_allele_count_minor,
@@ -145,6 +147,47 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_rev").desc(), F.col("o_orderkey"))
         .limit(20)
         .select("o_orderkey", "o_orderdate", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join over five tables (all dims broadcast),
+    one agg on the fact side."""
+    region = td.load_table(spark, sf_dir, "region")
+    nation = td.load_table(spark, sf_dir, "nation")
+    cust = td.load_table(spark, sf_dir, "customer")
+    orders = td.load_table(spark, sf_dir, "orders")
+    li = td.load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+        "decimal(28,8)"
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price within each brand — the ranking-window
+    pattern (absent from the reference, native here: SURVEY §2.7)."""
+    from pyspark.sql.window import Window
+
+    part = td.load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
     )
 
 
@@ -528,6 +571,27 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY _rev DESC, o_orderkey
               LIMIT 20
             ) t
+        """,
+        "q5_region_volume": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "q_topk_per_group": """
+            SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     ROW_NUMBER() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey) AS rk
+              FROM part
+            ) t WHERE rk <= 3
         """,
         "seq_allele_freq_ref": P
         + f"""

@@ -360,7 +360,33 @@ class SeqDataset:
             return v.select("variant_id", "qual")
         if name == "annotation/filter":
             return v.select("variant_id", "filter")
+        if name == "$variant_index":
+            # 1-based index of each variant within the current selection
+            # (reference: get_variant_index src/GetData.cpp:795). A global
+            # row_number is inherently single-partition; acceptable because
+            # the output is selection-sized, not dataset-sized.
+            from pyspark.sql.window import Window
+
+            return v.select(
+                "variant_id",
+                F.row_number()
+                .over(Window.orderBy("variant_id"))
+                .alias("variant_index"),
+            )
+        if name == "$sample_index":
+            from pyspark.sql.window import Window
+
+            return self.samples.select(
+                "sample_id",
+                F.row_number().over(Window.orderBy("sample_id")).alias("sample_index"),
+            )
         raise KeyError(f"unknown variable name: {name}")
+
+    def splice(self, aux: DataFrame, on: str = "variant_id") -> DataFrame:
+        """'$:name' env-splice (reference: get_env_R src/GetData.cpp:
+        1171-1244): align a user-supplied per-variant table with the
+        current selection via broadcast join."""
+        return self.variants.select(on).join(F.broadcast(aux), on, "left")
 
     # ------------------------------------------------------------------
     def export(self, out_dir: str, partition_by_chrom: bool = True) -> None:

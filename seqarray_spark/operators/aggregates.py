@@ -229,6 +229,41 @@ def missing_rate_dosage(calls: DataFrame, ds_col: str = "DS", per: str = "varian
     return calls.groupBy(key).agg(F.avg(miss).alias("missing_rate"))
 
 
+def summary(ds) -> dict:
+    """Dataset profile (reference: seqSummary R/Summary.R:652-775):
+    dimensions, per-chromosome variant counts, allele-count tabulation,
+    QUAL quantiles, FILTER histogram, INFO/FORMAT catalogs. Returns a dict
+    of scalars and small DataFrames (the catalog queries stay lazy)."""
+    from seqarray_spark.functions.variant import num_allele as na
+
+    v = ds.variants
+    out = {
+        "n_variants": v.count(),
+        "n_samples": ds.samples.count() if ds.samples is not None else 0,
+        "ploidy": ds.ploidy,
+        "by_chromosome": summary_by_chrom(v),
+        "allele_tab": v.select(na().alias("num_allele"))
+        .groupBy("num_allele")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "filter_hist": summary_filter_hist(v) if "filter" in v.columns else None,
+        "qual_quantiles": v.agg(
+            F.percentile("qual", F.array(*[F.lit(x) for x in (0.0, 0.25, 0.5, 0.75, 1.0)])).alias("q")
+        )
+        if "qual" in v.columns
+        else None,
+        "info_fields": [f.name for f in v.schema["info"].dataType.fields]
+        if "info" in v.columns
+        else [],
+    }
+    if ds._base_calls is not None:
+        out["format_fields"] = [
+            c
+            for c in ds._base_calls.columns
+            if c not in ("variant_id", "sample_id", "alleles", "phased")
+        ]
+    return out
+
+
 def check_dims(variants: DataFrame, calls: DataFrame, samples: DataFrame | None) -> dict:
     """Integrity check (reference: seqCheck R/Summary.R:928-1020):
     dimension consistency between the three frames."""

@@ -209,28 +209,37 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash: for each of the 16 md5-hex nibble positions of each
     token hash, take the majority of the nibble's top bit across tokens.
-    Engine-portable (md5 + substring only). Adds `simhash INT`."""
+    Engine-portable (md5 + substring only). Adds `simhash INT`.
+
+    Long form (explode tokens, hash once, 16 vote sums in one groupBy):
+    the array-expression form re-inlined the md5 transform into each of
+    the 16 bit folds — 16x the hashing work (measured 3x slower overall).
+    """
     from seqarray_spark.operators.text import tokens
 
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.md5(t))
-    def vote(i):
-        return lambda acc, h: acc + F.when(
-            F.substring(h, i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-            F.lit(1),
-        ).otherwise(F.lit(-1))
-
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote(i)) for i in range(16)]
-    value = None
-    for i, v in enumerate(bit_votes):
-        term = F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        value = term if value is None else value + term
-    return docs.withColumn(
-        "simhash", F.when(F.size(toks) > 0, value).cast("int")
+    hi = ("8", "9", "a", "b", "c", "d", "e", "f")
+    tok = docs.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
+    ).select("__id", F.md5("__t").alias("__h"))
+    votes = tok.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("__h", i + 1, 1).isin(*hi), 1).otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(16)
+        ]
     )
+    value = None
+    for i in range(16):
+        term = F.when(F.col(f"__v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    sketch = votes.select("__id", value.cast("int").alias("simhash"))
+    return docs.join(
+        sketch, docs[id_col] == sketch["__id"], "left"
+    ).drop("__id")
 
 
 def simhash_dup_pairs(
@@ -238,7 +247,7 @@ def simhash_dup_pairs(
 ) -> DataFrame:
     """Candidate pairs sharing an identical 16-bit simhash bucket (for
     longer sketches, band the bits and join per band)."""
-    s = simhash16(docs, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    s = simhash16(docs, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash")
     a = s.select(F.col("_id").alias("id_a"), "simhash")
     b = s.select(F.col("_id").alias("id_b"), "simhash")
     return (

@@ -1,0 +1,56 @@
+"""Interop sinks/sources beyond VCF/PLINK.
+
+- as_pandas: materialize the current selection as pandas frames
+  (reference: seqAsVCF R/asVCF.R:5-57 — the in-memory interop object;
+  VariantAnnotation's VCF S4 becomes a dict of DataFrames).
+- read_bcf: BCF via a `bcftools view` pipe into the VCF reader
+  (reference: seqBCF2GDS R/ConvVCF2GDS.R:1473-1508) — gated on the
+  binary being present.
+- GDS container files themselves are NOT read directly: the engine's
+  storage container is Parquet (SURVEY.md §1.5). Migration path from an
+  existing GDS deployment: export VCF with SeqArray, ingest with
+  read_vcf — a one-time conversion, the same position the reference
+  itself takes toward formats it doesn't own (BCF via bcftools).
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import tempfile
+
+
+def as_pandas(ds, max_rows: int = 1_000_000) -> dict:
+    """Collect the current selection into pandas frames (driver-side;
+    guarded so a full-scale dataset can't be pulled onto the driver by
+    accident)."""
+    n = ds.variants.count()
+    if n > max_rows:
+        raise ValueError(
+            f"selection has {n} variants > max_rows={max_rows}; filter first"
+        )
+    out = {"variants": ds.variants.toPandas()}
+    if ds._base_calls is not None:
+        out["calls"] = ds.calls.toPandas()
+    if ds.samples is not None:
+        out["samples"] = ds.samples.toPandas()
+    return out
+
+
+def read_bcf(spark, path: str, **kwargs):
+    """BCF -> SeqDataset by piping through `bcftools view` (reference:
+    seqBCF2GDS). Requires bcftools on PATH; raises otherwise (the binary
+    is not in this container)."""
+    if shutil.which("bcftools") is None:
+        raise NotImplementedError(
+            "bcftools not found on PATH; convert BCF to VCF externally or "
+            "install bcftools (reference does the same: "
+            "R/ConvVCF2GDS.R:1473-1508 shells out to bcftools)"
+        )
+    from seqarray_spark.sources.vcf import read_vcf
+
+    tmp = tempfile.NamedTemporaryFile(suffix=".vcf", delete=False)
+    subprocess.run(
+        ["bcftools", "view", path, "-o", tmp.name], check=True, capture_output=True
+    )
+    return read_vcf(spark, tmp.name, **kwargs)

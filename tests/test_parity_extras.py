@@ -1,0 +1,90 @@
+"""get_data index names, env splice, ragged helpers, summary profile,
+interop (reference: seqGetData modes, seqNewVarData, seqSummary, seqAsVCF)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqarray_spark.sources import testdata as td
+
+
+@pytest.fixture(scope="module")
+def ds(spark, sf_dir):
+    return td.variant_dataset(spark, sf_dir)
+
+
+def test_variant_index(ds):
+    ds.reset_filter()
+    ds.set_filter_chrom(["3"])
+    idx = ds.get_data("$variant_index").collect()
+    assert [r["variant_index"] for r in sorted(idx, key=lambda r: r["variant_id"])] == list(
+        range(1, len(idx) + 1)
+    )
+    ds.reset_filter()
+
+
+def test_sample_index(ds):
+    idx = ds.get_data("$sample_index").collect()
+    assert sorted(r["sample_index"] for r in idx) == list(range(1, len(idx) + 1))
+
+
+def test_env_splice(ds, spark):
+    ds.reset_filter()
+    aux = spark.createDataFrame([(1, "x"), (3, "y")], "variant_id long, tag string")
+    out = {r["variant_id"]: r["tag"] for r in ds.splice(aux).collect()}
+    assert out[1] == "x" and out[3] == "y"
+    assert sum(1 for v in out.values() if v is None) == len(out) - 2
+
+
+def test_pad_na_and_lengths_data(spark):
+    from seqarray_spark.functions.ragged import from_lengths_data, pad_na, to_lengths_data
+
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, []), (3, None), (4, [7])],
+        "variant_id long, vals array<int>",
+    )
+    padded = {r["variant_id"]: r["p"] for r in df.select("variant_id", pad_na("vals", 1).alias("p")).collect()}
+    assert padded == {1: 10, 2: None, 3: None, 4: 7}
+    padded2 = {r["variant_id"]: r["p"] for r in df.select("variant_id", pad_na("vals", 2).alias("p")).collect()}
+    assert padded2[1] == [10, 20] and padded2[4] == [7, None]
+
+    lengths, data = to_lengths_data(df, "vals")
+    lens = {r["variant_id"]: r["length"] for r in lengths.collect()}
+    assert lens == {1: 2, 2: 0, 3: 0, 4: 1}
+    back = {r["variant_id"]: r["values"] for r in from_lengths_data(lengths, data).collect()}
+    assert back[1] == [10, 20] and back[2] == [] and back[4] == [7]
+
+
+def test_summary(ds):
+    from seqarray_spark.operators.aggregates import summary
+
+    ds.reset_filter()
+    s = summary(ds)
+    assert s["n_variants"] > 0 and s["n_samples"] > 0 and s["ploidy"] == 2
+    assert s["by_chromosome"].count() == 22
+    tab = {r["num_allele"]: r["n"] for r in s["allele_tab"].collect()}
+    assert set(tab) == {2, 3, 4}
+    q = s["qual_quantiles"].first()["q"]
+    assert len(q) == 5 and q[0] <= q[2] <= q[4]
+
+
+def test_as_pandas_and_guard(ds):
+    from seqarray_spark.sources.interop import as_pandas
+
+    ds.reset_filter()
+    ds.set_filter_chrom(["1"])
+    frames = as_pandas(ds)
+    assert len(frames["variants"]) > 0
+    assert set(frames) == {"variants", "calls", "samples"}
+    with pytest.raises(ValueError):
+        as_pandas(ds, max_rows=1)
+    ds.reset_filter()
+
+
+def test_read_bcf_gated(spark):
+    import shutil
+
+    from seqarray_spark.sources.interop import read_bcf
+
+    if shutil.which("bcftools") is None:
+        with pytest.raises(NotImplementedError):
+            read_bcf(spark, "/nonexistent.bcf")
