@@ -1,0 +1,52 @@
+"""Property-based check (hypothesis): for arbitrary small call tables the
+engine's aggregates equal a pure-Python fold — the generalized form of the
+reference's randomized-subset oracle."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pytest
+
+allele = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+call = st.tuples(
+    st.integers(min_value=1, max_value=5),  # variant_id
+    st.integers(min_value=0, max_value=3),  # sample idx
+    st.lists(allele, min_size=1, max_size=3),  # alleles (ragged ploidy)
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(call, min_size=1, max_size=25, unique_by=lambda c: (c[0], c[1])))
+def test_af_matches_python_fold(spark, calls):
+    from seqarray_spark.operators.aggregates import af_ac_missing
+
+    df = spark.createDataFrame(
+        [(v, f"s{s}", a) for v, s, a in calls],
+        "variant_id int, sample_id string, alleles array<int>",
+    )
+    got = {r["variant_id"]: r for r in af_ac_missing(df).collect()}
+
+    expected = {}
+    for v, s, a in calls:
+        e = expected.setdefault(v, {"ref": 0, "nonmiss": 0, "miss": 0, "n": 0})
+        known = [x for x in a if x is not None]
+        e["ref"] += sum(1 for x in known if x == 0)
+        e["nonmiss"] += len(known)
+        e["miss"] += 1 if (len(known) < len(a)) else 0
+        e["n"] += 1
+
+    assert set(got) == set(expected)
+    for v, e in expected.items():
+        r = got[v]
+        assert r["ac"] == e["ref"]
+        assert r["an"] == e["nonmiss"]
+        if e["nonmiss"]:
+            assert r["af"] == pytest.approx(e["ref"] / e["nonmiss"])
+        else:
+            assert r["af"] is None
+        assert r["missing_rate"] == pytest.approx(e["miss"] / e["n"])
+        assert r["ns"] == e["n"] - e["miss"]

@@ -56,6 +56,28 @@ def test_windowed_event_counts(spark, sf_dir):
     assert sum(r["n"] for r in rows) == batch.agg(F.sum("n")).first()[0]
 
 
+def test_running_user_stats_stateful(spark, sf_dir):
+    """applyInPandasWithState custom operator: final state equals the
+    batch aggregate."""
+    ev = S.stream_events(spark, sf_dir)
+    stats = S.running_user_stats(ev)
+    out = S.run_stream_to_memory(stats, "user_stats", mode="update")
+    # update mode may emit several rows per user across batches; the last
+    # (max) value per user is the final state
+    rows = out.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+    got = {r["user_id"]: r["n"] for r in rows}
+    from seqarray_spark.sources.testdata import load_table
+
+    batch = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
 def test_sessionize(spark, sf_dir):
     ev = S.stream_events(spark, sf_dir)
     sess = S.sessionize_events(ev, gap="30 minutes")
