@@ -68,6 +68,10 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- projections (SURVEY §2.2) ---------------------------------
         "seq_chrom_pos2": seq_chrom_pos2,
         "seq_dosage_alt": seq_dosage_alt,
+        "seq_allele_string": seq_allele_string,
+        "seq_dosage_sparse": seq_dosage_sparse,
+        # -- apply/UDF surface (SURVEY §2.6): Arrow kernel vs SQL oracle --
+        "seq_block_apply": seq_block_apply,
         # -- windows (SURVEY §2.7) -------------------------------------
         "seq_sliding_windows": seq_sliding_windows,
         "seq_window_dosage": seq_window_dosage,
@@ -275,6 +279,45 @@ def seq_dosage_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
         dosage_alt("alleles", partial_missing=False).alias("dos_alt"),
         dosage_alt("alleles", partial_missing=True).alias("dos_alt2"),
     )
+
+
+def seq_allele_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'REF,ALT1,...' allele-string projection (reference: seqGetData
+    'allele', R/ConvVCF2GDS.R:981)."""
+    from seqarray_spark.functions.variant import allele_string
+
+    v = td.gvariants(spark, sf_dir)
+    return v.select("variant_id", allele_string().alias("allele"))
+
+
+def seq_dosage_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$dosage_sp sparse form (reference: get_dosage_sp
+    src/GetData.cpp:421-518): only non-zero, non-missing alt dosages."""
+    ds = td.variant_dataset(spark, sf_dir)
+    return ds.get_data("$dosage_sp")
+
+
+def seq_block_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqBlockApply parity demo: an Arrow-batched pandas kernel computes
+    per-call alt dosage; the oracle recomputes it in SQL — proving the
+    UDF path agrees with the declarative one."""
+    import pandas as pd
+
+    from seqarray_spark.operators.apply import block_apply
+
+    calls = td.gcalls(spark, sf_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        dos = pdf["alleles"].map(
+            lambda a: None
+            if any(pd.isna(x) for x in a)
+            else int(sum(1 for x in a if x != 0))
+        )
+        return pd.DataFrame(
+            {"variant_id": pdf["variant_id"], "sample_id": pdf["sample_id"], "dos": dos}
+        )
+
+    return block_apply(calls, kernel, "variant_id long, sample_id string, dos int")
 
 
 WIN_SIZE, WIN_SHIFT = 100000, 50000
@@ -707,6 +750,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN a1 IS NULL AND a2 IS NULL THEN NULL
                         ELSE CAST((CASE WHEN a1 IS NOT NULL AND a1 <> 0 THEN 1 ELSE 0 END +
                                    CASE WHEN a2 IS NOT NULL AND a2 <> 0 THEN 1 ELSE 0 END) AS INT) END AS dos_alt2
+            FROM gcalls
+        """,
+        "seq_allele_string": P
+        + """
+            SELECT variant_id, ref || ',' || alt_str AS allele FROM gvariants
+        """,
+        "seq_dosage_sparse": P
+        + """
+            SELECT variant_id, sample_id,
+                   CAST(CASE WHEN a1 <> 0 THEN 1 ELSE 0 END +
+                        CASE WHEN a2 <> 0 THEN 1 ELSE 0 END AS INT) AS dosage_alt
+            FROM gcalls
+            WHERE a1 IS NOT NULL AND a2 IS NOT NULL
+              AND (a1 <> 0 OR a2 <> 0)
+        """,
+        "seq_block_apply": P
+        + """
+            SELECT variant_id, sample_id,
+                   CASE WHEN a1 IS NULL OR a2 IS NULL THEN NULL
+                        ELSE CAST(CASE WHEN a1 <> 0 THEN 1 ELSE 0 END +
+                                  CASE WHEN a2 <> 0 THEN 1 ELSE 0 END AS INT) END AS dos
             FROM gcalls
         """,
         "seq_sliding_windows": P
