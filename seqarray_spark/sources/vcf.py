@@ -205,8 +205,25 @@ def read_vcf(
     the extra pass (the 100 TB default — id stability across re-imports
     instead of file-order density).
     """
-    header = header or parse_vcf_header(path)
-    lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    paths = [path] if isinstance(path, str) else list(path)
+    if header is None:
+        header = parse_vcf_header(paths[0])
+        # multi-file import requires identical sample columns (reference:
+        # sample-id consistency check, R/ConvVCF2GDS.R:633-658)
+        for p in paths[1:]:
+            other = parse_vcf_header(p)
+            if other.samples != header.samples:
+                raise ValueError(
+                    f"{p}: sample columns differ from {paths[0]}; "
+                    "use operators.merge for sample-disjoint files"
+                )
+            header.info.update(
+                {k: v for k, v in other.info.items() if k not in header.info}
+            )
+            header.formats.update(
+                {k: v for k, v in other.formats.items() if k not in header.formats}
+            )
+    lines = spark.read.text(paths).filter(~F.col("value").startswith("#"))
 
     if assign_ids == "order":
         # Dense file-order ids (reference: variant.id = 1..N on import,
@@ -342,6 +359,7 @@ def write_vcf(
     header: VcfHeader | None = None,
     info_fields: list[str] | None = None,
     format_fields: list[str] | None = None,
+    compression: str | None = None,
 ) -> None:
     """SeqDataset → VCF text (reference: seqGDS2VCF R/Conversion.R:30-402;
     line formatters src/ConvGDS2VCF.cpp:571-989).
@@ -462,13 +480,17 @@ def write_vcf(
     else:
         lines = fixed.select(F.col("__fixed").alias("value"), "chromosome", "position")
 
-    (
+    writer = (
         lines.repartitionByRange(max(1, lines.rdd.getNumPartitions()), "chromosome", "position")
         .sortWithinPartitions("chromosome", "position")
         .select("value")
         .write.mode("overwrite")
-        .text(out_path)
     )
+    if compression:
+        # gzip/bzip2/lz4 part files (reference exports gzip/bgzf/bz2/xz,
+        # R/Conversion.R:150-152); bgzf specifically would need htslib
+        writer = writer.option("compression", compression)
+    writer.text(out_path)
 
     hdr_lines = (header.meta if header else []) or [
         "##fileformat=VCFv4.2",

@@ -129,6 +129,46 @@ def test_roundtrip(spark, ds, tmp_path):
     assert [tuple(r) for r in c1.collect()] == [tuple(r) for r in c2.collect()]
 
 
+def test_multifile_ingest(spark, tmp_path):
+    """Multi-file import with consistent samples (reference:
+    R/ConvVCF2GDS.R:633-658) — union of data lines, merged header."""
+    src = open(FIXTURE).read().splitlines()
+    hdr = [l for l in src if l.startswith("#")]
+    data = [l for l in src if not l.startswith("#")]
+    p1, p2 = str(tmp_path / "a.vcf"), str(tmp_path / "b.vcf")
+    with open(p1, "w") as fh:
+        fh.write("\n".join(hdr + data[:4]) + "\n")
+    with open(p2, "w") as fh:
+        fh.write("\n".join(hdr + data[4:]) + "\n")
+    ds = vcfmod.read_vcf(spark, [p1, p2], assign_ids="hash")
+    single = vcfmod.read_vcf(spark, FIXTURE, assign_ids="hash")
+    assert ds.variants.count() == single.variants.count()
+    assert ds.calls.count() == single.calls.count()
+
+    # inconsistent samples refused
+    bad = str(tmp_path / "c.vcf")
+    with open(bad, "w") as fh:
+        fh.write(
+            "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tOTHER\n"
+            "1\t5\t.\tA\tC\t1\tPASS\t.\tGT\t0/1\n"
+        )
+    with pytest.raises(ValueError):
+        vcfmod.read_vcf(spark, [p1, bad])
+
+
+def test_compressed_export(spark, ds, tmp_path):
+    import glob
+
+    out = str(tmp_path / "gz.vcf")
+    vcfmod.write_vcf(ds, out, compression="gzip")
+    parts = glob.glob(f"{out}/part-*.gz")
+    assert parts
+    import gzip
+
+    line = gzip.open(parts[0], "rt").readline()
+    assert line.count("\t") >= 7
+
+
 def test_sites_only_vcf(spark, tmp_path):
     """Empty-sample dataset (sites-only VCF; reference no_sample path
     R/Conversion.R:56-65)."""
