@@ -945,14 +945,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
               FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t)-2)) AS i
                     FROM toks WHERE len(t) >= 3) z
+            ), hashed AS (
+              SELECT doc_id, b, md5(CAST(b AS STRING) || ':' || s) AS h
+              FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b) seeds
             ), mh AS (
-              SELECT doc_id, j, MIN(md5(CAST(j AS STRING) || ':' || s)) AS h
-              FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS j) seeds
-              GROUP BY doc_id, j
+              SELECT doc_id,
+                MIN(CASE WHEN b=0 THEN substring(h, 1, 8) END) AS h0,
+                MIN(CASE WHEN b=0 THEN substring(h, 9, 8) END) AS h1,
+                MIN(CASE WHEN b=0 THEN substring(h, 17, 8) END) AS h2,
+                MIN(CASE WHEN b=0 THEN substring(h, 25, 8) END) AS h3,
+                MIN(CASE WHEN b=1 THEN substring(h, 1, 8) END) AS h4,
+                MIN(CASE WHEN b=1 THEN substring(h, 9, 8) END) AS h5,
+                MIN(CASE WHEN b=1 THEN substring(h, 17, 8) END) AS h6,
+                MIN(CASE WHEN b=1 THEN substring(h, 25, 8) END) AS h7,
+                MIN(CASE WHEN b=2 THEN substring(h, 1, 8) END) AS h8,
+                MIN(CASE WHEN b=2 THEN substring(h, 9, 8) END) AS h9,
+                MIN(CASE WHEN b=2 THEN substring(h, 17, 8) END) AS h10,
+                MIN(CASE WHEN b=2 THEN substring(h, 25, 8) END) AS h11,
+                MIN(CASE WHEN b=3 THEN substring(h, 1, 8) END) AS h12,
+                MIN(CASE WHEN b=3 THEN substring(h, 9, 8) END) AS h13,
+                MIN(CASE WHEN b=3 THEN substring(h, 17, 8) END) AS h14,
+                MIN(CASE WHEN b=3 THEN substring(h, 25, 8) END) AS h15
+              FROM hashed GROUP BY doc_id
             ), bands AS (
-              SELECT doc_id, CAST(FLOOR(j / 4.0) AS INT) AS band_idx,
-                     md5(string_agg(h, '|' ORDER BY j)) AS band_key
-              FROM mh GROUP BY doc_id, CAST(FLOOR(j / 4.0) AS INT)
+              SELECT doc_id, 0 AS band_idx, md5(h0||'|'||h1||'|'||h2||'|'||h3) AS band_key FROM mh
+              UNION ALL
+              SELECT doc_id, 1, md5(h4||'|'||h5||'|'||h6||'|'||h7) FROM mh
+              UNION ALL
+              SELECT doc_id, 2, md5(h8||'|'||h9||'|'||h10||'|'||h11) FROM mh
+              UNION ALL
+              SELECT doc_id, 3, md5(h12||'|'||h13||'|'||h14||'|'||h15) FROM mh
             ), cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM bands a JOIN bands b

@@ -104,40 +104,49 @@ def minhash_dup_pairs(
     -> self equi-join per band key -> distinct pairs -> verify. The join
     key space is ~uniform md5 values, so the shuffle is skew-free.
     """
+    if num_hashes % 4:
+        raise ValueError("num_hashes must be a multiple of 4")
     rows = num_hashes // bands
-    # Long-form signature build (NOT the array-expression form: behind a
-    # generator Catalyst re-inlines the whole signature per band, turning
-    # 16 md5 passes into 256 — measured 20x slower). One explode + two
-    # partial-agg shuffles keeps the md5 work exactly linear.
+    # Long-form signature build. Two structural facts drive this shape:
+    # (1) Spark does NOT subexpression-eliminate lambda-bearing
+    #     expressions, so any array-expression formulation recomputes the
+    #     md5 transform per reuse (measured 10-20x slower);
+    # (2) md5 yields 128 bits — four independent 32-bit minhash lanes per
+    #     digest — so num_hashes hashes need only num_hashes/4 md5 passes.
+    # One explode + ONE groupBy (all mins as filtered aggregates) = one
+    # shuffle of |shingles| * num_hashes/4 narrow rows.
     sh_long = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
     )
-    mh = (
-        sh_long.select(
-            "_id", "s", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j")
-        )
-        .select(
-            "_id",
-            "j",
-            F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
-        )
-        .groupBy("_id", "j")
-        .agg(F.min("h").alias("h"))
+    n_md5 = num_hashes // 4
+    hashed = sh_long.select(
+        "_id",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(n_md5 - 1))).alias("b"),
+    ).select(
+        "_id",
+        "b",
+        F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
     )
-    band_keys = (
-        mh.withColumn("band_idx", F.floor(F.col("j") / rows).cast("int"))
-        .groupBy("_id", "band_idx")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("j", "h"))), lambda s: s["h"]
-                    ),
-                )
-            ).alias("band_key")
+    sig_cols = [
+        F.min(
+            F.when(F.col("b") == j // 4, F.substring("h", (j % 4) * 8 + 1, 8))
+        ).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    sigs = hashed.groupBy("_id").agg(*sig_cols)
+    band_exprs = [
+        F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
+            f"band_{b}"
         )
+        for b in range(bands)
+    ]
+    band_keys = sigs.select("_id", *band_exprs).select(
+        "_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
     )
     left = band_keys.select(F.col("_id").alias("id_a"), "band_idx", "band_key")
     right = band_keys.select(F.col("_id").alias("id_b"), "band_idx", "band_key")
