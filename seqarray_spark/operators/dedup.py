@@ -183,32 +183,51 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     tau: float = 0.5,
 ) -> DataFrame:
-    """Exact all-pairs Jaccard >= tau, computed via the inverted index:
-    explode distinct shingles, self-join on shingle, count intersections
-    per pair, derive the union from per-doc sizes. Only overlapping pairs
-    are ever materialized."""
+    """Exact all-pairs Jaccard >= tau with prefix filtering (PPJoin-style):
+    under any fixed global shingle order, two docs with J >= tau must
+    share a shingle within each one's first floor((1-tau)*|d|)+1 shingles.
+    The inverted-index self-join therefore runs only on those prefixes
+    (ordered rarest-first so prefix postings are the short ones), and the
+    exact Jaccard is computed on candidates via array_intersect. Results
+    are identical to the naive join at a fraction of the pairs — the
+    property that keeps this exact operator alive at corpus scale."""
+    from pyspark.sql.window import Window
+
     sh = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
     )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy("df", "shingle")
+        ),
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    prefix = (
+        ranked.join(sizes, "_id")
+        .filter(
+            F.col("rn")
+            <= F.floor(F.lit(1.0 - float(tau)) * F.col("sz")).cast("int") + 1
         )
+        .select("_id", "shingle")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sets = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    return (
+        cand.join(sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= float(tau))
         .select("id_a", "id_b", "jaccard")
     )
