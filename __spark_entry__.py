@@ -61,6 +61,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_af_ac_missing": seq_af_ac_missing,
         "seq_num_allele": seq_num_allele,
         "seq_summary_chrom": seq_summary_chrom,
+        "seq_qual_quantiles": seq_qual_quantiles,
         # -- filters (SURVEY §2.3) -----------------------------------------
         "seq_filter_chrom_range": seq_filter_chrom_range,
         "seq_filter_cond": seq_filter_cond,
@@ -77,6 +78,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_window_dosage": seq_window_dosage,
         # -- merge (SURVEY §2.4) ------------------------------------------
         "seq_merge_variant_af": seq_merge_variant_af,
+        "seq_merge_sample_af": seq_merge_sample_af,
         # -- digest (SURVEY §2.5) -------------------------------------------
         "seq_digest_chrom": seq_digest_chrom,
         # -- dosage-backed aggregates (SURVEY §2.5 DS paths) -----------
@@ -98,6 +100,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- similarity search ------------------------------------------------
         "emb_cosine_topk": emb_cosine_topk,
         "emb_dup_pairs": emb_dup_pairs,
+        "emb_ivf_topk": emb_ivf_topk,  # approximate -> rows-only check
+        "doc_normalize": doc_normalize,
     }
 
 
@@ -233,6 +237,38 @@ def seq_num_allele(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def seq_summary_chrom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.summary_by_chrom(td.gvariants(spark, sf_dir))
+
+
+def seq_qual_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chromosome QUAL quantile profile (reference: seqSummary QUAL
+    summary, R/Summary.R:652-775). Spark percentile() and DuckDB
+    quantile_cont share the linear-interpolation definition — verified
+    bit-identical."""
+    v = td.gvariants(spark, sf_dir)
+    return v.groupBy("chromosome").agg(
+        F.percentile("qual", F.lit(0.25)).alias("q25"),
+        F.percentile("qual", F.lit(0.5)).alias("q50"),
+        F.percentile("qual", F.lit(0.75)).alias("q75"),
+    )
+
+
+def seq_merge_sample_af(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-mode merge (reference: seqMerge sample mode
+    R/UtilsMerge.R:612-1006): split calls into two sample-disjoint halves
+    over the same variants, full-outer merge with allele remap, then AF —
+    which must equal AF over the unsplit calls."""
+    from seqarray_spark.operators.merge import merge_samples_pair
+
+    full = td.variant_dataset(spark, sf_dir)
+    v, c, s = full._base_variants, full._base_calls, full._base_samples
+    half_a = SeqDataset(v, c.filter(F.col("sample_id") < "S5"), s.filter(F.col("sample_id") < "S5"))
+    half_b = SeqDataset(v, c.filter(F.col("sample_id") >= "S5"), s.filter(F.col("sample_id") >= "S5"))
+    merged = merge_samples_pair(half_a, half_b)
+    stats = agg.allele_freq(merged.calls, ref_allele=0)
+    return (
+        stats.join(merged.variants.select("variant_id", "chromosome", "position", "ref"), "variant_id")
+        .select("chromosome", "position", "ref", "af")
+    )
 
 
 def seq_filter_chrom_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,6 +601,31 @@ def emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (coarse quantize -> probe nearest cells);
+    approximate by construction, so the driver records rows-only."""
+    from seqarray_spark.operators.similarity import ivf_topk
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    anchor = emb.orderBy("vec_id").limit(1).first()["embedding"]
+    out = ivf_topk(emb, [float(x) for x in anchor], k=EMB_TOPK, ncells=16, nprobe=4)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (cleaning stage of a training-data pipeline):
+    lowercase, strip non-alphanumerics, collapse whitespace."""
+    docs = td.load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len"))
+
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
@@ -701,6 +762,29 @@ def oracle_sql() -> dict[str, str]:
         "seq_summary_chrom": P
         + """
             SELECT chromosome, COUNT(*) AS n_variants FROM gvariants GROUP BY chromosome
+        """,
+        "seq_qual_quantiles": P
+        + """
+            SELECT chromosome,
+                   quantile_cont(qual, 0.25) AS q25,
+                   quantile_cont(qual, 0.5)  AS q50,
+                   quantile_cont(qual, 0.75) AS q75
+            FROM gvariants GROUP BY chromosome
+        """,
+        "seq_merge_sample_af": P
+        + f"""
+            SELECT v.chromosome, v.position, v.ref,
+                   CASE WHEN SUM({_NONMISS}) = 0 THEN NULL
+                        ELSE CAST(SUM({_REFCNT}) AS DOUBLE) / CAST(SUM({_NONMISS}) AS DOUBLE)
+                   END AS af
+            FROM gcalls c JOIN gvariants v USING (variant_id)
+            GROUP BY v.chromosome, v.position, v.ref
+        """,
+        "doc_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,
+                   CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS INT) AS norm_len
+            FROM documents
         """,
         "seq_filter_chrom_range": P
         + """

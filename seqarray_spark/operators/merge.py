@@ -155,14 +155,22 @@ def merge_samples_pair(a: SeqDataset, b: SeqDataset) -> SeqDataset:
             F.col("alt").alias("__merged_alt"),
         )
         out = calls.join(m, calls["variant_id"] == m["__old_vid"])
+        # allele k>0 maps to the position of this file's k-th ALT inside
+        # the merged list; codes that don't resolve (out-of-range /
+        # malformed inputs) pass through unchanged rather than erroring
         remapped = F.transform(
             F.col("alleles"),
             lambda x: F.when(x.isNull() | (x == 0), x.cast("int")).otherwise(
-                (
-                    F.array_position(
-                        F.col("__merged_alt"), F.element_at(F.col("__old_alt"), x.cast("int"))
-                    )
-                ).cast("int")
+                F.coalesce(
+                    F.nullif(
+                        F.array_position(
+                            F.col("__merged_alt"),
+                            F.try_element_at(F.col("__old_alt"), x.cast("int")),
+                        ),
+                        F.lit(0),
+                    ).cast("int"),
+                    x.cast("int"),
+                )
             ),
         )
         keep = [c for c in calls.columns if c not in ("variant_id", "alleles")]
