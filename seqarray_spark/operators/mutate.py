@@ -130,6 +130,33 @@ def optimize_by_chromosome(ds: SeqDataset, out_dir: str) -> None:
         ds._base_samples.write.mode("overwrite").parquet(f"{out_dir}/samples.parquet")
 
 
+def optimize_bucketed(
+    ds: SeqDataset, database_table_prefix: str, n_buckets: int = 64
+) -> None:
+    """Bucketed layout for shuffle-free variant-keyed joins: calls and
+    variants both bucketed+sorted by variant_id via saveAsTable. A later
+    calls⋈variants join then co-locates without ANY Exchange — at 100 TB
+    this converts the biggest recurring shuffle (fact⋈dim on variant_id)
+    into a map-side zip. This is the engine's analogue of the reference's
+    file-order locality (SURVEY §2.8: data kept sorted and relied upon).
+
+    n_buckets sizing: target ~(total calls bytes / n_buckets) ≈ 1-2 GB
+    per bucket at full scale; 64 suits the local harness.
+    """
+    (
+        ds._base_calls.write.mode("overwrite")
+        .bucketBy(n_buckets, "variant_id")
+        .sortBy("variant_id")
+        .saveAsTable(f"{database_table_prefix}_calls")
+    )
+    (
+        ds._base_variants.write.mode("overwrite")
+        .bucketBy(n_buckets, "variant_id")
+        .sortBy("variant_id")
+        .saveAsTable(f"{database_table_prefix}_variants")
+    )
+
+
 def empty_dataset(spark: SparkSession, ploidy: int = 2) -> SeqDataset:
     """Minimal valid empty dataset (reference: seqEmptyFile
     R/Conversion.R:1453+)."""

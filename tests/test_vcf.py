@@ -169,6 +169,28 @@ def test_compressed_export(spark, ds, tmp_path):
     assert line.count("\t") >= 7
 
 
+def test_malformed_lines_tolerated(spark, tmp_path):
+    """Malformed numerics degrade to NULL (try_cast), never abort the
+    scan — at 100 TB a single bad line must not kill a 6-hour ingest."""
+    p = str(tmp_path / "bad.vcf")
+    with open(p, "w") as fh:
+        fh.write(
+            "##fileformat=VCFv4.2\n"
+            '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+            '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+            "1\t10\t.\tA\tC\tGOODQUAL\tPASS\tDP=notanint\tGT:DP\t0/1:xx\n"
+            "1\tBADPOS\t.\tA\tC\t5\tPASS\tDP=3\tGT:DP\t0/1:7\n"
+        )
+    ds = vcfmod.read_vcf(spark, p)
+    rows = {r["variant_id"]: r for r in ds.variants.collect()}
+    assert rows[1]["qual"] is None and rows[1]["info"]["DP"] is None
+    assert rows[2]["position"] is None  # flagged, not fatal
+    calls = {r["variant_id"]: r for r in ds.calls.collect()}
+    assert calls[1]["DP"] is None and calls[1]["alleles"] == [0, 1]
+
+
 def test_sites_only_vcf(spark, tmp_path):
     """Empty-sample dataset (sites-only VCF; reference no_sample path
     R/Conversion.R:56-65)."""
