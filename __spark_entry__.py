@@ -88,6 +88,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- events ---------------------------------------------------------
         "ev_hourly_by_type": ev_hourly_by_type,
         "ev_sessionize": ev_sessionize,
+        "ev_asof_join": ev_asof_join,
+        # -- range join (custom operator) -----------------------------------
+        "seq_interval_annotate": seq_interval_annotate,
         # -- text / dedup ----------------------------------------------------
         "doc_token_count": doc_token_count,
         "dedup_exact": dedup_exact,
@@ -476,6 +479,46 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sess_id").cast("bigint").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+GINTERVALS_SQL = """
+SELECT
+  s_suppkey                                 AS interval_id,
+  CAST(1 + s_suppkey % 22 AS STRING)        AS chromosome,
+  CAST((s_suppkey * 911) % 1000000 AS INT)  AS istart,
+  CAST((s_suppkey * 911) % 1000000 + 50000 AS INT) AS iend
+FROM supplier
+"""
+
+
+def seq_interval_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval annotation join (range join via fixed-bin
+    bucketing — a custom operator Spark lacks; the genomic gene-overlap
+    workload the reference serves with GRanges filters)."""
+    from seqarray_spark.operators.joins import interval_join
+
+    td.register_testdata(spark, sf_dir, ["supplier"])
+    intervals = spark.sql(GINTERVALS_SQL)
+    v = td.gvariants(spark, sf_dir).select("variant_id", "chromosome", "position")
+    out = interval_join(
+        v, intervals, start_col="istart", end_col="iend", bin_size=50000
+    )
+    return out.select("variant_id", "interval_id", "position", "istart")
+
+
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator Spark lacks): each purchase event gets
+    the most recent prior view's value per user. Single window pass over
+    a tagged union — one shuffle, no join."""
+    from seqarray_spark.operators.joins import asof_join
+
+    ev = td.load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(purchases, views, on="ts", keys=["user_id"])
+    return out.select("event_id", "user_id", "asof_value")
 
 
 def ev_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,6 +968,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 * COUNT(DS) AS BIGINT) AS an,
                    AVG(CASE WHEN DS IS NULL THEN 1.0 ELSE 0.0 END) AS missing_rate
             FROM gdosage GROUP BY variant_id
+        """,
+        "seq_interval_annotate": P
+        + f"""
+            , gintervals AS ({GINTERVALS_SQL})
+            SELECT v.variant_id, i.interval_id, v.position, i.istart
+            FROM gvariants v JOIN gintervals i
+              ON v.chromosome = i.chromosome
+             AND v.position BETWEEN i.istart AND i.iend
+        """,
+        "ev_asof_join": """
+            WITH purchases AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+            ), views AS (
+              SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+            )
+            SELECT p.event_id, p.user_id, v.value AS asof_value
+            FROM purchases p ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
         "ev_sessionize": """
             WITH lagged AS (
