@@ -23,24 +23,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def block_apply(
-    df: DataFrame,
-    func: Callable,
-    schema: str,
-    batch_size: int | None = None,
-) -> DataFrame:
+def block_apply(df: DataFrame, func: Callable, schema: str) -> DataFrame:
     """Vectorized per-block apply (seqBlockApply parity): `func` receives
     pandas DataFrames of whole rows (an Arrow batch ≙ the reference's
-    bsize=1024 variant block) and yields output frames matching `schema`.
-    """
+    bsize=1024 variant block; tune via
+    spark.sql.execution.arrow.maxRecordsPerBatch) and yields output
+    frames matching `schema`."""
+
     def gen(batches: Iterator) -> Iterator:
         for pdf in batches:
             out = func(pdf)
             if out is not None and len(out):
                 yield out
 
-    if batch_size:
-        df = df.sparkSession.createDataFrame(df.rdd, df.schema) if False else df
     return df.mapInPandas(gen, schema=schema)
 
 

@@ -63,6 +63,16 @@ def test_minhash_lsh_pairs(docs):
     assert pairs <= cand
 
 
+def test_minhash_signature(docs):
+    sigs = {r["doc_id"]: r["mh_sig"] for r in D.minhash_signature(docs, num_hashes=8).collect()}
+    assert all(len(s) == 8 for s in sigs.values())
+    assert sigs[1] == sigs[2]  # identical docs -> identical signature
+    assert sigs[1] != sigs[4]
+    # partition-invariant (deterministic md5 permutations)
+    again = {r["doc_id"]: r["mh_sig"] for r in D.minhash_signature(docs.repartition(3), num_hashes=8).collect()}
+    assert sigs == again
+
+
 def test_simhash(docs):
     s = {r["doc_id"]: r["simhash"] for r in D.simhash16(docs).collect()}
     assert s[1] == s[2]  # identical text, identical sketch
