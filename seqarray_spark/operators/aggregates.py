@@ -267,13 +267,17 @@ def summary(ds) -> dict:
 def check_dims(variants: DataFrame, calls: DataFrame, samples: DataFrame | None) -> dict:
     """Integrity check (reference: seqCheck R/Summary.R:928-1020):
     dimension consistency between the three frames."""
-    n_var = variants.count()
+    vstats = variants.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("variant_id").alias("nd")
+    ).first()
+    n_var = vstats["n"]
     stats = calls.agg(
         F.countDistinct("variant_id").alias("nv"),
         F.countDistinct("sample_id").alias("ns"),
     ).first()
     out = {
         "n_variants": n_var,
+        "variant_ids_unique": vstats["nd"] == n_var,  # hash-id collision check
         "n_call_variants": stats["nv"],
         "variants_consistent": stats["nv"] <= n_var,
     }

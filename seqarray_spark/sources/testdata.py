@@ -42,10 +42,26 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs this engine depends on, set defensively so queries
+    work under ANY caller-provided session (the driver harness builds its
+    own), not just session.get_spark():
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which Spark
+      otherwise refuses to read;
+    - UTC session timezone: timestamp values must align with the
+      (tz-naive) DuckDB oracle."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # static-conf lockdown; session.get_spark() already set them
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosAsLong read (see session.py): int64 nanos -> TIMESTAMP
+        # nanosAsLong read: int64 nanos -> TIMESTAMP
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 

@@ -21,8 +21,9 @@ with their row.
 Scale notes: the parse is shuffle-free (narrow transformations only).
 Dense file-order variant ids need one extra pass (zipWithIndex) — the only
 place the engine drops to the RDD layer, and it is optional
-(assign_ids='hash' avoids the pass by deriving a collision-checked 64-bit
-key from chrom:pos:alleles).
+(assign_ids='hash' avoids the pass by deriving a 64-bit key from
+chrom:pos:alleles; uniqueness is verifiable post-hoc with
+operators.aggregates.check_dims).
 """
 
 from __future__ import annotations
