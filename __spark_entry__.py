@@ -66,6 +66,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_filter_chrom_range": seq_filter_chrom_range,
         "seq_filter_cond": seq_filter_cond,
         "seq_filter_pos": seq_filter_pos,
+        "seq_filter_ranges": seq_filter_ranges,
         # -- projections (SURVEY §2.2) ---------------------------------
         "seq_chrom_pos2": seq_chrom_pos2,
         "seq_dosage_alt": seq_dosage_alt,
@@ -300,6 +301,19 @@ def seq_filter_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.variants.select("variant_id", "chromosome", "position")
 
 
+def seq_filter_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqSetFilter(GRangesList) parity: select variants overlapping any
+    of a set of genomic ranges (reference: R/Methods.R:216-268) — binned
+    range join instead of the reference's per-chrom interval tree."""
+    ds = td.variant_dataset(spark, sf_dir)
+    td.register_testdata(spark, sf_dir, ["supplier"])
+    ranges = spark.sql(GINTERVALS_SQL).select(
+        "chromosome", F.col("istart").alias("start"), F.col("iend").alias("end")
+    )
+    ds.set_filter_ranges(ranges)
+    return ds.variants.select("variant_id", "chromosome", "position")
+
+
 def seq_chrom_pos2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$chrom_pos2 duplicate-suffix key (reference: src/GetData.cpp:710-748)."""
     ds = td.variant_dataset(spark, sf_dir)
@@ -346,14 +360,27 @@ def seq_block_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     calls = td.gcalls(spark, sf_dir)
 
+    import numpy as np
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        dos = pdf["alleles"].map(
-            lambda a: None
-            if any(pd.isna(x) for x in a)
-            else int(sum(1 for x in a if x != 0))
+        # alleles arrays are uniform ploidy-2 here: vectorize the whole
+        # batch instead of a per-row lambda (the practice every real
+        # pandas kernel should follow)
+        mat = np.array(
+            [[np.nan if x is None else x for x in a] for a in pdf["alleles"]],
+            dtype=np.float64,
+        )
+        dos = np.where(
+            np.isnan(mat).any(axis=1), np.nan, (mat != 0).sum(axis=1)
         )
         return pd.DataFrame(
-            {"variant_id": pdf["variant_id"], "sample_id": pdf["sample_id"], "dos": dos}
+            {
+                "variant_id": pdf["variant_id"],
+                "sample_id": pdf["sample_id"],
+                "dos": pd.array(
+                    [None if np.isnan(d) else int(d) for d in dos], dtype="Int32"
+                ),
+            }
         )
 
     return block_apply(calls, kernel, "variant_id long, sample_id string, dos int")
@@ -854,6 +881,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM gvariants p
               WHERE p.variant_id % 13 = 0
                 AND p.chromosome = v.chromosome AND p.position = v.position
+            )
+        """,
+        "seq_filter_ranges": P
+        + f"""
+            , gintervals AS ({GINTERVALS_SQL})
+            SELECT variant_id, chromosome, position FROM gvariants v
+            WHERE EXISTS (
+              SELECT 1 FROM gintervals i
+              WHERE i.chromosome = v.chromosome
+                AND v.position BETWEEN i.istart AND i.iend
             )
         """,
         "seq_chrom_pos2": P

@@ -205,6 +205,30 @@ class SeqDataset:
             pred = pred & (F.col("position") <= int(to_bp))
         return self.set_filter_variant(pred, intersect)
 
+    def set_filter_ranges(self, ranges: DataFrame, intersect: bool = True) -> "SeqDataset":
+        """Genomic-range-set selection (reference: seqSetFilter(GRanges/
+        GRangesList), R/Methods.R:216-268; CRangeSet interval set
+        src/Index.cpp:519-565).
+
+        ranges: DataFrame(chromosome, start, end), closed intervals. The
+        reference's per-chromosome interval tree becomes a binned range
+        join (operators.joins.interval_join) — an equi-join on
+        (chromosome, bin), no nested-loop fallback, so a million-interval
+        GRangesList is as cheap as a short one.
+        """
+        from seqarray_spark.operators.joins import interval_join
+
+        base = self._sel.variants if intersect else self._base_variants
+        matched = interval_join(
+            base,
+            ranges.select("chromosome", "start", "end"),
+            point_col="position",
+            start_col="start",
+            end_col="end",
+            how="left_semi",
+        )
+        return self._set_variants(matched, intersect)
+
     def set_filter_pos(
         self,
         probes: DataFrame,

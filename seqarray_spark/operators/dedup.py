@@ -191,27 +191,33 @@ def ngram_jaccard_pairs(
     exact Jaccard is computed on candidates via array_intersect. Results
     are identical to the naive join at a fraction of the pairs — the
     property that keeps this exact operator alive at corpus scale."""
-    from pyspark.sql.window import Window
-
     sh = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(dfreq, "shingle").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("_id").orderBy("df", "shingle")
-        ),
-    )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    # per-doc prefix = the floor((1-tau)*|d|)+1 globally-rarest shingles,
+    # carved with one sorted-collect aggregation (a window row_number here
+    # costs an extra shuffle + full sort pass)
     prefix = (
-        ranked.join(sizes, "_id")
-        .filter(
-            F.col("rn")
-            <= F.floor(F.lit(1.0 - float(tau)) * F.col("sz")).cast("int") + 1
+        sh.join(dfreq, "shingle")
+        .groupBy("_id")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("df", "shingle"))),
+                    lambda s: s["shingle"],
+                ),
+                F.lit(1),
+                (
+                    F.floor(
+                        F.lit(1.0 - float(tau)) * F.count(F.lit(1))
+                    ).cast("int")
+                    + 1
+                ),
+            ).alias("__prefix")
         )
-        .select("_id", "shingle")
+        .select("_id", F.explode("__prefix").alias("shingle"))
     )
     cand = (
         prefix.alias("a")

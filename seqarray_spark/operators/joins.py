@@ -111,6 +111,14 @@ def interval_join(
             )
         ),
     )
+    if how == "left_semi":
+        # selection semantics: keep points overlapping ANY interval, one
+        # row each (the residual filter needs interval columns, so this
+        # is inner-join + dedupe rather than a native semi join)
+        joined = p.join(i, keys + ["__bin"], "inner").filter(
+            F.col(point_col).between(F.col(start_col), F.col(end_col))
+        )
+        return joined.select(*points.columns).dropDuplicates(points.columns)
     joined = p.join(i, keys + ["__bin"], how).filter(
         F.col(point_col).between(F.col(start_col), F.col(end_col))
     )

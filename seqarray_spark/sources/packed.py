@@ -45,24 +45,26 @@ def pack_2bit_genotypes(ds: SeqDataset, sample_ids: list[str] | None = None) -> 
     def pack(batches):
         shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
         for pdf in batches:
-            packed = []
-            for dosages in pdf["dosages"]:
-                codes = np.array(
-                    [3 if pd.isna(d) else min(int(d), 2) for d in dosages],
-                    dtype=np.uint8,
-                )
-                if pad:
-                    codes = np.concatenate([codes, np.zeros(pad, dtype=np.uint8)])
-                packed.append(
-                    np.bitwise_or.reduce(codes.reshape(-1, 4) << shifts, axis=1)
-                    .astype(np.uint8)
-                    .tobytes()
-                )
+            if not len(pdf):
+                continue
+            # whole-batch vectorization: (batch, n_samp) float matrix with
+            # NaN for missing -> codes -> 4-lane bit packing, no per-row
+            # Python loop
+            mat = np.array(
+                [[np.nan if d is None else d for d in row] for row in pdf["dosages"]],
+                dtype=np.float64,
+            )
+            codes = np.where(np.isnan(mat), 3, np.minimum(mat, 2)).astype(np.uint8)
+            if pad:
+                codes = np.pad(codes, ((0, 0), (0, pad)))
+            words = np.bitwise_or.reduce(
+                codes.reshape(len(pdf), -1, 4) << shifts, axis=2
+            ).astype(np.uint8)
             yield pd.DataFrame(
                 {
                     "variant_id": pdf["variant_id"],
                     "n_samples": n_samp,
-                    "packed": packed,
+                    "packed": [w.tobytes() for w in words],
                 }
             )
 
