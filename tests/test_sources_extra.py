@@ -79,6 +79,23 @@ def test_pack_unpack_2bit(spark, ds):
     assert got[(2, "s1")] == 1
 
 
+def test_af_from_packed_matches_long_form(spark, ds):
+    """The packed-column fast scan must agree with the long-format fused
+    aggregate (ALT-side AF/AC)."""
+    from seqarray_spark.operators.aggregates import af_ac_missing
+    from seqarray_spark.sources import packed
+
+    p = packed.pack_2bit_genotypes(ds)
+    fast = {r["variant_id"]: r for r in packed.af_from_packed(p).collect()}
+    slow = {r["variant_id"]: r for r in af_ac_missing(ds.calls, alt=True).collect()}
+    assert set(fast) == set(slow)
+    for vid in slow:
+        assert fast[vid]["ac_alt"] == slow[vid]["ac"]
+        assert fast[vid]["an"] == slow[vid]["an"]
+        assert fast[vid]["af_alt"] == pytest.approx(slow[vid]["af"])
+        assert fast[vid]["missing_rate"] == pytest.approx(slow[vid]["missing_rate"])
+
+
 def test_dosage_matrix_roundtrip(spark, ds):
     from seqarray_spark.sources import packed
 
