@@ -20,7 +20,6 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def block_apply(df: DataFrame, func: Callable, schema: str) -> DataFrame:
