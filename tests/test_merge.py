@@ -95,3 +95,21 @@ def test_overlap_detection_error(spark, parts_variant_mode):
 def test_merge_mode_autodetect(parts_variant_mode):
     a, b = parts_variant_mode
     assert M._overlap_mode([a, b]) == "variant"
+
+
+def test_merge_mode_autodetect_sample(spark):
+    a = _mk(
+        spark,
+        [(1, "1", 100, "A", ["C"])],
+        [(1, "s1", [0, 1])],
+        ["s1"],
+    )
+    b = _mk(
+        spark,
+        [(7, "1", 100, "A", ["C"])],  # same variant, different id/sample
+        [(7, "s2", [1, 1])],
+        ["s2"],
+    )
+    assert M._overlap_mode([a, b]) == "sample"
+    m = M.merge([a, b])  # end-to-end through autodetect
+    assert m.variants.count() == 1 and m.calls.count() == 2
