@@ -82,12 +82,18 @@ class SeqDataset:
         pure column predicate that also exists on calls, prefer
         filtering calls directly before constructing the dataset.
         """
+        from seqarray_spark.plans.hints import maybe_broadcast
+
         if self._base_calls is None:
             raise ValueError("dataset has no calls table")
         df = self._base_calls
         if self._sel.variant_filtered:
+            # the selection scales with the dataset (a weak filter keeps
+            # half of 10^9 variants) — hint only if Catalyst proves it
+            # small; otherwise AQE converts to broadcast at runtime when
+            # the built side is actually small
             df = df.join(
-                F.broadcast(self._sel.variants.select("variant_id")),
+                maybe_broadcast(self._sel.variants.select("variant_id")),
                 "variant_id",
                 "left_semi",
             )
@@ -164,9 +170,11 @@ class SeqDataset:
         return self._set_variants(base.filter(F.col("variant_id").isin(list(ids))), intersect)
 
     def set_filter_variant_df(self, ids_df: DataFrame, intersect: bool = True) -> "SeqDataset":
+        from seqarray_spark.plans.hints import maybe_broadcast
+
         base = self._sel.variants if intersect else self._base_variants
         return self._set_variants(
-            base.join(F.broadcast(ids_df.select("variant_id")), "variant_id", "left_semi"),
+            base.join(maybe_broadcast(ids_df.select("variant_id")), "variant_id", "left_semi"),
             intersect,
         )
 
@@ -409,8 +417,11 @@ class SeqDataset:
     def splice(self, aux: DataFrame, on: str = "variant_id") -> DataFrame:
         """'$:name' env-splice (reference: get_env_R src/GetData.cpp:
         1171-1244): align a user-supplied per-variant table with the
-        current selection via broadcast join."""
-        return self.variants.select(on).join(F.broadcast(aux), on, "left")
+        current selection via broadcast join (size-guarded: the aux table
+        is variants-sized in the worst case)."""
+        from seqarray_spark.plans.hints import maybe_broadcast
+
+        return self.variants.select(on).join(maybe_broadcast(aux), on, "left")
 
     # ------------------------------------------------------------------
     def export(self, out_dir: str, partition_by_chrom: bool = True) -> None:

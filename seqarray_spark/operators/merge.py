@@ -96,9 +96,12 @@ def reset_variant_ids(variants: DataFrame, calls: DataFrame | None):
     mapping = variants.select(F.col("variant_id").alias("__old"), new_id.alias("__new")).distinct()
     variants = variants.withColumn("variant_id", new_id)
     if calls is not None:
+        from seqarray_spark.plans.hints import maybe_broadcast
+
+        # the mapping is variants-sized — never force a broadcast of it
         calls = (
             calls.join(
-                F.broadcast(mapping),
+                maybe_broadcast(mapping),
                 calls["variant_id"] == mapping["__old"],
             )
             .drop("variant_id", "__old")

@@ -27,12 +27,15 @@ def add_variant_value(ds: SeqDataset, name: str, col_or_df, join_key: str = "var
     R/AddValue.R:520-591). Accepts a Column expression or a
     (variant_id, value) DataFrame — the latter is the reference's
     'length must equal #variants' path, here a broadcast join."""
+    from seqarray_spark.plans.hints import maybe_broadcast
+
     v = ds._base_variants
     if isinstance(col_or_df, DataFrame):
         aux = col_or_df.withColumnRenamed(
             [c for c in col_or_df.columns if c != join_key][0], name
         )
-        v = v.drop(name).join(F.broadcast(aux), join_key, "left")
+        # aux is variants-sized in the worst case — size-guarded hint
+        v = v.drop(name).join(maybe_broadcast(aux), join_key, "left")
     else:
         v = v.withColumn(name, col_or_df)
     return SeqDataset(v, ds._base_calls, ds._base_samples, ploidy=ds.ploidy)

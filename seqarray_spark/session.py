@@ -48,5 +48,8 @@ def get_spark(
         # testdata events.parquet carries TIMESTAMP(NANOS); read as long and
         # convert in the loader (Spark has no native nanos timestamp).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # pin ANSI so parse semantics (try_cast / try_element_at paths are
+        # written against ANSI-on) don't flip with the Spark version
+        .config("spark.sql.ansi.enabled", "true")
     )
     return builder.getOrCreate()

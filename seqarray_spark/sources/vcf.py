@@ -170,7 +170,11 @@ def _typed_format_col(fld: VcfField, token: Column, fmt_arr: Column) -> Column:
     """One FORMAT field from a sample token, positioned by the line's
     FORMAT column (reference: TVCF_Format src/ConvVCF2GDS.cpp:744-997)."""
     idx = F.array_position(fmt_arr, fld.id)
-    raw = F.when(idx > 0, F.element_at(F.split(token, ":"), idx.cast("int")))
+    # try_element_at, not element_at: a spec-valid VCF may drop trailing
+    # FORMAT fields per-sample ('0/0' under 'GT:DP:GQ'); under ANSI mode
+    # (Spark 4 default) element_at would abort the whole import, while the
+    # reference (seqVCF2GDS) fills NA for the missing fields.
+    raw = F.when(idx > 0, F.try_element_at(F.split(token, ":"), idx.cast("int")))
     raw = F.nullif(F.nullif(raw, F.lit(".")), F.lit(""))
     if fld.is_array:
         elem = "int" if fld.type == "Integer" else (

@@ -79,6 +79,30 @@ def test_probe_join_is_broadcast(stored, spark):
     stored.reset_filter()
 
 
+def test_unbounded_frame_is_not_force_broadcast(spark):
+    """maybe_broadcast must DROP the hint when Catalyst estimates the
+    frame above the cap — a forced broadcast of a dataset-sized selection
+    is an OOM at 100 TB; AQE picks broadcast at runtime if it turns out
+    small (VERDICT r1 'what's wrong' #3)."""
+    from seqarray_spark.plans.hints import estimated_plan_bytes, maybe_broadcast
+
+    big = spark.range(2_000_000_000).withColumnRenamed("id", "variant_id")
+    assert estimated_plan_bytes(big) > 1 << 30
+    fact = spark.range(1000).withColumnRenamed("id", "variant_id")
+    plan = (
+        fact.join(maybe_broadcast(big), "variant_id", "left_semi")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in plan
+
+    small = spark.range(100).withColumnRenamed("id", "variant_id")
+    plan_small = (
+        fact.join(maybe_broadcast(small), "variant_id", "left_semi")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan_small
+
+
 def test_fused_agg_is_single_pass(stored):
     """seqGetAF_AC_Missing parity: one scan, one shuffle, all stats."""
     from seqarray_spark.operators.aggregates import af_ac_missing

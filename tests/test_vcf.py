@@ -191,6 +191,31 @@ def test_malformed_lines_tolerated(spark, tmp_path):
     assert calls[1]["DP"] is None and calls[1]["alleles"] == [0, 1]
 
 
+def test_truncated_format_tokens(spark, tmp_path):
+    """A sample may omit trailing FORMAT fields ('0/0' under 'GT:DP:GQ') —
+    spec-valid; the reference fills NA. Under Spark 4 ANSI mode a plain
+    element_at would abort the import (SparkArrayIndexOutOfBoundsException);
+    the parser must use try_element_at."""
+    p = str(tmp_path / "trunc.vcf")
+    with open(p, "w") as fh:
+        fh.write(
+            "##fileformat=VCFv4.2\n"
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+            '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+            '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="q">\n'
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n"
+            "1\t10\t.\tA\tC\t5\tPASS\t.\tGT:DP:GQ\t0/1:7:99\t0/0\n"
+            "1\t20\t.\tG\tT\t5\tPASS\t.\tGT:DP:GQ\t1/1\t0/1:3\n"
+        )
+    ds = vcfmod.read_vcf(spark, p)
+    c = {(r["variant_id"], r["sample_id"]): r for r in ds.calls.collect()}
+    assert c[(1, "S1")]["DP"] == 7 and c[(1, "S1")]["GQ"] == 99
+    assert c[(1, "S2")]["alleles"] == [0, 0]
+    assert c[(1, "S2")]["DP"] is None and c[(1, "S2")]["GQ"] is None
+    assert c[(2, "S1")]["DP"] is None
+    assert c[(2, "S2")]["DP"] == 3 and c[(2, "S2")]["GQ"] is None
+
+
 def test_sites_only_vcf(spark, tmp_path):
     """Empty-sample dataset (sites-only VCF; reference no_sample path
     R/Conversion.R:56-65)."""
