@@ -315,10 +315,15 @@ def embedding_dup_pairs(
     tau: float = 0.95,
     bucketed: bool = False,
     planes: int = 8,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine >= tau.
 
-    bucketed=False: exact all-pairs (self-join) — fine to ~10^4 vectors.
+    bucketed=False: exact all-pairs via distributed block-matmul (triangle
+    partitioning) — O(N^2) compute by definition, but fully distributed:
+    no driver collect, no broadcast of the matrix, shuffle volume N*B rows
+    for B^2/2 block-pair tasks. Exactness is the point; for corpus-scale
+    near-dup detection prefer bucketed=True.
     bucketed=True: random-hyperplane LSH — vectors are first keyed by the
     sign pattern of `planes` deterministic pseudo-hyperplanes (md5-seeded
     ±1 components), the self-join runs per bucket, then exact cosine
@@ -338,12 +343,7 @@ def embedding_dup_pairs(
         b = df.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), "_bucket")
         joined = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
-        # all-pairs exact baseline: broadcast the whole (small) matrix and
-        # let each Arrow batch score against it with one BLAS matmul —
-        # 2M 64-dim pairs drop from ~17s of codegen'd lambda folds to ~2s.
-        # Valid while one side broadcasts (N up to ~10^5); beyond that use
-        # bucketed=True (the shuffle key becomes the LSH bucket).
-        return _all_pairs_matmul(df, tau)
+        return _all_pairs_matmul(df, tau, blocks)
     dot = F.aggregate(
         F.zip_with(
             F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")
@@ -358,41 +358,72 @@ def embedding_dup_pairs(
     )
 
 
-def _all_pairs_matmul(df: DataFrame, tau: float) -> DataFrame:
-    """Exact all-pairs cosine>=tau via broadcast matrix + per-batch matmul.
-    df: (_id, _v, _n). Pair (a,b) emitted once with id_a < id_b; the
-    division-by-norms formula matches the expression path bit-for-bit up
-    to BLAS summation order."""
+def _all_pairs_matmul(df: DataFrame, tau: float, blocks: int | None = None) -> DataFrame:
+    """Exact all-pairs cosine>=tau as a distributed block matmul (triangle
+    partitioning). df: (_id, _v, _n).
+
+    Each vector lands in block b = hash(_id) % B and is replicated to the
+    B block-pair groups {(min(b,p), max(b,p)) : p in 0..B-1}; each group
+    holds two blocks (~2N/B rows) and scores them with ONE BLAS matmul.
+    Every unordered row pair belongs to exactly one group, so pairs emerge
+    exactly once with id_a < id_b. Fully lazy: no driver collect, no
+    broadcast — shuffle volume is N*B rows, and per-task memory is
+    (2N/B)*dim*8 bytes, so B is the knob that fits the task in RAM at any
+    N. The division-by-norms formula matches the expression path
+    bit-for-bit up to BLAS summation order."""
     import numpy as np
     import pandas as pd
 
-    rows = df.collect()
-    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["_v"] for r in rows], dtype=np.float64)
-    norms = np.array([r["_n"] for r in rows], dtype=np.float64)
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast((ids, mat, norms))
+    # B^2/2 groups ~ default parallelism keeps every core busy without
+    # over-replicating; callers at real scale size B from N and task RAM
+    b_num = blocks or max(2, int((2 * sc.defaultParallelism) ** 0.5))
 
-    def kernel(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            a_ids = pdf["_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["_v"]), dtype=np.float64)
-            a_norms = pdf["_n"].to_numpy(dtype=np.float64)
-            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+    replicated = (
+        df.withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(b_num)).cast("int"))
+        .select(
+            "_id",
+            "_v",
+            "_n",
+            "_blk",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {b_num - 1}), "
+                    "p -> struct(least(_blk, p) as i, greatest(_blk, p) as j))"
+                )
+            ).alias("_bp"),
+        )
+        .select("_id", "_v", "_n", "_blk", F.col("_bp.i").alias("_i"), F.col("_bp.j").alias("_j"))
+    )
+
+    def kernel(key, pdf):
+        i, j = int(key[0]), int(key[1])
+        a = b = pdf
+        if i != j:
+            a = pdf[pdf["_blk"] == i]
+            b = pdf[pdf["_blk"] == j]
+        a_ids = a["_id"].to_numpy(dtype=np.int64)
+        b_ids = b["_id"].to_numpy(dtype=np.int64)
+        if not len(a_ids) or not len(b_ids):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        a_mat = np.array(list(a["_v"]), dtype=np.float64)
+        b_mat = np.array(list(b["_v"]), dtype=np.float64)
+        sims = (a_mat @ b_mat.T) / np.outer(
+            a["_n"].to_numpy(dtype=np.float64), b["_n"].to_numpy(dtype=np.float64)
+        )
+        if i == j:
+            # same block on both sides: keep the upper triangle
             ai, bi = np.nonzero((sims >= tau) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": b_ids[bi],
-                    "cosine": sims[ai, bi],
-                }
-            )
+            id_a, id_b = a_ids[ai], b_ids[bi]
+        else:
+            # disjoint blocks: each pair appears once, in either order
+            ai, bi = np.nonzero(sims >= tau)
+            id_a = np.minimum(a_ids[ai], b_ids[bi])
+            id_b = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": sims[ai, bi]})
 
-    n_parts = max(2, sc.defaultParallelism)
-    return (
-        df.repartition(n_parts)
-        .mapInPandas(kernel, schema="id_a long, id_b long, cosine double")
+    return replicated.groupBy("_i", "_j").applyInPandas(
+        kernel, schema="id_a long, id_b long, cosine double"
     )
 
 

@@ -103,6 +103,29 @@ def test_unbounded_frame_is_not_force_broadcast(spark):
     assert "BroadcastHashJoin" in plan_small
 
 
+def test_emb_dup_pairs_runs_no_eager_job(spark):
+    """Constructing the exact all-pairs query must not run a Spark job
+    (r1 shipped a df.collect() at query-construction time) and must not
+    reference a driver-materialized broadcast variable."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(50)]
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("construct-only", "plan construction must be lazy")
+    try:
+        df = embedding_dup_pairs(emb, tau=0.9, bucketed=False)
+        _ = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("construct-only")
+    assert list(jobs) == []
+    assert df.count() > 0  # still executes
+
+
 def test_fused_agg_is_single_pass(stored):
     """seqGetAF_AC_Missing parity: one scan, one shuffle, all stats."""
     from seqarray_spark.operators.aggregates import af_ac_missing
