@@ -65,40 +65,97 @@ def lsh_topk(
     )
 
 
-def ivf_assign(
+def kmeans_centroids(
     emb: DataFrame,
-    centroids: DataFrame,
+    ncells: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    cent_vec: str = "c_vec",
-    cent_id: str = "c_id",
+    sample_size: int | None = None,
+    iters: int = 8,
+):
+    """Spherical k-means fit on a bounded, deterministic sample.
+
+    The sample (default 128*ncells rows, taken in xxhash64(id) order so it
+    is both deterministic and uniformly spread regardless of storage
+    order) comes to the driver via TakeOrdered — per-partition heaps, no
+    full sort shuffle — and the Lloyd iterations run in local numpy. The
+    model is tiny (ncells x dim); fitting on a sample is the standard IVF
+    recipe (a 100 TB corpus does not need more than ~10^5 sample vectors
+    to place 10^3 cells). Returns a float64 ndarray (ncells, dim),
+    row-normalized.
+    """
+    import numpy as np
+
+    sample_size = sample_size or ncells * 128
+    rows = (
+        emb.select(F.col(vec_col).alias("_v"), F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(int(sample_size))
+        .collect()
+    )
+    x = np.array([r["_v"] for r in rows], dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # deterministic init: first ncells sample vectors (hash order)
+    cents = xn[: int(ncells)].copy()
+    for _ in range(int(iters)):
+        assign = np.argmax(xn @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cells=None,
 ) -> DataFrame:
-    """IVF coarse quantization: assign each vector to its nearest centroid
-    (broadcast cross-score + per-vector argmax). Centroids can come from
-    any clustering; ivf_centroids_sample gives a deterministic seed set."""
-    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", cosine(F.col(vec_col), F.col(cent_vec))
-    )
-    from pyspark.sql.window import Window
+    """IVF coarse quantization: nearest-centroid cell id as a PROJECTION.
 
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col(cent_id))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col(cent_id).alias("ivf_cell"))
-    )
+    centroids: ndarray (ncells, dim) from kmeans_centroids. One
+    mapInPandas pass computes batch @ centroids.T and a per-row argmax —
+    zero shuffle, no window, no crossJoin (the r1 formulation shuffled
+    N*ncells rows through row_number; at 10^9 vectors x 1024 cells that is
+    a 10^12-row shuffle for what is a projection). The centroid matrix
+    travels in the task closure (ncells x dim x 8 bytes — KBs to low MBs).
+    keep_cells: optional iterable of cell ids — rows assigned elsewhere
+    are dropped inside the kernel (probe pruning without a join).
+    """
+    import numpy as np
 
+    cn = np.asarray(centroids, dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    keep = np.array(sorted(keep_cells), dtype=np.int64) if keep_cells is not None else None
+    out_schema = f"{id_col} long, {vec_col} array<float>, ivf_cell int"
 
-def ivf_centroids_sample(
-    emb: DataFrame, ncells: int, vec_col: str = "embedding", id_col: str = "vec_id"
-) -> DataFrame:
-    """Deterministic centroid seed set: the ncells vectors with the
-    smallest ids (stand-in for a k-means fit; stable across runs)."""
-    return (
-        emb.orderBy(id_col)
-        .limit(ncells)
-        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
-    )
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # argmax of cosine == argmax of dot against normalized
+            # centroids (row norm is a positive per-row scalar)
+            cell = np.argmax(mat @ cn.T, axis=1).astype(np.int32)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "ivf_cell": cell,
+                }
+            )
+            if keep is not None:
+                out = out[np.isin(out["ivf_cell"].to_numpy(), keep)]
+            yield out
+
+    return emb.select(id_col, vec_col).mapInPandas(kernel, schema=out_schema)
 
 
 def ivf_topk(
@@ -109,21 +166,28 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids=None,
 ) -> DataFrame:
-    """IVF search: score centroids against the query, keep the nprobe
-    nearest cells, score only vectors assigned there."""
-    cents = ivf_centroids_sample(emb, ncells, vec_col, id_col)
-    assigned = ivf_assign(emb, cents, vec_col, id_col)
-    q = _query_lit(query_vec)
-    probe = (
-        cents.select(F.col("c_id").alias("ivf_cell"), cosine(F.col("c_vec"), q).alias("_s"))
-        .orderBy(F.col("_s").desc(), "ivf_cell")
-        .limit(nprobe)
-        .select("ivf_cell")
-    )
+    """IVF search: fit (or reuse) centroids, pick the nprobe cells nearest
+    the query driver-side (the model is local — no Spark job), and score
+    only vectors assigned to those cells.
+
+    Plan shape: one mapInPandas projection (assign + probe prune) ->
+    cosine projection -> TakeOrderedAndProject. Zero shuffles over the
+    vector table."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = kmeans_centroids(emb, ncells, vec_col, id_col)
+    cn = np.asarray(centroids, dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = np.argsort(-(cn @ qn), kind="stable")[: int(nprobe)]
+    assigned = ivf_assign(emb, cn, vec_col, id_col, keep_cells=probe_cells.tolist())
+    ql = _query_lit(query_vec)
     return (
-        assigned.join(F.broadcast(probe), "ivf_cell")
-        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine"))
+        assigned.select(F.col(id_col), cosine(F.col(vec_col), ql).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

@@ -126,6 +126,23 @@ def test_emb_dup_pairs_runs_no_eager_job(spark):
     assert df.count() > 0  # still executes
 
 
+def test_ivf_topk_zero_shuffle_over_vectors(spark):
+    """IVF assign must be a mapInPandas projection, not the r1
+    crossJoin + row_number formulation (N*ncells window shuffle)."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7), float(i % 3), 1.0]) for i in range(200)]
+    )
+    df = S.ivf_topk(emb, [1.0, 0.0, 0.0], k=5, ncells=4, nprobe=2)
+    assert E.num_shuffles(df) == 0
+    plan = E.plan_string(df, "simple")
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert len(df.collect()) == 5
+
+
 def test_fused_agg_is_single_pass(stored):
     """seqGetAF_AC_Missing parity: one scan, one shuffle, all stats."""
     from seqarray_spark.operators.aggregates import af_ac_missing
