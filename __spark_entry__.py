@@ -630,11 +630,12 @@ def doc_ngram_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash sketch per document."""
-    from seqarray_spark.operators.dedup import simhash16
+    """64-bit SimHash sketch per document (16-hex-char string; substrings
+    of it are the 16-bit bands used by simhash_dup_pairs)."""
+    from seqarray_spark.operators.dedup import simhash64
 
     docs = td.load_table(spark, sf_dir, "documents")
-    return simhash16(docs).select("doc_id", "simhash")
+    return simhash64(docs).select("doc_id", "simhash")
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1210,20 +1211,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
               FROM documents
             ), votes AS (
+              SELECT doc_id, i, j,
+                SUM(CASE WHEN (instr('0123456789abcdef',
+                                     substring(md5(t), CAST(i AS INT) + 1, 1)) - 1)
+                              & CAST(POWER(2, j) AS INT) != 0
+                         THEN 1 ELSE -1 END) AS v
+              FROM tok
+              CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS i) nibs
+              CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS j) bits
+              GROUP BY doc_id, i, j
+            ), nib AS (
               SELECT doc_id, i,
-                SUM(CASE WHEN substring(md5(t), CAST(i AS INT) + 1, 1)
-                         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
-              FROM tok CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS i) bits
-              GROUP BY doc_id, i
-            ), sums AS (
+                     CAST(SUM(CASE WHEN v > 0 THEN CAST(POWER(2, j) AS INT) ELSE 0 END) AS INT) AS n
+              FROM votes GROUP BY doc_id, i
+            ), sk AS (
               SELECT doc_id,
-                     CAST(SUM(CASE WHEN v > 0 THEN CAST(POWER(2, i) AS BIGINT) ELSE 0 END) AS INT) AS simhash
-              FROM votes GROUP BY doc_id
+                     string_agg(substring('0123456789abcdef', n + 1, 1), '' ORDER BY i) AS simhash
+              FROM nib GROUP BY doc_id
             )
             SELECT d.doc_id,
                    CASE WHEN len(regexp_extract_all(lower(d.text), '[a-z0-9'']+')) > 0
                         THEN s.simhash END AS simhash
-            FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
+            FROM documents d LEFT JOIN sk s ON s.doc_id = d.doc_id
         """,
         "doc_fingerprint": """
             WITH toks AS (

@@ -11,8 +11,9 @@ Scale design (the whole point of these):
 - n-gram Jaccard: exact but intersection-driven — explode distinct
   shingles, self-join on shingle, count per pair; pairs with zero overlap
   never appear. For 100 TB use minhash_dup_pairs and verify=True instead.
-- SimHash: 16-bit majority sketch from md5 nibbles; bucket-collision
-  candidates, Hamming-style verification.
+- SimHash: 64-bit majority sketch from md5 nibbles (hex-string encoded);
+  candidates from 4x16-bit band equi-joins, Hamming verification — exact
+  recall for distance <= 3 by pigeonhole.
 - embedding cosine: normalized dot via zip_with/aggregate; all-pairs form
   for small N, LSH-bucketed form (random-hyperplane signs) for scale.
 
@@ -49,22 +50,63 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _minhash_signatures(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Long-form signature build -> (_id, h0..h{n-1}). Two structural
+    facts drive this shape:
+    (1) Spark does NOT subexpression-eliminate lambda-bearing
+        expressions, so any array-expression formulation recomputes the
+        md5 transform per reuse (measured 10-20x slower);
+    (2) md5 yields 128 bits — four independent 32-bit minhash lanes per
+        digest — so num_hashes hashes need only num_hashes/4 md5 passes.
+    One explode + ONE groupBy (all mins as filtered aggregates) = one
+    shuffle of |shingles| * num_hashes/4 narrow rows."""
+    if num_hashes % 4:
+        raise ValueError("num_hashes must be a multiple of 4")
+    sh_long = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
+    )
+    n_md5 = num_hashes // 4
+    hashed = sh_long.select(
+        "_id",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(n_md5 - 1))).alias("b"),
+    ).select(
+        "_id",
+        "b",
+        F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
+    )
+    sig_cols = [
+        F.min(
+            F.when(F.col("b") == j // 4, F.substring("h", (j % 4) * 8 + 1, 8))
+        ).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return hashed.groupBy("_id").agg(*sig_cols)
+
+
 def minhash_signature(
     docs: DataFrame,
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-doc MinHash signature: element j = min over shingles of
-    md5(j:shingle). Adds `mh_sig ARRAY<STRING>[num_hashes]`."""
-    sh = F.array_distinct(word_shingles(text_col, shingle_n))
-    def hash_j(j):
-        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
-
-    sig = F.array(
-        *[F.array_min(F.transform(sh, hash_j(j))) for j in range(num_hashes)]
+    """Per-doc MinHash signature: element j = min over shingles of 32-bit
+    lane j%4 of md5(j//4:shingle). Adds `mh_sig ARRAY<STRING>[num_hashes]`
+    (NULL for docs with no shingles). Same long-form build as
+    minhash_dup_pairs — one explode + one groupBy."""
+    sigs = _minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    arr = sigs.select(
+        "_id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("mh_sig")
     )
-    return docs.withColumn("mh_sig", sig)
+    return docs.join(arr, docs[id_col] == arr["_id"], "left").drop("_id")
 
 
 def lsh_band_keys(num_hashes: int, bands: int) -> list[Column]:
@@ -104,38 +146,8 @@ def minhash_dup_pairs(
     -> self equi-join per band key -> distinct pairs -> verify. The join
     key space is ~uniform md5 values, so the shuffle is skew-free.
     """
-    if num_hashes % 4:
-        raise ValueError("num_hashes must be a multiple of 4")
     rows = num_hashes // bands
-    # Long-form signature build. Two structural facts drive this shape:
-    # (1) Spark does NOT subexpression-eliminate lambda-bearing
-    #     expressions, so any array-expression formulation recomputes the
-    #     md5 transform per reuse (measured 10-20x slower);
-    # (2) md5 yields 128 bits — four independent 32-bit minhash lanes per
-    #     digest — so num_hashes hashes need only num_hashes/4 md5 passes.
-    # One explode + ONE groupBy (all mins as filtered aggregates) = one
-    # shuffle of |shingles| * num_hashes/4 narrow rows.
-    sh_long = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
-    )
-    n_md5 = num_hashes // 4
-    hashed = sh_long.select(
-        "_id",
-        "s",
-        F.explode(F.sequence(F.lit(0), F.lit(n_md5 - 1))).alias("b"),
-    ).select(
-        "_id",
-        "b",
-        F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
-    )
-    sig_cols = [
-        F.min(
-            F.when(F.col("b") == j // 4, F.substring("h", (j % 4) * 8 + 1, 8))
-        ).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
-    sigs = hashed.groupBy("_id").agg(*sig_cols)
+    sigs = _minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     band_exprs = [
         F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
             f"band_{b}"
@@ -243,51 +255,96 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash: for each of the 16 md5-hex nibble positions of each
-    token hash, take the majority of the nibble's top bit across tokens.
-    Engine-portable (md5 + substring only). Adds `simhash INT`.
+_HEX = "0123456789abcdef"
 
-    Long form (explode tokens, hash once, 16 vote sums in one groupBy):
-    the array-expression form re-inlined the md5 transform into each of
-    the 16 bit folds — 16x the hashing work (measured 3x slower overall).
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash, rendered as a 16-hex-char string: bit (4i+j) is the
+    majority across tokens of bit j of md5-hex nibble i of the token hash.
+    Engine-portable (md5 + substring + instr only). Adds `simhash STRING`
+    (NULL for token-less docs).
+
+    Long form (explode tokens, hash once, 64 vote sums in one groupBy) —
+    the array-expression form would re-inline the md5 per bit fold. A
+    string sketch sidesteps BIGINT sign overflow at bit 63 under ANSI
+    mode, and substrings of it ARE the 16-bit bands for banded joins.
     """
     from seqarray_spark.operators.text import tokens
 
-    hi = ("8", "9", "a", "b", "c", "d", "e", "f")
     tok = docs.select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
     ).select("__id", F.md5("__t").alias("__h"))
-    votes = tok.groupBy("__id").agg(
-        *[
-            F.sum(
-                F.when(F.substring("__h", i + 1, 1).isin(*hi), 1).otherwise(-1)
-            ).alias(f"__v{i}")
-            for i in range(16)
-        ]
-    )
-    value = None
+    vote_cols = []
     for i in range(16):
-        term = F.when(F.col(f"__v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        value = term if value is None else value + term
-    sketch = votes.select("__id", value.cast("int").alias("simhash"))
-    return docs.join(
-        sketch, docs[id_col] == sketch["__id"], "left"
-    ).drop("__id")
+        nib = F.conv(F.substring("__h", i + 1, 1), 16, 10).cast("int")
+        for j in range(4):
+            vote_cols.append(
+                F.sum(
+                    F.when(nib.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+                ).alias(f"__v_{i}_{j}")
+            )
+    votes = tok.groupBy("__id").agg(*vote_cols)
+    chars = []
+    for i in range(16):
+        nibble = None
+        for j in range(4):
+            t = F.when(F.col(f"__v_{i}_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            nibble = t if nibble is None else nibble + t
+        chars.append(F.substr(F.lit(_HEX), nibble + 1, F.lit(1)))
+    sketch = votes.select("__id", F.concat(*chars).alias("simhash"))
+    return docs.join(sketch, docs[id_col] == sketch["__id"], "left").drop("__id")
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-hex-char simhash strings: sum over
+    nibbles of popcount(xor). 16 independent terms, no lambda (lambda
+    expressions recompute on reuse)."""
+    total = None
+    for i in range(16):
+        na = F.conv(F.substring(a, i + 1, 1), 16, 10).cast("int")
+        nb = F.conv(F.substring(b, i + 1, 1), 16, 10).cast("int")
+        term = F.bit_count(na.bitwiseXOR(nb))
+        total = term if total is None else total + term
+    return total.cast("int")
 
 
 def simhash_dup_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Candidate pairs sharing an identical 16-bit simhash bucket (for
-    longer sketches, band the bits and join per band)."""
-    s = simhash16(docs, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash")
-    a = s.select(F.col("_id").alias("id_a"), "simhash")
-    b = s.select(F.col("_id").alias("id_b"), "simhash")
-    return (
-        a.join(b, "simhash")
+    """Near-dup pairs via banded 64-bit SimHash: candidates share at least
+    one of the four 16-bit bands exactly (equi-join per band — the r1
+    16-bit whole-sketch bucket join went ~N^2/65536 past 10^5 docs);
+    verification keeps pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole guarantee: <= 3 flipped bits cannot touch all 4 bands, so
+    recall is exact (not probabilistic) for max_hamming <= 3."""
+    s = simhash64(docs, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash")
+    bands = s.select(
+        "_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.substring("simhash", b * 4 + 1, 4) for b in range(4)])
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("sk_a"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("sk_b"), "band_idx", "band_key"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "simhash")
+        .select("id_a", "id_b", "sk_a", "sk_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", simhash_hamming(F.col("sk_a"), F.col("sk_b")))
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
     )
 
 

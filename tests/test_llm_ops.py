@@ -74,17 +74,43 @@ def test_minhash_signature(docs):
 
 
 def test_simhash(docs):
-    s = {r["doc_id"]: r["simhash"] for r in D.simhash16(docs).collect()}
+    s = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
     assert s[1] == s[2]  # identical text, identical sketch
-    assert 0 <= s[1] < 65536
-    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_dup_pairs(docs).collect()}
-    assert (1, 2) in pairs
+    assert len(s[1]) == 16 and all(c in "0123456789abcdef" for c in s[1])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_dup_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 0
 
 
 def test_simhash_partition_invariance(docs):
-    a = {r["doc_id"]: r["simhash"] for r in D.simhash16(docs).collect()}
-    b = {r["doc_id"]: r["simhash"] for r in D.simhash16(docs.repartition(5)).collect()}
+    a = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs.repartition(5)).collect()}
     assert a == b
+
+
+def test_simhash_banded_recall_is_exact_to_hamming3(spark):
+    """Pigeonhole property: any pair within Hamming distance 3 must be
+    found by the 4-band join (<=3 flips cannot touch all 4 bands)."""
+    from pyspark.sql import Row
+
+    # construct docs then check every <=3-distance pair surfaced
+    rows = [
+        Row(doc_id=i, text=" ".join(f"w{j}" for j in range(30)) + f" tail{i % 4}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows)
+    sk = {r["doc_id"]: r["simhash"] for r in D.simhash64(df).collect()}
+
+    def ham(x, y):
+        return sum(bin(int(a, 16) ^ int(b, 16)).count("1") for a, b in zip(x, y))
+
+    expect = {
+        (i, j)
+        for i in sk
+        for j in sk
+        if i < j and ham(sk[i], sk[j]) <= 3
+    }
+    got = {(r["id_a"], r["id_b"]) for r in D.simhash_dup_pairs(df).collect()}
+    assert expect <= got and got == expect
 
 
 # -- embeddings ---------------------------------------------------------------
