@@ -477,10 +477,7 @@ def seq_dosage_af(spark: SparkSession, sf_dir: str) -> DataFrame:
     DS values are exact halves so double sums are order-independent."""
     td.register_testdata(spark, sf_dir, ["lineitem"])
     dcalls = spark.sql(GDOSAGE_SQL)
-    af = agg.allele_freq_dosage(dcalls, ploidy=2)
-    ac = agg.allele_count_dosage(dcalls, ploidy=2)
-    miss = agg.missing_rate_dosage(dcalls)
-    return af.join(ac, "variant_id").join(miss, "variant_id")
+    return agg.af_ac_missing_dosage(dcalls, ploidy=2)
 
 
 def seq_pack_genotypes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -221,6 +221,26 @@ def allele_count_dosage(calls: DataFrame, ds_col: str = "DS", ploidy: int = 2) -
     )
 
 
+def af_ac_missing_dosage(
+    calls: DataFrame, ds_col: str = "DS", ploidy: int = 2
+) -> DataFrame:
+    """Fused dosage-backed AF + AC + AN + missing-rate in ONE groupBy
+    (reference: the DS kernels FC_AF_DS/FC_AC_DS/FC_Missing_DS,
+    src/Methods.cpp:443-750, fused the way seqGetAF_AC_Missing fuses the
+    genotype kernels). One scan, one shuffle — running the three
+    single-stat functions separately costs three scans + three shuffles
+    plus two joins to reassemble."""
+    d = F.col(ds_col)
+    return calls.groupBy("variant_id").agg(
+        (
+            F.sum(d).cast("double") / (F.lit(float(ploidy)) * F.count(d).cast("double"))
+        ).alias("af_alt"),
+        F.sum(d).cast("double").alias("ac_alt"),
+        (F.lit(ploidy) * F.count(d)).cast("bigint").alias("an"),
+        F.avg(d.isNull().cast("double")).alias("missing_rate"),
+    )
+
+
 def missing_rate_dosage(calls: DataFrame, ds_col: str = "DS", per: str = "variant") -> DataFrame:
     """Dosage-backed missing rate (reference: FC_Missing_DS paths
     src/Methods.cpp:170-246)."""

@@ -149,3 +149,15 @@ def test_fused_agg_is_single_pass(stored):
 
     df = af_ac_missing(stored._base_calls)
     assert E.num_shuffles(df) == 1
+
+
+def test_fused_dosage_agg_is_single_pass(spark):
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators.aggregates import af_ac_missing_dosage
+
+    calls = spark.createDataFrame(
+        [Row(variant_id=i % 5, sample_id=f"S{i}", DS=float(i % 3) / 2) for i in range(50)]
+    )
+    df = af_ac_missing_dosage(calls)
+    assert E.num_shuffles(df) == 1
