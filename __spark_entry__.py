@@ -91,6 +91,10 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_dosage_af": seq_dosage_af,
         # -- packed genotype export (SURVEY §2.6 seqGet2bGeno) — rows-only
         "seq_pack_genotypes": seq_pack_genotypes,
+        # -- GDS container reader (SURVEY §2.1 seqOpen) — rows-only (DuckDB
+        # cannot read GDS; value parity is pytest-proven vs CEU_Exon.vcf.gz
+        # in tests/test_gds.py)
+        "gds_read_af": gds_read_af,
         # -- events ---------------------------------------------------------
         "ev_hourly_by_type": ev_hourly_by_type,
         "ev_sessionize": ev_sessionize,
@@ -488,6 +492,25 @@ def seq_pack_genotypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = td.variant_dataset(spark, sf_dir)
     out = pack_2bit_genotypes(ds)
     return out.select("variant_id", "n_samples", F.length("packed").alias("n_bytes"))
+
+
+GDS_FIXTURE = "/root/reference/inst/extdata/CEU_Exon.gds"
+
+
+def gds_read_af(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open the reference's own GDS fixture with the pure-Python CoreArray
+    reader (sources/gds.py) and run the fused AF aggregate over the
+    distributed calls frame (reference: seqOpen + seqAlleleFreq). Uses the
+    fixture, not sf_dir — the point is container parity."""
+    import os
+
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.operators.aggregates import af_ac_missing
+
+    if not os.path.exists(GDS_FIXTURE):  # fixture-less environments
+        return spark.createDataFrame([], "variant_id long, af double, an long")
+    ds = SeqDataset.from_gds(spark, GDS_FIXTURE)
+    return af_ac_missing(ds.calls).select("variant_id", "af", "an")
 
 
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

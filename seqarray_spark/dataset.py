@@ -439,6 +439,15 @@ class SeqDataset:
             self.samples.write.mode("overwrite").parquet(f"{out_dir}/samples.parquet")
 
     @staticmethod
+    def from_gds(spark: SparkSession, path: str, **kwargs) -> "SeqDataset":
+        """Open a SeqArray GDS container directly (reference: seqOpen
+        R/Methods.R:12-98) — the migration path for existing .gds files;
+        see sources/gds_spark.py for the distributed read design."""
+        from seqarray_spark.sources.gds_spark import from_gds as _from_gds
+
+        return _from_gds(spark, path, **kwargs)
+
+    @staticmethod
     def read(spark: SparkSession, path: str, ploidy: int = 2) -> "SeqDataset":
         """Open a dataset previously written by export()/VCF ingest
         (reference: seqOpen R/Methods.R:12-98 — schema assertion replaces

@@ -1,0 +1,510 @@
+"""GDS (CoreArray) container reader — pure Python/numpy, no gdsfmt.
+
+The reference's entire entry point is a `.gds` file (seqOpen,
+/root/reference/R/Methods.R:12-98; node layout R/AllClasses.R:20-24,
+src/Index.h:154-200). This module reads that container directly so
+existing SeqArray users can load their files without R installed.
+
+The CoreArray format was reverse-engineered from the reference's own
+fixtures (inst/extdata/CEU_Exon.gds, 1KG_phase1_release_v3_chr22.gds,
+Imputed_dosages.gds) and validated against the matching CEU_Exon.vcf.gz
+(the equivalence the reference itself tests in
+inst/unitTests/test_asVCF.R:70-186). Layout, as observed:
+
+  file   := "COREARRAYx0A" u16 version u32 root_id fragment*
+  frag   := [u48 size|HEAD_BIT][u48 next_frag_pos][u32 stream_id] data
+            (size includes this 16-byte head; fragments tile the file)
+  stream := fragments with the same id, head fragment first, chained by
+            `next`
+  dir    := folder streams hold child entries:
+            [u48 len][10B fixed][u32 child_id][5B][u32 flags][5B]
+            [varint name_len][name]   flags: 0x02 folder, 0x10 hidden
+  node   := array streams hold:
+            [u48 used][u48 used][u16][2B] [class signature]
+            {0x15 <id4> [len coder]}            (absent if uncompressed)
+            {0x02 0xc9... [u64 total][u64 comp]} (absent if uncompressed)
+            0x07 <id4> [u16 ndim] 0x02 <id3> [u8 nbytes][u32 dims...]
+            0x09 <id4> [u32 data_stream_id]
+            {0x13 <id4> [TdsAny param]}*        (packedreal offset/scale)
+            0x08 <id5> [u32 n_attrs] 0x01 <id7> [u48 nbytes] attrs
+  attrs  := ([varint name_len][name][1B type]
+             type 0x0e/0x11: [varint len][bytes]
+             type 0x21: [u32 n][element*])*
+  data   := raw bytes, or "XZ_RA" random-access container:
+            [u48 size]["XZ_RA" 0x10][u8 bsize_log2][0xff][u32 nframes]
+            then per frame: v16 entry [u24 comp][u16 rem][u8 units]
+                            v17 entry [u24 comp][u16 rem][u16 units]
+            comp includes the entry; each frame is an xz stream covering
+            units*(1<<bsize_log2)+rem uncompressed bytes (0 = whole node)
+
+Class signatures are opaque per-class byte strings; the table below maps
+every signature appearing in SeqArray files (calibrated on the fixtures,
+each verified value-for-value against the VCF ground truth).
+
+Scale design: metadata (node tree, dims, frame index) is tiny and parsed
+on the driver; bulk decode happens in Spark tasks via mapInPandas over
+variant block ranges (sources/gds_spark.py). A task reads only the xz
+frames overlapping its block — random access by construction, so a
+1000-executor cluster reads one 100 TB .gds concurrently with no
+driver-side data movement.
+"""
+
+from __future__ import annotations
+
+import lzma
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_PREFIX = b"COREARRAYx0A"
+_HEAD_BIT = 1 << 47
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+
+# anchors inside node object streams (property-id byte patterns; constant
+# across all fixture files and gdsfmt versions observed)
+_CODER_TAG = bytes.fromhex("15c4466d10")
+_SIZES_TAG = bytes.fromhex("02c9466d50e051250410")
+_NDIM_TAG = bytes.fromhex("07c4e3641f")
+_DIM_TAG = bytes.fromhex("02c34361")
+_DSTREAM_TAG = bytes.fromhex("09c4c37c0c")
+_NATTR_TAG = bytes.fromhex("0807f37d9d937d")
+_ATTR_TAG = bytes.fromhex("0108f37ddd45791f")
+_PARAM_TAG = 0x13
+
+# class signature -> storage kind
+# (lenbyte, payload) as found between the fixed header and the first
+# property anchor
+_CLASS_SIGS = {
+    bytes.fromhex("e4295d8e03"): "vlstr",        # variable-length UTF-8
+    bytes.fromhex("e4a49b3e9301"): "int32",
+    bytes.fromhex("e4a49b1eb301"): "int16",
+    bytes.fromhex("e46ad24dc701"): "uint8",
+    bytes.fromhex("64619a2e03"): "bit2",
+    bytes.fromhex("64619a1e03"): "bit1",
+    bytes.fromhex("6423fb1da6cf64"): "float32",
+    bytes.fromhex("642bf39b74d301"): "vlint",     # zigzag LEB128
+    bytes.fromhex("646878bc2e93a5e5301b5705"): "packedreal8",
+}
+# NOTE: the packedreal16 signature does not appear in the fixtures;
+# detection falls back on element size (total_bytes / n_elements).
+
+_ELEM_SIZE = {
+    "int32": 4, "int16": 2, "uint8": 1, "float32": 4, "float64": 8,
+    "packedreal8": 1, "packedreal16": 2,
+}
+
+
+def _u48(b: bytes, o: int) -> int:
+    return int.from_bytes(b[o:o + 6], "little")
+
+
+def _varint(b: bytes, o: int):
+    """7-bit little-endian varint (used for string lengths)."""
+    v = shift = 0
+    while True:
+        c = b[o]
+        o += 1
+        v |= (c & 0x7F) << shift
+        shift += 7
+        if not (c & 0x80):
+            return v, o
+
+
+@dataclass
+class GdsNode:
+    name: str
+    path: str
+    stream_id: int
+    flags: int
+    parent: "GdsNode | None" = None
+    children: "list[GdsNode]" = field(default_factory=list)
+    # arrays only
+    kind: str | None = None
+    sig: bytes | None = None
+    coder: str = ""
+    total_bytes: int = 0
+    ndim: int = 0
+    dims: tuple = ()
+    data_stream: int | None = None
+    attrs: dict = field(default_factory=dict)
+    params: dict = field(default_factory=dict)  # packedreal offset/scale
+
+    @property
+    def is_folder(self) -> bool:
+        return bool(self.flags & 0x02)
+
+    @property
+    def is_hidden(self) -> bool:
+        return bool(self.flags & 0x10)
+
+    def child(self, name: str) -> "GdsNode | None":
+        for c in self.children:
+            if c.name == name:
+                return c
+        return None
+
+
+class GdsFile:
+    """Driver-side GDS container index: fragments, node tree, node
+    metadata. Opening reads only the small object streams (KBs), never
+    array data."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as fh:
+            data = fh.read()
+        if data[:12] != _PREFIX:
+            raise ValueError(f"{path}: not a GDS (CoreArray) file")
+        self.version = struct.unpack("<H", data[12:14])[0]
+        self._data = data
+        self._frags: dict[int, list[tuple[int, int, int, bool]]] = {}
+        o = 0x12
+        while o + 16 <= len(data):
+            raw = _u48(data, o)
+            nxt = _u48(data, o + 6)
+            sid = struct.unpack("<I", data[o + 12:o + 16])[0]
+            size = raw & (_HEAD_BIT - 1)
+            if size < 16:
+                raise ValueError(f"{path}: corrupt fragment at {o:#x}")
+            self._frags.setdefault(sid, []).append(
+                (o + 16, size - 16, nxt, bool(raw & _HEAD_BIT))
+            )
+            o += size
+        if o != len(data):
+            raise ValueError(f"{path}: fragments do not tile the file")
+        self.root = GdsNode(name="", path="", stream_id=1, flags=0x02)
+        self._load_folder(self.root)
+
+    # -- streams -----------------------------------------------------------
+    def stream_bytes(self, sid: int) -> bytes:
+        frags = self._ordered_frags(sid)
+        return b"".join(self._data[a:a + n] for a, n, _, _ in frags)
+
+    def _ordered_frags(self, sid: int):
+        frags = self._frags.get(sid, [])
+        if len(frags) <= 1 or all(f[2] == 0 for f in frags):
+            return frags
+        # multi-fragment stream: head first, then follow next-pointers
+        by_off = {a - 16: f for f in frags for a in (f[0],)}
+        head = next(f for f in frags if f[3])
+        out, cur = [head], head
+        while cur[2]:
+            cur = by_off[cur[2]]
+            out.append(cur)
+        return out
+
+    # -- directory ---------------------------------------------------------
+    def _load_folder(self, folder: GdsNode) -> None:
+        d = self.stream_bytes(folder.stream_id)
+        sig = bytes.fromhex("0902f500")
+        i = d.find(sig)
+        i = 16 if i < 0 else i - 8  # no entries -> empty folder
+        while i < len(d) - 10:
+            elen = _u48(d, i)
+            if not (20 < elen < 4096):
+                break
+            ent = d[i:i + elen]
+            child_id = struct.unpack("<I", ent[12:16])[0]
+            flags = struct.unpack("<I", ent[21:25])[0]
+            nlen, no = _varint(ent, 30)
+            name = ent[no:no + nlen].decode("utf-8", "replace")
+            node = GdsNode(
+                name=name,
+                path=f"{folder.path}/{name}",
+                stream_id=child_id,
+                flags=flags,
+                parent=folder,
+            )
+            folder.children.append(node)
+            if node.is_folder:
+                self._load_folder(node)
+            else:
+                self._load_array_meta(node)
+            i += elen
+        # folder-level attributes (e.g. FORMAT Number/Type/Description on
+        # annotation/format/<name>) follow the entry list
+        na = d.find(_NATTR_TAG, i)
+        if na >= 0:
+            o = na + len(_NATTR_TAG)
+            n_attrs = struct.unpack("<I", d[o:o + 4])[0]
+            o += 4
+            if d[o:o + len(_ATTR_TAG)] == _ATTR_TAG:
+                folder.attrs = _parse_attrs(d, o + len(_ATTR_TAG) + 6, n_attrs)
+
+    # -- node object parse -------------------------------------------------
+    def _load_array_meta(self, node: GdsNode) -> None:
+        d = self.stream_bytes(node.stream_id)
+        o = 16  # [u48 used][u48 used][u16 nprops?][2B]
+        # class signature runs until the first known property anchor
+        coder_at = d.find(_CODER_TAG, o)
+        ndim_at = d.find(_NDIM_TAG, o)
+        stop = min(x for x in (coder_at, ndim_at) if x >= 0)
+        node.sig = d[o + 1:stop]  # skip length byte
+        node.kind = _CLASS_SIGS.get(node.sig)
+        o = stop
+        if o == coder_at:
+            o += len(_CODER_TAG)
+            clen, o = _varint(d, o)
+            node.coder = d[o:o + clen].decode("ascii", "replace")
+            o += clen
+            if d[o:o + len(_SIZES_TAG)] == _SIZES_TAG:
+                o += len(_SIZES_TAG)
+                node.total_bytes = struct.unpack("<Q", d[o:o + 8])[0]
+                o += 16  # total + compressed
+        # two allocator property groups (0x05 ca46 6d50 ... / 0x05 cb46
+        # 6d50 ...) sit between sizes and ndim; anchor-search past them
+        o = d.find(_NDIM_TAG, o)
+        assert o >= 0, (node.path, "ndim tag not found")
+        o += len(_NDIM_TAG)
+        node.ndim = struct.unpack("<H", d[o:o + 2])[0]
+        o += 2
+        assert d[o:o + len(_DIM_TAG)] == _DIM_TAG, node.path
+        o += len(_DIM_TAG)
+        nbytes = d[o]
+        o += 1
+        per = nbytes // node.ndim if node.ndim else 4
+        fmt = {4: "<I", 8: "<Q"}[per]
+        node.dims = tuple(
+            struct.unpack(fmt, d[o + k * per:o + (k + 1) * per])[0]
+            for k in range(node.ndim)
+        )
+        o += nbytes
+        assert d[o:o + len(_DSTREAM_TAG)] == _DSTREAM_TAG, node.path
+        o += len(_DSTREAM_TAG)
+        node.data_stream = struct.unpack("<I", d[o:o + 4])[0]
+        o += 4
+        # optional parameter props (packedreal offset/scale, VL index)
+        while o < len(d) and d[o] in (_PARAM_TAG, 0x09):
+            if d[o] == 0x09 and d[o:o + len(_NATTR_TAG)] != _NATTR_TAG:
+                o += 5 + 4  # auxiliary stream ref (e.g. VL-int offset index)
+                continue
+            if d[o] != _PARAM_TAG:
+                break
+            pid = d[o + 1:o + 5]
+            o += 5
+            if d[o] == 0x04:  # TdsAny float64
+                val = struct.unpack("<d", d[o + 1:o + 9])[0]
+                node.params[pid.hex()] = val
+                o += 9
+            else:  # unknown TdsAny payload: skip to next known tag
+                nxt = [d.find(t, o) for t in (bytes([_PARAM_TAG]), _NATTR_TAG)]
+                nxt = [x for x in nxt if x > 0]
+                o = min(nxt) if nxt else len(d)
+        na = d.find(_NATTR_TAG, o)
+        if na >= 0:
+            o = na + len(_NATTR_TAG)
+            n_attrs = struct.unpack("<I", d[o:o + 4])[0]
+            o += 4
+            if d[o:o + len(_ATTR_TAG)] == _ATTR_TAG:
+                o += len(_ATTR_TAG)
+                o += 6  # u48 attr bytes
+                node.attrs = _parse_attrs(d, o, n_attrs)
+        # packed-real parameters: scale prop id 85e73017 (observed)
+        if "85e73017" in node.params:
+            node.params["scale"] = node.params["85e73017"]
+        # fall back on element size for packed reals / unknown classes
+        if node.kind is None and node.ndim and node.total_bytes:
+            n = 1
+            for x in node.dims:
+                n *= x
+            if n:
+                per = node.total_bytes / n
+                node.kind = {1: "packedreal8", 2: "packedreal16"}.get(per)
+
+    # -- data --------------------------------------------------------------
+    def _frame_index(self, node: GdsNode):
+        """[(stream_off, comp_len, uncomp_len)] for each xz frame; None if
+        the node's data stream is raw (uncompressed)."""
+        d = self.stream_bytes(node.data_stream)
+        if not node.coder:
+            return None, d
+        if d[6:11] not in (b"XZ_RA",):
+            if d[6:12] == b"ZIP_RA" or node.coder.upper().startswith("ZIP"):
+                # zlib container: decompress fully (no frame index)
+                return "full", zlib.decompress(d[d.index(b"\x78", 6):])
+            raise ValueError(f"{node.path}: unsupported coder {node.coder!r}")
+        bsize = 1 << d[12]
+        nframes = struct.unpack("<I", d[14:18])[0]
+        entry_w = d.find(_XZ_MAGIC) - 18
+        frames, o = [], 18
+        for k in range(nframes):
+            comp = int.from_bytes(d[o:o + 3], "little")
+            rem = int.from_bytes(d[o + 3:o + 5], "little")
+            units = int.from_bytes(d[o + 5:o + entry_w], "little")
+            un = units * bsize + rem
+            # xz frames self-delimit; comp is only used to chain to the
+            # next entry (it includes the entry itself in v16 streams)
+            frames.append((o + entry_w, un))
+            o += comp
+            if k + 1 < nframes and d[o + entry_w:o + entry_w + 6] != _XZ_MAGIC:
+                # layout drift: recover by scanning for the next frame
+                o = d.find(_XZ_MAGIC, frames[-1][0] + 6) - entry_w
+        if len(frames) == 1 and frames[0][1] == 0:
+            frames[0] = (frames[0][0], node.total_bytes)
+        return frames, d
+
+    def read_node_bytes(self, node: GdsNode, start: int = 0, end: int | None = None) -> bytes:
+        """Uncompressed bytes [start, end) of a node's data — decompresses
+        only the frames overlapping the range."""
+        frames, d = self._frame_index(node)
+        if frames == "full":  # pre-decompressed (zlib path)
+            return d[start:end]
+        if frames is None:
+            # raw stream: [u48 content_size][content]
+            size = _u48(d, 0)
+            if end is None or end > size:
+                end = size
+            return d[6 + start:6 + end]
+        if end is None:
+            end = node.total_bytes
+        out, pos = [], 0
+        mv = memoryview(d)
+        for off, un in frames:
+            if pos >= end:
+                break
+            if pos + un > start:
+                dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+                raw = dec.decompress(mv[off:])
+                out.append(raw[max(0, start - pos):end - pos])
+            pos += un
+        return b"".join(out)
+
+    # -- typed decode ------------------------------------------------------
+    def read_array(self, path: str):
+        """Full decode of a node by path (driver-side; use the Spark reader
+        for big nodes)."""
+        node = self.node(path)
+        return decode_values(node, self.read_node_bytes(node))
+
+    def node(self, path: str) -> GdsNode:
+        cur = self.root
+        for part in path.strip("/").split("/"):
+            nxt = cur.child(part)
+            if nxt is None:
+                raise KeyError(f"no node {path!r} in {self.path}")
+            cur = nxt
+        return cur
+
+    def ls(self, folder: GdsNode | None = None, prefix: str = "") -> list[str]:
+        folder = folder or self.root
+        out = []
+        for c in folder.children:
+            out.append(c.path)
+            if c.is_folder:
+                out.extend(self.ls(c))
+        return out
+
+
+def _parse_attrs(d: bytes, o: int, n_attrs: int) -> dict:
+    """Attribute block: [varint name_len][name][1B type][value]*.
+
+    Types observed: 0x0e / 0x11 = length-prefixed string, 0x21 = array of
+    typed elements, 0x00 = NULL marker (e.g. R.invisible). Unknown types
+    stop the parse (attrs are advisory — Number/Type/Description/levels)."""
+    out: dict = {}
+    for _ in range(n_attrs):
+        if o >= len(d):
+            break
+        nlen, o = _varint(d, o)
+        name = d[o:o + nlen].decode("utf-8", "replace")
+        o += nlen
+        if o >= len(d):
+            break
+        t = d[o]
+        o += 1
+        if t in (0x0E, 0x11):
+            sl, o = _varint(d, o)
+            out[name] = d[o:o + sl].decode("utf-8", "replace")
+            o += sl
+        elif t == 0x21:
+            n = struct.unpack("<I", d[o:o + 4])[0]
+            o += 4
+            vals = []
+            for _ in range(n):
+                et = d[o]
+                o += 1
+                if et in (0x0E, 0x11):
+                    sl, o = _varint(d, o)
+                    vals.append(d[o:o + sl].decode("utf-8", "replace"))
+                    o += sl
+                else:
+                    return out  # unknown element type
+            out[name] = vals
+        elif t == 0x00:
+            out[name] = None
+        else:
+            break  # unknown scalar type: stop (advisory data only)
+    return out
+
+
+def _n_elements(node: GdsNode) -> int:
+    n = 1
+    for d in node.dims:
+        n *= d
+    return n
+
+
+def decode_values(node: GdsNode, raw: bytes, n_values: int | None = None):
+    """Decode uncompressed node bytes into a numpy array (or list of str).
+
+    n_values limits VL decodes (strings / LEB128 ints) when `raw` covers
+    only a slice."""
+    kind = node.kind
+    if kind is None:
+        raise ValueError(f"{node.path}: unknown class sig {node.sig!r}")
+    if kind == "vlstr":
+        out, o = [], 0
+        limit = n_values if n_values is not None else _n_elements(node)
+        while o < len(raw) and len(out) < limit:
+            ln, o = _varint(raw, o)
+            out.append(raw[o:o + ln].decode("utf-8", "replace"))
+            o += ln
+        return out
+    if kind == "vlint":
+        limit = n_values if n_values is not None else _n_elements(node)
+        out, o = np.empty(limit, dtype=np.int64), 0
+        for i in range(limit):
+            v = shift = 0
+            while True:
+                c = raw[o]
+                o += 1
+                v |= (c & 0x7F) << shift
+                shift += 7
+                if not (c & 0x80):
+                    break
+            out[i] = (v >> 1) ^ -(v & 1)  # zigzag
+        return out
+    if kind in ("bit1", "bit2"):
+        bits = 1 if kind == "bit1" else 2
+        a = np.frombuffer(raw, dtype=np.uint8)
+        per = 8 // bits
+        mask = (1 << bits) - 1
+        vals = np.stack(
+            [(a >> (bits * k)) & mask for k in range(per)], axis=1
+        ).ravel()
+        return vals
+    if kind == "int32":
+        return np.frombuffer(raw, dtype=np.int32)
+    if kind == "int16":
+        return np.frombuffer(raw, dtype=np.int16)
+    if kind == "uint8":
+        return np.frombuffer(raw, dtype=np.uint8)
+    if kind == "float32":
+        return np.frombuffer(raw, dtype=np.float32)
+    if kind == "float64":
+        return np.frombuffer(raw, dtype=np.float64)
+    if kind in ("packedreal8", "packedreal16"):
+        scale = node.params.get("scale", 0.01)
+        offset = node.params.get("offset", 0.0)
+        if kind == "packedreal8":
+            a = np.frombuffer(raw, dtype=np.uint8)
+            na = a == 0xFF
+        else:
+            a = np.frombuffer(raw, dtype=np.int16)
+            na = a == np.int16(-0x8000)
+        out = a.astype(np.float64) * scale + offset
+        out[na] = np.nan
+        return out
+    raise ValueError(f"{node.path}: undecodable kind {kind}")

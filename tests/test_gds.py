@@ -1,0 +1,197 @@
+"""GDS container reader: format parse + value equivalence against the
+matching VCF (the same equivalence the reference validates in
+inst/unitTests/test_asVCF.R:70-186), plus distributed from_gds parity
+with read_vcf."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from seqarray_spark.sources.gds import GdsFile, decode_values
+
+EXT = "/root/reference/inst/extdata"
+CEU = os.path.join(EXT, "CEU_Exon.gds")
+KG = os.path.join(EXT, "1KG_phase1_release_v3_chr22.gds")
+DOSE = os.path.join(EXT, "Imputed_dosages.gds")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(CEU), reason="reference fixtures not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ceu():
+    return GdsFile(CEU)
+
+
+def test_tree_layout(ceu):
+    paths = set(ceu.ls())
+    for p in (
+        "/sample.id", "/variant.id", "/position", "/chromosome", "/allele",
+        "/genotype/data", "/genotype/@data", "/phase/data",
+        "/annotation/id", "/annotation/qual", "/annotation/filter",
+        "/annotation/info/AC", "/annotation/format/DP/data",
+        "/sample.annotation/family",
+    ):
+        assert p in paths, p
+    n = ceu.node("genotype/data")
+    assert n.kind == "bit2" and n.dims == (1348, 90, 2) and n.coder == "LZMA_ra"
+    assert ceu.node("annotation/filter").attrs["R.levels"] == ["PASS", "q10"]
+    assert ceu.node("annotation/info/AC").attrs["Number"] == "1"
+
+
+def test_basic_arrays(ceu):
+    sid = ceu.read_array("sample.id")
+    assert len(sid) == 90 and sid[0] == "NA06984"
+    vid = ceu.read_array("variant.id")
+    assert list(vid) == list(range(1, 1349))
+    pos = ceu.read_array("position")
+    assert pos[0] == 1105366
+    assert ceu.read_array("chromosome")[0] == "1"
+    assert ceu.read_array("allele")[0] == "T,C"
+    assert np.isnan(ceu.read_array("annotation/qual")).all()
+
+
+@pytest.fixture(scope="module")
+def vcf_rows():
+    import gzip
+
+    rows, samples = [], None
+    with gzip.open(os.path.join(EXT, "CEU_Exon.vcf.gz"), "rt") as fh:
+        for line in fh:
+            if line.startswith("#CHROM"):
+                samples = line.rstrip("\n").split("\t")[9:]
+            elif not line.startswith("#"):
+                rows.append(line.rstrip("\n").split("\t"))
+    return samples, rows
+
+
+def test_genotypes_match_vcf(ceu, vcf_rows):
+    samples, rows = vcf_rows
+    gm = ceu.read_array("genotype/data")[: 1348 * 90 * 2].reshape(1348, 90, 2)
+    dpm = ceu.read_array("annotation/format/DP/data").reshape(1348, 90)
+    for i in (0, 1, 5, 100, 677, 1000, 1347):
+        for j, tok in enumerate(rows[i][9:]):
+            gt, dptok = tok.split(":")
+            got = [None if v == 3 else int(v) for v in gm[i, j]]
+            exp = [None if x == "." else int(x) for x in gt.split("/")]
+            assert got == exp, (i, j)
+            assert dpm[i, j] == int(dptok)
+
+
+def test_random_access_slice(ceu):
+    node = ceu.node("genotype/data")
+    full = ceu.read_array("genotype/data")
+    row_bytes = 90 * 2 * 2 // 8
+    sl = decode_values(node, ceu.read_node_bytes(node, 500 * row_bytes, 600 * row_bytes))
+    assert (sl == full[500 * 90 * 2:600 * 90 * 2]).all()
+
+
+def test_1kg_and_dosage_fixtures():
+    kg = GdsFile(KG)
+    assert kg.node("variant.id").dims == (19773,)
+    assert len(kg.read_array("sample.id")) == 1092
+    ph = kg.read_array("phase/data")
+    assert ph[: 19773 * 1092].all()  # 1KG is fully phased
+    dose = GdsFile(DOSE)
+    ds = dose.read_array("annotation/format/DS/data")
+    assert sorted(set(np.round(ds, 6).tolist())) == [0.0, 1.0, 2.0]
+    assert dose.node("annotation/format/DS/data").params["scale"] == pytest.approx(1 / 127)
+
+
+# ---------------------------------------------------------------------------
+# distributed reader == VCF reader (reference: test_asVCF.R equivalence)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def gds_ds(spark):
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    return from_gds(spark, CEU, block_variants=500)
+
+
+@pytest.fixture(scope="module")
+def vcf_ds(spark):
+    from seqarray_spark.sources import vcf as vcfmod
+
+    return vcfmod.read_vcf(spark, os.path.join(EXT, "CEU_Exon.vcf.gz"))
+
+
+def test_from_gds_variants_match_read_vcf(gds_ds, vcf_ds):
+    gv = {r["variant_id"]: r for r in gds_ds.variants.collect()}
+    vv = {r["variant_id"]: r for r in vcf_ds.variants.collect()}
+    assert set(gv) == set(vv) and len(gv) == 1348
+    for k in gv:
+        a, b = gv[k], vv[k]
+        assert (a["chromosome"], a["position"], a["ref"], a["alt"]) == (
+            b["chromosome"], b["position"], b["ref"], b["alt"]
+        ), k
+        assert a["id"] == b["id"] and a["filter"] == b["filter"], k
+        assert (a["qual"] is None) == (b["qual"] is None), k
+        ia, ib = a["info"], b["info"]
+        assert ia["AC"] == ib["AC"] and ia["AN"] == ib["AN"], k
+        assert ia["HM2"] == ib["HM2"] and ia["HM3"] == ib["HM3"], k
+        assert (ia["AA"] or []) == (ib["AA"] or []), k
+        assert (ia["BN"] or []) == (ib["BN"] or []), k
+        assert ia["OR"] == ib["OR"] and ia["GP"] == ib["GP"], k
+
+
+def test_from_gds_calls_match_read_vcf(gds_ds, vcf_ds):
+    gc = {(r["variant_id"], r["sample_id"]): r for r in gds_ds.calls.collect()}
+    vc = {(r["variant_id"], r["sample_id"]): r for r in vcf_ds.calls.collect()}
+    assert set(gc) == set(vc) and len(gc) == 1348 * 90
+    for k in gc:
+        a, b = gc[k], vc[k]
+        assert a["alleles"] == b["alleles"], k
+        assert a["phased"] == b["phased"], k
+        assert a["DP"] == b["DP"], k
+
+
+def test_from_gds_samples(gds_ds):
+    rows = {r["sample_id"]: r["family"] for r in gds_ds.samples.collect()}
+    assert len(rows) == 90 and rows["NA06984"] == "1328"
+
+
+def test_from_gds_dosage_file(spark):
+    """Imputed_dosages.gds: packedreal8 DS decodes to exact dosages and
+    feeds the dosage aggregate path end-to-end."""
+    from seqarray_spark.operators.aggregates import af_ac_missing_dosage
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    from pyspark.sql import functions as F
+
+    ds = from_gds(spark, DOSE, block_variants=40)
+    # DS is declared Number=A -> array column; biallelic => one element
+    dcalls = ds.calls.select(
+        "variant_id", "sample_id", F.element_at("DS", 1).alias("DS")
+    )
+    vals = {r["DS"] for r in dcalls.select("DS").distinct().collect()}
+    assert vals <= {0.0, 1.0, 2.0}
+    out = af_ac_missing_dosage(dcalls).collect()
+    assert len(out) == 100
+    assert all(0.0 <= r["af_alt"] <= 1.0 for r in out)
+
+
+def test_from_gds_1kg_phased(spark):
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    from pyspark.sql import functions as F
+
+    ds = from_gds(spark, KG, block_variants=5000)
+    sub = ds.calls.filter(F.col("variant_id") <= 3).collect()
+    assert len(sub) == 3 * 1092
+    assert all(r["phased"] == [True] for r in sub)
+    assert all(r["alleles"][0] is not None for r in sub)
+
+
+def test_from_gds_aggregate(gds_ds, spark):
+    """End-to-end: allele frequency over the GDS-backed calls frame."""
+    from seqarray_spark.operators.aggregates import af_ac_missing
+
+    out = {r["variant_id"]: r for r in af_ac_missing(gds_ds.calls).collect()}
+    # variant 1: AC=4 ALT / AN=114 -> REF af = 110/114
+    r = out[1]
+    assert r["an"] == 114 and r["ac"] == 110
+    assert r["af"] == pytest.approx(110 / 114)
