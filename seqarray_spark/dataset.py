@@ -234,6 +234,7 @@ class SeqDataset:
             start_col="start",
             end_col="end",
             how="left_semi",
+            point_keys=["variant_id"],
         )
         return self._set_variants(matched, intersect)
 

@@ -91,6 +91,7 @@ def interval_join(
     keys: list[str] | None = None,
     bin_size: int = 100_000,
     how: str = "inner",
+    point_keys: list[str] | None = None,
 ) -> DataFrame:
     """Point-in-interval join (genomic annotation overlap; closed
     interval [start, end]). Both sides are bucketed into fixed bins so
@@ -99,7 +100,19 @@ def interval_join(
     Each point lands in exactly one bin -> no dedup needed; each interval
     replicates into (end//bin - start//bin + 1) bins. Pick bin_size near
     the median interval length.
+
+    how: 'inner' (one row per overlapping pair), 'left' (points with no
+    overlap survive null-extended — the range predicate is folded into
+    the join condition so outer semantics hold), 'left_semi' (points
+    overlapping ANY interval, one row each).
+
+    point_keys: unique key of `points` (e.g. ['variant_id']). With
+    'left_semi' it turns the dedup into a distinct() on the narrow key +
+    a semi join back — the matched-key set is usually small enough for
+    AQE to broadcast, so full-width point rows never shuffle twice.
     """
+    if how not in ("inner", "left", "left_semi"):
+        raise ValueError("how must be inner|left|left_semi")
     keys = keys if keys is not None else ["chromosome"]
     p = points.withColumn("__bin", F.floor(F.col(point_col) / bin_size))
     i = intervals.withColumn(
@@ -111,15 +124,30 @@ def interval_join(
             )
         ),
     )
+    residual = F.col(point_col).between(F.col(start_col), F.col(end_col))
     if how == "left_semi":
-        # selection semantics: keep points overlapping ANY interval, one
-        # row each (the residual filter needs interval columns, so this
-        # is inner-join + dedupe rather than a native semi join)
-        joined = p.join(i, keys + ["__bin"], "inner").filter(
-            F.col(point_col).between(F.col(start_col), F.col(end_col))
-        )
+        joined = p.join(i, keys + ["__bin"], "inner").filter(residual)
+        if point_keys:
+            matched = joined.select(*point_keys).distinct()
+            return points.join(matched, point_keys, "left_semi").select(
+                *points.columns
+            )
+        # no key given: dedup on full width (last resort — pass
+        # point_keys at scale)
         return joined.select(*points.columns).dropDuplicates(points.columns)
-    joined = p.join(i, keys + ["__bin"], how).filter(
-        F.col(point_col).between(F.col(start_col), F.col(end_col))
-    )
+    if how == "left":
+        # fold the range predicate into the join condition so
+        # non-matching points survive null-extended instead of being
+        # dropped by a post-join filter
+        ren = {k: f"__i_{k}" for k in keys}
+        i2 = i.withColumnRenamed("__bin", "__ibin")
+        for k, rk in ren.items():
+            i2 = i2.withColumnRenamed(k, rk)
+        cond = (F.col("__bin") == F.col("__ibin")) & F.col(point_col).between(
+            F.col(start_col), F.col(end_col)
+        )
+        for k, rk in ren.items():
+            cond = cond & (F.col(k) == F.col(rk))
+        return p.join(i2, cond, "left").drop("__bin", "__ibin", *ren.values())
+    joined = p.join(i, keys + ["__bin"], "inner").filter(residual)
     return joined.drop("__bin")

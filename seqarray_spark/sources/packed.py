@@ -98,17 +98,28 @@ def unpack_2bit_genotypes(packed: DataFrame, sample_ids: list[str]) -> DataFrame
     """Inverse of pack_2bit_genotypes → (variant_id, sample_id, dosage_alt)."""
     n_samp = len(sample_ids)
 
+    sid_arr = np.asarray(sample_ids, dtype=object)
+
     def unpack(iterator):
+        lut = _code_lut()
         for pdf in iterator:
-            vids, sids, dos = [], [], []
-            for vid, blob in zip(pdf["variant_id"], pdf["packed"]):
-                arr = np.frombuffer(blob, dtype=np.uint8)
-                for i in range(n_samp):
-                    code = (arr[i // 4] >> (2 * (i % 4))) & 0b11
-                    vids.append(vid)
-                    sids.append(sample_ids[i])
-                    dos.append(None if code == 3 else int(code))
-            yield pd.DataFrame({"variant_id": vids, "sample_id": sids, "dosage_alt": dos})
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            # whole-batch: bytes -> (n, stride) matrix -> LUT-expand to
+            # 2-bit codes -> flat long format (same kernel shape as
+            # af_from_packed; no per-sample Python loop)
+            mat = np.frombuffer(b"".join(pdf["packed"]), dtype=np.uint8).reshape(n, -1)
+            codes = lut[mat].reshape(n, -1)[:, :n_samp].ravel()
+            dos = pd.array(codes, dtype="Int32")
+            dos[codes == 3] = pd.NA
+            yield pd.DataFrame(
+                {
+                    "variant_id": np.repeat(pdf["variant_id"].to_numpy(), n_samp),
+                    "sample_id": np.tile(sid_arr, n),
+                    "dosage_alt": dos,
+                }
+            )
 
     return packed.mapInPandas(
         unpack, schema="variant_id long, sample_id string, dosage_alt int"
@@ -130,7 +141,7 @@ def _code_lut() -> np.ndarray:
     return _CODE_LUT
 
 
-def af_from_packed(packed: DataFrame) -> DataFrame:
+def af_from_packed(packed: DataFrame, ploidy: int = 2) -> DataFrame:
     """Fused AF+AC+missing scan over the 2-bit packed genotype column —
     the engine's answer to the reference's headline benchmark (bit2
     storage + SIMD count kernels, src/vectorization.h:320-341;
@@ -141,6 +152,13 @@ def af_from_packed(packed: DataFrame) -> DataFrame:
     of the same row their genotypes live in. ~20-40x the long-format
     aggregate's throughput; use it when the packed layout is already
     materialized (ML export pipelines).
+
+    The 2-bit code caps dosage at 2, so the packed layout itself is
+    diploid-biased; `ploidy` only adjusts the AN denominator (AN =
+    ploidy * non-missing) for callers who packed haploid data as 0/1
+    codes. Mixed-ploidy data should stay on the long-format
+    `af_ac_missing` aggregate, which derives AN from actual allele
+    slots.
 
     Returns: variant_id, af_alt, ac_alt, an, missing_rate.
     """
@@ -158,7 +176,7 @@ def af_from_packed(packed: DataFrame) -> DataFrame:
             missing = codes == 3
             nonmiss = (~missing).sum(axis=1)
             alt = np.where(missing, 0, codes).sum(axis=1)
-            an = 2 * nonmiss
+            an = ploidy * nonmiss
             with np.errstate(invalid="ignore", divide="ignore"):
                 af = np.where(an > 0, alt / np.maximum(an, 1), np.nan)
             yield pd.DataFrame(

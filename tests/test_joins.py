@@ -82,6 +82,36 @@ def test_interval_join(spark):
     assert len(got) == 1 and got[0]["gene"] == "G1"
 
 
+def test_interval_join_left_and_semi(spark):
+    points = spark.createDataFrame(
+        [
+            Row(chromosome="1", position=150, variant_id=1),
+            Row(chromosome="1", position=250_000, variant_id=2),
+            Row(chromosome="2", position=150, variant_id=3),
+            Row(chromosome="1", position=99, variant_id=4),
+        ]
+    )
+    intervals = spark.createDataFrame(
+        [
+            Row(chromosome="1", start=100, end=200_000, gene="G1"),
+            Row(chromosome="1", start=100, end=300_000, gene="G2"),  # overlaps both
+        ]
+    )
+    # left outer: unmatched points survive null-extended, matched points
+    # one row per overlapping interval
+    left = interval_join(points, intervals, bin_size=1000, how="left")
+    got = {(r["variant_id"], r["gene"]) for r in left.collect()}
+    assert got == {(1, "G1"), (1, "G2"), (2, "G2"), (3, None), (4, None)}
+    # left_semi with narrow key: one row per matched point, original width
+    semi = interval_join(
+        points, intervals, bin_size=1000, how="left_semi", point_keys=["variant_id"]
+    )
+    assert sorted(r["variant_id"] for r in semi.collect()) == [1, 2]
+    assert semi.columns == points.columns
+    with pytest.raises(ValueError):
+        interval_join(points, intervals, how="right")
+
+
 def test_interval_join_matches_nonequi(spark, sf_dir):
     """Binned equi-join == naive non-equi join on derived data."""
     from seqarray_spark.sources import testdata as td
