@@ -194,6 +194,48 @@ def _typed_format_col(fld: VcfField, token: Column, fmt_arr: Column) -> Column:
     return raw.alias(fld.id)
 
 
+def _expected_count(number: str, n_alt: Column, ploidy: int) -> Column | None:
+    """Declared value count for a Number= spec, per variant (reference:
+    src/ConvVCF2GDS.cpp:644-723 — Number=A/R/G and fixed-k enforcement;
+    the Number=G mismatch is a hard error there, :680-704).
+
+    Returns None when the spec is unchecked ('.', '0', '1', or Number=G
+    under ploidy>2 where the combination count isn't expressible without
+    a general C(n+p,p))."""
+    if number in (".", "0", "1"):
+        return None
+    if number == "A":
+        return n_alt
+    if number == "R":
+        return n_alt + 1
+    if number == "G":
+        if ploidy == 1:
+            return n_alt + 1
+        if ploidy == 2:
+            return ((n_alt + 1) * (n_alt + 2) / 2).cast("int")
+        return None
+    if number.isdigit():
+        return F.lit(int(number))
+    return None
+
+
+def _violation(kind: str, fld: VcfField, raw: Column, n_alt: Column, ploidy: int) -> Column | None:
+    """NULL when `raw` (comma-joined value string) obeys fld's declared
+    Number, else a message string. Missing values ('.'/absent) pass —
+    the reference fills NA for absent fields, it only rejects
+    wrong-arity *present* values."""
+    exp = _expected_count(fld.number, n_alt, ploidy)
+    if exp is None:
+        return None
+    got = F.size(F.split(raw, ","))
+    bad = raw.isNotNull() & (raw != ".") & (got != exp)
+    return F.when(
+        bad,
+        F.format_string(f"{kind}/{fld.id}: Number=%s expects %d values, got %d",
+                        F.lit(fld.number), exp, got),
+    )
+
+
 def read_vcf(
     spark: SparkSession,
     path: str,
@@ -202,6 +244,7 @@ def read_vcf(
     format_fields: list[str] | None = None,
     ignore_chr_prefix: str = "chr",
     assign_ids: str = "order",
+    validate: str = "none",
 ):
     """VCF → SeqDataset (reference: seqVCF2GDS R/ConvVCF2GDS.R:559-1465).
 
@@ -209,6 +252,14 @@ def read_vcf(
     one zipWithIndex pass); 'hash' = xxhash64(chrom:pos:ref:alt) without
     the extra pass (the 100 TB default — id stability across re-imports
     instead of file-order density).
+
+    validate: 'none' = permissive try_cast parse; 'strict' = abort the
+    import on any Number=A/R/G/fixed-k arity violation (reference
+    semantics, src/ConvVCF2GDS.cpp:644-723); 'quarantine' = add a
+    vcf_errors ARRAY<STRING> column to variants and calls listing the
+    violations so bad rows can be filtered/routed without killing the
+    job (the 100 TB mode — one malformed line shouldn't fail an
+    8-hour import).
     """
     paths = [path] if isinstance(path, str) else list(path)
     if header is None:
@@ -239,7 +290,8 @@ def read_vcf(
             "variant_id", (F.col("__idx") + 1).cast("long")
         ).drop("__idx")
     return parse_vcf_lines(
-        lines, header, info_fields, format_fields, ignore_chr_prefix, assign_ids
+        lines, header, info_fields, format_fields, ignore_chr_prefix, assign_ids,
+        validate,
     )
 
 
@@ -250,12 +302,15 @@ def parse_vcf_lines(
     format_fields: list[str] | None = None,
     ignore_chr_prefix: str = "chr",
     assign_ids: str = "hash",
+    validate: str = "none",
 ):
     """Core line-parse: a DataFrame with a 'value' column of VCF data lines
     (and optionally a precomputed variant_id) → SeqDataset. Works on batch
     and streaming inputs alike (streaming must use assign_ids='hash')."""
     from seqarray_spark.dataset import SeqDataset
 
+    if validate not in ("none", "strict", "quarantine"):
+        raise ValueError("validate must be none|strict|quarantine")
     spark = lines.sparkSession
     info_fields = list(header.info) if info_fields is None else info_fields
     format_fields = (
@@ -298,6 +353,36 @@ def parse_vcf_lines(
         F.col("__f").alias("__fields"),
     )
 
+    n_alt = F.size("alt")
+    if validate != "none":
+        # arity checks against declared Number= (reference hard-errors,
+        # src/ConvVCF2GDS.cpp:644-723); expressions only, so the checks
+        # ride the same codegen stage as the parse
+        raw_info = F.str_to_map(F.col("__fields")[7], F.lit(";"), F.lit("="))
+        viols = [
+            v
+            for i in info_fields
+            if (v := _violation("INFO", header.info[i],
+                                F.nullif(raw_info.getItem(i), F.lit("")),
+                                n_alt, header.ploidy)) is not None
+        ]
+        errs = (
+            F.array_compact(F.array(*viols)) if viols
+            else F.array().cast("array<string>")
+        )
+        if validate == "strict":
+            # embed the guard in a kept column so Catalyst cannot prune it
+            base = base.withColumn(
+                "variant_id",
+                F.when(
+                    F.size(errs) > 0,
+                    F.raise_error(F.concat(F.lit("VCF arity violation: "),
+                                           F.concat_ws("; ", errs))),
+                ).otherwise(F.col("variant_id")),
+            )
+        else:
+            base = base.withColumn("vcf_errors", errs)
+
     variants = base.drop("__fields")
 
     calls = None
@@ -307,6 +392,7 @@ def parse_vcf_lines(
         exploded = base.select(
             "variant_id",
             fmt_arr.alias("__fmt"),
+            n_alt.alias("__n_alt"),
             F.posexplode(F.slice("__fields", 10, len(header.samples))).alias(
                 "__pos", "__token"
             ),
@@ -325,8 +411,34 @@ def parse_vcf_lines(
             F.regexp_extract_all(gt, F.lit(r"[/|]"), 0),
             lambda x: x == "|",
         )
+        fmt_viol_cols = []
+        if validate != "none":
+            for f in format_fields:
+                if f not in header.formats:
+                    continue
+                idx = F.array_position(F.col("__fmt"), f)
+                raw = F.when(
+                    idx > 0,
+                    F.try_element_at(F.split(F.col("__token"), ":"), idx.cast("int")),
+                )
+                v = _violation("FORMAT", header.formats[f],
+                               F.nullif(raw, F.lit("")),
+                               F.col("__n_alt"), header.ploidy)
+                if v is not None:
+                    fmt_viol_cols.append(v)
+        fmt_errs = (
+            F.array_compact(F.array(*fmt_viol_cols)) if fmt_viol_cols
+            else F.array().cast("array<string>")
+        )
+        vid = F.col("variant_id")
+        if validate == "strict":
+            vid = F.when(
+                F.size(fmt_errs) > 0,
+                F.raise_error(F.concat(F.lit("VCF arity violation: "),
+                                       F.concat_ws("; ", fmt_errs))),
+            ).otherwise(vid)
         calls = exploded.select(
-            "variant_id",
+            vid.alias("variant_id"),
             "sample_id",
             alleles.alias("alleles"),
             phased.alias("phased"),
@@ -335,6 +447,7 @@ def parse_vcf_lines(
                 for f in format_fields
                 if f in header.formats
             ],
+            *([fmt_errs.alias("vcf_errors")] if validate == "quarantine" else []),
         )
 
     samples = (

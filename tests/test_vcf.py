@@ -230,3 +230,54 @@ def test_sites_only_vcf(spark, tmp_path):
     ds = vcfmod.read_vcf(spark, p)
     assert ds.variants.count() == 1
     assert ds._base_calls is None and ds.samples is None
+
+
+MALFORMED_ARITY = (
+    "##fileformat=VCFv4.2\n"
+    '##INFO=<ID=AF,Number=A,Type=Float,Description="af">\n'
+    '##INFO=<ID=AD,Number=R,Type=Integer,Description="ad">\n'
+    '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+    '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="pl">\n'
+    '##FORMAT=<ID=HQ,Number=2,Type=Integer,Description="hq">\n'
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+    # ok: 2 ALTs -> AF needs 2, AD needs 3, PL needs 6, HQ needs 2
+    "1\t10\t.\tA\tC,G\t5\tPASS\tAF=0.1,0.2;AD=9,8,7\tGT:PL:HQ\t"
+    "1/2:1,2,3,4,5,6:9,9\n"
+    # bad: AF has 1 value for 2 ALTs; PL has 3 of 6; HQ has 1 of 2
+    "1\t20\t.\tA\tC,G\t5\tPASS\tAF=0.1;AD=9,8,7\tGT:PL:HQ\t1/2:1,2,3:9\n"
+)
+
+
+def test_number_arity_quarantine(spark, tmp_path):
+    """Number=A/R/G/fixed-k arity violations surface in vcf_errors
+    (reference hard-errors on Number=G mismatch,
+    src/ConvVCF2GDS.cpp:680-704; quarantine keeps the 100 TB job alive)."""
+    p = str(tmp_path / "arity.vcf")
+    with open(p, "w") as fh:
+        fh.write(MALFORMED_ARITY)
+    ds = vcfmod.read_vcf(spark, p, validate="quarantine")
+    v = {r["variant_id"]: r["vcf_errors"] for r in ds.variants.collect()}
+    assert v[1] == []
+    assert len(v[2]) == 1 and "INFO/AF" in v[2][0] and "Number=A" in v[2][0]
+    c = {(r["variant_id"], r["sample_id"]): r["vcf_errors"] for r in ds.calls.collect()}
+    assert c[(1, "S1")] == []
+    errs = c[(2, "S1")]
+    assert len(errs) == 2
+    assert any("FORMAT/PL" in e and "expects 6 values, got 3" in e for e in errs)
+    assert any("FORMAT/HQ" in e for e in errs)
+
+
+def test_number_arity_strict(spark, tmp_path):
+    """validate='strict' aborts the import on arity violations, matching
+    the reference's hard error (src/ConvVCF2GDS.cpp:644-723)."""
+    p = str(tmp_path / "arity2.vcf")
+    with open(p, "w") as fh:
+        fh.write(MALFORMED_ARITY)
+    ds = vcfmod.read_vcf(spark, p, validate="strict")
+    with pytest.raises(Exception, match="VCF arity violation.*INFO/AF"):
+        ds.variants.collect()
+    with pytest.raises(Exception, match="VCF arity violation"):
+        ds.calls.collect()
+    # a clean file passes strict untouched
+    ds2 = vcfmod.read_vcf(spark, FIXTURE, validate="strict")
+    assert ds2.calls.count() == 21
