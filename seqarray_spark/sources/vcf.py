@@ -283,12 +283,68 @@ def read_vcf(
 
     if assign_ids == "order":
         # Dense file-order ids (reference: variant.id = 1..N on import,
-        # src/ConvVCF2GDS.cpp:1405-1406). zipWithIndex costs one extra
-        # partition-size pass but no shuffle.
-        rdd = lines.rdd.map(lambda r: r[0]).zipWithIndex()
-        lines = rdd.toDF(["value", "__idx"]).withColumn(
-            "variant_id", (F.col("__idx") + 1).cast("long")
-        ).drop("__idx")
+        # src/ConvVCF2GDS.cpp:1405-1406). A bare zipWithIndex is wrong
+        # here: Spark packs scan splits into partitions by size
+        # (descending), not file/byte order, so multi-file or multi-split
+        # inputs would get silently permuted ids. Instead each line is
+        # keyed by (file, block_start, index-within-partition) — a split
+        # is read by exactly one task in byte order, so the in-partition
+        # index orders lines within their block — and per-block id
+        # offsets (a tiny one-row-per-128MB-block aggregate) are
+        # broadcast-joined back. No global sort, no driver data pull.
+        import os
+
+        file_rank = {os.path.abspath(p): k for k, p in enumerate(paths)}
+        file_rank.update({p: k for k, p in enumerate(paths)})
+        tagged = (
+            spark.read.text(paths)
+            .select(
+                "value",
+                F.col("_metadata.file_path").alias("__file"),
+                F.col("_metadata.file_block_start").alias("__blk"),
+            )
+            .filter(~F.col("value").startswith("#"))
+        )
+
+        def _enum(_, it):
+            for i, r in enumerate(it):
+                yield r[0], r[1], r[2], i
+
+        lines = tagged.rdd.mapPartitionsWithIndex(_enum).toDF(
+            ["value", "__file", "__blk", "__i"]
+        )
+        blocks = (
+            lines.groupBy("__file", "__blk")
+            .agg(F.count("*").alias("__n"), F.min("__i").alias("__i0"))
+            .collect()
+        )
+        # driver-side cumulative offsets over blocks in (file-order,
+        # byte-offset) order; one row per block, so this stays tiny even
+        # at 100 TB (~800k rows)
+        def _rank(r):
+            from urllib.parse import unquote, urlparse
+
+            f = r["__file"]
+            local = unquote(urlparse(f).path) if ":" in f else f
+            key = file_rank.get(local, file_rank.get(f, len(paths)))
+            return (key, f, r["__blk"])
+
+        blocks = sorted(blocks, key=_rank)
+        off, rows = 0, []
+        for b in blocks:
+            rows.append((b["__file"], b["__blk"], off, b["__i0"]))
+            off += b["__n"]
+        offsets = spark.createDataFrame(
+            rows, "__file string, __blk long, __off long, __i0 long"
+        )
+        lines = (
+            lines.join(F.broadcast(offsets), ["__file", "__blk"])
+            .withColumn(
+                "variant_id",
+                (F.col("__off") + F.col("__i") - F.col("__i0") + 1).cast("long"),
+            )
+            .drop("__file", "__blk", "__i", "__off", "__i0")
+        )
     return parse_vcf_lines(
         lines, header, info_fields, format_fields, ignore_chr_prefix, assign_ids,
         validate,

@@ -281,3 +281,34 @@ def test_number_arity_strict(spark, tmp_path):
     # a clean file passes strict untouched
     ds2 = vcfmod.read_vcf(spark, FIXTURE, validate="strict")
     assert ds2.calls.count() == 21
+
+
+def test_multifile_order_ids(spark, tmp_path):
+    """assign_ids='order' must number lines in (path-list order, in-file
+    order) even though Spark packs scan splits by size descending — a
+    small first file + big second file is exactly the case a bare
+    zipWithIndex permutes."""
+    hdr = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+    )
+    p1, p2 = str(tmp_path / "small.vcf"), str(tmp_path / "big.vcf")
+    with open(p1, "w") as fh:
+        fh.write(hdr)
+        for i in range(3):
+            fh.write(f"1\t{100 + i}\tsm{i}\tA\tC\t5\tPASS\t.\tGT\t0/1\n")
+    with open(p2, "w") as fh:
+        fh.write(hdr)
+        for i in range(500):  # bigger file: would sort first by size
+            fh.write(f"2\t{1000 + i}\tbg{i}\tG\tT\t5\tPASS\t.\tGT\t0/0\n")
+    ds = vcfmod.read_vcf(spark, [p1, p2], assign_ids="order")
+    got = {
+        r["id"]: r["variant_id"]
+        for r in ds.variants.select("id", "variant_id").collect()
+    }
+    assert got["sm0"] == 1 and got["sm2"] == 3
+    assert got["bg0"] == 4 and got["bg499"] == 503
+    # dense 1..N overall
+    ids = sorted(got.values())
+    assert ids == list(range(1, 504))
