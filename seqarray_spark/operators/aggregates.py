@@ -162,19 +162,42 @@ def summary_filter_hist(variants: DataFrame) -> DataFrame:
     return variants.groupBy("filter").agg(F.count(F.lit(1)).alias("n"))
 
 
-def digest(df: DataFrame, cols: list[str], group_col: str | None = None) -> DataFrame:
+def digest(
+    df: DataFrame,
+    cols: list[str],
+    group_col: str | None = None,
+    ordered: bool = False,
+    order_col: str = "variant_id",
+) -> DataFrame:
     """Content fingerprint (reference: seqDigest R/Summary.R:781-820;
     FC_Digest* src/Methods.cpp:1011-1117).
 
-    The reference streams md5 over a node in file order; a distributed
-    engine has no inherent order, so we define the digest as md5 over the
-    '|'-joined values sorted lexicographically within the group — an
-    order-insensitive content hash with the same fingerprinting power.
-    Implemented as sort_array(collect_list(...)) per group; for very large
-    groups prefer xor/sum of per-row hashes (digest_xor below).
+    ordered=False: the reference streams md5 over a node in file order; a
+    distributed engine has no inherent order, so the default digest is
+    md5 over the '|'-joined values sorted lexicographically within the
+    group — an order-insensitive content hash with the same
+    fingerprinting power.
+
+    ordered=True: reference-parity mode — md5 folds the values in
+    `order_col` order (with assign_ids='order' that IS file order, so
+    two imports of the same VCF fingerprint identically, which is the
+    operator's whole purpose in a pipeline-integrity check). Each group
+    still collects to one array, so this is the parity path; digest_xor
+    is the 100 TB path.
     """
     row_repr = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
     grouped = df.groupBy(group_col) if group_col else df.groupBy()
+    if ordered:
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col).alias("o"), row_repr.alias("r")))
+                ),
+                lambda x: x["r"],
+            ),
+        )
+        return grouped.agg(F.md5(joined).alias("digest"))
     return grouped.agg(
         F.md5(F.concat_ws(",", F.sort_array(F.collect_list(row_repr)))).alias("digest")
     )

@@ -84,3 +84,30 @@ def test_digest_xor_matches_across_partitionings(spark, tiny_calls):
     a = agg.digest_xor(tiny_calls, ["variant_id", "sample_id"]).first()["digest"]
     b = agg.digest_xor(tiny_calls.repartition(7), ["variant_id", "sample_id"]).first()["digest"]
     assert a == b
+
+
+def test_digest_ordered_reference_parity(spark):
+    """ordered=True reproduces the naive in-file-order md5 fold
+    (reference: seqDigest streams md5 in storage order,
+    R/Summary.R:781-820) — and is partitioning-invariant."""
+    import hashlib
+    import os
+
+    from seqarray_spark.sources import vcf as vcfmod
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "toy.vcf")
+    ds = vcfmod.read_vcf(spark, fixture, assign_ids="order")
+    v = ds.variants.select("variant_id", "position", "ref")
+    got = agg.digest(
+        v, ["position", "ref"], ordered=True, order_col="variant_id"
+    ).first()["digest"]
+    rows = sorted(v.collect(), key=lambda r: r["variant_id"])
+    naive = hashlib.md5(
+        ",".join(f"{r['position']}|{r['ref']}" for r in rows).encode()
+    ).hexdigest()
+    assert got == naive
+    # invariant under physical layout
+    got2 = agg.digest(
+        v.repartition(7), ["position", "ref"], ordered=True, order_col="variant_id"
+    ).first()["digest"]
+    assert got2 == naive
