@@ -77,6 +77,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_dosage_alt": seq_dosage_alt,
         "seq_allele_string": seq_allele_string,
         "seq_dosage_sparse": seq_dosage_sparse,
+        "seq_dosage_sparse2": seq_dosage_sparse2,
         # -- apply/UDF surface (SURVEY §2.6): Arrow kernel vs SQL oracle --
         "seq_block_apply": seq_block_apply,
         # -- windows (SURVEY §2.7) -------------------------------------
@@ -357,6 +358,14 @@ def seq_dosage_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/GetData.cpp:421-518): only non-zero, non-missing alt dosages."""
     ds = td.variant_dataset(spark, sf_dir)
     return ds.get_data("$dosage_sp")
+
+
+def seq_dosage_sparse2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$dosage_sp2 sparse form with partial missing (reference:
+    get_dosage_sp2 src/GetData.cpp:520): partially-missing calls keep
+    their observed ALT count; only fully-missing or all-REF drop out."""
+    ds = td.variant_dataset(spark, sf_dir)
+    return ds.get_data("$dosage_sp2")
 
 
 def seq_block_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,6 +963,15 @@ def oracle_sql() -> dict[str, str]:
             FROM gcalls
             WHERE a1 IS NOT NULL AND a2 IS NOT NULL
               AND (a1 <> 0 OR a2 <> 0)
+        """,
+        "seq_dosage_sparse2": P
+        + """
+            SELECT variant_id, sample_id,
+                   CAST(CASE WHEN a1 IS NOT NULL AND a1 <> 0 THEN 1 ELSE 0 END +
+                        CASE WHEN a2 IS NOT NULL AND a2 <> 0 THEN 1 ELSE 0 END AS INT) AS dosage_alt
+            FROM gcalls
+            WHERE (a1 IS NOT NULL OR a2 IS NOT NULL)
+              AND ((a1 IS NOT NULL AND a1 <> 0) OR (a2 IS NOT NULL AND a2 <> 0))
         """,
         "seq_block_apply": P
         + """

@@ -371,10 +371,18 @@ class SeqDataset:
                 "sample_id",
                 dosage_alt("alleles", partial_missing=partial).alias("dosage_alt"),
             )
-        if name == "$dosage_sp":
+        if name in ("$dosage_sp", "$dosage_sp2"):
+            # sparse alt-dosage: only non-zero entries survive (reference:
+            # get_dosage_sp src/GetData.cpp:446, dgCMatrix form). sp2
+            # allows partial missing (get_dosage_sp2 src/GetData.cpp:520):
+            # a call with some-but-not-all missing slots keeps its count
+            # of observed ALT copies instead of collapsing to NULL.
             c = self.calls
+            partial = name.endswith("2")
             d = c.select(
-                "variant_id", "sample_id", dosage_alt("alleles").alias("dosage_alt")
+                "variant_id",
+                "sample_id",
+                dosage_alt("alleles", partial_missing=partial).alias("dosage_alt"),
             )
             return d.filter(F.col("dosage_alt").isNotNull() & (F.col("dosage_alt") != 0))
         if name.startswith("annotation/info/") or name.startswith("info."):

@@ -330,3 +330,91 @@ def check_dims(variants: DataFrame, calls: DataFrame, samples: DataFrame | None)
             {"n_samples": n_samp, "n_call_samples": stats["ns"], "samples_consistent": stats["ns"] <= n_samp}
         )
     return out
+
+
+def seq_check(ds) -> dict:
+    """Full-dataset validation (reference: seqCheck R/Summary.R:928-1020,
+    which re-reads every node and re-verifies stored dims/hashes; here
+    the container's per-node checksums are parquet's own page checksums,
+    so the engine validates the *semantic* invariants the reference's
+    node scan establishes):
+
+    - variant ids unique, positions present and positive
+    - every call references an existing variant and sample (no orphans)
+    - every allele index is within the variant's allele count
+    - phase vector length == ploidy - 1 (slot count - 1) per call
+
+    Two passes total: one aggregate over variants, one over calls joined
+    to the (variant_id, num_allele) projection and the sample-id list —
+    all violation counters fused into a single shuffle each, no
+    per-check scans. Returns counters plus an overall 'ok'.
+    """
+    from seqarray_spark.functions.variant import num_allele as na
+
+    v = ds.variants
+    vrow = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("variant_id").alias("nd"),
+        F.sum(
+            (F.col("position").isNull() | (F.col("position") <= 0)).cast("long")
+        ).alias("bad_pos"),
+    ).first()
+    out = {
+        "n_variants": vrow["n"],
+        "variant_ids_unique": vrow["nd"] == vrow["n"],
+        "bad_positions": vrow["bad_pos"] or 0,
+    }
+    calls = ds._base_calls
+    if calls is not None:
+        vk = v.select("variant_id", na().alias("__na"))
+        joined = calls.join(vk, "variant_id", "left")
+        if ds.samples is not None:
+            joined = joined.join(
+                ds.samples.select("sample_id", F.lit(1).alias("__s")),
+                "sample_id",
+                "left",
+            )
+        has_phase = "phased" in calls.columns
+        crow = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__na").isNull().cast("long")).alias("orphan_variant"),
+            *(
+                [F.sum(F.col("__s").isNull().cast("long")).alias("orphan_sample")]
+                if ds.samples is not None
+                else []
+            ),
+            F.sum(
+                F.exists(
+                    "alleles", lambda x: x.isNotNull() & (x >= F.col("__na"))
+                ).cast("long")
+            ).alias("bad_allele"),
+            *(
+                [
+                    F.sum(
+                        (F.size("phased") != F.size("alleles") - 1).cast("long")
+                    ).alias("bad_phase")
+                ]
+                if has_phase
+                else []
+            ),
+        ).first()
+        out.update(
+            {
+                "n_calls": crow["n"],
+                "orphan_call_variants": crow["orphan_variant"] or 0,
+                "bad_allele_indexes": crow["bad_allele"] or 0,
+            }
+        )
+        if ds.samples is not None:
+            out["orphan_call_samples"] = crow["orphan_sample"] or 0
+        if has_phase:
+            out["bad_phase_lengths"] = crow["bad_phase"] or 0
+    out["ok"] = (
+        out["variant_ids_unique"]
+        and out["bad_positions"] == 0
+        and out.get("orphan_call_variants", 0) == 0
+        and out.get("orphan_call_samples", 0) == 0
+        and out.get("bad_allele_indexes", 0) == 0
+        and out.get("bad_phase_lengths", 0) == 0
+    )
+    return out

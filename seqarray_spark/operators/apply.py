@@ -22,12 +22,31 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame
 
 
-def block_apply(df: DataFrame, func: Callable, schema: str) -> DataFrame:
+def block_apply(
+    df: DataFrame, func: Callable, schema: str, var_index: str = "none"
+) -> DataFrame:
     """Vectorized per-block apply (seqBlockApply parity): `func` receives
     pandas DataFrames of whole rows (an Arrow batch ≙ the reference's
     bsize=1024 variant block; tune via
     spark.sql.execution.arrow.maxRecordsPerBatch) and yields output
-    frames matching `schema`."""
+    frames matching `schema`.
+
+    var_index (reference: seqApply var.index=, src/ReadByVariant.cpp:
+    1071-1330): 'absolute' guarantees a variant_id column rides into
+    `func`; 'relative' additionally attaches `variant_index` = 1-based
+    position within the current selection (global row_number — the
+    output is selection-sized, same caveat as $variant_index)."""
+    if var_index not in ("none", "absolute", "relative"):
+        raise ValueError("var_index must be none|absolute|relative")
+    if var_index != "none" and "variant_id" not in df.columns:
+        raise ValueError("var_index requires a variant_id column")
+    if var_index == "relative":
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        df = df.withColumn(
+            "variant_index", F.row_number().over(Window.orderBy("variant_id"))
+        )
 
     def gen(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -36,6 +55,25 @@ def block_apply(df: DataFrame, func: Callable, schema: str) -> DataFrame:
                 yield out
 
     return df.mapInPandas(gen, schema=schema)
+
+
+def block_apply_to(
+    df: DataFrame,
+    func: Callable,
+    schema: str,
+    path: str,
+    output_format: str = "parquet",
+    mode: str = "append",
+    var_index: str = "none",
+) -> None:
+    """seqApply(as.is=<connection>/<gdsn>) parity: stream the apply's
+    results straight to a sink instead of returning them — the
+    reference appends each block's result to an open connection or GDS
+    node (src/ReadByVariant.cpp:1177-1287); here every task writes its
+    partition directly to the target, so results never gather on any
+    single node."""
+    out = block_apply(df, func, schema, var_index=var_index)
+    out.write.mode(mode).format(output_format).save(path)
 
 
 def apply_by_sample(

@@ -111,3 +111,52 @@ def test_digest_ordered_reference_parity(spark):
         v.repartition(7), ["position", "ref"], ordered=True, order_col="variant_id"
     ).first()["digest"]
     assert got2 == naive
+
+
+def test_seq_check_full(spark):
+    """seq_check validates referential integrity, allele bounds and phase
+    lengths (reference: seqCheck R/Summary.R:928-1020)."""
+    import os
+
+    from seqarray_spark.sources import vcf as vcfmod
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "toy.vcf")
+    ds = vcfmod.read_vcf(spark, fixture, assign_ids="order")
+    rep = agg.seq_check(ds)
+    # toy.vcf deliberately carries one malformed call: './1' against
+    # ALT='.' (variant 2:140) references allele 1 of a monomorphic site
+    assert rep["bad_allele_indexes"] == 1 and not rep["ok"]
+    assert rep["n_variants"] == 7 and rep["n_calls"] == 21
+    assert rep["variant_ids_unique"] and rep["orphan_call_variants"] == 0
+
+    # drop the malformed variant -> fully green
+    from seqarray_spark.dataset import SeqDataset as _SD
+
+    ok_ds = _SD(
+        ds.variants.filter("variant_id != 5"),
+        ds._base_calls.filter("variant_id != 5"),
+        ds.samples,
+        ploidy=ds.ploidy,
+    )
+    assert agg.seq_check(ok_ds)["ok"]
+
+    # corrupt: a call referencing a nonexistent variant, and an allele
+    # index beyond the variant's allele count
+    from pyspark.sql import functions as F
+
+    bad_calls = ds._base_calls.unionByName(
+        ds._base_calls.limit(1).withColumn("variant_id", F.lit(999))
+    ).withColumn(
+        "alleles",
+        F.when(
+            F.col("variant_id") == 1, F.array(F.lit(7).cast("smallint"))
+        ).otherwise(F.col("alleles")),
+    )
+    from seqarray_spark.dataset import SeqDataset
+
+    bad = SeqDataset(ds.variants, bad_calls, ds.samples, ploidy=ds.ploidy)
+    rep2 = agg.seq_check(bad)
+    assert not rep2["ok"]
+    assert rep2["orphan_call_variants"] == 1
+    assert rep2["bad_allele_indexes"] >= 3
+    assert rep2["bad_phase_lengths"] >= 3

@@ -87,3 +87,42 @@ def test_unit_apply(spark, calls):
 def test_par_reduce(calls):
     row = A.par_reduce(calls, F.count(F.lit(1)).alias("n"), F.countDistinct("variant_id").alias("nv"))
     assert row["n"] == 60 and row["nv"] == 20
+
+
+def test_block_apply_var_index(calls):
+    """var.index='relative' attaches a 1-based selection index
+    (reference: seqApply var.index=, src/ReadByVariant.cpp:1071-1330)."""
+
+    def f(pdf):
+        return pdf[["variant_id", "variant_index"]]
+
+    out = A.block_apply(
+        calls.select("variant_id").distinct(),
+        f,
+        "variant_id int, variant_index int",
+        var_index="relative",
+    )
+    got = {r["variant_id"]: r["variant_index"] for r in out.collect()}
+    assert got[1] == 1 and got[20] == 20
+    with pytest.raises(ValueError):
+        A.block_apply(calls, f, "x int", var_index="bogus")
+
+
+def test_block_apply_to_sink(calls, tmp_path):
+    """as.is=<connection> parity: results stream to a sink, tasks write
+    directly (no driver gather)."""
+    out_dir = str(tmp_path / "sink")
+
+    def f(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"variant_id": pdf["variant_id"], "n": pdf["alleles"].map(len)}
+        )
+
+    A.block_apply_to(calls, f, "variant_id int, n int", out_dir)
+    back = calls.sparkSession.read.parquet(out_dir)
+    assert back.count() == 60 and back.agg(F.max("n")).first()[0] == 2
+    # append mode really appends
+    A.block_apply_to(calls, f, "variant_id int, n int", out_dir)
+    assert calls.sparkSession.read.parquet(out_dir).count() == 120

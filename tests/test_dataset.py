@@ -107,3 +107,31 @@ def test_filter_pos_multi_pos_first_hit(ds, spark):
     out = ds.variants.groupBy("chromosome", "position").count().filter(F.col("count") > 1)
     assert out.count() == 0
     ds.filter_pop()
+
+
+def test_dosage_sp2_partial_missing(ds):
+    """$dosage_sp2 keeps partially-missing calls (reference:
+    get_dosage_sp2 src/GetData.cpp:520) where $dosage_sp drops them."""
+    ds.reset_filter()
+    sp = ds.get_data("$dosage_sp")
+    sp2 = ds.get_data("$dosage_sp2")
+    k = lambda df: {(r["variant_id"], r["sample_id"]) for r in df.collect()}
+    ksp, ksp2 = k(sp), k(sp2)
+    # sp2 is a superset: partially-missing calls with >=1 ALT copy are
+    # extra rows; fully-observed entries are identical
+    assert ksp <= ksp2 and len(ksp2) > len(ksp)
+    assert sp2.filter(F.col("dosage_alt") == 0).count() == 0
+    # every extra entry has at least one partially-missing call row with
+    # an observed ALT slot (calls may hold duplicate (variant, sample)
+    # rows by design, so check across all rows of the key)
+    extra = ksp2 - ksp
+    calls = {}
+    for r in ds.calls.collect():
+        calls.setdefault((r["variant_id"], r["sample_id"]), []).append(r["alleles"])
+    for key in list(extra)[:20]:
+        assert any(
+            al is not None
+            and any(a is None for a in al)
+            and any(a not in (None, 0) for a in al)
+            for al in calls[key]
+        )
