@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from seqarray_spark.operators.text import spread as _spread
 from seqarray_spark.operators.text import word_shingles
 
 
@@ -68,6 +69,7 @@ def _minhash_signatures(
     shuffle of |shingles| * num_hashes/4 narrow rows."""
     if num_hashes % 4:
         raise ValueError("num_hashes must be a multiple of 4")
+    docs = _spread(docs)
     sh_long = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
@@ -203,6 +205,7 @@ def ngram_jaccard_pairs(
     exact Jaccard is computed on candidates via array_intersect. Results
     are identical to the naive join at a fraction of the pairs — the
     property that keeps this exact operator alive at corpus scale."""
+    docs = _spread(docs)
     sh = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
@@ -210,7 +213,8 @@ def ngram_jaccard_pairs(
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # per-doc prefix = the floor((1-tau)*|d|)+1 globally-rarest shingles,
     # carved with one sorted-collect aggregation (a window row_number here
-    # costs an extra shuffle + full sort pass)
+    # costs an extra shuffle + full sort pass); posexplode keeps each
+    # prefix shingle's 0-based rank for the positional filter
     prefix = (
         sh.join(dfreq, "shingle")
         .groupBy("_id")
@@ -227,20 +231,48 @@ def ngram_jaccard_pairs(
                     ).cast("int")
                     + 1
                 ),
-            ).alias("__prefix")
+            ).alias("__prefix"),
+            F.count(F.lit(1)).alias("__len"),
         )
-        .select("_id", F.explode("__prefix").alias("shingle"))
+        .select("_id", "__len", F.posexplode("__prefix").alias("__pos", "shingle"))
     )
+    # PPJoin+ candidate pruning on the prefix self-join (exact — no true
+    # pair is lost):
+    #   length filter: J>=tau forces tau*max(|a|,|b|) <= min(|a|,|b|)
+    #   positional filter: at the pair's first shared prefix shingle
+    #     (ranks pa, pb) the overlap can't exceed min(|a|-pa, |b|-pb),
+    #     which must reach ceil(tau/(1+tau)*(|a|+|b|)); a pair survives
+    #     if ANY of its matches passes, and the first match carries the
+    #     loosest (valid) bound.
+    la, lb = F.col("a.__len"), F.col("b.__len")
+    need = F.ceil(F.lit(float(tau) / (1.0 + float(tau))) * (la + lb))
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
         .filter(F.col("a._id") < F.col("b._id"))
+        .filter(F.least(la, lb) >= F.lit(float(tau)) * F.greatest(la, lb))
+        .filter(
+            F.least(la - F.col("a.__pos"), lb - F.col("b.__pos")) >= need
+        )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
+        .persist()  # tiny (id pairs); read by ids AND the verify join —
+        # without it the expensive prefix self-join would run twice
     )
-    sets = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
+    # verify only candidate docs: re-shingle after a semi join on the
+    # (small) candidate id set instead of materializing shingle arrays
+    # for the whole corpus twice
+    ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sets = (
+        docs.join(ids, docs[id_col] == ids["_id"], "left_semi")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
+        )
     )
     return (
         cand.join(sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
@@ -271,6 +303,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     from seqarray_spark.operators.text import tokens
 
+    docs = _spread(docs)
     tok = docs.select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
     ).select("__id", F.md5("__t").alias("__h"))

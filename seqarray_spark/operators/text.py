@@ -22,6 +22,18 @@ STOPWORDS = {
 }
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan to the cluster's parallelism before a
+    CPU-heavy text projection (tokenize/shingle/hash). A small parquet
+    arrives as one split, which would pin the whole pass to a single
+    core; a corpus already wider than the core count passes through
+    untouched, so this adds no shuffle at scale."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
@@ -50,6 +62,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality metrics (length, word stats, punctuation/digit
     ratios, stopword ratio, repetition) — the standard pre-training
     corpus filters."""
+    docs = spread(docs)
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks)
@@ -106,6 +119,7 @@ def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-inventory language ID (n-gram-heuristic family): count
     stopword hits per language, take the argmax; CJK detected by Unicode
     range. Deterministic tie-break by language code order."""
+    docs = spread(docs)
     toks = tokens(text_col)
     hits = {}
     for lang, words in STOPWORDS.items():
@@ -124,6 +138,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8, n: int = 3)
     """Document fingerprint: md5 over the k smallest shingle hashes
     (min-k sketch — the order-free analogue of winnowing/rolling hashes).
     Documents sharing most shingles collide with high probability."""
+    docs = spread(docs)
     sh = word_shingles(text_col, n)
     hashes = F.sort_array(F.transform(F.array_distinct(sh), lambda s: F.md5(s)))
     mink = F.slice(hashes, 1, k)
