@@ -73,6 +73,13 @@ class VcfHeader:
     samples: list[str] = field(default_factory=list)
     meta: list[str] = field(default_factory=list)
     ploidy: int = 2
+    # structured header tables (reference: seqVCF_Header returns contig /
+    # alt / assembly as data.frames, R/ConvVCF2GDS.R:92-512) — not just
+    # raw meta strings, so they survive schema-level round trips
+    contigs: list[dict] = field(default_factory=list)
+    alts: list[dict] = field(default_factory=list)
+    assembly: str | None = None
+    filter_meta: list[dict] = field(default_factory=list)
 
 
 def _parse_structured_meta(line: str) -> dict[str, str]:
@@ -123,7 +130,15 @@ def parse_vcf_header(path: str, infer_ploidy: bool = True) -> VcfHeader:
                         d.get("Description", ""),
                     )
                 elif line.startswith("##FILTER=<"):
-                    hdr.filters.append(_parse_structured_meta(line)["ID"])
+                    d = _parse_structured_meta(line)
+                    hdr.filters.append(d["ID"])
+                    hdr.filter_meta.append(d)
+                elif line.startswith("##contig=<"):
+                    hdr.contigs.append(_parse_structured_meta(line))
+                elif line.startswith("##ALT=<"):
+                    hdr.alts.append(_parse_structured_meta(line))
+                elif line.startswith("##assembly="):
+                    hdr.assembly = line.split("=", 1)[1]
             elif line.startswith("#CHROM"):
                 cols = line.split("\t")
                 if len(cols) > 9:
@@ -518,6 +533,89 @@ def parse_vcf_lines(
 # write path
 # ---------------------------------------------------------------------------
 
+def _meta_line(kind: str, d: dict) -> str:
+    """Render one structured ##kind=<...> line; Description values are
+    re-quoted, other values pass through verbatim."""
+    parts = []
+    for k, v in d.items():
+        if k == "Description" or (isinstance(v, str) and ("," in v or " " in v)):
+            parts.append(f'{k}="{v}"')
+        else:
+            parts.append(f"{k}={v}")
+    return f"##{kind}=<{', '.join(parts)}>".replace(", ", ",")
+
+
+def render_vcf_meta(header: VcfHeader) -> list[str]:
+    """Regenerate the '##' header block from the structured model —
+    INFO/FORMAT/FILTER/contig/ALT/assembly all come back even when the
+    original raw meta lines were never kept (reference: seqGDS2VCF
+    rebuilds the header from the stored description tables,
+    R/Conversion.R:83-143)."""
+    lines = ["##fileformat=VCFv4.2", "##source=seqarray_spark"]
+    if header.assembly:
+        lines.append(f"##assembly={header.assembly}")
+    for c in header.contigs:
+        lines.append(_meta_line("contig", c))
+    for a in header.alts:
+        lines.append(_meta_line("ALT", a))
+    seen = {d.get("ID") for d in header.filter_meta}
+    for d in header.filter_meta:
+        lines.append(_meta_line("FILTER", d))
+    for fid in header.filters:
+        if fid not in seen:
+            lines.append(f'##FILTER=<ID={fid},Description="">')
+    for f in header.info.values():
+        lines.append(
+            f'##INFO=<ID={f.id},Number={f.number},Type={f.type},Description="{f.description}">'
+        )
+    for f in header.formats.values():
+        lines.append(
+            f'##FORMAT=<ID={f.id},Number={f.number},Type={f.type},Description="{f.description}">'
+        )
+    return lines
+
+
+def _header_from_dataset(ds, info_fields: list[str], format_fields: list[str]) -> VcfHeader:
+    """Synthesize a declaration-complete header from a SeqDataset's
+    schema when no VcfHeader was supplied: INFO/FORMAT entries from the
+    column types (arrays declare Number='.'), GT always declared, contig
+    lines from the distinct chromosomes actually present (one tiny
+    aggregate)."""
+    hdr = VcfHeader(ploidy=ds.ploidy)
+
+    def _field(name: str, dt: T.DataType) -> VcfField:
+        if isinstance(dt, T.BooleanType):
+            return VcfField(name, "0", "Flag")
+        number = "1"
+        if isinstance(dt, T.ArrayType):
+            number, dt = ".", dt.elementType
+        typ = (
+            "Integer"
+            if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType))
+            else "Float"
+            if isinstance(dt, (T.DoubleType, T.FloatType))
+            else "String"
+        )
+        return VcfField(name, number, typ)
+
+    v = ds.variants
+    if "info" in v.columns:
+        for f in v.schema["info"].dataType.fields:
+            if f.name in info_fields:
+                hdr.info[f.name] = _field(f.name, f.dataType)
+    calls = ds._base_calls
+    if calls is not None:
+        hdr.formats["GT"] = VcfField("GT", "1", "String", "Genotype")
+        for f in calls.schema.fields:
+            if f.name in format_fields:
+                hdr.formats[f.name] = _field(f.name, f.dataType)
+    hdr.contigs = [
+        {"ID": r["chromosome"]}
+        for r in v.select("chromosome").distinct().orderBy("chromosome").collect()
+    ]
+    return hdr
+
+
 def _fmt_num(col: Column) -> Column:
     """Render a double the way VCF expects (no trailing '.0' on integers)."""
     return F.when(col.isNull(), F.lit(".")).otherwise(
@@ -666,10 +764,14 @@ def write_vcf(
         writer = writer.option("compression", compression)
     writer.text(out_path)
 
-    hdr_lines = (header.meta if header else []) or [
-        "##fileformat=VCFv4.2",
-        "##source=seqarray_spark",
-    ]
+    if header is not None:
+        # raw meta verbatim when the caller kept it; else regenerate the
+        # full declaration block from the structured model
+        hdr_lines = header.meta or render_vcf_meta(header)
+    else:
+        hdr_lines = render_vcf_meta(
+            _header_from_dataset(ds, info_fields, format_fields or [])
+        )
     chrom_line = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
     if sample_ids:
         chrom_line += "\tFORMAT\t" + "\t".join(sample_ids)

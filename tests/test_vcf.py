@@ -312,3 +312,50 @@ def test_multifile_order_ids(spark, tmp_path):
     # dense 1..N overall
     ids = sorted(got.values())
     assert ids == list(range(1, 504))
+
+
+def test_header_tables(header):
+    """contig/ALT/assembly parsed into structured tables (reference:
+    seqVCF_Header data.frames, R/ConvVCF2GDS.R:92-512)."""
+    assert [c["ID"] for c in header.contigs] == ["1", "2", "X"]
+    assert header.filter_meta[0]["ID"] == "q10"
+    assert "Quality below 10" in header.filter_meta[0]["Description"]
+
+
+def test_headerless_export_regenerates_declarations(spark, ds, tmp_path):
+    """Exporting WITHOUT the original header must still produce a
+    declaration-complete ##-block (INFO/FORMAT/FILTER/contig) so the
+    output is self-describing and re-importable (reference: seqGDS2VCF
+    rebuilds the header from stored tables, R/Conversion.R:83-143)."""
+    out = str(tmp_path / "noheader_out")
+    vcfmod.write_vcf(ds, out)  # no header passed
+    hdr_text = open(f"{out}/_header.vcf").read()
+    assert "##INFO=<ID=DP" in hdr_text and "##INFO=<ID=AF" in hdr_text
+    assert "##FORMAT=<ID=GT" in hdr_text and "##FORMAT=<ID=DP" in hdr_text
+    assert "##contig=<ID=1>" in hdr_text and "##contig=<ID=X>" in hdr_text
+    # re-import the export: same dims, dosage stats agree
+    import glob
+
+    parts = sorted(glob.glob(f"{out}/part-*"))
+    merged = str(tmp_path / "merged.vcf")
+    with open(merged, "w") as fh:
+        fh.write(hdr_text)
+        for p in parts:
+            fh.write(open(p).read())
+    back = vcfmod.read_vcf(spark, merged)
+    assert back.variants.count() == ds.variants.count()
+    assert back.calls.count() == ds.calls.count()
+    from seqarray_spark.operators.aggregates import af_ac_missing
+
+    a = {r["variant_id"]: r["af"] for r in af_ac_missing(
+        ds.calls).select("variant_id", "af").collect()}
+    # ids differ (hash vs order) — compare by chrom:pos key
+    key = lambda d: {
+        (r["chromosome"], r["position"], r["id"]): r["variant_id"]
+        for r in d.variants.collect()
+    }
+    ka, kb = key(ds), key(back)
+    b = {r["variant_id"]: r["af"] for r in af_ac_missing(
+        back.calls).select("variant_id", "af").collect()}
+    for ck, vida in ka.items():
+        assert abs((a[vida] or 0) - (b[kb[ck]] or 0)) < 1e-12
