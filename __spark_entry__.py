@@ -116,6 +116,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs": emb_dup_pairs,
         "emb_ivf_topk": emb_ivf_topk,  # approximate -> rows-only check
         "doc_normalize": doc_normalize,
+        # -- multimodal columns (binary payload + typed metadata) -----------
+        "mm_media_meta": mm_media_meta,
+        "mm_feature_extract": mm_feature_extract,
     }
 
 
@@ -717,6 +720,46 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata plane: per-mime-type stats over the media
+    table (binary payloads + typed metadata). Metadata filters/aggs run
+    entirely without touching payload bytes — the property that lets a
+    100 TB media lake prune before decode."""
+    from seqarray_spark.operators.multimodal import make_media_table
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    media = make_media_table(spark, docs)
+    return (
+        media.groupBy("mime_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.col("n_bytes").cast("bigint")).alias("total_bytes"),
+            (
+                F.sum(F.col("width").cast("bigint")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_width"),
+        )
+        .orderBy("mime_type")
+    )
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature-extract plumbing over mapInPandas
+    (deterministic fake decoder — real codecs absent in this container;
+    the Spark-side schema/batching/partitioning is the tested part).
+    Rows-only check: the byte-fold feature isn't SQL-expressible."""
+    from seqarray_spark.operators.multimodal import extract_features, make_media_table
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    media = make_media_table(spark, docs)
+    feats = extract_features(media, dim=8, fake=True)
+    return feats.select(
+        "media_id",
+        "decode_ok",
+        F.size("feat").alias("feat_dim"),
+    )
+
+
 def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization (cleaning stage of a training-data pipeline):
     lowercase, strip non-alphanumerics, collapse whitespace."""
@@ -890,6 +933,23 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,
                    CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS INT) AS norm_len
             FROM documents
+        """,
+        "mm_media_meta": """
+            SELECT mime_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_media,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                   CAST(SUM(width) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_width
+            FROM (
+              SELECT CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/jpeg'
+                       ELSE 'audio/wav' END AS mime_type,
+                     CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+                     CAST(length(text) AS BIGINT) AS n_bytes
+              FROM documents
+            ) m
+            GROUP BY mime_type
+            ORDER BY mime_type
         """,
         "seq_filter_chrom_range": P
         + """
