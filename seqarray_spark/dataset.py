@@ -447,6 +447,14 @@ class SeqDataset:
         if self.samples is not None:
             self.samples.write.mode("overwrite").parquet(f"{out_dir}/samples.parquet")
 
+    def to_gds(self, path: str, **kwargs) -> None:
+        """Write this dataset as a SeqArray GDS container (reference:
+        seqVCF2GDS's output layout, R/AllClasses.R:20-24) — the
+        interchange path back to the R toolchain; see sources/gds_write."""
+        from seqarray_spark.sources.gds_write import write_gds
+
+        write_gds(self, path, **kwargs)
+
     @staticmethod
     def from_gds(spark: SparkSession, path: str, **kwargs) -> "SeqDataset":
         """Open a SeqArray GDS container directly (reference: seqOpen

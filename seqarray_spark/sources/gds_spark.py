@@ -283,10 +283,15 @@ def _has(f: GdsFile, path: str) -> bool:
 
 
 def _py(v):
+    """numpy -> python, translating the container's NA conventions
+    (INT32_MIN for missing ints, NaN for missing floats — reference
+    NA coding) to NULL."""
     if isinstance(v, (np.integer,)):
-        return int(v)
+        i = int(v)
+        return None if i == -(2 ** 31) else i
     if isinstance(v, (np.floating,)):
-        return float(v)
+        f = float(v)
+        return None if np.isnan(f) else f
     return v
 
 
@@ -315,7 +320,9 @@ def _variants_block(g, s, e, row, imeta, filter_levels):
                 for v in fvals
             ]
         else:
-            filt = [str(v) for v in fvals]
+            # factor code < 1 is the unset level (writer emits 0 for a
+            # NULL filter when no levels exist)
+            filt = [str(v) if v >= 1 else None for v in fvals]
     else:
         filt = [None] * (e - s)
     out = {
