@@ -758,9 +758,9 @@ def write_vcf(
         .select("value")
         .write.mode("overwrite")
     )
-    if compression:
+    if compression and compression != "bgzf":
         # gzip/bzip2/lz4 part files (reference exports gzip/bgzf/bz2/xz,
-        # R/Conversion.R:150-152); bgzf specifically would need htslib
+        # R/Conversion.R:150-152)
         writer = writer.option("compression", compression)
     writer.text(out_path)
 
@@ -775,8 +775,22 @@ def write_vcf(
     chrom_line = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
     if sample_ids:
         chrom_line += "\tFORMAT\t" + "\t".join(sample_ids)
+    header_text = "\n".join(hdr_lines + [chrom_line]) + "\n"
     with open(f"{out_path}/_header.vcf", "w") as fh:
-        fh.write("\n".join(hdr_lines + [chrom_line]) + "\n")
+        fh.write(header_text)
+
+    if compression == "bgzf":
+        # tabix/bcftools-compatible blocked gzip (reference: bgzf export
+        # via Rsamtools, R/Conversion.R:118-132) — htslib-free writer,
+        # sources/bgzf.py. Parts stream through the driver in sorted
+        # order (constant memory); the single .vcf.bgz is indexable by
+        # any stock tabix.
+        import glob
+
+        from seqarray_spark.sources.bgzf import bgzf_cat
+
+        parts = sorted(glob.glob(f"{out_path}/part-*"))
+        bgzf_cat(parts, f"{out_path}/export.vcf.bgz", header_text=header_text)
 
 
 def _genotype_string(alleles: Column, phased: Column) -> Column:

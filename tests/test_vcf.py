@@ -359,3 +359,65 @@ def test_headerless_export_regenerates_declarations(spark, ds, tmp_path):
         back.calls).select("variant_id", "af").collect()}
     for ck, vida in ka.items():
         assert abs((a[vida] or 0) - (b[kb[ck]] or 0)) < 1e-12
+
+
+def test_bgzf_export(spark, ds, tmp_path):
+    """compression='bgzf' emits a blocked-gzip .vcf.bgz: valid BGZF
+    framing (BC extra field + htslib EOF marker), readable by plain
+    gzip, re-importable, and block-structured for tabix indexing
+    (reference: bgzf export via Rsamtools, R/Conversion.R:118-132)."""
+    import gzip
+    import struct
+
+    out = str(tmp_path / "bgz_out")
+    vcfmod.write_vcf(ds, out, compression="bgzf")
+    bgz = f"{out}/export.vcf.bgz"
+    raw = open(bgz, "rb").read()
+    # BGZF magic + FEXTRA with 'BC' subfield on the first block
+    assert raw[:4] == b"\x1f\x8b\x08\x04"
+    xlen = struct.unpack("<H", raw[10:12])[0]
+    assert b"BC" in raw[12:12 + xlen]
+    from seqarray_spark.sources.bgzf import BGZF_EOF
+
+    assert raw.endswith(BGZF_EOF)
+    # multi-member gzip decompresses with the stock gzip module
+    text = gzip.open(bgz, "rt").read()
+    assert text.startswith("##fileformat") and "#CHROM" in text
+    # re-import the bgz directly (read_vcf handles .gz via gzip.open for
+    # the header; Spark reads multi-member gzip text)
+    plain = str(tmp_path / "plain.vcf.gz")
+    open(plain, "wb").write(raw)
+    back = vcfmod.read_vcf(spark, plain)
+    assert back.variants.count() == ds.variants.count()
+    assert back.calls.count() == ds.calls.count()
+
+
+def test_bgzf_block_boundaries(tmp_path):
+    """Payloads larger than one BGZF block split into independent
+    members that each decompress standalone."""
+    import gzip
+    import zlib
+
+    from seqarray_spark.sources.bgzf import BgzfWriter
+
+    p = str(tmp_path / "big.bgz")
+    payload = b"x" * 200_000 + b"END\n"
+    with BgzfWriter(p) as w:
+        w.write(payload)
+    data = open(p, "rb").read()
+    # at least 200000/65280 = 4 data blocks + EOF
+    assert data.count(b"\x1f\x8b\x08\x04") >= 5
+    assert gzip.decompress(data) == payload
+    # each member decompresses independently at its BSIZE boundary
+    import struct
+
+    o = 0
+    members = 0
+    while o < len(data):
+        assert data[o:o + 4] == b"\x1f\x8b\x08\x04"
+        bsize = struct.unpack("<H", data[o + 16:o + 18])[0] + 1
+        blob = data[o:o + bsize]
+        zlib.decompress(blob[18:-8], -15)
+        o += bsize
+        members += 1
+    assert o == len(data) and members >= 5
