@@ -221,7 +221,13 @@ class GdsFile:
             if node.is_folder:
                 self._load_folder(node)
             else:
-                self._load_array_meta(node)
+                # third-party .gds files can hold node classes without the
+                # coder/ndim anchors (scalar/NULL gdsfmt nodes); leave those
+                # listable-but-undecodable instead of aborting the open
+                try:
+                    self._load_array_meta(node)
+                except (ValueError, AssertionError, KeyError, struct.error):
+                    node.kind = None
             i += elen
         # folder-level attributes (e.g. FORMAT Number/Type/Description on
         # annotation/format/<name>) follow the entry list

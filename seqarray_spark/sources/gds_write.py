@@ -371,7 +371,7 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
                      fld.name, False)
                 )
             else:
-                kind = "float64" if dt in ("double", "float") else "int32"
+                kind = "float32" if dt in ("double", "float") else "int32"
                 fill = math.nan if kind == "float32" else -(2 ** 31)
                 info_entries.append(
                     (b.array_node(

@@ -542,7 +542,7 @@ def _meta_line(kind: str, d: dict) -> str:
             parts.append(f'{k}="{v}"')
         else:
             parts.append(f"{k}={v}")
-    return f"##{kind}=<{', '.join(parts)}>".replace(", ", ",")
+    return f"##{kind}=<{','.join(parts)}>"
 
 
 def render_vcf_meta(header: VcfHeader) -> list[str]:

@@ -111,6 +111,37 @@ def test_roundtrip_calls(spark, ds, gds_path):
             assert fb[vid] == pytest.approx(ac / an), vid
 
 
+def test_scalar_float_info_roundtrip(spark, tmp_path):
+    """Number=1 Type=Float INFO (MQ/QD-style, ubiquitous in real VCFs)
+    must survive the container round trip: stored float32, missing as
+    NaN -> None (regression: the writer used to pick a 'float64' kind
+    with no class signature and crash)."""
+    src = tmp_path / "mq.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=MQ,Number=1,Type=Float,Description="RMS mapping quality">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "##contig=<ID=1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "1\t100\t.\tA\tT\t10\tPASS\tMQ=59.5\tGT\t0|1\n"
+        "1\t200\t.\tC\tG\t10\tPASS\t.\tGT\t1|1\n"
+        "1\t300\t.\tG\tA\t10\tPASS\tMQ=12.25\tGT\t0|0\n"
+    )
+    from seqarray_spark.dataset import SeqDataset
+
+    ds2 = vcfmod.read_vcf(spark, str(src), assign_ids="order")
+    out = str(tmp_path / "mq.gds")
+    ds2.to_gds(out)
+    back = SeqDataset.from_gds(spark, out)
+    got = {
+        r["position"]: (r["info"]["MQ"] if r["info"] else None)
+        for r in back.variants.collect()
+    }
+    assert got[100] == pytest.approx(59.5)
+    assert got[200] is None
+    assert got[300] == pytest.approx(12.25)
+
+
 def test_roundtrip_reference_fixture(spark, tmp_path):
     """Read the reference's own CEU fixture, write it back out, read the
     copy — AF must match the original file's AF for every variant."""
