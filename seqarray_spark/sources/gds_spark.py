@@ -181,6 +181,20 @@ def from_gds(
         is_arr = folder.attrs.get("Number", "1") not in ("0", "1")
         fmt_meta.append((folder.name, folder.child("data").kind, roff, is_arr))
 
+    # mixed-ploidy overflow entries (reference genotype/extra mechanism,
+    # src/ConvVCF2GDS.cpp:1775-1797): the (sample.index, variant.index,
+    # length) triplets are sorted by variant, so each block gets an entry
+    # range + a value offset into the extra stream
+    gext = _extra_meta(f, "genotype/extra.index")
+    pext = _extra_meta(f, "phase/extra.index")
+
+    def _ext_cols(ext, s, e):
+        if ext is None:
+            return 0, 0, 0
+        vi0, cum = ext
+        e0, e1 = np.searchsorted(vi0, [s, e])
+        return int(e0), int(e1), int(cum[e0])
+
     blocks = []
     for s in range(0, max(n_var, 1), block_variants):
         e = min(s + block_variants, n_var)
@@ -194,11 +208,14 @@ def from_gds(
                 [int(eoff[e]) if eoff is not None else -1 for _, _, eoff in info_meta],
                 [int(roff[s]) for _, _, roff, _ in fmt_meta],
                 [int(roff[e]) for _, _, roff, _ in fmt_meta],
+                *_ext_cols(gext, s, e),
+                *_ext_cols(pext, s, e),
             )
         )
     bschema = (
         "start long, end long, p0 long, p1 long, "
-        "i0 array<long>, i1 array<long>, f0 array<long>, f1 array<long>"
+        "i0 array<long>, i1 array<long>, f0 array<long>, f1 array<long>, "
+        "g0 long, g1 long, go long, q0 long, q1 long, qo long"
     )
     ncores = spark.sparkContext.defaultParallelism
     blocks_df = spark.createDataFrame(blocks, bschema).repartition(
@@ -280,6 +297,21 @@ def _has(f: GdsFile, path: str) -> bool:
         return True
     except KeyError:
         return False
+
+
+def _extra_meta(f: GdsFile, idx_path: str):
+    """(variant_index_0based, value_cum_offsets) for an extra.index node,
+    or None when absent/empty. Driver memory is O(n_overflow_calls) —
+    overflow entries exist only for mixed-ploidy calls."""
+    if not _has(f, idx_path):
+        return None
+    node = f.node(idx_path)
+    if not node.dims or node.dims[0] == 0:
+        return None
+    trip = np.asarray(f.read_array(idx_path)).reshape(-1, 3)
+    vi0 = trip[:, 1].astype(np.int64) - 1
+    lens = trip[:, 2].astype(np.int64)
+    return vi0, np.concatenate([[0], np.cumsum(lens)])
 
 
 def _py(v):
@@ -414,6 +446,19 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta):
             for j in range(n_samp)
         ],
     }
+    # splice mixed-ploidy overflow (reference genotype/extra + phase/extra,
+    # src/ConvVCF2GDS.cpp:1775-1797): append each entry's values to the
+    # owning call's list
+    if has_geno and int(row["g1"]) > int(row["g0"]):
+        _apply_extra(
+            g, "genotype", row["g0"], row["g1"], row["go"], s, n_samp,
+            out["alleles"], lambda x: None if x < 0 else int(x),
+        )
+    if phase_vals is not None and int(row["q1"]) > int(row["q0"]):
+        _apply_extra(
+            g, "phase", row["q0"], row["q1"], row["qo"], s, n_samp,
+            out["phased"], lambda x: bool(x),
+        )
     for k, (name, kind, is_arr) in enumerate(fmeta):
         node = g.node(f"annotation/format/{name}/data")
         r0, r1 = int(row["f0"][k]), int(row["f1"][k])
@@ -437,6 +482,27 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta):
             off += c
         out[name] = vals
     return pd.DataFrame(out)
+
+
+def _apply_extra(g, folder, e0, e1, off0, s, n_samp, lists, conv):
+    """Append overflow values from <folder>/extra to the per-call lists
+    for extra.index entries [e0, e1)."""
+    e0, e1, off0 = int(e0), int(e1), int(off0)
+    trip = np.asarray(
+        _node_slice_2d(g, g.node(f"{folder}/extra.index"), e0, e1, 3)
+    ).reshape(-1, 3)
+    total = int(trip[:, 2].sum())
+    vals = np.asarray(
+        _node_slice(g, g.node(f"{folder}/extra"), off0, off0 + total)
+    )
+    off = 0
+    for sidx, vidx, ln in trip:
+        li = int(vidx) - 1 - s
+        j = int(sidx) - 1
+        ln = int(ln)
+        k = li * n_samp + j
+        lists[k] = list(lists[k]) + [conv(x) for x in vals[off:off + ln]]
+        off += ln
 
 
 def _node_slice_2d(g, node, r0, r1, n_cols):

@@ -4,28 +4,48 @@ Completes the "GDS read/write" contract (reference: seqVCF2GDS writes
 the container, R/ConvVCF2GDS.R:559-1465; node layout R/AllClasses.R:
 20-24): a SeqDataset exports to a `.gds` file laid out like the
 reference's own fixtures — same node tree (sample.id / variant.id /
-position / chromosome / allele / genotype/data+@data / phase/data /
-annotation/{id,qual,filter} / annotation/info/* / annotation/format/*/
-{data,@data} / sample.annotation/*), same fragment + object-stream byte
-format (calibrated against inst/extdata/CEU_Exon.gds), with data
-streams stored raw (uncompressed) for random access without codecs.
+position / chromosome / allele / genotype/{data,@data,extra.index,
+extra} / phase/{data,extra.index,extra} / annotation/{id,qual,filter} /
+annotation/info/* / annotation/format/*/{data,@data} /
+sample.annotation/*), same fragment + object-stream byte format
+(calibrated against inst/extdata/CEU_Exon.gds), with data streams
+stored raw (uncompressed) for random access without codecs.
+
+Mixed-ploidy calls follow the reference's genotype/extra mechanism
+(src/ConvVCF2GDS.cpp:1775-1797): the fixed [*, n_samp, ploidy] grid
+holds the first `ploidy` allele slots (short calls padded with missing,
+src/ConvVCF2GDS.cpp:1770-1773), and overflow slots go to genotype/extra
+with (sample.index, variant.index, length) triplets in
+genotype/extra.index; phase separators overflow to phase/extra the
+same way.
+
+Scale design: the writer never materializes the dataset on the driver.
+Variants are cut into blocks (contiguous in variant_id order); one
+Spark task per block encodes every node's byte fragment for its block
+(bit2 genotype planes, bit1 phase, varint strings, ragged INFO/FORMAT
+payloads) into a side directory next to the destination; the driver
+then stream-concatenates fragments into the single .gds with constant
+memory (only bit-packed nodes need a one-byte splice at unaligned
+block boundaries). Driver-side collects are bounded by O(n_blocks +
+n_samples), never O(n_variants x n_samples). The destination path must
+be reachable from every executor (shared FS — the same contract
+from_gds has).
+
 Round-trip is validated by reading the output back through the
 distributed reader (tests/test_gds_write.py).
-
-Scale note: GDS is a single-file interchange format; like the
-reference's writer this is a single-node sink (rows stream to the
-driver via toLocalIterator in sorted order, so peak memory is one
-column, not the dataset). The analytical path at 100 TB remains
-parquet (SeqDataset.export); write_gds exists so reference users can
-take results back to their R toolchain.
 """
 
 from __future__ import annotations
 
 import math
+import os
+import shutil
 import struct
 
 import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
 
 from seqarray_spark.sources.gds import _CLASS_SIGS
 
@@ -46,6 +66,8 @@ _ENT_PAD1 = bytes.fromhex("0300")        # entry[6:8]
 _ENT_SIG = bytes.fromhex("0902f500")     # entry[8:12]
 _ENT_PAD2 = bytes.fromhex("0944743112")  # entry[16:21]
 _ENT_PAD3 = bytes.fromhex("1544c66010")  # entry[25:30]
+
+_INT_NA = -(2 ** 31)
 
 
 def _varint_enc(n: int) -> bytes:
@@ -110,10 +132,14 @@ def _encode_values(kind: str, values) -> bytes:
 
 
 class _Builder:
-    """Accumulates streams; emit() lays them out as fragments."""
+    """Accumulates streams; emit() lays them out as fragments.
+
+    Small object/directory streams live in memory; bulk data streams can
+    be deferred — registered as (content_size, writer_fn) and streamed
+    straight to the output file at emit time (constant driver memory)."""
 
     def __init__(self):
-        self._streams: list[tuple[int, bytes]] = []
+        self._streams: list[tuple[int, object]] = []
         self._next_id = 1
 
     def new_id(self) -> int:
@@ -130,16 +156,26 @@ class _Builder:
         self.put(sid, _u48(len(raw)) + raw)
         return sid
 
+    def data_stream_deferred(self, content_size: int, writer) -> int:
+        sid = self.new_id()
+        self._streams.append((sid, ("deferred", content_size, writer)))
+        return sid
+
     def array_node(
         self,
         kind: str,
         dims: tuple[int, ...],
-        raw: bytes,
+        raw: bytes | None = None,
         attrs: dict | None = None,
+        deferred: tuple[int, object] | None = None,
     ) -> int:
-        """Array object stream + its raw data stream; returns the object
-        stream id (for the parent directory entry)."""
-        dsid = self.data_stream(raw)
+        """Array object stream + its data stream; returns the object
+        stream id (for the parent directory entry). Pass either `raw`
+        (in-memory payload) or `deferred=(content_size, writer_fn)`."""
+        if deferred is not None:
+            dsid = self.data_stream_deferred(deferred[0], deferred[1])
+        else:
+            dsid = self.data_stream(raw if raw is not None else b"")
         sig = _SIG_OF[kind]
         body = bytearray()
         body += bytes([len(sig)]) + sig
@@ -182,9 +218,16 @@ class _Builder:
         with open(path, "wb") as fh:
             fh.write(_PREFIX + struct.pack("<H", 0x0100) + struct.pack("<I", 1))
             for sid, payload in self._streams:
-                size = 16 + len(payload)
-                fh.write(_u48(size | _HEAD_BIT) + _u48(0) + struct.pack("<I", sid))
-                fh.write(payload)
+                if isinstance(payload, tuple) and payload[0] == "deferred":
+                    _, csize, writer = payload
+                    size = 16 + 6 + csize
+                    fh.write(_u48(size | _HEAD_BIT) + _u48(0) + struct.pack("<I", sid))
+                    fh.write(_u48(csize))
+                    writer(fh)
+                else:
+                    size = 16 + len(payload)
+                    fh.write(_u48(size | _HEAD_BIT) + _u48(0) + struct.pack("<I", sid))
+                    fh.write(payload)
 
 
 def _planes_needed(max_code: int) -> int:
@@ -196,30 +239,560 @@ def _planes_needed(max_code: int) -> int:
     return c
 
 
+def _planes_of(max_codes: np.ndarray) -> np.ndarray:
+    """Vectorized _planes_needed; max_code < 0 (all-missing) -> 1."""
+    planes = np.ones(len(max_codes), dtype=np.int64)
+    for c in range(1, 9):
+        planes[max_codes >= (1 << (2 * c)) - 1] = c + 1
+    return planes
+
+
+def _planes_sql(col):
+    """SQL twin of _planes_of (must match exactly — drives the
+    misaligned-boundary pre-pass)."""
+    e = F.lit(1)
+    for c in range(1, 9):
+        e = F.when(col >= (1 << (2 * c)) - 1, F.lit(c + 1)).otherwise(e)
+    return e
+
+
+def _explode(series: pd.Series):
+    """(lens, row_ids, positions, exploded) for a Series of list-likes.
+    Rows that are None/empty contribute len 0 and no exploded entries.
+    All C-speed pandas ops — no per-element Python loop."""
+    s = series.reset_index(drop=True)
+    lens = s.map(
+        lambda a: 0 if a is None or (isinstance(a, float) and np.isnan(a)) else len(a)
+    ).to_numpy(np.int64)
+    keep = s[lens > 0]
+    ex = keep.explode()
+    rid = ex.index.to_numpy(np.int64)
+    pos = ex.groupby(level=0).cumcount().to_numpy(np.int64)
+    return lens, rid, pos, ex
+
+
+def _frag_path(tmp: str, blk: int, key: str) -> str:
+    return os.path.join(tmp, f"b{blk:08d}.{key.replace('/', '~')}.bin")
+
+
+_MANIFEST_SCHEMA = "blk int, key string, nvals long, nbytes long, aux long, s long"
+_MANIFEST_COLS = ["blk", "key", "nvals", "nbytes", "aux", "s"]
+
+
+def _variant_index(variants, nblocks: int):
+    """(variant_id, __blk, __vidx) with __vidx = dense 0-based rank of
+    variant_id and __blk ascending with variant_id ranges. No global
+    sort, no driver data pull — per-partition enumeration + a
+    one-row-per-block offset join (same pattern as the VCF importer's
+    order ids, sources/vcf.py:299-360)."""
+    spark = variants.sparkSession
+    v = (
+        variants.select("variant_id")
+        .repartitionByRange(nblocks, "variant_id")
+        .sortWithinPartitions("variant_id")
+        .select("variant_id", F.spark_partition_id().alias("__blk"))
+    )
+
+    def _enum(batches):
+        i = 0
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "variant_id": pdf["variant_id"],
+                    "__blk": pdf["__blk"],
+                    "__i": np.arange(i, i + len(pdf), dtype=np.int64),
+                }
+            )
+            i += len(pdf)
+
+    t = v.mapInPandas(_enum, "variant_id long, __blk int, __i long").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    brows = sorted(
+        t.groupBy("__blk").agg(F.count("*").alias("n")).collect(),
+        key=lambda r: r["__blk"],
+    )
+    off, offs = 0, []
+    for r in brows:
+        offs.append((r["__blk"], off))
+        off += r["n"]
+    odf = spark.createDataFrame(offs or [(0, 0)], "__blk int, __off long")
+    vindex = (
+        t.join(F.broadcast(odf), "__blk")
+        .withColumn("__vidx", F.col("__off") + F.col("__i"))
+        .select("variant_id", "__blk", "__vidx")
+        # materialize: freezes the block assignment across the encode
+        # passes and makes the index joinable from both the variants and
+        # the calls side without self-join ambiguity
+        .localCheckpoint()
+    )
+    t.unpersist()
+    return vindex, {b: o for b, o in offs}
+
+
+def _info_meta(ds, info_fields):
+    if "info" not in ds.variants.columns:
+        return []
+    out = []
+    for fld in ds.variants.schema["info"].dataType.fields:
+        if info_fields is not None and fld.name not in info_fields:
+            continue
+        dt = fld.dataType.simpleString()
+        if dt.startswith("array"):
+            elem = dt[6:-1]
+            kind = (
+                "vlstr" if "string" in elem
+                else "float32" if elem in ("double", "float") else "int32"
+            )
+            out.append((fld.name, kind, True))
+        elif dt == "boolean":
+            out.append((fld.name, "bit1", False))
+        elif dt == "string":
+            out.append((fld.name, "vlstr", False))
+        elif dt in ("double", "float"):
+            out.append((fld.name, "float32", False))
+        else:
+            out.append((fld.name, "int32", False))
+    return out
+
+
+def _fmt_meta(calls, format_fields):
+    if calls is None:
+        return []
+    out = []
+    for fld in calls.schema.fields:
+        if fld.name in ("variant_id", "sample_id", "alleles", "phased", "vcf_errors"):
+            continue
+        if format_fields is not None and fld.name not in format_fields:
+            continue
+        dt = fld.dataType.simpleString()
+        is_arr = dt.startswith("array")
+        elem = dt[6:-1] if is_arr else dt
+        kind = (
+            "vlstr" if elem == "string"
+            else "float32" if elem in ("double", "float") else "int32"
+        )
+        out.append((fld.name, kind, is_arr))
+    return out
+
+
+def _fill_of(kind: str):
+    if kind == "vlstr":
+        return ""
+    if kind == "float32":
+        return math.nan
+    return _INT_NA
+
+
+def _np_dtype(kind: str):
+    return {"int32": np.int64, "float32": np.float64}.get(kind, object)
+
+
+def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta, plane0):
+    """Per-block encoder: takes the block's variants (+ calls) and writes
+    one fragment file per node; returns manifest rows. Runs in executor
+    tasks — everything vectorized via pandas explode + numpy scatter."""
+    n_samp = len(sample_ids)
+    sample_pos = {s: i for i, s in enumerate(sample_ids)}
+    nsp = n_samp * ploidy
+
+    def kernel(key, vdf, cdf):
+        blk = int(key[0])
+        rows = []
+        if len(vdf) == 0:
+            return _manifest_pdf(rows)
+
+        def emit(kname, kind=None, values=None, raw=None, nvals=None, aux=0, s=-1):
+            if raw is None:
+                raw = _encode_values(kind, values)
+                if nvals is None:
+                    nvals = len(values)
+            p = _frag_path(tmp, blk, kname)
+            if len(raw):
+                tmpp = p + ".w"
+                with open(tmpp, "wb") as fh:
+                    fh.write(raw)
+                os.replace(tmpp, p)
+            rows.append((blk, kname, int(nvals), len(raw), int(aux), int(s)))
+
+        vdf = vdf.sort_values("__vidx")
+        nv = len(vdf)
+        v0 = int(vdf["__vidx"].iloc[0])
+        vids = vdf["variant_id"].to_numpy(np.int64)
+
+        # ---- per-variant fixed nodes ---------------------------------
+        emit("variant.id", "int32", vids)
+        emit("position", "int32",
+             pd.to_numeric(vdf["position"]).fillna(0).to_numpy(np.int64))
+        emit("chromosome", "vlstr", vdf["chromosome"].tolist())
+        allele_strs = [
+            ",".join([(r or "")] + (list(a) if a is not None and len(a) else []))
+            for r, a in zip(vdf["ref"], vdf["alt"])
+        ]
+        emit("allele", "vlstr", allele_strs)
+        emit("ann.id", "vlstr", ["" if x is None else x for x in vdf["id"]])
+        emit("ann.qual", "float32",
+             pd.to_numeric(vdf["qual"]).to_numpy(np.float64))
+        emit("ann.filter", "int32",
+             [lut.get(x, 0) for x in vdf["filter"]])
+
+        # ---- INFO ----------------------------------------------------
+        for name, kind, is_arr in info_meta:
+            col = vdf[f"__info_{name}"]
+            ik = f"info.{name}"
+            if is_arr:
+                lens, _, _, ex = _explode(col)
+                if kind == "vlstr":
+                    flat = ["" if pd.isna(x) else str(x) for x in ex]
+                else:
+                    flat = pd.to_numeric(ex, errors="coerce").to_numpy(np.float64)
+                    if kind == "int32":
+                        flat = np.where(np.isnan(flat), _INT_NA, flat).astype(np.int64)
+                emit(ik, kind, flat, nvals=len(ex))
+                emit(f"info.@{name}", "int32", lens)
+            elif kind == "bit1":
+                vals = col.fillna(False).astype(bool).to_numpy().astype(np.uint8)
+                pad = v0 % 8
+                raw = _encode_values(
+                    "bit1", np.concatenate([np.zeros(pad, np.uint8), vals])
+                )
+                emit(ik, raw=raw, nvals=nv, s=v0)
+            elif kind == "vlstr":
+                emit(ik, "vlstr", ["" if x is None else x for x in col])
+            else:
+                vals = pd.to_numeric(col).to_numpy(np.float64)
+                if kind == "int32":
+                    vals = np.where(np.isnan(vals), _INT_NA, vals).astype(np.int64)
+                emit(ik, kind, vals)
+
+        if n_samp == 0 or cdf is None or len(cdf.columns) == 0:
+            return _manifest_pdf(rows)
+
+        # ---- calls grid scatter --------------------------------------
+        li = np.searchsorted(vids, cdf["variant_id"].to_numpy(np.int64))
+        si = cdf["sample_id"].map(sample_pos).to_numpy(np.int64)
+
+        # genotype: slot grid + extras (reference mixed-ploidy layout,
+        # src/ConvVCF2GDS.cpp:1740-1797)
+        lens, rid, pos, ex = _explode(cdf["alleles"])
+        vals = pd.to_numeric(ex, errors="coerce").to_numpy(np.float64)
+        ival = np.where(np.isnan(vals), -1, vals).astype(np.int64)
+        r_li, r_si = li[rid], si[rid]
+        slot = pos < ploidy
+        codes = np.full((nv, n_samp, ploidy), -1, dtype=np.int64)
+        codes[r_li[slot], r_si[slot], pos[slot]] = ival[slot]
+        mc = codes.max(axis=(1, 2)) if codes.size else np.full(nv, -1, np.int64)
+        planes = _planes_of(mc)
+        miss = (1 << (2 * planes)) - 1
+        codes_f = np.where(codes < 0, miss[:, None, None], codes)
+        chunks = []
+        for i in range(nv):
+            c = int(planes[i])
+            pl = (codes_f[i].ravel()[None, :] >> (2 * np.arange(c)[:, None])) & 3
+            chunks.append(pl.ravel())
+        stream = (
+            np.concatenate(chunks).astype(np.uint8)
+            if chunks else np.zeros(0, np.uint8)
+        )
+        if plane0 is not None:
+            s_g = plane0.get(blk, 0) * nsp
+        else:
+            s_g = -1  # byte-aligned blocks: plain concatenation
+        pad = (s_g % 4) if s_g >= 0 else 0
+        raw = _encode_values("bit2", np.concatenate([np.zeros(pad, np.uint8), stream]))
+        emit("geno.data", raw=raw, nvals=len(stream), s=s_g)
+        emit("geno.idx", "uint8", planes, aux=int(planes.sum()))
+
+        def extras(mask, values, e_li, e_si, e_pos, kname_data, kname_idx, data_kind):
+            if not mask.any():
+                emit(kname_data, raw=b"", nvals=0)
+                emit(kname_idx, raw=b"", nvals=0)
+                return
+            gkey = e_li[mask] * n_samp + e_si[mask]
+            order = np.lexsort((e_pos[mask], gkey))
+            ev = values[mask][order]
+            ks = gkey[order]
+            uk, cnt = np.unique(ks, return_counts=True)
+            trip = np.empty((len(uk), 3), dtype=np.int64)
+            trip[:, 0] = uk % n_samp + 1          # sample.index, 1-based
+            trip[:, 1] = v0 + uk // n_samp + 1    # variant.index, 1-based
+            trip[:, 2] = cnt
+            emit(kname_data, data_kind, ev)
+            emit(kname_idx, "int32", trip.ravel(), nvals=len(uk) * 3, aux=len(uk))
+
+        extras(pos >= ploidy, ival, r_li, r_si, pos,
+               "geno.extra", "geno.extraidx", "int16")
+
+        # phase: bit1 grid + extras
+        if ploidy > 1:
+            plens, prid, ppos, pex = _explode(cdf["phased"])
+            pvals = pd.to_numeric(pex, errors="coerce").to_numpy(np.float64)
+            pint = np.where(np.isnan(pvals), 0, pvals).astype(np.int64)
+            p_li, p_si = li[prid], si[prid]
+            pslot = ppos < ploidy - 1
+            pgrid = np.zeros((nv, n_samp, ploidy - 1), dtype=np.uint8)
+            pgrid[p_li[pslot], p_si[pslot], ppos[pslot]] = pint[pslot].astype(np.uint8)
+            s_p = v0 * n_samp * (ploidy - 1)
+            padp = s_p % 8
+            raw = _encode_values(
+                "bit1",
+                np.concatenate([np.zeros(padp, np.uint8), pgrid.ravel()]),
+            )
+            emit("phase.data", raw=raw, nvals=pgrid.size, s=s_p)
+            # overflow phase bits: values staged raw (uint8/value); the
+            # driver bit-packs at assembly (counts are tiny and block
+            # start offsets are unknowable before the pass)
+            extras(ppos >= ploidy - 1, pint, p_li, p_si, ppos,
+                   "phase.extra", "phase.extraidx", "uint8")
+
+        # ---- FORMAT --------------------------------------------------
+        for name, kind, is_arr in fmt_meta:
+            col = cdf[name]
+            fill = _fill_of(kind)
+            dt = _np_dtype(kind)
+            if not is_arr:
+                grid = np.full((nv, n_samp), fill, dtype=dt)
+                if kind == "vlstr":
+                    cv = col.to_numpy(dtype=object)
+                    m = np.array([x is not None and x == x for x in cv], dtype=bool)
+                    grid[li[m], si[m]] = cv[m]
+                else:
+                    v = pd.to_numeric(col).to_numpy(np.float64)
+                    m = ~np.isnan(v)
+                    grid[li[m], si[m]] = v[m]
+                flat = grid.ravel()
+                if kind == "int32":
+                    flat = flat.astype(np.int64)
+                emit(f"fmt.{name}.data", kind, flat, nvals=nv * n_samp)
+                emit(f"fmt.{name}.idx", "int32", np.ones(nv, np.int64), aux=nv)
+            else:
+                flens, frid, fpos, fex = _explode(col)
+                rows_per_var = np.zeros(nv, dtype=np.int64)
+                np.maximum.at(rows_per_var, li, flens)
+                roff = np.concatenate([[0], np.cumsum(rows_per_var)])
+                total = int(roff[-1])
+                grid = np.full((total, n_samp), fill, dtype=dt)
+                rr = roff[li[frid]] + fpos
+                cc = si[frid]
+                if kind == "vlstr":
+                    fv = np.asarray(
+                        ["" if pd.isna(x) else str(x) for x in fex], dtype=object
+                    )
+                    grid[rr, cc] = fv
+                else:
+                    fv = pd.to_numeric(fex, errors="coerce").to_numpy(np.float64)
+                    keepm = ~np.isnan(fv)
+                    grid[rr[keepm], cc[keepm]] = fv[keepm]
+                flat = grid.ravel()
+                if kind == "int32":
+                    flat = flat.astype(np.int64)
+                emit(f"fmt.{name}.data", kind, flat, nvals=total * n_samp, aux=total)
+                emit(f"fmt.{name}.idx", "int32", rows_per_var, aux=total)
+
+        return _manifest_pdf(rows)
+
+    return kernel
+
+
+def _manifest_pdf(rows) -> pd.DataFrame:
+    df = pd.DataFrame(rows, columns=_MANIFEST_COLS)
+    df["blk"] = df["blk"].astype("int32")
+    df["key"] = df["key"].astype(object)
+    for c in ("nvals", "nbytes", "aux", "s"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# driver-side assembly: fragment files -> single .gds, constant memory
+
+
+def _plain_writer(paths):
+    def w(fh):
+        for p in paths:
+            with open(p, "rb") as f:
+                shutil.copyfileobj(f, fh, 1 << 20)
+    return w
+
+
+def _bits_writer(frags, bits):
+    """Stream bit-packed fragments, splicing the one shared byte at each
+    unaligned block boundary (pad bits are zeros on both sides, so OR is
+    exact)."""
+    per = 8 // bits
+
+    def w(fh):
+        pend = None  # (byte_index, value) held-back final byte
+        for s, n, p in frags:
+            if n == 0:
+                continue
+            with open(p, "rb") as f:
+                buf = bytearray(f.read())
+            b0 = s // per
+            b1 = (s + n + per - 1) // per
+            assert len(buf) == b1 - b0, (p, len(buf), b1 - b0)
+            if pend is not None:
+                assert pend[0] == b0, "bit fragments not contiguous"
+                buf[0] |= pend[1]
+            if (s + n) % per:
+                pend = (b1 - 1, buf[-1])
+                fh.write(bytes(buf[:-1]))
+            else:
+                pend = None
+                fh.write(bytes(buf))
+        if pend is not None:
+            fh.write(bytes([pend[1]]))
+    return w
+
+
+def _pack_bits_writer(paths, bits):
+    """Driver-side bit pack for tiny raw-staged value streams
+    (phase.extra overflow bits)."""
+    def w(fh):
+        vals = [np.frombuffer(open(p, "rb").read(), np.uint8) for p in paths]
+        allv = np.concatenate(vals) if vals else np.zeros(0, np.uint8)
+        fh.write(_encode_values("bit1" if bits == 1 else "bit2", allv))
+    return w
+
+
 def write_gds(ds, path: str, info_fields: list[str] | None = None,
-              format_fields: list[str] | None = None) -> None:
+              format_fields: list[str] | None = None,
+              block_variants: int | None = None) -> None:
     """SeqDataset -> .gds container (reference writer: seqVCF2GDS,
     R/ConvVCF2GDS.R:559-1465). Read back with SeqDataset.from_gds.
 
-    Floats are stored as float32 (the reference stores VCF Type=Float
-    the same way); missing ints as INT32_MIN, missing floats as NaN —
-    both the reference's NA conventions."""
-    variants = ds.variants.orderBy("variant_id")
-    vrows = variants.collect()
-    n_var = len(vrows)
+    Distributed: executor tasks encode per-block node fragments; the
+    driver stream-assembles them (see module docstring). Floats are
+    stored as float32 (the reference stores VCF Type=Float the same
+    way); missing ints as INT32_MIN, missing floats as NaN — both the
+    reference's NA conventions."""
+    spark = ds.variants.sparkSession
+    variants = ds.variants
+    calls = ds._base_calls
+    ploidy = ds.ploidy
     sample_ids = (
         [r[0] for r in ds.samples.select("sample_id").orderBy("sample_id").collect()]
         if ds.samples is not None
         else []
     )
     n_samp = len(sample_ids)
-    ploidy = ds.ploidy
+
+    n_var = variants.count()
+    if block_variants is None:
+        # target ~2M grid cells per task so block memory stays bounded
+        # regardless of sample count
+        block_variants = min(max(2_000_000 // max(n_samp, 1), 64), 65536)
+    nblocks = max(1, math.ceil(n_var / block_variants))
+
+    levels = sorted(
+        r[0]
+        for r in variants.select("filter")
+        .where(F.col("filter").isNotNull())
+        .distinct()
+        .collect()
+    )
+    lut = {s: i + 1 for i, s in enumerate(levels)}
+
+    vindex, block_v0 = _variant_index(variants, nblocks)
+    imeta = _info_meta(ds, info_fields)
+    fmeta = _fmt_meta(calls, format_fields) if n_samp else []
+
+    # misaligned genotype boundaries need per-block plane offsets
+    # (values-per-plane not a multiple of 4): one cheap pre-pass
+    plane0 = None
+    if calls is not None and n_samp and (n_samp * ploidy) % 4 != 0:
+        pv = (
+            calls.select(
+                "variant_id", F.slice("alleles", 1, ploidy).alias("__a")
+            )
+            .groupBy("variant_id")
+            .agg(F.coalesce(F.max(F.array_max("__a")), F.lit(-1)).alias("__mc"))
+        )
+        pb = (
+            vindex.join(pv, "variant_id", "left")
+            .withColumn(
+                "__planes", _planes_sql(F.coalesce(F.col("__mc"), F.lit(-1)))
+            )
+            .groupBy("__blk")
+            .agg(F.sum("__planes").alias("__p"))
+            .collect()
+        )
+        off, plane0 = 0, {}
+        for r in sorted(pb, key=lambda r: r["__blk"]):
+            plane0[r["__blk"]] = off
+            off += r["__p"]
+
+    tmp = path + ".parts"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    try:
+        vcols = [
+            "variant_id", "position", "chromosome", "ref", "alt", "id",
+            "qual", "filter",
+        ] + [F.col(f"info.{n}").alias(f"__info_{n}") for n, _, _ in imeta]
+        vmeta = variants.select(*vcols).join(vindex, "variant_id")
+        kernel = _make_encode_kernel(
+            tmp, sample_ids, ploidy, lut, imeta, fmeta, plane0
+        )
+        vgrp = vmeta.groupBy("__blk")
+        if calls is not None and n_samp:
+            ccols = ["variant_id", "sample_id", "alleles", "phased"] + [
+                n for n, _, _ in fmeta
+            ]
+            # fresh attribute for the calls-side key (cogroup would see a
+            # self-join ambiguity if both sides carried vindex's __blk)
+            cj = calls.select(*ccols).join(
+                vindex.select(
+                    "variant_id", F.col("__blk").alias("__cblk")
+                ),
+                "variant_id",
+            )
+            man_df = vgrp.cogroup(cj.groupBy("__cblk")).applyInPandas(
+                kernel, _MANIFEST_SCHEMA
+            )
+        else:
+            man_df = vgrp.applyInPandas(
+                lambda key, pdf: kernel(key, pdf, None), _MANIFEST_SCHEMA
+            )
+        manifest = man_df.collect()
+        _assemble(
+            ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
+            ploidy, imeta, fmeta,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
+              ploidy, imeta, fmeta) -> None:
+    frags: dict[str, list] = {}
+    for r in manifest:
+        frags.setdefault(r["key"], []).append(
+            (r["blk"], r["nvals"], r["nbytes"], r["aux"], r["s"])
+        )
+    for k in frags:
+        frags[k].sort(key=lambda x: x[0])
+
+    def tot(key, idx=1):
+        return sum(x[idx] for x in frags.get(key, []))
+
+    def deferred(key, bits=None):
+        fl = frags.get(key, [])
+        if bits is not None and any(x[4] >= 0 for x in fl):
+            spec = [
+                (x[4], x[1], _frag_path(tmp, x[0], key)) for x in fl if x[1] > 0
+            ]
+            nv_total = tot(key)
+            size = (nv_total * bits + 7) // 8
+            return size, _bits_writer(spec, bits)
+        paths = [_frag_path(tmp, x[0], key) for x in fl if x[2] > 0]
+        return tot(key, 2), _plain_writer(paths)
 
     b = _Builder()
     root_id = b.new_id()  # = 1
     entries: list[tuple[int, str, bool]] = []
 
-    # description folder (reference: FileFormat attr on it)
     desc_id = b.new_id()
     b.folder(desc_id, [], attrs={"FileFormat": "SEQ_ARRAY", "FileVersion": "v1.0"})
     entries.append((desc_id, "description", True))
@@ -228,229 +801,143 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
         (b.array_node("vlstr", (n_samp,), _encode_values("vlstr", sample_ids)),
          "sample.id", False)
     )
-    vids = [r["variant_id"] for r in vrows]
     entries.append(
-        (b.array_node("int32", (n_var,), _encode_values("int32", vids)),
+        (b.array_node("int32", (n_var,), deferred=deferred("variant.id")),
          "variant.id", False)
     )
     entries.append(
-        (b.array_node(
-            "int32", (n_var,),
-            _encode_values("int32", [r["position"] or 0 for r in vrows])),
+        (b.array_node("int32", (n_var,), deferred=deferred("position")),
          "position", False)
     )
     entries.append(
-        (b.array_node(
-            "vlstr", (n_var,),
-            _encode_values("vlstr", [r["chromosome"] for r in vrows])),
+        (b.array_node("vlstr", (n_var,), deferred=deferred("chromosome")),
          "chromosome", False)
     )
-    allele_strs = [
-        ",".join([r["ref"] or ""] + list(r["alt"] or [])) for r in vrows
-    ]
     entries.append(
-        (b.array_node("vlstr", (n_var,), _encode_values("vlstr", allele_strs)),
+        (b.array_node("vlstr", (n_var,), deferred=deferred("allele")),
          "allele", False)
     )
 
-    # ---- genotype + phase -------------------------------------------------
-    calls = ds._base_calls
-    if calls is not None and n_samp:
-        sidx = {s: i for i, s in enumerate(sample_ids)}
-        vidx = {v: i for i, v in enumerate(vids)}
-        # dense (variant, sample, slot) grid, missing-filled
-        codes = np.full((n_var, n_samp, ploidy), -1, dtype=np.int64)
-        phases = np.zeros((n_var, n_samp, max(ploidy - 1, 1)), dtype=np.uint8)
-        crows = calls.select("variant_id", "sample_id", "alleles", "phased")
-        for r in crows.toLocalIterator():
-            i, j = vidx.get(r["variant_id"]), sidx.get(r["sample_id"])
-            if i is None or j is None:
-                continue
-            al = r["alleles"]
-            if al is not None:
-                for k in range(min(len(al), ploidy)):
-                    if al[k] is not None and int(al[k]) > codes[i, j, k]:
-                        codes[i, j, k] = int(al[k])
-            ph = r["phased"]
-            if ph:
-                for k in range(min(len(ph), ploidy - 1)):
-                    phases[i, j, k] |= bool(ph[k])
-        max_code = codes.max(axis=(1, 2))  # -1 where all missing
-        planes = np.array(
-            [_planes_needed(int(m)) if m >= 0 else 1 for m in max_code],
-            dtype=np.int64,
-        )
-        bit2_vals = []
-        for i in range(n_var):
-            c = int(planes[i])
-            miss = (1 << (2 * c)) - 1
-            vcodes = np.where(codes[i] < 0, miss, codes[i])  # (n_samp, ploidy)
-            for k in range(c):
-                bit2_vals.append(((vcodes >> (2 * k)) & 3).ravel())
-        flat = np.concatenate(bit2_vals) if bit2_vals else np.zeros(0, dtype=np.int64)
+    has_calls = bool(frags.get("geno.data") is not None or frags.get("geno.idx"))
+    if has_calls and n_samp:
+        plane_total = tot("geno.idx", 3)
         geno_data_id = b.array_node(
-            "bit2", (int(planes.sum()), n_samp, ploidy),
-            _encode_values("bit2", flat),
+            "bit2", (plane_total, n_samp, ploidy),
+            deferred=deferred("geno.data", bits=2),
         )
-        geno_idx_id = b.array_node("uint8", (n_var,), _encode_values("uint8", planes))
+        geno_idx_id = b.array_node(
+            "uint8", (n_var,), deferred=deferred("geno.idx")
+        )
+        n_ge = tot("geno.extraidx", 3)
+        ge_idx_id = b.array_node(
+            "int32", (n_ge, 3), deferred=deferred("geno.extraidx"),
+            attrs={"R.colnames": ["sample.index", "variant.index", "length"]},
+        )
+        ge_id = b.array_node(
+            "int16", (tot("geno.extra"),), deferred=deferred("geno.extra")
+        )
         geno_folder = b.new_id()
-        b.folder(geno_folder, [(geno_data_id, "data", False), (geno_idx_id, "@data", False)])
+        b.folder(geno_folder, [
+            (geno_data_id, "data", False),
+            (geno_idx_id, "@data", False),
+            (ge_idx_id, "extra.index", False),
+            (ge_id, "extra", False),
+        ])
         entries.append((geno_folder, "genotype", True))
 
         if ploidy > 1:
             phase_data_id = b.array_node(
                 "bit1", (n_var, n_samp, ploidy - 1),
-                _encode_values("bit1", phases[:, :, : ploidy - 1].ravel()),
+                deferred=deferred("phase.data", bits=1),
+            )
+            n_pe = tot("phase.extraidx", 3)
+            pe_idx_id = b.array_node(
+                "int32", (n_pe, 3), deferred=deferred("phase.extraidx"),
+                attrs={"R.colnames": ["sample.index", "variant.index", "length"]},
+            )
+            pe_vals = tot("phase.extra")
+            pe_paths = [
+                _frag_path(tmp, x[0], "phase.extra")
+                for x in frags.get("phase.extra", []) if x[2] > 0
+            ]
+            pe_id = b.array_node(
+                "bit1", (pe_vals,),
+                deferred=((pe_vals + 7) // 8, _pack_bits_writer(pe_paths, 1)),
             )
             phase_folder = b.new_id()
-            b.folder(phase_folder, [(phase_data_id, "data", False)])
+            b.folder(phase_folder, [
+                (phase_data_id, "data", False),
+                (pe_idx_id, "extra.index", False),
+                (pe_id, "extra", False),
+            ])
             entries.append((phase_folder, "phase", True))
 
     # ---- annotation -------------------------------------------------------
     ann_entries: list[tuple[int, str, bool]] = []
     ann_entries.append(
-        (b.array_node(
-            "vlstr", (n_var,),
-            _encode_values("vlstr", [r["id"] or "" for r in vrows])),
-         "id", False)
+        (b.array_node("vlstr", (n_var,), deferred=deferred("ann.id")), "id", False)
     )
-    quals = [r["qual"] for r in vrows]
     ann_entries.append(
-        (b.array_node(
-            "float32", (n_var,),
-            _encode_values("float32", [math.nan if q is None else q for q in quals])),
+        (b.array_node("float32", (n_var,), deferred=deferred("ann.qual")),
          "qual", False)
     )
-    levels = sorted({r["filter"] for r in vrows if r["filter"] is not None})
-    lut = {s: i + 1 for i, s in enumerate(levels)}
     ann_entries.append(
         (b.array_node(
-            "int32", (n_var,),
-            _encode_values("int32", [lut.get(r["filter"], 0) for r in vrows]),
+            "int32", (n_var,), deferred=deferred("ann.filter"),
             attrs={"R.class": "factor", "R.levels": levels}),
          "filter", False)
     )
 
-    # INFO columns from the struct
     info_entries: list[tuple[int, str, bool]] = []
-    if "info" in ds.variants.columns:
-        ifields = [
-            f for f in ds.variants.schema["info"].dataType.fields
-            if info_fields is None or f.name in info_fields
-        ]
-        for fld in ifields:
-            vals = [r["info"][fld.name] if r["info"] else None for r in vrows]
-            dt = fld.dataType.simpleString()
-            if dt.startswith("array"):
-                counts = [0 if v is None else len(v) for v in vals]
-                flat = [x for v in vals if v is not None for x in v]
-                kind = "float32" if "double" in dt or "float" in dt else "int32"
-                if "string" in dt:
-                    kind = "vlstr"
-                afill = "" if kind == "vlstr" else (
-                    math.nan if kind == "float32" else -(2 ** 31))
-                fl = [afill if x is None else x for x in flat]
-                info_entries.append(
-                    (b.array_node(kind, (len(flat),), _encode_values(kind, fl)),
-                     fld.name, False)
-                )
-                info_entries.append(
-                    (b.array_node("int32", (n_var,), _encode_values("int32", counts)),
-                     f"@{fld.name}", False)
-                )
-            elif dt == "boolean":
-                info_entries.append(
-                    (b.array_node(
-                        "bit1", (n_var,),
-                        _encode_values("bit1", [1 if v else 0 for v in vals])),
-                     fld.name, False)
-                )
-            elif dt == "string":
-                info_entries.append(
-                    (b.array_node("vlstr", (n_var,), _encode_values("vlstr", vals)),
-                     fld.name, False)
-                )
-            else:
-                kind = "float32" if dt in ("double", "float") else "int32"
-                fill = math.nan if kind == "float32" else -(2 ** 31)
-                info_entries.append(
-                    (b.array_node(
-                        kind, (n_var,),
-                        _encode_values(kind, [fill if v is None else v for v in vals])),
-                     fld.name, False)
-                )
+    for name, kind, is_arr in imeta:
+        if is_arr:
+            info_entries.append(
+                (b.array_node(
+                    kind, (tot(f"info.{name}"),), deferred=deferred(f"info.{name}")),
+                 name, False)
+            )
+            info_entries.append(
+                (b.array_node(
+                    "int32", (n_var,), deferred=deferred(f"info.@{name}")),
+                 f"@{name}", False)
+            )
+        elif kind == "bit1":
+            info_entries.append(
+                (b.array_node(
+                    "bit1", (n_var,), deferred=deferred(f"info.{name}", bits=1)),
+                 name, False)
+            )
+        else:
+            info_entries.append(
+                (b.array_node(
+                    kind, (n_var,), deferred=deferred(f"info.{name}")),
+                 name, False)
+            )
     info_folder = b.new_id()
     b.folder(info_folder, info_entries)
     ann_entries.append((info_folder, "info", True))
 
-    # FORMAT columns from calls (scalar + array, Number from shape)
     fmt_entries: list[tuple[int, str, bool]] = []
-    if calls is not None and n_samp:
-        fcols = [
-            f for f in calls.schema.fields
-            if f.name not in ("variant_id", "sample_id", "alleles", "phased", "vcf_errors")
-            and (format_fields is None or f.name in format_fields)
-        ]
-        for fld in fcols:
-            dt = fld.dataType.simpleString()
-            is_arr = dt.startswith("array")
-            grid: dict[tuple[int, int], object] = {}
-            for r in calls.select("variant_id", "sample_id", fld.name).toLocalIterator():
-                i, j = vidx.get(r["variant_id"]), sidx.get(r["sample_id"])
-                if i is None or j is None or r[fld.name] is None:
-                    continue
-                grid[(i, j)] = r[fld.name]
-            if is_arr:
-                elem = dt[6:-1]
-                kind = (
-                    "vlstr" if elem == "string"
-                    else "float32" if elem in ("double", "float") else "int32"
-                )
-                rows_per_var = [
-                    max([len(grid.get((i, j), []) or []) for j in range(n_samp)] + [0])
-                    for i in range(n_var)
-                ]
-                fill = "" if kind == "vlstr" else (math.nan if kind == "float32" else -(2 ** 31))
-                flat = []
-                for i in range(n_var):
-                    for rr in range(rows_per_var[i]):
-                        for j in range(n_samp):
-                            v = grid.get((i, j))
-                            flat.append(v[rr] if v is not None and rr < len(v) and v[rr] is not None else fill)
-                data_id = b.array_node(
-                    kind, (sum(rows_per_var), n_samp), _encode_values(kind, flat)
-                )
-                idx_id = b.array_node(
-                    "int32", (n_var,), _encode_values("int32", rows_per_var)
-                )
-                number = "."
-            else:
-                kind = (
-                    "vlstr" if dt == "string"
-                    else "float32" if dt in ("double", "float") else "int32"
-                )
-                fill = "" if kind == "vlstr" else (math.nan if kind == "float32" else -(2 ** 31))
-                flat = [
-                    grid.get((i, j), fill) if grid.get((i, j)) is not None else fill
-                    for i in range(n_var)
-                    for j in range(n_samp)
-                ]
-                data_id = b.array_node(kind, (n_var, n_samp), _encode_values(kind, flat))
-                idx_id = b.array_node(
-                    "int32", (n_var,), _encode_values("int32", [1] * n_var)
-                )
-                number = "1"
-            f_folder = b.new_id()
-            b.folder(
-                f_folder,
-                [(data_id, "data", False), (idx_id, "@data", False)],
-                attrs={
-                    "Number": number,
-                    "Type": "Float" if kind == "float32" else ("String" if kind == "vlstr" else "Integer"),
-                    "Description": "",
-                },
-            )
-            fmt_entries.append((f_folder, fld.name, True))
+    for name, kind, is_arr in fmeta:
+        rows_total = tot(f"fmt.{name}.idx", 3) if is_arr else n_var
+        data_id = b.array_node(
+            kind, (rows_total, n_samp), deferred=deferred(f"fmt.{name}.data")
+        )
+        idx_id = b.array_node(
+            "int32", (n_var,), deferred=deferred(f"fmt.{name}.idx")
+        )
+        f_folder = b.new_id()
+        b.folder(
+            f_folder,
+            [(data_id, "data", False), (idx_id, "@data", False)],
+            attrs={
+                "Number": "." if is_arr else "1",
+                "Type": "Float" if kind == "float32" else (
+                    "String" if kind == "vlstr" else "Integer"),
+                "Description": "",
+            },
+        )
+        fmt_entries.append((f_folder, name, True))
     fmt_folder = b.new_id()
     b.folder(fmt_folder, fmt_entries)
     ann_entries.append((fmt_folder, "format", True))
@@ -459,7 +946,7 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     b.folder(ann_folder, ann_entries)
     entries.append((ann_folder, "annotation", True))
 
-    # sample.annotation extras
+    # sample.annotation extras (O(n_samp) — driver-side by design)
     sa_entries: list[tuple[int, str, bool]] = []
     if ds.samples is not None:
         extra = [c for c in ds.samples.columns if c != "sample_id"]

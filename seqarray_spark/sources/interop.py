@@ -6,11 +6,12 @@
 - read_bcf: BCF via a `bcftools view` pipe into the VCF reader
   (reference: seqBCF2GDS R/ConvVCF2GDS.R:1473-1508) — gated on the
   binary being present.
-- GDS container files themselves are NOT read directly: the engine's
-  storage container is Parquet (SURVEY.md §1.5). Migration path from an
-  existing GDS deployment: export VCF with SeqArray, ingest with
-  read_vcf — a one-time conversion, the same position the reference
-  itself takes toward formats it doesn't own (BCF via bcftools).
+- GDS container files ARE read (and written) directly:
+  `SeqDataset.from_gds` (sources/gds.py + gds_spark.py, a pure-Python
+  CoreArray parser with distributed block decode) and
+  `SeqDataset.to_gds` (sources/gds_write.py). The engine's analytical
+  storage remains Parquet (SURVEY.md §1.5); from_gds/to_gds are the
+  migration bridge to/from an existing GDS deployment — no R required.
 """
 
 from __future__ import annotations
