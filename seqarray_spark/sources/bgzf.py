@@ -52,26 +52,48 @@ def _block(data: bytes, level: int = 6) -> bytes:
 
 class BgzfWriter:
     """File-like BGZF sink: buffers to _BLOCK_SIZE, emits one gzip
-    member per block, writes the EOF marker on close."""
+    member per block, writes the EOF marker on close.
 
-    def __init__(self, path: str, level: int = 6):
+    write_eof=False produces a concatenatable fragment (no terminator):
+    executor tasks compress their partitions independently and the
+    driver byte-concatenates fragments + one EOF — zero driver-side
+    deflate work.
+
+    tell_virtual() returns the BGZF virtual offset of the next byte to
+    be written: (compressed_offset_of_current_block << 16) |
+    offset_within_uncompressed_block — the coordinate tabix chunks and
+    linear-index entries use. Fragments start at a block boundary, so a
+    fragment-local virtual offset globalizes by adding
+    (fragment_start_byte << 16)."""
+
+    def __init__(self, path: str, level: int = 6, write_eof: bool = True):
         self._fh = open(path, "wb")
         self._buf = bytearray()
         self._level = level
+        self._coff = 0
+        self._write_eof = write_eof
 
     def write(self, data: bytes | str) -> None:
         if isinstance(data, str):
             data = data.encode("utf-8")
         self._buf += data
         while len(self._buf) >= _BLOCK_SIZE:
-            self._fh.write(_block(bytes(self._buf[:_BLOCK_SIZE]), self._level))
+            blk = _block(bytes(self._buf[:_BLOCK_SIZE]), self._level)
+            self._fh.write(blk)
+            self._coff += len(blk)
             del self._buf[:_BLOCK_SIZE]
+
+    def tell_virtual(self) -> int:
+        return (self._coff << 16) | len(self._buf)
 
     def close(self) -> None:
         if self._buf:
-            self._fh.write(_block(bytes(self._buf), self._level))
+            blk = _block(bytes(self._buf), self._level)
+            self._fh.write(blk)
+            self._coff += len(blk)
             self._buf.clear()
-        self._fh.write(BGZF_EOF)
+        if self._write_eof:
+            self._fh.write(BGZF_EOF)
         self._fh.close()
 
     def __enter__(self):

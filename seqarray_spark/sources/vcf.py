@@ -692,6 +692,9 @@ def write_vcf(
         ).alias("__fixed"),
         "chromosome",
         "position",
+        # REF length feeds the tabix end coordinate (htslib tbx.c infers
+        # end = pos + len(REF) for the VCF preset)
+        F.coalesce(F.length("ref"), F.lit(1)).alias("__rlen"),
     )
 
     sample_ids = (
@@ -748,21 +751,12 @@ def write_vcf(
             ).alias("value"),
             "chromosome",
             "position",
+            "__rlen",
         )
     else:
-        lines = fixed.select(F.col("__fixed").alias("value"), "chromosome", "position")
-
-    writer = (
-        lines.repartitionByRange(max(1, lines.rdd.getNumPartitions()), "chromosome", "position")
-        .sortWithinPartitions("chromosome", "position")
-        .select("value")
-        .write.mode("overwrite")
-    )
-    if compression and compression != "bgzf":
-        # gzip/bzip2/lz4 part files (reference exports gzip/bgzf/bz2/xz,
-        # R/Conversion.R:150-152)
-        writer = writer.option("compression", compression)
-    writer.text(out_path)
+        lines = fixed.select(
+            F.col("__fixed").alias("value"), "chromosome", "position", "__rlen"
+        )
 
     if header is not None:
         # raw meta verbatim when the caller kept it; else regenerate the
@@ -776,21 +770,153 @@ def write_vcf(
     if sample_ids:
         chrom_line += "\tFORMAT\t" + "\t".join(sample_ids)
     header_text = "\n".join(hdr_lines + [chrom_line]) + "\n"
+
+    spark = variants.sparkSession
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    ordered = lines.repartitionByRange(
+        nparts, "chromosome", "position"
+    ).sortWithinPartitions("chromosome", "position")
+
+    if compression == "bgzf":
+        _write_bgzf_indexed(ordered, out_path, header_text)
+    else:
+        writer = ordered.select("value").write.mode("overwrite")
+        if compression:
+            # gzip/bzip2/lz4 part files (reference exports gzip/bgzf/bz2/
+            # xz, R/Conversion.R:150-152)
+            writer = writer.option("compression", compression)
+        writer.text(out_path)
+
     with open(f"{out_path}/_header.vcf", "w") as fh:
         fh.write(header_text)
 
-    if compression == "bgzf":
-        # tabix/bcftools-compatible blocked gzip (reference: bgzf export
-        # via Rsamtools, R/Conversion.R:118-132) — htslib-free writer,
-        # sources/bgzf.py. Parts stream through the driver in sorted
-        # order (constant memory); the single .vcf.bgz is indexable by
-        # any stock tabix.
-        import glob
 
-        from seqarray_spark.sources.bgzf import bgzf_cat
+def _write_bgzf_indexed(ordered: DataFrame, out_path: str, header_text: str) -> None:
+    """tabix/bcftools-compatible blocked gzip + .tbi (reference: bgzf
+    export + indexTabix via Rsamtools, R/Conversion.R:118-132) — htslib-
+    free (sources/bgzf.py, sources/tabix.py).
 
-        parts = sorted(glob.glob(f"{out_path}/part-*"))
-        bgzf_cat(parts, f"{out_path}/export.vcf.bgz", header_text=header_text)
+    Scale shape: each executor task BGZF-compresses its own sorted
+    partition into a `part-*.bgz` fragment (no EOF marker) while
+    recording tabix bin chunks + 16 kb linear-index entries in fragment-
+    local virtual offsets; the driver then byte-concatenates header
+    fragment + parts + EOF (zero deflate work — BGZF members are
+    independently decompressable) and merges the index fragments by
+    shifting each part's virtual offsets by its start byte. Driver
+    memory is O(index), never O(text)."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from seqarray_spark.sources.bgzf import BGZF_EOF, BgzfWriter
+    from seqarray_spark.sources.tabix import reg2bin, write_tbi
+
+    shutil.rmtree(out_path, ignore_errors=True)
+    os.makedirs(out_path, exist_ok=True)
+
+    def _part_kernel(pdfs):
+        w, pid, path = None, -1, None
+        bins: dict = {}    # (chrom, bin) -> [[v0, v1] contiguous runs]
+        linear: dict = {}  # (chrom, window) -> min virtual offset
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if w is None:
+                pid = int(pdf["pid"].iloc[0])
+                path = os.path.join(out_path, f"part-{pid:05d}.bgz")
+                w = BgzfWriter(path, write_eof=False)
+            for val, chrom, pos, rl in zip(
+                pdf["value"], pdf["chromosome"], pdf["position"], pdf["__rlen"]
+            ):
+                v0 = w.tell_virtual()
+                w.write(val)
+                w.write("\n")
+                v1 = w.tell_virtual()
+                beg0 = int(pos) - 1
+                end0 = beg0 + max(int(rl), 1)
+                key = (chrom, reg2bin(beg0, end0))
+                runs = bins.get(key)
+                if runs is None:
+                    bins[key] = [[v0, v1]]
+                elif runs[-1][1] == v0:
+                    runs[-1][1] = v1
+                else:
+                    runs.append([v0, v1])
+                for wi in range(beg0 >> 14, ((end0 - 1) >> 14) + 1):
+                    lk = (chrom, wi)
+                    if lk not in linear or v0 < linear[lk]:
+                        linear[lk] = v0
+        rows = []
+        if w is not None:
+            w.close()
+            rows.append((pid, "size", "", 0, os.path.getsize(path), 0))
+            for (chrom, b), runs in bins.items():
+                rows.extend((pid, "chunk", chrom, b, v0, v1) for v0, v1 in runs)
+            rows.extend(
+                (pid, "lin", chrom, wi, v, 0) for (chrom, wi), v in linear.items()
+            )
+        yield pd.DataFrame(
+            rows, columns=["pid", "kind", "chrom", "b", "v0", "v1"]
+        )
+
+    man = (
+        ordered.select(
+            "value", "chromosome", "position", "__rlen",
+            F.spark_partition_id().alias("pid"),
+        )
+        .mapInPandas(
+            _part_kernel,
+            "pid int, kind string, chrom string, b long, v0 long, v1 long",
+        )
+        .collect()
+    )
+
+    sizes = {r["pid"]: r["v0"] for r in man if r["kind"] == "size"}
+    bgz = f"{out_path}/export.vcf.bgz"
+    hw = BgzfWriter(bgz, write_eof=False)
+    hw.write(header_text)
+    hw.close()
+    part_off, off = {}, os.path.getsize(bgz)
+    with open(bgz, "ab") as fh:
+        for pid in sorted(sizes):
+            part_off[pid] = off
+            off += sizes[pid]
+            with open(os.path.join(out_path, f"part-{pid:05d}.bgz"), "rb") as f:
+                shutil.copyfileobj(f, fh, 1 << 20)
+        fh.write(BGZF_EOF)
+
+    # merge index fragments: globalize virtual offsets by part start byte
+    # (parts begin at a block boundary, so coffset shifts additively)
+    names = sorted({r["chrom"] for r in man if r["kind"] == "chunk"})
+    bins_per_ref, linear_per_ref = [], []
+    for chrom in names:
+        bins: dict = {}
+        crows = [r for r in man if r["kind"] == "chunk" and r["chrom"] == chrom]
+        for r in sorted(crows, key=lambda r: (r["b"], part_off[r["pid"]], r["v0"])):
+            shift = part_off[r["pid"]] << 16
+            v0, v1 = r["v0"] + shift, r["v1"] + shift
+            ch = bins.setdefault(r["b"], [])
+            if ch and ch[-1][1] == v0:
+                ch[-1][1] = v1
+            else:
+                ch.append([v0, v1])
+        lrows = [r for r in man if r["kind"] == "lin" and r["chrom"] == chrom]
+        best: dict = {}
+        for r in lrows:
+            v = r["v0"] + (part_off[r["pid"]] << 16)
+            if r["b"] not in best or v < best[r["b"]]:
+                best[r["b"]] = v
+        nwin = max(best) + 1 if best else 0
+        lin = [0] * nwin
+        for wi, v in best.items():
+            lin[wi] = v
+        for i in range(1, nwin):  # htslib forward-fills empty windows
+            if i not in best:
+                lin[i] = lin[i - 1]
+        bins_per_ref.append({b: [tuple(c) for c in ch] for b, ch in bins.items()})
+        linear_per_ref.append(lin)
+    write_tbi(bgz + ".tbi", names, bins_per_ref, linear_per_ref)
 
 
 def _genotype_string(alleles: Column, phased: Column) -> Column:

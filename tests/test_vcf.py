@@ -421,3 +421,66 @@ def test_bgzf_block_boundaries(tmp_path):
         o += bsize
         members += 1
     assert o == len(data) and members >= 5
+
+
+def test_tabix_index(spark, tmp_path):
+    """write_vcf(compression='bgzf') emits a spec-level .tbi alongside
+    the .vcf.bgz: names in file order, bin chunks whose virtual offsets
+    seek to lines of the right chromosome, forward-filled monotonic
+    linear index (reference ships index-ready output via Rsamtools
+    indexTabix, R/Conversion.R:118-132). Compression happens in executor
+    tasks; the driver only concatenates bytes and merges index
+    fragments."""
+    import struct
+    import zlib
+
+    rows = []
+    for chrom in ("1", "2"):
+        for i in range(2000):
+            pos = 1000 + i * 37  # spans ~74kb -> >=4 linear windows
+            rows.append(f"{chrom}\t{pos}\t.\tA\tT\t10\tPASS\t.\tGT\t0/1")
+    src = tmp_path / "t.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "##contig=<ID=1>\n##contig=<ID=2>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        + "\n".join(rows) + "\n"
+    )
+    ds2 = vcfmod.read_vcf(spark, str(src), assign_ids="order")
+    out = str(tmp_path / "out")
+    vcfmod.write_vcf(ds2, out, compression="bgzf")
+    bgz = f"{out}/export.vcf.bgz"
+
+    from seqarray_spark.sources.tabix import read_tbi
+
+    names, bins_per_ref, linear_per_ref = read_tbi(bgz + ".tbi")
+    assert names == ["1", "2"]
+    raw = open(bgz, "rb").read()
+
+    def read_at(voff, want=64):
+        # decompress consecutive blocks from coff until `want` bytes past
+        # uoff are available (a line may straddle a block boundary)
+        coff, uoff = voff >> 16, voff & 0xFFFF
+        data = b""
+        while coff < len(raw) and len(data) < uoff + want:
+            bsize = struct.unpack("<H", raw[coff + 16:coff + 18])[0] + 1
+            data += zlib.decompress(raw[coff + 18:coff + bsize - 8], -15)
+            coff += bsize
+        return data[uoff:uoff + want].decode("utf-8", "replace")
+
+    for name, bins, lin in zip(names, bins_per_ref, linear_per_ref):
+        assert bins and lin
+        for b, chunks in bins.items():
+            for v0, v1 in chunks:
+                assert v1 > v0
+                assert read_at(v0).startswith(name + "\t")
+        nz = [v for v in lin if v]
+        assert nz == sorted(nz)
+        assert read_at(nz[0]).startswith(name + "\t")
+    # the bgz itself is still a valid multi-member gzip with all lines
+    import gzip
+
+    text = gzip.open(bgz, "rt").read()
+    assert text.count("\n0/1") == 0  # sanity: GT is tab-separated
+    assert sum(1 for ln in text.splitlines() if ln and not ln.startswith("#")) == 4000
