@@ -94,8 +94,12 @@ def missing_rate(calls: DataFrame, per: str = "variant") -> DataFrame:
     R/Methods.R:794-898; kernels src/Methods.cpp:122-246).
 
     A call is missing if its alleles array is NULL or has a NULL slot.
-    per='both' returns (per-variant DF, per-sample DF) computed over one
-    cached scan — the reference's fused one-pass FC_Missing_SampVariant.
+    per='both' returns (per-variant DF, per-sample DF) from ONE scan and
+    ONE shuffle via GROUPING SETS — the reference's fused one-pass
+    FC_Missing_SampVariant. Only the O(n_var + n_samp) aggregate is
+    persisted (released when both results are dropped,
+    plans/lifecycle.py); the earlier design cached the full projected
+    scan and left it pinned for the session.
     """
     miss = _call_missing().cast("double")
     if per == "variant":
@@ -103,10 +107,19 @@ def missing_rate(calls: DataFrame, per: str = "variant") -> DataFrame:
     if per == "sample":
         return calls.groupBy("sample_id").agg(F.avg(miss).alias("missing_rate"))
     if per == "both":
-        cached = calls.select("variant_id", "sample_id", miss.alias("m")).cache()
-        v = cached.groupBy("variant_id").agg(F.avg("m").alias("missing_rate"))
-        s = cached.groupBy("sample_id").agg(F.avg("m").alias("missing_rate"))
-        return v, s
+        from seqarray_spark.plans.lifecycle import release_on_gc
+
+        g = (
+            calls.select("variant_id", "sample_id", miss.alias("m"))
+            .groupingSets([["variant_id"], ["sample_id"]], "variant_id", "sample_id")
+            .agg(F.avg("m").alias("missing_rate"), F.grouping_id().alias("_g"))
+            .persist()
+        )
+        # grouping_id bit set = column aggregated away: 0b01 -> grouped
+        # by variant_id only, 0b10 -> by sample_id only
+        v = g.filter(F.col("_g") == 1).select("variant_id", "missing_rate")
+        s = g.filter(F.col("_g") == 2).select("sample_id", "missing_rate")
+        return release_on_gc(g, v, s)
     raise ValueError(f"per must be variant|sample|both, got {per}")
 
 

@@ -256,8 +256,12 @@ def ngram_jaccard_pairs(
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
-        .persist()  # tiny (id pairs); read by ids AND the verify join —
-        # without it the expensive prefix self-join would run twice
+        # persisted once (tiny — id pairs) because it feeds the
+        # candidate-ids semi join AND the verify join; without it the
+        # expensive prefix self-join would run three times. Released
+        # deterministically when the caller drops the result
+        # (plans/lifecycle.py) instead of pinning session storage.
+        .persist()
     )
     # verify only candidate docs: re-shingle after a semi join on the
     # (small) candidate id set instead of materializing shingle arrays
@@ -274,13 +278,16 @@ def ngram_jaccard_pairs(
             F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
         )
     )
-    return (
+    from seqarray_spark.plans.lifecycle import release_on_gc
+
+    result = (
         cand.join(sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= float(tau))
         .select("id_a", "id_b", "jaccard")
     )
+    return release_on_gc(cand, result)
 
 
 # ---------------------------------------------------------------------------

@@ -208,3 +208,42 @@ def test_frame_sample_plan(spark, docs):
     plan = MM.frame_sample_plan(media, every_n=2)
     assert plan.count() > 0
     assert plan.filter(F.col("frame_idx") % 2 != 0).count() == 0
+
+
+def test_no_pinned_storage_after_queries(spark, docs):
+    """Operators that persist intermediates (ngram candidate set,
+    missing_rate 'both' aggregate) must not pin executor storage for the
+    session: the persist is released deterministically when the caller
+    drops the results (plans/lifecycle.py release_on_gc — round-2
+    verdict: unbounded persist()/cache() accumulated blocks in
+    long-lived sessions)."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from seqarray_spark.operators.aggregates import missing_rate
+    from seqarray_spark.operators.dedup import ngram_jaccard_pairs
+
+    jsc_sc = spark.sparkContext._jsc.sc()
+    base = jsc_sc.getPersistentRDDs().size()
+
+    res = ngram_jaccard_pairs(docs, tau=0.5)
+    res.count()
+    assert jsc_sc.getPersistentRDDs().size() > base  # persist in force
+    del res
+    gc.collect()
+    assert jsc_sc.getPersistentRDDs().size() <= base, "ngram cand still pinned"
+
+    calls = docs.limit(4).select(
+        F.monotonically_increasing_id().alias("variant_id"),
+        F.lit("s").alias("sample_id"),
+        F.array(F.lit(0), F.lit(1)).alias("alleles"),
+    )
+    v, s = missing_rate(calls, per="both")
+    assert v.count() > 0 and s.count() == 1
+    del v
+    gc.collect()  # one result still alive -> aggregate stays cached
+    assert jsc_sc.getPersistentRDDs().size() > base
+    del s
+    gc.collect()
+    assert jsc_sc.getPersistentRDDs().size() <= base, "both-agg still pinned"
