@@ -60,23 +60,36 @@ def _fake_decode(payload: bytes, width: int, height: int, dim: int = 8) -> np.nd
 
 
 def extract_features(
-    media: DataFrame, dim: int = 8, batch_hint: int = 1024, fake: bool = True
+    media: DataFrame,
+    dim: int = 8,
+    batch_hint: int = 1024,
+    fake: bool = True,
+    decoder=None,
 ) -> DataFrame:
     """Decode + feature-extract over mapInPandas (Arrow batches).
 
-    fake=False documents where a real decoder plugs in; this container has
-    no imaging libs, so it raises.
+    `decoder` is the production plug-point: any callable
+    (payload: bytes, width: int, height: int, dim: int) ->
+    np.ndarray[float32] | None (None = decode failure, surfaced as
+    decode_ok=False, feat NULL). It is shipped to executors inside the
+    kernel closure, so it must be picklable (a module-level function
+    wrapping PIL/librosa/av in a real deployment). When no decoder is
+    supplied: fake=True uses the deterministic stub, fake=False raises
+    (no imaging libs in this container).
     """
-    if not fake:
-        raise NotImplementedError(
-            "real decoders (PIL/librosa/av) are not available in this "
-            "container; pass fake=True for the deterministic stub"
-        )
+    if decoder is None:
+        if not fake:
+            raise NotImplementedError(
+                "real decoders (PIL/librosa/av) are not available in this "
+                "container; pass decoder=<callable> or fake=True for the "
+                "deterministic stub"
+            )
+        decoder = _fake_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode(p, w, h, dim)
+                decoder(p, w, h, dim)
                 for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
             ]
             yield pd.DataFrame(

@@ -214,9 +214,7 @@ def _expected_count(number: str, n_alt: Column, ploidy: int) -> Column | None:
     src/ConvVCF2GDS.cpp:644-723 — Number=A/R/G and fixed-k enforcement;
     the Number=G mismatch is a hard error there, :680-704).
 
-    Returns None when the spec is unchecked ('.', '0', '1', or Number=G
-    under ploidy>2 where the combination count isn't expressible without
-    a general C(n+p,p))."""
+    Returns None when the spec is unchecked ('.', '0', '1')."""
     if number in (".", "0", "1"):
         return None
     if number == "A":
@@ -224,11 +222,18 @@ def _expected_count(number: str, n_alt: Column, ploidy: int) -> Column | None:
     if number == "R":
         return n_alt + 1
     if number == "G":
-        if ploidy == 1:
-            return n_alt + 1
-        if ploidy == 2:
-            return ((n_alt + 1) * (n_alt + 2) / 2).cast("int")
-        return None
+        # genotype-combination count C(n_alt + ploidy, ploidy) as a
+        # small product expression, any ploidy (the reference enforces
+        # the full combinatorial count and hard-errors on mismatch,
+        # src/ConvVCF2GDS.cpp:680-704). The product stays far below
+        # 2^53 for real ploidies (<=8), so the double division by p!
+        # is exact before the int cast.
+        import math as _math
+
+        prod = (n_alt + 1).cast("bigint")
+        for i in range(2, ploidy + 1):
+            prod = prod * (n_alt + i)
+        return (prod / _math.factorial(ploidy)).cast("int")
     if number.isdigit():
         return F.lit(int(number))
     return None

@@ -201,6 +201,41 @@ def test_multimodal_features(spark, docs):
         MM.extract_features(media, fake=False)
 
 
+def test_multimodal_custom_decoder(spark, docs):
+    """extract_features accepts a caller-supplied decoder callable
+    through the same mapInPandas path (production plug-point; the stub
+    stays the default). Decode failures (None) surface as
+    decode_ok=False with NULL feat. The decoder is defined as a closure
+    so cloudpickle ships it by value — a test module isn't importable
+    on executors (a real deployment would use a module-level function
+    from an installed package)."""
+    from seqarray_spark.operators import multimodal as MM
+
+    def _len_decoder(payload, width, height, dim):
+        import numpy as np
+
+        if not payload:
+            return None
+        return np.full(dim, float(len(payload)), dtype=np.float32)
+
+    media = MM.make_media_table(spark, docs)
+    empty = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") == 1, F.lit(None).cast("binary")).otherwise(
+            F.col("payload")
+        ),
+    )
+    rows = {r["media_id"]: r for r in
+            MM.extract_features(empty, dim=4, decoder=_len_decoder).collect()}
+    assert rows[1]["decode_ok"] is False and rows[1]["feat"] is None
+    ok = [r for r in rows.values() if r["decode_ok"]]
+    assert ok and all(len(r["feat"]) == 4 for r in ok)
+    for r in ok:
+        assert r["feat"][0] > 0 and len(set(r["feat"])) == 1
+    # decoder overrides fake=False (no NotImplementedError)
+    assert MM.extract_features(media, dim=4, fake=False, decoder=_len_decoder).count() == 6
+
+
 def test_frame_sample_plan(spark, docs):
     from seqarray_spark.operators import multimodal as MM
 

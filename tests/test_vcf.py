@@ -484,3 +484,37 @@ def test_tabix_index(spark, tmp_path):
     text = gzip.open(bgz, "rt").read()
     assert text.count("\n0/1") == 0  # sanity: GT is tab-separated
     assert sum(1 for ln in text.splitlines() if ln and not ln.startswith("#")) == 4000
+
+
+def test_number_g_ploidy3(spark, tmp_path):
+    """Number=G enforcement above diploid: for ploidy 3 the expected
+    count is C(n_alt+3, 3) (reference enforces the full combinatorial
+    count and hard-errors, src/ConvVCF2GDS.cpp:680-704). Round-2 gap:
+    _expected_count returned None above ploidy 2, silently skipping the
+    check."""
+    body = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        '##FORMAT=<ID=GL,Number=G,Type=Float,Description="gl">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        # triploid, 1 ALT -> C(4,3) = 4 GL values expected; 4 given (ok)
+        "1\t10\t.\tA\tC\t5\tPASS\t.\tGT:GL\t0/0/1:-1,-2,-3,-4\n"
+        # triploid, 1 ALT -> 4 expected; 3 given (violation)
+        "1\t20\t.\tA\tC\t5\tPASS\t.\tGT:GL\t0/1/1:-1,-2,-3\n"
+        # triploid, 2 ALT -> C(5,3) = 10 expected; 10 given (ok)
+        "1\t30\t.\tA\tC,G\t5\tPASS\t.\tGT:GL\t"
+        "0/1/2:-1,-2,-3,-4,-5,-6,-7,-8,-9,-10\n"
+    )
+    p = str(tmp_path / "g3.vcf")
+    with open(p, "w") as fh:
+        fh.write(body)
+    ds = vcfmod.read_vcf(spark, p, validate="quarantine")
+    assert ds.ploidy == 3
+    c = {r["variant_id"]: r["vcf_errors"] for r in ds.calls.collect()}
+    assert c[1] == [] and c[3] == []
+    assert len(c[2]) == 1
+    assert "FORMAT/GL" in c[2][0] and "expects 4 values, got 3" in c[2][0]
+    # strict mode hard-errors, matching the reference
+    ds2 = vcfmod.read_vcf(spark, p, validate="strict")
+    with pytest.raises(Exception, match="VCF arity violation.*FORMAT/GL"):
+        ds2.calls.collect()
