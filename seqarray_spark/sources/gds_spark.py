@@ -9,11 +9,12 @@ mapInPandas: fixed-width nodes are read by byte range (only the xz
 frames overlapping the range are decompressed — true random access), so
 a 1000-executor cluster reads one huge .gds concurrently with no
 driver-side data movement. Variable-length nodes (strings, LEB128 ints)
-lack a byte index in the container, so each task walks the VL stream up
-to its block (cheap varint skipping, no string materialization before
-the block start); for repeated analytical access convert once to parquet
-with SeqDataset.export — GDS is the interchange format, parquet the
-analytical layout.
+lack a byte index in the container, so the driver's index pass walks
+each VL stream ONCE and records the byte offset of every block boundary
+in blocks_df; tasks then seek directly to their block (O(N) total work
+instead of the O(N^2/B) of per-task rewalks from byte 0). For repeated
+analytical access convert once to parquet with SeqDataset.export — GDS
+is the interchange format, parquet the analytical layout.
 
 Genotype decode (reference: src/Index.h:154-200 ragged genotype layout):
 genotype/data is a bit2 matrix [sum(@data), n_samples, ploidy] packed
@@ -55,10 +56,48 @@ def _bit_rows(f: GdsFile, node: GdsNode, row_start: int, row_end: int, vals_per_
     return vals[off:off + (v1 - v0)]
 
 
-def _vl_slice(f: GdsFile, node: GdsNode, elem_start: int, elem_end: int):
+def _vl_byte_bounds(f: GdsFile, node: GdsNode, elem_bounds) -> np.ndarray:
+    """Byte offset of each element boundary (sorted ascending) in a VL
+    node's uncompressed stream — one driver-side linear pass, recorded in
+    blocks_df so every task seeks instead of re-walking from byte 0."""
+    raw = f.read_node_bytes(node)
+    bounds = np.asarray(elem_bounds, dtype=np.int64)
+    if node.kind == "vlint":
+        # LEB128: an element ends at every byte with the high bit clear
+        ends = np.flatnonzero(np.frombuffer(raw, dtype=np.uint8) < 0x80)
+        starts = np.concatenate([[0], ends.astype(np.int64) + 1])
+        return starts[np.minimum(bounds, len(starts) - 1)]
+    out = np.empty(len(bounds), dtype=np.int64)
+    o = e = bi = 0
+    nb, total = len(bounds), len(raw)
+    while bi < nb and bounds[bi] <= e:
+        out[bi] = o
+        bi += 1
+    while bi < nb and o < total:
+        ln, o = _varint(raw, o)
+        o += ln
+        e += 1
+        while bi < nb and bounds[bi] == e:
+            out[bi] = o
+            bi += 1
+    out[bi:] = total
+    return out
+
+
+def _vl_slice(f: GdsFile, node: GdsNode, elem_start: int, elem_end: int,
+              bref=None):
     """Elements [elem_start, elem_end) of a variable-length node (vlstr /
-    vlint). Walks varints from the stream start without materializing
-    skipped values."""
+    vlint).
+
+    With `bref` = (byte_start, byte_end, elem_at_byte_start) from the
+    driver's VL byte index, reads only that byte range and decodes in
+    place — true random access. Without it, falls back to walking varints
+    from the stream start (no string materialization before the block)."""
+    if bref is not None:
+        b0, b1, e0 = int(bref[0]), int(bref[1]), int(bref[2])
+        raw = f.read_node_bytes(node, b0, b1)
+        vals = decode_values(node, raw, n_values=elem_end - e0)
+        return vals[elem_start - e0:]
     raw = f.read_node_bytes(node)
     o = 0
     if node.kind == "vlstr":
@@ -90,11 +129,12 @@ def _vl_slice(f: GdsFile, node: GdsNode, elem_start: int, elem_end: int):
     return out
 
 
-def _node_slice(f: GdsFile, node: GdsNode, start: int, end: int):
+def _node_slice(f: GdsFile, node: GdsNode, start: int, end: int, vl=None):
     """Elements [start, end) of a 1-D node, random access where the
-    storage allows it."""
+    storage allows it. `vl` is the per-block VL byte index
+    ({path: (byte0, byte1, elem0)}) built by the driver."""
     if node.kind in ("vlstr", "vlint"):
-        return _vl_slice(f, node, start, end)
+        return _vl_slice(f, node, start, end, (vl or {}).get(node.path))
     if node.kind in ("bit1", "bit2"):
         return _bit_rows(f, node, start, end, 1)
     es = {"int32": 4, "int16": 2, "uint8": 1, "float32": 4,
@@ -195,8 +235,35 @@ def from_gds(
         e0, e1 = np.searchsorted(vi0, [s, e])
         return int(e0), int(e1), int(cum[e0])
 
+    # --- VL byte index: one driver pass per variable-length node, so
+    # tasks seek straight to their block instead of re-walking varints
+    # from byte 0 (O(N) total instead of O(N^2/B) for vlstr columns
+    # like chromosome/allele)
+    bstarts = np.arange(0, max(n_var, 1), block_variants, dtype=np.int64)
+    vaxis = np.append(bstarts, n_var)
+    vl_elem: dict[str, np.ndarray] = {}
+
+    def _register_vl(p: str, elem_bounds) -> None:
+        if _has(f, p) and f.node(p).kind in ("vlstr", "vlint"):
+            vl_elem[p] = np.asarray(elem_bounds, dtype=np.int64)
+
+    for p in ("variant.id", "chromosome", "allele", "annotation/id",
+              "annotation/qual", "annotation/filter", "genotype/@data"):
+        _register_vl(p, vaxis)
+    for name, _, eoff in info_meta:
+        _register_vl(f"annotation/info/@{name}", vaxis)
+        _register_vl(f"annotation/info/{name}",
+                     eoff[vaxis] if eoff is not None else vaxis)
+    n_samp_b = len(sample_ids)
+    for name, _, roff, _ in fmt_meta:
+        _register_vl(f"annotation/format/{name}/@data", vaxis)
+        _register_vl(f"annotation/format/{name}/data", roff[vaxis] * n_samp_b)
+    vlpaths = sorted(vl_elem)
+    vl_bytes = {p: _vl_byte_bounds(f, f.node(p), vl_elem[p]) for p in vlpaths}
+
     blocks = []
-    for s in range(0, max(n_var, 1), block_variants):
+    for b, s in enumerate(bstarts):
+        s = int(s)
         e = min(s + block_variants, n_var)
         blocks.append(
             (
@@ -210,12 +277,16 @@ def from_gds(
                 [int(roff[e]) for _, _, roff, _ in fmt_meta],
                 *_ext_cols(gext, s, e),
                 *_ext_cols(pext, s, e),
+                [int(vl_bytes[p][b]) for p in vlpaths],
+                [int(vl_bytes[p][b + 1]) for p in vlpaths],
+                [int(vl_elem[p][b]) for p in vlpaths],
             )
         )
     bschema = (
         "start long, end long, p0 long, p1 long, "
         "i0 array<long>, i1 array<long>, f0 array<long>, f1 array<long>, "
-        "g0 long, g1 long, go long, q0 long, q1 long, qo long"
+        "g0 long, g1 long, go long, q0 long, q1 long, qo long, "
+        "vb0 array<long>, vb1 array<long>, ve0 array<long>"
     )
     ncores = spark.sparkContext.defaultParallelism
     blocks_df = spark.createDataFrame(blocks, bschema).repartition(
@@ -246,7 +317,8 @@ def from_gds(
         for pdf in batches:
             for _, row in pdf.iterrows():
                 s, e = int(row["start"]), int(row["end"])
-                out = _variants_block(g, s, e, row, imeta, filter_levels)
+                vl = _row_vl(row, vlpaths)
+                out = _variants_block(g, s, e, row, imeta, filter_levels, vl)
                 yield out
 
     variants = blocks_df.mapInPandas(variants_kernel, schema=v_schema)
@@ -271,7 +343,8 @@ def from_gds(
             g = GdsFile(path)
             for pdf in batches:
                 for _, row in pdf.iterrows():
-                    yield _calls_block(g, row, sids, ploidy, fmeta)
+                    yield _calls_block(g, row, sids, ploidy, fmeta,
+                                       _row_vl(row, vlpaths))
 
         calls = blocks_df.mapInPandas(calls_kernel, schema=c_schema)
 
@@ -289,6 +362,17 @@ def from_gds(
             samples = samples.join(aux, "sample_id", "left")
 
     return SeqDataset(variants, calls, samples, ploidy=ploidy)
+
+
+def _row_vl(row, vlpaths):
+    """Per-block VL byte index {path: (byte0, byte1, elem0)} from a
+    blocks_df row."""
+    if not vlpaths:
+        return None
+    return {
+        p: (row["vb0"][i], row["vb1"][i], row["ve0"][i])
+        for i, p in enumerate(vlpaths)
+    }
 
 
 def _has(f: GdsFile, path: str) -> bool:
@@ -327,25 +411,25 @@ def _py(v):
     return v
 
 
-def _variants_block(g, s, e, row, imeta, filter_levels):
-    vid = np.asarray(_node_slice(g, g.node("variant.id"), s, e), dtype=np.int64)
-    chrom = _node_slice(g, g.node("chromosome"), s, e)
-    pos = np.asarray(_node_slice(g, g.node("position"), s, e))
-    allele = _node_slice(g, g.node("allele"), s, e)
+def _variants_block(g, s, e, row, imeta, filter_levels, vl=None):
+    vid = np.asarray(_node_slice(g, g.node("variant.id"), s, e, vl), dtype=np.int64)
+    chrom = _node_slice(g, g.node("chromosome"), s, e, vl)
+    pos = np.asarray(_node_slice(g, g.node("position"), s, e, vl))
+    allele = _node_slice(g, g.node("allele"), s, e, vl)
     ref = [a.split(",", 1)[0] for a in allele]
     alt = [a.split(",")[1:] for a in allele]
     ann_id = (
-        _node_slice(g, g.node("annotation/id"), s, e)
+        _node_slice(g, g.node("annotation/id"), s, e, vl)
         if _has(g, "annotation/id")
         else [None] * (e - s)
     )
     qual = (
-        np.asarray(_node_slice(g, g.node("annotation/qual"), s, e), dtype=np.float64)
+        np.asarray(_node_slice(g, g.node("annotation/qual"), s, e, vl), dtype=np.float64)
         if _has(g, "annotation/qual")
         else np.full(e - s, np.nan)
     )
     if _has(g, "annotation/filter"):
-        fvals = np.asarray(_node_slice(g, g.node("annotation/filter"), s, e))
+        fvals = np.asarray(_node_slice(g, g.node("annotation/filter"), s, e, vl))
         if filter_levels:
             filt = [
                 filter_levels[v - 1] if 1 <= v <= len(filter_levels) else None
@@ -373,9 +457,9 @@ def _variants_block(g, s, e, row, imeta, filter_levels):
             node = g.node(f"annotation/info/{name}")
             if is_var:
                 e0, e1 = int(row["i0"][k]), int(row["i1"][k])
-                flat = _node_slice(g, node, e0, e1)
+                flat = _node_slice(g, node, e0, e1, vl)
                 counts = np.asarray(
-                    _node_slice(g, g.node(f"annotation/info/@{name}"), s, e)
+                    _node_slice(g, g.node(f"annotation/info/@{name}"), s, e, vl)
                 )
                 vals, off = [], 0
                 for c in counts:
@@ -383,20 +467,28 @@ def _variants_block(g, s, e, row, imeta, filter_levels):
                     off += int(c)
                 info_cols[name] = vals
             elif kind == "bit1":
-                info_cols[name] = [bool(x) for x in _node_slice(g, node, s, e)]
+                info_cols[name] = [bool(x) for x in _node_slice(g, node, s, e, vl)]
             elif kind == "vlstr":
                 # the container stores missing strings as "" (reference
                 # NA convention); surface as NULL for VCF parity
-                info_cols[name] = [x or None for x in _node_slice(g, node, s, e)]
+                info_cols[name] = [x or None for x in _node_slice(g, node, s, e, vl)]
             else:
-                info_cols[name] = [_py(x) for x in _node_slice(g, node, s, e)]
+                info_cols[name] = [_py(x) for x in _node_slice(g, node, s, e, vl)]
         out["info"] = [
             {name: info_cols[name][i] for name, _, _ in imeta} for i in range(e - s)
         ]
     return pd.DataFrame(out)
 
 
-def _calls_block(g, row, sample_ids, ploidy, fmeta):
+def _mask_to_obj(a: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Numpy values -> object array with `mask` positions set to None
+    (C-speed NA translation; replaces per-element Python conditionals)."""
+    out = a.astype(object)
+    out[mask] = None
+    return out
+
+
+def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None):
     s, e = int(row["start"]), int(row["end"])
     p0, p1 = int(row["p0"]), int(row["p1"])
     n_samp = len(sample_ids)
@@ -404,24 +496,32 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta):
     has_geno = _has(g, "genotype/data") and g.node("genotype/data").dims[0] > 0
     if has_geno:
         geno_node = g.node("genotype/data")
-        planes = _bit_rows(g, geno_node, p0, p1, n_samp * ploidy)
-        counts = np.asarray(_node_slice(g, g.node("genotype/@data"), s, e)) \
+        planes = np.asarray(
+            _bit_rows(g, geno_node, p0, p1, n_samp * ploidy), dtype=np.int64
+        )
+        counts = np.asarray(_node_slice(g, g.node("genotype/@data"), s, e, vl),
+                            dtype=np.int64) \
             if _has(g, "genotype/@data") else np.ones(nv, dtype=np.int64)
-        # assemble per-variant allele codes from stacked bit2 planes
-        alleles = np.empty((nv, n_samp, ploidy), dtype=np.int64)
-        missing = np.empty((nv, 1, 1), dtype=np.int64)
-        off = 0
-        for i, c in enumerate(np.asarray(counts, dtype=np.int64)):
-            acc = np.zeros(n_samp * ploidy, dtype=np.int64)
-            for k in range(int(c)):
-                acc |= np.asarray(
-                    planes[(off + k) * n_samp * ploidy:(off + k + 1) * n_samp * ploidy],
-                    dtype=np.int64,
-                ) << (2 * k)
-            alleles[i] = acc.reshape(n_samp, ploidy)
-            missing[i] = (1 << (2 * int(c))) - 1
-            off += int(c)
-        is_missing = alleles == missing
+        # assemble per-variant allele codes from stacked bit2 planes:
+        # whole-block shift + grouped bitwise-or (reduceat over plane
+        # rows), no per-variant Python loop
+        npl = p1 - p0
+        P = planes.reshape(npl, n_samp * ploidy)
+        if npl == nv and counts.max(initial=1) == 1:
+            acc = P
+        elif (counts >= 1).all():
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            k_of = np.arange(npl) - np.repeat(starts, counts)
+            acc = np.bitwise_or.reduceat(P << (2 * k_of)[:, None], starts, axis=0)
+        else:  # degenerate zero-plane variants: per-variant fallback
+            acc = np.zeros((nv, n_samp * ploidy), dtype=np.int64)
+            off = 0
+            for i, c in enumerate(counts):
+                for k in range(int(c)):
+                    acc[i] |= P[off + k] << (2 * k)
+                off += int(c)
+        alleles = acc.reshape(nv, n_samp, ploidy)
+        is_missing = alleles == ((1 << (2 * counts)) - 1)[:, None, None]
     phase_vals = None
     if has_geno and _has(g, "phase/data") and g.node("phase/data").dims[0] > 0:
         phase_vals = np.asarray(
@@ -429,22 +529,22 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta):
             dtype=bool,
         ).reshape(nv, n_samp, max(ploidy - 1, 0)) if ploidy > 1 else None
 
-    vid = np.asarray(_node_slice(g, g.node("variant.id"), s, e), dtype=np.int64)
+    vid = np.asarray(_node_slice(g, g.node("variant.id"), s, e, vl), dtype=np.int64)
+    if has_geno:
+        alleles_col = _mask_to_obj(
+            alleles.astype(np.int16), np.asarray(is_missing)
+        ).reshape(nv * n_samp, ploidy).tolist()
+    else:
+        alleles_col = [None] * (nv * n_samp)
+    if phase_vals is not None:
+        phased_col = phase_vals.reshape(nv * n_samp, max(ploidy - 1, 0)).tolist()
+    else:
+        phased_col = [[]] * (nv * n_samp)
     out = {
         "variant_id": np.repeat(vid, n_samp),
         "sample_id": np.tile(np.asarray(sample_ids, dtype=object), nv),
-        "alleles": [
-            [None if is_missing[i, j, k] else int(alleles[i, j, k]) for k in range(ploidy)]
-            for i in range(nv)
-            for j in range(n_samp)
-        ]
-        if has_geno
-        else [None] * (nv * n_samp),
-        "phased": [
-            [bool(x) for x in phase_vals[i, j]] if phase_vals is not None else []
-            for i in range(nv)
-            for j in range(n_samp)
-        ],
+        "alleles": alleles_col,
+        "phased": phased_col,
     }
     # splice mixed-ploidy overflow (reference genotype/extra + phase/extra,
     # src/ConvVCF2GDS.cpp:1775-1797): append each entry's values to the
@@ -462,26 +562,55 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta):
     for k, (name, kind, is_arr) in enumerate(fmeta):
         node = g.node(f"annotation/format/{name}/data")
         r0, r1 = int(row["f0"][k]), int(row["f1"][k])
-        flat = _node_slice_2d(g, node, r0, r1, n_samp)
+        flat = _node_slice_2d(g, node, r0, r1, n_samp, vl)
         rcounts = np.asarray(
-            _node_slice(g, g.node(f"annotation/format/{name}/@data"), s, e)
+            _node_slice(g, g.node(f"annotation/format/{name}/@data"), s, e, vl),
+            dtype=np.int64,
         ) if _has(g, f"annotation/format/{name}/@data") else np.ones(nv, dtype=np.int64)
-        vals, off = [], 0
-        for i, c in enumerate(np.asarray(rcounts, dtype=np.int64)):
-            c = int(c)
-            if is_arr:
-                # variant's c rows -> per-sample value lists
-                vals.extend(
-                    [_py(flat[(off + r) * n_samp + j]) for r in range(c)]
-                    for j in range(n_samp)
-                )
-            elif c < 1:
-                vals.extend([None] * n_samp)
-            else:
-                vals.extend(_py(x) for x in flat[off * n_samp:(off + 1) * n_samp])
-            off += c
-        out[name] = vals
+        out[name] = _format_col(flat, rcounts, nv, n_samp, is_arr)
     return pd.DataFrame(out)
+
+
+def _na_mask(a: np.ndarray) -> np.ndarray:
+    """Container NA convention per dtype: NaN for floats, INT32_MIN for
+    ints (reference NA coding)."""
+    if a.dtype.kind == "f":
+        return np.isnan(a)
+    if a.dtype.kind in "iu":
+        return a == -(2 ** 31)
+    return np.zeros(a.shape, dtype=bool)
+
+
+def _format_col(flat, rcounts, nv, n_samp, is_arr):
+    """One FORMAT field column for a block: rows of n_samp values grouped
+    per variant by rcounts. Uniform row counts take the vectorized
+    reshape path; ragged falls back to the per-variant loop."""
+    uniform = nv > 0 and rcounts.min(initial=1) == rcounts.max(initial=1)
+    if uniform and not isinstance(flat, list):
+        c = int(rcounts[0]) if len(rcounts) else 1
+        a = np.asarray(flat)[: nv * c * n_samp]
+        obj = _mask_to_obj(a, _na_mask(a))
+        if is_arr:
+            # (nv, c, n_samp) -> per-call [v_r0..v_rc] lists
+            return obj.reshape(nv, c, n_samp).transpose(0, 2, 1) \
+                .reshape(nv * n_samp, c).tolist()
+        if c == 1:
+            return list(obj)
+    vals, off = [], 0
+    for i, c in enumerate(rcounts):
+        c = int(c)
+        if is_arr:
+            # variant's c rows -> per-sample value lists
+            vals.extend(
+                [_py(flat[(off + r) * n_samp + j]) for r in range(c)]
+                for j in range(n_samp)
+            )
+        elif c < 1:
+            vals.extend([None] * n_samp)
+        else:
+            vals.extend(_py(x) for x in flat[off * n_samp:(off + 1) * n_samp])
+        off += c
+    return vals
 
 
 def _apply_extra(g, folder, e0, e1, off0, s, n_samp, lists, conv):
@@ -505,10 +634,11 @@ def _apply_extra(g, folder, e0, e1, off0, s, n_samp, lists, conv):
         off += ln
 
 
-def _node_slice_2d(g, node, r0, r1, n_cols):
+def _node_slice_2d(g, node, r0, r1, n_cols, vl=None):
     """Rows [r0, r1) of a 2-D (rows x n_cols) node, flattened."""
     if node.kind in ("vlstr", "vlint"):
-        return _vl_slice(g, node, r0 * n_cols, r1 * n_cols)
+        return _vl_slice(g, node, r0 * n_cols, r1 * n_cols,
+                         (vl or {}).get(node.path))
     if node.kind in ("bit1", "bit2"):
         return _bit_rows(g, node, r0, r1, n_cols)
     return _node_slice(g, node, r0 * n_cols, r1 * n_cols)

@@ -89,8 +89,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(os.path.abspath(path), link)
         path = d
     ev = spark.readStream.schema(schema).parquet(path)
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (with zone); NTZ testdata is UTC
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

@@ -195,3 +195,37 @@ def test_from_gds_aggregate(gds_ds, spark):
     r = out[1]
     assert r["an"] == 114 and r["ac"] == 110
     assert r["af"] == pytest.approx(110 / 114)
+
+
+def test_vl_byte_bounds(ceu):
+    """The driver-built VL byte index points exactly where a from-zero
+    varint walk lands, so block tasks can seek instead of rewalking."""
+    from seqarray_spark.sources.gds_spark import _vl_byte_bounds, _vl_slice
+
+    node = ceu.node("allele")
+    n = int(node.dims[0])
+    bounds = list(range(0, n, 113)) + [n]
+    offs = _vl_byte_bounds(ceu, node, bounds)
+    full = ceu.read_array("allele")
+    raw_len = len(ceu.read_node_bytes(node))
+    assert offs[0] == 0 and offs[-1] == raw_len
+    assert all(offs[i] < offs[i + 1] for i in range(len(offs) - 1))
+    # ranged decode from each boundary reproduces the from-zero walk
+    for i in (0, 3, len(bounds) - 2):
+        e0, e1 = bounds[i], bounds[i + 1]
+        got = _vl_slice(ceu, node, e0, e1, (offs[i], offs[i + 1], e0))
+        assert got == full[e0:e1]
+
+
+def test_from_gds_many_blocks_parity(spark):
+    """Tiny blocks (many boundary seeks through the VL index) decode the
+    same variants frame as one big block."""
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    small = from_gds(spark, CEU, block_variants=97).variants \
+        .select("variant_id", "chromosome", "position", "ref", "alt") \
+        .orderBy("variant_id").collect()
+    big = from_gds(spark, CEU, block_variants=100000).variants \
+        .select("variant_id", "chromosome", "position", "ref", "alt") \
+        .orderBy("variant_id").collect()
+    assert small == big
