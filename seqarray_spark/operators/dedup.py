@@ -375,16 +375,18 @@ def simhash_dup_pairs(
     b = bands.select(
         F.col("_id").alias("id_b"), F.col("simhash").alias("sk_b"), "band_idx", "band_key"
     )
-    cand = (
+    # verify (cheap bit math) BEFORE the dedup exchange: the distinct then
+    # shuffles (id, id, int) survivors only — the 16-char sketches never
+    # leave the map side, and multi-band collisions dedup on identical rows
+    return (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sk_a", "sk_b")
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", simhash_hamming(F.col("sk_a"), F.col("sk_b")))
+        .select(
+            "id_a", "id_b",
+            simhash_hamming(F.col("sk_a"), F.col("sk_b")).alias("hamming"),
+        )
         .filter(F.col("hamming") <= int(max_hamming))
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
