@@ -521,7 +521,10 @@ def gds_read_af(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not os.path.exists(GDS_FIXTURE):  # fixture-less environments
         return spark.createDataFrame([], "variant_id long, af double, an long")
-    ds = SeqDataset.from_gds(spark, GDS_FIXTURE)
+    # 256-variant blocks: the 1348-variant fixture decodes across ~6 tasks
+    # instead of one (the 8192 default is tuned for production-size
+    # containers where each block is ~2M grid cells)
+    ds = SeqDataset.from_gds(spark, GDS_FIXTURE, block_variants=256)
     return af_ac_missing(ds.calls).select("variant_id", "af", "an")
 
 

@@ -52,6 +52,7 @@ driver-side data movement.
 from __future__ import annotations
 
 import lzma
+import mmap
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -112,6 +113,21 @@ def _varint(b: bytes, o: int):
             return v, o
 
 
+def _find_in_view(d, pat: bytes, start: int) -> int:
+    """bytes.find over a memoryview, searching in bounded chunks so the
+    view is never materialized whole (rare recovery path)."""
+    step = 1 << 20
+    n = len(d)
+    o = start
+    while o < n:
+        chunk = bytes(d[o:o + step + len(pat)])
+        i = chunk.find(pat)
+        if i >= 0:
+            return o + i
+        o += step
+    return -1
+
+
 @dataclass
 class GdsNode:
     name: str
@@ -148,20 +164,26 @@ class GdsNode:
 
 class GdsFile:
     """Driver-side GDS container index: fragments, node tree, node
-    metadata. Opening reads only the small object streams (KBs), never
-    array data."""
+    metadata. Opening mmaps the file and reads only the small object
+    streams (KBs), never array data — pages fault in on demand.
+
+    Instances PICKLE as metadata only (fragment table + node tree, a few
+    KB): ship one parsed GdsFile to executors via `sc.broadcast` and each
+    worker process lazily re-mmaps the path on first data access, so a
+    1000-task read parses the container exactly once."""
 
     def __init__(self, path: str):
         self.path = path
-        with open(path, "rb") as fh:
-            data = fh.read()
+        self._mm = None
+        self._fidx: dict[str, tuple] = {}
+        data = self._buf()
         if data[:12] != _PREFIX:
             raise ValueError(f"{path}: not a GDS (CoreArray) file")
         self.version = struct.unpack("<H", data[12:14])[0]
-        self._data = data
         self._frags: dict[int, list[tuple[int, int, int, bool]]] = {}
         o = 0x12
-        while o + 16 <= len(data):
+        end = len(data)
+        while o + 16 <= end:
             raw = _u48(data, o)
             nxt = _u48(data, o + 6)
             sid = struct.unpack("<I", data[o + 12:o + 16])[0]
@@ -172,15 +194,45 @@ class GdsFile:
                 (o + 16, size - 16, nxt, bool(raw & _HEAD_BIT))
             )
             o += size
-        if o != len(data):
+        if o != end:
             raise ValueError(f"{path}: fragments do not tile the file")
         self.root = GdsNode(name="", path="", stream_id=1, flags=0x02)
         self._load_folder(self.root)
 
+    def _buf(self):
+        """The file's bytes as an mmap (lazy page-in; reopened on first
+        access after unpickling)."""
+        if self._mm is None:
+            with open(self.path, "rb") as fh:
+                self._mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        return self._mm
+
+    def __getstate__(self):
+        st = self.__dict__.copy()
+        st["_mm"] = None
+        st["_fidx"] = {}  # holds buffer views; rebuilt per process
+        return st
+
+    def __setstate__(self, st):
+        self.__dict__.update(st)
+
     # -- streams -----------------------------------------------------------
     def stream_bytes(self, sid: int) -> bytes:
+        data = self._buf()
         frags = self._ordered_frags(sid)
-        return b"".join(self._data[a:a + n] for a, n, _, _ in frags)
+        return b"".join(data[a:a + n] for a, n, _, _ in frags)
+
+    def data_view(self, sid: int):
+        """A node data stream as a zero-copy memoryview when it is a
+        single fragment (the common case — gdsfmt writes each array's
+        data contiguously), else the joined bytes. Slicing the result
+        never materializes more than the slice."""
+        data = self._buf()
+        frags = self._ordered_frags(sid)
+        if len(frags) == 1:
+            a, n, _, _ = frags[0]
+            return memoryview(data)[a:a + n]
+        return memoryview(b"".join(data[a:a + n] for a, n, _, _ in frags))
 
     def _ordered_frags(self, sid: int):
         frags = self._frags.get(sid, [])
@@ -321,35 +373,51 @@ class GdsFile:
 
     # -- data --------------------------------------------------------------
     def _frame_index(self, node: GdsNode):
-        """[(stream_off, comp_len, uncomp_len)] for each xz frame; None if
-        the node's data stream is raw (uncompressed)."""
-        d = self.stream_bytes(node.data_stream)
+        """(frames, view) for a node's data stream, cached per node.
+        frames is a list of (data_off, uncomp_len, comp_end) per xz
+        frame — comp_end bounds the decompressor's input so a range read
+        touches only its frames' bytes — or None for a raw stream, or
+        "full" when the whole stream had to be decompressed (legacy zlib
+        whole-stream coding)."""
+        hit = self._fidx.get(node.path)
+        if hit is not None:
+            return hit
+        d = self.data_view(node.data_stream)
         if not node.coder:
-            return None, d
-        if d[6:11] not in (b"XZ_RA",):
-            if d[6:12] == b"ZIP_RA" or node.coder.upper().startswith("ZIP"):
-                # zlib container: decompress fully (no frame index)
-                return "full", zlib.decompress(d[d.index(b"\x78", 6):])
+            res = (None, d)
+            self._fidx[node.path] = res
+            return res
+        if bytes(d[6:11]) != b"XZ_RA":
+            if bytes(d[6:12]) == b"ZIP_RA" or node.coder.upper().startswith("ZIP"):
+                # zlib container: decompress fully (no random access)
+                head = bytes(d[6:4096])
+                z0 = 6 + head.index(b"\x78")
+                res = ("full", zlib.decompress(bytes(d[z0:])))
+                self._fidx[node.path] = res
+                return res
             raise ValueError(f"{node.path}: unsupported coder {node.coder!r}")
         bsize = 1 << d[12]
         nframes = struct.unpack("<I", d[14:18])[0]
-        entry_w = d.find(_XZ_MAGIC) - 18
+        entry_w = bytes(d[18:40]).find(_XZ_MAGIC)  # first frame follows entry 0
         frames, o = [], 18
         for k in range(nframes):
             comp = int.from_bytes(d[o:o + 3], "little")
             rem = int.from_bytes(d[o + 3:o + 5], "little")
             units = int.from_bytes(d[o + 5:o + entry_w], "little")
             un = units * bsize + rem
-            # xz frames self-delimit; comp is only used to chain to the
-            # next entry (it includes the entry itself in v16 streams)
-            frames.append((o + entry_w, un))
-            o += comp
-            if k + 1 < nframes and d[o + entry_w:o + entry_w + 6] != _XZ_MAGIC:
+            # xz frames self-delimit; comp chains to the next entry (it
+            # includes the entry itself in v16 streams)
+            nxt = o + comp
+            if k + 1 < nframes and bytes(d[nxt + entry_w:nxt + entry_w + 6]) != _XZ_MAGIC:
                 # layout drift: recover by scanning for the next frame
-                o = d.find(_XZ_MAGIC, frames[-1][0] + 6) - entry_w
+                nxt = _find_in_view(d, _XZ_MAGIC, o + entry_w + 6) - entry_w
+            frames.append((o + entry_w, un, min(nxt, len(d))))
+            o = nxt
         if len(frames) == 1 and frames[0][1] == 0:
-            frames[0] = (frames[0][0], node.total_bytes)
-        return frames, d
+            frames[0] = (frames[0][0], node.total_bytes, frames[0][2])
+        res = (frames, d)
+        self._fidx[node.path] = res
+        return res
 
     def read_node_bytes(self, node: GdsNode, start: int = 0, end: int | None = None) -> bytes:
         """Uncompressed bytes [start, end) of a node's data — decompresses
@@ -362,20 +430,35 @@ class GdsFile:
             size = _u48(d, 0)
             if end is None or end > size:
                 end = size
-            return d[6 + start:6 + end]
+            return bytes(d[6 + start:6 + end])
         if end is None:
             end = node.total_bytes
         out, pos = [], 0
-        mv = memoryview(d)
-        for off, un in frames:
+        for off, un, cend in frames:
             if pos >= end:
                 break
             if pos + un > start:
                 dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-                raw = dec.decompress(mv[off:])
+                raw = dec.decompress(bytes(d[off:cend]))
                 out.append(raw[max(0, start - pos):end - pos])
             pos += un
         return b"".join(out)
+
+    def iter_node_chunks(self, node: GdsNode):
+        """Yield the node's uncompressed bytes frame-by-frame — streaming
+        sequential access holding ONE frame in memory at a time (raw /
+        legacy-zlib streams yield a single chunk)."""
+        frames, d = self._frame_index(node)
+        if frames == "full":
+            yield d
+            return
+        if frames is None:
+            size = _u48(d, 0)
+            yield bytes(d[6:6 + size])
+            return
+        for off, _, cend in frames:
+            dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            yield dec.decompress(bytes(d[off:cend]))
 
     # -- typed decode ------------------------------------------------------
     def read_array(self, path: str):

@@ -56,31 +56,77 @@ def _bit_rows(f: GdsFile, node: GdsNode, row_start: int, row_end: int, vals_per_
     return vals[off:off + (v1 - v0)]
 
 
+# (file_path, file_size, node_path, bounds_digest) -> offsets. Bounds
+# arrays are tiny (n_blocks+1); the cache makes repeated from_gds calls
+# on the same container free. Bounded to keep long-lived drivers small.
+_VL_BOUNDS_CACHE: dict[tuple, np.ndarray] = {}
+_VL_BOUNDS_CACHE_MAX = 256
+
+
 def _vl_byte_bounds(f: GdsFile, node: GdsNode, elem_bounds) -> np.ndarray:
     """Byte offset of each element boundary (sorted ascending) in a VL
-    node's uncompressed stream — one driver-side linear pass, recorded in
-    blocks_df so every task seeks instead of re-walking from byte 0."""
-    raw = f.read_node_bytes(node)
+    node's uncompressed stream — ONE linear pass, streamed frame-by-frame
+    (at most one decompressed frame held at a time, so planning memory is
+    O(frame), not O(node)). Results are cached per (file, node, bounds)."""
+    import os
+
     bounds = np.asarray(elem_bounds, dtype=np.int64)
+    try:
+        fsize = os.path.getsize(f.path)
+    except OSError:
+        fsize = -1
+    key = (f.path, fsize, node.path, bounds.tobytes())
+    hit = _VL_BOUNDS_CACHE.get(key)
+    if hit is not None:
+        return hit
     if node.kind == "vlint":
         # LEB128: an element ends at every byte with the high bit clear
-        ends = np.flatnonzero(np.frombuffer(raw, dtype=np.uint8) < 0x80)
-        starts = np.concatenate([[0], ends.astype(np.int64) + 1])
-        return starts[np.minimum(bounds, len(starts) - 1)]
-    out = np.empty(len(bounds), dtype=np.int64)
-    o = e = bi = 0
-    nb, total = len(bounds), len(raw)
-    while bi < nb and bounds[bi] <= e:
-        out[bi] = o
-        bi += 1
-    while bi < nb and o < total:
-        ln, o = _varint(raw, o)
-        o += ln
-        e += 1
-        while bi < nb and bounds[bi] == e:
-            out[bi] = o
+        parts, base = [], 0
+        for chunk in f.iter_node_chunks(node):
+            a = np.frombuffer(chunk, dtype=np.uint8)
+            parts.append(np.flatnonzero(a < 0x80).astype(np.int64) + base)
+            base += len(a)
+        ends = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        starts = np.concatenate([[0], ends + 1])
+        out = starts[np.minimum(bounds, len(starts) - 1)]
+    else:  # vlstr: sequential [varint len][payload] walk with carry
+        out = np.empty(len(bounds), dtype=np.int64)
+        nb = len(bounds)
+        bi = 0
+        while bi < nb and bounds[bi] <= 0:
+            out[bi] = 0
             bi += 1
-    out[bi:] = total
+        e = 0         # elements fully consumed
+        abs_o = 0     # absolute offset of current buffer start
+        carry = b""
+        for chunk in f.iter_node_chunks(node):
+            if bi >= nb:
+                break
+            buf = carry + bytes(chunk)
+            o, n = 0, len(buf)
+            while bi < nb:
+                p, v, shift, fin = o, 0, 0, False
+                while p < n:
+                    c = buf[p]
+                    p += 1
+                    v |= (c & 0x7F) << shift
+                    shift += 7
+                    if not (c & 0x80):
+                        fin = True
+                        break
+                if not fin or p + v > n:
+                    break  # element spans into the next frame
+                o = p + v
+                e += 1
+                while bi < nb and bounds[bi] == e:
+                    out[bi] = abs_o + o
+                    bi += 1
+            carry = buf[o:]
+            abs_o += o
+        out[bi:] = abs_o + len(carry)
+    if len(_VL_BOUNDS_CACHE) >= _VL_BOUNDS_CACHE_MAX:
+        _VL_BOUNDS_CACHE.clear()
+    _VL_BOUNDS_CACHE[key] = out
     return out
 
 
@@ -239,27 +285,16 @@ def from_gds(
     # tasks seek straight to their block instead of re-walking varints
     # from byte 0 (O(N) total instead of O(N^2/B) for vlstr columns
     # like chromosome/allele)
+    # ship the parsed container (fragment table + node tree, a few KB) to
+    # executors once — tasks neither re-read nor re-parse the file; data
+    # pages fault in via mmap per worker process
+    bc = spark.sparkContext.broadcast(f)
+
     bstarts = np.arange(0, max(n_var, 1), block_variants, dtype=np.int64)
     vaxis = np.append(bstarts, n_var)
-    vl_elem: dict[str, np.ndarray] = {}
-
-    def _register_vl(p: str, elem_bounds) -> None:
-        if _has(f, p) and f.node(p).kind in ("vlstr", "vlint"):
-            vl_elem[p] = np.asarray(elem_bounds, dtype=np.int64)
-
-    for p in ("variant.id", "chromosome", "allele", "annotation/id",
-              "annotation/qual", "annotation/filter", "genotype/@data"):
-        _register_vl(p, vaxis)
-    for name, _, eoff in info_meta:
-        _register_vl(f"annotation/info/@{name}", vaxis)
-        _register_vl(f"annotation/info/{name}",
-                     eoff[vaxis] if eoff is not None else vaxis)
-    n_samp_b = len(sample_ids)
-    for name, _, roff, _ in fmt_meta:
-        _register_vl(f"annotation/format/{name}/@data", vaxis)
-        _register_vl(f"annotation/format/{name}/data", roff[vaxis] * n_samp_b)
-    vlpaths = sorted(vl_elem)
-    vl_bytes = {p: _vl_byte_bounds(f, f.node(p), vl_elem[p]) for p in vlpaths}
+    vlpaths, vl_elem, vl_bytes = _build_vl_index(
+        f, vaxis, info_meta, fmt_meta, len(sample_ids), spark=spark, bc=bc
+    )
 
     blocks = []
     for b, s in enumerate(bstarts):
@@ -313,7 +348,7 @@ def from_gds(
     imeta = [(n, k, e is not None) for n, k, e in info_meta]
 
     def variants_kernel(batches):
-        g = GdsFile(path)
+        g = bc.value
         for pdf in batches:
             for _, row in pdf.iterrows():
                 s, e = int(row["start"]), int(row["end"])
@@ -340,7 +375,7 @@ def from_gds(
         sids = list(sample_ids)
 
         def calls_kernel(batches):
-            g = GdsFile(path)
+            g = bc.value
             for pdf in batches:
                 for _, row in pdf.iterrows():
                     yield _calls_block(g, row, sids, ploidy, fmeta,
@@ -362,6 +397,65 @@ def from_gds(
             samples = samples.join(aux, "sample_id", "left")
 
     return SeqDataset(variants, calls, samples, ploidy=ploidy)
+
+
+# VL nodes whose uncompressed stream exceeds this are walked on
+# executors (one Spark task per node) instead of the driver — planning
+# a 100 TB container must not serialize multi-GB walks through one core
+_VL_DRIVER_MAX_BYTES = 64 << 20
+
+
+def _build_vl_index(f: GdsFile, vaxis: np.ndarray, info_meta, fmt_meta,
+                    n_samp: int, spark=None, bc=None):
+    """(vlpaths, vl_elem, vl_bytes) for every variable-length node a block
+    kernel will slice. Keys are the nodes' CANONICAL paths (leading
+    slash, exactly `f.node(p).path`) — the kernels look the per-block
+    index up via `node.path`, so any key drift silently disables the
+    random-access path and degrades every task to a from-zero varint
+    walk (O(N^2/B) at scale).
+
+    Small nodes are walked on the driver (streamed frame-by-frame and
+    cached); nodes above _VL_DRIVER_MAX_BYTES are walked in parallel on
+    executors via the broadcast container handle, returning only the
+    O(n_blocks) boundary offsets."""
+    vl_elem: dict[str, np.ndarray] = {}
+
+    def _register_vl(p: str, elem_bounds) -> None:
+        if _has(f, p) and f.node(p).kind in ("vlstr", "vlint"):
+            vl_elem[f.node(p).path] = np.asarray(elem_bounds, dtype=np.int64)
+
+    for p in ("variant.id", "chromosome", "allele", "annotation/id",
+              "annotation/qual", "annotation/filter", "genotype/@data"):
+        _register_vl(p, vaxis)
+    for name, _, eoff in info_meta:
+        _register_vl(f"annotation/info/@{name}", vaxis)
+        _register_vl(f"annotation/info/{name}",
+                     eoff[vaxis] if eoff is not None else vaxis)
+    for name, _, roff, _ in fmt_meta:
+        _register_vl(f"annotation/format/{name}/@data", vaxis)
+        _register_vl(f"annotation/format/{name}/data", roff[vaxis] * n_samp)
+    vlpaths = sorted(vl_elem)
+    vl_bytes: dict[str, np.ndarray] = {}
+    big = [
+        p for p in vlpaths
+        if (f.node(p).total_bytes or 0) > _VL_DRIVER_MAX_BYTES
+    ]
+    if big and spark is not None and bc is not None:
+        items = [(p, vl_elem[p].tolist()) for p in big]
+
+        def _walk(item):
+            p, elems = item
+            g = bc.value
+            return p, _vl_byte_bounds(g, g.node(p), elems).tolist()
+
+        for p, offs in (
+            spark.sparkContext.parallelize(items, len(items)).map(_walk).collect()
+        ):
+            vl_bytes[p] = np.asarray(offs, dtype=np.int64)
+    for p in vlpaths:
+        if p not in vl_bytes:
+            vl_bytes[p] = _vl_byte_bounds(f, f.node(p), vl_elem[p])
+    return vlpaths, vl_elem, vl_bytes
 
 
 def _row_vl(row, vlpaths):
@@ -520,6 +614,14 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None):
                 for k in range(int(c)):
                     acc[i] |= P[off + k] << (2 * k)
                 off += int(c)
+        if int(counts.max(initial=1)) >= 8:
+            # >= 8 bit2 planes would mean allele codes >= 2^15 — beyond
+            # the array<smallint> schema; fail loudly instead of letting
+            # the int16 cast below wrap silently
+            raise ValueError(
+                f"variant block [{s},{e}) has {int(counts.max())} genotype "
+                "bit planes; allele codes exceed the int16 call schema"
+            )
         alleles = acc.reshape(nv, n_samp, ploidy)
         is_missing = alleles == ((1 << (2 * counts)) - 1)[:, None, None]
     phase_vals = None

@@ -93,8 +93,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif ts_type == "timestamp_ntz":
-        # watermarks require TIMESTAMP (with zone); NTZ testdata is UTC
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        # watermarks require TIMESTAMP (with zone); NTZ testdata is UTC.
+        # A bare cast would reinterpret the wall-clock in the session
+        # timezone — pin the NTZ value to UTC explicitly so event-time
+        # watermarks are stable regardless of spark.sql.session.timeZone
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        ev = ev.withColumn(
+            "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz)
+        )
     return ev
 
 

@@ -217,6 +217,31 @@ def test_vl_byte_bounds(ceu):
         assert got == full[e0:e1]
 
 
+def test_vl_index_fast_path_engages(ceu):
+    """Regression: the VL byte index must be keyed by the nodes' canonical
+    paths (node.path, leading slash) — a bare-path key means every block
+    kernel's (vl or {}).get(node.path) lookup misses and the task
+    silently falls back to the O(N^2/B) from-zero varint walk."""
+    from seqarray_spark.sources.gds_spark import (
+        _build_vl_index, _node_slice, _row_vl)
+
+    n = int(ceu.node("variant.id").dims[0])
+    vaxis = np.array([0, 500, 1000, n], dtype=np.int64)
+    vlpaths, vl_elem, vl_bytes = _build_vl_index(ceu, vaxis, [], [], 90)
+    assert vlpaths, "no VL nodes registered"
+    for p in vlpaths:
+        assert p.startswith("/") and ceu.node(p).path == p, p
+    # kernel-side lookup must hit for every registered VL node
+    row = {"vb0": [int(vl_bytes[p][1]) for p in vlpaths],
+           "vb1": [int(vl_bytes[p][2]) for p in vlpaths],
+           "ve0": [int(vl_elem[p][1]) for p in vlpaths]}
+    vl = _row_vl(row, vlpaths)
+    allele = ceu.node("allele")
+    assert vl.get(allele.path) is not None, "fast path not engaged"
+    got = _node_slice(ceu, allele, 500, 1000, vl)
+    assert got == ceu.read_array("allele")[500:1000]
+
+
 def test_from_gds_many_blocks_parity(spark):
     """Tiny blocks (many boundary seeks through the VL index) decode the
     same variants frame as one big block."""

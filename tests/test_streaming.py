@@ -56,6 +56,36 @@ def test_windowed_event_counts(spark, sf_dir):
     assert sum(r["n"] for r in rows) == batch.agg(F.sum("n")).first()[0]
 
 
+def test_stream_events_ts_pinned_to_utc(spark, sf_dir):
+    """NTZ event times are pinned to UTC regardless of the session
+    timezone — a bare cast would shift every watermark/window by the
+    zone offset. Compare pure epoch seconds (instant identity) computed
+    inside Spark, so no tz-dependent datetime rendering is involved."""
+    from seqarray_spark.sources.testdata import load_table
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    # expected: min NTZ wall-clock interpreted as UTC, floored to the hour
+    lo_epoch = (
+        load_table(spark, sf_dir, "events")
+        .select(F.min(F.unix_timestamp(
+            F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz0)
+        )).alias("e"))
+        .first()["e"]
+    )
+    expected = (lo_epoch // 3600) * 3600
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = S.stream_events(spark, sf_dir)
+        agg = S.windowed_event_counts(ev, window="1 hour")
+        epochs = agg.select(
+            F.unix_timestamp(F.col("window_start")).alias("epoch")
+        )
+        rows = S.run_stream_to_memory(epochs, "tz_counts", mode="complete").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert rows and min(r["epoch"] for r in rows) == expected
+
+
 def test_running_user_stats_stateful(spark, sf_dir):
     """applyInPandasWithState custom operator: final state equals the
     batch aggregate."""
