@@ -74,26 +74,46 @@ _NATTR_TAG = bytes.fromhex("0807f37d9d937d")
 _ATTR_TAG = bytes.fromhex("0108f37ddd45791f")
 _PARAM_TAG = 0x13
 
-# class signature -> storage kind
-# (lenbyte, payload) as found between the fixed header and the first
-# property anchor
+# class signature -> storage kind. A signature is the CoreArray class
+# NAME 7-bit-packed into a little-endian bitstream (7 bits per ASCII
+# char, bytes filled LSB-first) — verified by decoding every signature
+# observed in the fixtures back to its class name (dInt32, dStr8,
+# dBit2, dVL_Int, dPackedReal8U, ...), so unobserved classes can be
+# generated with _pack7 below.
 _CLASS_SIGS = {
-    bytes.fromhex("e4295d8e03"): "vlstr",        # variable-length UTF-8
-    bytes.fromhex("e4a49b3e9301"): "int32",
-    bytes.fromhex("e4a49b1eb301"): "int16",
-    bytes.fromhex("e46ad24dc701"): "uint8",
-    bytes.fromhex("64619a2e03"): "bit2",
-    bytes.fromhex("64619a1e03"): "bit1",
-    bytes.fromhex("6423fb1da6cf64"): "float32",
-    bytes.fromhex("642bf39b74d301"): "vlint",     # zigzag LEB128
-    bytes.fromhex("646878bc2e93a5e5301b5705"): "packedreal8",
+    bytes.fromhex("e4295d8e03"): "vlstr",        # dStr8 (VL UTF-8)
+    bytes.fromhex("e4a49b3e9301"): "int32",      # dInt32
+    bytes.fromhex("e4a49b1eb301"): "int16",      # dInt16
+    bytes.fromhex("e46ad24dc701"): "uint8",      # dUInt8
+    bytes.fromhex("64619a2e03"): "bit2",         # dBit2
+    bytes.fromhex("64619a1e03"): "bit1",         # dBit1
+    bytes.fromhex("6423fb1da6cf64"): "float32",  # dFloat32
+    bytes.fromhex("6423fb1da6db68"): "float64",  # dFloat64
+    bytes.fromhex("642bf39b74d301"): "vlint",    # dVL_Int (zigzag LEB128)
+    # packed fixed-point reals (offset/scale params; reference stores
+    # imputation dosage as packedreal16, R/ConvVCF2GDS.R:578-583)
+    bytes.fromhex("646878bc2e93a5e5301b5705"): "packedreal8",     # dPackedReal8U
+    bytes.fromhex("646878bc2e93a5e5303b6603"): "packedreal16",    # dPackedReal16
+    bytes.fromhex("646878bc2e93a5e5303b66ab02"): "packedreal16u",  # dPackedReal16U
 }
-# NOTE: the packedreal16 signature does not appear in the fixtures;
-# detection falls back on element size (total_bytes / n_elements).
+
+
+def _pack7(name: str) -> bytes:
+    """CoreArray class-name signature: 7-bit chars, LSB-first bitstream."""
+    bits = []
+    for ch in name:
+        c = ord(ch)
+        bits += [(c >> i) & 1 for i in range(7)]
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        sum(bits[8 * j + i] << i for i in range(8)) for j in range(len(bits) // 8)
+    )
+
 
 _ELEM_SIZE = {
     "int32": 4, "int16": 2, "uint8": 1, "float32": 4, "float64": 8,
-    "packedreal8": 1, "packedreal16": 2,
+    "packedreal8": 1, "packedreal16": 2, "packedreal16u": 2,
 }
 
 
@@ -111,6 +131,16 @@ def _varint(b: bytes, o: int):
         shift += 7
         if not (c & 0x80):
             return v, o
+
+
+def _decompress_frame(codec: str, data: bytes) -> bytes:
+    """One _RA frame -> its uncompressed bytes ("xz" = standalone xz
+    stream, "zip" = standalone zlib stream). Module-level so tests can
+    spy on per-frame decompression counts."""
+    if codec == "zip":
+        return zlib.decompressobj().decompress(data)
+    dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+    return dec.decompress(data)
 
 
 def _find_in_view(d, pat: bytes, start: int) -> int:
@@ -373,40 +403,61 @@ class GdsFile:
 
     # -- data --------------------------------------------------------------
     def _frame_index(self, node: GdsNode):
-        """(frames, view) for a node's data stream, cached per node.
-        frames is a list of (data_off, uncomp_len, comp_end) per xz
-        frame — comp_end bounds the decompressor's input so a range read
-        touches only its frames' bytes — or None for a raw stream, or
-        "full" when the whole stream had to be decompressed (legacy zlib
-        whole-stream coding)."""
+        """(frames, view, codec) for a node's data stream, cached per
+        node. frames is a list of (data_off, uncomp_len, comp_end) per
+        compressed frame — comp_end bounds the decompressor's input so a
+        range read touches only its frames' bytes — or None for a raw
+        stream, or "full" when the whole stream had to be decompressed
+        (legacy zlib whole-stream coding). codec is "xz" or "zip"."""
         hit = self._fidx.get(node.path)
         if hit is not None:
             return hit
         d = self.data_view(node.data_stream)
         if not node.coder:
-            res = (None, d)
+            res = (None, d, "")
             self._fidx[node.path] = res
             return res
-        if bytes(d[6:11]) != b"XZ_RA":
-            if bytes(d[6:12]) == b"ZIP_RA" or node.coder.upper().startswith("ZIP"):
-                # zlib container: decompress fully (no random access)
-                head = bytes(d[6:4096])
-                z0 = 6 + head.index(b"\x78")
-                res = ("full", zlib.decompress(bytes(d[z0:])))
-                self._fidx[node.path] = res
-                return res
-            raise ValueError(f"{node.path}: unsupported coder {node.coder!r}")
-        bsize = 1 << d[12]
-        nframes = struct.unpack("<I", d[14:18])[0]
-        entry_w = bytes(d[18:40]).find(_XZ_MAGIC)  # first frame follows entry 0
-        frames, o = [], 18
+        if bytes(d[6:11]) == b"XZ_RA":
+            frames = self._parse_ra_entries(d, 11, node)
+            res = (frames, d, "xz")
+            self._fidx[node.path] = res
+            return res
+        if bytes(d[6:12]) == b"ZIP_RA" or node.coder.upper().startswith("ZIP"):
+            # ZIP_ra random-access container (same frame-entry family as
+            # XZ_RA, zlib streams instead of xz). zlib streams do not
+            # carry a searchable magic, so the parse is validated — every
+            # chained entry must land on a zlib header and the entry walk
+            # must tile the stream; on any mismatch fall back to
+            # whole-stream decompression (legacy layout)
+            if bytes(d[6:12]) == b"ZIP_RA":
+                frames = self._parse_zip_ra(d, node)
+                if frames is not None:
+                    res = (frames, d, "zip")
+                    self._fidx[node.path] = res
+                    return res
+            head = bytes(d[6:4096])
+            z0 = 6 + head.index(b"\x78")
+            res = ("full", zlib.decompress(bytes(d[z0:])), "zip")
+            self._fidx[node.path] = res
+            return res
+        raise ValueError(f"{node.path}: unsupported coder {node.coder!r}")
+
+    def _parse_ra_entries(self, d, magic_end: int, node: GdsNode):
+        """Entry walk for an XZ_RA stream: [u8 version][u8 bsize_log2]
+        [0xff][u32 nframes] then per frame [u24 comp][u16 rem]
+        [u8/u16 units][xz stream] (comp includes the entry)."""
+        bsize = 1 << d[magic_end + 1]
+        nframes = struct.unpack("<I", d[magic_end + 3:magic_end + 7])[0]
+        e0 = magic_end + 7
+        # first frame follows entry 0 — its magic fixes the entry width
+        entry_w = bytes(d[e0:e0 + 22]).find(_XZ_MAGIC)
+        frames, o = [], e0
         for k in range(nframes):
             comp = int.from_bytes(d[o:o + 3], "little")
             rem = int.from_bytes(d[o + 3:o + 5], "little")
             units = int.from_bytes(d[o + 5:o + entry_w], "little")
             un = units * bsize + rem
-            # xz frames self-delimit; comp chains to the next entry (it
-            # includes the entry itself in v16 streams)
+            # xz frames self-delimit; comp chains to the next entry
             nxt = o + comp
             if k + 1 < nframes and bytes(d[nxt + entry_w:nxt + entry_w + 6]) != _XZ_MAGIC:
                 # layout drift: recover by scanning for the next frame
@@ -415,14 +466,51 @@ class GdsFile:
             o = nxt
         if len(frames) == 1 and frames[0][1] == 0:
             frames[0] = (frames[0][0], node.total_bytes, frames[0][2])
-        res = (frames, d)
-        self._fidx[node.path] = res
-        return res
+        return frames
+
+    def _parse_zip_ra(self, d, node: GdsNode):
+        """Validated frame-index parse for a ZIP_RA stream ("ZIP_RA"
+        magic + the XZ_RA header/entry layout, zlib frame streams).
+        Returns frames or None when the layout does not check out."""
+        magic_end = 12
+        if d[magic_end + 2] != 0xFF:
+            return None
+        bsize = 1 << d[magic_end + 1]
+        nframes = struct.unpack("<I", d[magic_end + 3:magic_end + 7])[0]
+        if nframes == 0 or nframes > (1 << 28):
+            return None
+        for entry_w in (6, 7):  # v16 / v17 entry widths
+            frames, o, total_un, ok = [], magic_end + 7, 0, True
+            for k in range(nframes):
+                if o + entry_w > len(d):
+                    ok = False
+                    break
+                comp = int.from_bytes(d[o:o + 3], "little")
+                rem = int.from_bytes(d[o + 3:o + 5], "little")
+                units = int.from_bytes(d[o + 5:o + entry_w], "little")
+                un = units * bsize + rem
+                data0 = o + entry_w
+                if comp <= entry_w or data0 >= len(d) or d[data0] != 0x78:
+                    ok = False
+                    break
+                frames.append((data0, un, min(o + comp, len(d))))
+                total_un += un
+                o += comp
+            if not ok or o != len(d):
+                continue
+            if node.total_bytes and total_un != node.total_bytes and not (
+                nframes == 1 and total_un == 0
+            ):
+                continue
+            if len(frames) == 1 and frames[0][1] == 0:
+                frames[0] = (frames[0][0], node.total_bytes, frames[0][2])
+            return frames
+        return None
 
     def read_node_bytes(self, node: GdsNode, start: int = 0, end: int | None = None) -> bytes:
         """Uncompressed bytes [start, end) of a node's data — decompresses
         only the frames overlapping the range."""
-        frames, d = self._frame_index(node)
+        frames, d, codec = self._frame_index(node)
         if frames == "full":  # pre-decompressed (zlib path)
             return d[start:end]
         if frames is None:
@@ -438,8 +526,7 @@ class GdsFile:
             if pos >= end:
                 break
             if pos + un > start:
-                dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-                raw = dec.decompress(bytes(d[off:cend]))
+                raw = _decompress_frame(codec, bytes(d[off:cend]))
                 out.append(raw[max(0, start - pos):end - pos])
             pos += un
         return b"".join(out)
@@ -448,7 +535,7 @@ class GdsFile:
         """Yield the node's uncompressed bytes frame-by-frame — streaming
         sequential access holding ONE frame in memory at a time (raw /
         legacy-zlib streams yield a single chunk)."""
-        frames, d = self._frame_index(node)
+        frames, d, codec = self._frame_index(node)
         if frames == "full":
             yield d
             return
@@ -457,8 +544,7 @@ class GdsFile:
             yield bytes(d[6:6 + size])
             return
         for off, _, cend in frames:
-            dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-            yield dec.decompress(bytes(d[off:cend]))
+            yield _decompress_frame(codec, bytes(d[off:cend]))
 
     # -- typed decode ------------------------------------------------------
     def read_array(self, path: str):
@@ -584,12 +670,20 @@ def decode_values(node: GdsNode, raw: bytes, n_values: int | None = None):
         return np.frombuffer(raw, dtype=np.float32)
     if kind == "float64":
         return np.frombuffer(raw, dtype=np.float64)
-    if kind in ("packedreal8", "packedreal16"):
-        scale = node.params.get("scale", 0.01)
+    if kind in ("packedreal8", "packedreal16", "packedreal16u"):
+        # class-default scales per gdsfmt (explicit param wins; the
+        # reference's imputation mode sets scale=0.0001,
+        # R/ConvVCF2GDS.R:580)
+        scale = node.params.get(
+            "scale", 0.01 if kind == "packedreal8" else 0.0001
+        )
         offset = node.params.get("offset", 0.0)
         if kind == "packedreal8":
             a = np.frombuffer(raw, dtype=np.uint8)
             na = a == 0xFF
+        elif kind == "packedreal16u":
+            a = np.frombuffer(raw, dtype=np.uint16)
+            na = a == np.uint16(0xFFFF)
         else:
             a = np.frombuffer(raw, dtype=np.int16)
             na = a == np.int16(-0x8000)

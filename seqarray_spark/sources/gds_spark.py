@@ -183,8 +183,8 @@ def _node_slice(f: GdsFile, node: GdsNode, start: int, end: int, vl=None):
         return _vl_slice(f, node, start, end, (vl or {}).get(node.path))
     if node.kind in ("bit1", "bit2"):
         return _bit_rows(f, node, start, end, 1)
-    es = {"int32": 4, "int16": 2, "uint8": 1, "float32": 4,
-          "float64": 8, "packedreal8": 1, "packedreal16": 2}[node.kind]
+    es = {"int32": 4, "int16": 2, "uint8": 1, "float32": 4, "float64": 8,
+          "packedreal8": 1, "packedreal16": 2, "packedreal16u": 2}[node.kind]
     return decode_values(node, f.read_node_bytes(node, start * es, end * es))
 
 
@@ -208,8 +208,8 @@ def _spark_type(kind: str, is_array: bool) -> str:
     base = {
         "int32": "int", "int16": "int", "uint8": "int", "vlint": "long",
         "float32": "double", "float64": "double", "packedreal8": "double",
-        "packedreal16": "double", "vlstr": "string", "bit1": "boolean",
-        "bit2": "int",
+        "packedreal16": "double", "packedreal16u": "double",
+        "vlstr": "string", "bit1": "boolean", "bit2": "int",
     }[kind]
     return f"array<{base}>" if is_array else base
 
@@ -226,6 +226,14 @@ def from_gds(
     The file must be reachable from every executor (shared FS / NFS /
     fuse mount — the same contract the reference's parallel readers have,
     R/Utilities.R:1008-1124).
+
+    Codec contract (random access): LZMA_ra (XZ_RA) nodes and ZIP_ra
+    nodes written by this engine block-decode with frame-level random
+    access — a task touches only the frames overlapping its block.
+    ZIP-coded nodes whose frame index does not validate (e.g. layouts
+    from other gdsfmt builds) fall back to whole-stream decompression
+    per task (sources/gds.py _parse_zip_ra) — O(N^2/B) at scale; convert
+    such files once via to_gds(coder='LZMA_ra') before distributed use.
     """
     from seqarray_spark.dataset import SeqDataset
 

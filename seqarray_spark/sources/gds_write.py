@@ -8,8 +8,13 @@ position / chromosome / allele / genotype/{data,@data,extra.index,
 extra} / phase/{data,extra.index,extra} / annotation/{id,qual,filter} /
 annotation/info/* / annotation/format/*/{data,@data} /
 sample.annotation/*), same fragment + object-stream byte format
-(calibrated against inst/extdata/CEU_Exon.gds), with data streams
-stored raw (uncompressed) for random access without codecs.
+(calibrated against inst/extdata/CEU_Exon.gds). Data streams are
+LZMA_ra-compressed by default (the reference's released-file codec,
+≈0.013 B/genotype-call on 1KG — its headline storage ratio); ZIP_ra
+and raw are selectable via `coder` (seqStorageOption parity,
+R/Utilities.R:250-314). Compression runs in the executor tasks — each
+block fragment becomes a run of random-access frames; the driver only
+concatenates frame runs and merges bit-boundary bytes.
 
 Mixed-ploidy calls follow the reference's genotype/extra mechanism
 (src/ConvVCF2GDS.cpp:1775-1797): the fixed [*, n_samp, ploidy] grid
@@ -37,17 +42,19 @@ distributed reader (tests/test_gds_write.py).
 
 from __future__ import annotations
 
+import lzma
 import math
 import os
 import shutil
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
-from seqarray_spark.sources.gds import _CLASS_SIGS
+from seqarray_spark.sources.gds import _CLASS_SIGS, _CODER_TAG, _SIZES_TAG
 
 _PREFIX = b"COREARRAYx0A"
 _HEAD_BIT = 1 << 47
@@ -68,6 +75,74 @@ _ENT_PAD2 = bytes.fromhex("0944743112")  # entry[16:21]
 _ENT_PAD3 = bytes.fromhex("1544c66010")  # entry[25:30]
 
 _INT_NA = -(2 ** 31)
+
+# packedreal16 quantization (reference imputation storage:
+# "packedreal16:offset=0,scale=0.0001", R/ConvVCF2GDS.R:578-583);
+# the scale rides in the node's TdsAny param (pid 85e73017 — the byte
+# layout observed on Imputed_dosages.gds annotation/format/DS/data)
+_PR16_SCALE = 0.0001
+_PR16_NA = -0x8000
+_SCALE_PID = bytes.fromhex("85e73017")
+
+# ---------------------------------------------------------------------------
+# _RA random-access frame coding (the layout the reader block-decodes:
+# sources/gds.py _parse_ra_entries / _parse_zip_ra). Each frame is a
+# standalone xz / zlib stream covering _RA_BSIZE uncompressed bytes
+# (last frame partial), preceded by a v16 entry
+# [u24 comp][u16 rem][u8 units] where comp includes the 6-byte entry.
+
+_RA_BSIZE_LOG2 = 16          # 64 KiB uncompressed per frame
+_RA_BSIZE = 1 << _RA_BSIZE_LOG2
+_RA_ENTRY_W = 6
+
+# canonical coder spellings + "name.level" suffixes, mirroring the
+# reference's seqStorageOption compression levels
+# (/root/reference/R/Utilities.R:250-314: ZIP_RA.fast/.def/.max etc.)
+_CODER_LEVELS = {"fast": 1, "def": 6, "default": 6, "max": 9}
+
+
+def _parse_coder(coder: str | None) -> tuple[str, str, int]:
+    """'LZMA_ra.max' -> (canonical_name, codec, level); ''/None -> raw."""
+    if not coder:
+        return "", "", 0
+    base, _, lv = coder.partition(".")
+    level = _CODER_LEVELS.get(lv.lower(), 6) if lv else 6
+    b = base.upper()
+    if b in ("LZMA_RA", "XZ_RA"):
+        return "LZMA_ra", "xz", level
+    if b == "ZIP_RA":
+        return "ZIP_ra", "zip", level
+    raise ValueError(
+        f"unsupported coder {coder!r} (use 'LZMA_ra', 'ZIP_ra', or '' for raw)"
+    )
+
+
+def _compress_one(codec: str, level: int, chunk: bytes) -> bytes:
+    if codec == "zip":
+        return zlib.compress(chunk, level)
+    return lzma.compress(chunk, format=lzma.FORMAT_XZ, preset=level)
+
+
+def _frame_entry(comp_with_entry: int, un: int) -> bytes:
+    units, rem = divmod(un, _RA_BSIZE)
+    assert units <= 0xFF and rem <= 0xFFFF and comp_with_entry < (1 << 24)
+    return (
+        comp_with_entry.to_bytes(3, "little")
+        + rem.to_bytes(2, "little")
+        + units.to_bytes(1, "little")
+    )
+
+
+def _compress_frames(codec: str, level: int, raw: bytes) -> tuple[bytes, int]:
+    """raw -> concatenated [entry][stream] frames; (bytes, n_frames)."""
+    out = bytearray()
+    nfr = 0
+    for o in range(0, len(raw), _RA_BSIZE):
+        chunk = raw[o:o + _RA_BSIZE]
+        cs = _compress_one(codec, level, bytes(chunk))
+        out += _frame_entry(_RA_ENTRY_W + len(cs), len(chunk)) + cs
+        nfr += 1
+    return bytes(out), nfr
 
 
 def _varint_enc(n: int) -> bytes:
@@ -114,6 +189,10 @@ def _encode_values(kind: str, values) -> bytes:
             b = ("" if v is None else str(v)).encode("utf-8")
             out += _varint_enc(len(b)) + b
         return bytes(out)
+    if kind == "packedreal16":
+        a = np.asarray(values, dtype=np.float64)
+        q = np.clip(np.round(a / _PR16_SCALE), -0x7FFF, 0x7FFF)
+        return np.where(np.isnan(a), _PR16_NA, q).astype("<i2").tobytes()
     if kind in ("bit1", "bit2"):
         bits = 1 if kind == "bit1" else 2
         per = 8 // bits
@@ -168,10 +247,15 @@ class _Builder:
         raw: bytes | None = None,
         attrs: dict | None = None,
         deferred: tuple[int, object] | None = None,
+        coder: str = "",
+        total_bytes: int = 0,
+        comp_bytes: int = 0,
     ) -> int:
         """Array object stream + its data stream; returns the object
         stream id (for the parent directory entry). Pass either `raw`
-        (in-memory payload) or `deferred=(content_size, writer_fn)`."""
+        (in-memory payload) or `deferred=(content_size, writer_fn)`.
+        `coder`/`total_bytes`/`comp_bytes` declare a compressed data
+        stream (the reader parses them via _CODER_TAG/_SIZES_TAG)."""
         if deferred is not None:
             dsid = self.data_stream_deferred(deferred[0], deferred[1])
         else:
@@ -179,11 +263,20 @@ class _Builder:
         sig = _SIG_OF[kind]
         body = bytearray()
         body += bytes([len(sig)]) + sig
+        if coder:
+            cb = coder.encode("ascii")
+            body += _CODER_TAG + _varint_enc(len(cb)) + cb
+            body += _SIZES_TAG + struct.pack("<QQ", total_bytes, comp_bytes)
         body += _NDIM_TAG + struct.pack("<H", len(dims))
         body += _DIM_TAG + bytes([4 * len(dims)])
         for d in dims:
             body += struct.pack("<I", d)
         body += _DSTREAM_TAG + struct.pack("<I", dsid)
+        if kind.startswith("packedreal"):
+            # fixed-point scale param (TdsAny float64, the layout the
+            # reader maps to params['scale'])
+            body += bytes([0x13]) + _SCALE_PID + bytes([0x04])
+            body += struct.pack("<d", _PR16_SCALE)
         ab = _encode_attrs(attrs or {})
         body += _NATTR_TAG + struct.pack("<I", len(attrs or {}))
         body += _ATTR_TAG + _u48(len(ab)) + ab
@@ -275,8 +368,14 @@ def _frag_path(tmp: str, blk: int, key: str) -> str:
     return os.path.join(tmp, f"b{blk:08d}.{key.replace('/', '~')}.bin")
 
 
-_MANIFEST_SCHEMA = "blk int, key string, nvals long, nbytes long, aux long, s long"
-_MANIFEST_COLS = ["blk", "key", "nvals", "nbytes", "aux", "s"]
+_MANIFEST_SCHEMA = (
+    "blk int, key string, nvals long, nbytes long, aux long, s long, "
+    "enc int, ub long, nfr long, pb0 int, pb1 int"
+)
+_MANIFEST_COLS = [
+    "blk", "key", "nvals", "nbytes", "aux", "s", "enc", "ub", "nfr",
+    "pb0", "pb1",
+]
 
 
 def _variant_index(variants, nblocks: int):
@@ -356,7 +455,7 @@ def _info_meta(ds, info_fields):
     return out
 
 
-def _fmt_meta(calls, format_fields):
+def _fmt_meta(calls, format_fields, format_storage=None):
     if calls is None:
         return []
     out = []
@@ -372,6 +471,17 @@ def _fmt_meta(calls, format_fields):
             "vlstr" if elem == "string"
             else "float32" if elem in ("double", "float") else "int32"
         )
+        # per-field storage override (reference imputation mode stores
+        # DS/GP as packedreal16, R/ConvVCF2GDS.R:578-583)
+        want = (format_storage or {}).get(fld.name, "")
+        if want:
+            base = want.split(":", 1)[0].lower()
+            if base == "packedreal16" and kind == "float32":
+                kind = "packedreal16"
+            elif base not in ("", "float", "float32"):
+                raise ValueError(
+                    f"unsupported format_storage {want!r} for {fld.name}"
+                )
         out.append((fld.name, kind, is_arr))
     return out
 
@@ -379,19 +489,29 @@ def _fmt_meta(calls, format_fields):
 def _fill_of(kind: str):
     if kind == "vlstr":
         return ""
-    if kind == "float32":
+    if kind in ("float32", "packedreal16"):
         return math.nan
     return _INT_NA
 
 
 def _np_dtype(kind: str):
-    return {"int32": np.int64, "float32": np.float64}.get(kind, object)
+    return {
+        "int32": np.int64, "float32": np.float64, "packedreal16": np.float64,
+    }.get(kind, object)
 
 
-def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta, plane0):
+def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
+                        plane0, codec="", level=6):
     """Per-block encoder: takes the block's variants (+ calls) and writes
     one fragment file per node; returns manifest rows. Runs in executor
-    tasks — everything vectorized via pandas explode + numpy scatter."""
+    tasks — everything vectorized via pandas explode + numpy scatter.
+
+    With a codec, each fragment is compressed IN THE TASK into _RA
+    frames (the assembler only concatenates frame runs and writes the
+    header — compression never serializes on the driver). Bit-packed
+    nodes whose block boundary lands mid-byte strip the shared partial
+    byte(s) into the manifest (pb0/pb1); the assembler merges each
+    boundary pair into a single 1-byte frame."""
     n_samp = len(sample_ids)
     sample_pos = {s: i for i, s in enumerate(sample_ids)}
     nsp = n_samp * ploidy
@@ -402,18 +522,40 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta, plane
         if len(vdf) == 0:
             return _manifest_pdf(rows)
 
-        def emit(kname, kind=None, values=None, raw=None, nvals=None, aux=0, s=-1):
+        def emit(kname, kind=None, values=None, raw=None, nvals=None, aux=0,
+                 s=-1, bits=None, compress=True):
             if raw is None:
                 raw = _encode_values(kind, values)
                 if nvals is None:
                     nvals = len(values)
+            enc, ub, nfr, pb0, pb1 = 0, len(raw), 0, -1, -1
+            payload = raw
+            if codec and compress:
+                core = raw
+                if bits is not None and s >= 0 and len(raw):
+                    per = 8 // bits
+                    pfirst = s % per != 0
+                    plast = (s + nvals) % per != 0
+                    if pfirst and plast and len(raw) == 1:
+                        pb0, core = raw[0], b""  # single byte shared both ways
+                    else:
+                        if pfirst:
+                            pb0 = raw[0]
+                        if plast:
+                            pb1 = raw[-1]
+                        core = raw[1 if pfirst else 0:
+                                   len(raw) - (1 if plast else 0)]
+                payload, nfr = _compress_frames(codec, level, core)
+                ub = len(core)
+                enc = 1
             p = _frag_path(tmp, blk, kname)
-            if len(raw):
+            if len(payload):
                 tmpp = p + ".w"
                 with open(tmpp, "wb") as fh:
-                    fh.write(raw)
+                    fh.write(payload)
                 os.replace(tmpp, p)
-            rows.append((blk, kname, int(nvals), len(raw), int(aux), int(s)))
+            rows.append((blk, kname, int(nvals), len(payload), int(aux),
+                         int(s), enc, int(ub), int(nfr), int(pb0), int(pb1)))
 
         vdf = vdf.sort_values("__vidx")
         nv = len(vdf)
@@ -456,7 +598,7 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta, plane
                 raw = _encode_values(
                     "bit1", np.concatenate([np.zeros(pad, np.uint8), vals])
                 )
-                emit(ik, raw=raw, nvals=nv, s=v0)
+                emit(ik, raw=raw, nvals=nv, s=v0, bits=1)
             elif kind == "vlstr":
                 emit(ik, "vlstr", ["" if x is None else x for x in col])
             else:
@@ -500,12 +642,13 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta, plane
             s_g = -1  # byte-aligned blocks: plain concatenation
         pad = (s_g % 4) if s_g >= 0 else 0
         raw = _encode_values("bit2", np.concatenate([np.zeros(pad, np.uint8), stream]))
-        emit("geno.data", raw=raw, nvals=len(stream), s=s_g)
+        emit("geno.data", raw=raw, nvals=len(stream), s=s_g, bits=2)
         emit("geno.idx", "uint8", planes, aux=int(planes.sum()))
 
-        def extras(mask, values, e_li, e_si, e_pos, kname_data, kname_idx, data_kind):
+        def extras(mask, values, e_li, e_si, e_pos, kname_data, kname_idx,
+                   data_kind, compress_data=True):
             if not mask.any():
-                emit(kname_data, raw=b"", nvals=0)
+                emit(kname_data, raw=b"", nvals=0, compress=compress_data)
                 emit(kname_idx, raw=b"", nvals=0)
                 return
             gkey = e_li[mask] * n_samp + e_si[mask]
@@ -517,7 +660,7 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta, plane
             trip[:, 0] = uk % n_samp + 1          # sample.index, 1-based
             trip[:, 1] = v0 + uk // n_samp + 1    # variant.index, 1-based
             trip[:, 2] = cnt
-            emit(kname_data, data_kind, ev)
+            emit(kname_data, data_kind, ev, compress=compress_data)
             emit(kname_idx, "int32", trip.ravel(), nvals=len(uk) * 3, aux=len(uk))
 
         extras(pos >= ploidy, ival, r_li, r_si, pos,
@@ -538,12 +681,13 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta, plane
                 "bit1",
                 np.concatenate([np.zeros(padp, np.uint8), pgrid.ravel()]),
             )
-            emit("phase.data", raw=raw, nvals=pgrid.size, s=s_p)
+            emit("phase.data", raw=raw, nvals=pgrid.size, s=s_p, bits=1)
             # overflow phase bits: values staged raw (uint8/value); the
             # driver bit-packs at assembly (counts are tiny and block
             # start offsets are unknowable before the pass)
             extras(ppos >= ploidy - 1, pint, p_li, p_si, ppos,
-                   "phase.extra", "phase.extraidx", "uint8")
+                   "phase.extra", "phase.extraidx", "uint8",
+                   compress_data=False)
 
         # ---- FORMAT --------------------------------------------------
         for name, kind, is_arr in fmt_meta:
@@ -596,9 +740,10 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta, plane
 
 def _manifest_pdf(rows) -> pd.DataFrame:
     df = pd.DataFrame(rows, columns=_MANIFEST_COLS)
-    df["blk"] = df["blk"].astype("int32")
+    for c in ("blk", "enc", "pb0", "pb1"):
+        df[c] = df[c].astype("int32")
     df["key"] = df["key"].astype(object)
-    for c in ("nvals", "nbytes", "aux", "s"):
+    for c in ("nvals", "nbytes", "aux", "s", "ub", "nfr"):
         df[c] = df[c].astype("int64")
     return df
 
@@ -657,15 +802,33 @@ def _pack_bits_writer(paths, bits):
 
 def write_gds(ds, path: str, info_fields: list[str] | None = None,
               format_fields: list[str] | None = None,
-              block_variants: int | None = None) -> None:
+              block_variants: int | None = None,
+              coder: str | None = "LZMA_ra",
+              format_storage: dict[str, str] | None = None) -> None:
     """SeqDataset -> .gds container (reference writer: seqVCF2GDS,
     R/ConvVCF2GDS.R:559-1465). Read back with SeqDataset.from_gds.
+
+    `coder` selects per-node data-stream compression, mirroring the
+    reference's seqStorageOption (R/Utilities.R:250-314): 'LZMA_ra'
+    (default — the codec of the reference's released 1KG files),
+    'ZIP_ra', each with optional '.fast'/'.def'/'.max' level suffix, or
+    ''/None for raw streams. Compression happens in the executor tasks
+    (each block's fragment becomes a run of random-access frames the
+    reader block-decodes); the driver only concatenates frame runs and
+    merges boundary bytes of bit-packed nodes into 1-byte frames.
+
+    `format_storage` maps a FORMAT field to a packed storage kind —
+    {'DS': 'packedreal16'} stores imputation dosage as 16-bit
+    fixed-point at the reference's quantization
+    ("packedreal16:offset=0,scale=0.0001", R/ConvVCF2GDS.R:578-583)
+    instead of float32.
 
     Distributed: executor tasks encode per-block node fragments; the
     driver stream-assembles them (see module docstring). Floats are
     stored as float32 (the reference stores VCF Type=Float the same
     way); missing ints as INT32_MIN, missing floats as NaN — both the
     reference's NA conventions."""
+    coder_name, codec, level = _parse_coder(coder)
     spark = ds.variants.sparkSession
     variants = ds.variants
     calls = ds._base_calls
@@ -695,7 +858,7 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
 
     vindex, block_v0 = _variant_index(variants, nblocks)
     imeta = _info_meta(ds, info_fields)
-    fmeta = _fmt_meta(calls, format_fields) if n_samp else []
+    fmeta = _fmt_meta(calls, format_fields, format_storage) if n_samp else []
 
     # misaligned genotype boundaries need per-block plane offsets
     # (values-per-plane not a multiple of 4): one cheap pre-pass
@@ -733,7 +896,8 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
         ] + [F.col(f"info.{n}").alias(f"__info_{n}") for n, _, _ in imeta]
         vmeta = variants.select(*vcols).join(vindex, "variant_id")
         kernel = _make_encode_kernel(
-            tmp, sample_ids, ploidy, lut, imeta, fmeta, plane0
+            tmp, sample_ids, ploidy, lut, imeta, fmeta, plane0,
+            codec=codec, level=level,
         )
         vgrp = vmeta.groupBy("__blk")
         if calls is not None and n_samp:
@@ -758,18 +922,20 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
         manifest = man_df.collect()
         _assemble(
             ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
-            ploidy, imeta, fmeta,
+            ploidy, imeta, fmeta, coder_name=coder_name, codec=codec,
+            level=level,
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
-              ploidy, imeta, fmeta) -> None:
+              ploidy, imeta, fmeta, coder_name="", codec="", level=6) -> None:
     frags: dict[str, list] = {}
     for r in manifest:
         frags.setdefault(r["key"], []).append(
-            (r["blk"], r["nvals"], r["nbytes"], r["aux"], r["s"])
+            (r["blk"], r["nvals"], r["nbytes"], r["aux"], r["s"],
+             r["enc"], r["ub"], r["nfr"], r["pb0"], r["pb1"])
         )
     for k in frags:
         frags[k].sort(key=lambda x: x[0])
@@ -777,19 +943,101 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
     def tot(key, idx=1):
         return sum(x[idx] for x in frags.get(key, []))
 
+    def _framed_stream(key, fl, bits):
+        """Deferred writer for a compressed node: concatenate the
+        executors' frame runs; merge each bit-boundary's shared byte
+        (pb0 | pb1 of adjacent fragments) into one 1-byte frame."""
+        per = 8 // bits if bits else None
+        pieces: list[tuple[str, object]] = []   # ("f", path) | ("b", bytes)
+        state = {"nframes": 0, "comp": 0, "un": 0, "pend": None}
+
+        def flush_pend():
+            pend = state["pend"]
+            if pend is None:
+                return
+            cs = _compress_one(codec, level, bytes([pend[1]]))
+            blob = _frame_entry(_RA_ENTRY_W + len(cs), 1) + cs
+            pieces.append(("b", blob))
+            state["nframes"] += 1
+            state["comp"] += len(blob)
+            state["un"] += 1
+            state["pend"] = None
+
+        def add_file(x):
+            if x[2] > 0:
+                pieces.append(("f", _frag_path(tmp, x[0], key)))
+                state["nframes"] += x[7]
+                state["comp"] += x[2]
+                state["un"] += x[6]
+
+        for x in fl:
+            n, s = x[1], x[4]
+            if n == 0:
+                continue
+            if per is None or s < 0:
+                add_file(x)
+                continue
+            b0, b1 = s // per, (s + n + per - 1) // per
+            pfirst = s % per != 0
+            plast = (s + n) % per != 0
+            if pfirst:
+                pend = state["pend"]
+                assert pend is not None and pend[0] == b0, \
+                    (key, x[0], "bit fragments not contiguous")
+                state["pend"] = (b0, pend[1] | (x[8] if x[8] >= 0 else 0))
+                if b1 - 1 == b0 and plast:
+                    continue  # whole fragment inside the shared byte
+                flush_pend()
+            else:
+                flush_pend()
+            add_file(x)
+            if plast:
+                state["pend"] = (b1 - 1, x[9] if x[9] >= 0 else 0)
+        flush_pend()
+        magic = b"XZ_RA" if codec == "xz" else b"ZIP_RA"
+        header = (
+            magic + bytes([0x10, _RA_BSIZE_LOG2, 0xFF])
+            + struct.pack("<I", state["nframes"])
+        )
+        csize = len(header) + state["comp"]
+
+        def w(fh):
+            fh.write(header)
+            for t, v in pieces:
+                if t == "b":
+                    fh.write(v)
+                else:
+                    with open(v, "rb") as f:
+                        shutil.copyfileobj(f, fh, 1 << 20)
+
+        return csize, w, coder_name, state["un"], state["comp"]
+
     def deferred(key, bits=None):
+        """(content_size, writer, node_coder, total_uncompressed,
+        total_compressed) for a node's data stream."""
         fl = frags.get(key, [])
+        live = [x for x in fl if x[1] > 0]
+        if codec and live and all(x[5] == 1 for x in live):
+            return _framed_stream(key, live, bits)
         if bits is not None and any(x[4] >= 0 for x in fl):
             spec = [
                 (x[4], x[1], _frag_path(tmp, x[0], key)) for x in fl if x[1] > 0
             ]
             nv_total = tot(key)
             size = (nv_total * bits + 7) // 8
-            return size, _bits_writer(spec, bits)
+            return size, _bits_writer(spec, bits), "", 0, 0
         paths = [_frag_path(tmp, x[0], key) for x in fl if x[2] > 0]
-        return tot(key, 2), _plain_writer(paths)
+        return tot(key, 2), _plain_writer(paths), "", 0, 0
 
     b = _Builder()
+
+    def dnode(kind, dims, key, bits=None, attrs=None):
+        csize, writer, nd_coder, tot_u, comp = deferred(key, bits=bits)
+        return b.array_node(
+            kind, dims, deferred=(csize, writer), attrs=attrs,
+            coder=nd_coder, total_bytes=tot_u, comp_bytes=comp,
+        )
+
     root_id = b.new_id()  # = 1
     entries: list[tuple[int, str, bool]] = []
 
@@ -801,41 +1049,24 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
         (b.array_node("vlstr", (n_samp,), _encode_values("vlstr", sample_ids)),
          "sample.id", False)
     )
-    entries.append(
-        (b.array_node("int32", (n_var,), deferred=deferred("variant.id")),
-         "variant.id", False)
-    )
-    entries.append(
-        (b.array_node("int32", (n_var,), deferred=deferred("position")),
-         "position", False)
-    )
-    entries.append(
-        (b.array_node("vlstr", (n_var,), deferred=deferred("chromosome")),
-         "chromosome", False)
-    )
-    entries.append(
-        (b.array_node("vlstr", (n_var,), deferred=deferred("allele")),
-         "allele", False)
-    )
+    entries.append((dnode("int32", (n_var,), "variant.id"), "variant.id", False))
+    entries.append((dnode("int32", (n_var,), "position"), "position", False))
+    entries.append((dnode("vlstr", (n_var,), "chromosome"), "chromosome", False))
+    entries.append((dnode("vlstr", (n_var,), "allele"), "allele", False))
 
     has_calls = bool(frags.get("geno.data") is not None or frags.get("geno.idx"))
     if has_calls and n_samp:
         plane_total = tot("geno.idx", 3)
-        geno_data_id = b.array_node(
-            "bit2", (plane_total, n_samp, ploidy),
-            deferred=deferred("geno.data", bits=2),
+        geno_data_id = dnode(
+            "bit2", (plane_total, n_samp, ploidy), "geno.data", bits=2
         )
-        geno_idx_id = b.array_node(
-            "uint8", (n_var,), deferred=deferred("geno.idx")
-        )
+        geno_idx_id = dnode("uint8", (n_var,), "geno.idx")
         n_ge = tot("geno.extraidx", 3)
-        ge_idx_id = b.array_node(
-            "int32", (n_ge, 3), deferred=deferred("geno.extraidx"),
+        ge_idx_id = dnode(
+            "int32", (n_ge, 3), "geno.extraidx",
             attrs={"R.colnames": ["sample.index", "variant.index", "length"]},
         )
-        ge_id = b.array_node(
-            "int16", (tot("geno.extra"),), deferred=deferred("geno.extra")
-        )
+        ge_id = dnode("int16", (tot("geno.extra"),), "geno.extra")
         geno_folder = b.new_id()
         b.folder(geno_folder, [
             (geno_data_id, "data", False),
@@ -846,13 +1077,12 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
         entries.append((geno_folder, "genotype", True))
 
         if ploidy > 1:
-            phase_data_id = b.array_node(
-                "bit1", (n_var, n_samp, ploidy - 1),
-                deferred=deferred("phase.data", bits=1),
+            phase_data_id = dnode(
+                "bit1", (n_var, n_samp, ploidy - 1), "phase.data", bits=1
             )
             n_pe = tot("phase.extraidx", 3)
-            pe_idx_id = b.array_node(
-                "int32", (n_pe, 3), deferred=deferred("phase.extraidx"),
+            pe_idx_id = dnode(
+                "int32", (n_pe, 3), "phase.extraidx",
                 attrs={"R.colnames": ["sample.index", "variant.index", "length"]},
             )
             pe_vals = tot("phase.extra")
@@ -874,17 +1104,11 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
 
     # ---- annotation -------------------------------------------------------
     ann_entries: list[tuple[int, str, bool]] = []
+    ann_entries.append((dnode("vlstr", (n_var,), "ann.id"), "id", False))
+    ann_entries.append((dnode("float32", (n_var,), "ann.qual"), "qual", False))
     ann_entries.append(
-        (b.array_node("vlstr", (n_var,), deferred=deferred("ann.id")), "id", False)
-    )
-    ann_entries.append(
-        (b.array_node("float32", (n_var,), deferred=deferred("ann.qual")),
-         "qual", False)
-    )
-    ann_entries.append(
-        (b.array_node(
-            "int32", (n_var,), deferred=deferred("ann.filter"),
-            attrs={"R.class": "factor", "R.levels": levels}),
+        (dnode("int32", (n_var,), "ann.filter",
+               attrs={"R.class": "factor", "R.levels": levels}),
          "filter", False)
     )
 
@@ -892,26 +1116,18 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
     for name, kind, is_arr in imeta:
         if is_arr:
             info_entries.append(
-                (b.array_node(
-                    kind, (tot(f"info.{name}"),), deferred=deferred(f"info.{name}")),
-                 name, False)
+                (dnode(kind, (tot(f"info.{name}"),), f"info.{name}"), name, False)
             )
             info_entries.append(
-                (b.array_node(
-                    "int32", (n_var,), deferred=deferred(f"info.@{name}")),
-                 f"@{name}", False)
+                (dnode("int32", (n_var,), f"info.@{name}"), f"@{name}", False)
             )
         elif kind == "bit1":
             info_entries.append(
-                (b.array_node(
-                    "bit1", (n_var,), deferred=deferred(f"info.{name}", bits=1)),
-                 name, False)
+                (dnode("bit1", (n_var,), f"info.{name}", bits=1), name, False)
             )
         else:
             info_entries.append(
-                (b.array_node(
-                    kind, (n_var,), deferred=deferred(f"info.{name}")),
-                 name, False)
+                (dnode(kind, (n_var,), f"info.{name}"), name, False)
             )
     info_folder = b.new_id()
     b.folder(info_folder, info_entries)
@@ -920,19 +1136,15 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
     fmt_entries: list[tuple[int, str, bool]] = []
     for name, kind, is_arr in fmeta:
         rows_total = tot(f"fmt.{name}.idx", 3) if is_arr else n_var
-        data_id = b.array_node(
-            kind, (rows_total, n_samp), deferred=deferred(f"fmt.{name}.data")
-        )
-        idx_id = b.array_node(
-            "int32", (n_var,), deferred=deferred(f"fmt.{name}.idx")
-        )
+        data_id = dnode(kind, (rows_total, n_samp), f"fmt.{name}.data")
+        idx_id = dnode("int32", (n_var,), f"fmt.{name}.idx")
         f_folder = b.new_id()
         b.folder(
             f_folder,
             [(data_id, "data", False), (idx_id, "@data", False)],
             attrs={
                 "Number": "." if is_arr else "1",
-                "Type": "Float" if kind == "float32" else (
+                "Type": "Float" if kind in ("float32", "packedreal16") else (
                     "String" if kind == "vlstr" else "Integer"),
                 "Description": "",
             },

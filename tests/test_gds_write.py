@@ -211,6 +211,118 @@ def test_mixed_ploidy_roundtrip(spark, tmp_path):
         assert pad_p == list(ph_b), (k, ph_a, ph_b)
 
 
+@pytest.mark.parametrize("coder", ["LZMA_ra", "ZIP_ra", "ZIP_ra.max", None])
+def test_roundtrip_coders(spark, ds, tmp_path, coder):
+    """Every storage coder round-trips calls bit-exactly; the node carries
+    the coder name the reader dispatches on (reference seqStorageOption,
+    R/Utilities.R:250-314)."""
+    from seqarray_spark.dataset import SeqDataset
+
+    out = str(tmp_path / "c.gds")
+    ds.to_gds(out, coder=coder, block_variants=3)
+    f = GdsFile(out)
+    expected = {"LZMA_ra": "LZMA_ra", "ZIP_ra": "ZIP_ra",
+                "ZIP_ra.max": "ZIP_ra", None: ""}[coder]
+    assert f.node("genotype/data").coder == expected
+    back = SeqDataset.from_gds(spark, out)
+    a = {(r["variant_id"], r["sample_id"]): r["alleles"] for r in ds.calls.collect()}
+    bb = {(r["variant_id"], r["sample_id"]): r["alleles"] for r in back.calls.collect()}
+    assert set(a) == set(bb)
+    ploidy = ds.ploidy
+    for k in a:
+        pad = list(a[k]) + [None] * max(0, ploidy - len(a[k]))
+        assert pad == list(bb[k]), k
+
+
+def test_ceu_rewrite_compression_ratio(spark, tmp_path):
+    """Re-writing the reference's CEU fixture with the default LZMA_ra
+    coder must land within 2x of the reference's own file size (the
+    storage story is the container's point: ~0.013 B/call on 1KG,
+    vignettes/OverviewSlides.Rmd:214-215) and stay frame-addressable."""
+    src = "/root/reference/inst/extdata/CEU_Exon.gds"
+    if not os.path.exists(src):
+        pytest.skip("reference fixture unavailable")
+    from seqarray_spark.dataset import SeqDataset
+
+    out = str(tmp_path / "ceu_lzma.gds")
+    SeqDataset.from_gds(spark, src).to_gds(out)
+    assert os.path.getsize(out) <= 2 * os.path.getsize(src), \
+        (os.path.getsize(out), os.path.getsize(src))
+    f = GdsFile(out)
+    node = f.node("genotype/data")
+    assert node.coder == "LZMA_ra"
+    frames, _, codec = f._frame_index(node)
+    assert isinstance(frames, list) and codec == "xz"
+
+
+def test_packedreal16_ds_roundtrip(spark, tmp_path):
+    """Imputation dosage round-trips through the container as
+    packedreal16 (the reference's imputation storage:
+    "packedreal16:offset=0,scale=0.0001", R/ConvVCF2GDS.R:578-583) —
+    bit-exact at the 0.0001 quantization, NaN <-> NA code."""
+    src = "/root/reference/inst/extdata/Imputed_dosages.gds"
+    if not os.path.exists(src):
+        pytest.skip("reference fixture unavailable")
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.sources.gds import _pack7
+
+    orig = SeqDataset.from_gds(spark, src)
+    out = str(tmp_path / "dose16.gds")
+    orig.to_gds(out, format_storage={"DS": "packedreal16"}, block_variants=40)
+
+    f = GdsFile(out)
+    node = f.node("annotation/format/DS/data")
+    assert node.kind == "packedreal16"
+    assert node.sig == _pack7("dPackedReal16")  # signed 16-bit class
+    assert node.params["scale"] == pytest.approx(0.0001)
+    assert f.node("annotation/format/DS").attrs["Type"] == "Float"
+
+    back = SeqDataset.from_gds(spark, out)
+    key = lambda df: {
+        (r["variant_id"], r["sample_id"]): r["DS"] for r in df.collect()
+    }
+    a, bb = key(orig.calls), key(back.calls)
+    assert set(a) == set(bb) and len(a) == 100 * 1000
+    for k in a:
+        va, vb = a[k], bb[k]
+        if va is None or not len(va):
+            assert vb is None or not len(vb), k
+            continue
+        assert len(va) == len(vb), k
+        for x, y in zip(va, vb):
+            if x is None:
+                assert y is None, k
+            else:
+                # decoded value is exactly round(x/scale)*scale
+                assert y == pytest.approx(x, abs=5.1e-5), (k, x, y)
+
+
+def test_zip_ra_random_access(spark, ds, tmp_path, monkeypatch):
+    """A ranged read of a ZIP_ra node decompresses ONLY the frames
+    overlapping the range (no whole-stream fallback) and decodes the
+    right values."""
+    import seqarray_spark.sources.gds as gds_mod
+    from seqarray_spark.sources.gds import decode_values
+
+    out = str(tmp_path / "z.gds")
+    ds.to_gds(out, coder="ZIP_ra", block_variants=2)  # multi-frame nodes
+    f = GdsFile(out)
+    node = f.node("variant.id")
+    frames, _, codec = f._frame_index(node)
+    assert codec == "zip" and isinstance(frames, list) and len(frames) >= 3
+    calls = []
+    real = gds_mod._decompress_frame
+
+    def spy(c, d):
+        calls.append(c)
+        return real(c, d)
+
+    monkeypatch.setattr(gds_mod, "_decompress_frame", spy)
+    got = decode_values(node, f.read_node_bytes(node, 2 * 4, 4 * 4))
+    assert list(got) == [3, 4]
+    assert len(calls) == 1, f"expected 1 overlapping frame, decompressed {len(calls)}"
+
+
 def test_write_is_distributed(spark, ds, tmp_path, monkeypatch):
     """The writer must never materialize O(n_var x n_samp) data on the
     driver: every collect stays bounded by blocks/samples/levels and
