@@ -1217,6 +1217,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
               CASE
+                WHEN length(regexp_replace(text, '[^ぁ-ヿ]', '', 'g')) > 0 THEN 'ja'
+                WHEN length(regexp_replace(text, '[^가-힣]', '', 'g')) > 0 THEN 'ko'
                 WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
                 WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
                 WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'

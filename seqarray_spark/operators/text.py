@@ -27,9 +27,41 @@ def spread(df: DataFrame) -> DataFrame:
     CPU-heavy text projection (tokenize/shingle/hash). A small parquet
     arrives as one split, which would pin the whole pass to a single
     core; a corpus already wider than the core count passes through
-    untouched, so this adds no shuffle at scale."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    untouched, so this adds no shuffle at scale.
+
+    The width estimate uses source-file metadata only (inputFiles +
+    driver-side stat, bounded to < parallelism files) — never
+    `df.rdd.getNumPartitions()`, which materializes the RDD lineage on
+    every call."""
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files or len(files) >= want:
+        # unknown source (in-memory/test frames arrive at parallelize
+        # width) or already wide — pass through, no shuffle
+        return df
+    # few files: estimate scan splits from sizes vs maxPartitionBytes
+    mpb_conf = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    try:
+        mpb = int(mpb_conf.lower().rstrip("b"))
+    except ValueError:
+        mpb = 128 << 20
+    splits = 0
+    for p in files:
+        u = urlparse(p)
+        local = u.path if u.scheme in ("file", "") else None
+        try:
+            size = os.path.getsize(local) if local else 0
+        except OSError:
+            size = 0
+        splits += max(1, -(-size // mpb)) if size else 1
+    if splits < want:
         return df.repartition(want)
     return df
 
@@ -117,8 +149,10 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-inventory language ID (n-gram-heuristic family): count
-    stopword hits per language, take the argmax; CJK detected by Unicode
-    range. Deterministic tie-break by language code order."""
+    stopword hits per language, take the argmax; CJK scripts detected by
+    Unicode block — kana -> 'ja' (checked first, since Japanese text
+    mixes kana with Han), Hangul syllables -> 'ko', Han-only -> 'zh'.
+    Deterministic tie-break by language code order."""
     docs = spread(docs)
     toks = tokens(text_col)
     hits = {}
@@ -126,9 +160,16 @@ def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
         arr = F.array(*[F.lit(w) for w in words])
         hits[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
     t = F.col(text_col)
-    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    kana = F.length(F.regexp_replace(t, r"[^ぁ-ヿ]", ""))
+    hangul = F.length(F.regexp_replace(t, r"[^가-힣]", ""))
+    han = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
     best = F.greatest(*[hits[lang] for lang in sorted(STOPWORDS)])
-    guess = F.when(cjk > 0, F.lit("zh")).when(best == 0, F.lit("unknown"))
+    guess = (
+        F.when(kana > 0, F.lit("ja"))
+        .when(hangul > 0, F.lit("ko"))
+        .when(han > 0, F.lit("zh"))
+        .when(best == 0, F.lit("unknown"))
+    )
     for lang in sorted(STOPWORDS):  # alphabetical tie-break
         guess = guess.when(hits[lang] == best, F.lit(lang))
     return docs.withColumn("lang_guess", guess)

@@ -177,6 +177,22 @@ def test_lang_guess(docs):
     assert g[5] == "de"
 
 
+def test_lang_guess_cjk(spark):
+    """Kana -> ja (wins over the Han it mixes with), Hangul -> ko,
+    Han-only -> zh."""
+    rows = [
+        Row(doc_id=1, text="これは日本語のテストです"),      # kana + han
+        Row(doc_id=2, text="ひらがな だけ の ぶんしょう"),   # kana only
+        Row(doc_id=3, text="한국어 문장 테스트입니다"),        # hangul
+        Row(doc_id=4, text="这是中文测试句子"),               # han only
+    ]
+    g = {
+        r["doc_id"]: r["lang_guess"]
+        for r in X.lang_guess(spark.createDataFrame(rows)).collect()
+    }
+    assert g == {1: "ja", 2: "ja", 3: "ko", 4: "zh"}
+
+
 def test_fingerprint(docs):
     fp = {r["doc_id"]: r["fingerprint"] for r in X.fingerprint(docs).collect()}
     assert fp[1] == fp[2]  # identical docs -> same fingerprint
