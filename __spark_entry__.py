@@ -119,6 +119,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- multimodal columns (binary payload + typed metadata) -----------
         "mm_media_meta": mm_media_meta,
         "mm_feature_extract": mm_feature_extract,
+        "mm_real_decode": mm_real_decode,
     }
 
 
@@ -763,6 +764,21 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: deterministic BMP/PPM payloads
+    (pixel = (x+y+id) % 256) are encoded, shipped as binary, decoded by
+    the pure-numpy codec in executor tasks, and reduced to exact integer
+    pixel stats. The oracle recomputes the same stats from the pixel
+    formula — a value-level check that the decoder reads headers,
+    padding, channel order, and row direction correctly."""
+    from seqarray_spark.operators.multimodal import (
+        image_stats, make_synthetic_images)
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    media = make_synthetic_images(docs)
+    return image_stats(media)
+
+
 def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization (cleaning stage of a training-data pipeline):
     lowercase, strip non-alphanumerics, collapse whitespace."""
@@ -953,6 +969,27 @@ def oracle_sql() -> dict[str, str]:
             ) m
             GROUP BY mime_type
             ORDER BY mime_type
+        """,
+        # real decode check: recompute the synthetic images' exact pixel
+        # stats from the generation formula (pixel = (x+y+id) % 256 over
+        # a w x h grid, replicated across 3 channels)
+        "mm_real_decode": """
+            WITH dims AS (
+              SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+              FROM documents
+            ), px AS (
+              SELECT d.doc_id, d.w, d.h, ((tx.x + ty.y + d.doc_id) % 256) AS v
+              FROM dims d, LATERAL unnest(range(0, d.w)) AS tx(x),
+                   LATERAL unnest(range(0, d.h)) AS ty(y)
+            )
+            SELECT doc_id AS media_id, CAST(MAX(w) AS INT) AS w,
+                   CAST(MAX(h) AS INT) AS h,
+                   CAST(3 * COUNT(*) AS BIGINT) AS n_px,
+                   CAST(3 * SUM(v) AS BIGINT) AS sum_px,
+                   CAST(MIN(v) AS INT) AS min_px,
+                   CAST(MAX(v) AS INT) AS max_px,
+                   TRUE AS decode_ok
+            FROM px GROUP BY doc_id
         """,
         "seq_filter_chrom_range": P
         + """

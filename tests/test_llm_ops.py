@@ -212,9 +212,54 @@ def test_multimodal_features(spark, docs):
     assert len(by_id[1]) == 8
     assert by_id[1] == by_id[2]  # identical payloads -> identical features
     assert all(r["decode_ok"] for r in feats)
-    # real decoder is explicitly stubbed
-    with pytest.raises(NotImplementedError):
-        MM.extract_features(media, fake=False)
+    # fake=False runs the REAL BMP/PNM decoder: text payloads are not
+    # images, so they surface as decode failures instead of fake features
+    real = MM.extract_features(media, fake=False).collect()
+    assert all(not r["decode_ok"] and r["feat"] is None for r in real)
+
+
+def test_image_codec_roundtrip():
+    """Pure-numpy BMP and PPM codecs: encode -> decode is pixel-exact,
+    including BMP row padding (odd widths), bottom-up order, and BGR
+    swizzle."""
+    import numpy as np
+
+    from seqarray_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(7)
+    for w, h in ((5, 3), (4, 4), (17, 2), (1, 1)):
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (MM.decode_image(MM.encode_bmp(img)) == img).all(), (w, h)
+        assert (MM.decode_image(MM.encode_ppm(img)) == img).all(), (w, h)
+    # P5 grayscale replicates across channels; comments tolerated
+    gray = rng.randint(0, 256, size=(3, 5), dtype=np.uint8)
+    p5 = b"P5\n# a comment\n5 3\n255\n" + gray.tobytes()
+    out = MM.decode_image(p5)
+    assert out.shape == (3, 5, 3) and (out[:, :, 0] == gray).all()
+    assert (out[:, :, 1] == gray).all() and (out[:, :, 2] == gray).all()
+    # garbage -> None, never an exception
+    assert MM.decode_image(b"not an image") is None
+    assert MM.decode_image(b"") is None
+    assert MM.decode_image(b"BM\x00\x01") is None
+
+
+def test_image_stats_synthetic(spark):
+    """make_synthetic_images -> image_stats matches the closed-form pixel
+    stats (the decode path the mm_real_decode gate query value-checks)."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators import multimodal as MM
+
+    ids = spark.createDataFrame([Row(doc_id=i) for i in (0, 1, 7, 255)])
+    got = {r["media_id"]: r for r in MM.image_stats(
+        MM.make_synthetic_images(ids)).collect()}
+    for mid in (0, 1, 7, 255):
+        w, h = mid % 16 + 4, mid % 12 + 4
+        vals = [(x + y + mid) % 256 for x in range(w) for y in range(h)]
+        r = got[mid]
+        assert r["decode_ok"] and (r["w"], r["h"]) == (w, h), mid
+        assert r["n_px"] == 3 * w * h and r["sum_px"] == 3 * sum(vals), mid
+        assert r["min_px"] == min(vals) and r["max_px"] == max(vals), mid
 
 
 def test_multimodal_custom_decoder(spark, docs):
