@@ -323,6 +323,38 @@ def test_zip_ra_random_access(spark, ds, tmp_path, monkeypatch):
     assert len(calls) == 1, f"expected 1 overlapping frame, decompressed {len(calls)}"
 
 
+def test_multiframe_node_roundtrip(spark, tmp_path):
+    """A node larger than one 64 KiB frame splits into multiple frames
+    inside a single block fragment; ranged reads still decode exactly."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.dataset import SeqDataset
+
+    n = 3000
+    rows = [
+        (i + 1, "ctg" + "x" * 40 + str(i % 7), i + 1, None, "A", ["T"],
+         None, None)
+        for i in range(n)
+    ]
+    variants = spark.createDataFrame(
+        rows,
+        "variant_id long, chromosome string, position int, id string, "
+        "ref string, alt array<string>, qual double, filter string",
+    )
+    samples = spark.createDataFrame([Row(sample_id="S1")])
+    ds = SeqDataset(variants, None, samples, ploidy=2)
+    out = str(tmp_path / "wide.gds")
+    ds.to_gds(out)  # default LZMA_ra, single block
+    f = GdsFile(out)
+    node = f.node("chromosome")
+    frames, _, codec = f._frame_index(node)
+    assert codec == "xz" and len(frames) >= 2, len(frames)
+    got = f.read_array("chromosome")
+    assert len(got) == n and got[0].startswith("ctg") and got[-1].endswith(str((n - 1) % 7))
+    back = SeqDataset.from_gds(spark, out)
+    assert back.variants.count() == n
+
+
 def test_write_is_distributed(spark, ds, tmp_path, monkeypatch):
     """The writer must never materialize O(n_var x n_samp) data on the
     driver: every collect stays bounded by blocks/samples/levels and
