@@ -53,11 +53,16 @@ class SeqDataset:
         calls: DataFrame | None = None,
         samples: DataFrame | None = None,
         ploidy: int = 2,
+        meta: dict | None = None,
     ):
         self._base_variants = variants
         self._base_calls = calls
         self._base_samples = samples
         self.ploidy = ploidy
+        # source-file description metadata (VCF header remnants:
+        # fileformat/reference/contigs/ALT/simple pairs — the reference
+        # stores these as description/* nodes, R/ConvVCF2GDS.R:928-957)
+        self.meta = dict(meta or {})
         self._sel = _Selection(variants, samples)
         self._stack: list[_Selection] = []
 

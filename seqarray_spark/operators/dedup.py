@@ -75,19 +75,18 @@ def _minhash_signatures(
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
     )
     n_md5 = num_hashes // 4
+    # the n_md5 digests ride as COLUMNS of the single shingle explode —
+    # same shuffle bytes as a second explode but 1/4 the rows and plain
+    # min aggregates instead of filtered ones
     hashed = sh_long.select(
         "_id",
-        "s",
-        F.explode(F.sequence(F.lit(0), F.lit(n_md5 - 1))).alias("b"),
-    ).select(
-        "_id",
-        "b",
-        F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
+        *[
+            F.md5(F.concat(F.lit(f"{b}:"), F.col("s"))).alias(f"d{b}")
+            for b in range(n_md5)
+        ],
     )
     sig_cols = [
-        F.min(
-            F.when(F.col("b") == j // 4, F.substring("h", (j % 4) * 8 + 1, 8))
-        ).alias(f"h{j}")
+        F.min(F.substring(f"d{j // 4}", (j % 4) * 8 + 1, 8)).alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return hashed.groupBy("_id").agg(*sig_cols)

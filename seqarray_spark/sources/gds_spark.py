@@ -404,7 +404,53 @@ def from_gds(
             )
             samples = samples.join(aux, "sample_id", "left")
 
-    return SeqDataset(variants, calls, samples, ploidy=ploidy)
+    return SeqDataset(variants, calls, samples, ploidy=ploidy,
+                      meta=_description_meta(f))
+
+
+def _description_meta(f: GdsFile) -> dict:
+    """description/* nodes -> SeqDataset.meta (inverse of the writer's
+    emission; reference layout R/ConvVCF2GDS.R:928-957: reference node,
+    vcf.alt / vcf.contig / vcf.header data.frame folders, vcf.fileformat
+    folder attribute)."""
+    meta: dict = {}
+    if not _has(f, "description"):
+        return meta
+    desc = f.node("description")
+    ff = desc.attrs.get("vcf.fileformat")
+    if ff:
+        meta["fileformat"] = ff
+    if _has(f, "description/reference"):
+        node = f.node("description/reference")
+        if node.kind == "vlstr" and node.dims and node.dims[0]:
+            vals = f.read_array("description/reference")
+            if vals and vals[0]:
+                meta["reference"] = vals[0]
+
+    def _df(path: str):
+        folder = f.node(path)
+        cols = {}
+        n = 0
+        for c in folder.children:
+            if c.is_folder or c.kind != "vlstr":
+                continue
+            cols[c.name] = list(f.read_array(c.path))
+            n = max(n, len(cols[c.name]))
+        return [
+            {k: v[i] for k, v in cols.items() if i < len(v) and v[i]}
+            for i in range(n)
+        ]
+
+    if _has(f, "description/vcf.alt"):
+        meta["alts"] = _df("description/vcf.alt")
+    if _has(f, "description/vcf.contig"):
+        meta["contigs"] = _df("description/vcf.contig")
+    if _has(f, "description/vcf.header"):
+        meta["header_pairs"] = [
+            (r.get("id", ""), r.get("value", ""))
+            for r in _df("description/vcf.header")
+        ]
+    return meta
 
 
 # VL nodes whose uncompressed stream exceeds this are walked on

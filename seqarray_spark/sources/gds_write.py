@@ -1041,8 +1041,50 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
     root_id = b.new_id()  # = 1
     entries: list[tuple[int, str, bool]] = []
 
+    # description/* — VCF header remnants (reference layout:
+    # R/ConvVCF2GDS.R:928-957; fixtures carry description/reference plus
+    # vcf.alt / vcf.contig / vcf.header data.frame folders)
+    meta = getattr(ds, "meta", None) or {}
+    desc_entries: list[tuple[int, str, bool]] = []
+    if meta.get("reference") or meta.get("assembly"):
+        ref = meta.get("reference") or meta.get("assembly")
+        desc_entries.append(
+            (b.array_node("vlstr", (1,), _encode_values("vlstr", [ref]),
+                          attrs={"R.invisible": None}),
+             "reference", False)
+        )
+
+    def _df_folder(name: str, rows: list[dict] | list[tuple]):
+        """data.frame folder: one vlstr column node per key."""
+        if rows and isinstance(rows[0], tuple):
+            cols = {"id": [r[0] for r in rows], "value": [r[1] for r in rows]}
+        else:
+            keys: list[str] = []
+            for r in rows:
+                for k in r:
+                    if k not in keys:
+                        keys.append(k)
+            cols = {k: [r.get(k, "") for r in rows] for k in keys}
+        ents = [
+            (b.array_node("vlstr", (len(rows),), _encode_values("vlstr", vals)),
+             k, False)
+            for k, vals in cols.items()
+        ]
+        fid = b.new_id()
+        b.folder(fid, ents, attrs={"R.invisible": None, "R.class": "data.frame"})
+        desc_entries.append((fid, name, True))
+
+    if meta.get("alts"):
+        _df_folder("vcf.alt", meta["alts"])
+    if meta.get("contigs"):
+        _df_folder("vcf.contig", meta["contigs"])
+    if meta.get("header_pairs"):
+        _df_folder("vcf.header", [tuple(p) for p in meta["header_pairs"]])
+    desc_attrs = {"FileFormat": "SEQ_ARRAY", "FileVersion": "v1.0"}
+    if meta.get("fileformat"):
+        desc_attrs["vcf.fileformat"] = meta["fileformat"]
     desc_id = b.new_id()
-    b.folder(desc_id, [], attrs={"FileFormat": "SEQ_ARRAY", "FileVersion": "v1.0"})
+    b.folder(desc_id, desc_entries, attrs=desc_attrs)
     entries.append((desc_id, "description", True))
 
     entries.append(

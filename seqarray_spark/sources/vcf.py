@@ -80,6 +80,11 @@ class VcfHeader:
     alts: list[dict] = field(default_factory=list)
     assembly: str | None = None
     filter_meta: list[dict] = field(default_factory=list)
+    # container description parity (reference keeps these as
+    # description/* nodes, R/ConvVCF2GDS.R:928-957)
+    fileformat: str | None = None
+    reference: str | None = None
+    extra: list[tuple[str, str]] = field(default_factory=list)
 
 
 def _parse_structured_meta(line: str) -> dict[str, str]:
@@ -139,6 +144,15 @@ def parse_vcf_header(path: str, infer_ploidy: bool = True) -> VcfHeader:
                     hdr.alts.append(_parse_structured_meta(line))
                 elif line.startswith("##assembly="):
                     hdr.assembly = line.split("=", 1)[1]
+                elif line.startswith("##fileformat="):
+                    hdr.fileformat = line.split("=", 1)[1]
+                elif line.startswith("##reference="):
+                    hdr.reference = line.split("=", 1)[1]
+                elif "=" in line[2:] and not line.split("=", 1)[1].startswith("<"):
+                    # simple ##key=value remnants (fileDate, source, ...)
+                    # — the reference keeps them in description/vcf.header
+                    k, v = line[2:].split("=", 1)
+                    hdr.extra.append((k, v))
             elif line.startswith("#CHROM"):
                 cols = line.split("\t")
                 if len(cols) > 9:
@@ -531,7 +545,23 @@ def parse_vcf_lines(
         if header.samples
         else None
     )
-    return SeqDataset(variants, calls, samples, ploidy=header.ploidy)
+    return SeqDataset(
+        variants, calls, samples, ploidy=header.ploidy,
+        meta=header_meta(header),
+    )
+
+
+def header_meta(header: VcfHeader) -> dict:
+    """The slice of a VcfHeader the container's description/* nodes
+    preserve (reference: R/ConvVCF2GDS.R:928-957)."""
+    return {
+        "fileformat": header.fileformat,
+        "reference": header.reference,
+        "assembly": header.assembly,
+        "contigs": list(header.contigs),
+        "alts": list(header.alts),
+        "header_pairs": list(header.extra),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -556,9 +586,15 @@ def render_vcf_meta(header: VcfHeader) -> list[str]:
     original raw meta lines were never kept (reference: seqGDS2VCF
     rebuilds the header from the stored description tables,
     R/Conversion.R:83-143)."""
-    lines = ["##fileformat=VCFv4.2", "##source=seqarray_spark"]
+    lines = [f"##fileformat={header.fileformat or 'VCFv4.2'}",
+             "##source=seqarray_spark"]
+    if header.reference:
+        lines.append(f"##reference={header.reference}")
     if header.assembly:
         lines.append(f"##assembly={header.assembly}")
+    for k, v in header.extra:
+        if k not in ("fileformat", "source"):
+            lines.append(f"##{k}={v}")
     for c in header.contigs:
         lines.append(_meta_line("contig", c))
     for a in header.alts:
@@ -614,7 +650,13 @@ def _header_from_dataset(ds, info_fields: list[str], format_fields: list[str]) -
         for f in calls.schema.fields:
             if f.name in format_fields:
                 hdr.formats[f.name] = _field(f.name, f.dataType)
-    hdr.contigs = [
+    meta = getattr(ds, "meta", None) or {}
+    hdr.fileformat = meta.get("fileformat")
+    hdr.reference = meta.get("reference")
+    hdr.assembly = meta.get("assembly")
+    hdr.alts = list(meta.get("alts") or [])
+    hdr.extra = [tuple(p) for p in (meta.get("header_pairs") or [])]
+    hdr.contigs = list(meta.get("contigs") or []) or [
         {"ID": r["chromosome"]}
         for r in v.select("chromosome").distinct().orderBy("chromosome").collect()
     ]

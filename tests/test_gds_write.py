@@ -323,6 +323,74 @@ def test_zip_ra_random_access(spark, ds, tmp_path, monkeypatch):
     assert len(calls) == 1, f"expected 1 overlapping frame, decompressed {len(calls)}"
 
 
+def test_description_metadata_roundtrip(spark, tmp_path):
+    """VCF header remnants (fileformat, reference genome, contigs, ALT,
+    simple ##key=value pairs) survive VCF -> GDS -> VCF through the
+    container's description/* nodes (reference layout:
+    R/ConvVCF2GDS.R:928-957)."""
+    src = tmp_path / "hdr.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.1\n"
+        "##fileDate=20240101\n"
+        "##reference=GRCh38\n"
+        '##ALT=<ID=DEL,Description="Deletion">\n'
+        "##contig=<ID=1,length=248956422>\n"
+        "##contig=<ID=2,length=242193529>\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "1\t100\t.\tA\tT\t10\tPASS\t.\tGT\t0|1\n"
+        "2\t200\t.\tC\tG\t10\tPASS\t.\tGT\t1|1\n"
+    )
+    from seqarray_spark.dataset import SeqDataset
+
+    ds = vcfmod.read_vcf(spark, str(src), assign_ids="order")
+    assert ds.meta["fileformat"] == "VCFv4.1"
+    assert ds.meta["reference"] == "GRCh38"
+    assert ("fileDate", "20240101") in ds.meta["header_pairs"]
+
+    out = str(tmp_path / "hdr.gds")
+    ds.to_gds(out)
+    f = GdsFile(out)
+    assert f.node("description").attrs["vcf.fileformat"] == "VCFv4.1"
+    assert f.read_array("description/reference") == ["GRCh38"]
+    assert f.read_array("description/vcf.contig/ID") == ["1", "2"]
+    assert f.read_array("description/vcf.contig/length") == [
+        "248956422", "242193529"]
+    assert f.read_array("description/vcf.alt/ID") == ["DEL"]
+
+    back = SeqDataset.from_gds(spark, out)
+    assert back.meta["fileformat"] == "VCFv4.1"
+    assert back.meta["reference"] == "GRCh38"
+    assert back.meta["contigs"] == [
+        {"ID": "1", "length": "248956422"},
+        {"ID": "2", "length": "242193529"},
+    ]
+    assert back.meta["alts"] == [{"ID": "DEL", "Description": "Deletion"}]
+    assert ("fileDate", "20240101") in back.meta["header_pairs"]
+
+    vout = str(tmp_path / "back_vcf")
+    vcfmod.write_vcf(back, vout)
+    hdr_text = open(f"{vout}/_header.vcf").read()
+    for needle in ("##fileformat=VCFv4.1", "##reference=GRCh38",
+                   "##fileDate=20240101", "contig=<ID=1,length=248956422",
+                   "ALT=<ID=DEL"):
+        assert needle in hdr_text, needle
+
+
+def test_description_metadata_from_reference_fixture(spark):
+    """The 1KG fixture's own description nodes read back as meta."""
+    src = "/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds"
+    if not os.path.exists(src):
+        pytest.skip("reference fixture unavailable")
+    from seqarray_spark.dataset import SeqDataset
+
+    ds = SeqDataset.from_gds(spark, src)
+    assert ds.meta["fileformat"] == "VCFv4.1"
+    assert ds.meta["reference"] == "GRCh37"
+    assert {"ID": "DEL", "Description": "Deletion"} in ds.meta["alts"]
+    assert ("fileDate", "20160723") in ds.meta["header_pairs"]
+
+
 def test_multiframe_node_roundtrip(spark, tmp_path):
     """A node larger than one 64 KiB frame splits into multiple frames
     inside a single block fragment; ranged reads still decode exactly."""
