@@ -127,6 +127,7 @@ def unpack_2bit_genotypes(packed: DataFrame, sample_ids: list[str]) -> DataFrame
 
 
 _CODE_LUT = None
+_AGG_LUTS = None
 
 
 def _code_lut() -> np.ndarray:
@@ -139,6 +140,20 @@ def _code_lut() -> np.ndarray:
                 lut[byte, k] = (byte >> (2 * k)) & 0b11
         _CODE_LUT = lut
     return _CODE_LUT
+
+
+def _agg_luts() -> tuple[np.ndarray, np.ndarray]:
+    """(alt_sum, missing_count) per BYTE — the whole-byte aggregation
+    tables that let the AF scan gather one uint8 per byte instead of
+    expanding to 4 codes (4x less memory traffic; the numpy analogue of
+    the reference's SIMD popcount tables, src/vectorization.h:320-341)."""
+    global _AGG_LUTS
+    if _AGG_LUTS is None:
+        codes = _code_lut().astype(np.int16)
+        alt = np.where(codes == 3, 0, codes).sum(axis=1).astype(np.uint8)
+        miss = (codes == 3).sum(axis=1).astype(np.uint8)
+        _AGG_LUTS = (alt, miss)
+    return _AGG_LUTS
 
 
 def af_from_packed(packed: DataFrame, ploidy: int = 2) -> DataFrame:
@@ -164,7 +179,7 @@ def af_from_packed(packed: DataFrame, ploidy: int = 2) -> DataFrame:
     """
 
     def kernel(batches):
-        lut = _code_lut()
+        alt_lut, miss_lut = _agg_luts()
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -172,20 +187,21 @@ def af_from_packed(packed: DataFrame, ploidy: int = 2) -> DataFrame:
             mat = np.frombuffer(
                 b"".join(pdf["packed"]), dtype=np.uint8
             ).reshape(len(pdf), -1)
-            codes = lut[mat].reshape(len(pdf), -1)[:, :n_samp]
-            missing = codes == 3
-            nonmiss = (~missing).sum(axis=1)
-            alt = np.where(missing, 0, codes).sum(axis=1)
-            an = ploidy * nonmiss
+            # pad lanes are packed as the missing code (3): whole-byte
+            # LUT sums then a constant correction, never a 4x expansion
+            pad = mat.shape[1] * 4 - n_samp
+            alt = alt_lut[mat].sum(axis=1, dtype=np.int64)
+            miss = miss_lut[mat].sum(axis=1, dtype=np.int64) - pad
+            an = ploidy * (n_samp - miss)
             with np.errstate(invalid="ignore", divide="ignore"):
                 af = np.where(an > 0, alt / np.maximum(an, 1), np.nan)
             yield pd.DataFrame(
                 {
                     "variant_id": pdf["variant_id"],
                     "af_alt": af,
-                    "ac_alt": alt.astype("int64"),
+                    "ac_alt": alt,
                     "an": an.astype("int64"),
-                    "missing_rate": missing.sum(axis=1) / n_samp,
+                    "missing_rate": miss / n_samp,
                 }
             )
 
