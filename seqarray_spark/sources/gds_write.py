@@ -738,6 +738,112 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
     return kernel
 
 
+def _make_transposed_kernel(tmp, n_var, ploidy, fmeta, codec, level,
+                            bs_const, n_samp, t_fields=()):
+    """Sample-major encode pass (the reference's seqOptimize '~data'
+    copies, R/Utilities.R:1235-1323): one task per sample-block builds
+    the [block_samples, n_var, ...] grids for genotype / phase / scalar
+    FORMAT fields and emits fragments under 'geno.~data' etc. Only valid
+    when every variant is single-plane (allele codes < 3) — the caller
+    checks via the main pass's plane counts."""
+
+    def kernel(key, pdf):
+        sblk = int(key[0])
+        rows = []
+        if len(pdf) == 0:
+            return _manifest_pdf(rows)
+
+        def emit(kname, raw, nvals, s, bits=None, kind=None, values=None):
+            enc, ub, nfr, pb0, pb1 = 0, 0, 0, -1, -1
+            if raw is None:
+                raw = _encode_values(kind, values)
+            payload = raw
+            ub = len(raw)
+            if codec:
+                core = raw
+                if bits is not None and s >= 0 and len(raw):
+                    per = 8 // bits
+                    pfirst = s % per != 0
+                    plast = (s + nvals) % per != 0
+                    if pfirst and plast and len(raw) == 1:
+                        pb0, core = raw[0], b""
+                    else:
+                        if pfirst:
+                            pb0 = raw[0]
+                        if plast:
+                            pb1 = raw[-1]
+                        core = raw[1 if pfirst else 0:
+                                   len(raw) - (1 if plast else 0)]
+                payload, nfr = _compress_frames(codec, level, core)
+                ub = len(core)
+                enc = 1
+            p = _frag_path(tmp, sblk, kname)
+            if len(payload):
+                tmpp = p + ".w"
+                with open(tmpp, "wb") as fh:
+                    fh.write(payload)
+                os.replace(tmpp, p)
+            rows.append((sblk, kname, int(nvals), len(payload), 0, int(s),
+                         enc, int(ub), int(nfr), int(pb0), int(pb1)))
+
+        # block bounds derive from the BLOCK ID, never the data — a
+        # sample with zero call rows must still own its grid slice
+        s0 = sblk * bs_const
+        bs = min(bs_const, n_samp - s0)
+        li = pdf["__spos"].to_numpy(np.int64) - s0
+        vi = pdf["__vidx"].to_numpy(np.int64)
+
+        # genotype: single-plane codes, missing = 3
+        lens, rid, pos, ex = _explode(pdf["alleles"])
+        vals = pd.to_numeric(ex, errors="coerce").to_numpy(np.float64)
+        ival = np.where(np.isnan(vals), 3, vals).astype(np.int64)
+        slot = pos < ploidy
+        grid = np.full((bs, n_var, ploidy), 3, dtype=np.uint8)
+        grid[li[rid[slot]], vi[rid[slot]], pos[slot]] = ival[slot]
+        s_g = s0 * n_var * ploidy
+        pad = s_g % 4
+        emit("geno.~data",
+             _encode_values("bit2",
+                            np.concatenate([np.zeros(pad, np.uint8),
+                                            grid.ravel()])),
+             grid.size, s_g, bits=2)
+
+        if ploidy > 1 and "phased" in pdf.columns:
+            plens, prid, ppos, pex = _explode(pdf["phased"])
+            pvals = pd.to_numeric(pex, errors="coerce").to_numpy(np.float64)
+            pint = np.where(np.isnan(pvals), 0, pvals).astype(np.uint8)
+            pslot = ppos < ploidy - 1
+            pgrid = np.zeros((bs, n_var, ploidy - 1), dtype=np.uint8)
+            pgrid[li[prid[pslot]], vi[prid[pslot]], ppos[pslot]] = pint[pslot]
+            s_p = s0 * n_var * (ploidy - 1)
+            padp = s_p % 8
+            emit("phase.~data",
+                 _encode_values("bit1",
+                                np.concatenate([np.zeros(padp, np.uint8),
+                                                pgrid.ravel()])),
+                 pgrid.size, s_p, bits=1)
+
+        for name, kind, is_arr in fmeta:
+            if name not in t_fields:
+                continue  # numeric, one value per (variant, sample) only
+            g = np.full((bs, n_var), _fill_of(kind), dtype=_np_dtype(kind))
+            if is_arr:  # single-row array field: take element 0
+                _, rid, pos, ex = _explode(pdf[name])
+                vv = pd.to_numeric(ex, errors="coerce").to_numpy(np.float64)
+                m = (pos == 0) & ~np.isnan(vv)
+                g[li[rid[m]], vi[rid[m]]] = vv[m]
+            else:
+                v = pd.to_numeric(pdf[name]).to_numpy(np.float64)
+                m = ~np.isnan(v)
+                g[li[m], vi[m]] = v[m]
+            emit(f"fmt.{name}.~data", None, bs * n_var, -1,
+                 kind=kind, values=g.ravel())
+
+        return _manifest_pdf(rows)
+
+    return kernel
+
+
 def _manifest_pdf(rows) -> pd.DataFrame:
     df = pd.DataFrame(rows, columns=_MANIFEST_COLS)
     for c in ("blk", "enc", "pb0", "pb1"):
@@ -804,7 +910,8 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
               format_fields: list[str] | None = None,
               block_variants: int | None = None,
               coder: str | None = "LZMA_ra",
-              format_storage: dict[str, str] | None = None) -> None:
+              format_storage: dict[str, str] | None = None,
+              transposed: bool = False) -> None:
     """SeqDataset -> .gds container (reference writer: seqVCF2GDS,
     R/ConvVCF2GDS.R:559-1465). Read back with SeqDataset.from_gds.
 
@@ -816,6 +923,14 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     (each block's fragment becomes a run of random-access frames the
     reader block-decodes); the driver only concatenates frame runs and
     merges boundary bytes of bit-packed nodes into 1-byte frames.
+
+    `transposed=True` additionally emits the sample-major `~data`
+    copies the reference's seqOptimize(target="by.sample") writes
+    (R/Utilities.R:1235-1323): genotype/~data [n_samp, n_var, ploidy],
+    phase/~data, and scalar-numeric FORMAT ~data nodes, encoded by a
+    second sample-partitioned Spark pass. Emitted only when every
+    variant is single-plane (allele codes < 3 — checked from the main
+    pass's plane counts); array/string FORMAT fields are skipped.
 
     `format_storage` maps a FORMAT field to a packed storage kind —
     {'DS': 'packedreal16'} stores imputation dosage as 16-bit
@@ -920,6 +1035,52 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
                 lambda key, pdf: kernel(key, pdf, None), _MANIFEST_SCHEMA
             )
         manifest = man_df.collect()
+        if transposed and calls is not None and n_samp:
+            planes_tot = sum(r["aux"] for r in manifest if r["key"] == "geno.idx")
+            if planes_tot == n_var:
+                spos_df = spark.createDataFrame(
+                    [(s, i) for i, s in enumerate(sample_ids)],
+                    "sample_id string, __spos long",
+                )
+                bs_const = max(1, 2_000_000 // max(n_var * ploidy, 1))
+                # transposable FORMAT fields: numeric with exactly one
+                # value per (variant, sample) — scalars, or array fields
+                # whose main-pass row count equals n_var
+                idx_rows = {}
+                for r in manifest:
+                    if r["key"].startswith("fmt.") and r["key"].endswith(".idx"):
+                        nm = r["key"][4:-4]
+                        idx_rows[nm] = idx_rows.get(nm, 0) + r["aux"]
+                t_fields = [
+                    n for n, k, a in fmeta
+                    if k != "vlstr" and (not a or idx_rows.get(n, 0) == n_var)
+                ]
+                tcols = ["variant_id", "sample_id", "alleles"] + (
+                    ["phased"] if ploidy > 1 else []
+                ) + t_fields
+                tcalls = (
+                    calls.select(*tcols)
+                    .join(vindex.select("variant_id", "__vidx"), "variant_id")
+                    .join(F.broadcast(spos_df), "sample_id")
+                    .withColumn(
+                        "__sblk", (F.col("__spos") / bs_const).cast("int")
+                    )
+                )
+                tkernel = _make_transposed_kernel(
+                    tmp, n_var, ploidy, fmeta, codec, level, bs_const,
+                    n_samp, tuple(t_fields),
+                )
+                manifest = manifest + tcalls.groupBy("__sblk").applyInPandas(
+                    tkernel, _MANIFEST_SCHEMA
+                ).collect()
+            else:
+                import warnings
+
+                warnings.warn(
+                    "transposed=True skipped: multiallelic variants with "
+                    ">1 genotype bit plane present; sample-major ~data "
+                    "copies are emitted for single-plane files only"
+                )
         _assemble(
             ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
             ploidy, imeta, fmeta, coder_name=coder_name, codec=codec,
@@ -1109,13 +1270,19 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
             attrs={"R.colnames": ["sample.index", "variant.index", "length"]},
         )
         ge_id = dnode("int16", (tot("geno.extra"),), "geno.extra")
-        geno_folder = b.new_id()
-        b.folder(geno_folder, [
+        geno_children = [
             (geno_data_id, "data", False),
             (geno_idx_id, "@data", False),
             (ge_idx_id, "extra.index", False),
             (ge_id, "extra", False),
-        ])
+        ]
+        if frags.get("geno.~data"):
+            geno_children.insert(1, (
+                dnode("bit2", (n_samp, n_var, ploidy), "geno.~data", bits=2),
+                "~data", False,
+            ))
+        geno_folder = b.new_id()
+        b.folder(geno_folder, geno_children)
         entries.append((geno_folder, "genotype", True))
 
         if ploidy > 1:
@@ -1136,12 +1303,22 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
                 "bit1", (pe_vals,),
                 deferred=((pe_vals + 7) // 8, _pack_bits_writer(pe_paths, 1)),
             )
-            phase_folder = b.new_id()
-            b.folder(phase_folder, [
+            phase_children = [
                 (phase_data_id, "data", False),
                 (pe_idx_id, "extra.index", False),
                 (pe_id, "extra", False),
-            ])
+            ]
+            if frags.get("phase.~data"):
+                pt_dims = (
+                    (n_samp, n_var) if ploidy == 2
+                    else (n_samp, n_var, ploidy - 1)
+                )
+                phase_children.insert(1, (
+                    dnode("bit1", pt_dims, "phase.~data", bits=1),
+                    "~data", False,
+                ))
+            phase_folder = b.new_id()
+            b.folder(phase_folder, phase_children)
             entries.append((phase_folder, "phase", True))
 
     # ---- annotation -------------------------------------------------------
@@ -1180,10 +1357,16 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
         rows_total = tot(f"fmt.{name}.idx", 3) if is_arr else n_var
         data_id = dnode(kind, (rows_total, n_samp), f"fmt.{name}.data")
         idx_id = dnode("int32", (n_var,), f"fmt.{name}.idx")
+        f_children = [(data_id, "data", False), (idx_id, "@data", False)]
+        if frags.get(f"fmt.{name}.~data"):
+            f_children.insert(1, (
+                dnode(kind, (n_samp, n_var), f"fmt.{name}.~data"),
+                "~data", False,
+            ))
         f_folder = b.new_id()
         b.folder(
             f_folder,
-            [(data_id, "data", False), (idx_id, "@data", False)],
+            f_children,
             attrs={
                 "Number": "." if is_arr else "1",
                 "Type": "Float" if kind in ("float32", "packedreal16") else (
