@@ -103,6 +103,21 @@ def recompress(
             )
 
 
+def recompress_gds(
+    spark: SparkSession, src: str, dst: str, coder: str = "LZMA_ra", **kwargs
+) -> None:
+    """Re-encode a .gds CONTAINER with another storage coder — the
+    reference's primary seqRecompress use (R/UtilsExport.R:357-463:
+    rewrite every node's stream under a new compression setting).
+    Distributed end to end: from_gds block-decodes (broadcast metadata +
+    frame-level random access), to_gds re-encodes executor-side into the
+    requested coder's random-access frames ('LZMA_ra', 'ZIP_ra', with
+    .fast/.def/.max levels, or ''/None for raw)."""
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    from_gds(spark, src).to_gds(dst, coder=coder, **kwargs)
+
+
 def transpose_sample_major(ds: SeqDataset, out_path: str | None = None) -> DataFrame:
     """Sample-major calls layout (reference: seqTranspose/seqOptimize
     'by.sample' — the on-disk '~data' duplicate, R/Utilities.R:1235-1323).

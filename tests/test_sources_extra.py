@@ -170,3 +170,22 @@ def test_recompress(spark, ds, tmp_path):
     M.recompress(spark, src, dst, codec="zstd")
     back = SeqDataset.read(spark, dst)
     assert back.variants.count() == 3
+
+
+def test_recompress_gds(spark, tmp_path):
+    """seqRecompress on a real container: LZMA_ra fixture -> ZIP_ra copy,
+    values preserved, coder actually switched on every coded node."""
+    import os
+
+    from seqarray_spark.operators import mutate as M
+    from seqarray_spark.sources.gds import GdsFile
+
+    src = "/root/reference/inst/extdata/CEU_Exon.gds"
+    if not os.path.exists(src):
+        pytest.skip("reference fixture unavailable")
+    dst = str(tmp_path / "ceu_zip.gds")
+    M.recompress_gds(spark, src, dst, coder="ZIP_ra.max")
+    f = GdsFile(dst)
+    assert f.node("genotype/data").coder == "ZIP_ra"
+    assert list(f.read_array("variant.id")) == list(range(1, 1349))
+    assert f.read_array("allele")[0] == "T,C"
