@@ -451,6 +451,16 @@ class SeqDataset:
             self.calls.write.mode("overwrite").parquet(f"{out_dir}/calls.parquet")
         if self.samples is not None:
             self.samples.write.mode("overwrite").parquet(f"{out_dir}/samples.parquet")
+        # sidecar: ploidy + header remnants, so read() restores the full
+        # dataset identity (a haploid set must not silently reopen as
+        # diploid, and description metadata survives the parquet layout
+        # the same way it survives the GDS container)
+        import json
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        with open(f"{out_dir}/_meta.json", "w") as fh:
+            json.dump({"ploidy": self.ploidy, "meta": self.meta}, fh)
 
     def to_gds(self, path: str, **kwargs) -> None:
         """Write this dataset as a SeqArray GDS container (reference:
@@ -470,20 +480,32 @@ class SeqDataset:
         return _from_gds(spark, path, **kwargs)
 
     @staticmethod
-    def read(spark: SparkSession, path: str, ploidy: int = 2) -> "SeqDataset":
+    def read(spark: SparkSession, path: str, ploidy: int | None = None) -> "SeqDataset":
         """Open a dataset previously written by export()/VCF ingest
         (reference: seqOpen R/Methods.R:12-98 — schema assertion replaces
-        the FileFormat/FileVersion check)."""
+        the FileFormat/FileVersion check). Ploidy and header metadata are
+        restored from the _meta.json sidecar when present; an explicit
+        `ploidy` argument overrides it (2 when neither is available)."""
         variants = spark.read.parquet(f"{path}/variants.parquet")
         required = {"variant_id", "chromosome", "position", "ref", "alt"}
         missing = required - set(variants.columns)
         if missing:
             raise ValueError(f"not a seqarray_spark dataset; missing {missing}")
         calls = samples = None
+        import json
         import os
 
         if os.path.isdir(f"{path}/calls.parquet"):
             calls = spark.read.parquet(f"{path}/calls.parquet")
         if os.path.isdir(f"{path}/samples.parquet"):
             samples = spark.read.parquet(f"{path}/samples.parquet")
-        return SeqDataset(variants, calls, samples, ploidy=ploidy)
+        meta = {}
+        if os.path.isfile(f"{path}/_meta.json"):
+            with open(f"{path}/_meta.json") as fh:
+                side = json.load(fh)
+            meta = side.get("meta") or {}
+            if ploidy is None:
+                ploidy = side.get("ploidy")
+        return SeqDataset(variants, calls, samples,
+                          ploidy=2 if ploidy is None else int(ploidy),
+                          meta=meta)

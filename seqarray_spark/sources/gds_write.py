@@ -1217,7 +1217,7 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
 
     def _df_folder(name: str, rows: list[dict] | list[tuple]):
         """data.frame folder: one vlstr column node per key."""
-        if rows and isinstance(rows[0], tuple):
+        if rows and isinstance(rows[0], (tuple, list)):
             cols = {"id": [r[0] for r in rows], "value": [r[1] for r in rows]}
         else:
             keys: list[str] = []

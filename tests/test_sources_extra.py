@@ -172,6 +172,36 @@ def test_recompress(spark, ds, tmp_path):
     assert back.variants.count() == 3
 
 
+def test_export_read_restores_ploidy_and_meta(spark, tmp_path):
+    """The parquet layout's _meta.json sidecar restores ploidy and header
+    metadata — a haploid dataset must not silently reopen as diploid."""
+    src = tmp_path / "hap.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        "##reference=GRCh38\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "##contig=<ID=X>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "X\t100\t.\tA\tT\t10\tPASS\t.\tGT\t1\n"
+        "X\t200\t.\tC\tG\t10\tPASS\t.\tGT\t0\n"
+    )
+    from seqarray_spark.sources.vcf import read_vcf
+
+    ds = read_vcf(spark, str(src), assign_ids="order")
+    assert ds.ploidy == 1
+    out = str(tmp_path / "hapds")
+    ds.export(out, partition_by_chrom=False)
+    back = SeqDataset.read(spark, out)
+    assert back.ploidy == 1
+    assert back.meta["reference"] == "GRCh38"
+    # and the restored meta still feeds the GDS description writer
+    gds = str(tmp_path / "hap.gds")
+    back.to_gds(gds)
+    from seqarray_spark.sources.gds import GdsFile
+
+    assert GdsFile(gds).read_array("description/reference") == ["GRCh38"]
+
+
 def test_recompress_gds(spark, tmp_path):
     """seqRecompress on a real container: LZMA_ra fixture -> ZIP_ra copy,
     values preserved, coder actually switched on every coded node."""
