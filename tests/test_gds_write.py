@@ -452,8 +452,15 @@ def test_multiframe_node_roundtrip(spark, tmp_path):
     assert codec == "xz" and len(frames) >= 2, len(frames)
     got = f.read_array("chromosome")
     assert len(got) == n and got[0].startswith("ctg") and got[-1].endswith(str((n - 1) % 7))
-    back = SeqDataset.from_gds(spark, out)
-    assert back.variants.count() == n
+    # distributed read with block boundaries that land mid-frame: every
+    # VL value must survive the byte-index seek across frame boundaries
+    back = SeqDataset.from_gds(spark, out, block_variants=500)
+    vals = {
+        r["variant_id"]: r["chromosome"] for r in back.variants.collect()
+    }
+    assert len(vals) == n
+    for i in (0, 499, 500, 1499, 1500, n - 1):  # block edges + interior
+        assert vals[i + 1] == "ctg" + "x" * 40 + str(i % 7), i
 
 
 def test_write_is_distributed(spark, ds, tmp_path, monkeypatch):

@@ -50,3 +50,22 @@ def test_af_matches_python_fold(spark, calls):
             assert r["af"] is None
         assert r["missing_rate"] == pytest.approx(e["miss"] / e["n"])
         assert r["ns"] == e["n"] - e["miss"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=25),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_image_codec_roundtrip_property(w, h, seed):
+    """BMP and PPM encode->decode is pixel-exact for arbitrary dims —
+    exercises every row-padding residue (stride = 4-byte-aligned) and
+    the bottom-up/BGR conventions."""
+    import numpy as np
+
+    from seqarray_spark.operators import multimodal as MM
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), np.uint8)
+    assert (MM.decode_image(MM.encode_bmp(img)) == img).all()
+    assert (MM.decode_image(MM.encode_ppm(img)) == img).all()
