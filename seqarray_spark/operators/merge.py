@@ -82,7 +82,8 @@ def merge_variants(datasets: list[SeqDataset], reset_variant_id: bool = True) ->
         if samples_list
         else None
     )
-    return SeqDataset(variants, calls, samples, ploidy=datasets[0].ploidy)
+    return SeqDataset(variants, calls, samples, ploidy=datasets[0].ploidy,
+                      meta=datasets[0].meta)
 
 
 def reset_variant_ids(variants: DataFrame, calls: DataFrame | None):
@@ -200,4 +201,5 @@ def merge_samples_pair(a: SeqDataset, b: SeqDataset) -> SeqDataset:
         else None
     )
     variants = variants.drop("__vid_a", "__alt_a", "__vid_b", "__alt_b")
-    return SeqDataset(variants, calls, samples, ploidy=max(a.ploidy, b.ploidy))
+    return SeqDataset(variants, calls, samples, ploidy=max(a.ploidy, b.ploidy),
+                      meta=a.meta)

@@ -38,7 +38,8 @@ def add_variant_value(ds: SeqDataset, name: str, col_or_df, join_key: str = "var
         v = v.drop(name).join(maybe_broadcast(aux), join_key, "left")
     else:
         v = v.withColumn(name, col_or_df)
-    return SeqDataset(v, ds._base_calls, ds._base_samples, ploidy=ds.ploidy)
+    return SeqDataset(v, ds._base_calls, ds._base_samples, ploidy=ds.ploidy,
+                      meta=ds.meta)
 
 
 def add_sample_value(ds: SeqDataset, name: str, col_or_df) -> SeqDataset:
@@ -54,7 +55,8 @@ def add_sample_value(ds: SeqDataset, name: str, col_or_df) -> SeqDataset:
         s = s.drop(name).join(F.broadcast(aux), "sample_id", "left")
     else:
         s = s.withColumn(name, col_or_df)
-    return SeqDataset(ds._base_variants, ds._base_calls, s, ploidy=ds.ploidy)
+    return SeqDataset(ds._base_variants, ds._base_calls, s, ploidy=ds.ploidy,
+                      meta=ds.meta)
 
 
 def delete_vars(
@@ -81,7 +83,7 @@ def delete_vars(
         c = c.drop(*[x for x in fmt_vars if x in c.columns])
     if samp_vars and s is not None:
         s = s.drop(*[x for x in samp_vars if x in s.columns])
-    return SeqDataset(v, c, s, ploidy=ds.ploidy)
+    return SeqDataset(v, c, s, ploidy=ds.ploidy, meta=ds.meta)
 
 
 def recompress(

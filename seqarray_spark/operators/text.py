@@ -47,9 +47,14 @@ def spread(df: DataFrame) -> DataFrame:
         # width) or already wide — pass through, no shuffle
         return df
     # few files: estimate scan splits from sizes vs maxPartitionBytes
-    mpb_conf = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    # (accepts Spark's byte-suffix forms: 134217728, 128m, 1g, 64kb)
+    mpb_conf = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    ).lower().strip()
     try:
-        mpb = int(mpb_conf.lower().rstrip("b"))
+        s = mpb_conf.rstrip("b")
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(s[-1:], 1)
+        mpb = int(s.rstrip("kmg") or "0") * mult or (128 << 20)
     except ValueError:
         mpb = 128 << 20
     splits = 0

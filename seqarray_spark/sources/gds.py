@@ -234,6 +234,10 @@ class GdsFile:
         access after unpickling)."""
         if self._mm is None:
             with open(self.path, "rb") as fh:
+                import os
+
+                if os.fstat(fh.fileno()).st_size == 0:
+                    raise ValueError(f"{self.path}: not a GDS (CoreArray) file")
                 self._mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
         return self._mm
 
@@ -506,6 +510,21 @@ class GdsFile:
                 frames[0] = (frames[0][0], node.total_bytes, frames[0][2])
             return frames
         return None
+
+    def node_stream_size(self, node: GdsNode) -> int:
+        """Uncompressed byte length of a node's data stream — total_bytes
+        for coded nodes, the raw stream's u48 size prefix otherwise
+        (raw nodes carry total_bytes=0 in their object stream)."""
+        if node.total_bytes:
+            return node.total_bytes
+        if node.data_stream is None:
+            return 0
+        frames, d, _ = self._frame_index(node)
+        if frames is None:
+            return _u48(d, 0)
+        if frames == "full":
+            return len(d)
+        return sum(un for _, un, _ in frames)
 
     def read_node_bytes(self, node: GdsNode, start: int = 0, end: int | None = None) -> bytes:
         """Uncompressed bytes [start, end) of a node's data — decompresses

@@ -72,10 +72,11 @@ def _vl_byte_bounds(f: GdsFile, node: GdsNode, elem_bounds) -> np.ndarray:
 
     bounds = np.asarray(elem_bounds, dtype=np.int64)
     try:
-        fsize = os.path.getsize(f.path)
+        stt = os.stat(f.path)
+        fkey = (stt.st_size, stt.st_mtime_ns)
     except OSError:
-        fsize = -1
-    key = (f.path, fsize, node.path, bounds.tobytes())
+        fkey = (-1, -1)
+    key = (f.path, fkey, node.path, bounds.tobytes())
     hit = _VL_BOUNDS_CACHE.get(key)
     if hit is not None:
         return hit
@@ -492,7 +493,7 @@ def _build_vl_index(f: GdsFile, vaxis: np.ndarray, info_meta, fmt_meta,
     vl_bytes: dict[str, np.ndarray] = {}
     big = [
         p for p in vlpaths
-        if (f.node(p).total_bytes or 0) > _VL_DRIVER_MAX_BYTES
+        if f.node_stream_size(f.node(p)) > _VL_DRIVER_MAX_BYTES
     ]
     if big and spark is not None and bc is not None:
         items = [(p, vl_elem[p].tolist()) for p in big]

@@ -106,7 +106,12 @@ def _parse_coder(coder: str | None) -> tuple[str, str, int]:
     if not coder:
         return "", "", 0
     base, _, lv = coder.partition(".")
-    level = _CODER_LEVELS.get(lv.lower(), 6) if lv else 6
+    if lv and lv.lower() not in _CODER_LEVELS:
+        raise ValueError(
+            f"unknown compression level {lv!r} in {coder!r} "
+            f"(use {sorted(_CODER_LEVELS)})"
+        )
+    level = _CODER_LEVELS[lv.lower()] if lv else 6
     b = base.upper()
     if b in ("LZMA_RA", "XZ_RA"):
         return "LZMA_ra", "xz", level
@@ -731,7 +736,11 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
                 if kind == "int32":
                     flat = flat.astype(np.int64)
                 emit(f"fmt.{name}.data", kind, flat, nvals=total * n_samp, aux=total)
-                emit(f"fmt.{name}.idx", "int32", rows_per_var, aux=total)
+                # s records the block's max rows-per-variant so the
+                # transposed pass can prove "exactly one row everywhere"
+                # (bits=None nodes never interpret s as a bit offset)
+                emit(f"fmt.{name}.idx", "int32", rows_per_var, aux=total,
+                     s=int(rows_per_var.max(initial=0)))
 
         return _manifest_pdf(rows)
 
@@ -793,10 +802,15 @@ def _make_transposed_kernel(tmp, n_var, ploidy, fmeta, codec, level,
         li = pdf["__spos"].to_numpy(np.int64) - s0
         vi = pdf["__vidx"].to_numpy(np.int64)
 
-        # genotype: single-plane codes, missing = 3
+        # genotype: single-plane codes, anything outside [0, 2] (NULL or
+        # a stray negative/overflow code) is the missing value 3 — a raw
+        # -1 would wrap in the uint8 grid and bleed into neighboring
+        # samples' 2-bit lanes
         lens, rid, pos, ex = _explode(pdf["alleles"])
         vals = pd.to_numeric(ex, errors="coerce").to_numpy(np.float64)
-        ival = np.where(np.isnan(vals), 3, vals).astype(np.int64)
+        ival = np.where(
+            np.isnan(vals) | (vals < 0) | (vals > 2), 3, vals
+        ).astype(np.int64)
         slot = pos < ploidy
         grid = np.full((bs, n_var, ploidy), 3, dtype=np.uint8)
         grid[li[rid[slot]], vi[rid[slot]], pos[slot]] = ival[slot]
@@ -1045,15 +1059,21 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
                 bs_const = max(1, 2_000_000 // max(n_var * ploidy, 1))
                 # transposable FORMAT fields: numeric with exactly one
                 # value per (variant, sample) — scalars, or array fields
-                # whose main-pass row count equals n_var
-                idx_rows = {}
+                # where EVERY variant has exactly one row (total == n_var
+                # alone would accept ragged 2/0/1... layouts)
+                idx_rows: dict[str, int] = {}
+                idx_max: dict[str, int] = {}
                 for r in manifest:
                     if r["key"].startswith("fmt.") and r["key"].endswith(".idx"):
                         nm = r["key"][4:-4]
                         idx_rows[nm] = idx_rows.get(nm, 0) + r["aux"]
+                        idx_max[nm] = max(idx_max.get(nm, 0), r["s"])
                 t_fields = [
                     n for n, k, a in fmeta
-                    if k != "vlstr" and (not a or idx_rows.get(n, 0) == n_var)
+                    if k != "vlstr" and (
+                        not a
+                        or (idx_rows.get(n, 0) == n_var and idx_max.get(n, 2) <= 1)
+                    )
                 ]
                 tcols = ["variant_id", "sample_id", "alleles"] + (
                     ["phased"] if ploidy > 1 else []
@@ -1065,6 +1085,28 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
                     .withColumn(
                         "__sblk", (F.col("__spos") / bs_const).cast("int")
                     )
+                )
+                # one NULL marker row per block: groupBy only yields
+                # groups PRESENT in the data, and a sample-block with no
+                # call rows must still emit its (all-missing) grid or
+                # every later sample's bits shift in the ~data stream
+                n_sblk = math.ceil(n_samp / bs_const)
+                skel_cols = []
+                for fld in tcalls.schema.fields:
+                    if fld.name == "__sblk":
+                        skel_cols.append(F.col("id").cast("int").alias("__sblk"))
+                    elif fld.name == "__spos":
+                        skel_cols.append(
+                            (F.col("id") * bs_const).cast("long").alias("__spos")
+                        )
+                    elif fld.name == "__vidx":
+                        skel_cols.append(F.lit(0).cast("long").alias("__vidx"))
+                    else:
+                        skel_cols.append(
+                            F.lit(None).cast(fld.dataType).alias(fld.name)
+                        )
+                tcalls = tcalls.unionByName(
+                    spark.range(n_sblk).select(*skel_cols)
                 )
                 tkernel = _make_transposed_kernel(
                     tmp, n_var, ploidy, fmeta, codec, level, bs_const,

@@ -180,6 +180,7 @@ def af_from_packed(packed: DataFrame, ploidy: int = 2) -> DataFrame:
 
     def kernel(batches):
         alt_lut, miss_lut = _agg_luts()
+        codes_lut = _code_lut().astype(np.int16)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -187,11 +188,20 @@ def af_from_packed(packed: DataFrame, ploidy: int = 2) -> DataFrame:
             mat = np.frombuffer(
                 b"".join(pdf["packed"]), dtype=np.uint8
             ).reshape(len(pdf), -1)
-            # pad lanes are packed as the missing code (3): whole-byte
-            # LUT sums then a constant correction, never a 4x expansion
-            pad = mat.shape[1] * 4 - n_samp
+            # whole-byte LUT sums, never a 4x expansion; the last byte's
+            # pad lanes are excluded via dedicated tail LUTs (r valid
+            # lanes), so no assumption about the pad encoding is made
             alt = alt_lut[mat].sum(axis=1, dtype=np.int64)
-            miss = miss_lut[mat].sum(axis=1, dtype=np.int64) - pad
+            miss = miss_lut[mat].sum(axis=1, dtype=np.int64)
+            r = n_samp % 4
+            if r:
+                tcodes = codes_lut[:, :r]
+                tail_alt = np.where(tcodes == 3, 0, tcodes).sum(axis=1) \
+                    .astype(np.int64)
+                tail_miss = (tcodes == 3).sum(axis=1).astype(np.int64)
+                tail = mat[:, -1]
+                alt += tail_alt[tail] - alt_lut[tail]
+                miss += tail_miss[tail] - miss_lut[tail]
             an = ploidy * (n_samp - miss)
             with np.errstate(invalid="ignore", divide="ignore"):
                 af = np.where(an > 0, alt / np.maximum(an, 1), np.nan)
