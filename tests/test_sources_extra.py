@@ -202,6 +202,31 @@ def test_export_read_restores_ploidy_and_meta(spark, tmp_path):
     assert GdsFile(gds).read_array("description/reference") == ["GRCh38"]
 
 
+def test_vcf2gds_gds2vcf_oneliners(spark, tmp_path):
+    """The reference's two headline conversions as single calls, with
+    header metadata surviving the full cycle."""
+    from seqarray_spark.sources import interop as I
+    from seqarray_spark.sources.gds import GdsFile
+
+    src = tmp_path / "a.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        "##reference=GRCh38\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "##contig=<ID=7>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "7\t100\t.\tA\tT\t10\tPASS\t.\tGT\t0|1\n"
+    )
+    gds = str(tmp_path / "a.gds")
+    I.vcf2gds(spark, str(src), gds, read_opts={"assign_ids": "order"})
+    f = GdsFile(gds)
+    assert f.read_array("description/reference") == ["GRCh38"]
+    out = str(tmp_path / "back")
+    I.gds2vcf(spark, gds, out)
+    hdr = open(f"{out}/_header.vcf").read()
+    assert "##reference=GRCh38" in hdr and "contig=<ID=7" in hdr
+
+
 def test_recompress_gds(spark, tmp_path):
     """seqRecompress on a real container: LZMA_ra fixture -> ZIP_ra copy,
     values preserved, coder actually switched on every coded node."""
