@@ -132,6 +132,23 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: an at-least-once source (kafka redelivery,
+    file re-drops) becomes effectively-once rows via
+    dropDuplicatesWithinWatermark — dedup state is BOUNDED by the
+    watermark horizon instead of growing forever, the streaming sibling
+    of the batch dedup_exact operator. Keys default to the event id; for
+    document streams pass the content hash (e.g. md5(text))."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def sessionize_events(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -86,6 +86,32 @@ def test_stream_events_ts_pinned_to_utc(spark, sf_dir):
     assert rows and min(r["epoch"] for r in rows) == expected
 
 
+def test_dedup_stream(spark, sf_dir, tmp_path):
+    """A re-delivered file (at-least-once source) dedups to exactly the
+    distinct event ids, with state bounded by the watermark."""
+    import os
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    n_distinct = spark.read.parquet(src).select("event_id").distinct().count()
+    in_dir = str(tmp_path / "redelivered")
+    os.makedirs(in_dir)
+    if os.path.isfile(src):
+        shutil.copy(src, f"{in_dir}/a.parquet")
+        shutil.copy(src, f"{in_dir}/b.parquet")
+    else:  # directory-shaped parquet: link it twice
+        for name in ("a", "b"):
+            os.symlink(os.path.abspath(src), f"{in_dir}/{name}")
+    schema = spark.read.parquet(src).schema
+    ev = spark.readStream.schema(schema).parquet(in_dir)
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = S.dedup_stream(ev, keys=("event_id",))
+    rows = S.run_stream_to_memory(out, "dedup_events", mode="append").collect()
+    assert len(rows) == n_distinct
+
+
 def test_running_user_stats_stateful(spark, sf_dir):
     """applyInPandasWithState custom operator: final state equals the
     batch aggregate."""
