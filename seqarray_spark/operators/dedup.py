@@ -313,21 +313,34 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     tok = docs.select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
     ).select("__id", F.md5("__t").alias("__h"))
-    vote_cols = []
+    # project the 16 nibble ints ONCE (guaranteed single conv/substring
+    # per nibble — inside the aggregates they would re-evaluate per bit),
+    # then the 64 bit sums are plain shift/mask arithmetic. Majority of
+    # +-1 votes == 2 * ones-count > n, tie (== n) excluded — identical
+    # semantics to the vote-sum form the oracle mirrors.
+    nibs = tok.select(
+        "__id",
+        *[
+            F.conv(F.substring("__h", i + 1, 1), 16, 10).cast("int").alias(f"__n{i}")
+            for i in range(16)
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for i in range(16):
-        nib = F.conv(F.substring("__h", i + 1, 1), 16, 10).cast("int")
         for j in range(4):
-            vote_cols.append(
+            aggs.append(
                 F.sum(
-                    F.when(nib.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+                    F.shiftright(F.col(f"__n{i}"), j).bitwiseAND(F.lit(1))
                 ).alias(f"__v_{i}_{j}")
             )
-    votes = tok.groupBy("__id").agg(*vote_cols)
+    votes = nibs.groupBy("__id").agg(*aggs)
     chars = []
     for i in range(16):
         nibble = None
         for j in range(4):
-            t = F.when(F.col(f"__v_{i}_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            t = F.when(
+                2 * F.col(f"__v_{i}_{j}") > F.col("__n"), F.lit(1 << j)
+            ).otherwise(F.lit(0))
             nibble = t if nibble is None else nibble + t
         chars.append(F.substr(F.lit(_HEX), nibble + 1, F.lit(1)))
     sketch = votes.select("__id", F.concat(*chars).alias("simhash"))

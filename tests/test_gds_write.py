@@ -422,6 +422,14 @@ def test_transposed_data_parity_with_reference(spark, tmp_path):
     assert mask.any() and (da[mask] == db[mask]).all()
     back = SeqDataset.from_gds(spark, out)
     assert back.variants.count() == 1348
+    # feature interaction: transposed copies under a different coder
+    out2 = str(tmp_path / "ceu_t_zip.gds")
+    SeqDataset.from_gds(spark, src).to_gds(out2, transposed=True,
+                                           coder="ZIP_ra")
+    f2 = GdsFile(out2)
+    assert f2.node("genotype/~data").coder == "ZIP_ra"
+    a2 = np.asarray(f2.read_array("genotype/~data"))[:n]
+    assert (a2 == b).all()
 
 
 def test_multiframe_node_roundtrip(spark, tmp_path):
