@@ -219,10 +219,7 @@ def ngram_jaccard_pairs(
         .groupBy("_id")
         .agg(
             F.slice(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("df", "shingle"))),
-                    lambda s: s["shingle"],
-                ),
+                F.array_sort(F.collect_list(F.struct("df", "shingle"))),
                 F.lit(1),
                 (
                     F.floor(
@@ -233,7 +230,18 @@ def ngram_jaccard_pairs(
             ).alias("__prefix"),
             F.count(F.lit(1)).alias("__len"),
         )
-        .select("_id", "__len", F.posexplode("__prefix").alias("__pos", "shingle"))
+        .select("_id", "__len", F.posexplode("__prefix").alias("__pos", "__ps"))
+        .select(
+            "_id", "__len", "__pos",
+            F.col("__ps.df").alias("__df"),
+            F.col("__ps.shingle").alias("shingle"),
+        )
+        # a shingle occurring in ONE doc can never witness a pair —
+        # dropping df=1 postings loses no true pair (both docs of a pair
+        # contain the shingle, so its df >= 2) and in natural text most
+        # shingles are unique, so this empties most of the self-join
+        .filter(F.col("__df") >= 2)
+        .drop("__df")
     )
     # PPJoin+ candidate pruning on the prefix self-join (exact — no true
     # pair is lost):
