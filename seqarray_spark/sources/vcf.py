@@ -340,12 +340,21 @@ def read_vcf(
             .filter(~F.col("value").startswith("#"))
         )
 
-        def _enum(_, it):
-            for i, r in enumerate(it):
-                yield r[0], r[1], r[2], i
+        def _enum(batches):
+            # Arrow-batched partition enumeration (a row-at-a-time RDD
+            # mapPartitions here would serialize every data line through
+            # Python individually)
+            import numpy as np
 
-        lines = tagged.rdd.mapPartitionsWithIndex(_enum).toDF(
-            ["value", "__file", "__blk", "__i"]
+            i = 0
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["__i"] = np.arange(i, i + len(pdf), dtype=np.int64)
+                i += len(pdf)
+                yield pdf
+
+        lines = tagged.mapInPandas(
+            _enum, "value string, __file string, __blk long, __i long"
         )
         blocks = (
             lines.groupBy("__file", "__blk")
