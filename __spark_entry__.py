@@ -1254,7 +1254,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
               CASE
-                WHEN length(regexp_replace(text, '[^ぁ-ヿ]', '', 'g')) > 0 THEN 'ja'
+                WHEN length(regexp_replace(text, '[^ぁ-ゖァ-ヶ]', '', 'g')) > 0 THEN 'ja'
                 WHEN length(regexp_replace(text, '[^가-힣]', '', 'g')) > 0 THEN 'ko'
                 WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
                 WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'

@@ -55,6 +55,32 @@ def merge(datasets: list[SeqDataset], mode: str | None = None) -> SeqDataset:
     raise ValueError(f"unknown merge mode {mode}")
 
 
+def _merge_meta(metas: list[dict]) -> dict:
+    """Union of the inputs' header metadata: scalar fields keep the
+    first non-empty value; contig/ALT tables and header pairs
+    concatenate with exact-duplicate removal — a merged dataset's
+    regenerated VCF header must declare every input's contigs and ALTs,
+    not just the first file's."""
+    out: dict = {}
+    for m in metas:
+        m = m or {}
+        for k in ("fileformat", "reference", "assembly"):
+            if not out.get(k) and m.get(k):
+                out[k] = m[k]
+        for k in ("contigs", "alts"):
+            seen = [tuple(sorted(d.items())) for d in out.get(k, [])]
+            for d in m.get(k) or []:
+                if tuple(sorted(d.items())) not in seen:
+                    out.setdefault(k, []).append(d)
+                    seen.append(tuple(sorted(d.items())))
+        pairs = [tuple(p) for p in out.get("header_pairs", [])]
+        for p in m.get("header_pairs") or []:
+            if tuple(p) not in pairs:
+                out.setdefault("header_pairs", []).append(tuple(p))
+                pairs.append(tuple(p))
+    return out
+
+
 def merge_variants(datasets: list[SeqDataset], reset_variant_id: bool = True) -> SeqDataset:
     """Variant-mode merge: UNION ALL of variants/calls across files with
     missing-column padding (reference: R/UtilsMerge.R:258-611; sample sets
@@ -83,7 +109,7 @@ def merge_variants(datasets: list[SeqDataset], reset_variant_id: bool = True) ->
         else None
     )
     return SeqDataset(variants, calls, samples, ploidy=datasets[0].ploidy,
-                      meta=datasets[0].meta)
+                      meta=_merge_meta([d.meta for d in datasets]))
 
 
 def reset_variant_ids(variants: DataFrame, calls: DataFrame | None):
@@ -202,4 +228,4 @@ def merge_samples_pair(a: SeqDataset, b: SeqDataset) -> SeqDataset:
     )
     variants = variants.drop("__vid_a", "__alt_a", "__vid_b", "__alt_b")
     return SeqDataset(variants, calls, samples, ploidy=max(a.ploidy, b.ploidy),
-                      meta=a.meta)
+                      meta=_merge_meta([a.meta, b.meta]))

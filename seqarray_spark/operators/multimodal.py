@@ -90,10 +90,14 @@ def _decode_pnm(p: bytes) -> np.ndarray | None:
         i = j
     i += 1  # exactly one whitespace byte after maxval
     w, h, maxv = toks
-    if maxv > 255 or w <= 0 or h <= 0:
+    if not (0 < maxv <= 255) or w <= 0 or h <= 0:
         return None
     ch = 3 if p[:2] == b"P6" else 1
     img = np.frombuffer(p, np.uint8, count=w * h * ch, offset=i).reshape(h, w, ch)
+    if maxv != 255:
+        # PNM samples scale to maxval (spec: maxval = full intensity) —
+        # normalize to 0-255 like reference decoders do
+        img = np.round(img.astype(np.float64) * (255.0 / maxv)).astype(np.uint8)
     return np.ascontiguousarray(np.repeat(img, 3, axis=2) if ch == 1 else img)
 
 

@@ -29,22 +29,30 @@ def spread(df: DataFrame) -> DataFrame:
     core; a corpus already wider than the core count passes through
     untouched, so this adds no shuffle at scale.
 
-    The width estimate uses source-file metadata only (inputFiles +
-    driver-side stat, bounded to < parallelism files) — never
-    `df.rdd.getNumPartitions()`, which materializes the RDD lineage on
-    every call."""
+    For file-backed frames the width estimate uses source-file metadata
+    only (inputFiles + driver-side stat, bounded to < parallelism
+    files); it repartitions only when the scan is PROVABLY narrow —
+    a file whose size can't be stat'd locally (remote scheme, escaped
+    path) makes the width unknown and the frame passes through, so a
+    wide s3/hdfs corpus is never forced down to defaultParallelism.
+    Non-file sources (JDBC, coalesced/checkpointed frames) fall back to
+    the partition count — the one case that still pays the
+    rdd-lineage-conversion cost, since no metadata can answer it."""
     import os
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
-        files = []
-    if not files or len(files) >= want:
-        # unknown source (in-memory/test frames arrive at parallelize
-        # width) or already wide — pass through, no shuffle
+        files = None
+    if files is None or (files == [] and df.isStreaming):
+        return df
+    if not files:
+        # non-file source: partition count is the only width signal
+        return df.repartition(want) if df.rdd.getNumPartitions() < want else df
+    if len(files) >= want:
         return df
     # few files: estimate scan splits from sizes vs maxPartitionBytes
     # (accepts Spark's byte-suffix forms: 134217728, 128m, 1g, 64kb)
@@ -60,12 +68,13 @@ def spread(df: DataFrame) -> DataFrame:
     splits = 0
     for p in files:
         u = urlparse(p)
-        local = u.path if u.scheme in ("file", "") else None
+        if u.scheme not in ("file", ""):
+            return df  # remote store: width unknowable from the driver
         try:
-            size = os.path.getsize(local) if local else 0
+            size = os.path.getsize(unquote(u.path) if u.scheme else p)
         except OSError:
-            size = 0
-        splits += max(1, -(-size // mpb)) if size else 1
+            return df  # can't prove the scan is narrow — don't shuffle
+        splits += max(1, -(-size // mpb))
     if splits < want:
         return df.repartition(want)
     return df
@@ -165,7 +174,10 @@ def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
         arr = F.array(*[F.lit(w) for w in words])
         hits[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
     t = F.col(text_col)
-    kana = F.length(F.regexp_replace(t, r"[^ぁ-ヿ]", ""))
+    # kana LETTERS only (hiragana U+3041-3096, katakana U+30A1-30F6):
+    # the katakana block's middle dot / prolonged mark (U+30FB/U+30FC)
+    # appear in Chinese transliterations and must not flip zh -> ja
+    kana = F.length(F.regexp_replace(t, r"[^ぁ-ゖァ-ヶ]", ""))
     hangul = F.length(F.regexp_replace(t, r"[^가-힣]", ""))
     han = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
     best = F.greatest(*[hits[lang] for lang in sorted(STOPWORDS)])

@@ -754,7 +754,14 @@ def _make_transposed_kernel(tmp, n_var, ploidy, fmeta, codec, level,
     the [block_samples, n_var, ...] grids for genotype / phase / scalar
     FORMAT fields and emits fragments under 'geno.~data' etc. Only valid
     when every variant is single-plane (allele codes < 3) — the caller
-    checks via the main pass's plane counts."""
+    checks via the main pass's plane counts.
+
+    Task memory is one sample-block grid (bs_const x n_var x ploidy
+    bytes; bs_const shrinks to 1 as n_var grows). Past ~10^8 variants
+    even a single sample's row is GB-scale; the refinement there is a
+    (sample-block, variant-chunk) keyed pass whose per-sample fragments
+    concatenate in chunk order — not needed for these optional ~data
+    copies at current container sizes."""
 
     def kernel(key, pdf):
         sblk = int(key[0])

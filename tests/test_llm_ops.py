@@ -191,6 +191,10 @@ def test_lang_guess_cjk(spark):
         for r in X.lang_guess(spark.createDataFrame(rows)).collect()
     }
     assert g == {1: "ja", 2: "ja", 3: "ko", 4: "zh"}
+    # the katakana middle dot (U+30FB), common in Chinese
+    # transliterations, is not a kana letter and must not flip zh -> ja
+    zh = spark.createDataFrame([Row(doc_id=1, text="弗拉基米尔・普京访问")])
+    assert X.lang_guess(zh).first()["lang_guess"] == "zh"
 
 
 def test_fingerprint(docs):
@@ -237,6 +241,10 @@ def test_image_codec_roundtrip():
     out = MM.decode_image(p5)
     assert out.shape == (3, 5, 3) and (out[:, :, 0] == gray).all()
     assert (out[:, :, 1] == gray).all() and (out[:, :, 2] == gray).all()
+    # low-maxval PNMs rescale to 0-255 (spec: maxval = full intensity)
+    p5_lo = b"P5\n2 1\n15\n" + bytes([15, 0])
+    lo = MM.decode_image(p5_lo)
+    assert lo[0, 0, 0] == 255 and lo[0, 1, 0] == 0
     # garbage -> None, never an exception
     assert MM.decode_image(b"not an image") is None
     assert MM.decode_image(b"") is None

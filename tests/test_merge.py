@@ -113,3 +113,27 @@ def test_merge_mode_autodetect_sample(spark):
     assert M._overlap_mode([a, b]) == "sample"
     m = M.merge([a, b])  # end-to-end through autodetect
     assert m.variants.count() == 1 and m.calls.count() == 2
+
+
+def test_merge_unions_header_meta(spark, parts_variant_mode):
+    """A merged dataset's metadata declares EVERY input's contigs/ALTs —
+    not just the first file's (the regenerated VCF header must cover all
+    records present)."""
+    a, b = parts_variant_mode
+    a.meta = {
+        "fileformat": "VCFv4.1",
+        "contigs": [{"ID": "1"}],
+        "header_pairs": [("fileDate", "20240101")],
+    }
+    b.meta = {
+        "reference": "GRCh38",
+        "contigs": [{"ID": "1"}, {"ID": "X"}],
+        "alts": [{"ID": "DEL", "Description": "Deletion"}],
+        "header_pairs": [("fileDate", "20240101"), ("source", "imp")],
+    }
+    m = M.merge([a, b])
+    assert m.meta["fileformat"] == "VCFv4.1"
+    assert m.meta["reference"] == "GRCh38"
+    assert m.meta["contigs"] == [{"ID": "1"}, {"ID": "X"}]
+    assert m.meta["alts"] == [{"ID": "DEL", "Description": "Deletion"}]
+    assert m.meta["header_pairs"] == [("fileDate", "20240101"), ("source", "imp")]
