@@ -967,7 +967,10 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     coder_name, codec, level = _parse_coder(coder)
     spark = ds.variants.sparkSession
     variants = ds.variants
-    calls = ds._base_calls
+    # the CURRENT SELECTION exports (reference seqExport semantics) —
+    # _base_calls here would pair unfiltered calls with the filtered
+    # sample list and scatter rows to out-of-range sample ordinals
+    calls = ds.calls if ds._base_calls is not None else None
     ploidy = ds.ploidy
     sample_ids = (
         [r[0] for r in ds.samples.select("sample_id").orderBy("sample_id").collect()]
@@ -1452,10 +1455,15 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
                             _encode_values("float32", [math.nan if v is None else v for v in vals])), c, False)
                     )
                 else:
+                    # NULL ints take the INT32_MIN NA code (the reader's
+                    # _py maps it back to None; 0 is a real value)
                     sa_entries.append(
                         (b.array_node(
                             "int32", (n_samp,),
-                            _encode_values("int32", [0 if v is None else int(v) for v in vals])), c, False)
+                            _encode_values(
+                                "int32",
+                                [_INT_NA if v is None else int(v) for v in vals],
+                            )), c, False)
                     )
     sa_folder = b.new_id()
     b.folder(sa_folder, sa_entries)

@@ -96,9 +96,15 @@ def read_plink(
         F.col("iid").alias("sample_id"), "fid", "sex", "pheno"
     )
 
+    # RANGE partitioning: each task must own a CONTIGUOUS index span so
+    # its lo..hi byte-range read covers only its own variants — a plain
+    # round-robin repartition scatters indices across the whole file and
+    # every task would read (and hold) nearly the entire BED
     idx = spark.createDataFrame(
         [(int(i),) for i in range(len(bim))], "variant_idx long"
-    ).repartition(max(1, len(bim) * n_samp // 2_000_000 + 1))
+    ).repartitionByRange(
+        max(1, len(bim) * n_samp // 2_000_000 + 1), "variant_idx"
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lut = np.empty((256, 4), dtype=np.int8)
@@ -184,16 +190,17 @@ def write_plink(ds: SeqDataset, out_prefix: str) -> None:
         .applyInPandas(pack, schema="variant_id long, bed_bytes binary")
         .join(v.select("variant_id", "chromosome", "position", "id", "ref", "alt"), "variant_id")
         .orderBy("chromosome", "position", "variant_id")
-        .collect()
     )
 
-    with open(out_prefix + ".bed", "wb") as fh:
-        fh.write(_MAGIC)
-        for r in packed:
-            fh.write(bytes(r["bed_bytes"]))
-    with open(out_prefix + ".bim", "w") as fh:
-        for r in packed:
-            fh.write(
+    # stream rows in sort order instead of collecting every variant's
+    # packed bytes at once — driver memory stays O(1 row) for BED files
+    # of any height (the sink is single-file/driver-side by format)
+    with open(out_prefix + ".bed", "wb") as bed, \
+            open(out_prefix + ".bim", "w") as bim:
+        bed.write(_MAGIC)
+        for r in packed.toLocalIterator():
+            bed.write(bytes(r["bed_bytes"]))
+            bim.write(
                 f"{r['chromosome']}\t{r['id'] or '.'}\t0\t{r['position']}\t"
                 f"{r['alt'][0]}\t{r['ref']}\n"
             )

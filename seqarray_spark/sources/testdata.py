@@ -148,7 +148,10 @@ def gcalls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant_id",
         "sample_id",
         F.array("a1", "a2").alias("alleles"),
-        F.array("is_phased", "is_phased").alias("phased"),
+        # engine invariant: len(phased) == len(alleles) - 1 (one
+        # separator per allele boundary — what vcf/plink/gds sources
+        # produce and seq_check/write paths expect)
+        F.array("is_phased").alias("phased"),
     )
 
 

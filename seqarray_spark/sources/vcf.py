@@ -158,11 +158,27 @@ def parse_vcf_header(path: str, infer_ploidy: bool = True) -> VcfHeader:
                 if len(cols) > 9:
                     hdr.samples = cols[9:]
             elif line and not line.startswith("#"):
-                if infer_ploidy and hdr.samples:
-                    fields = line.split("\t")
-                    if len(fields) > 9:
-                        gt = fields[9].split(":", 1)[0]
-                        hdr.ploidy = max(1, gt.count("/") + gt.count("|") + 1)
+                if not (infer_ploidy and hdr.samples):
+                    break
+                # max ploidy across ALL samples of the first data lines —
+                # reading only the first sample's GT would infer ploidy 1
+                # from a missing call '.' on an otherwise diploid file
+                # (reference scans the first line's calls the same way,
+                # R/ConvVCF2GDS.R:307-328)
+                best, found = 1, False
+                for _ in range(50):  # until a non-missing GT appears
+                    fields = line.rstrip("\n").split("\t")
+                    for tok in fields[9:]:
+                        gt = tok.split(":", 1)[0]
+                        if gt and gt != ".":
+                            best = max(best, gt.count("/") + gt.count("|") + 1)
+                            found = True
+                    if found:
+                        break
+                    line = tfh.readline()
+                    if not line or line.startswith("#"):
+                        break
+                hdr.ploidy = best
                 break
     return hdr
 
@@ -170,6 +186,28 @@ def parse_vcf_header(path: str, infer_ploidy: bool = True) -> VcfHeader:
 # ---------------------------------------------------------------------------
 # read path
 # ---------------------------------------------------------------------------
+
+def _info_kv_map(col: Column) -> Column:
+    """key->value map from a 'k=v;flag;k2=x' INFO string; duplicate keys
+    keep the FIRST occurrence. str_to_map would throw under Spark's
+    default mapKeyDedupPolicy=EXCEPTION on a malformed 'DP=3;DP=4' line,
+    killing the whole import — quarantine mode promises one bad line
+    never does that. Flags (no '=') map to NULL like str_to_map."""
+    toks = F.filter(F.split(col, ";"), lambda s: s != "")
+    pairs = F.transform(
+        toks,
+        lambda s: F.struct(
+            F.substring_index(s, "=", 1).alias("key"),
+            F.when(F.instr(s, "=") > 0,
+                   F.substr(s, F.instr(s, "=") + F.lit(1))).alias("value"),
+        ),
+    )
+    keys = F.transform(pairs, lambda p: p["key"])
+    uniq = F.filter(
+        pairs, lambda p, i: F.array_position(keys, p["key"]) == i + 1
+    )
+    return F.map_from_entries(uniq)
+
 
 def _typed_info_col(fld: VcfField, raw_map: Column) -> Column:
     """One INFO field from the key->string map, honoring Number/Type
@@ -432,7 +470,7 @@ def parse_vcf_lines(
             F.xxhash64(F.col("chromosome"), F.col("__f")[1], F.col("__f")[3], F.col("__f")[4]),
         )
 
-    info_map = F.str_to_map(F.col("__f")[7], F.lit(";"), F.lit("="))
+    info_map = _info_kv_map(F.col("__f")[7])
     base = parsed.select(
         "variant_id",
         "chromosome",
@@ -457,7 +495,7 @@ def parse_vcf_lines(
         # arity checks against declared Number= (reference hard-errors,
         # src/ConvVCF2GDS.cpp:644-723); expressions only, so the checks
         # ride the same codegen stage as the parse
-        raw_info = F.str_to_map(F.col("__fields")[7], F.lit(";"), F.lit("="))
+        raw_info = _info_kv_map(F.col("__fields")[7])
         viols = [
             v
             for i in info_fields
@@ -697,7 +735,11 @@ def write_vcf(
     (chromosome, position) order plus a _header.vcf; `cat` them for a
     single classic file.
     """
-    variants, calls = ds.variants, ds._base_calls
+    # the CURRENT SELECTION exports (reference seqGDS2VCF applies the
+    # active filter) — _base_calls would emit tokens for samples the
+    # header no longer declares, shifting genotype columns
+    variants = ds.variants
+    calls = ds.calls if ds._base_calls is not None else None
     info_type = dict(variants.dtypes).get("info")
     if info_fields is None:
         info_fields = (
@@ -714,10 +756,17 @@ def write_vcf(
         if dt == "boolean":
             info_parts.append(F.when(c, F.lit(name)))
         elif dt.startswith("array"):
+            # the no-trailing-.0 renderer is for NUMERIC elements only: a
+            # String-typed field like '007' must not be coerced to '7'
+            elem_fmt = (
+                _fmt_num if dt[6:-1] in ("int", "bigint", "smallint",
+                                         "double", "float")
+                else (lambda x: F.coalesce(x, F.lit(".")))
+            )
             info_parts.append(
                 F.when(
                     c.isNotNull(),
-                    F.concat(F.lit(name + "="), F.concat_ws(",", F.transform(c, _fmt_num))),
+                    F.concat(F.lit(name + "="), F.concat_ws(",", F.transform(c, elem_fmt))),
                 )
             )
         elif dt == "double":
@@ -759,9 +808,12 @@ def write_vcf(
 
     if calls is not None and sample_ids:
         if format_fields is None:
+            # vcf_errors is quarantine-mode bookkeeping, not a FORMAT
+            # field (the GDS writer excludes it the same way)
             format_fields = [
                 c for c in calls.columns
-                if c not in ("variant_id", "sample_id", "alleles", "phased")
+                if c not in ("variant_id", "sample_id", "alleles", "phased",
+                             "vcf_errors")
             ]
         gt_str = _genotype_string(F.col("alleles"), F.col("phased"))
         fmt_cols = [gt_str]
@@ -769,8 +821,13 @@ def write_vcf(
             c = F.col(f_name)
             dt = dict(calls.dtypes)[f_name]
             if dt.startswith("array"):
+                elem_fmt = (
+                    _fmt_num if dt[6:-1] in ("int", "bigint", "smallint",
+                                             "double", "float")
+                    else (lambda x: F.coalesce(x, F.lit(".")))
+                )
                 fmt_cols.append(
-                    F.coalesce(F.concat_ws(",", F.transform(c, _fmt_num)), F.lit("."))
+                    F.coalesce(F.concat_ws(",", F.transform(c, elem_fmt)), F.lit("."))
                 )
             elif dt == "double":
                 fmt_cols.append(_fmt_num(c))

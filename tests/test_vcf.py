@@ -518,3 +518,98 @@ def test_number_g_ploidy3(spark, tmp_path):
     ds2 = vcfmod.read_vcf(spark, p, validate="strict")
     with pytest.raises(Exception, match="VCF arity violation.*FORMAT/GL"):
         ds2.calls.collect()
+
+
+def test_ploidy_inference_skips_missing_gt(spark, tmp_path):
+    """A leading missing GT '.' must not infer ploidy 1 for a diploid
+    file — inference scans across samples and lines for a real call."""
+    src = tmp_path / "pl.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        "##contig=<ID=1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n"
+        "1\t100\t.\tA\tT\t10\tPASS\t.\tGT\t.\t0|1\n"
+        "1\t200\t.\tC\tG\t10\tPASS\t.\tGT\t1/1\t0/0\n"
+    )
+    hdr = vcfmod.parse_vcf_header(str(src))
+    assert hdr.ploidy == 2
+
+
+def test_export_respects_sample_selection(spark, tmp_path):
+    """Exporters write the CURRENT selection: with a sample filter the
+    VCF header and data tokens agree, and to_gds round-trips the subset
+    (previously the header declared the filtered samples but tokens
+    carried all of them)."""
+    src = tmp_path / "sel.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        "##contig=<ID=1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\n"
+        "1\t100\t.\tA\tT\t10\tPASS\t.\tGT\t0|1\t1|1\t0|0\n"
+        "1\t200\t.\tC\tG\t10\tPASS\t.\tGT\t1|0\t0|0\t1|1\n"
+    )
+    ds = vcfmod.read_vcf(spark, str(src), assign_ids="order")
+    ds.set_filter_sample_id(["S1", "S3"])
+    out = str(tmp_path / "sel_out")
+    vcfmod.write_vcf(ds, out)
+    import glob
+
+    hdr = open(f"{out}/_header.vcf").read()
+    chrom_line = [x for x in hdr.splitlines() if x.startswith("#CHROM")][0]
+    assert chrom_line.split("\t")[9:] == ["S1", "S3"]
+    for part in glob.glob(f"{out}/part-*"):
+        for line in open(part):
+            assert len(line.rstrip("\n").split("\t")) == 9 + 2, line
+    # GDS export under the same selection decodes the subset
+    from seqarray_spark.dataset import SeqDataset
+
+    gds = str(tmp_path / "sel.gds")
+    ds.to_gds(gds)
+    back = SeqDataset.from_gds(spark, gds)
+    assert {r["sample_id"] for r in back.samples.collect()} == {"S1", "S3"}
+    got = {(r["variant_id"], r["sample_id"]): list(r["alleles"])
+           for r in back.calls.collect()}
+    assert got[(1, "S1")] == [0, 1] and got[(1, "S3")] == [0, 0]
+    assert got[(2, "S3")] == [1, 1]
+
+
+def test_duplicate_info_keys_survive(spark, tmp_path):
+    """'DP=3;DP=4' on one line must not kill the import (first wins) —
+    str_to_map under Spark's EXCEPTION dedup policy used to throw."""
+    src = tmp_path / "dup.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        "##contig=<ID=1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "1\t100\t.\tA\tT\t10\tPASS\tDP=3;DP=4\tGT\t0|1\n"
+        "1\t200\t.\tC\tG\t10\tPASS\tDP=7\tGT\t1|1\n"
+    )
+    ds = vcfmod.read_vcf(spark, str(src), assign_ids="order",
+                         validate="quarantine")
+    got = {r["position"]: r["info"]["DP"] for r in ds.variants.collect()}
+    assert got == {100: 3, 200: 7}
+
+
+def test_string_info_values_not_numerically_coerced(spark, tmp_path):
+    """A String-typed INFO value like '007' must export verbatim (the
+    numeric no-trailing-.0 renderer applies to numeric elements only)."""
+    src = tmp_path / "str.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=CODE,Number=.,Type=String,Description="c">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        "##contig=<ID=1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "1\t100\t.\tA\tT\t10\tPASS\tCODE=007,X1\tGT\t0|1\n"
+    )
+    ds = vcfmod.read_vcf(spark, str(src), assign_ids="order")
+    out = str(tmp_path / "str_out")
+    vcfmod.write_vcf(ds, out)
+    import glob
+
+    body = "".join(open(p).read() for p in glob.glob(f"{out}/part-*"))
+    assert "CODE=007,X1" in body
