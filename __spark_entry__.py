@@ -1031,12 +1031,12 @@ def oracle_sql() -> dict[str, str]:
         "seq_chrom_pos2": P
         + """
             SELECT variant_id,
-                   CASE WHEN n = 1 THEN key ELSE key || '_' || CAST(rn AS STRING) END AS chrom_pos2
+                   CASE WHEN rn = 1 THEN key
+                        ELSE key || '_' || CAST(rn - 1 AS STRING) END AS chrom_pos2
             FROM (
               SELECT variant_id,
                      chromosome || ':' || CAST(position AS STRING) AS key,
-                     ROW_NUMBER() OVER (PARTITION BY chromosome, position ORDER BY variant_id) AS rn,
-                     COUNT(*) OVER (PARTITION BY chromosome, position) AS n
+                     ROW_NUMBER() OVER (PARTITION BY chromosome, position ORDER BY variant_id) AS rn
               FROM gvariants
             ) t
         """,

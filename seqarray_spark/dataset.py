@@ -138,8 +138,9 @@ class SeqDataset:
     # filters (reference: §2.3 of SURVEY.md)
     # ------------------------------------------------------------------
     def _set_variants(self, df: DataFrame, intersect: bool) -> "SeqDataset":
-        base = self._sel.variants if intersect else self._base_variants
-        del base  # caller already filtered from the right base
+        # intersect is resolved by the CALLER (each filter picks its base
+        # frame before transforming); the parameter documents the action
+        # at the call sites
         self._sel = _Selection(
             df,
             self._sel.samples,
@@ -261,14 +262,40 @@ class SeqDataset:
         variant_id), matching the reference's first-hit semantics.
         """
         keys = ["chromosome", "position"]
+        dedup_keys = ["chromosome", "position"]
         if match_alleles and "ref" in probes.columns:
             keys.append("ref")
+            dedup_keys.append("ref")
         base = self._sel.variants if intersect else self._base_variants
-        matched = base.join(F.broadcast(probes.select(*keys).distinct()), keys, "left_semi")
+        p = probes
+        if match_alleles and "alt_one" in probes.columns:
+            # ALT must match too (reference matches chr/pos/ref/alt,
+            # SURVEY §2.3): the probe's single ALT allele has to appear
+            # among the variant's alts — an equi-semi-join on
+            # (keys, alt_one) with alt_one exploded from the variant side
+            pk = p.select(*keys, "alt_one").distinct()
+            matched = (
+                base.withColumn("__alt_one", F.explode_outer("alt"))
+                .join(
+                    F.broadcast(pk.withColumnRenamed("alt_one", "__alt_one")),
+                    keys + ["__alt_one"],
+                    "left_semi",
+                )
+                .drop("__alt_one")
+                .dropDuplicates(["variant_id"])
+            )
+            dedup_keys.append("alt")
+        else:
+            matched = base.join(
+                F.broadcast(p.select(*keys).distinct()), keys, "left_semi"
+            )
         if not multi_pos:
             from pyspark.sql.window import Window
 
-            w = Window.partitionBy("chromosome", "position").orderBy("variant_id")
+            # first hit PER PROBE KEY: dedup by the full match-key set,
+            # not just (chromosome, position) — two probes differing in
+            # ref/alt at the same position each keep their own first hit
+            w = Window.partitionBy(*dedup_keys).orderBy("variant_id")
             matched = (
                 matched.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
@@ -333,16 +360,17 @@ class SeqDataset:
 
         v, c = self.variants, None
         if name in ("sample.id", "sample_id"):
+            if self.samples is None:
+                raise ValueError("dataset has no samples table")
             return self.samples.select("sample_id")
         if name in ("variant.id", "variant_id"):
             return v.select("variant_id")
         if name in ("position", "chromosome", "id", "ref", "alt", "qual", "filter"):
             return v.select("variant_id", name)
         if name == "allele":
-            return v.select(
-                "variant_id",
-                F.concat_ws(",", F.concat(F.array("ref"), F.col("alt"))).alias("allele"),
-            )
+            from seqarray_spark.functions.variant import allele_string
+
+            return v.select("variant_id", allele_string().alias("allele"))
         if name == "$num_allele":
             return v.select("variant_id", num_allele().alias("num_allele"))
         if name == "$ref":
@@ -422,6 +450,8 @@ class SeqDataset:
         if name == "$sample_index":
             from pyspark.sql.window import Window
 
+            if self.samples is None:
+                raise ValueError("dataset has no samples table")
             return self.samples.select(
                 "sample_id",
                 F.row_number().over(Window.orderBy("sample_id")).alias("sample_index"),
@@ -454,13 +484,19 @@ class SeqDataset:
         # sidecar: ploidy + header remnants, so read() restores the full
         # dataset identity (a haploid set must not silently reopen as
         # diploid, and description metadata survives the parquet layout
-        # the same way it survives the GDS container)
+        # the same way it survives the GDS container). Written through
+        # Spark so it lands on whatever filesystem out_dir names (a
+        # driver-local open() would silently miss s3/hdfs paths)
         import json
-        import os
 
-        os.makedirs(out_dir, exist_ok=True)
-        with open(f"{out_dir}/_meta.json", "w") as fh:
-            json.dump({"ploidy": self.ploidy, "meta": self.meta}, fh)
+        spark = self.variants.sparkSession
+        payload = json.dumps({"ploidy": self.ploidy, "meta": self.meta})
+        (
+            spark.createDataFrame([(payload,)], "value string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(f"{out_dir}/_meta.json")
+        )
 
     def to_gds(self, path: str, **kwargs) -> None:
         """Write this dataset as a SeqArray GDS container (reference:
@@ -491,21 +527,34 @@ class SeqDataset:
         missing = required - set(variants.columns)
         if missing:
             raise ValueError(f"not a seqarray_spark dataset; missing {missing}")
-        calls = samples = None
+        if dict(variants.dtypes).get("chromosome") != "string":
+            # partition-column type inference turns 'chromosome=1' dirs
+            # into ints; the model declares chromosome STRING (ANSI mode
+            # would otherwise throw on a later 'X' comparison)
+            variants = variants.withColumn(
+                "chromosome", F.col("chromosome").cast("string")
+            )
         import json
-        import os
 
-        if os.path.isdir(f"{path}/calls.parquet"):
-            calls = spark.read.parquet(f"{path}/calls.parquet")
-        if os.path.isdir(f"{path}/samples.parquet"):
-            samples = spark.read.parquet(f"{path}/samples.parquet")
+        def _try_read(reader, p):
+            # existence probes go through Spark, not os.path — the layout
+            # may live on any filesystem the session can reach
+            try:
+                return reader(p)
+            except Exception:
+                return None
+
+        calls = _try_read(spark.read.parquet, f"{path}/calls.parquet")
+        samples = _try_read(spark.read.parquet, f"{path}/samples.parquet")
         meta = {}
-        if os.path.isfile(f"{path}/_meta.json"):
-            with open(f"{path}/_meta.json") as fh:
-                side = json.load(fh)
-            meta = side.get("meta") or {}
-            if ploidy is None:
-                ploidy = side.get("ploidy")
+        side_df = _try_read(spark.read.text, f"{path}/_meta.json")
+        if side_df is not None:
+            rows = side_df.collect()
+            if rows:
+                side = json.loads("".join(r["value"] for r in rows))
+                meta = side.get("meta") or {}
+                if ploidy is None:
+                    ploidy = side.get("ploidy")
         return SeqDataset(variants, calls, samples,
                           ploidy=2 if ploidy is None else int(ploidy),
                           meta=meta)

@@ -93,19 +93,23 @@ def chrom_pos_allele(
 
 
 def chrom_pos2(variants: DataFrame) -> DataFrame:
-    """'chr:pos' with duplicate suffixing '_1','_2',... for repeated
-    positions (reference: get_chrom_pos2 src/GetData.cpp:710-748).
-    The reference's sequential dup counter becomes a window row_number —
-    partitioned by (chrom,pos) so it scales without a global sort."""
+    """'chr:pos' with the FIRST occurrence bare and subsequent
+    duplicates suffixed '_1','_2',... (reference: get_chrom_pos2
+    src/GetData.cpp:710-748 — the dup counter starts at 0 and the
+    unsuffixed name is emitted before it increments). The reference's
+    sequential counter becomes a window row_number partitioned by
+    (chrom,pos) ordered by variant_id, so it scales without a global
+    sort (equivalent to the reference's file-order walk on
+    position-sorted data)."""
     w = Window.partitionBy("chromosome", "position").orderBy("variant_id")
-    cnt = Window.partitionBy("chromosome", "position")
     return (
         variants.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(cnt))
         .select(
             "variant_id",
-            F.when(F.col("__n") == 1, chrom_pos())
-            .otherwise(F.concat_ws("_", chrom_pos(), F.col("__rn").cast("string")))
+            F.when(F.col("__rn") == 1, chrom_pos())
+            .otherwise(
+                F.concat_ws("_", chrom_pos(), (F.col("__rn") - 1).cast("string"))
+            )
             .alias("chrom_pos2"),
         )
     )

@@ -64,6 +64,9 @@ def has_partial_aggregation(df: DataFrame) -> bool:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    return len(set(re.findall(r"\WholeStageCodegen \((\d+)\)", plan_string(df, "simple")))) or len(
-        set(re.findall(r"\*\((\d+)\)", plan_string(df, "simple")))
+    # (a stray r"\W" here used to swallow the leading 'W' and the first
+    # branch never matched)
+    s = plan_string(df, "simple")
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", s))) or len(
+        set(re.findall(r"\*\((\d+)\)", s))
     )

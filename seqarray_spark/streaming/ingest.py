@@ -50,25 +50,25 @@ def write_stream_dataset(
     trigger_once: bool = True,
 ):
     """Sink the streaming parse into the engine's parquet layout with
-    exactly-once file semantics (checkpointed)."""
+    exactly-once file semantics (checkpointed). trigger_once=True drains
+    the currently-available files and terminates (availableNow);
+    trigger_once=False runs a continuous micro-batch watcher that keeps
+    ingesting files as they arrive."""
     queries = []
-    vq = (
-        variants.writeStream.format("parquet")
-        .option("path", f"{out_dir}/variants.parquet")
-        .option("checkpointLocation", f"{checkpoint_dir}/variants")
-        .trigger(availableNow=True)
-        .start()
-    )
-    queries.append(vq)
-    if calls is not None:
-        cq = (
-            calls.writeStream.format("parquet")
-            .option("path", f"{out_dir}/calls.parquet")
-            .option("checkpointLocation", f"{checkpoint_dir}/calls")
-            .trigger(availableNow=True)
-            .start()
+
+    def _start(df, sub):
+        w = (
+            df.writeStream.format("parquet")
+            .option("path", f"{out_dir}/{sub}.parquet")
+            .option("checkpointLocation", f"{checkpoint_dir}/{sub}")
         )
-        queries.append(cq)
+        if trigger_once:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    queries.append(_start(variants, "variants"))
+    if calls is not None:
+        queries.append(_start(calls, "calls"))
     return queries
 
 

@@ -135,3 +135,38 @@ def test_dosage_sp2_partial_missing(ds):
             and any(a not in (None, 0) for a in al)
             for al in calls[key]
         )
+
+
+def test_chrom_pos2_reference_suffixing(spark):
+    """$chrom_pos2 leaves the FIRST occurrence of a duplicated position
+    bare and suffixes later ones _1, _2 (reference: get_chrom_pos2
+    src/GetData.cpp:710-748 — the dup counter increments only on
+    repeats)."""
+    from seqarray_spark.functions.variant import chrom_pos2
+
+    v = spark.createDataFrame(
+        [(1, "1", 100), (2, "1", 100), (3, "1", 100), (4, "1", 200)],
+        "variant_id long, chromosome string, position int",
+    )
+    got = {r["variant_id"]: r["chrom_pos2"] for r in chrom_pos2(v).collect()}
+    assert got == {1: "1:100", 2: "1:100_1", 3: "1:100_2", 4: "1:200"}
+
+
+def test_filter_pos_matches_alt(spark):
+    """match_alleles matches ALT too when probes carry alt_one — a
+    ref-only match would select allele-mismatched variants."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(1, "1", 100, "A", ["T"]), (2, "1", 100, "A", ["G"]),
+         (3, "1", 200, "C", ["G", "T"])],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>",
+    )
+    ds = SeqDataset(v, None, None)
+    probes = spark.createDataFrame(
+        [("1", 100, "A", "T"), ("1", 200, "C", "T")],
+        "chromosome string, position int, ref string, alt_one string",
+    )
+    ds.set_filter_pos(probes, match_alleles=True)
+    assert {r["variant_id"] for r in ds.variants.collect()} == {1, 3}
