@@ -233,8 +233,11 @@ def seq_allele_count_minor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def seq_per_allele_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-allele count vectors (reference: FC_AlleleCount
-    src/Methods.cpp:828-895) as a long table."""
-    return agg.per_allele_table(td.gcalls(spark, sf_dir))
+    src/Methods.cpp:828-895) as a long table — bounded to each variant's
+    declared alleles, unobserved declared alleles as explicit 0 rows."""
+    return agg.per_allele_table(
+        td.gcalls(spark, sf_dir), td.gvariants(spark, sf_dir)
+    )
 
 
 def seq_missing_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,6 +808,10 @@ _REFCNT = (
     "CASE WHEN a1 = 0 THEN 1 ELSE 0 END + CASE WHEN a2 = 0 THEN 1 ELSE 0 END"
 )
 _MISS = "CASE WHEN a1 IS NULL OR a2 IS NULL THEN 1.0 ELSE 0.0 END"
+_MISS_SLOTS = (
+    "CASE WHEN a1 IS NULL THEN 1 ELSE 0 END + "
+    "CASE WHEN a2 IS NULL THEN 1 ELSE 0 END"
+)
 
 
 def _SW(lang: str) -> str:
@@ -874,48 +881,71 @@ def oracle_sql() -> dict[str, str]:
         """,
         "seq_allele_count_minor": P
         + f"""
-            SELECT variant_id, ac, an, LEAST(ac, an - ac) AS mac FROM (
+            SELECT variant_id,
+                   CASE WHEN an > 0 THEN ac0 END AS ac, an,
+                   CASE WHEN an > 0 THEN LEAST(ac0, an - ac0) END AS mac
+            FROM (
               SELECT variant_id,
-                     CAST(SUM({_REFCNT}) AS BIGINT) AS ac,
+                     CAST(SUM({_REFCNT}) AS BIGINT) AS ac0,
                      CAST(SUM({_NONMISS}) AS BIGINT) AS an
               FROM gcalls GROUP BY variant_id
             ) t
         """,
+        # reference FC_AlleleCount bounds indexes to the declared allele
+        # set and reports unobserved declared alleles as explicit zeros
         "seq_per_allele_counts": P
         + """
-            , exploded AS (
+            , nall AS (
+              SELECT variant_id,
+                     CAST(LENGTH(alt_str) - LENGTH(REPLACE(alt_str, ',', '')) + 2 AS INT) AS na
+              FROM gvariants
+            ), domain AS (
+              SELECT variant_id, CAST(x.g AS INT) AS allele
+              FROM nall, LATERAL unnest(range(0, nall.na)) AS x(g)
+            ), exploded AS (
               SELECT variant_id, a1 AS allele FROM gcalls WHERE a1 IS NOT NULL
               UNION ALL
               SELECT variant_id, a2 AS allele FROM gcalls WHERE a2 IS NOT NULL
+            ), cnt AS (
+              SELECT d.variant_id, d.allele,
+                     CAST(COUNT(e.allele) AS BIGINT) AS count
+              FROM domain d LEFT JOIN exploded e
+                ON d.variant_id = e.variant_id AND d.allele = e.allele
+              GROUP BY d.variant_id, d.allele
             )
-            SELECT e.variant_id, e.allele, e.count, t.total FROM
-              (SELECT variant_id, allele, COUNT(*) AS count FROM exploded GROUP BY 1,2) e
-              JOIN (SELECT variant_id, COUNT(*) AS total FROM exploded GROUP BY 1) t
+            SELECT c.variant_id, c.allele, c.count, t.total FROM cnt c
+              JOIN (SELECT variant_id, CAST(SUM(count) AS BIGINT) AS total
+                    FROM cnt GROUP BY variant_id) t
               USING (variant_id)
         """,
+        # slot-level missing (reference FC_Missing_*: missing allele
+        # slots over ploidy*N slots — a half-missing call counts 0.5)
         "seq_missing_variant": P
         + f"""
-            SELECT variant_id, AVG({_MISS}) AS missing_rate
+            SELECT variant_id,
+                   CAST(SUM({_MISS_SLOTS}) AS DOUBLE) / (2 * COUNT(*)) AS missing_rate
             FROM gcalls GROUP BY variant_id
         """,
         "seq_missing_sample": P
         + f"""
-            SELECT sample_id, AVG({_MISS}) AS missing_rate
+            SELECT sample_id,
+                   CAST(SUM({_MISS_SLOTS}) AS DOUBLE) / (2 * COUNT(*)) AS missing_rate
             FROM gcalls GROUP BY sample_id
         """,
         "seq_af_ac_missing": P
         + f"""
             SELECT variant_id,
-                   CASE WHEN an > 0 THEN CAST(ac AS DOUBLE) / CAST(an AS DOUBLE) END AS af,
-                   ac, an,
-                   CASE WHEN an > 0 THEN LEAST(CAST(ac AS DOUBLE) / CAST(an AS DOUBLE),
-                                               1.0 - CAST(ac AS DOUBLE) / CAST(an AS DOUBLE)) END AS maf,
-                   LEAST(ac, an - ac) AS mac, missing_rate, ns
+                   CASE WHEN an > 0 THEN CAST(ac0 AS DOUBLE) / CAST(an AS DOUBLE) END AS af,
+                   CASE WHEN an > 0 THEN ac0 END AS ac, an,
+                   CASE WHEN an > 0 THEN LEAST(CAST(ac0 AS DOUBLE) / CAST(an AS DOUBLE),
+                                               1.0 - CAST(ac0 AS DOUBLE) / CAST(an AS DOUBLE)) END AS maf,
+                   CASE WHEN an > 0 THEN LEAST(ac0, an - ac0) END AS mac,
+                   missing_rate, ns
             FROM (
               SELECT variant_id,
-                     CAST(SUM({_REFCNT}) AS BIGINT) AS ac,
+                     CAST(SUM({_REFCNT}) AS BIGINT) AS ac0,
                      CAST(SUM({_NONMISS}) AS BIGINT) AS an,
-                     AVG({_MISS}) AS missing_rate,
+                     CAST(SUM({_MISS_SLOTS}) AS DOUBLE) / (2 * COUNT(*)) AS missing_rate,
                      CAST(SUM(CASE WHEN a1 IS NULL OR a2 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS ns
               FROM gcalls GROUP BY variant_id
             ) t
@@ -1002,7 +1032,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT variant_id,
                      CAST(SUM({_REFCNT}) AS BIGINT) AS ac,
                      CAST(SUM({_NONMISS}) AS BIGINT) AS an,
-                     AVG({_MISS}) AS missing_rate
+                     CAST(SUM({_MISS_SLOTS}) AS DOUBLE) / (2 * COUNT(*)) AS missing_rate
               FROM gcalls GROUP BY variant_id
             ) t
             WHERE an > 0
@@ -1028,16 +1058,29 @@ def oracle_sql() -> dict[str, str]:
                 AND v.position BETWEEN i.istart AND i.iend
             )
         """,
+        # consecutive-run dup counter (reference resets on key change:
+        # only ADJACENT repeats in variant order get suffixes)
         "seq_chrom_pos2": P
         + """
+            , ordered AS (
+              SELECT variant_id, chromosome, position,
+                     ROW_NUMBER() OVER (ORDER BY variant_id) AS idx
+              FROM gvariants
+            ), runs AS (
+              SELECT variant_id, chromosome, position, idx,
+                     idx - ROW_NUMBER() OVER (
+                       PARTITION BY chromosome, position ORDER BY idx) AS grp
+              FROM ordered
+            )
             SELECT variant_id,
                    CASE WHEN rn = 1 THEN key
                         ELSE key || '_' || CAST(rn - 1 AS STRING) END AS chrom_pos2
             FROM (
               SELECT variant_id,
                      chromosome || ':' || CAST(position AS STRING) AS key,
-                     ROW_NUMBER() OVER (PARTITION BY chromosome, position ORDER BY variant_id) AS rn
-              FROM gvariants
+                     ROW_NUMBER() OVER (
+                       PARTITION BY chromosome, position, grp ORDER BY idx) AS rn
+              FROM runs
             ) t
         """,
         "seq_dosage_alt": P
@@ -1055,23 +1098,28 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT variant_id, ref || ',' || alt_str AS allele FROM gvariants
         """,
+        # sparse entries = nonzero dosage OR missing call kept as NA
+        # (reference dgCMatrix keeps NA_RAW entries, src/GetData.cpp:446)
         "seq_dosage_sparse": P
         + """
             SELECT variant_id, sample_id,
-                   CAST(CASE WHEN a1 <> 0 THEN 1 ELSE 0 END +
-                        CASE WHEN a2 <> 0 THEN 1 ELSE 0 END AS INT) AS dosage_alt
+                   CASE WHEN a1 IS NULL OR a2 IS NULL THEN NULL
+                        ELSE CAST(CASE WHEN a1 <> 0 THEN 1 ELSE 0 END +
+                                  CASE WHEN a2 <> 0 THEN 1 ELSE 0 END AS INT)
+                   END AS dosage_alt
             FROM gcalls
-            WHERE a1 IS NOT NULL AND a2 IS NOT NULL
-              AND (a1 <> 0 OR a2 <> 0)
+            WHERE (a1 IS NULL OR a2 IS NULL) OR (a1 <> 0 OR a2 <> 0)
         """,
         "seq_dosage_sparse2": P
         + """
             SELECT variant_id, sample_id,
-                   CAST(CASE WHEN a1 IS NOT NULL AND a1 <> 0 THEN 1 ELSE 0 END +
-                        CASE WHEN a2 IS NOT NULL AND a2 <> 0 THEN 1 ELSE 0 END AS INT) AS dosage_alt
+                   CASE WHEN a1 IS NULL AND a2 IS NULL THEN NULL
+                        ELSE CAST(CASE WHEN a1 IS NOT NULL AND a1 <> 0 THEN 1 ELSE 0 END +
+                                  CASE WHEN a2 IS NOT NULL AND a2 <> 0 THEN 1 ELSE 0 END AS INT)
+                   END AS dosage_alt
             FROM gcalls
-            WHERE (a1 IS NOT NULL OR a2 IS NOT NULL)
-              AND ((a1 IS NOT NULL AND a1 <> 0) OR (a2 IS NOT NULL AND a2 <> 0))
+            WHERE (a1 IS NULL AND a2 IS NULL)
+               OR ((a1 IS NOT NULL AND a1 <> 0) OR (a2 IS NOT NULL AND a2 <> 0))
         """,
         "seq_block_apply": P
         + """
@@ -1085,15 +1133,15 @@ def oracle_sql() -> dict[str, str]:
         + f"""
             , membership AS (
               SELECT chromosome,
-                     CAST(1 + k * {WIN_SHIFT} AS BIGINT) AS unit_start,
-                     CAST(k * {WIN_SHIFT} + {WIN_SIZE} AS BIGINT) AS unit_end,
+                     CAST(k * {WIN_SHIFT} AS BIGINT) AS unit_start,
+                     CAST(k * {WIN_SHIFT} + {WIN_SIZE} - 1 AS BIGINT) AS unit_end,
                      variant_id
               FROM (
                 SELECT chromosome, variant_id,
                        UNNEST(generate_series(
-                         CAST(GREATEST(CEIL((position - {WIN_SIZE}) / {WIN_SHIFT}.0), 0) AS BIGINT),
-                         CAST(FLOOR((position - 1) / {WIN_SHIFT}.0) AS BIGINT))) AS k
-                FROM gvariants WHERE position >= 1
+                         CAST(GREATEST(CEIL((position - {WIN_SIZE} + 1) / {WIN_SHIFT}.0), 0) AS BIGINT),
+                         CAST(FLOOR(position / {WIN_SHIFT}.0) AS BIGINT))) AS k
+                FROM gvariants WHERE position >= 0
               ) t
             )
             SELECT chromosome, unit_start, unit_end, COUNT(*) AS n_variants
@@ -1103,15 +1151,15 @@ def oracle_sql() -> dict[str, str]:
         + f"""
             , membership AS (
               SELECT chromosome,
-                     CAST(1 + k * {WIN_SHIFT} AS BIGINT) AS unit_start,
-                     CAST(k * {WIN_SHIFT} + {WIN_SIZE} AS BIGINT) AS unit_end,
+                     CAST(k * {WIN_SHIFT} AS BIGINT) AS unit_start,
+                     CAST(k * {WIN_SHIFT} + {WIN_SIZE} - 1 AS BIGINT) AS unit_end,
                      variant_id
               FROM (
                 SELECT chromosome, variant_id,
                        UNNEST(generate_series(
-                         CAST(GREATEST(CEIL((position - {WIN_SIZE}) / {WIN_SHIFT}.0), 0) AS BIGINT),
-                         CAST(FLOOR((position - 1) / {WIN_SHIFT}.0) AS BIGINT))) AS k
-                FROM gvariants WHERE position >= 1
+                         CAST(GREATEST(CEIL((position - {WIN_SIZE} + 1) / {WIN_SHIFT}.0), 0) AS BIGINT),
+                         CAST(FLOOR(position / {WIN_SHIFT}.0) AS BIGINT))) AS k
+                FROM gvariants WHERE position >= 0
               ) t
             ), dosed AS (
               SELECT variant_id,

@@ -405,11 +405,14 @@ class SeqDataset:
                 dosage_alt("alleles", partial_missing=partial).alias("dosage_alt"),
             )
         if name in ("$dosage_sp", "$dosage_sp2"):
-            # sparse alt-dosage: only non-zero entries survive (reference:
-            # get_dosage_sp src/GetData.cpp:446, dgCMatrix form). sp2
-            # allows partial missing (get_dosage_sp2 src/GetData.cpp:520):
-            # a call with some-but-not-all missing slots keeps its count
-            # of observed ALT copies instead of collapsing to NULL.
+            # sparse alt-dosage: non-zero entries survive AND missing
+            # calls stay as explicit NA entries — the reference's sparse
+            # matrix keeps them (get_dosage_sp src/GetData.cpp:446:
+            # 'if (g != 0)' passes NA_RAW=0xFF, emitted with x=NA_REAL).
+            # sp2 allows partial missing (get_dosage_sp2
+            # src/GetData.cpp:520): a call with some-but-not-all missing
+            # slots keeps its observed ALT count instead of collapsing
+            # to NULL.
             c = self.calls
             partial = name.endswith("2")
             d = c.select(
@@ -417,7 +420,7 @@ class SeqDataset:
                 "sample_id",
                 dosage_alt("alleles", partial_missing=partial).alias("dosage_alt"),
             )
-            return d.filter(F.col("dosage_alt").isNotNull() & (F.col("dosage_alt") != 0))
+            return d.filter(F.col("dosage_alt").isNull() | (F.col("dosage_alt") != 0))
         if name.startswith("annotation/info/") or name.startswith("info."):
             fld = name.split("/")[-1] if "/" in name else name.split(".", 1)[1]
             return v.select("variant_id", F.col(f"info.{fld}").alias(fld))

@@ -92,18 +92,69 @@ def chrom_pos_allele(
     )
 
 
+def _dense_order_index(df: DataFrame, order_col: str = "variant_id") -> DataFrame:
+    """Append a dense 0-based `__idx` in `order_col` order WITHOUT a
+    single-partition global window: range-partition, enumerate per
+    partition, broadcast-join the per-partition offsets (the same
+    pattern as the VCF importer's order ids)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    part = (
+        df.repartitionByRange(order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("__p", F.spark_partition_id())
+    )
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in part.schema.fields
+    ) + ", __i long"
+
+    def _enum(batches):
+        i = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__i"] = np.arange(i, i + len(pdf), dtype="int64")
+            i += len(pdf)
+            yield pdf
+
+    t = part.mapInPandas(_enum, schema).persist()
+    rows = sorted(
+        t.groupBy("__p").agg(F.count(F.lit(1)).alias("n")).collect(),
+        key=lambda r: r["__p"],
+    )
+    off, offs = 0, []
+    for r in rows:
+        offs.append((r["__p"], off))
+        off += r["n"]
+    odf = spark.createDataFrame(offs or [(0, 0)], "__p int, __off long")
+    out = (
+        t.join(F.broadcast(odf), "__p")
+        .withColumn("__idx", F.col("__off") + F.col("__i"))
+        .drop("__p", "__i", "__off")
+        .localCheckpoint()
+    )
+    t.unpersist()
+    return out
+
+
 def chrom_pos2(variants: DataFrame) -> DataFrame:
-    """'chr:pos' with the FIRST occurrence bare and subsequent
-    duplicates suffixed '_1','_2',... (reference: get_chrom_pos2
-    src/GetData.cpp:710-748 — the dup counter starts at 0 and the
-    unsuffixed name is emitted before it increments). The reference's
-    sequential counter becomes a window row_number partitioned by
-    (chrom,pos) ordered by variant_id, so it scales without a global
-    sort (equivalent to the reference's file-order walk on
-    position-sorted data)."""
-    w = Window.partitionBy("chromosome", "position").orderBy("variant_id")
+    """'chr:pos' with CONSECUTIVE duplicates (in variant_id order)
+    suffixed '_1','_2',... — the first of a run stays bare, and the dup
+    counter RESETS when the key changes, so non-adjacent repeats are
+    unsuffixed too (reference: get_chrom_pos2 src/GetData.cpp:710-748
+    compares each key against the immediately preceding one).
+
+    Runs are found gaps-and-islands style over a dense order index
+    (built scalably — no one-partition global window): within a
+    (chrom, pos) group, idx - row_number is constant exactly for
+    consecutive rows."""
+    t = _dense_order_index(variants.select("variant_id", "chromosome", "position"))
+    w = Window.partitionBy("chromosome", "position").orderBy("__idx")
+    grp = (F.col("__idx") - F.row_number().over(w)).alias("__grp")
+    t = t.select("variant_id", "chromosome", "position", "__idx", grp)
+    w2 = Window.partitionBy("chromosome", "position", "__grp").orderBy("__idx")
     return (
-        variants.withColumn("__rn", F.row_number().over(w))
+        t.withColumn("__rn", F.row_number().over(w2))
         .select(
             "variant_id",
             F.when(F.col("__rn") == 1, chrom_pos())

@@ -29,6 +29,23 @@ def _call_missing(col="alleles"):
     return a.isNull() | (F.size(F.filter(a, lambda x: x.isNull())) > 0)
 
 
+# Slot-level missing accounting — the reference's missing rates divide
+# missing ALLELE SLOTS by total slots (FC_Missing_PerVariant counts
+# NA_RAW over the full ploidy x samples grid, src/Methods.cpp:122-138),
+# so a half-missing diploid call contributes 0.5, not 1.0. A NULL
+# alleles array stands for a fully-missing call of `ploidy` slots.
+def _miss_slots(col="alleles", ploidy: int = 2):
+    a = F.col(col)
+    return F.when(a.isNull(), F.lit(ploidy)).otherwise(
+        F.size(F.filter(a, lambda x: x.isNull()))
+    )
+
+
+def _total_slots(col="alleles", ploidy: int = 2):
+    a = F.col(col)
+    return F.when(a.isNull(), F.lit(ploidy)).otherwise(F.size(a))
+
+
 def allele_freq(
     calls: DataFrame,
     ref_allele: int | None = 0,
@@ -67,21 +84,51 @@ def allele_count(calls: DataFrame, ref_allele: int | None = 0, minor: bool = Fal
         return per_allele_table(calls).select("variant_id", "allele", "count")
     cnt = allele_count_in_call("alleles", ref_allele)
     out = calls.groupBy("variant_id").agg(
-        F.sum(cnt).cast("bigint").alias("ac"),
+        F.sum(cnt).cast("bigint").alias("_ac"),
         F.sum(nonmissing_in_call("alleles")).cast("bigint").alias("an"),
     )
+    # all slots missing -> NA, not 0 (reference FC_AC_Ref:
+    # '(n < N) ? (int)m : NA_INTEGER', src/Methods.cpp:613-627)
+    out = out.withColumn(
+        "ac", F.when(F.col("an") > 0, F.col("_ac"))
+    ).drop("_ac").select("variant_id", "ac", "an")
     if minor:
-        out = out.withColumn("mac", F.least(F.col("ac"), F.col("an") - F.col("ac")))
+        out = out.withColumn(
+            "mac",
+            F.when(F.col("an") > 0, F.least(F.col("ac"), F.col("an") - F.col("ac"))),
+        )
     return out
 
 
-def per_allele_table(calls: DataFrame) -> DataFrame:
+def per_allele_table(calls: DataFrame, variants: DataFrame | None = None) -> DataFrame:
     """Per-(variant, allele-index) counts — the explode form of the
     reference's per-allele count vectors (reference: FC_AlleleCount
-    src/Methods.cpp:828-895)."""
+    src/Methods.cpp:828-895).
+
+    With `variants` supplied, the table follows the reference's vector
+    shape exactly: only indexes 0 <= allele < num_allele are counted
+    ('if (g < nAllele) pV[g]++'), and every declared allele appears —
+    unobserved ones as explicit 0 rows. Without it, observed indexes are
+    reported as-is (no declared-allele set to bound against)."""
     exploded = calls.select(
         "variant_id", F.explode(F.col("alleles")).alias("allele")
     ).filter(F.col("allele").isNotNull())
+    if variants is not None:
+        from seqarray_spark.functions.variant import num_allele as _na
+
+        domain = variants.select(
+            "variant_id",
+            F.explode(F.sequence(F.lit(0), _na() - 1)).alias("allele"),
+        )
+        counts = (
+            exploded.groupBy("variant_id", "allele")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        counts = domain.join(counts, ["variant_id", "allele"], "left").select(
+            "variant_id", "allele", F.coalesce("count", F.lit(0)).alias("count")
+        )
+        totals = counts.groupBy("variant_id").agg(F.sum("count").alias("total"))
+        return counts.join(totals, "variant_id")
     counts = exploded.groupBy("variant_id", "allele").agg(
         F.count(F.lit(1)).alias("count")
     )
@@ -89,11 +136,14 @@ def per_allele_table(calls: DataFrame) -> DataFrame:
     return counts.join(totals, "variant_id")
 
 
-def missing_rate(calls: DataFrame, per: str = "variant") -> DataFrame:
+def missing_rate(calls: DataFrame, per: str = "variant", ploidy: int = 2) -> DataFrame:
     """Missing rate per variant, per sample, or both (reference: seqMissing
     R/Methods.R:794-898; kernels src/Methods.cpp:122-246).
 
-    A call is missing if its alleles array is NULL or has a NULL slot.
+    SLOT-level like the reference: missing allele slots / total slots
+    (a half-missing diploid call contributes 0.5, not 1 — FC_Missing_*
+    count NA codes over the ploidy x samples grid). `ploidy` sizes fully
+    NULL alleles arrays.
     per='both' returns (per-variant DF, per-sample DF) from ONE scan and
     ONE shuffle via GROUPING SETS — the reference's fused one-pass
     FC_Missing_SampVariant. Only the O(n_var + n_samp) aggregate is
@@ -101,18 +151,21 @@ def missing_rate(calls: DataFrame, per: str = "variant") -> DataFrame:
     plans/lifecycle.py); the earlier design cached the full projected
     scan and left it pinned for the session.
     """
-    miss = _call_missing().cast("double")
+    m = _miss_slots(ploidy=ploidy).cast("double")
+    t = _total_slots(ploidy=ploidy).cast("double")
+    rate = (F.sum(m) / F.sum(t)).alias("missing_rate")
     if per == "variant":
-        return calls.groupBy("variant_id").agg(F.avg(miss).alias("missing_rate"))
+        return calls.groupBy("variant_id").agg(rate)
     if per == "sample":
-        return calls.groupBy("sample_id").agg(F.avg(miss).alias("missing_rate"))
+        return calls.groupBy("sample_id").agg(rate)
     if per == "both":
         from seqarray_spark.plans.lifecycle import release_on_gc
 
         g = (
-            calls.select("variant_id", "sample_id", miss.alias("m"))
+            calls.select("variant_id", "sample_id", m.alias("m"), t.alias("t"))
             .groupingSets([["variant_id"], ["sample_id"]], "variant_id", "sample_id")
-            .agg(F.avg("m").alias("missing_rate"), F.grouping_id().alias("_g"))
+            .agg((F.sum("m") / F.sum("t")).alias("missing_rate"),
+                 F.grouping_id().alias("_g"))
             .persist()
         )
         # grouping_id bit set = column aggregated away: 0b01 -> grouped
@@ -134,16 +187,22 @@ def af_ac_missing(calls: DataFrame, ploidy: int = 2, alt: bool = False) -> DataF
     """
     ref_cnt = allele_count_in_call("alleles", 0)
     nonmiss = nonmissing_in_call("alleles")
-    miss = _call_missing().cast("double")
     agg = calls.groupBy("variant_id").agg(
         F.sum(ref_cnt).cast("bigint").alias("_ref_ac"),
         F.sum(nonmiss).cast("bigint").alias("an"),
-        F.avg(miss).alias("missing_rate"),
+        # slot-level missing rate (reference FC_AF_AC_MISS_Geno:
+        # nmiss / N over the full slot grid, src/Methods.cpp:911-936)
+        (
+            F.sum(_miss_slots(ploidy=ploidy).cast("double"))
+            / F.sum(_total_slots(ploidy=ploidy).cast("double"))
+        ).alias("missing_rate"),
+        # ns = samples with a fully non-missing call (engine extension;
+        # the reference kernel reports af/ac/miss only)
         F.sum((~_call_missing()).cast("int")).cast("bigint").alias("ns"),
     )
     ac = (F.col("an") - F.col("_ref_ac")) if alt else F.col("_ref_ac")
     return (
-        agg.withColumn("ac", ac)
+        agg.withColumn("ac", F.when(F.col("an") > 0, ac))  # all-missing -> NA
         .withColumn(
             "af",
             F.when(F.col("an") > 0, F.col("ac").cast("double") / F.col("an").cast("double")),
@@ -152,7 +211,10 @@ def af_ac_missing(calls: DataFrame, ploidy: int = 2, alt: bool = False) -> DataF
             "maf",
             F.when(F.col("an") > 0, F.least(F.col("af"), F.lit(1.0) - F.col("af"))),
         )
-        .withColumn("mac", F.least(F.col("ac"), F.col("an") - F.col("ac")))
+        .withColumn(
+            "mac",
+            F.when(F.col("an") > 0, F.least(F.col("ac"), F.col("an") - F.col("ac"))),
+        )
         .select("variant_id", "af", "ac", "an", "maf", "mac", "missing_rate", "ns")
     )
 

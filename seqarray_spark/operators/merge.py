@@ -3,17 +3,16 @@
 Reference parity:
 - variant mode (same samples, disjoint variants -> concatenate):
   seqMerge R/UtilsMerge.R:258-611
-- sample mode (same variants keyed by chrom:pos_allele, different
-  samples -> full outer join + allele-code remap):
+- sample mode (same variants keyed by the FULL $chrom_pos_allele,
+  different samples -> full outer join; differing ALT lists stay
+  distinct variants, so allele codes never remap):
   R/UtilsMerge.R:612-1006 with C kernels SEQ_MergeAllele/Geno/Phase/
   Info/Format (src/FileMerge.cpp:56-365)
 - seqResetVariantID (R/UtilsMerge.R:1008+)
 
 Spark shape: the reference's hand-written sorted node-by-node merge
 becomes unionByName (variant mode) or a full-outer join on the variant
-key plus a per-row allele-index remap expression (sample mode). The
-remap — the reference's ~400 lines of C — is array_position over the
-merged allele list, fully inside codegen.
+allele key (sample mode), fully inside codegen.
 """
 
 from __future__ import annotations
@@ -138,27 +137,23 @@ def reset_variant_ids(variants: DataFrame, calls: DataFrame | None):
 
 
 def merge_samples_pair(a: SeqDataset, b: SeqDataset) -> SeqDataset:
-    """Sample-mode merge of two datasets sharing variants (keyed by
-    chrom:pos:ref), with allele-list union and per-call allele-index
-    remapping (reference: R/UtilsMerge.R:612-1006, SEQ_MergeAllele
-    src/FileMerge.cpp:56-109, SEQ_MergeGeno :110-228).
+    """Sample-mode merge of two datasets sharing variants, keyed by the
+    FULL $chrom_pos_allele (chrom:pos_REF,ALT1,...) like the reference
+    (R/UtilsMerge.R:376 matches variants via '$chrom_pos_allele';
+    SEQ_MergeAllele src/FileMerge.cpp:56-109 is then an identity union
+    under that key).
 
-    merged alt = a.alt ++ (b.alt not already present)  — the reference's
-    append-unseen semantics. Allele index k in b remaps to the position of
-    b's k-th allele string inside the merged list; index 0 (REF) is stable
-    because ref equality is part of the join key.
+    Files that disagree on the ALT list at a position contribute
+    DISTINCT variants — each file's samples are simply absent at the
+    other's variant (absent calls are absent rows in long format; the
+    reference missing-fills the genotype grid). Allele codes therefore
+    never remap: index k means the same allele on both sides of a match.
     """
-    va = a.variants.alias("va")
-    vb = b.variants.alias("vb")
-    joined = va.join(vb, VKEY, "full_outer")
-    merged_alt = F.when(
-        F.col("va.alt").isNull(), F.col("vb.alt")
-    ).when(F.col("vb.alt").isNull(), F.col("va.alt")).otherwise(
-        F.concat(
-            F.col("va.alt"),
-            F.array_except(F.col("vb.alt"), F.col("va.alt")),
-        )
-    )
+    akey = F.concat_ws(",", "alt").alias("__alts")
+    va = a.variants.withColumn("__alts", akey).alias("va")
+    vb = b.variants.withColumn("__alts", akey).alias("vb")
+    key = VKEY + ["__alts"]
+    joined = va.join(vb, key, "full_outer")
     # keep a's annotations when present (first-file-wins, as the reference
     # copies file-1 nodes then patches: R/UtilsMerge.R:713-858)
     pick = lambda c: F.coalesce(F.col(f"va.{c}"), F.col(f"vb.{c}")).alias(c)
@@ -167,54 +162,30 @@ def merge_samples_pair(a: SeqDataset, b: SeqDataset) -> SeqDataset:
         and c in b.variants.columns
     ]
     variants = joined.select(
-        F.xxhash64(*VKEY, F.concat_ws(",", merged_alt)).alias("variant_id"),
+        F.xxhash64(*VKEY, F.col("__alts")).alias("variant_id"),
         *[F.col(c) for c in VKEY],
-        merged_alt.alias("alt"),
+        pick("alt"),
         *[pick(c) for c in extra_cols],
         F.col("va.variant_id").alias("__vid_a"),
-        F.col("va.alt").alias("__alt_a"),
         F.col("vb.variant_id").alias("__vid_b"),
-        F.col("vb.alt").alias("__alt_b"),
     )
 
-    def remap_calls(calls: DataFrame, vid_col: str, old_alt: str) -> DataFrame:
+    def relabel_calls(calls: DataFrame, vid_col: str) -> DataFrame:
         m = variants.filter(F.col(vid_col).isNotNull()).select(
             F.col(vid_col).alias("__old_vid"),
             F.col("variant_id").alias("__new_vid"),
-            F.col(old_alt).alias("__old_alt"),
-            F.col("alt").alias("__merged_alt"),
         )
-        out = calls.join(m, calls["variant_id"] == m["__old_vid"])
-        # allele k>0 maps to the position of this file's k-th ALT inside
-        # the merged list; codes that don't resolve (out-of-range /
-        # malformed inputs) pass through unchanged rather than erroring
-        remapped = F.transform(
-            F.col("alleles"),
-            lambda x: F.when(x.isNull() | (x == 0), x.cast("int")).otherwise(
-                F.coalesce(
-                    F.nullif(
-                        F.array_position(
-                            F.col("__merged_alt"),
-                            F.try_element_at(F.col("__old_alt"), x.cast("int")),
-                        ),
-                        F.lit(0),
-                    ).cast("int"),
-                    x.cast("int"),
-                )
-            ),
-        )
-        keep = [c for c in calls.columns if c not in ("variant_id", "alleles")]
-        return out.select(
-            F.col("__new_vid").alias("variant_id"),
-            remapped.alias("alleles"),
-            *keep,
+        keep = [c for c in calls.columns if c != "variant_id"]
+        return (
+            calls.join(m, calls["variant_id"] == m["__old_vid"])
+            .select(F.col("__new_vid").alias("variant_id"), *keep)
         )
 
     calls_parts = []
     if a._base_calls is not None:
-        calls_parts.append(remap_calls(a._base_calls, "__vid_a", "__alt_a"))
+        calls_parts.append(relabel_calls(a._base_calls, "__vid_a"))
     if b._base_calls is not None:
-        calls_parts.append(remap_calls(b._base_calls, "__vid_b", "__alt_b"))
+        calls_parts.append(relabel_calls(b._base_calls, "__vid_b"))
     calls = (
         reduce(lambda x, y: x.unionByName(y, allowMissingColumns=True), calls_parts)
         if calls_parts
@@ -226,6 +197,6 @@ def merge_samples_pair(a: SeqDataset, b: SeqDataset) -> SeqDataset:
         if samples_parts
         else None
     )
-    variants = variants.drop("__vid_a", "__alt_a", "__vid_b", "__alt_b")
+    variants = variants.drop("__vid_a", "__vid_b")
     return SeqDataset(variants, calls, samples, ploidy=max(a.ploidy, b.ploidy),
                       meta=_merge_meta([a.meta, b.meta]))

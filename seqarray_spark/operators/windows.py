@@ -28,12 +28,14 @@ def sliding_windows(
     variants: DataFrame,
     win_size: int = 5000,
     win_shift: int = 2500,
-    win_start: int = 1,
+    win_start: int = 0,
     dup_rm: bool = True,
 ) -> DataFrame:
     """Per chromosome, assign each variant to every sliding bp window
     [start, start+size) covering its position (reference defaults
-    win.size=5000, win.shift=2500, R/UnitList.R:121-124).
+    win.size=5000, win.shift=2500, win.start=0 —
+    seqUnitSlidingWindows R/UnitList.R:121-124; window walk
+    src/ReadByUnit.cpp:44-67, end reported inclusive start+size-1).
 
     Each variant belongs to at most ceil(size/shift) windows: window ids
     k with  win_start + k*shift <= pos < win_start + k*shift + size.

@@ -23,8 +23,13 @@ from seqarray_spark.functions.variant import dosage_alt
 
 
 def pack_2bit_genotypes(ds: SeqDataset, sample_ids: list[str] | None = None) -> DataFrame:
-    """Per-variant packed 2-bit genotype row: code = #ALT copies (0..2),
-    3 = missing; 4 samples per byte in `sample_ids` order.
+    """Per-variant packed 2-bit genotype row: code = #ALT copies (0..2)
+    with "$dosage_alt2" semantics (partially-missing calls keep their
+    observed ALT count — the reference's seqGet2bGeno reads the same
+    variable, R/Methods.R:1247), 3 = fully missing; 4 samples per byte
+    in `sample_ids` order. Like the reference's 2-bit form, partial
+    missingness is NOT representable — scans over the packed column
+    treat a partial call as ploidy observed slots.
 
     Returns: variant_id LONG, n_samples INT, packed BINARY.
     """
@@ -47,7 +52,10 @@ def pack_2bit_genotypes(ds: SeqDataset, sample_ids: list[str] | None = None) -> 
     # (sample-ordinal, 2-bit code) fused into one integer so the Arrow
     # batch arrives as plain int arrays — no Python-level struct decode.
     # NB: least() skips NULLs, so the missing case must be tested first.
-    dos = dosage_alt("alleles")
+    # "$dosage_alt2" semantics like the reference's seqGet2bGeno
+    # (R/Methods.R:1247): a partially-missing call keeps its OBSERVED
+    # ALT count; only fully-missing calls pack as the missing code 3
+    dos = dosage_alt("alleles", partial_missing=True)
     code = F.when(dos.isNull(), F.lit(3)).otherwise(F.least(dos, F.lit(2)))
     pairs = (
         ds.calls.select(

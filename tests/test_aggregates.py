@@ -46,12 +46,15 @@ def test_allele_count(tiny_calls):
 
 
 def test_missing_rate(tiny_calls):
+    """SLOT-level missing like the reference (FC_Missing_* divide
+    missing allele slots by ploidy*N slots): variant 1 has 2 of 6 slots
+    missing, variant 2 has 1 of 6 — a half-missing call counts 0.5."""
     v = _by_id(agg.missing_rate(tiny_calls, per="variant"))
-    assert v[1]["missing_rate"] == pytest.approx(1 / 3)
-    assert v[2]["missing_rate"] == pytest.approx(1 / 3)
+    assert v[1]["missing_rate"] == pytest.approx(2 / 6)
+    assert v[2]["missing_rate"] == pytest.approx(1 / 6)
     s = _by_id(agg.missing_rate(tiny_calls, per="sample"), key="sample_id")
     assert s["a"]["missing_rate"] == 0.0
-    assert s["c"]["missing_rate"] == 1.0
+    assert s["c"]["missing_rate"] == pytest.approx(3 / 4)  # (2 + 1) of 4 slots
 
 
 def test_missing_both(tiny_calls):
@@ -64,8 +67,24 @@ def test_af_ac_missing_fused(tiny_calls):
     r = out[2]
     assert r["af"] == pytest.approx(1 / 5)
     assert (r["ac"], r["an"], r["mac"], r["ns"]) == (1, 5, 1, 2)
-    assert r["missing_rate"] == pytest.approx(1 / 3)
+    assert r["missing_rate"] == pytest.approx(1 / 6)  # slot-level
     assert r["maf"] == pytest.approx(1 / 5)
+
+
+def test_all_missing_variant_is_na(spark):
+    """All slots missing -> ac/mac NA, not 0 (reference FC_AC_Ref:
+    '(n < N) ? m : NA_INTEGER', src/Methods.cpp:613-627)."""
+    from pyspark.sql import Row
+
+    calls = spark.createDataFrame(
+        [Row(variant_id=9, sample_id="a", alleles=[None, None])],
+        "variant_id int, sample_id string, alleles array<int>",
+    )
+    r = agg.allele_count(calls, ref_allele=0, minor=True).first()
+    assert r["an"] == 0 and r["ac"] is None and r["mac"] is None
+    f = agg.af_ac_missing(calls).first()
+    assert f["ac"] is None and f["af"] is None and f["mac"] is None
+    assert f["missing_rate"] == 1.0
 
 
 def test_per_allele_table(tiny_calls):

@@ -80,8 +80,9 @@ def test_unit_apply(spark, calls):
 
     out = A.unit_apply(units, calls, kernel, "chromosome string, unit_start long, n long")
     got = {r["unit_start"]: r["n"] for r in out.collect()}
-    # window [1,500] holds variants 1..5 ⇒ 15 calls; [501,1000] variants 6..10
-    assert got[1] == 15 and got[501] == 15
+    # reference grid starts at win.start=0: window [0,500) holds variants
+    # 1..4 (pos 100..400) = 12 calls; [500,1000) variants 5..9 = 15
+    assert got[0] == 12 and got[500] == 15
 
 
 def test_par_reduce(calls):

@@ -109,32 +109,28 @@ def test_filter_pos_multi_pos_first_hit(ds, spark):
     ds.filter_pop()
 
 
-def test_dosage_sp2_partial_missing(ds):
-    """$dosage_sp2 keeps partially-missing calls (reference:
-    get_dosage_sp2 src/GetData.cpp:520) where $dosage_sp drops them."""
+def test_dosage_sp_keeps_missing_as_na(ds):
+    """Sparse dosage matches the reference dgCMatrix exactly
+    (get_dosage_sp src/GetData.cpp:446, _sp2 :520): nonzero entries plus
+    MISSING calls as explicit NA entries; zeros absent. sp treats any
+    missing slot as missing; sp2 keeps partially-observed ALT counts."""
     ds.reset_filter()
     sp = ds.get_data("$dosage_sp")
     sp2 = ds.get_data("$dosage_sp2")
-    k = lambda df: {(r["variant_id"], r["sample_id"]) for r in df.collect()}
-    ksp, ksp2 = k(sp), k(sp2)
-    # sp2 is a superset: partially-missing calls with >=1 ALT copy are
-    # extra rows; fully-observed entries are identical
-    assert ksp <= ksp2 and len(ksp2) > len(ksp)
+    assert sp.filter(F.col("dosage_alt") == 0).count() == 0
     assert sp2.filter(F.col("dosage_alt") == 0).count() == 0
-    # every extra entry has at least one partially-missing call row with
-    # an observed ALT slot (calls may hold duplicate (variant, sample)
-    # rows by design, so check across all rows of the key)
-    extra = ksp2 - ksp
-    calls = {}
-    for r in ds.calls.collect():
-        calls.setdefault((r["variant_id"], r["sample_id"]), []).append(r["alleles"])
-    for key in list(extra)[:20]:
-        assert any(
-            al is not None
-            and any(a is None for a in al)
-            and any(a not in (None, 0) for a in al)
-            for al in calls[key]
-        )
+    # NA entries exist in both (the testdata has missing calls)
+    assert sp.filter(F.col("dosage_alt").isNull()).count() > 0
+    assert sp2.filter(F.col("dosage_alt").isNull()).count() > 0
+    # sp2's NA set (fully-missing only) is a strict subset of sp's NA
+    # set (any-slot-missing), and the difference is partially-missing
+    # calls resolved to observed counts
+    na = lambda df: {
+        (r["variant_id"], r["sample_id"])
+        for r in df.filter(F.col("dosage_alt").isNull()).collect()
+    }
+    na_sp, na_sp2 = na(sp), na(sp2)
+    assert na_sp2 < na_sp
 
 
 def test_chrom_pos2_reference_suffixing(spark):
@@ -150,6 +146,14 @@ def test_chrom_pos2_reference_suffixing(spark):
     )
     got = {r["variant_id"]: r["chrom_pos2"] for r in chrom_pos2(v).collect()}
     assert got == {1: "1:100", 2: "1:100_1", 3: "1:100_2", 4: "1:200"}
+    # NON-adjacent repeats stay bare: the reference's counter resets on
+    # every key change in selection order
+    v2 = spark.createDataFrame(
+        [(1, "1", 100), (2, "1", 200), (3, "1", 100)],
+        "variant_id long, chromosome string, position int",
+    )
+    got2 = {r["variant_id"]: r["chrom_pos2"] for r in chrom_pos2(v2).collect()}
+    assert got2 == {1: "1:100", 2: "1:200", 3: "1:100"}
 
 
 def test_filter_pos_matches_alt(spark):

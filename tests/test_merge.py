@@ -51,8 +51,10 @@ def test_variant_mode_merge(parts_variant_mode):
 
 
 def test_sample_mode_merge(spark):
-    """same variants (one with extra ALT in b), disjoint samples —
-    exercises SEQ_MergeAllele append + genotype remap."""
+    """Disjoint samples, variants matched by the FULL $chrom_pos_allele
+    key (reference: R/UtilsMerge.R:376) — a locus whose ALT lists differ
+    between files yields DISTINCT variants, and allele codes never
+    remap."""
     a = _mk(
         spark,
         [(1, "1", 100, "A", ["C"]), (2, "1", 200, "G", ["T"])],
@@ -61,28 +63,30 @@ def test_sample_mode_merge(spark):
     )
     b = _mk(
         spark,
-        # same locus 1:100 A but alt list ordered differently: G first, then C
+        # same locus 1:100 A but a DIFFERENT alt list -> distinct variant
         [(10, "1", 100, "A", ["G", "C"]), (20, "1", 200, "G", ["T"])],
-        # s2 at 1:100 carries allele 1 = 'G', allele 2 = 'C'
         [(10, "s2", [1, 2]), (20, "s2", [0, 1])],
         ["s2"],
     )
     m = M.merge([a, b])
-    assert m.variants.count() == 2
-    v = {(r["chromosome"], r["position"]): r for r in m.variants.collect()}
-    # merged alt at 1:100 = a's order then unseen from b: [C, G]
-    assert v[("1", 100)]["alt"] == ["C", "G"]
+    # 1:200 G>T matches across files; the two 1:100 records stay apart
+    assert m.variants.count() == 3
+    v = {
+        (r["chromosome"], r["position"], tuple(r["alt"])): r
+        for r in m.variants.collect()
+    }
+    assert ("1", 100, ("C",)) in v and ("1", 100, ("G", "C")) in v
     calls = {
-        (r["sample_id"], r["position"]): r["alleles"]
+        (r["sample_id"], r["position"], tuple(r["alt"])): r["alleles"]
         for r in m.calls.join(m.variants, "variant_id").select(
-            "sample_id", "position", "alleles"
+            "sample_id", "position", "alt", "alleles"
         ).collect()
     }
-    # a's calls unchanged
-    assert calls[("s1", 100)] == [0, 1]
-    # b's 'G'(old idx1) -> merged idx2; 'C'(old idx2) -> merged idx1
-    assert calls[("s2", 100)] == [2, 1]
-    assert calls[("s2", 200)] == [0, 1]
+    # codes pass through untouched on both sides
+    assert calls[("s1", 100, ("C",))] == [0, 1]
+    assert calls[("s2", 100, ("G", "C"))] == [1, 2]
+    assert calls[("s1", 200, ("T",))] == [1, 1]
+    assert calls[("s2", 200, ("T",))] == [0, 1]
     assert m.samples.count() == 2
 
 

@@ -32,24 +32,31 @@ def test_af_matches_python_fold(spark, calls):
 
     expected = {}
     for v, s, a in calls:
-        e = expected.setdefault(v, {"ref": 0, "nonmiss": 0, "miss": 0, "n": 0})
+        e = expected.setdefault(
+            v, {"ref": 0, "nonmiss": 0, "miss_slots": 0, "slots": 0,
+                "full": 0, "n": 0}
+        )
         known = [x for x in a if x is not None]
         e["ref"] += sum(1 for x in known if x == 0)
         e["nonmiss"] += len(known)
-        e["miss"] += 1 if (len(known) < len(a)) else 0
+        e["miss_slots"] += len(a) - len(known)
+        e["slots"] += len(a)
+        e["full"] += 1 if len(known) == len(a) else 0
         e["n"] += 1
 
     assert set(got) == set(expected)
     for v, e in expected.items():
         r = got[v]
-        assert r["ac"] == e["ref"]
-        assert r["an"] == e["nonmiss"]
+        # reference NA conventions: ac is NA when every slot is missing
         if e["nonmiss"]:
+            assert r["ac"] == e["ref"]
             assert r["af"] == pytest.approx(e["ref"] / e["nonmiss"])
         else:
-            assert r["af"] is None
-        assert r["missing_rate"] == pytest.approx(e["miss"] / e["n"])
-        assert r["ns"] == e["n"] - e["miss"]
+            assert r["ac"] is None and r["af"] is None
+        assert r["an"] == e["nonmiss"]
+        # slot-level missing rate (reference FC_Missing_*)
+        assert r["missing_rate"] == pytest.approx(e["miss_slots"] / e["slots"])
+        assert r["ns"] == e["full"]
 
 
 @settings(max_examples=60, deadline=None)

@@ -84,9 +84,10 @@ def test_dosage_on_vcf(ds):
     # variant 1: alleles 0|0, 1|0, 1/1 -> ref count 3 of 6
     assert stats[1]["af"] == pytest.approx(0.5)
     assert stats[1]["ac"] == 3 and stats[1]["an"] == 6
-    # variant 4: 0/0/1, 2|3, ./. -> ref 2 of 5, 1 missing call of 3
+    # variant 4: 0/0/1, 2|3, ./. -> ref 2 of 5 observed slots; missing is
+    # SLOT-level like the reference (2 missing of 7 total slots)
     assert stats[4]["ac"] == 2 and stats[4]["an"] == 5
-    assert stats[4]["missing_rate"] == pytest.approx(1 / 3)
+    assert stats[4]["missing_rate"] == pytest.approx(2 / 7)
 
 
 def test_roundtrip(spark, ds, tmp_path):

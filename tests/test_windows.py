@@ -40,8 +40,10 @@ def test_window_width_and_counts(variants):
         (r["chromosome"], r["unit_start"]): r["n_variants"]
         for r in W.unit_counts(units).collect()
     }
-    assert counts[("1", 1)] == 2  # pos 100 and 2600
-    assert counts[("1", 2501)] == 3  # pos 2600, 5100, 7400
+    # reference grid starts at win.start=0 (R/UnitList.R seqUnit
+    # SlidingWindows default): windows [0,5000), [2500,7500), ...
+    assert counts[("1", 0)] == 2  # pos 100 and 2600
+    assert counts[("1", 2500)] == 3  # pos 2600, 5100, 7400
 
 
 def test_dup_rm(variants):
