@@ -1129,6 +1129,9 @@ def oracle_sql() -> dict[str, str]:
                                   CASE WHEN a2 <> 0 THEN 1 ELSE 0 END AS INT) END AS dos
             FROM gcalls
         """,
+        # dup.rm=FALSE walks EVERY grid window up to the chromosome's max
+        # position (reference 'num++' unconditional) — empty windows are
+        # reported with 0 variants
         "seq_sliding_windows": P
         + f"""
             , membership AS (
@@ -1143,9 +1146,20 @@ def oracle_sql() -> dict[str, str]:
                          CAST(FLOOR(position / {WIN_SHIFT}.0) AS BIGINT))) AS k
                 FROM gvariants WHERE position >= 0
               ) t
+            ), grid AS (
+              SELECT chromosome,
+                     CAST(x.g * {WIN_SHIFT} AS BIGINT) AS unit_start,
+                     CAST(x.g * {WIN_SHIFT} + {WIN_SIZE} - 1 AS BIGINT) AS unit_end
+              FROM (SELECT chromosome, MAX(position) AS maxp FROM gvariants
+                    WHERE position >= 0 GROUP BY chromosome) mp,
+                   LATERAL unnest(range(0,
+                     CAST(FLOOR(maxp / {WIN_SHIFT}.0) AS BIGINT) + 1)) AS x(g)
             )
-            SELECT chromosome, unit_start, unit_end, COUNT(*) AS n_variants
-            FROM membership GROUP BY 1, 2, 3
+            SELECT g.chromosome, g.unit_start, g.unit_end,
+                   COUNT(m.variant_id) AS n_variants
+            FROM grid g LEFT JOIN membership m
+              ON g.chromosome = m.chromosome AND g.unit_start = m.unit_start
+            GROUP BY 1, 2, 3
         """,
         "seq_window_dosage": P
         + f"""

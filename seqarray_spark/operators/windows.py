@@ -39,8 +39,12 @@ def sliding_windows(
 
     Each variant belongs to at most ceil(size/shift) windows: window ids
     k with  win_start + k*shift <= pos < win_start + k*shift + size.
-    dup_rm drops duplicate-content windows (keeps the earliest start),
-    matching the reference's dup.rm=TRUE; empty windows never appear.
+    dup_rm drops duplicate-content windows (keeps the earliest start) and
+    skips empty ones, matching the reference's dup.rm=TRUE; with
+    dup_rm=False the reference walks EVERY grid window whose start is
+    <= the chromosome's max position (src/ReadByUnit.cpp:44-67 'num++'
+    unconditional), so empty windows appear as rows with a NULL
+    variant_id (unit_counts reports them as 0).
     """
     if win_size <= 0 or win_shift <= 0:
         raise ValueError("win_size and win_shift must be positive")
@@ -62,6 +66,36 @@ def sliding_windows(
         .withColumn("unit_end", (F.col("unit_start") + F.lit(win_size) - 1).cast("long"))
         .select("chromosome", "unit_start", "unit_end", "variant_id")
     )
+    if not dup_rm:
+        # full grid per chromosome (one tiny per-chrom max aggregate):
+        # windows with no members join as NULL-variant rows
+        grid = (
+            variants.filter(pos >= win_start)
+            .groupBy("chromosome")
+            .agg(F.max("position").alias("__maxp"))
+            .select(
+                "chromosome",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.floor(
+                            (F.col("__maxp") - F.lit(win_start)) / F.lit(win_shift)
+                        ).cast("long"),
+                    )
+                ).alias("__k"),
+            )
+            .select(
+                "chromosome",
+                (F.lit(win_start) + F.col("__k") * F.lit(win_shift))
+                .cast("long").alias("unit_start"),
+            )
+            .withColumn(
+                "unit_end", (F.col("unit_start") + F.lit(win_size) - 1).cast("long")
+            )
+        )
+        return grid.join(
+            units, ["chromosome", "unit_start", "unit_end"], "left"
+        ).select("chromosome", "unit_start", "unit_end", "variant_id")
     if dup_rm:
         content = units.groupBy("chromosome", "unit_start", "unit_end").agg(
             F.sort_array(F.collect_list("variant_id")).alias("__content")
@@ -76,9 +110,10 @@ def sliding_windows(
 
 
 def unit_counts(units: DataFrame) -> DataFrame:
-    """Variants per window — the basic windowed profile."""
+    """Variants per window — the basic windowed profile. Empty windows
+    (NULL-variant grid rows from dup_rm=False) count 0."""
     return units.groupBy("chromosome", "unit_start", "unit_end").agg(
-        F.count(F.lit(1)).alias("n_variants")
+        F.count("variant_id").alias("n_variants")
     )
 
 
