@@ -133,12 +133,17 @@ def _varint(b: bytes, o: int):
             return v, o
 
 
-def _decompress_frame(codec: str, data: bytes) -> bytes:
+def _decompress_frame(codec: str, data: bytes, un: int | None = None) -> bytes:
     """One _RA frame -> its uncompressed bytes ("xz" = standalone xz
-    stream, "zip" = standalone zlib stream). Module-level so tests can
-    spy on per-frame decompression counts."""
+    stream, "zip" = standalone zlib stream, "lz4" = one LZ4 block whose
+    decoded size `un` comes from the frame entry). Module-level so tests
+    can spy on per-frame decompression counts."""
     if codec == "zip":
         return zlib.decompressobj().decompress(data)
+    if codec == "lz4":
+        from seqarray_spark.sources.lz4_block import decompress_block
+
+        return decompress_block(data, un if un is not None else 0)
     dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
     return dec.decompress(data)
 
@@ -426,6 +431,18 @@ class GdsFile:
             res = (frames, d, "xz")
             self._fidx[node.path] = res
             return res
+        if bytes(d[6:12]) == b"LZ4_RA":
+            # LZ4_RA random-access container (stock seqStorageOption
+            # codec family, R/Utilities.R:250-252): same header/entry
+            # layout as ZIP_RA, frames are LZ4 blocks (sources/lz4_block)
+            frames = self._parse_ra_indexed(d, node, zlib_check=False)
+            if frames is None:
+                raise ValueError(
+                    f"{node.path}: corrupt LZ4_RA frame index"
+                )
+            res = (frames, d, "lz4")
+            self._fidx[node.path] = res
+            return res
         if bytes(d[6:12]) == b"ZIP_RA" or node.coder.upper().startswith("ZIP"):
             # ZIP_ra random-access container (same frame-entry family as
             # XZ_RA, zlib streams instead of xz). zlib streams do not
@@ -465,7 +482,13 @@ class GdsFile:
             nxt = o + comp
             if k + 1 < nframes and bytes(d[nxt + entry_w:nxt + entry_w + 6]) != _XZ_MAGIC:
                 # layout drift: recover by scanning for the next frame
-                nxt = _find_in_view(d, _XZ_MAGIC, o + entry_w + 6) - entry_w
+                at = _find_in_view(d, _XZ_MAGIC, o + entry_w + 6)
+                if at < 0:
+                    raise ValueError(
+                        f"{node.path}: corrupt XZ_RA frame chain "
+                        f"(no next xz stream after frame {k})"
+                    )
+                nxt = at - entry_w
             frames.append((o + entry_w, un, min(nxt, len(d))))
             o = nxt
         if len(frames) == 1 and frames[0][1] == 0:
@@ -473,16 +496,23 @@ class GdsFile:
         return frames
 
     def _parse_zip_ra(self, d, node: GdsNode):
-        """Validated frame-index parse for a ZIP_RA stream ("ZIP_RA"
-        magic + the XZ_RA header/entry layout, zlib frame streams).
-        Returns frames or None when the layout does not check out."""
+        return self._parse_ra_indexed(d, node, zlib_check=True)
+
+    def _parse_ra_indexed(self, d, node: GdsNode, zlib_check: bool):
+        """Validated frame-index parse for a ZIP_RA / LZ4_RA stream
+        (6-byte magic + the XZ_RA header/entry layout; zlib frame
+        streams carry a checkable 0x78 header byte, LZ4 blocks are
+        validated by tiling + total size alone). Returns frames or None
+        when the layout does not check out."""
         magic_end = 12
         if d[magic_end + 2] != 0xFF:
             return None
         bsize = 1 << d[magic_end + 1]
         nframes = struct.unpack("<I", d[magic_end + 3:magic_end + 7])[0]
-        if nframes == 0 or nframes > (1 << 28):
+        if nframes > (1 << 28):
             return None
+        if nframes == 0:
+            return [] if len(d) == magic_end + 7 else None
         for entry_w in (6, 7):  # v16 / v17 entry widths
             frames, o, total_un, ok = [], magic_end + 7, 0, True
             for k in range(nframes):
@@ -494,7 +524,9 @@ class GdsFile:
                 units = int.from_bytes(d[o + 5:o + entry_w], "little")
                 un = units * bsize + rem
                 data0 = o + entry_w
-                if comp <= entry_w or data0 >= len(d) or d[data0] != 0x78:
+                if comp <= entry_w or data0 >= len(d) or (
+                    zlib_check and d[data0] != 0x78
+                ):
                     ok = False
                     break
                 frames.append((data0, un, min(o + comp, len(d))))
@@ -545,7 +577,7 @@ class GdsFile:
             if pos >= end:
                 break
             if pos + un > start:
-                raw = _decompress_frame(codec, bytes(d[off:cend]))
+                raw = _decompress_frame(codec, bytes(d[off:cend]), un)
                 out.append(raw[max(0, start - pos):end - pos])
             pos += un
         return b"".join(out)
@@ -562,8 +594,8 @@ class GdsFile:
             size = _u48(d, 0)
             yield bytes(d[6:6 + size])
             return
-        for off, _, cend in frames:
-            yield _decompress_frame(codec, bytes(d[off:cend]))
+        for off, un, cend in frames:
+            yield _decompress_frame(codec, bytes(d[off:cend]), un)
 
     # -- typed decode ------------------------------------------------------
     def read_array(self, path: str):

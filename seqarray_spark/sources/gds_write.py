@@ -51,6 +51,8 @@ import zlib
 
 import numpy as np
 import pandas as pd
+
+from seqarray_spark.sources import lz4_block
 from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
@@ -95,17 +97,39 @@ _RA_BSIZE_LOG2 = 16          # 64 KiB uncompressed per frame
 _RA_BSIZE = 1 << _RA_BSIZE_LOG2
 _RA_ENTRY_W = 6
 
-# canonical coder spellings + "name.level" suffixes, mirroring the
-# reference's seqStorageOption compression levels
-# (/root/reference/R/Utilities.R:250-314: ZIP_RA.fast/.def/.max etc.)
-_CODER_LEVELS = {"fast": 1, "def": 6, "default": 6, "max": 9}
+# canonical coder spellings + "name.level[:bsize]" suffixes, mirroring
+# the reference's seqStorageOption compression strings
+# (/root/reference/R/Utilities.R:250-314: ZIP_RA.fast/.def/.max,
+# LZ4_RA, LZMA_RA.ultra:4M, "Ultra"/"UltraMax" aliases, per-node-class
+# geno/info/format/index overrides). Levels "ultra"/"ultra_max" map to
+# xz PRESET_EXTREME; the ":1M/:4M/:8M" suffix sets the per-frame
+# uncompressed size (the RA entry encodes it as 64 KiB units + remainder,
+# so the reader needs no changes).
+_CODER_LEVELS = {
+    "fast": 1, "def": 6, "default": 6, "max": 9, "ultra": 10, "ultra_max": 11,
+}
+_BSIZE_SUFFIX = {
+    "256K": 1 << 18, "512K": 1 << 19, "1M": 1 << 20, "2M": 1 << 21,
+    "4M": 1 << 22, "8M": 1 << 23,
+}
+_RA_MAGIC = {"xz": b"XZ_RA", "zip": b"ZIP_RA", "lz4": b"LZ4_RA"}
 
 
-def _parse_coder(coder: str | None) -> tuple[str, str, int]:
-    """'LZMA_ra.max' -> (canonical_name, codec, level); ''/None -> raw."""
-    if not coder:
-        return "", "", 0
-    base, _, lv = coder.partition(".")
+def _parse_coder(coder: str | None) -> tuple[str, str, int, int]:
+    """'LZMA_ra.max:4M' -> (canonical_name, codec, level, frame_bytes);
+    ''/None/'none' -> raw."""
+    if not coder or coder.lower() == "none":
+        return "", "", 0, _RA_BSIZE
+    spec, _, bs = coder.partition(":")
+    fbytes = _RA_BSIZE
+    if bs:
+        if bs.upper() not in _BSIZE_SUFFIX:
+            raise ValueError(
+                f"unknown block-size suffix {bs!r} in {coder!r} "
+                f"(use {sorted(_BSIZE_SUFFIX)})"
+            )
+        fbytes = _BSIZE_SUFFIX[bs.upper()]
+    base, _, lv = spec.partition(".")
     if lv and lv.lower() not in _CODER_LEVELS:
         raise ValueError(
             f"unknown compression level {lv!r} in {coder!r} "
@@ -113,24 +137,98 @@ def _parse_coder(coder: str | None) -> tuple[str, str, int]:
         )
     level = _CODER_LEVELS[lv.lower()] if lv else 6
     b = base.upper()
-    if b in ("LZMA_RA", "XZ_RA"):
-        return "LZMA_ra", "xz", level
-    if b == "ZIP_RA":
-        return "ZIP_ra", "zip", level
-    raise ValueError(
-        f"unsupported coder {coder!r} (use 'LZMA_ra', 'ZIP_ra', or '' for raw)"
-    )
+    if b in ("LZMA_RA", "XZ_RA", "LZMA"):
+        name, codec = "LZMA_ra", "xz"
+    elif b in ("ZIP_RA", "ZIP"):
+        name, codec = "ZIP_ra", "zip"
+    elif b in ("LZ4_RA", "LZ4"):
+        name, codec = "LZ4_ra", "lz4"
+    else:
+        raise ValueError(
+            f"unsupported coder {coder!r} (use 'LZMA_ra', 'ZIP_ra', "
+            f"'LZ4_ra', 'Ultra', 'UltraMax', or ''/'none' for raw)"
+        )
+    # the node's recorded coder string is the bare family name — the
+    # reference's own fixtures record 'LZMA_ra' regardless of level
+    return name, codec, level, fbytes
+
+
+def _storage_plan(coder: str | None, *, geno: str | None = None,
+                  info: str | None = None, fmt: str | None = None,
+                  index: str | None = None) -> dict:
+    """Per-node-class coder resolution replicating seqStorageOption
+    (R/Utilities.R:250-314): 'Ultra'/'UltraMax' alias LZMA_RA.ultra[_max],
+    '.max' widens frame sizes to :1M/:4M, ultra modes to :4M/:8M, and
+    explicit geno/info/format/index overrides win. Classes: 'base'
+    (variant.id/position/chromosome/allele/annotation scalars), 'geno'
+    (genotype + phase planes), 'info', 'fmt', 'index' (hidden @ nodes)."""
+    c = coder or ""
+    if c == "Ultra":
+        c = "LZMA_ra.ultra"
+    elif c == "UltraMax":
+        c = "LZMA_ra.ultra_max"
+    cu = c.upper()
+    has_bs = ":" in c
+    geno_d = info_d = fmt_d = index_d = c
+    if not has_bs and c:
+        if cu.startswith("LZMA_RA.ULTRA_MAX") or cu.startswith("LZMA.ULTRA_MAX"):
+            c, info_d, fmt_d = c + ":8M", c + ":8M", c + ":8M"
+            geno_d, index_d = geno_d + ":8M", "LZMA_ra.max"
+        elif cu.startswith("LZMA_RA.ULTRA") or cu.startswith("LZMA.ULTRA"):
+            c, info_d, fmt_d = c + ":4M", c + ":4M", c + ":8M"
+            geno_d, index_d = geno_d + ":1M", "LZMA_ra.max"
+        elif c.lower().endswith(".max"):
+            c, info_d, fmt_d = c + ":1M", c + ":1M", c + ":4M"
+        else:
+            fmt_d = c + ":1M"
+    return {
+        "base": _parse_coder(c),
+        "geno": _parse_coder(geno if geno is not None else geno_d),
+        "info": _parse_coder(info if info is not None else info_d),
+        "fmt": _parse_coder(fmt if fmt is not None else fmt_d),
+        "index": _parse_coder(index if index is not None else index_d),
+    }
+
+
+def _node_class(kname: str) -> str:
+    """Storage class of a writer node key (seqStorageOption's
+    geno/info/format/index compress slots; everything else 'base')."""
+    if kname.endswith(".idx") or ".@" in kname:
+        return "index"
+    if kname.startswith(("geno.", "phase.")):
+        return "geno"
+    if kname.startswith("info."):
+        return "info"
+    if kname.startswith("fmt."):
+        return "fmt"
+    return "base"
 
 
 def _compress_one(codec: str, level: int, chunk: bytes) -> bytes:
     if codec == "zip":
-        return zlib.compress(chunk, level)
+        return zlib.compress(chunk, min(level, 9))
+    if codec == "lz4":
+        return lz4_block.compress_block(chunk)
+    if level > 9:
+        # ultra modes: xz PRESET_EXTREME is not monotonically better —
+        # compress both ways and keep the smaller frame, so 'Ultra'
+        # output is never larger than '.max' on the same frames
+        a = lzma.compress(chunk, format=lzma.FORMAT_XZ, preset=9)
+        b = lzma.compress(
+            chunk, format=lzma.FORMAT_XZ, preset=9 | lzma.PRESET_EXTREME
+        )
+        return b if len(b) <= len(a) else a
     return lzma.compress(chunk, format=lzma.FORMAT_XZ, preset=level)
 
 
 def _frame_entry(comp_with_entry: int, un: int) -> bytes:
     units, rem = divmod(un, _RA_BSIZE)
-    assert units <= 0xFF and rem <= 0xFFFF and comp_with_entry < (1 << 24)
+    if units > 0xFF or comp_with_entry >= (1 << 24):
+        # explicit raise (not assert): a violated frame invariant must
+        # fail loudly even under `python -O`
+        raise RuntimeError(
+            f"RA frame out of range: un={un} comp={comp_with_entry}"
+        )
     return (
         comp_with_entry.to_bytes(3, "little")
         + rem.to_bytes(2, "little")
@@ -138,12 +236,14 @@ def _frame_entry(comp_with_entry: int, un: int) -> bytes:
     )
 
 
-def _compress_frames(codec: str, level: int, raw: bytes) -> tuple[bytes, int]:
-    """raw -> concatenated [entry][stream] frames; (bytes, n_frames)."""
+def _compress_frames(codec: str, level: int, raw: bytes,
+                     fbytes: int = _RA_BSIZE) -> tuple[bytes, int]:
+    """raw -> concatenated [entry][stream] frames of fbytes uncompressed
+    bytes each (last partial); (bytes, n_frames)."""
     out = bytearray()
     nfr = 0
-    for o in range(0, len(raw), _RA_BSIZE):
-        chunk = raw[o:o + _RA_BSIZE]
+    for o in range(0, len(raw), fbytes):
+        chunk = raw[o:o + fbytes]
         cs = _compress_one(codec, level, bytes(chunk))
         out += _frame_entry(_RA_ENTRY_W + len(cs), len(chunk)) + cs
         nfr += 1
@@ -506,7 +606,7 @@ def _np_dtype(kind: str):
 
 
 def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
-                        plane0, codec="", level=6):
+                        plane0, plan=None):
     """Per-block encoder: takes the block's variants (+ calls) and writes
     one fragment file per node; returns manifest rows. Runs in executor
     tasks — everything vectorized via pandas explode + numpy scatter.
@@ -535,6 +635,9 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
                     nvals = len(values)
             enc, ub, nfr, pb0, pb1 = 0, len(raw), 0, -1, -1
             payload = raw
+            _, codec, level, fbytes = (plan or {}).get(
+                _node_class(kname), ("", "", 0, _RA_BSIZE)
+            )
             if codec and compress:
                 core = raw
                 if bits is not None and s >= 0 and len(raw):
@@ -550,7 +653,7 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
                             pb1 = raw[-1]
                         core = raw[1 if pfirst else 0:
                                    len(raw) - (1 if plast else 0)]
-                payload, nfr = _compress_frames(codec, level, core)
+                payload, nfr = _compress_frames(codec, level, core, fbytes)
                 ub = len(core)
                 enc = 1
             p = _frag_path(tmp, blk, kname)
@@ -747,7 +850,7 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
     return kernel
 
 
-def _make_transposed_kernel(tmp, n_var, ploidy, fmeta, codec, level,
+def _make_transposed_kernel(tmp, n_var, ploidy, fmeta, plan,
                             bs_const, n_samp, t_fields=()):
     """Sample-major encode pass (the reference's seqOptimize '~data'
     copies, R/Utilities.R:1235-1323): one task per sample-block builds
@@ -775,6 +878,9 @@ def _make_transposed_kernel(tmp, n_var, ploidy, fmeta, codec, level,
                 raw = _encode_values(kind, values)
             payload = raw
             ub = len(raw)
+            _, codec, level, fbytes = (plan or {}).get(
+                _node_class(kname), ("", "", 0, _RA_BSIZE)
+            )
             if codec:
                 core = raw
                 if bits is not None and s >= 0 and len(raw):
@@ -790,7 +896,7 @@ def _make_transposed_kernel(tmp, n_var, ploidy, fmeta, codec, level,
                             pb1 = raw[-1]
                         core = raw[1 if pfirst else 0:
                                    len(raw) - (1 if plast else 0)]
-                payload, nfr = _compress_frames(codec, level, core)
+                payload, nfr = _compress_frames(codec, level, core, fbytes)
                 ub = len(core)
                 enc = 1
             p = _frag_path(tmp, sblk, kname)
@@ -931,6 +1037,10 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
               format_fields: list[str] | None = None,
               block_variants: int | None = None,
               coder: str | None = "LZMA_ra",
+              geno_coder: str | None = None,
+              info_coder: str | None = None,
+              format_coder: str | None = None,
+              index_coder: str | None = None,
               format_storage: dict[str, str] | None = None,
               transposed: bool = False) -> None:
     """SeqDataset -> .gds container (reference writer: seqVCF2GDS,
@@ -939,11 +1049,21 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     `coder` selects per-node data-stream compression, mirroring the
     reference's seqStorageOption (R/Utilities.R:250-314): 'LZMA_ra'
     (default — the codec of the reference's released 1KG files),
-    'ZIP_ra', each with optional '.fast'/'.def'/'.max' level suffix, or
-    ''/None for raw streams. Compression happens in the executor tasks
-    (each block's fragment becomes a run of random-access frames the
-    reader block-decodes); the driver only concatenates frame runs and
-    merges boundary bytes of bit-packed nodes into 1-byte frames.
+    'ZIP_ra', 'LZ4_ra' (pure-Python LZ4 block frames, sources/lz4_block),
+    each with optional '.fast'/'.def'/'.max'/'.ultra'/'.ultra_max' level
+    and ':1M'/':4M'/':8M' frame-size suffixes, the reference's 'Ultra' /
+    'UltraMax' aliases (LZMA_RA.ultra:4M / .ultra_max:8M with the
+    per-class frame sizes of R/Utilities.R:274-289), or ''/None/'none'
+    for raw streams. geno_coder/info_coder/format_coder/index_coder
+    override the derived per-node-class compression like the
+    geno.compress/info.compress/format.compress/index.compress slots.
+    Compression happens in the executor tasks (each block's fragment
+    becomes a run of random-access frames the reader block-decodes); the
+    driver only concatenates frame runs and merges boundary bytes of
+    bit-packed nodes into 1-byte frames. NOTE: frame sizes are irregular
+    at Spark block boundaries (one partial frame per block tail) — this
+    engine's reader walks per-entry sizes; the output is validated
+    against this reader, not against stock gdsfmt's fixed-stride seek.
 
     `transposed=True` additionally emits the sample-major `~data`
     copies the reference's seqOptimize(target="by.sample") writes
@@ -964,7 +1084,8 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     stored as float32 (the reference stores VCF Type=Float the same
     way); missing ints as INT32_MIN, missing floats as NaN — both the
     reference's NA conventions."""
-    coder_name, codec, level = _parse_coder(coder)
+    plan = _storage_plan(coder, geno=geno_coder, info=info_coder,
+                         fmt=format_coder, index=index_coder)
     spark = ds.variants.sparkSession
     variants = ds.variants
     # the CURRENT SELECTION exports (reference seqExport semantics) —
@@ -1035,8 +1156,7 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
         ] + [F.col(f"info.{n}").alias(f"__info_{n}") for n, _, _ in imeta]
         vmeta = variants.select(*vcols).join(vindex, "variant_id")
         kernel = _make_encode_kernel(
-            tmp, sample_ids, ploidy, lut, imeta, fmeta, plane0,
-            codec=codec, level=level,
+            tmp, sample_ids, ploidy, lut, imeta, fmeta, plane0, plan=plan,
         )
         vgrp = vmeta.groupBy("__blk")
         if calls is not None and n_samp:
@@ -1119,7 +1239,7 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
                     spark.range(n_sblk).select(*skel_cols)
                 )
                 tkernel = _make_transposed_kernel(
-                    tmp, n_var, ploidy, fmeta, codec, level, bs_const,
+                    tmp, n_var, ploidy, fmeta, plan, bs_const,
                     n_samp, tuple(t_fields),
                 )
                 manifest = manifest + tcalls.groupBy("__sblk").applyInPandas(
@@ -1135,15 +1255,15 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
                 )
         _assemble(
             ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
-            ploidy, imeta, fmeta, coder_name=coder_name, codec=codec,
-            level=level,
+            ploidy, imeta, fmeta, plan=plan,
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
-              ploidy, imeta, fmeta, coder_name="", codec="", level=6) -> None:
+              ploidy, imeta, fmeta, plan=None) -> None:
+    plan = plan or {}
     frags: dict[str, list] = {}
     for r in manifest:
         frags.setdefault(r["key"], []).append(
@@ -1160,6 +1280,9 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
         """Deferred writer for a compressed node: concatenate the
         executors' frame runs; merge each bit-boundary's shared byte
         (pb0 | pb1 of adjacent fragments) into one 1-byte frame."""
+        coder_name, codec, level, _ = plan.get(
+            _node_class(key), ("", "", 0, _RA_BSIZE)
+        )
         per = 8 // bits if bits else None
         pieces: list[tuple[str, object]] = []   # ("f", path) | ("b", bytes)
         state = {"nframes": 0, "comp": 0, "un": 0, "pend": None}
@@ -1195,8 +1318,13 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
             plast = (s + n) % per != 0
             if pfirst:
                 pend = state["pend"]
-                assert pend is not None and pend[0] == b0, \
-                    (key, x[0], "bit fragments not contiguous")
+                if pend is None or pend[0] != b0:
+                    # explicit raise (not assert): a contiguity violation
+                    # must fail loudly even under `python -O`, else the
+                    # merged boundary byte silently corrupts the stream
+                    raise RuntimeError(
+                        f"bit fragments not contiguous: {key} blk {x[0]}"
+                    )
                 state["pend"] = (b0, pend[1] | (x[8] if x[8] >= 0 else 0))
                 if b1 - 1 == b0 and plast:
                     continue  # whole fragment inside the shared byte
@@ -1207,9 +1335,8 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
             if plast:
                 state["pend"] = (b1 - 1, x[9] if x[9] >= 0 else 0)
         flush_pend()
-        magic = b"XZ_RA" if codec == "xz" else b"ZIP_RA"
         header = (
-            magic + bytes([0x10, _RA_BSIZE_LOG2, 0xFF])
+            _RA_MAGIC[codec] + bytes([0x10, _RA_BSIZE_LOG2, 0xFF])
             + struct.pack("<I", state["nframes"])
         )
         csize = len(header) + state["comp"]
@@ -1230,7 +1357,8 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
         total_compressed) for a node's data stream."""
         fl = frags.get(key, [])
         live = [x for x in fl if x[1] > 0]
-        if codec and live and all(x[5] == 1 for x in live):
+        key_codec = plan.get(_node_class(key), ("", "", 0, 0))[1]
+        if key_codec and live and all(x[5] == 1 for x in live):
             return _framed_stream(key, live, bits)
         if bits is not None and any(x[4] >= 0 for x in fl):
             spec = [

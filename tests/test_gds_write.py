@@ -313,9 +313,9 @@ def test_zip_ra_random_access(spark, ds, tmp_path, monkeypatch):
     calls = []
     real = gds_mod._decompress_frame
 
-    def spy(c, d):
+    def spy(c, d, un=None):
         calls.append(c)
-        return real(c, d)
+        return real(c, d, un)
 
     monkeypatch.setattr(gds_mod, "_decompress_frame", spy)
     got = decode_values(node, f.read_node_bytes(node, 2 * 4, 4 * 4))
@@ -507,3 +507,113 @@ def test_write_is_distributed(spark, ds, tmp_path, monkeypatch):
     monkeypatch.undo()
     back = SeqDataset.from_gds(spark, out)
     assert back.variants.count() == n_var
+
+
+def test_lz4_ra_roundtrip_and_random_access(spark, ds, tmp_path, monkeypatch):
+    """LZ4_ra — the third stock seqStorageOption codec family
+    (R/Utilities.R:250-252) — round-trips bit-exactly through the
+    pure-Python LZ4 block codec (sources/lz4_block), and a ranged read
+    touches ONLY the frames overlapping the range."""
+    import seqarray_spark.sources.gds as gds_mod
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.sources.gds import decode_values
+
+    out = str(tmp_path / "l.gds")
+    ds.to_gds(out, coder="LZ4_ra", block_variants=2)
+    f = GdsFile(out)
+    node = f.node("variant.id")
+    assert node.coder == "LZ4_ra"
+    frames, _, codec = f._frame_index(node)
+    assert codec == "lz4" and isinstance(frames, list) and len(frames) >= 3
+
+    calls = []
+    real = gds_mod._decompress_frame
+
+    def spy(c, d, un=None):
+        calls.append(c)
+        return real(c, d, un)
+
+    monkeypatch.setattr(gds_mod, "_decompress_frame", spy)
+    got = decode_values(node, f.read_node_bytes(node, 2 * 4, 4 * 4))
+    assert list(got) == [3, 4]
+    assert len(calls) == 1, f"expected 1 overlapping frame, got {len(calls)}"
+    monkeypatch.undo()
+
+    back = SeqDataset.from_gds(spark, out)
+    a = {(r["variant_id"], r["sample_id"]): r["alleles"] for r in ds.calls.collect()}
+    bb = {(r["variant_id"], r["sample_id"]): r["alleles"] for r in back.calls.collect()}
+    assert set(a) == set(bb)
+    for k in a:
+        pad = list(a[k]) + [None] * max(0, ds.ploidy - len(a[k]))
+        assert pad == list(bb[k]), k
+
+
+def test_recompress_lz4_lzma_conversion(spark, tmp_path):
+    """recompress_gds converts LZ4_ra <-> LZMA_ra containers (reference:
+    seqRecompress, R/UtilsExport.R:357-463) preserving AF values."""
+    src = "/root/reference/inst/extdata/CEU_Exon.gds"
+    if not os.path.exists(src):
+        pytest.skip("reference fixture unavailable")
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.operators.aggregates import af_ac_missing
+    from seqarray_spark.operators.mutate import recompress_gds
+
+    lz4 = str(tmp_path / "ceu_lz4.gds")
+    recompress_gds(spark, src, lz4, coder="LZ4_ra")
+    assert GdsFile(lz4).node("genotype/data").coder == "LZ4_ra"
+    back = str(tmp_path / "ceu_back.gds")
+    recompress_gds(spark, lz4, back, coder="LZMA_ra")
+    assert GdsFile(back).node("genotype/data").coder == "LZMA_ra"
+
+    fa = {r["variant_id"]: r["af"]
+          for r in af_ac_missing(SeqDataset.from_gds(spark, src).calls).collect()}
+    fb = {r["variant_id"]: r["af"]
+          for r in af_ac_missing(SeqDataset.from_gds(spark, back).calls).collect()}
+    assert set(fa) == set(fb) and len(fa) == 1348
+    for vid in fa:
+        if fa[vid] is not None:
+            assert fb[vid] == pytest.approx(fa[vid])
+
+
+def test_ultra_storage_modes(spark, tmp_path):
+    """'Ultra'/'UltraMax' map to LZMA_RA.ultra/.ultra_max with widened
+    frame sizes (R/Utilities.R:259-289); an Ultra CEU rewrite is no
+    larger than the .max rewrite and round-trips."""
+    src = "/root/reference/inst/extdata/CEU_Exon.gds"
+    if not os.path.exists(src):
+        pytest.skip("reference fixture unavailable")
+    from seqarray_spark.dataset import SeqDataset
+
+    orig = SeqDataset.from_gds(spark, src)
+    p_max = str(tmp_path / "ceu_max.gds")
+    p_ultra = str(tmp_path / "ceu_ultra.gds")
+    orig.to_gds(p_max, coder="LZMA_ra.max")
+    orig.to_gds(p_ultra, coder="Ultra")
+    assert os.path.getsize(p_ultra) <= os.path.getsize(p_max), (
+        os.path.getsize(p_ultra), os.path.getsize(p_max))
+    back = SeqDataset.from_gds(spark, p_ultra)
+    assert back.variants.count() == orig.variants.count()
+    assert back.calls.count() == orig.calls.count()
+
+
+def test_per_class_coder_overrides(spark, ds, tmp_path):
+    """geno/info/format/index coder overrides mirror seqStorageOption's
+    geno.compress/info.compress/format.compress/index.compress slots
+    (R/Utilities.R:253-254): each node class lands under its own codec."""
+    from seqarray_spark.dataset import SeqDataset
+
+    out = str(tmp_path / "mix.gds")
+    ds.to_gds(out, coder="LZMA_ra", geno_coder="LZ4_ra",
+              info_coder="ZIP_ra", index_coder="none", block_variants=3)
+    f = GdsFile(out)
+    assert f.node("genotype/data").coder == "LZ4_ra"
+    assert f.node("annotation/info/DP").coder == "ZIP_ra"
+    assert f.node("genotype/@data").coder == ""
+    assert f.node("position").coder == "LZMA_ra"
+    back = SeqDataset.from_gds(spark, out)
+    a = {(r["variant_id"], r["sample_id"]): r["alleles"] for r in ds.calls.collect()}
+    bb = {(r["variant_id"], r["sample_id"]): r["alleles"] for r in back.calls.collect()}
+    assert set(a) == set(bb)
+    for k in a:
+        pad = list(a[k]) + [None] * max(0, ds.ploidy - len(a[k]))
+        assert pad == list(bb[k]), k

@@ -244,3 +244,30 @@ def test_recompress_gds(spark, tmp_path):
     assert f.node("genotype/data").coder == "ZIP_ra"
     assert list(f.read_array("variant.id")) == list(range(1, 1349))
     assert f.read_array("allele")[0] == "T,C"
+
+
+def test_lz4_block_codec_edges():
+    """Pure-Python LZ4 block codec: spec edge cases (empty, short,
+    overlap-heavy matches, 15/255 length continuations, incompressible)
+    round-trip exactly (sources/lz4_block, public LZ4 block format)."""
+    import os as _os
+    import random
+
+    from seqarray_spark.sources.lz4_block import (compress_block,
+                                                  decompress_block)
+
+    random.seed(7)
+    cases = [
+        b"", b"x", b"x" * 12, b"x" * 13, b"abcd" * 5000,
+        b"A" + b"BC" * 1000,          # offset-2 overlapping match
+        bytes(range(256)) * 300,      # long literals (len ext > 255)
+        _os.urandom(200_000),         # incompressible
+        bytes(random.randrange(4) for _ in range(70_000)),
+    ]
+    for c in cases:
+        assert decompress_block(compress_block(c), len(c)) == c
+    # corrupt offset fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decompress_block(b"\x10A\x09\x00\x00", 100)
