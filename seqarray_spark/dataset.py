@@ -541,11 +541,25 @@ class SeqDataset:
 
         def _try_read(reader, p):
             # existence probes go through Spark, not os.path — the layout
-            # may live on any filesystem the session can reach
+            # may live on any filesystem the session can reach. Only a
+            # MISSING path means "optional part absent"; a corrupt or
+            # permission-denied part must surface, not silently reopen
+            # the dataset without its calls / with default ploidy
+            from pyspark.errors import AnalysisException
+
             try:
                 return reader(p)
-            except Exception:
-                return None
+            except AnalysisException as e:
+                msg = str(e)
+                if (
+                    getattr(e, "getErrorClass", lambda: None)()
+                    == "PATH_NOT_FOUND"
+                    or "PATH_NOT_FOUND" in msg
+                    or "Path does not exist" in msg
+                    or "FileNotFoundException" in msg
+                ):
+                    return None
+                raise
 
         calls = _try_read(spark.read.parquet, f"{path}/calls.parquet")
         samples = _try_read(spark.read.parquet, f"{path}/samples.parquet")

@@ -10,7 +10,13 @@ Reference parity:
 Representation: a *units* DataFrame in long form —
     (chromosome, unit_start, unit_end, variant_id)
 one row per (window, member variant). The reference's list-of-index-vectors
-becomes this relation; empty windows never materialize.
+becomes this relation. Convention: a row with NULL variant_id is an
+EMPTY-WINDOW PLACEHOLDER (sliding_windows(dup_rm=False) emits one per
+memberless grid window, matching the reference's unconditional window
+walk). Consumers honor it as "window exists, zero members": unit_counts
+counts it as 0, equi-joins on variant_id (unit_apply/unit_filter_cond)
+naturally drop it, and unit_merge keeps at most one placeholder per
+window and only when no side contributes real members.
 
 Scale: window membership is computed per-variant with a bounded explode
 (size/shift window ids per variant — a constant), so there is no range
@@ -118,8 +124,17 @@ def unit_counts(units: DataFrame) -> DataFrame:
 
 
 def unit_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Union of unit lists (reference: seqUnitMerge R/UnitList.R:242-260)."""
-    return a.unionByName(b).distinct()
+    """Union of unit lists (reference: seqUnitMerge R/UnitList.R:242-260).
+    Empty-window placeholders (NULL variant_id) survive only for windows
+    with no real members on either side — a window that is empty in one
+    list and populated in the other merges to its members alone."""
+    u = a.unionByName(b).distinct()
+    wkey = ["chromosome", "unit_start", "unit_end"]
+    members = u.filter(F.col("variant_id").isNotNull())
+    placeholders = u.filter(F.col("variant_id").isNull()).join(
+        members.select(*wkey).distinct(), wkey, "left_anti"
+    )
+    return members.unionByName(placeholders)
 
 
 def unit_set_diff(a: DataFrame, b: DataFrame) -> DataFrame:

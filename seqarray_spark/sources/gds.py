@@ -97,6 +97,17 @@ _CLASS_SIGS = {
     bytes.fromhex("646878bc2e93a5e5303b66ab02"): "packedreal16u",  # dPackedReal16U
 }
 
+# class-default quantization scales (explicit node param wins; the
+# 8/16-bit values are gdsfmt's documented defaults — the reference's
+# imputation mode sets 0.0001 explicitly, R/ConvVCF2GDS.R:580 — and the
+# 24/32-bit values extend the same decade-per-byte progression)
+_PR_DEFAULT_SCALE = {
+    "packedreal8": 0.01, "packedreal8u": 0.01,
+    "packedreal16": 0.0001, "packedreal16u": 0.0001,
+    "packedreal24": 0.00001, "packedreal24u": 0.00001,
+    "packedreal32": 0.000001, "packedreal32u": 0.000001,
+}
+
 
 def _pack7(name: str) -> bytes:
     """CoreArray class-name signature: 7-bit chars, LSB-first bitstream."""
@@ -111,9 +122,22 @@ def _pack7(name: str) -> bytes:
     )
 
 
+# the remaining gdsfmt packedreal widths: signatures generated with
+# _pack7 from the class names (the same 7-bit packing every observed
+# signature decodes back through), completing the family both ways
+_CLASS_SIGS.update({
+    _pack7("dPackedReal24"): "packedreal24",
+    _pack7("dPackedReal24U"): "packedreal24u",
+    _pack7("dPackedReal32"): "packedreal32",
+    _pack7("dPackedReal32U"): "packedreal32u",
+})
+
+
 _ELEM_SIZE = {
     "int32": 4, "int16": 2, "uint8": 1, "float32": 4, "float64": 8,
     "packedreal8": 1, "packedreal16": 2, "packedreal16u": 2,
+    "packedreal24": 3, "packedreal24u": 3,
+    "packedreal32": 4, "packedreal32u": 4,
 }
 
 
@@ -721,23 +745,37 @@ def decode_values(node: GdsNode, raw: bytes, n_values: int | None = None):
         return np.frombuffer(raw, dtype=np.float32)
     if kind == "float64":
         return np.frombuffer(raw, dtype=np.float64)
-    if kind in ("packedreal8", "packedreal16", "packedreal16u"):
-        # class-default scales per gdsfmt (explicit param wins; the
+    if kind.startswith("packedreal"):
+        # fixed-point reals at 1/2/3/4-byte widths, signed (NA = most
+        # negative code) or unsigned 'u' (NA = max code); class-default
+        # scales per _PR_DEFAULT_SCALE, explicit node param wins (the
         # reference's imputation mode sets scale=0.0001,
         # R/ConvVCF2GDS.R:580)
-        scale = node.params.get(
-            "scale", 0.01 if kind == "packedreal8" else 0.0001
-        )
+        scale = node.params.get("scale", _PR_DEFAULT_SCALE[kind])
         offset = node.params.get("offset", 0.0)
-        if kind == "packedreal8":
-            a = np.frombuffer(raw, dtype=np.uint8)
+        if kind in ("packedreal8", "packedreal8u"):
+            a = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
             na = a == 0xFF
         elif kind == "packedreal16u":
-            a = np.frombuffer(raw, dtype=np.uint16)
-            na = a == np.uint16(0xFFFF)
-        else:
-            a = np.frombuffer(raw, dtype=np.int16)
-            na = a == np.int16(-0x8000)
+            a = np.frombuffer(raw, dtype=np.uint16).astype(np.int64)
+            na = a == 0xFFFF
+        elif kind == "packedreal16":
+            a = np.frombuffer(raw, dtype=np.int16).astype(np.int64)
+            na = a == -0x8000
+        elif kind in ("packedreal24", "packedreal24u"):
+            b3 = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+            a = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            if kind == "packedreal24":
+                a = np.where(a >= 1 << 23, a - (1 << 24), a)
+                na = a == -(1 << 23)
+            else:
+                na = a == (1 << 24) - 1
+        elif kind == "packedreal32u":
+            a = np.frombuffer(raw, dtype=np.uint32).astype(np.int64)
+            na = a == 0xFFFFFFFF
+        else:  # packedreal32
+            a = np.frombuffer(raw, dtype=np.int32).astype(np.int64)
+            na = a == -(1 << 31)
         out = a.astype(np.float64) * scale + offset
         out[na] = np.nan
         return out

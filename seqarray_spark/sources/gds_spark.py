@@ -30,7 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from seqarray_spark.sources.gds import GdsFile, GdsNode, _varint, decode_values
+from seqarray_spark.sources.gds import (GdsFile, GdsNode, _ELEM_SIZE, _varint,
+                                        decode_values)
 
 
 def _read_index(f: GdsFile, path: str, default=None):
@@ -184,8 +185,7 @@ def _node_slice(f: GdsFile, node: GdsNode, start: int, end: int, vl=None):
         return _vl_slice(f, node, start, end, (vl or {}).get(node.path))
     if node.kind in ("bit1", "bit2"):
         return _bit_rows(f, node, start, end, 1)
-    es = {"int32": 4, "int16": 2, "uint8": 1, "float32": 4, "float64": 8,
-          "packedreal8": 1, "packedreal16": 2, "packedreal16u": 2}[node.kind]
+    es = _ELEM_SIZE[node.kind]
     return decode_values(node, f.read_node_bytes(node, start * es, end * es))
 
 
@@ -206,12 +206,14 @@ def _format_nodes(f: GdsFile):
 
 
 def _spark_type(kind: str, is_array: bool) -> str:
-    base = {
-        "int32": "int", "int16": "int", "uint8": "int", "vlint": "long",
-        "float32": "double", "float64": "double", "packedreal8": "double",
-        "packedreal16": "double", "packedreal16u": "double",
-        "vlstr": "string", "bit1": "boolean", "bit2": "int",
-    }[kind]
+    if kind.startswith("packedreal"):
+        base = "double"
+    else:
+        base = {
+            "int32": "int", "int16": "int", "uint8": "int", "vlint": "long",
+            "float32": "double", "float64": "double",
+            "vlstr": "string", "bit1": "boolean", "bit2": "int",
+        }[kind]
     return f"array<{base}>" if is_array else base
 
 

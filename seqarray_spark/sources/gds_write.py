@@ -78,13 +78,24 @@ _ENT_PAD3 = bytes.fromhex("1544c66010")  # entry[25:30]
 
 _INT_NA = -(2 ** 31)
 
-# packedreal16 quantization (reference imputation storage:
+# packedreal quantization (reference imputation storage:
 # "packedreal16:offset=0,scale=0.0001", R/ConvVCF2GDS.R:578-583);
 # the scale rides in the node's TdsAny param (pid 85e73017 — the byte
-# layout observed on Imputed_dosages.gds annotation/format/DS/data)
-_PR16_SCALE = 0.0001
-_PR16_NA = -0x8000
+# layout observed on Imputed_dosages.gds annotation/format/DS/data).
+# Per-width codes: signed widths use the most negative code as NA,
+# unsigned ('u') widths the max code — matching the reader's decode
+# (sources/gds.py) and gdsfmt's NA conventions.
 _SCALE_PID = bytes.fromhex("85e73017")
+# kind -> (scale, NA code, min code, max code, dtype; None = 3-byte)
+_PR_SPEC = {
+    "packedreal8": (0.01, 0xFF, 0, 0xFE, "<u1"),
+    "packedreal16": (0.0001, -0x8000, -0x7FFF, 0x7FFF, "<i2"),
+    "packedreal16u": (0.0001, 0xFFFF, 0, 0xFFFE, "<u2"),
+    "packedreal24": (0.00001, -(1 << 23), -((1 << 23) - 1), (1 << 23) - 1, None),
+    "packedreal24u": (0.00001, (1 << 24) - 1, 0, (1 << 24) - 2, None),
+    "packedreal32": (0.000001, -(1 << 31), -((1 << 31) - 1), (1 << 31) - 1, "<i4"),
+    "packedreal32u": (0.000001, 0xFFFFFFFF, 0, 0xFFFFFFFE, "<u4"),
+}
 
 # ---------------------------------------------------------------------------
 # _RA random-access frame coding (the layout the reader block-decodes:
@@ -294,10 +305,19 @@ def _encode_values(kind: str, values) -> bytes:
             b = ("" if v is None else str(v)).encode("utf-8")
             out += _varint_enc(len(b)) + b
         return bytes(out)
-    if kind == "packedreal16":
+    if kind in _PR_SPEC:
+        scale, na_code, lo, hi, dt = _PR_SPEC[kind]
         a = np.asarray(values, dtype=np.float64)
-        q = np.clip(np.round(a / _PR16_SCALE), -0x7FFF, 0x7FFF)
-        return np.where(np.isnan(a), _PR16_NA, q).astype("<i2").tobytes()
+        q = np.clip(np.round(a / scale), lo, hi)
+        iq = np.where(np.isnan(a), na_code, q).astype(np.int64)
+        if dt is None:  # 24-bit: little-endian 3-byte lanes
+            u = (iq & 0xFFFFFF).astype(np.uint32)
+            b3 = np.empty((len(u), 3), np.uint8)
+            b3[:, 0] = u & 0xFF
+            b3[:, 1] = (u >> 8) & 0xFF
+            b3[:, 2] = (u >> 16) & 0xFF
+            return b3.tobytes()
+        return iq.astype(dt).tobytes()
     if kind in ("bit1", "bit2"):
         bits = 1 if kind == "bit1" else 2
         per = 8 // bits
@@ -381,7 +401,7 @@ class _Builder:
             # fixed-point scale param (TdsAny float64, the layout the
             # reader maps to params['scale'])
             body += bytes([0x13]) + _SCALE_PID + bytes([0x04])
-            body += struct.pack("<d", _PR16_SCALE)
+            body += struct.pack("<d", _PR_SPEC[kind][0])
         ab = _encode_attrs(attrs or {})
         body += _NATTR_TAG + struct.pack("<I", len(attrs or {}))
         body += _ATTR_TAG + _u48(len(ab)) + ab
@@ -581,8 +601,8 @@ def _fmt_meta(calls, format_fields, format_storage=None):
         want = (format_storage or {}).get(fld.name, "")
         if want:
             base = want.split(":", 1)[0].lower()
-            if base == "packedreal16" and kind == "float32":
-                kind = "packedreal16"
+            if base in _PR_SPEC and kind == "float32":
+                kind = base
             elif base not in ("", "float", "float32"):
                 raise ValueError(
                     f"unsupported format_storage {want!r} for {fld.name}"
@@ -594,15 +614,17 @@ def _fmt_meta(calls, format_fields, format_storage=None):
 def _fill_of(kind: str):
     if kind == "vlstr":
         return ""
-    if kind in ("float32", "packedreal16"):
+    if kind == "float32" or kind.startswith("packedreal"):
         return math.nan
     return _INT_NA
 
 
 def _np_dtype(kind: str):
-    return {
-        "int32": np.int64, "float32": np.float64, "packedreal16": np.float64,
-    }.get(kind, object)
+    if kind == "int32":
+        return np.int64
+    if kind == "float32" or kind.startswith("packedreal"):
+        return np.float64
+    return object
 
 
 def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
@@ -1549,8 +1571,9 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
             f_children,
             attrs={
                 "Number": "." if is_arr else "1",
-                "Type": "Float" if kind in ("float32", "packedreal16") else (
-                    "String" if kind == "vlstr" else "Integer"),
+                "Type": "Float"
+                if kind == "float32" or kind.startswith("packedreal")
+                else ("String" if kind == "vlstr" else "Integer"),
                 "Description": "",
             },
         )

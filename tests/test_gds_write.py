@@ -617,3 +617,50 @@ def test_per_class_coder_overrides(spark, ds, tmp_path):
     for k in a:
         pad = list(a[k]) + [None] * max(0, ds.ploidy - len(a[k]))
         assert pad == list(bb[k]), k
+
+
+@pytest.mark.parametrize("pr", ["packedreal16u", "packedreal24",
+                                "packedreal24u", "packedreal32"])
+def test_packedreal_family_roundtrip(spark, tmp_path, pr):
+    """Every packedreal width/signedness round-trips dosage bit-exactly
+    at its quantization step, NaN <-> NA code (gdsfmt packedreal family;
+    the reference's own pipeline uses packedreal16,
+    R/ConvVCF2GDS.R:578-583 — the rest complete the format)."""
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.sources.gds_write import _PR_SPEC
+
+    src = tmp_path / "ds.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        '##FORMAT=<ID=DS,Number=1,Type=Float,Description="dosage">\n'
+        "##contig=<ID=1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n"
+        "1\t100\t.\tA\tT\t10\tPASS\t.\tGT:DS\t0|1:0.5013\t1|1:1.9999\n"
+        "1\t200\t.\tC\tG\t10\tPASS\t.\tGT:DS\t0|0:0.0001\t.|.:.\n"
+        "1\t300\t.\tG\tA\t10\tPASS\t.\tGT:DS\t0|1:1.2345\t0|0:0\n"
+    )
+    ds2 = vcfmod.read_vcf(spark, str(src), assign_ids="order")
+    out = str(tmp_path / f"{pr}.gds")
+    ds2.to_gds(out, format_storage={"DS": pr}, block_variants=2)
+
+    f = GdsFile(out)
+    from seqarray_spark.sources.gds import _pack7
+
+    node = f.node("annotation/format/DS/data")
+    assert node.kind == pr
+    scale = _PR_SPEC[pr][0]
+    assert node.params["scale"] == pytest.approx(scale)
+
+    back = SeqDataset.from_gds(spark, out)
+    got = {(r["variant_id"], r["sample_id"]): r["DS"]
+           for r in back.calls.collect()}
+    exp = {(r["variant_id"], r["sample_id"]): r["DS"]
+           for r in ds2.calls.collect()}
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        if v is None:
+            assert got[k] is None or math.isnan(got[k]), k
+        else:
+            q = round(v / scale) * scale  # the width's quantization
+            assert got[k] == pytest.approx(q, abs=scale / 2), (k, v)
