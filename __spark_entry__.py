@@ -751,19 +751,27 @@ def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode + feature-extract plumbing over mapInPandas
-    (deterministic fake decoder — real codecs absent in this container;
-    the Spark-side schema/batching/partitioning is the tested part).
-    Rows-only check: the byte-fold feature isn't SQL-expressible."""
-    from seqarray_spark.operators.multimodal import extract_features, make_media_table
+    """Multimodal feature extraction through the REAL decode path (the
+    engine default): synthetic BMP/PPM payloads are decoded by the
+    pure-numpy codec in executor tasks and featurized by un-normalized
+    pixel fold sums — integer-valued, so the oracle recomputes them
+    exactly from the generation formula. One row per (image, fold
+    lane)."""
+    from seqarray_spark.operators.multimodal import (
+        extract_features, make_synthetic_images)
 
     docs = td.load_table(spark, sf_dir, "documents")
-    media = make_media_table(spark, docs)
-    feats = extract_features(media, dim=8, fake=True)
+    media = make_synthetic_images(docs)
+    feats = extract_features(media, dim=8, normalize=False)
     return feats.select(
         "media_id",
         "decode_ok",
-        F.size("feat").alias("feat_dim"),
+        F.posexplode("feat").alias("fold_idx", "fold_sum"),
+    ).select(
+        "media_id",
+        "decode_ok",
+        F.col("fold_idx").cast("int").alias("fold_idx"),
+        F.col("fold_sum").cast("double").alias("fold_sum"),
     )
 
 
@@ -999,6 +1007,26 @@ def oracle_sql() -> dict[str, str]:
             ) m
             GROUP BY mime_type
             ORDER BY mime_type
+        """,
+        # real feature-extract check: recompute the un-normalized pixel
+        # fold sums from the generation formula — raveled index of pixel
+        # (y, x, channel c) is (y*w + x)*3 + c; lane j collects indices
+        # congruent j mod 8. Integer sums stay exact in float32.
+        "mm_feature_extract": """
+            WITH dims AS (
+              SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+              FROM documents
+            ), px AS (
+              SELECT d.doc_id,
+                     ((tx.x + ty.y + d.doc_id) % 256) AS v,
+                     CAST(((ty.y * d.w + tx.x) * 3 + ch.c) % 8 AS INT) AS fold_idx
+              FROM dims d, LATERAL unnest(range(0, d.w)) AS tx(x),
+                   LATERAL unnest(range(0, d.h)) AS ty(y),
+                   LATERAL unnest(range(0, 3)) AS ch(c)
+            )
+            SELECT doc_id AS media_id, TRUE AS decode_ok, fold_idx,
+                   CAST(SUM(v) AS DOUBLE) AS fold_sum
+            FROM px GROUP BY doc_id, fold_idx
         """,
         # real decode check: recompute the synthetic images' exact pixel
         # stats from the generation formula (pixel = (x+y+id) % 256 over
@@ -1270,8 +1298,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_quality": f"""
             WITH t AS (
-              SELECT doc_id, text,
-                     regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+              -- engine computes ratio metrics over an 8192-char prefix
+              -- (O(1) per doc at any corpus shape); mirror it here
+              SELECT doc_id, substring(text, 1, 8192) AS text,
+                     regexp_extract_all(lower(substring(text, 1, 8192)), '[a-z0-9'']+') AS toks
               FROM documents
             ), feats AS (
               SELECT doc_id,
@@ -1303,8 +1333,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lang_guess": f"""
             WITH t AS (
-              SELECT doc_id, text,
-                     regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+              -- engine language-IDs over an 8192-char prefix; mirror it
+              SELECT doc_id, substring(text, 1, 8192) AS text,
+                     regexp_extract_all(lower(substring(text, 1, 8192)), '[a-z0-9'']+') AS toks
               FROM documents
             ), hits AS (
               SELECT doc_id, text,

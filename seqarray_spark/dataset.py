@@ -54,11 +54,16 @@ class SeqDataset:
         samples: DataFrame | None = None,
         ploidy: int = 2,
         meta: dict | None = None,
+        ids_dense: bool = False,
     ):
         self._base_variants = variants
         self._base_calls = calls
         self._base_samples = samples
         self.ploidy = ploidy
+        # True when variant_id is a gapless consecutive sequence in file
+        # order (assign_ids='order' importers); lets order-dependent
+        # projections ($chrom_pos2) skip the enumeration pass
+        self.ids_dense = ids_dense
         # source-file description metadata (VCF header remnants:
         # fileformat/reference/contigs/ALT/simple pairs — the reference
         # stores these as description/* nodes, R/ConvVCF2GDS.R:928-957)
@@ -382,7 +387,9 @@ class SeqDataset:
         if name == "$chrom_pos":
             return v.select("variant_id", chrom_pos().alias("chrom_pos"))
         if name == "$chrom_pos2":
-            return chrom_pos2(v)
+            return chrom_pos2(
+                v, dense_ids=self.ids_dense and not self._sel.variant_filtered
+            )
         if name == "$chrom_pos_allele":
             return v.select("variant_id", chrom_pos_allele().alias("chrom_pos_allele"))
         if name == "genotype":

@@ -137,7 +137,7 @@ def _dense_order_index(df: DataFrame, order_col: str = "variant_id") -> DataFram
     return out
 
 
-def chrom_pos2(variants: DataFrame) -> DataFrame:
+def chrom_pos2(variants: DataFrame, dense_ids: bool = False) -> DataFrame:
     """'chr:pos' with CONSECUTIVE duplicates (in variant_id order)
     suffixed '_1','_2',... — the first of a run stays bare, and the dup
     counter RESETS when the key changes, so non-adjacent repeats are
@@ -147,8 +147,22 @@ def chrom_pos2(variants: DataFrame) -> DataFrame:
     Runs are found gaps-and-islands style over a dense order index
     (built scalably — no one-partition global window): within a
     (chrom, pos) group, idx - row_number is constant exactly for
-    consecutive rows."""
-    t = _dense_order_index(variants.select("variant_id", "chromosome", "position"))
+    consecutive rows.
+
+    The enumeration pass (persist + per-partition count collect) is
+    skipped when it is redundant: a precomputed `__idx` column is used
+    as-is, and `dense_ids=True` declares that variant_id itself is a
+    gapless consecutive sequence (what the importers' assign_ids='order'
+    guarantee) so it serves as the index directly. Only valid on an
+    UNFILTERED frame — subsetting reintroduces gaps, which would split
+    runs that the reference's selection walk sees as consecutive."""
+    base = variants.select("variant_id", "chromosome", "position")
+    if "__idx" in variants.columns:
+        t = variants.select("variant_id", "chromosome", "position", "__idx")
+    elif dense_ids:
+        t = base.withColumn("__idx", F.col("variant_id").cast("long"))
+    else:
+        t = _dense_order_index(base)
     w = Window.partitionBy("chromosome", "position").orderBy("__idx")
     grp = (F.col("__idx") - F.row_number().over(w)).alias("__grp")
     t = t.select("variant_id", "chromosome", "position", "__idx", grp)

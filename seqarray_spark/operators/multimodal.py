@@ -156,10 +156,14 @@ def _fake_decode(payload: bytes, width: int, height: int, dim: int = 8) -> np.nd
     return (feat / denom if denom else feat).astype(np.float32)
 
 
-def _real_decode(payload: bytes, width: int, height: int, dim: int = 8):
+def _real_decode(payload: bytes, width: int, height: int, dim: int = 8,
+                 normalize: bool = True):
     """Default real decoder: BMP/PNM pixel decode (decode_image) then the
     same fold-and-normalize featurization as the stub, applied to ACTUAL
-    pixel values. None when the payload is not a decodable image."""
+    pixel values. None when the payload is not a decodable image.
+    normalize=False returns the raw integer fold sums (exactly
+    representable in float32 for images under ~64k pixel-value mass per
+    lane) — the value-checkable form an SQL oracle can recompute."""
     img = decode_image(payload)
     if img is None:
         return None
@@ -167,15 +171,19 @@ def _real_decode(payload: bytes, width: int, height: int, dim: int = 8):
     idx = np.arange(arr.size) % dim
     feat = np.zeros(dim)
     np.add.at(feat, idx, arr)
-    denom = np.linalg.norm(feat)
-    return (feat / denom if denom else feat).astype(np.float32)
+    if normalize:
+        denom = np.linalg.norm(feat)
+        if denom:
+            feat = feat / denom
+    return feat.astype(np.float32)
 
 
 def extract_features(
     media: DataFrame,
     dim: int = 8,
     batch_hint: int = 1024,
-    fake: bool = True,
+    fake: bool = False,
+    normalize: bool = True,
     decoder=None,
 ) -> DataFrame:
     """Decode + feature-extract over mapInPandas (Arrow batches).
@@ -186,12 +194,18 @@ def extract_features(
     decode_ok=False, feat NULL). It is shipped to executors inside the
     kernel closure, so it must be picklable (a module-level function
     wrapping PIL/librosa/av in a real deployment). When no decoder is
-    supplied: fake=False uses the pure-numpy BMP/PNM decoder
-    (decode_image — no external libs needed); fake=True uses the
-    deterministic byte-fold stub for payloads that are not images.
+    supplied, the DEFAULT is the REAL pure-numpy BMP/PNM decoder
+    (decode_image — no external libs needed); pass fake=True to opt in
+    to the deterministic byte-fold stub for payloads that are not
+    images. normalize=False skips the L2 normalization and returns raw
+    integer fold sums (SQL-oracle-checkable).
     """
     if decoder is None:
-        decoder = _fake_decode if fake else _real_decode
+        if fake:
+            decoder = _fake_decode
+        else:
+            def decoder(p, w, h, d, _n=normalize):
+                return _real_decode(p, w, h, d, normalize=_n)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

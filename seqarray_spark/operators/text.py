@@ -104,12 +104,19 @@ def word_shingles(text: str | Column, n: int = 3) -> Column:
     )
 
 
-def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     prefix: int = 8192) -> DataFrame:
     """Heuristic quality metrics (length, word stats, punctuation/digit
     ratios, stopword ratio, repetition) — the standard pre-training
-    corpus filters."""
+    corpus filters.
+
+    All per-character metrics are computed over the first `prefix`
+    characters so per-document cost is O(1) regardless of document
+    length (a 100 MB outlier document costs the same as a tweet);
+    n_chars_q still reports the FULL length. Quality heuristics are
+    statistical — a bounded sample is the semantics, not a shortcut."""
     docs = spread(docs)
-    t = F.col(text_col)
+    t = F.substring(F.col(text_col), 1, prefix)
     toks = tokens(t)
     n_tok = F.size(toks)
     n_chars = F.length(t)
@@ -118,7 +125,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
     return docs.withColumns(
         {
-            "n_chars_q": n_chars.cast("int"),
+            "n_chars_q": F.length(F.col(text_col)).cast("int"),
             "n_tokens": n_tok.cast("int"),
             "mean_word_len": F.when(
                 n_tok > 0,
@@ -161,30 +168,38 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality_score", score)
 
 
-def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_guess(docs: DataFrame, text_col: str = "text",
+               prefix: int = 8192) -> DataFrame:
     """Stopword-inventory language ID (n-gram-heuristic family): count
     stopword hits per language, take the argmax; CJK scripts detected by
     Unicode block — kana -> 'ja' (checked first, since Japanese text
     mixes kana with Han), Hangul syllables -> 'ko', Han-only -> 'zh'.
-    Deterministic tie-break by language code order."""
+    Deterministic tie-break by language code order.
+
+    Cost is bounded two ways: everything is computed over the first
+    `prefix` characters (language is a document-level property — a
+    bounded sample IS the semantics, and per-doc cost stays O(1) at any
+    corpus shape), and script detection uses rlike EXISTENCE tests,
+    which short-circuit on the first matching character instead of
+    rebuilding the string per script."""
     docs = spread(docs)
-    toks = tokens(text_col)
+    t = F.substring(F.col(text_col), 1, prefix)
+    toks = tokens(t)
     hits = {}
     for lang, words in STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
         hits[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
-    t = F.col(text_col)
     # kana LETTERS only (hiragana U+3041-3096, katakana U+30A1-30F6):
     # the katakana block's middle dot / prolonged mark (U+30FB/U+30FC)
     # appear in Chinese transliterations and must not flip zh -> ja
-    kana = F.length(F.regexp_replace(t, r"[^ぁ-ゖァ-ヶ]", ""))
-    hangul = F.length(F.regexp_replace(t, r"[^가-힣]", ""))
-    han = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    kana = t.rlike("[ぁ-ゖァ-ヶ]")
+    hangul = t.rlike("[가-힣]")
+    han = t.rlike("[一-鿿]")
     best = F.greatest(*[hits[lang] for lang in sorted(STOPWORDS)])
     guess = (
-        F.when(kana > 0, F.lit("ja"))
-        .when(hangul > 0, F.lit("ko"))
-        .when(han > 0, F.lit("zh"))
+        F.when(kana, F.lit("ja"))
+        .when(hangul, F.lit("ko"))
+        .when(han, F.lit("zh"))
         .when(best == 0, F.lit("unknown"))
     )
     for lang in sorted(STOPWORDS):  # alphabetical tie-break

@@ -165,5 +165,7 @@ def variant_dataset(spark: SparkSession, sf_dir: str):
     from seqarray_spark.dataset import SeqDataset
 
     return SeqDataset(
-        gvariants(spark, sf_dir), gcalls(spark, sf_dir), gsamples(spark, sf_dir)
+        gvariants(spark, sf_dir), gcalls(spark, sf_dir), gsamples(spark, sf_dir),
+        # p_partkey is a gapless 1..N sequence — file-order ids
+        ids_dense=True,
     )

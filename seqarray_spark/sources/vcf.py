@@ -595,6 +595,10 @@ def parse_vcf_lines(
     return SeqDataset(
         variants, calls, samples, ploidy=header.ploidy,
         meta=header_meta(header),
+        # 'order' ids are gapless 1..N in file order (reference parity,
+        # src/ConvVCF2GDS.cpp:1405-1406) — order-dependent projections
+        # may use them as a ready-made dense index
+        ids_dense=(assign_ids == "order"),
     )
 
 

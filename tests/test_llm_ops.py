@@ -151,6 +151,19 @@ def test_lsh_and_ivf_topk_contain_best(emb):
     assert len(set(lsh_ids)) == len(lsh_ids)
 
 
+def test_ivf_full_probe_equals_exact(emb):
+    """IVF with nprobe = ncells degenerates to exact search: every cell
+    is probed, so the result must be IDENTICAL (ids, order, and cosine
+    values) to brute-force cosine_topk — upgrading IVF from
+    "approximate by design" to a verified superset of exact search."""
+    q = [0.3, -0.2, 0.9, 0.0, 0.1, 0.0, -0.4, 0.2]
+    exact = S.cosine_topk(emb, q, k=7).collect()
+    full = S.ivf_topk(emb, q, k=7, ncells=8, nprobe=8).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+    for a, b in zip(full, exact):
+        assert a["cosine"] == pytest.approx(b["cosine"], abs=1e-12)
+
+
 # -- text ---------------------------------------------------------------------
 
 def test_token_count_and_shingles(spark):
@@ -210,16 +223,21 @@ def test_multimodal_features(spark, docs):
 
     media = MM.make_media_table(spark, docs)
     assert media.schema.simpleString().count("binary") == 1
-    feats = MM.extract_features(media, dim=8).collect()
-    assert len(feats) == 6
+    # the DEFAULT is the REAL BMP/PNM decoder: text payloads are not
+    # images, so they surface as decode failures, never fake features
+    real = MM.extract_features(media, dim=8).collect()
+    assert len(real) == 6
+    assert all(not r["decode_ok"] and r["feat"] is None for r in real)
+    # the byte-fold stub is explicit opt-in (fake=True)
+    feats = MM.extract_features(media, dim=8, fake=True).collect()
     by_id = {r["media_id"]: r["feat"] for r in feats}
     assert len(by_id[1]) == 8
     assert by_id[1] == by_id[2]  # identical payloads -> identical features
     assert all(r["decode_ok"] for r in feats)
-    # fake=False runs the REAL BMP/PNM decoder: text payloads are not
-    # images, so they surface as decode failures instead of fake features
-    real = MM.extract_features(media, fake=False).collect()
-    assert all(not r["decode_ok"] and r["feat"] is None for r in real)
+    # real images through the default path decode fine
+    imgs = MM.make_synthetic_images(docs)
+    rf = MM.extract_features(imgs, dim=8).collect()
+    assert rf and all(r["decode_ok"] and len(r["feat"]) == 8 for r in rf)
 
 
 def test_image_codec_roundtrip():
