@@ -1,0 +1,497 @@
+"""BCF 2.x reader — pure Python, no bcftools/htslib required.
+
+The reference imports BCF by shelling out to `bcftools view` and piping
+the text through its VCF importer (seqBCF2GDS,
+/root/reference/R/ConvVCF2GDS.R:1473-1508). This module removes the
+external-binary dependency: it decodes the BCF binary records directly,
+per the public htslib BCFv2.2 specification (samtools/hts-specs
+VCFv4.x section 6, "BCF encoding"), renders each record back to its
+canonical VCF data line IN EXECUTOR TASKS, and feeds the exact same
+expression-based line parser the VCF reader uses — so read_bcf's output
+frame is identical to read_vcf's on the equivalent text, by
+construction (the same pipeline shape as the reference's
+`bcftools view | seqVCF2GDS`, minus the subprocess).
+
+Container layout (spec):
+  BGZF-framed stream of:
+    magic "BCF\\2\\x02" (or \\x01), u32 l_text, header text (the VCF
+    header, NUL-terminated), then records:
+      u32 l_shared, u32 l_indiv
+      shared: i32 rid, i32 pos0, i32 rlen, f32 qual,
+              u32 (n_allele<<16 | n_info), u32 (n_fmt<<24 | n_sample),
+              typed-str ID, n_allele typed-str alleles,
+              typed-int-vector FILTER (dictionary offsets),
+              n_info x (typed-int key, typed value)
+      indiv:  n_fmt x (typed-int key, typed vector, n values/sample)
+  Typed descriptor byte: low nibble = type (1=int8, 2=int16, 3=int32,
+  5=float32, 7=char), high nibble = length (15 => a typed int follows
+  with the true length). Missing / END_OF_VECTOR sentinels per type:
+  int8 0x80/0x81, int16 0x8000/0x8001, int32 0x80000000/0x80000001,
+  float 0x7F800001/0x7F800002. GT values are (allele+1)<<1 | phased.
+  The string dictionary is the header's FILTER/INFO/FORMAT IDs in order
+  of appearance ("PASS" implicitly first), overridable per-line with
+  IDX=; contigs index ##contig lines the same way.
+
+Scale: the driver makes ONE sequential pass that inflates the BGZF
+stream and hops record length prefixes to cut record-aligned chunks
+(the import's sequential fraction — BCF carries no record index; this
+is the same role as the VCF reader's file-order id scan, and strictly
+cheaper than the reference's single-node `bcftools view` pipe which
+also renders the text). Record DECODING, the expensive part, runs
+distributed: each task re-inflates only its chunk's BGZF blocks
+(bounded by the recorded block offsets) and parses its own records.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_MAGIC = b"BCF\x02"
+_GZ_HDR = b"\x1f\x8b\x08\x04"
+
+# typed-descriptor types
+_T_INT8, _T_INT16, _T_INT32, _T_FLOAT, _T_CHAR = 1, 2, 3, 5, 7
+_INT_MISS = {1: -0x80, 2: -0x8000, 3: -0x80000000}
+_INT_EOV = {1: -0x7F, 2: -0x7FFF, 3: -0x7FFFFFFF}
+_F_MISS = 0x7F800001
+_F_EOV = 0x7F800002
+
+
+# ---------------------------------------------------------------------------
+# BGZF block reading
+# ---------------------------------------------------------------------------
+
+def read_bgzf_block(buf, off: int):
+    """One BGZF block at byte offset `off` -> (inflated bytes, next_off).
+    Raises on a malformed block; the 28-byte EOF marker inflates to
+    b'' like any other block."""
+    if buf[off:off + 4] != _GZ_HDR:
+        raise ValueError(f"not a BGZF block at offset {off}")
+    xlen = struct.unpack("<H", buf[off + 10:off + 12])[0]
+    xs, xend = off + 12, off + 12 + xlen
+    bsize = None
+    while xs + 4 <= xend:
+        si1, si2, slen = buf[xs], buf[xs + 1], struct.unpack("<H", buf[xs + 2:xs + 4])[0]
+        if si1 == 66 and si2 == 67 and slen == 2:
+            bsize = struct.unpack("<H", buf[xs + 4:xs + 6])[0] + 1
+        xs += 4 + slen
+    if bsize is None:
+        raise ValueError(f"BGZF block at {off} lacks the BC extra field")
+    cdata = buf[xend:off + bsize - 8]
+    out = zlib.decompress(bytes(cdata), wbits=-15)
+    return out, off + bsize
+
+
+def _inflate_range(path: str, block_off: int, need: int) -> bytes:
+    """Inflate consecutive BGZF blocks starting at `block_off` until at
+    least `need` bytes are available (executor-side chunk read). Reads
+    compressed bytes incrementally — a task touches O(its chunk), never
+    O(file)."""
+    out, got, pend = [], 0, b""
+    with open(path, "rb") as fh:
+        fh.seek(block_off)
+        while got < need:
+            # BGZF blocks are <= 64 KiB compressed; top the window up
+            if len(pend) < (1 << 16):
+                more = fh.read(1 << 20)
+                if not more and not pend:
+                    break
+                pend += more
+            if not pend:
+                break
+            raw, nxt = read_bgzf_block(pend, 0)
+            pend = pend[nxt:]
+            out.append(raw)
+            got += len(raw)
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# typed-value decoding
+# ---------------------------------------------------------------------------
+
+def _scalar_int(buf, o: int):
+    """One typed atomic int (used for lengths and dictionary keys)."""
+    t = buf[o]
+    o += 1
+    ty, n = t & 0x0F, t >> 4
+    if n != 1:
+        raise ValueError(f"expected scalar typed int, got length {n}")
+    if ty == _T_INT8:
+        return struct.unpack("<b", buf[o:o + 1])[0], o + 1
+    if ty == _T_INT16:
+        return struct.unpack("<h", buf[o:o + 2])[0], o + 2
+    if ty == _T_INT32:
+        return struct.unpack("<i", buf[o:o + 4])[0], o + 4
+    raise ValueError(f"bad scalar int type {ty}")
+
+
+def _typed_head(buf, o: int):
+    """Descriptor byte (+ overflow length) -> (type, n, data_off)."""
+    t = buf[o]
+    o += 1
+    ty, n = t & 0x0F, t >> 4
+    if n == 15:
+        n, o = _scalar_int(buf, o)
+    return ty, n, o
+
+
+_TY_W = {_T_INT8: 1, _T_INT16: 2, _T_INT32: 4, _T_FLOAT: 4, _T_CHAR: 1}
+_TY_NP = {_T_INT8: "<i1", _T_INT16: "<i2", _T_INT32: "<i4", _T_FLOAT: "<f4"}
+
+
+def _typed_value(buf, o: int):
+    """One typed value -> (python value, next_off).
+
+    Ints/floats with the MISSING sentinel become None; END_OF_VECTOR
+    entries are dropped (they only pad jagged per-sample vectors).
+    type 0 (MISSING) -> None. Char vectors decode to one string."""
+    ty, n, o = _typed_head(buf, o)
+    if ty == 0:
+        return None, o
+    w = _TY_W[ty]
+    end = o + n * w
+    if ty == _T_CHAR:
+        s = bytes(buf[o:end]).decode("utf-8", "replace")
+        return (s if s else None), end
+    a = np.frombuffer(bytes(buf[o:end]), dtype=_TY_NP[ty])
+    if ty == _T_FLOAT:
+        bits = a.view("<u4")
+        vals = [
+            None if bits[i] == _F_MISS else float(a[i])
+            for i in range(n) if bits[i] != _F_EOV
+        ]
+    else:
+        miss, eov = _INT_MISS[ty], _INT_EOV[ty]
+        vals = [
+            None if int(x) == miss else int(x) for x in a if int(x) != eov
+        ]
+    if n == 1:
+        return (vals[0] if vals else None), end
+    return vals, end
+
+
+def _typed_ints_raw(buf, o: int):
+    """A typed int vector with sentinels KEPT (GT needs to see both
+    missing and end-of-vector codes) -> (list[int], type, next_off)."""
+    ty, n, o = _typed_head(buf, o)
+    if ty == 0:
+        return [], ty, o
+    w = _TY_W[ty]
+    end = o + n * w
+    a = np.frombuffer(bytes(buf[o:end]), dtype=_TY_NP[ty])
+    return [int(x) for x in a], ty, end
+
+
+# ---------------------------------------------------------------------------
+# header + dictionaries
+# ---------------------------------------------------------------------------
+
+def _dictionaries(header_text: str):
+    """(string dictionary, contig dictionary) as idx -> name maps.
+    Order-of-appearance indexing with explicit IDX= overrides; 'PASS'
+    is implicitly entry 0 of the string dictionary (spec 6.2.1)."""
+    from seqarray_spark.sources.vcf import _parse_structured_meta
+
+    strings: dict[int, str] = {}
+    contigs: dict[int, str] = {}
+    seen: dict[str, int] = {}
+    nxt = 0
+
+    def _add(name: str, idx_attr):
+        nonlocal nxt
+        if idx_attr is not None:
+            i = int(idx_attr)
+            strings[i] = name
+            seen[name] = i
+            nxt = max(nxt, i + 1)
+        elif name not in seen:
+            strings[nxt] = name
+            seen[name] = nxt
+            nxt += 1
+
+    _add("PASS", None)
+    nctg = 0
+    for line in header_text.splitlines():
+        if line.startswith(("##FILTER=<", "##INFO=<", "##FORMAT=<")):
+            d = _parse_structured_meta(line)
+            if d.get("ID"):
+                _add(d["ID"], d.get("IDX"))
+        elif line.startswith("##contig=<"):
+            d = _parse_structured_meta(line)
+            i = int(d["IDX"]) if d.get("IDX") is not None else nctg
+            contigs[i] = d.get("ID", str(i))
+            nctg = max(nctg, i + 1)
+    return strings, contigs
+
+
+# ---------------------------------------------------------------------------
+# record -> VCF data line
+# ---------------------------------------------------------------------------
+
+def _fmt_num(v) -> str:
+    if v is None:
+        return "."
+    if isinstance(v, float):
+        return f"{v:g}"
+    return str(v)
+
+
+def _gt_string(vals: list[int], ty: int) -> str:
+    """GT sample vector -> '0|1' text: value = (allele+1)<<1 | phased,
+    0 = missing '.', END_OF_VECTOR stops (lower-ploidy sample)."""
+    eov = _INT_EOV[ty]
+    out = []
+    for i, v in enumerate(vals):
+        if v == eov:
+            break
+        allele = (v >> 1) - 1
+        tok = "." if allele < 0 else str(allele)
+        if i == 0:
+            out.append(tok)
+        else:
+            out.append(("|" if v & 1 else "/") + tok)
+    return "".join(out) if out else "."
+
+
+def decode_record(buf, o: int, strings: dict, contigs: dict) -> tuple[str, int]:
+    """One BCF record -> (VCF data line, next offset)."""
+    l_shared, l_indiv = struct.unpack("<II", buf[o:o + 8])
+    o += 8
+    shared_end = o + l_shared
+    rec_end = shared_end + l_indiv
+    rid, pos0, _rlen = struct.unpack("<iii", buf[o:o + 12])
+    qbits = struct.unpack("<I", buf[o + 12:o + 16])[0]
+    n_ai, n_fs = struct.unpack("<II", buf[o + 16:o + 24])
+    n_allele, n_info = n_ai >> 16, n_ai & 0xFFFF
+    n_fmt, n_sample = n_fs >> 24, n_fs & 0xFFFFFF
+    o += 24
+    vid, o = _typed_value(buf, o)
+    alleles = []
+    for _ in range(n_allele):
+        a, o = _typed_value(buf, o)
+        alleles.append(a or "")
+    flt_idx, _ty, o = _typed_ints_raw(buf, o)
+    info_toks = []
+    for _ in range(n_info):
+        key, o = _scalar_int(buf, o)
+        name = strings.get(key, f"k{key}")
+        ty_peek = buf[o] & 0x0F
+        val, o = _typed_value(buf, o)
+        if val is None and (ty_peek == 0):
+            info_toks.append(name)  # Flag
+        elif isinstance(val, list):
+            info_toks.append(name + "=" + ",".join(_fmt_num(x) for x in val))
+        elif val is None:
+            info_toks.append(name + "=.")
+        else:
+            info_toks.append(name + "=" + _fmt_num(val))
+    if o != shared_end:
+        o = shared_end  # tolerate writer padding
+
+    qual = "." if qbits == _F_MISS else f"{struct.unpack('<f', struct.pack('<I', qbits))[0]:g}"
+    flt = ";".join(strings.get(i, str(i)) for i in flt_idx) if flt_idx else "."
+    cols = [
+        contigs.get(rid, str(rid)),
+        str(pos0 + 1),
+        vid or ".",
+        alleles[0] if alleles else ".",
+        ",".join(alleles[1:]) if len(alleles) > 1 else ".",
+        qual,
+        flt,
+        ";".join(info_toks) if info_toks else ".",
+    ]
+
+    if n_fmt and n_sample:
+        keys = []
+        cells = [[] for _ in range(n_sample)]
+        for _ in range(n_fmt):
+            key, o = _scalar_int(buf, o)
+            name = strings.get(key, f"k{key}")
+            keys.append(name)
+            ty, n, o = _typed_head(buf, o)
+            w = _TY_W.get(ty, 1)
+            for s in range(n_sample):
+                so = o + s * n * w
+                if ty == _T_CHAR:
+                    txt = bytes(buf[so:so + n]).decode("utf-8", "replace")
+                    txt = txt.rstrip("\x00")
+                    cells[s].append(txt if txt else ".")
+                    continue
+                a = np.frombuffer(bytes(buf[so:so + n * w]), dtype=_TY_NP[ty])
+                if name == "GT" and ty != _T_FLOAT:
+                    cells[s].append(_gt_string([int(x) for x in a], ty))
+                elif ty == _T_FLOAT:
+                    bits = a.view("<u4")
+                    vs = [
+                        None if bits[i] == _F_MISS else float(a[i])
+                        for i in range(n) if bits[i] != _F_EOV
+                    ]
+                    cells[s].append(
+                        ",".join(_fmt_num(x) for x in vs) if vs else "."
+                    )
+                else:
+                    miss, eov = _INT_MISS[ty], _INT_EOV[ty]
+                    vs = [
+                        None if int(x) == miss else int(x)
+                        for x in a if int(x) != eov
+                    ]
+                    cells[s].append(
+                        ",".join(_fmt_num(x) for x in vs) if vs else "."
+                    )
+            o += n_sample * n * w
+        cols.append(":".join(keys))
+        cols.extend(":".join(c) for c in cells)
+    return "\t".join(cols), rec_end
+
+
+# ---------------------------------------------------------------------------
+# read path
+# ---------------------------------------------------------------------------
+
+def _scan(path: str, chunk_records: int = 4096, chunk_bytes: int = 8 << 20):
+    """Sequential driver pass: parse the embedded header and cut
+    record-aligned chunks. Returns (header_text, chunks) with chunks =
+    [(block_off, in_off, need_bytes, first_idx, n_records), ...] where
+    block_off is the BGZF block containing the chunk's first record,
+    in_off the record's offset within that block's inflated run, and
+    need_bytes bounds how much a task must inflate.
+
+    Bounded memory: the compressed file is mmapped (OS page cache, no
+    resident copy) and the inflated side is a rolling buffer trimmed at
+    every chunk boundary — the driver holds at most one chunk plus one
+    record, never the file. Anchors (one (inflated_off, file_off) pair
+    per BGZF block) are the only O(file) state, ~32 B per 64 KiB block."""
+    import mmap
+
+    with open(path, "rb") as fh:
+        mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+    anchors: list[tuple[int, int]] = []  # (inflated_start, file_off)
+    state = {"off": 0, "got": 0}
+    buf = bytearray()
+    base = 0  # inflated offset of buf[0]
+
+    def ensure(upto: int) -> bool:
+        while state["got"] < upto and state["off"] < len(mm):
+            anchors.append((state["got"], state["off"]))
+            raw, nxt = read_bgzf_block(mm, state["off"])
+            state["off"] = nxt
+            buf.extend(raw)
+            state["got"] += len(raw)
+        return state["got"] >= upto
+
+    def trim(to: int):
+        nonlocal base
+        if to > base:
+            del buf[: to - base]
+            base = to
+
+    if not ensure(9):
+        raise ValueError(f"{path}: not a BCF2 file (truncated)")
+    if bytes(buf[:4]) != _MAGIC:
+        raise ValueError(f"{path}: not a BCF2 file (bad magic)")
+    l_text = struct.unpack("<I", bytes(buf[5:9]))[0]
+    if not ensure(9 + l_text):
+        raise ValueError(f"{path}: truncated BCF header")
+    header_text = bytes(buf[9:9 + l_text]).split(b"\x00", 1)[0].decode(
+        "utf-8", "replace"
+    )
+    o = 9 + l_text
+    trim(o)
+
+    def _anchor(pos: int):
+        lo, hi = 0, len(anchors) - 1
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if anchors[mid][0] <= pos:
+                lo = mid
+            else:
+                hi = mid - 1
+        return anchors[lo]
+
+    chunks = []
+    start, n_in, idx0, total = o, 0, 0, 0
+
+    def flush(end: int):
+        nonlocal start, idx0, n_in
+        a_start, a_off = _anchor(start)
+        chunks.append((a_off, start - a_start, end - a_start, idx0, n_in))
+        start, idx0, n_in = end, total, 0
+        trim(end)
+
+    while ensure(o + 8):
+        l_sh, l_ind = struct.unpack("<II", bytes(buf[o - base:o - base + 8]))
+        if not ensure(o + 8 + l_sh + l_ind):
+            raise ValueError(f"{path}: truncated BCF record at {o}")
+        o += 8 + l_sh + l_ind
+        n_in += 1
+        total += 1
+        if n_in >= chunk_records or o - start >= chunk_bytes:
+            flush(o)
+    if n_in:
+        flush(o)
+    mm.close()
+    return header_text, chunks
+
+
+def read_bcf(spark, path: str, **kwargs):
+    """BCF -> SeqDataset with read_vcf-identical semantics (reference:
+    seqBCF2GDS, R/ConvVCF2GDS.R:1473-1508 — done here without bcftools).
+    kwargs pass through to the line parser (info_fields, format_fields,
+    assign_ids='order'|'hash', validate, ignore_chr_prefix)."""
+    import pandas as pd
+
+    from seqarray_spark.sources.vcf import (VcfHeader, apply_header_line,
+                                            parse_vcf_lines)
+
+    header_text, chunks = _scan(path)
+    strings, contigs = _dictionaries(header_text)
+
+    hdr = VcfHeader()
+    for line in header_text.splitlines():
+        if line.startswith("#"):
+            apply_header_line(hdr, line)
+
+    # ploidy: decode the first chunk's first records driver-side (same
+    # first-line sniff the VCF importer does, R/ConvVCF2GDS.R:307-328)
+    ploidy = 1
+    if chunks and hdr.samples:
+        blk, in_off, need, _i0, n_rec = chunks[0]
+        raw = _inflate_range(path, blk, in_off + need)
+        o = in_off
+        for _ in range(min(n_rec, 50)):
+            line, o = decode_record(raw, o, strings, contigs)
+            f = line.split("\t")
+            found = False
+            for tok in f[9:]:
+                gt = tok.split(":", 1)[0]
+                if gt and gt != ".":
+                    ploidy = max(ploidy, gt.count("/") + gt.count("|") + 1)
+                    found = True
+            if found:
+                break
+    hdr.ploidy = ploidy
+
+    assign_ids = kwargs.pop("assign_ids", "order")
+    cdf = spark.createDataFrame(
+        [(int(b), int(i), int(n), int(f), int(r)) for b, i, n, f, r in chunks],
+        "blk long, in_off long, need long, first long, n_rec long",
+    ).repartition(max(1, min(len(chunks), 256)))
+
+    def _render(batches):
+        for pdf in batches:
+            for blk, in_off, need, first, n_rec in pdf.itertuples(index=False):
+                raw = _inflate_range(path, int(blk), int(in_off + need))
+                o, rows = int(in_off), []
+                for k in range(int(n_rec)):
+                    line, o = decode_record(raw, o, strings, contigs)
+                    rows.append((line, int(first + k + 1)))
+                yield pd.DataFrame(rows, columns=["value", "variant_id"])
+
+    lines = cdf.mapInPandas(_render, "value string, variant_id long")
+    if assign_ids == "hash":
+        lines = lines.drop("variant_id")
+    return parse_vcf_lines(lines, hdr, assign_ids=assign_ids, **kwargs)

@@ -3,9 +3,9 @@
 - as_pandas: materialize the current selection as pandas frames
   (reference: seqAsVCF R/asVCF.R:5-57 — the in-memory interop object;
   VariantAnnotation's VCF S4 becomes a dict of DataFrames).
-- read_bcf: BCF via a `bcftools view` pipe into the VCF reader
-  (reference: seqBCF2GDS R/ConvVCF2GDS.R:1473-1508) — gated on the
-  binary being present.
+- read_bcf / bcf2gds: BCF via the pure-Python BCF2 record decoder
+  (sources/bcf.py; reference: seqBCF2GDS R/ConvVCF2GDS.R:1473-1508
+  shells out to bcftools — this engine needs no external binary).
 - GDS container files ARE read (and written) directly:
   `SeqDataset.from_gds` (sources/gds.py + gds_spark.py, a pure-Python
   CoreArray parser with distributed block decode) and
@@ -16,9 +16,6 @@
 
 from __future__ import annotations
 
-import shutil
-import subprocess
-import tempfile
 
 
 def as_pandas(ds, max_rows: int = 1_000_000) -> dict:
@@ -63,19 +60,17 @@ def gds2vcf(spark, gds_path: str, out_path: str, **write_opts) -> None:
 
 
 def read_bcf(spark, path: str, **kwargs):
-    """BCF -> SeqDataset by piping through `bcftools view` (reference:
-    seqBCF2GDS). Requires bcftools on PATH; raises otherwise (the binary
-    is not in this container)."""
-    if shutil.which("bcftools") is None:
-        raise NotImplementedError(
-            "bcftools not found on PATH; convert BCF to VCF externally or "
-            "install bcftools (reference does the same: "
-            "R/ConvVCF2GDS.R:1473-1508 shells out to bcftools)"
-        )
-    from seqarray_spark.sources.vcf import read_vcf
+    """BCF -> SeqDataset via the pure-Python BCF2 record decoder
+    (sources/bcf.py — reference: seqBCF2GDS, R/ConvVCF2GDS.R:1473-1508,
+    which shells out to `bcftools view`; this engine decodes the binary
+    records itself, distributed, with no external binary)."""
+    from seqarray_spark.sources.bcf import read_bcf as _read_bcf
 
-    tmp = tempfile.NamedTemporaryFile(suffix=".vcf", delete=False)
-    subprocess.run(
-        ["bcftools", "view", path, "-o", tmp.name], check=True, capture_output=True
-    )
-    return read_vcf(spark, tmp.name, **kwargs)
+    return _read_bcf(spark, path, **kwargs)
+
+
+def bcf2gds(spark, bcf_path: str, gds_path: str, *,
+            read_opts: dict | None = None, **write_opts) -> None:
+    """One-step BCF -> GDS container conversion (reference: seqBCF2GDS's
+    full pipeline) — pure Python end to end."""
+    read_bcf(spark, bcf_path, **(read_opts or {})).to_gds(gds_path, **write_opts)

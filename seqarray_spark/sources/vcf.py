@@ -108,6 +108,47 @@ def _parse_structured_meta(line: str) -> dict[str, str]:
     return out
 
 
+def apply_header_line(hdr: VcfHeader, line: str) -> None:
+    """Fold one '##...'/'#CHROM' header line into `hdr` — shared by the
+    text reader below and the BCF reader (whose header text is embedded
+    in the binary container, sources/bcf.py)."""
+    if line.startswith("##"):
+        hdr.meta.append(line)
+        if line.startswith("##INFO=<"):
+            d = _parse_structured_meta(line)
+            hdr.info[d["ID"]] = VcfField(
+                d["ID"], d.get("Number", "."), d.get("Type", "String"),
+                d.get("Description", ""),
+            )
+        elif line.startswith("##FORMAT=<"):
+            d = _parse_structured_meta(line)
+            hdr.formats[d["ID"]] = VcfField(
+                d["ID"], d.get("Number", "."), d.get("Type", "String"),
+                d.get("Description", ""),
+            )
+        elif line.startswith("##FILTER=<"):
+            d = _parse_structured_meta(line)
+            hdr.filters.append(d["ID"])
+            hdr.filter_meta.append(d)
+        elif line.startswith("##contig=<"):
+            hdr.contigs.append(_parse_structured_meta(line))
+        elif line.startswith("##ALT=<"):
+            hdr.alts.append(_parse_structured_meta(line))
+        elif line.startswith("##assembly="):
+            hdr.assembly = line.split("=", 1)[1]
+        elif line.startswith("##fileformat="):
+            hdr.fileformat = line.split("=", 1)[1]
+        elif line.startswith("##reference="):
+            hdr.reference = line.split("=", 1)[1]
+        elif "=" in line[2:] and not line.split("=", 1)[1].startswith("<"):
+            k, v = line[2:].split("=", 1)
+            hdr.extra.append((k, v))
+    elif line.startswith("#CHROM"):
+        cols = line.split("\t")
+        if len(cols) > 9:
+            hdr.samples = cols[9:]
+
+
 def parse_vcf_header(path: str, infer_ploidy: bool = True) -> VcfHeader:
     """Driver-side parse of the '##'/'#CHROM' prefix (small by construction).
 
@@ -120,44 +161,9 @@ def parse_vcf_header(path: str, infer_ploidy: bool = True) -> VcfHeader:
         tfh = io.TextIOWrapper(fh, encoding="utf-8", errors="replace")
         for line in tfh:
             line = line.rstrip("\n")
-            if line.startswith("##"):
-                hdr.meta.append(line)
-                if line.startswith("##INFO=<"):
-                    d = _parse_structured_meta(line)
-                    hdr.info[d["ID"]] = VcfField(
-                        d["ID"], d.get("Number", "."), d.get("Type", "String"),
-                        d.get("Description", ""),
-                    )
-                elif line.startswith("##FORMAT=<"):
-                    d = _parse_structured_meta(line)
-                    hdr.formats[d["ID"]] = VcfField(
-                        d["ID"], d.get("Number", "."), d.get("Type", "String"),
-                        d.get("Description", ""),
-                    )
-                elif line.startswith("##FILTER=<"):
-                    d = _parse_structured_meta(line)
-                    hdr.filters.append(d["ID"])
-                    hdr.filter_meta.append(d)
-                elif line.startswith("##contig=<"):
-                    hdr.contigs.append(_parse_structured_meta(line))
-                elif line.startswith("##ALT=<"):
-                    hdr.alts.append(_parse_structured_meta(line))
-                elif line.startswith("##assembly="):
-                    hdr.assembly = line.split("=", 1)[1]
-                elif line.startswith("##fileformat="):
-                    hdr.fileformat = line.split("=", 1)[1]
-                elif line.startswith("##reference="):
-                    hdr.reference = line.split("=", 1)[1]
-                elif "=" in line[2:] and not line.split("=", 1)[1].startswith("<"):
-                    # simple ##key=value remnants (fileDate, source, ...)
-                    # — the reference keeps them in description/vcf.header
-                    k, v = line[2:].split("=", 1)
-                    hdr.extra.append((k, v))
-            elif line.startswith("#CHROM"):
-                cols = line.split("\t")
-                if len(cols) > 9:
-                    hdr.samples = cols[9:]
-            elif line and not line.startswith("#"):
+            if line.startswith("#"):
+                apply_header_line(hdr, line)
+            elif line:
                 if not (infer_ploidy and hdr.samples):
                     break
                 # max ploidy across ALL samples of the first data lines —

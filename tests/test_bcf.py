@@ -1,0 +1,220 @@
+"""Pure-Python BCF2 reader (sources/bcf.py) vs the VCF reader on the
+equivalent text — the frames must be IDENTICAL (reference: seqBCF2GDS
+pipes `bcftools view` into the VCF importer, R/ConvVCF2GDS.R:1473-1508;
+this engine decodes the records itself, so the fixture here is
+spec-constructed bytes, no bcftools involved)."""
+
+import struct
+
+import pytest
+
+from seqarray_spark.sources import vcf as vcfmod
+from seqarray_spark.sources.bcf import read_bcf, read_bgzf_block
+from seqarray_spark.sources.bgzf import BgzfWriter
+
+# ---------------------------------------------------------------------------
+# minimal BCF2.2 encoder (test-side only; the product has no BCF writer,
+# matching the reference, which only imports BCF)
+# ---------------------------------------------------------------------------
+
+T_INT8, T_INT16, T_INT32, T_FLOAT, T_CHAR = 1, 2, 3, 5, 7
+EOV8 = -0x7F
+F_MISS = 0x7F800001
+
+
+def desc(ty: int, n: int) -> bytes:
+    if n < 15:
+        return bytes([(n << 4) | ty])
+    return bytes([(15 << 4) | ty]) + desc(T_INT32, 1) + struct.pack("<i", n)
+
+
+def t_str(s: str) -> bytes:
+    b = s.encode()
+    return desc(T_CHAR, len(b)) + b
+
+
+def t_ints(vals, ty: int = T_INT8) -> bytes:
+    fmt = {T_INT8: "<b", T_INT16: "<h", T_INT32: "<i"}[ty]
+    return desc(ty, len(vals)) + b"".join(struct.pack(fmt, v) for v in vals)
+
+
+def t_floats(vals) -> bytes:
+    out = desc(T_FLOAT, len(vals))
+    for v in vals:
+        out += struct.pack("<f", v)
+    return out
+
+
+def t_missing() -> bytes:
+    return desc(0, 0)
+
+
+def record(rid, pos1, vid, alleles, qual, filters, info, fmts, n_sample):
+    """info: list of (dict_idx, typed_bytes or None for Flag);
+    fmts: list of (dict_idx, type, n_per_sample, flat_packed_values)."""
+    shared = struct.pack("<iii", rid, pos1 - 1, len(alleles[0]))
+    shared += struct.pack("<I", qual if isinstance(qual, int)
+                          else struct.unpack("<I", struct.pack("<f", qual))[0])
+    shared += struct.pack("<II", (len(alleles) << 16) | len(info),
+                          (len(fmts) << 24) | n_sample)
+    shared += t_str(vid) if vid else t_str("")
+    for a in alleles:
+        shared += t_str(a)
+    shared += t_ints(filters) if filters else desc(T_INT8, 0)
+    for key, payload in info:
+        shared += t_ints([key])
+        shared += payload if payload is not None else t_missing()
+    indiv = b""
+    for key, ty, n, flat in fmts:
+        indiv += t_ints([key])
+        indiv += desc(ty, n)
+        fmt = {T_INT8: "<b", T_INT16: "<h", T_INT32: "<i",
+               T_FLOAT: "<f"}.get(ty)
+        if ty == T_CHAR:
+            indiv += flat
+        else:
+            indiv += b"".join(struct.pack(fmt, v) for v in flat)
+    return struct.pack("<II", len(shared), len(indiv)) + shared + indiv
+
+
+HEADER_LINES = [
+    "##fileformat=VCFv4.2",
+    "##FILTER=<ID=PASS,Description=\"All filters passed\">",
+    "##FILTER=<ID=q10,Description=\"Quality below 10\">",
+    "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+    "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Allele freq\">",
+    "##INFO=<ID=DB,Number=0,Type=Flag,Description=\"dbSNP\">",
+    "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+    "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read depth\">",
+    "##contig=<ID=1>",
+    "##contig=<ID=2>",
+]
+CHROM_LINE = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3"
+# string dictionary: PASS=0, q10=1, DP=2, AF=3, DB=4, GT=5 (FORMAT DP
+# reuses entry 2 — duplicate IDs share one dictionary slot per spec)
+PASS_, Q10, DP, AF, DB, GT = 0, 1, 2, 3, 4, 5
+
+VCF_BODY = [
+    # 0|1 , 1/1:7 , ./. ; multiline INFO incl Flag
+    "1\t100\trs1\tA\tT\t10.5\tPASS\tDP=14;AF=0.5;DB\tGT:DP\t0|1:3\t1/1:7\t./.:.",
+    # multiallelic, haploid 3rd sample, q10 filter, missing qual
+    "1\t200\t.\tC\tG,TT\t.\tq10\tAF=0.25,0.125\tGT:DP\t1|2:5\t0/1:.\t1:2",
+    # second contig, no INFO, unphased het
+    "2\t55\t.\tG\tA\t3.25\tPASS\t.\tGT:DP\t0/1:1\t.|.:4\t0/0:9",
+]
+
+
+def make_bcf_bytes() -> bytes:
+    text = "\n".join(HEADER_LINES + [CHROM_LINE]) + "\n\x00"
+    hb = text.encode()
+    out = b"BCF\x02\x02" + struct.pack("<I", len(hb)) + hb
+    # record 1
+    out += record(
+        0, 100, "rs1", ["A", "T"], 10.5, [PASS_],
+        [(DP, t_ints([14], T_INT16)), (AF, t_floats([0.5])),
+         (DB, None)],
+        [(GT, T_INT8, 2, [2, 5, 4, 4, 0, 0]),
+         (DP, T_INT8, 1, [3, 7, -0x80])],
+        3,
+    )
+    # record 2: alleles C, G, TT; GT 1|2 -> [4,7], 0/1 -> [2,4],
+    # haploid 1 -> [4, EOV]
+    out += record(
+        0, 200, "", ["C", "G", "TT"], F_MISS, [Q10],
+        [(AF, t_floats([0.25, 0.125]))],
+        [(GT, T_INT8, 2, [4, 7, 2, 4, 4, EOV8]),
+         (DP, T_INT16, 1, [5, -0x8000, 2])],
+        3,
+    )
+    # record 3 on contig 2; .|. -> [0, 1]
+    out += record(
+        1, 55, "", ["G", "A"], 3.25, [PASS_],
+        [],
+        [(GT, T_INT8, 2, [2, 4, 0, 1, 2, 2]),
+         (DP, T_INT8, 1, [1, 4, 9])],
+        3,
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bcf")
+    bcf_path = str(d / "toy.bcf")
+    with BgzfWriter(bcf_path) as w:
+        w.write(make_bcf_bytes())
+    vcf_path = str(d / "toy.vcf")
+    with open(vcf_path, "w") as fh:
+        fh.write("\n".join(HEADER_LINES + [CHROM_LINE] + VCF_BODY) + "\n")
+    return bcf_path, vcf_path
+
+
+def test_bgzf_block_roundtrip(paths):
+    bcf_path, _ = paths
+    data = open(bcf_path, "rb").read()
+    raw, nxt = read_bgzf_block(data, 0)
+    assert raw[:5] == b"BCF\x02\x02"
+    assert nxt <= len(data)
+
+
+def _rows(df, key):
+    return {tuple(r[k] for k in key): r.asDict() for r in df.collect()}
+
+
+def test_bcf_matches_vcf(spark, paths):
+    """The BCF frame equals the VCF frame on the same logical content:
+    variants (incl INFO struct), calls (alleles/phased/DP), samples,
+    ploidy — and variant ids are the same file-order 1..N."""
+    bcf_path, vcf_path = paths
+    a = read_bcf(spark, bcf_path)
+    b = vcfmod.read_vcf(spark, vcf_path, assign_ids="order")
+    assert a.ploidy == b.ploidy == 2
+    assert [r["sample_id"] for r in a.samples.collect()] == ["S1", "S2", "S3"]
+
+    va, vb = _rows(a.variants, ["variant_id"]), _rows(b.variants, ["variant_id"])
+    assert set(va) == set(vb) and len(va) == 3
+    for k in va:
+        ra, rb = va[k], vb[k]
+        for col in ("chromosome", "position", "id", "ref", "filter"):
+            assert ra[col] == rb[col], (k, col, ra[col], rb[col])
+        assert list(ra["alt"]) == list(rb["alt"])
+        if rb["qual"] is None:
+            assert ra["qual"] is None
+        else:
+            assert ra["qual"] == pytest.approx(rb["qual"], rel=1e-6)
+        ia, ib = ra["info"].asDict(), rb["info"].asDict()
+        assert ia["DP"] == ib["DP"]
+        assert bool(ia["DB"]) == bool(ib["DB"])
+        if ib["AF"] is None:
+            assert ia["AF"] is None
+        else:
+            assert [pytest.approx(x, rel=1e-6) for x in ib["AF"]] == list(ia["AF"])
+
+    ca = _rows(a.calls, ["variant_id", "sample_id"])
+    cb = _rows(b.calls, ["variant_id", "sample_id"])
+    assert set(ca) == set(cb) and len(ca) == 9
+    for k in ca:
+        assert list(ca[k]["alleles"]) == list(cb[k]["alleles"]), k
+        assert list(ca[k]["phased"]) == list(cb[k]["phased"]), k
+        assert ca[k]["DP"] == cb[k]["DP"], k
+
+
+def test_bcf_chunked_scan(spark, paths):
+    """Chunk boundaries are record-aligned: forcing 1 record per chunk
+    still yields the same 3 variants with the same order ids."""
+    import seqarray_spark.sources.bcf as B
+
+    bcf_path, _ = paths
+    hdr_text, chunks = B._scan(bcf_path, chunk_records=1)
+    assert len(chunks) == 3
+    assert [c[4] for c in chunks] == [1, 1, 1]
+    ds = read_bcf(spark, bcf_path)
+    assert sorted(r["variant_id"] for r in ds.variants.collect()) == [1, 2, 3]
+
+
+def test_bcf_rejects_non_bcf(tmp_path, spark):
+    p = tmp_path / "x.bcf"
+    with BgzfWriter(str(p)) as w:
+        w.write(b"NOTBCF....")
+    with pytest.raises(ValueError, match="BCF2"):
+        read_bcf(spark, str(p))

@@ -80,11 +80,10 @@ def test_as_pandas_and_guard(ds):
     ds.reset_filter()
 
 
-def test_read_bcf_gated(spark):
-    import shutil
-
+def test_read_bcf_no_external_binary(spark):
+    """read_bcf is pure Python (sources/bcf.py) — no bcftools gate; a
+    missing path fails as a file error, never NotImplementedError."""
     from seqarray_spark.sources.interop import read_bcf
 
-    if shutil.which("bcftools") is None:
-        with pytest.raises(NotImplementedError):
-            read_bcf(spark, "/nonexistent.bcf")
+    with pytest.raises((FileNotFoundError, OSError)):
+        read_bcf(spark, "/nonexistent.bcf")
