@@ -1401,6 +1401,25 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
             coder=nd_coder, total_bytes=tot_u, comp_bytes=comp,
         )
 
+    def raw_node(kind, dims, raw, attrs=None):
+        """Driver-side (small) node under the base-class coder: frame-
+        compress in place so sample.id / sample.annotation / description
+        streams get the same treatment as the executor-encoded nodes
+        (skipped under ~129 B, where frame overhead exceeds the gain)."""
+        name, codec, level, fb = plan.get("base", ("", "", 0, _RA_BSIZE))
+        if codec and len(raw) > 128:
+            frames, nfr = _compress_frames(codec, level, raw, fb)
+            payload = (
+                _RA_MAGIC[codec] + bytes([0x10, _RA_BSIZE_LOG2, 0xFF])
+                + struct.pack("<I", nfr) + frames
+            )
+            if len(payload) < len(raw):
+                return b.array_node(
+                    kind, dims, payload, attrs=attrs, coder=name,
+                    total_bytes=len(raw), comp_bytes=len(frames),
+                )
+        return b.array_node(kind, dims, raw, attrs=attrs)
+
     root_id = b.new_id()  # = 1
     entries: list[tuple[int, str, bool]] = []
 
@@ -1412,8 +1431,8 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
     if meta.get("reference") or meta.get("assembly"):
         ref = meta.get("reference") or meta.get("assembly")
         desc_entries.append(
-            (b.array_node("vlstr", (1,), _encode_values("vlstr", [ref]),
-                          attrs={"R.invisible": None}),
+            (raw_node("vlstr", (1,), _encode_values("vlstr", [ref]),
+                       attrs={"R.invisible": None}),
              "reference", False)
         )
 
@@ -1429,7 +1448,7 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
                         keys.append(k)
             cols = {k: [r.get(k, "") for r in rows] for k in keys}
         ents = [
-            (b.array_node("vlstr", (len(rows),), _encode_values("vlstr", vals)),
+            (raw_node("vlstr", (len(rows),), _encode_values("vlstr", vals)),
              k, False)
             for k, vals in cols.items()
         ]
@@ -1451,7 +1470,7 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
     entries.append((desc_id, "description", True))
 
     entries.append(
-        (b.array_node("vlstr", (n_samp,), _encode_values("vlstr", sample_ids)),
+        (raw_node("vlstr", (n_samp,), _encode_values("vlstr", sample_ids)),
          "sample.id", False)
     )
     entries.append((dnode("int32", (n_var,), "variant.id"), "variant.id", False))
@@ -1597,11 +1616,11 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
                 vals = [srows[s][c] for s in sample_ids]
                 if dt == "string":
                     sa_entries.append(
-                        (b.array_node("vlstr", (n_samp,), _encode_values("vlstr", vals)), c, False)
+                        (raw_node("vlstr", (n_samp,), _encode_values("vlstr", vals)), c, False)
                     )
                 elif dt in ("double", "float"):
                     sa_entries.append(
-                        (b.array_node(
+                        (raw_node(
                             "float32", (n_samp,),
                             _encode_values("float32", [math.nan if v is None else v for v in vals])), c, False)
                     )
@@ -1609,7 +1628,7 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
                     # NULL ints take the INT32_MIN NA code (the reader's
                     # _py maps it back to None; 0 is a real value)
                     sa_entries.append(
-                        (b.array_node(
+                        (raw_node(
                             "int32", (n_samp,),
                             _encode_values(
                                 "int32",
