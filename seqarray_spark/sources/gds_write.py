@@ -705,8 +705,10 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
         emit("ann.id", "vlstr", ["" if x is None else x for x in vdf["id"]])
         emit("ann.qual", "float32",
              pd.to_numeric(vdf["qual"]).to_numpy(np.float64))
+        # missing FILTER is NA_INTEGER like the reference
+        # (src/ConvVCF2GDS.cpp:1489: I32 = NA_INTEGER), not code 0
         emit("ann.filter", "int32",
-             [lut.get(x, 0) for x in vdf["filter"]])
+             [lut.get(x, _INT_NA) for x in vdf["filter"]])
 
         # ---- INFO ----------------------------------------------------
         for name, kind, is_arr in info_meta:
@@ -1129,13 +1131,25 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
         block_variants = min(max(2_000_000 // max(n_samp, 1), 64), 65536)
     nblocks = max(1, math.ceil(n_var / block_variants))
 
-    levels = sorted(
-        r[0]
-        for r in variants.select("filter")
+    # FILTER factor levels, reference-exact (R/ConvVCF2GDS.R:1405-1425 +
+    # src/ConvVCF2GDS.cpp:1475-1490): a multi-filter cell 'q10;s50' is
+    # ONE level (never semicolon-split), levels are ordered by first
+    # appearance (variant_id order), and header-DECLARED filters that
+    # never occur are appended after the observed ones
+    lv_rows = (
+        variants.select("filter", "variant_id")
         .where(F.col("filter").isNotNull())
-        .distinct()
+        .groupBy("filter")
+        .agg(F.min("variant_id").alias("__first"))
         .collect()
     )
+    levels = [r["filter"] for r in sorted(lv_rows, key=lambda r: r["__first"])]
+    declared = [
+        d.get("ID")
+        for d in (getattr(ds, "meta", None) or {}).get("filter_meta", [])
+        if d.get("ID")
+    ]
+    levels += [x for x in declared if x not in levels]
     lut = {s: i + 1 for i, s in enumerate(levels)}
 
     vindex, block_v0 = _variant_index(variants, nblocks)
@@ -1546,9 +1560,16 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
     ann_entries: list[tuple[int, str, bool]] = []
     ann_entries.append((dnode("vlstr", (n_var,), "ann.id"), "id", False))
     ann_entries.append((dnode("float32", (n_var,), "ann.qual"), "qual", False))
+    # per-level Description from the declared FILTER header lines, ""
+    # where undeclared (reference: R/ConvVCF2GDS.R:1417-1424)
+    fdesc = {
+        d.get("ID"): d.get("Description", "")
+        for d in (getattr(ds, "meta", None) or {}).get("filter_meta", [])
+    }
     ann_entries.append(
         (dnode("int32", (n_var,), "ann.filter",
-               attrs={"R.class": "factor", "R.levels": levels}),
+               attrs={"R.class": "factor", "R.levels": levels,
+                      "Description": [fdesc.get(x, "") or "" for x in levels]}),
          "filter", False)
     )
 

@@ -618,6 +618,10 @@ def header_meta(header: VcfHeader) -> dict:
         "contigs": list(header.contigs),
         "alts": list(header.alts),
         "header_pairs": list(header.extra),
+        # declared FILTER lines: the container's filter factor appends
+        # declared-but-unobserved levels and carries their Descriptions
+        # (R/ConvVCF2GDS.R:1405-1425)
+        "filter_meta": list(header.filter_meta),
     }
 
 

@@ -664,3 +664,48 @@ def test_packedreal_family_roundtrip(spark, tmp_path, pr):
         else:
             q = round(v / scale) * scale  # the width's quantization
             assert got[k] == pytest.approx(q, abs=scale / 2), (k, v)
+
+
+def test_filter_factor_reference_semantics(spark, tmp_path):
+    """FILTER container parity (R/ConvVCF2GDS.R:1405-1425,
+    src/ConvVCF2GDS.cpp:1475-1490): a multi-filter cell 'q10;s50' is ONE
+    factor level (never split on ';'), levels are first-appearance
+    ordered with declared-but-unobserved filters appended, per-level
+    Descriptions ride the node, and a missing FILTER stores NA_INTEGER."""
+    import numpy as np
+
+    from seqarray_spark.dataset import SeqDataset
+
+    src = tmp_path / "f.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##FILTER=<ID=q10,Description="Quality below 10">\n'
+        '##FILTER=<ID=s50,Description="Less than half">\n'
+        '##FILTER=<ID=never,Description="Declared only">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "##contig=<ID=1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "1\t100\t.\tA\tT\t10\tq10;s50\t.\tGT\t0|1\n"
+        "1\t200\t.\tC\tG\t10\tPASS\t.\tGT\t1|1\n"
+        "1\t300\t.\tG\tA\t10\t.\t.\tGT\t0|0\n"
+        "1\t400\t.\tT\tC\t10\tq10\t.\tGT\t0|1\n"
+    )
+    ds2 = vcfmod.read_vcf(spark, str(src), assign_ids="order")
+    out = str(tmp_path / "f.gds")
+    ds2.to_gds(out)
+
+    f = GdsFile(out)
+    node = f.node("annotation/filter")
+    # first-appearance order, then the declared-unobserved level
+    # 's50' never occurs ALONE (the composite cell is its own level), so
+    # it is appended with the other declared-unobserved ids — exactly
+    # R's c(s, setdiff(header$filter$ID, s))
+    assert node.attrs["R.levels"] == ["q10;s50", "PASS", "q10", "s50", "never"]
+    assert node.attrs["Description"] == [
+        "", "", "Quality below 10", "Less than half", "Declared only"]
+    codes = np.asarray(f.read_array("annotation/filter"))
+    assert list(codes) == [1, 2, -(2 ** 31), 3]
+
+    back = SeqDataset.from_gds(spark, out)
+    got = {r["position"]: r["filter"] for r in back.variants.collect()}
+    assert got == {100: "q10;s50", 200: "PASS", 300: None, 400: "q10"}
