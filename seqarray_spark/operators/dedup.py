@@ -161,12 +161,28 @@ def minhash_dup_pairs(
             "band_idx", "band_key"
         ),
     )
-    left = band_keys.select(F.col("_id").alias("id_a"), "band_idx", "band_key")
-    right = band_keys.select(F.col("_id").alias("id_b"), "band_idx", "band_key")
+    # bucket once and expand pairs in-bucket rather than self-joining:
+    # a self-join evaluates the whole signature lineage twice (two scans
+    # + two shuffles); groupBy is one scan + one shuffle. Pair count per
+    # bucket is k^2/2 either way (LSH buckets are near-dup-sized by
+    # construction; a degenerate all-identical corpus blows up both
+    # formulations equally).
+    buckets = (
+        band_keys.groupBy("band_idx", "band_key")
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     cand = (
-        left.join(right, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> "
+                    "transform(filter(ids, b -> b > a), "
+                    "b -> struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     if tau is None:
