@@ -116,6 +116,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs": emb_dup_pairs,
         "emb_ivf_topk": emb_ivf_topk,  # approximate -> rows-only check
         "doc_normalize": doc_normalize,
+        "doc_dup_clusters": doc_dup_clusters,
+        "doc_pack_batches": doc_pack_batches,
+        "doc_stratified_sample": doc_stratified_sample,
         # -- multimodal columns (binary payload + typed metadata) -----------
         "mm_media_meta": mm_media_meta,
         "mm_feature_extract": mm_feature_extract,
@@ -804,6 +807,45 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len"))
 
 
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: connected components over the
+    MinHash pair graph (min-label propagation, one shuffle per round) —
+    the post-pair step that picks one keeper per duplicate group even
+    when dups chain (A~B~C without A~C)."""
+    from seqarray_spark.operators.dedup import dup_clusters, minhash_dup_pairs
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    pairs = minhash_dup_pairs(docs, num_hashes=16, bands=4, shingle_n=3, tau=0.7)
+    return dup_clusters(pairs)
+
+
+def doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to ~512-token training batches
+    by per-shard running token count (windows partitioned by shard —
+    never a global sort). Modulus sharding here so the oracle reproduces
+    it; production default is hash sharding."""
+    from seqarray_spark.operators.curate import pack_sequences
+
+    docs = td.load_table(spark, sf_dir, "documents").withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+    )
+    out = pack_sequences(docs, budget=512, shards=8, shard_col="shard")
+    return out.select("doc_id", "shard", "n_tokens", "batch_id")
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly ceil(0.2 * |stratum|)
+    docs per stratum, chosen by the md5(seed:id) coin — reproducible
+    across runs, partitionings, and engines."""
+    from seqarray_spark.operators.curate import sample_stratified
+
+    docs = td.load_table(spark, sf_dir, "documents").withColumn(
+        "stratum", F.pmod(F.col("doc_id"), F.lit(5)).cast("int")
+    )
+    out = sample_stratified(docs, "stratum", 0.2, seed=7)
+    return out.select("doc_id", "stratum")
+
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
@@ -827,6 +869,69 @@ def _SW(lang: str) -> str:
     from seqarray_spark.operators.text import STOPWORDS
 
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+# MinHash near-dup pair oracle, shared by doc_minhash_dups and the
+# connected-components clustering oracle
+_MH_PAIRS_SQL = """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+              FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t)-2)) AS i
+                    FROM toks WHERE len(t) >= 3) z
+            ), hashed AS (
+              SELECT doc_id, b, md5(CAST(b AS STRING) || ':' || s) AS h
+              FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b) seeds
+            ), mh AS (
+              SELECT doc_id,
+                MIN(CASE WHEN b=0 THEN substring(h, 1, 8) END) AS h0,
+                MIN(CASE WHEN b=0 THEN substring(h, 9, 8) END) AS h1,
+                MIN(CASE WHEN b=0 THEN substring(h, 17, 8) END) AS h2,
+                MIN(CASE WHEN b=0 THEN substring(h, 25, 8) END) AS h3,
+                MIN(CASE WHEN b=1 THEN substring(h, 1, 8) END) AS h4,
+                MIN(CASE WHEN b=1 THEN substring(h, 9, 8) END) AS h5,
+                MIN(CASE WHEN b=1 THEN substring(h, 17, 8) END) AS h6,
+                MIN(CASE WHEN b=1 THEN substring(h, 25, 8) END) AS h7,
+                MIN(CASE WHEN b=2 THEN substring(h, 1, 8) END) AS h8,
+                MIN(CASE WHEN b=2 THEN substring(h, 9, 8) END) AS h9,
+                MIN(CASE WHEN b=2 THEN substring(h, 17, 8) END) AS h10,
+                MIN(CASE WHEN b=2 THEN substring(h, 25, 8) END) AS h11,
+                MIN(CASE WHEN b=3 THEN substring(h, 1, 8) END) AS h12,
+                MIN(CASE WHEN b=3 THEN substring(h, 9, 8) END) AS h13,
+                MIN(CASE WHEN b=3 THEN substring(h, 17, 8) END) AS h14,
+                MIN(CASE WHEN b=3 THEN substring(h, 25, 8) END) AS h15
+              FROM hashed GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, 0 AS band_idx, md5(h0||'|'||h1||'|'||h2||'|'||h3) AS band_key FROM mh
+              UNION ALL
+              SELECT doc_id, 1, md5(h4||'|'||h5||'|'||h6||'|'||h7) FROM mh
+              UNION ALL
+              SELECT doc_id, 2, md5(h8||'|'||h9||'|'||h10||'|'||h11) FROM mh
+              UNION ALL
+              SELECT doc_id, 3, md5(h12||'|'||h13||'|'||h14||'|'||h15) FROM mh
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id
+            ), sz AS (
+              SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS i
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.id_a
+              JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT i.id_a, i.id_b,
+                   CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.id_a
+            JOIN sz sb ON sb.doc_id = i.id_b
+            WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.7
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1358,64 +1463,50 @@ def oracle_sql() -> dict[str, str]:
               END AS lang_guess
             FROM hits
         """,
-        "doc_minhash_dups": """
-            WITH toks AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
-              FROM documents
-            ), sh AS (
-              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-              FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t)-2)) AS i
-                    FROM toks WHERE len(t) >= 3) z
-            ), hashed AS (
-              SELECT doc_id, b, md5(CAST(b AS STRING) || ':' || s) AS h
-              FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b) seeds
-            ), mh AS (
-              SELECT doc_id,
-                MIN(CASE WHEN b=0 THEN substring(h, 1, 8) END) AS h0,
-                MIN(CASE WHEN b=0 THEN substring(h, 9, 8) END) AS h1,
-                MIN(CASE WHEN b=0 THEN substring(h, 17, 8) END) AS h2,
-                MIN(CASE WHEN b=0 THEN substring(h, 25, 8) END) AS h3,
-                MIN(CASE WHEN b=1 THEN substring(h, 1, 8) END) AS h4,
-                MIN(CASE WHEN b=1 THEN substring(h, 9, 8) END) AS h5,
-                MIN(CASE WHEN b=1 THEN substring(h, 17, 8) END) AS h6,
-                MIN(CASE WHEN b=1 THEN substring(h, 25, 8) END) AS h7,
-                MIN(CASE WHEN b=2 THEN substring(h, 1, 8) END) AS h8,
-                MIN(CASE WHEN b=2 THEN substring(h, 9, 8) END) AS h9,
-                MIN(CASE WHEN b=2 THEN substring(h, 17, 8) END) AS h10,
-                MIN(CASE WHEN b=2 THEN substring(h, 25, 8) END) AS h11,
-                MIN(CASE WHEN b=3 THEN substring(h, 1, 8) END) AS h12,
-                MIN(CASE WHEN b=3 THEN substring(h, 9, 8) END) AS h13,
-                MIN(CASE WHEN b=3 THEN substring(h, 17, 8) END) AS h14,
-                MIN(CASE WHEN b=3 THEN substring(h, 25, 8) END) AS h15
-              FROM hashed GROUP BY doc_id
-            ), bands AS (
-              SELECT doc_id, 0 AS band_idx, md5(h0||'|'||h1||'|'||h2||'|'||h3) AS band_key FROM mh
-              UNION ALL
-              SELECT doc_id, 1, md5(h4||'|'||h5||'|'||h6||'|'||h7) FROM mh
-              UNION ALL
-              SELECT doc_id, 2, md5(h8||'|'||h9||'|'||h10||'|'||h11) FROM mh
-              UNION ALL
-              SELECT doc_id, 3, md5(h12||'|'||h13||'|'||h14||'|'||h15) FROM mh
-            ), cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-              WHERE a.doc_id < b.doc_id
-            ), sz AS (
-              SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-            ), inter AS (
-              SELECT c.id_a, c.id_b, COUNT(*) AS i
-              FROM cand c
-              JOIN sh x ON x.doc_id = c.id_a
-              JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
-              GROUP BY c.id_a, c.id_b
+        "doc_minhash_dups": _MH_PAIRS_SQL,
+        # connected components over the SAME pair graph: transitive
+        # closure by recursive CTE, component label = min reachable id
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_MH_PAIRS_SQL}),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(a, b) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
             )
-            SELECT i.id_a, i.id_b,
-                   CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
-            FROM inter i
-            JOIN sz sa ON sa.doc_id = i.id_a
-            JOIN sz sb ON sb.doc_id = i.id_b
-            WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.7
+            SELECT a AS doc_id, MIN(b) AS cluster_id
+            FROM reach GROUP BY a
+        """,
+        "doc_pack_batches": """
+            WITH t AS (
+              SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                     CAST(LENGTH(regexp_extract_all(text, '[A-Za-z0-9'']+')) AS INT) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 512.0) AS BIGINT) AS batch_id
+            FROM t
+        """,
+        "doc_stratified_sample": """
+            WITH t AS (
+              SELECT doc_id, CAST(doc_id % 5 AS INT) AS stratum,
+                     md5('7:' || CAST(doc_id AS STRING)) AS coin
+              FROM documents
+            ), r AS (
+              SELECT doc_id, stratum,
+                     ROW_NUMBER() OVER (PARTITION BY stratum
+                                        ORDER BY coin, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY stratum) AS n
+              FROM t
+            )
+            SELECT doc_id, stratum FROM r WHERE rn <= CEIL(n * 0.2)
         """,
         "doc_ngram_dups": """
             WITH toks AS (

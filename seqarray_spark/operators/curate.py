@@ -1,0 +1,92 @@
+"""Corpus-curation operators for training-data pipelines: sequence
+packing into token-budget batches and deterministic stratified sampling.
+
+These extend the engine's LLM-pipeline surface (dedup / similarity /
+text analysis / multimodal) with the two remaining curation steps a
+100 TB corpus runs before training: shaping documents into fixed-budget
+training sequences, and drawing reproducible per-stratum samples.
+
+Scale design: both operators are pure Column/window expressions — no
+UDFs, no driver-side state. Packing windows are PARTITIONED BY SHARD
+(never one global window, which would funnel the corpus through a
+single partition); sampling uses a deterministic hash order so the same
+fraction of every stratum is kept on any cluster size, any partitioning,
+and re-runs are reproducible bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from seqarray_spark.operators.text import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shards: int = 16,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a training batch of ~`budget` tokens:
+    documents are sharded by id hash, ordered deterministically within
+    each shard, and cut greedily by running token count — batch boundary
+    wherever the cumulative count crosses a multiple of the budget
+    (documents are never split; a doc longer than the budget gets its
+    own batch). Output adds (shard, batch_id, n_tokens).
+
+    The window is per-shard, so parallelism = `shards` regardless of
+    corpus size and no global sort exists; shards pack independently,
+    which is exactly how a distributed loader consumes them. Raise
+    `shards` to taste — packing quality only needs each shard to hold
+    many batches' worth of documents.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    toks = token_count(F.col(text_col))
+    if shard_col is None:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int")
+    else:
+        # caller-supplied shard column (e.g. a modulus for cross-engine
+        # reproducibility, or a source-file id for locality)
+        shard = F.col(shard_col).cast("int")
+    t = docs.withColumns({"n_tokens": toks, "shard": shard})
+    w = Window.partitionBy("shard").orderBy(id_col)
+    # batch = how many FULL budgets the preceding docs of the shard
+    # consumed: a doc starts a new batch when its predecessor's running
+    # total crossed the next budget multiple
+    run_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return t.withColumn(
+        "batch_id", F.floor(run_before / F.lit(budget)).cast("long")
+    )
+
+
+def sample_stratified(
+    docs: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sample: keep ceil(fraction * |stratum|)
+    rows of EVERY stratum, chosen by ascending md5(seed:id) — an
+    order-free, partitioning-free, engine-portable coin. Unlike
+    DataFrame.sample, per-stratum counts are exact (never off by
+    binomial noise) and re-runs/engines agree row-for-row, which is what
+    a reproducible corpus release needs."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError("fraction must be in (0, 1]")
+    coin = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(coin, F.col(id_col))
+    n = F.count(F.lit(1)).over(Window.partitionBy(strata_col))
+    keep = F.row_number().over(w) <= F.ceil(n * F.lit(float(fraction)))
+    return (
+        docs.withColumn("__keep", keep)
+        .where(F.col("__keep"))
+        .drop("__keep")
+    )

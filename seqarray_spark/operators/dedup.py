@@ -586,3 +586,61 @@ def _hyperplane_bucket(vec: Column, planes: int) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components over the pair graph, labeled by each component's minimum
+    id -> (doc_id, cluster_id). This is the step a curation pipeline
+    runs after any pair generator (minhash/simhash/embedding) to pick
+    one keeper per duplicate group — pairs alone under-remove when dups
+    chain (A~B, B~C but not A~C).
+
+    Algorithm: iterative min-label propagation (the standard large-graph
+    connected-components shape): each round every node adopts the min
+    label among itself and its neighbors; converges in O(diameter)
+    rounds, each ONE shuffle (edge join + min agg). Near-dup components
+    have tiny diameters, so 3-4 rounds is typical; `localCheckpoint`
+    per round keeps the plan from growing (iterative lineage would
+    otherwise deepen the DAG each loop). No driver-side graph: the
+    driver only checks the convergence counter."""
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

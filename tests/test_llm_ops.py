@@ -369,3 +369,55 @@ def test_no_pinned_storage_after_queries(spark, docs):
     del s
     gc.collect()
     assert jsc_sc.getPersistentRDDs().size() <= base, "both-agg still pinned"
+
+
+def test_dup_clusters_transitive(spark):
+    """Chained near-dups resolve into one component with min-id label;
+    disjoint pairs stay separate (connected components semantics)."""
+    from seqarray_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=3),
+         Row(id_a=10, id_b=11)]
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_pack_sequences_budget(spark):
+    """Batches respect the token budget per shard: a batch's token sum
+    stays under budget + the overflowing document; docs never split."""
+    from seqarray_spark.operators.curate import pack_sequences
+
+    rows = [Row(doc_id=i, text="w " * (10 * (i % 4 + 1))) for i in range(40)]
+    out = pack_sequences(
+        spark.createDataFrame(rows), budget=50, shards=4,
+    ).collect()
+    assert len(out) == 40  # every doc assigned exactly once
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault((r["shard"], r["batch_id"]), []).append(r["n_tokens"])
+    for (shard, b), toks in by_batch.items():
+        # greedy running-sum cut: all but the last doc fit under budget
+        assert sum(toks[:-1]) < 50 or len(toks) == 1, (shard, b, toks)
+
+
+def test_sample_stratified_exact_and_deterministic(spark):
+    """Per-stratum counts are exactly ceil(fraction * n); re-runs return
+    the identical row set (the md5 coin is order/partitioning-free)."""
+    import math as _math
+
+    from seqarray_spark.operators.curate import sample_stratified
+
+    rows = [Row(doc_id=i, stratum=i % 3) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    a = sorted(r["doc_id"] for r in sample_stratified(df, "stratum", 0.25).collect())
+    b = sorted(r["doc_id"] for r in
+               sample_stratified(df.repartition(7), "stratum", 0.25).collect())
+    assert a == b
+    per = {}
+    for r in sample_stratified(df, "stratum", 0.25).collect():
+        per[r["stratum"]] = per.get(r["stratum"], 0) + 1
+    for s in (0, 1, 2):
+        n = sum(1 for i in range(100) if i % 3 == s)
+        assert per[s] == _math.ceil(n * 0.25), (s, per[s], n)
