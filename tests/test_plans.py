@@ -161,3 +161,51 @@ def test_fused_dosage_agg_is_single_pass(spark):
     )
     df = af_ac_missing_dosage(calls)
     assert E.num_shuffles(df) == 1
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """Sequence packing windows are per-shard: one hash-partitioned
+    Exchange, never an Exchange SinglePartition (a global-ordered window
+    would funnel the corpus through one partition)."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators.curate import pack_sequences
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="w " * 20) for i in range(100)]
+    )
+    df = pack_sequences(docs, budget=64, shards=8)
+    plan = E.plan_string(df, "simple")
+    assert "SinglePartition" not in plan
+    assert E.num_shuffles(df) == 1
+
+
+def test_stratified_sample_no_global_sort(spark):
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators.curate import sample_stratified
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, stratum=i % 3) for i in range(100)]
+    )
+    df = sample_stratified(docs, "stratum", 0.5)
+    plan = E.plan_string(df, "simple")
+    assert "SinglePartition" not in plan
+
+
+def test_minhash_pairs_single_signature_scan(spark):
+    """The LSH candidate stage buckets ONE signature build (groupBy +
+    in-bucket pair expansion) instead of self-joining two copies of the
+    signature lineage."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators.dedup import minhash_dup_pairs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{j+i%3}" for j in range(12)))
+         for i in range(30)]
+    )
+    cand = minhash_dup_pairs(docs, tau=None)
+    plan = E.plan_string(cand, "simple")
+    # candidate generation is join-free (the verify stage joins later)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
