@@ -187,10 +187,26 @@ def minhash_dup_pairs(
     )
     if tau is None:
         return cand
-    # exact-Jaccard verification only on candidates: re-attach shingle sets
-    shingle_sets = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
+    # exact-Jaccard verification only on candidates. Candidates are a
+    # tiny fraction of the corpus by construction, so: materialize the
+    # pair list once (localCheckpoint — it is KBs), broadcast-semi-join
+    # docs down to candidate ids, and build shingle sets for THOSE docs
+    # only — instead of re-tokenizing the full corpus twice (once per
+    # join side), which dominated the operator's cost
+    cand = cand.localCheckpoint()
+    ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    shingle_sets = (
+        docs.join(
+            F.broadcast(ids), docs[id_col] == ids["_id"], "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
+        )
     )
     return (
         cand.join(shingle_sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
@@ -615,6 +631,10 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    # convergence check by label-sum: labels only ever DECREASE, so the
+    # total strictly drops whenever any node changed — one tiny agg per
+    # round instead of a self-join diff
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("id", "b"), "b")
@@ -622,7 +642,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             .agg(F.min("label").alias("nbr"))
             .withColumnRenamed("a", "id")
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
@@ -632,15 +652,10 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
