@@ -32,10 +32,13 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign each document to a training batch of ~`budget` tokens:
     documents are sharded by id hash, ordered deterministically within
-    each shard, and cut greedily by running token count — batch boundary
-    wherever the cumulative count crosses a multiple of the budget
-    (documents are never split; a doc longer than the budget gets its
-    own batch). Output adds (shard, batch_id, n_tokens).
+    each shard, and cut greedily by running token count — a document
+    joins the batch its predecessors' cumulative count falls in
+    (floor(run_before / budget)). Documents are never split, so a batch
+    can exceed the budget by (at most) its last member's length, and
+    batch ids within a shard may have GAPS after an over-budget member
+    (ids are budget-multiples consumed, not a dense counter). Output
+    adds (shard, batch_id, n_tokens).
 
     The window is per-shard, so parallelism = `shards` regardless of
     corpus size and no global sort exists; shards pack independently,

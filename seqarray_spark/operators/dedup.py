@@ -612,14 +612,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     one keeper per duplicate group — pairs alone under-remove when dups
     chain (A~B, B~C but not A~C).
 
-    Algorithm: iterative min-label propagation (the standard large-graph
-    connected-components shape): each round every node adopts the min
-    label among itself and its neighbors; converges in O(diameter)
-    rounds, each ONE shuffle (edge join + min agg). Near-dup components
-    have tiny diameters, so 3-4 rounds is typical; `localCheckpoint`
-    per round keeps the plan from growing (iterative lineage would
-    otherwise deepen the DAG each loop). No driver-side graph: the
-    driver only checks the convergence counter."""
+    Algorithm: min-label propagation with pointer jumping — each round
+    every node adopts the min of its own label, its neighbors' labels,
+    AND its current label's label (path halving), so convergence takes
+    O(log diameter) rounds rather than O(diameter): a 10^6-long dup
+    chain converges in ~20 rounds. Each round is two shuffled joins +
+    one agg; `localCheckpoint` per round keeps the plan from growing.
+    No driver-side graph: the driver only checks the convergence sum.
+    Raises RuntimeError if max_iter rounds don't converge (never returns
+    a partially-propagated labeling — downstream keeper selection would
+    silently over-keep)."""
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
@@ -635,6 +637,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     # total strictly drops whenever any node changed — one tiny agg per
     # round instead of a self-join diff
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("id", "b"), "b")
@@ -642,20 +645,41 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             .agg(F.min("label").alias("nbr"))
             .withColumnRenamed("a", "id")
         )
+        # pointer jumping: each node also looks up its LABEL's label
+        lol = (
+            labels.alias("l1")
+            .join(
+                labels.select(
+                    F.col("id").alias("label"), F.col("label").alias("ll")
+                ),
+                "label",
+            )
+            .select("id", "ll")
+        )
         labels = (
             labels.join(nbr_min, "id", "left")
+            .join(lol, "id", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("nbr"), F.col("label")),
+                    F.coalesce(F.col("ll"), F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds; "
+            f"raise max_iter (components of diameter > ~2^{max_iter} "
+            f"should not exist in a near-dup graph)"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -460,7 +460,9 @@ def read_bcf(spark, path: str, **kwargs):
     ploidy = 1
     if chunks and hdr.samples:
         blk, in_off, need, _i0, n_rec = chunks[0]
-        raw = _inflate_range(path, blk, in_off + need)
+        # `need` is measured from the anchor block's inflated start and
+        # already covers the in_off lead-in
+        raw = _inflate_range(path, blk, need)
         o = in_off
         for _ in range(min(n_rec, 50)):
             line, o = decode_record(raw, o, strings, contigs)
@@ -484,7 +486,7 @@ def read_bcf(spark, path: str, **kwargs):
     def _render(batches):
         for pdf in batches:
             for blk, in_off, need, first, n_rec in pdf.itertuples(index=False):
-                raw = _inflate_range(path, int(blk), int(in_off + need))
+                raw = _inflate_range(path, int(blk), int(need))
                 o, rows = int(in_off), []
                 for k in range(int(n_rec)):
                     line, o = decode_record(raw, o, strings, contigs)

@@ -173,6 +173,20 @@ def _storage_plan(coder: str | None, *, geno: str | None = None,
     explicit geno/info/format/index overrides win. Classes: 'base'
     (variant.id/position/chromosome/allele/annotation scalars), 'geno'
     (genotype + phase planes), 'info', 'fmt', 'index' (hidden @ nodes)."""
+    def _alias(x):
+        # the 'Ultra'/'UltraMax' convenience names are valid anywhere a
+        # coder string is (incl. per-class overrides); as overrides they
+        # expand with their headline frame sizes directly
+        if x == "Ultra":
+            return "LZMA_ra.ultra:4M"
+        if x == "UltraMax":
+            return "LZMA_ra.ultra_max:8M"
+        return x
+
+    geno = _alias(geno) if geno else geno
+    info = _alias(info) if info else info
+    fmt = _alias(fmt) if fmt else fmt
+    index = _alias(index) if index else index
     c = coder or ""
     if c == "Ultra":
         c = "LZMA_ra.ultra"

@@ -421,3 +421,16 @@ def test_sample_stratified_exact_and_deterministic(spark):
     for s in (0, 1, 2):
         n = sum(1 for i in range(100) if i % 3 == s)
         assert per[s] == _math.ceil(n * 0.25), (s, per[s], n)
+
+
+def test_dup_clusters_long_chain(spark):
+    """A 60-edge duplicate chain (diameter far beyond a naive
+    per-round propagation budget) fully converges to one component —
+    pointer jumping makes rounds O(log diameter)."""
+    from seqarray_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(1, 60)]
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert len(out) == 60 and set(out.values()) == {1}
