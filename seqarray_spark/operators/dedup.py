@@ -283,21 +283,32 @@ def ngram_jaccard_pairs(
     #     which must reach ceil(tau/(1+tau)*(|a|+|b|)); a pair survives
     #     if ANY of its matches passes, and the first match carries the
     #     loosest (valid) bound.
-    la, lb = F.col("a.__len"), F.col("b.__len")
-    need = F.ceil(F.lit(float(tau) / (1.0 + float(tau))) * (la + lb))
+    # posting-list bucketing instead of a prefix self-join: one groupBy
+    # of the prefix relation (the self-join would evaluate the whole
+    # explode + dfreq-join + sorted-collect lineage TWICE), then pair
+    # expansion + PPJoin+ filters inside each shingle's posting list.
+    # Postings are short by construction (rarest-first prefixes, df=1
+    # dropped), so the in-bucket k^2 is the same candidate count the
+    # join produced.
+    t = float(tau)
+    pair_expr = (
+        "flatten(transform(ps, a -> transform(filter(ps, b -> "
+        "b._id > a._id "
+        f"AND least(a.__len, b.__len) >= {t} * greatest(a.__len, b.__len) "
+        "AND least(a.__len - a.__pos, b.__len - b.__pos) >= "
+        f"ceil({t} / (1.0 + {t}) * (a.__len + b.__len))"
+        "), b -> struct(a._id AS id_a, b._id AS id_b))))"
+    )
     cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .filter(F.least(la, lb) >= F.lit(float(tau)) * F.greatest(la, lb))
-        .filter(
-            F.least(la - F.col("a.__pos"), lb - F.col("b.__pos")) >= need
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        prefix.groupBy("shingle")
+        .agg(F.collect_list(F.struct("_id", "__len", "__pos")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
         # persisted once (tiny — id pairs) because it feeds the
         # candidate-ids semi join AND the verify join; without it the
-        # expensive prefix self-join would run three times. Released
+        # expensive prefix build would run three times. Released
         # deterministically when the caller drops the result
         # (plans/lifecycle.py) instead of pinning session storage.
         .persist()
