@@ -1084,3 +1084,32 @@ def _struct_field_names(variants: DataFrame) -> list[str]:
 def _struct_field_types(variants: DataFrame) -> list[tuple[str, str]]:
     t = variants.schema["info"].dataType
     return [(f.name, f.dataType.simpleString()) for f in t.fields]
+
+
+def vcf_samp_id(path: str) -> list[str]:
+    """Sample ids from a VCF's #CHROM header line (reference:
+    seqVCF_SampID, R/ConvVCF2GDS.R — the quick pre-import probe)."""
+    return parse_vcf_header(path, infer_ploidy=False).samples
+
+
+def example_file_name(type: str = "gds") -> str:
+    """Path of a bundled example file (reference: seqExampleFileName,
+    R/Utilities.R:42-53). 'gds'/'vcf'/'KG_Phase1'/'dosage' resolve to
+    the reference's own fixtures when present (this engine reads them
+    directly); 'toy_vcf' is this repo's minimal fixture."""
+    import os
+
+    names = {
+        "gds": "/root/reference/inst/extdata/CEU_Exon.gds",
+        "vcf": "/root/reference/inst/extdata/CEU_Exon.vcf.gz",
+        "KG_Phase1": "/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds",
+        "dosage": "/root/reference/inst/extdata/Imputed_dosages.gds",
+        "toy_vcf": os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "tests", "fixtures", "toy.vcf",
+        ),
+    }
+    if type not in names:
+        raise ValueError(f"unknown example type {type!r} (use {sorted(names)})")
+    return names[type]

@@ -614,3 +614,20 @@ def test_string_info_values_not_numerically_coerced(spark, tmp_path):
 
     body = "".join(open(p).read() for p in glob.glob(f"{out}/part-*"))
     assert "CODE=007,X1" in body
+
+
+def test_vcf_samp_id_and_example_files():
+    """seqVCF_SampID / seqExampleFileName parity (R/ConvVCF2GDS.R sample
+    probe; R/Utilities.R:42-53)."""
+    import os
+
+    import pytest as _pytest
+
+    from seqarray_spark.sources.vcf import example_file_name, vcf_samp_id
+
+    toy = example_file_name("toy_vcf")
+    assert vcf_samp_id(toy) == ["NA001", "NA002", "NA003"]
+    if os.path.exists(example_file_name("vcf")):
+        assert len(vcf_samp_id(example_file_name("vcf"))) == 90
+    with _pytest.raises(ValueError):
+        example_file_name("nope")
