@@ -76,3 +76,49 @@ def test_image_codec_roundtrip_property(w, h, seed):
     img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), np.uint8)
     assert (MM.decode_image(MM.encode_bmp(img)) == img).all()
     assert (MM.decode_image(MM.encode_ppm(img)) == img).all()
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_lz4_block_roundtrip_property(data):
+    """Any byte string round-trips through the pure-Python LZ4 block
+    codec exactly (sources/lz4_block; public LZ4 block format)."""
+    from seqarray_spark.sources.lz4_block import (compress_block,
+                                                  decompress_block)
+
+    assert decompress_block(compress_block(data), len(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(min_value=-3.0, max_value=3.0,
+                                       allow_nan=False)),
+        min_size=1, max_size=50,
+    ),
+    st.sampled_from(["packedreal8", "packedreal16", "packedreal16u",
+                     "packedreal24", "packedreal24u", "packedreal32",
+                     "packedreal32u"]),
+)
+def test_packedreal_quantization_property(vals, kind):
+    """encode -> decode is the width's quantization for every packedreal
+    class: |x_hat - clip(x)| <= scale/2, None <-> NaN (writer _PR_SPEC
+    and reader decode_values agree per width/signedness)."""
+    import math
+
+    import numpy as np
+
+    from seqarray_spark.sources.gds import GdsNode, decode_values
+    from seqarray_spark.sources.gds_write import _PR_SPEC, _encode_values
+
+    scale, _na, lo, hi, _dt = _PR_SPEC[kind]
+    raw = _encode_values(kind, [math.nan if v is None else v for v in vals])
+    node = GdsNode(name="x", path="/x", stream_id=0, flags=0,
+                   kind=kind, dims=(len(vals),))
+    got = decode_values(node, raw)
+    for v, g in zip(vals, got):
+        if v is None:
+            assert np.isnan(g)
+        else:
+            clipped = min(max(v, lo * scale), hi * scale)
+            assert abs(g - clipped) <= scale / 2 + 1e-12, (kind, v, g)
