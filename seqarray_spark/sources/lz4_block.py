@@ -23,6 +23,14 @@ speed is amortized across the cluster the same way the xz/zlib paths are.
 
 from __future__ import annotations
 
+try:  # optional C implementation (python-lz4); absent in this container.
+    # The formats are identical (both are the public LZ4 block format),
+    # so files written either way read back under either path — the C
+    # library only changes throughput (~400 MB/s vs ~2-4 MB/s here).
+    import lz4.block as _lz4c
+except Exception:  # pragma: no cover - environment-dependent
+    _lz4c = None
+
 _MIN_MATCH = 4
 # spec end conditions: last match must start at least 12 bytes before the
 # block end; the last 5 bytes are always literals
@@ -41,6 +49,8 @@ def compress_block(src: bytes) -> bytes:
     """src -> one LZ4 block. Always succeeds (incompressible data costs
     ~0.4% expansion as literal runs)."""
     src = bytes(src)
+    if _lz4c is not None:
+        return _lz4c.compress(src, store_size=False)
     n = len(src)
     out = bytearray()
     if n == 0:
@@ -88,6 +98,8 @@ def compress_block(src: bytes) -> bytes:
 def decompress_block(src, out_size: int) -> bytes:
     """One LZ4 block -> its out_size uncompressed bytes."""
     src = bytes(src)
+    if _lz4c is not None and out_size > 0:
+        return _lz4c.decompress(src, uncompressed_size=out_size)
     n = len(src)
     out = bytearray()
     i = 0
