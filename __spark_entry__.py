@@ -119,6 +119,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": doc_dup_clusters,
         "doc_pack_batches": doc_pack_batches,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_contamination": doc_contamination,
         # -- multimodal columns (binary payload + typed metadata) -----------
         "mm_media_meta": mm_media_meta,
         "mm_feature_extract": mm_feature_extract,
@@ -833,6 +834,20 @@ def doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", "n_tokens", "batch_id")
 
 
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 5-gram
+    with a probe set (every 50th doc stands in for an eval benchmark).
+    Probe shingles broadcast; the corpus side never shuffles for the
+    join."""
+    from seqarray_spark.operators.curate import contamination_check
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return contamination_check(docs, probes, n=5)
+
+
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: exactly ceil(0.2 * |stratum|)
     docs per stratum, chosen by the md5(seed:id) coin — reproducible
@@ -1493,6 +1508,24 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) / 512.0) AS BIGINT) AS batch_id
             FROM t
+        """,
+        "doc_contamination": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+              FROM documents
+            ), dsh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+              FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t)-4)) AS i
+                    FROM toks WHERE len(t) >= 5) z
+            ), psh AS (
+              SELECT DISTINCT doc_id AS probe_id, s
+              FROM dsh WHERE doc_id % 50 = 0
+            )
+            SELECT d.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_matched_ngrams,
+                   CAST(COUNT(DISTINCT p.probe_id) AS BIGINT) AS n_probes
+            FROM dsh d JOIN psh p ON d.s = p.s
+            GROUP BY d.doc_id
         """,
         "doc_stratified_sample": """
             WITH t AS (

@@ -93,3 +93,47 @@ def sample_stratified(
         .where(F.col("__keep"))
         .drop("__keep")
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_id_col: str = "probe_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a PROBE set (eval/benchmark texts) — the standard
+    n-gram-collision contamination test run before training. Returns
+    (doc_id, n_matched_ngrams, n_probes) for contaminated docs only.
+
+    Scale shape: the probe set is the small side by construction
+    (benchmarks are MBs, the corpus is TBs), so its distinct shingles
+    BROADCAST and the corpus side is one explode + broadcast-hash-join +
+    one aggregation — the 100 TB table never shuffles for the join."""
+    from seqarray_spark.operators.text import word_shingles
+
+    probe_sh = (
+        probes.select(
+            F.col(probe_id_col).alias("__pid"),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), n))
+            ).alias("__s"),
+        )
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("__s"),
+    )
+    return (
+        doc_sh.join(F.broadcast(probe_sh), "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_ngrams"),
+            F.countDistinct("__pid").alias("n_probes"),
+        )
+    )

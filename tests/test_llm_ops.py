@@ -434,3 +434,26 @@ def test_dup_clusters_long_chain(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert len(out) == 60 and set(out.values()) == {1}
+
+
+def test_contamination_check(spark):
+    """Docs sharing an n-gram with the probe set are flagged with match
+    and probe counts; clean docs are absent; the probe side broadcasts
+    (no shuffle of the corpus for the join)."""
+    from seqarray_spark.operators.curate import contamination_check
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=2, text="unrelated words entirely different content"),
+        Row(doc_id=3, text="prefix alpha beta gamma delta suffix"),
+    ])
+    probes = spark.createDataFrame(
+        [Row(probe_id=9, text="alpha beta gamma delta")]
+    )
+    out = contamination_check(docs, probes, n=4)
+    got = {r["doc_id"]: (r["n_matched_ngrams"], r["n_probes"])
+           for r in out.collect()}
+    assert got == {1: (1, 1), 3: (1, 1)}
+    from seqarray_spark.plans import explain as E
+
+    assert "BroadcastHashJoin" in E.plan_string(out, "simple")
