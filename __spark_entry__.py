@@ -610,13 +610,19 @@ def ev_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting over documents (LLM-pipeline text analysis)."""
+    """Token counting over documents, three ways (LLM-pipeline text
+    analysis): word-regex, whitespace runs, and a BPE-ish pre-tokenizer
+    regex (contractions / letter runs / digit runs / punct runs)."""
+    from seqarray_spark.operators.text import token_count_bpe, token_count_ws
+
     docs = td.load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9']+"), 0)).alias(
             "n_tokens"
         ),
+        token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
         F.length("text").alias("n_chars_actual"),
     )
 
@@ -1407,6 +1413,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": """
             SELECT doc_id,
                    CAST(LENGTH(regexp_extract_all(text, '[A-Za-z0-9'']+')) AS INT) AS n_tokens,
+                   CAST(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+                        ELSE LENGTH(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS INT) AS n_tokens_ws,
+                   CAST(LENGTH(regexp_extract_all(text,
+                        '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9\\t\\n\\r]+|[ \\t\\n\\r]+'
+                   )) AS INT) AS n_tokens_bpe,
                    CAST(LENGTH(text) AS INT) AS n_chars_actual
             FROM documents
         """,

@@ -216,3 +216,30 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8, n: int = 3)
     hashes = F.sort_array(F.transform(F.array_distinct(sh), lambda s: F.md5(s)))
     mink = F.slice(hashes, 1, k)
     return docs.withColumn("fingerprint", F.md5(F.concat_ws(",", mink)))
+
+
+# GPT-2-style pre-tokenizer approximation, engine-portable (plain RE2 ∩
+# Java regex — alternation + character classes, no lookarounds):
+# contractions, space-prefixed letter runs, digit runs, punct runs,
+# residual whitespace. Counts track BPE pre-token counts closely enough
+# for budgeting (each pre-token maps to >=1 BPE token).
+BPE_ISH_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9\\t\\n\\r]+|[ \\t\\n\\r]+"
+)
+
+
+def token_count_bpe(text: str | Column) -> Column:
+    """BPE-ish pre-token count (the budgeting proxy an LLM pipeline
+    uses before a real tokenizer is in the loop)."""
+    return F.size(
+        F.regexp_extract_all(_col(text), F.lit(BPE_ISH_RE), 0)
+    ).cast("int")
+
+
+def token_count_ws(text: str | Column) -> Column:
+    """Whitespace token count (split on runs of whitespace)."""
+    t = F.trim(_col(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("int")

@@ -457,3 +457,24 @@ def test_contamination_check(spark):
     from seqarray_spark.plans import explain as E
 
     assert "BroadcastHashJoin" in E.plan_string(out, "simple")
+
+
+def test_token_count_variants(spark):
+    """Whitespace and BPE-ish counters agree with hand counts on known
+    strings (word-regex counter covered above)."""
+    from seqarray_spark.operators.text import token_count_bpe, token_count_ws
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="it's a well-known fact"),
+        Row(doc_id=2, text="   "),
+        Row(doc_id=3, text="a  b\tc\nd"),
+    ])
+    out = {r["doc_id"]: (r["ws"], r["bpe"]) for r in df.select(
+        "doc_id",
+        token_count_ws("text").alias("ws"),
+        token_count_bpe("text").alias("bpe"),
+    ).collect()}
+    assert out[2] == (0, 1)           # whitespace-only: 0 words, 1 ws run
+    assert out[3][0] == 4
+    # "it" "'s" " a" " well" "-" "known" " fact" = 7 BPE-ish pre-tokens
+    assert out[1] == (4, 7)
