@@ -60,6 +60,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- SeqArray aggregation suite (SURVEY §2.5) ----------------------
         "seq_allele_freq_ref": seq_allele_freq_ref,
         "seq_allele_count_minor": seq_allele_count_minor,
+        "seq_af_at_allele": seq_af_at_allele,
         "seq_per_allele_counts": seq_per_allele_counts,
         "seq_missing_variant": seq_missing_variant,
         "seq_missing_sample": seq_missing_sample,
@@ -233,6 +234,18 @@ def seq_allele_freq_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
 def seq_allele_count_minor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """seqAlleleCount + minor fold (reference: R/Methods.R:1028-1144)."""
     return agg.allele_count(td.gcalls(spark, sf_dir), ref_allele=0, minor=True)
+
+
+def seq_af_at_allele(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqAlleleFreq(ref.allele=<character>) parity (reference:
+    R/Methods.R:1001-1019 dispatching FC_AF_Allele src/Methods.cpp:
+    538-560): frequency of the NAMED allele 'A' per variant — looked up
+    in each variant's 'REF,ALT...' list; NULL when 'A' is not among the
+    declared alleles or every slot is missing. Exercises found-at-ref,
+    found-at-alt, and absent paths across the derived variants."""
+    return agg.allele_freq_at(
+        td.gcalls(spark, sf_dir), td.gvariants(spark, sf_dir), "A"
+    )
 
 
 def seq_per_allele_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1012,6 +1025,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(SUM({_REFCNT}) AS DOUBLE) / CAST(SUM({_NONMISS}) AS DOUBLE)
                    END AS af
             FROM gcalls GROUP BY variant_id
+        """,
+        # NAMED-allele frequency (character ref.allele): 0-based index of
+        # 'A' in the REF,ALT list (NULL when absent), freq over non-missing
+        # slots, NULL when invalid or all-missing — FC_AF_Allele semantics
+        "seq_af_at_allele": P
+        + """
+            , idx AS (
+              SELECT variant_id,
+                     CAST(NULLIF(list_position(
+                         string_split(CONCAT(ref, ',', alt_str), ','), 'A'
+                     ), 0) - 1 AS INT) AS aidx
+              FROM gvariants
+            ), slots AS (
+              SELECT variant_id, a1 AS a FROM gcalls
+              UNION ALL
+              SELECT variant_id, a2 AS a FROM gcalls
+            )
+            SELECT i.variant_id,
+                   CASE WHEN i.aidx IS NOT NULL AND COUNT(s.a) > 0
+                        THEN CAST(SUM(CASE WHEN s.a = i.aidx THEN 1 ELSE 0 END) AS DOUBLE)
+                             / CAST(COUNT(s.a) AS DOUBLE)
+                   END AS af
+            FROM idx i LEFT JOIN slots s ON i.variant_id = s.variant_id
+            GROUP BY i.variant_id, i.aidx
         """,
         "seq_allele_count_minor": P
         + f"""

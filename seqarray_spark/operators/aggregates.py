@@ -100,6 +100,117 @@ def allele_count(calls: DataFrame, ref_allele: int | None = 0, minor: bool = Fal
     return out
 
 
+def _af_at_index(
+    calls: DataFrame,
+    idx_df: DataFrame,
+    minor: bool,
+    as_count: bool,
+) -> DataFrame:
+    """Shared core for the per-variant-target forms of seqAlleleFreq /
+    seqAlleleCount. `idx_df` is (variant_id, __aidx) where __aidx is the
+    0-based target allele index or NULL when the target is invalid
+    (character form: allele string absent from the allele list,
+    FC_AF_Allele 'A = -1' src/Methods.cpp:538-551; numeric form:
+    index >= num_allele, FC_AF_Index 'if (A < nAllele)'
+    src/Methods.cpp:333-360).
+
+    Plan shape: ONE calls-scale shuffle (explode -> groupBy on
+    (variant_id, allele) with map-side combine); everything after runs
+    on the per-(variant, allele) table, which is tiny relative to calls.
+    """
+    pa = (
+        calls.select("variant_id", F.explode("alleles").alias("__a"))
+        .filter(F.col("__a").isNotNull())
+        .groupBy("variant_id", "__a")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    j = idx_df.join(pa, "variant_id", "left")
+    agg = j.groupBy("variant_id", "__aidx").agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__an"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__aidx"), F.col("__c"))),
+            F.lit(0),
+        ).alias("__m"),
+    )
+    # NA iff target invalid OR every slot missing ('(n > 0)' /
+    # '(n < N)' guards in FC_AF_*/FC_AC_* src/Methods.cpp:333-360,698-734)
+    valid = F.col("__aidx").isNotNull() & (F.col("__an") > 0)
+    if as_count:
+        m = F.col("__m")
+        if minor:
+            # minor fold on counts: min(m, non-missing - m)
+            # (FC_AC_Allele 'm0 = N - n - m; if (m0 < m) m = m0')
+            m = F.least(m, F.col("__an") - m)
+        return agg.select(
+            "variant_id", F.when(valid, m).cast("bigint").alias("ac")
+        )
+    p = F.col("__m").cast("double") / F.col("__an").cast("double")
+    if minor:
+        p = F.when(p > 0.5, F.lit(1.0) - p).otherwise(p)
+    return agg.select("variant_id", F.when(valid, p).alias("af"))
+
+
+def _allele_string_index(variants: DataFrame, target) -> DataFrame:
+    """(variant_id, __aidx): 0-based position of the target allele string
+    in the variant's 'REF,ALT1,...' list, NULL when absent — the engine's
+    GetIndexOfAllele (reference src/Index.cpp:1533-1551). `target` is a
+    Column over the variants frame (or a literal string)."""
+    t = F.lit(target) if isinstance(target, str) else target
+    allele_list = F.concat(F.array(F.col("ref")), F.col("alt"))
+    pos = F.array_position(allele_list, t)  # 1-based, 0 when absent
+    return variants.select(
+        "variant_id", (F.nullif(pos, F.lit(0)) - 1).cast("int").alias("__aidx")
+    )
+
+
+def allele_freq_at(
+    calls: DataFrame, variants: DataFrame, target, minor: bool = False
+) -> DataFrame:
+    """seqAlleleFreq(ref.allele=<character>): per-variant frequency of a
+    NAMED allele, looked up in the variant's allele list; NULL when the
+    allele is absent or every slot is missing (reference R/Methods.R:
+    1001-1019 dispatching FC_AF_Allele src/Methods.cpp:538-560). `target`
+    is a per-variant Column over `variants` (the R form's character
+    vector, one entry per selected variant) or a single literal string.
+    """
+    return _af_at_index(
+        calls, _allele_string_index(variants, target), minor, as_count=False
+    )
+
+
+def allele_count_at(
+    calls: DataFrame, variants: DataFrame, target, minor: bool = False
+) -> DataFrame:
+    """seqAlleleCount(ref.allele=<character>): count of a NAMED allele per
+    variant; minor folds to min(count, non-missing - count); NULL when the
+    allele is absent or all slots missing (reference FC_AC_Allele
+    src/Methods.cpp:698-734)."""
+    return _af_at_index(
+        calls, _allele_string_index(variants, target), minor, as_count=True
+    )
+
+
+def allele_freq_index(
+    calls: DataFrame,
+    variants: DataFrame,
+    idx,
+    minor: bool = False,
+    as_count: bool = False,
+) -> DataFrame:
+    """seqAlleleFreq/Count(ref.allele=<numeric vector>): per-variant
+    0-based allele INDEX (a Column over `variants`, or a single int);
+    indexes >= num_allele yield NULL like FC_AF_Index's 'if (A < nAllele)'
+    guard (src/Methods.cpp:333-360)."""
+    from seqarray_spark.functions.variant import num_allele as _na
+
+    i = F.lit(int(idx)) if isinstance(idx, int) else idx
+    idx_df = variants.select(
+        "variant_id",
+        F.when((i >= 0) & (i < _na()), i).cast("int").alias("__aidx"),
+    )
+    return _af_at_index(calls, idx_df, minor, as_count)
+
+
 def per_allele_table(calls: DataFrame, variants: DataFrame | None = None) -> DataFrame:
     """Per-(variant, allele-index) counts — the explode form of the
     reference's per-allele count vectors (reference: FC_AlleleCount

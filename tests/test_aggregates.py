@@ -179,3 +179,98 @@ def test_seq_check_full(spark):
     assert rep2["orphan_call_variants"] == 1
     assert rep2["bad_allele_indexes"] >= 3
     assert rep2["bad_phase_lengths"] >= 3
+
+
+@pytest.fixture(scope="module")
+def tiny_variants(spark):
+    # variant 1: A / [C]      -> 'A' at index 0, 'G' absent
+    # variant 2: C / [A, G]   -> 'A' at index 1, 'G' at index 2
+    # variant 3: T / [C]      -> 'A' absent
+    rows = [
+        Row(variant_id=1, ref="A", alt=["C"]),
+        Row(variant_id=2, ref="C", alt=["A", "G"]),
+        Row(variant_id=3, ref="T", alt=["C"]),
+    ]
+    return spark.createDataFrame(
+        rows, "variant_id int, ref string, alt array<string>"
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_calls3(spark, tiny_calls):
+    # tiny_calls + variant 3 with ALL slots missing (FC_* NA guard path)
+    extra = spark.createDataFrame(
+        [Row(variant_id=3, sample_id="a", alleles=[None, None])],
+        "variant_id int, sample_id string, alleles array<int>",
+    )
+    return tiny_calls.unionByName(extra)
+
+
+def test_allele_freq_at_character(tiny_calls3, tiny_variants):
+    """seqAlleleFreq(ref.allele=<character>): named-allele lookup in the
+    REF,ALT list (FC_AF_Allele src/Methods.cpp:538-560). Variant 1: 'A'
+    is index 0 -> 3/4; variant 2: 'A' is index 1 -> 4/5; variant 3: 'A'
+    absent -> NULL (A = -1 -> NaN in the reference)."""
+    out = _by_id(agg.allele_freq_at(tiny_calls3, tiny_variants, "A"))
+    assert out[1]["af"] == pytest.approx(3 / 4)
+    assert out[2]["af"] == pytest.approx(4 / 5)
+    assert out[3]["af"] is None
+
+
+def test_allele_freq_at_all_missing_is_null(spark, tiny_variants):
+    """Allele present but every slot missing -> NULL ('n > 0' guard)."""
+    calls = spark.createDataFrame(
+        [Row(variant_id=1, sample_id="a", alleles=[None, None])],
+        "variant_id int, sample_id string, alleles array<int>",
+    )
+    out = _by_id(agg.allele_freq_at(calls, tiny_variants, "A"))
+    assert out[1]["af"] is None
+
+
+def test_allele_freq_at_minor_fold(tiny_calls3, tiny_variants):
+    """minor=True folds p > 0.5 to 1-p (FC_AF_Allele 'if (AFreq_Minor &&
+    p>0.5) p = 1 - p')."""
+    out = _by_id(agg.allele_freq_at(tiny_calls3, tiny_variants, "A", minor=True))
+    assert out[1]["af"] == pytest.approx(1 / 4)
+    assert out[2]["af"] == pytest.approx(1 / 5)
+
+
+def test_allele_count_at_character(tiny_calls3, tiny_variants):
+    """seqAlleleCount(ref.allele=<character>) (FC_AC_Allele
+    src/Methods.cpp:698-734): count of the named allele; minor folds to
+    min(m, non-missing - m); absent allele or all-missing -> NULL."""
+    out = _by_id(agg.allele_count_at(tiny_calls3, tiny_variants, "A"))
+    assert out[1]["ac"] == 3
+    assert out[2]["ac"] == 4
+    assert out[3]["ac"] is None
+    m = _by_id(agg.allele_count_at(tiny_calls3, tiny_variants, "A", minor=True))
+    assert m[1]["ac"] == 1  # min(3, 4-3)
+    assert m[2]["ac"] == 1  # min(4, 5-4)
+
+
+def test_allele_freq_index_per_variant(tiny_calls3, tiny_variants):
+    """seqAlleleFreq(ref.allele=<numeric vector>) (FC_AF_Index
+    src/Methods.cpp:333-360): per-variant 0-based index; an index >=
+    num_allele yields NULL ('if (A < nAllele)' leaves n = 0 -> NaN)."""
+    from pyspark.sql import functions as F
+
+    # idx = variant_id - 1 -> v1: 0 (3/4), v2: 1 (4/5), v3: 2 >= 2 -> NULL
+    out = _by_id(
+        agg.allele_freq_index(
+            tiny_calls3, tiny_variants, F.col("variant_id") - 1
+        )
+    )
+    assert out[1]["af"] == pytest.approx(3 / 4)
+    assert out[2]["af"] == pytest.approx(4 / 5)
+    assert out[3]["af"] is None
+
+
+def test_allele_freq_index_scalar_matches_allele_freq(tiny_calls, tiny_variants):
+    """Scalar-index form must agree with the existing allele_freq(k) on
+    fully-declared data (same kernel family, two code paths)."""
+    a = _by_id(agg.allele_freq(tiny_calls, ref_allele=1))
+    b = _by_id(
+        agg.allele_freq_index(tiny_calls, tiny_variants.filter("variant_id <= 2"), 1)
+    )
+    for v in (1, 2):
+        assert b[v]["af"] == pytest.approx(a[v]["af"])
