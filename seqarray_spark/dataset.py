@@ -128,6 +128,41 @@ class SeqDataset:
         self._sel = self._stack.pop()
         return self
 
+    def get_filter(self) -> dict[str, DataFrame]:
+        """seqGetFilter parity (reference: R/Methods.R:497-503 calling
+        SEQ_GetSpace): the current selection rendered as boolean masks
+        over the FULL dataset — {'variant_sel': (variant_id, selected),
+        'sample_sel': (sample_id, selected)}. The reference returns
+        logical vectors in file order; here the mask is a frame keyed by
+        id (join/sort by id to recover the vector), built as a
+        broadcast-friendly left join of the base axis against the
+        selection — no driver materialization."""
+        def mask(base: DataFrame, sel: DataFrame, key: str, filtered: bool):
+            ids = base.select(key)
+            if not filtered:
+                return ids.withColumn("selected", F.lit(True))
+            flag = sel.select(key).withColumn("__s", F.lit(True))
+            return ids.join(flag, key, "left").select(
+                key, F.coalesce(F.col("__s"), F.lit(False)).alias("selected")
+            )
+
+        out = {
+            "variant_sel": mask(
+                self._base_variants,
+                self._sel.variants,
+                "variant_id",
+                self._sel.variant_filtered,
+            )
+        }
+        if self._base_samples is not None and self._sel.samples is not None:
+            out["sample_sel"] = mask(
+                self._base_samples,
+                self._sel.samples,
+                "sample_id",
+                self._sel.sample_filtered,
+            )
+        return out
+
     def reset_filter(self, variant: bool = True, sample: bool = True) -> "SeqDataset":
         v = self._base_variants if variant else self._sel.variants
         s = self._base_samples if sample else self._sel.samples

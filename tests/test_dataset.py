@@ -174,3 +174,26 @@ def test_filter_pos_matches_alt(spark):
     )
     ds.set_filter_pos(probes, match_alleles=True)
     assert {r["variant_id"] for r in ds.variants.collect()} == {1, 3}
+
+
+def test_get_filter_masks(ds):
+    """seqGetFilter parity (R/Methods.R:497-503): boolean masks over the
+    FULL axes; selected count matches the filtered frame, mask row count
+    matches the base, and an unfiltered axis is all-True."""
+    ds.reset_filter()
+    n_all = ds.variants.count()
+    masks = ds.get_filter()
+    v = masks["variant_sel"]
+    assert v.count() == n_all
+    assert v.filter("selected").count() == n_all  # no filter -> all True
+
+    ds.set_filter_chrom(["3"])
+    n3 = ds.variants.count()
+    masks = ds.get_filter()
+    v = masks["variant_sel"]
+    assert v.count() == n_all  # mask covers the full axis
+    assert v.filter("selected").count() == n3
+    if "sample_sel" in masks:  # sample axis untouched -> all True
+        s = masks["sample_sel"]
+        assert s.filter("selected").count() == s.count()
+    ds.reset_filter()
