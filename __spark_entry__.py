@@ -121,6 +121,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_batches": doc_pack_batches,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_contamination": doc_contamination,
+        "doc_pii_scrub": doc_pii_scrub,
         # -- multimodal columns (binary payload + typed metadata) -----------
         "mm_media_meta": mm_media_meta,
         "mm_feature_extract": mm_feature_extract,
@@ -867,6 +868,21 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(docs, probes, n=5)
 
 
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, phones, IPv4s, card-shaped numbers, SSNs):
+    sequential engine-portable regexes over the text column, pure Column
+    pipeline at scan speed. Result keeps rows narrow: per-doc redaction
+    count + md5 of the scrubbed text (the full text round-trips through
+    the value hash via its digest)."""
+    from seqarray_spark.operators.curate import pii_scrub
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    out = pii_scrub(docs)
+    return out.select(
+        "doc_id", "pii_found", F.md5(F.col("text")).alias("scrub_md5")
+    )
+
+
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: exactly ceil(0.2 * |stratum|)
     docs per stratum, chosen by the md5(seed:id) coin — reproducible
@@ -966,6 +982,27 @@ _MH_PAIRS_SQL = """
             JOIN sz sb ON sb.doc_id = i.id_b
             WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.7
         """
+
+
+def _pii_scrub_oracle() -> str:
+    """Chained-CTE replay of pii_scrub's sequential redaction fold,
+    generated from the SAME pattern dict so SQL and engine cannot drift."""
+    from seqarray_spark.operators.curate import PII_PATTERNS
+
+    sql = "WITH s0 AS (SELECT doc_id, 0 AS c, text AS t FROM documents)"
+    prev = "s0"
+    for i, (kind, pat) in enumerate(PII_PATTERNS.items(), start=1):
+        sql += f""",
+            s{i} AS (
+              SELECT doc_id,
+                     c + len(regexp_extract_all(t, '{pat}')) AS c,
+                     regexp_replace(t, '{pat}', '[{kind.upper()}]', 'g') AS t
+              FROM {prev}
+            )"""
+        prev = f"s{i}"
+    return sql + f"""
+            SELECT doc_id, CAST(c AS INT) AS pii_found, md5(t) AS scrub_md5
+            FROM {prev}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1576,6 +1613,11 @@ def oracle_sql() -> dict[str, str]:
             FROM dsh d JOIN psh p ON d.s = p.s
             GROUP BY d.doc_id
         """,
+        # sequential redaction replayed stage-by-stage in PII_PATTERNS
+        # order (each count runs on the PREVIOUS stage's redacted text,
+        # exactly like pii_scrub's fold); patterns are the shared
+        # Java-regex ∩ RE2 strings from operators/curate.py
+        "doc_pii_scrub": _pii_scrub_oracle(),
         "doc_stratified_sample": """
             WITH t AS (
               SELECT doc_id, CAST(doc_id % 5 AS INT) AS stratum,

@@ -137,3 +137,64 @@ def contamination_check(
             F.countDistinct("__pid").alias("n_probes"),
         )
     )
+
+
+# PII patterns, engine-portable: the Java-regex ∩ RE2 subset (character
+# classes + quantifiers + alternation, no lookarounds/backrefs), so the
+# exact same pattern strings run in Spark (Java regex) and any RE2
+# engine (DuckDB, Go, C++) with identical matches.
+PII_PATTERNS = {
+    # user@host.tld — conservative: dot-atom local part, 2+ letter TLD
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # +1-555-123-4567 / (555) 123-4567 / 555.123.4567; optional country
+    # code and parenthesized area code, bounded grouping so arbitrary
+    # digit runs aren't eaten
+    "phone": r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]{1,2}[0-9]{3}[-. ]?[0-9]{4}",
+    # dotted-quad IPv4 (over-matches 999.x octets on purpose — redaction
+    # prefers recall; a version-bounded octet regex triples the pattern)
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    # 13-19 digit runs with optional single separators — card-shaped
+    "credit_card": r"[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{1,7}",
+    # US SSN nnn-nn-nnnn (separator REQUIRED — a bare 9-digit run is
+    # indistinguishable from ids/zip+4s and would mass-redact)
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    kinds: list[str] | None = None,
+    token: str = "[{kind}]",
+) -> DataFrame:
+    """Redact PII spans (emails, phones, IPv4s, card-shaped numbers,
+    SSNs) from a text column — the standard scrub a corpus runs before
+    training or release. Replaces `text_col` in place and appends
+    `pii_found` (count of redacted spans, for filtering docs that are
+    mostly PII).
+
+    Pure Column regexp pipeline — whole-stage codegen, no UDFs, no
+    shuffle: at 100 TB this runs at scan speed like the other text
+    operators. Patterns apply in `kinds` order on the progressively
+    redacted text, so overlapping matches resolve deterministically
+    (e.g. in 'support@192.168.0.1.net' the email pattern consumes the
+    whole address — including the embedded dotted quad — because
+    'email' precedes 'ipv4').
+    """
+    kinds = list(PII_PATTERNS) if kinds is None else kinds
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {unknown}")
+    scrubbed = F.col(text_col)
+    found = F.lit(0)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        found = found + F.size(
+            F.regexp_extract_all(scrubbed, F.lit(pat), 0)
+        )
+        scrubbed = F.regexp_replace(
+            scrubbed, pat, token.format(kind=kind.upper())
+        )
+    return docs.withColumns(
+        {text_col: scrubbed, "pii_found": found.cast("int")}
+    )

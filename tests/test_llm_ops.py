@@ -478,3 +478,47 @@ def test_token_count_variants(spark):
     assert out[3][0] == 4
     # "it" "'s" " a" " well" "-" "known" " fact" = 7 BPE-ish pre-tokens
     assert out[1] == (4, 7)
+
+
+def test_pii_scrub(spark):
+    """PII redaction: each pattern family redacts, counts accumulate,
+    clean text passes through byte-identical with pii_found=0."""
+    from seqarray_spark.operators.curate import pii_scrub
+
+    rows = [
+        Row(doc_id=1, text="mail me at jane.doe+x@example.co.uk please"),
+        Row(doc_id=2, text="call +1-555-123-4567 or (555) 123.4567 now"),
+        Row(doc_id=3, text="host 192.168.0.1 served 10.0.0.254"),
+        Row(doc_id=4, text="card 4111 1111 1111 1111 and ssn 123-45-6789"),
+        Row(doc_id=5, text="a perfectly clean sentence with year 1999"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(spark.createDataFrame(rows)).collect()
+    }
+    assert "[EMAIL]" in out[1]["text"] and "@" not in out[1]["text"]
+    assert out[1]["pii_found"] == 1
+    assert out[2]["text"].count("[PHONE]") == 2 and out[2]["pii_found"] == 2
+    assert out[3]["text"].count("[IPV4]") == 2 and out[3]["pii_found"] == 2
+    assert "[CREDIT_CARD]" in out[4]["text"] and "[SSN]" in out[4]["text"]
+    assert out[4]["pii_found"] == 2
+    assert out[5]["text"] == rows[4]["text"] and out[5]["pii_found"] == 0
+
+
+def test_pii_scrub_order_and_kinds(spark):
+    """Sequential order resolves overlap: the email pattern consumes
+    'support@192.168.0.1.net' whole (embedded dotted quad included)
+    because 'email' precedes 'ipv4'; kinds= restricts which patterns
+    run; unknown kind raises."""
+    from seqarray_spark.operators.curate import pii_scrub
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="support@192.168.0.1.net and 5.6.7.8")]
+    )
+    full = pii_scrub(df).collect()[0]
+    assert full["text"].count("[EMAIL]") == 1
+    assert full["text"].count("[IPV4]") == 1  # only the bare quad left
+    only_ip = pii_scrub(df, kinds=["ipv4"]).collect()[0]
+    assert only_ip["text"].count("[IPV4]") == 2  # no email pass first
+    with pytest.raises(ValueError):
+        pii_scrub(df, kinds=["nope"])
