@@ -275,6 +275,29 @@ def _compress_frames(codec: str, level: int, raw: bytes,
     return bytes(out), nfr
 
 
+def _walk_frame_bytes(data: bytes):
+    """Iterate (uncompressed_len, stream_bytes) over a fragment's
+    [entry][stream]... frame sequence (the v16 entry layout _frame_entry
+    writes)."""
+    o, n = 0, len(data)
+    while o < n:
+        comp = int.from_bytes(data[o:o + 3], "little")
+        rem = int.from_bytes(data[o + 3:o + 5], "little")
+        units = data[o + 5]
+        if comp < _RA_ENTRY_W or o + comp > n:
+            raise RuntimeError("corrupt fragment frame chain")
+        yield units * _RA_BSIZE + rem, bytes(data[o + _RA_ENTRY_W:o + comp])
+        o += comp
+
+
+def _decompress_one(codec: str, cs: bytes, un: int) -> bytes:
+    if codec == "zip":
+        return zlib.decompress(cs)
+    if codec == "lz4":
+        return lz4_block.decompress_block(cs, un)
+    return lzma.decompress(cs)
+
+
 def _varint_enc(n: int) -> bytes:
     out = bytearray()
     while True:
@@ -1080,7 +1103,8 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
               format_coder: str | None = None,
               index_coder: str | None = None,
               format_storage: dict[str, str] | None = None,
-              transposed: bool = False) -> None:
+              transposed: bool = False,
+              strict_frames: bool = False) -> None:
     """SeqDataset -> .gds container (reference writer: seqVCF2GDS,
     R/ConvVCF2GDS.R:559-1465). Read back with SeqDataset.from_gds.
 
@@ -1102,6 +1126,9 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     at Spark block boundaries (one partial frame per block tail) — this
     engine's reader walks per-entry sizes; the output is validated
     against this reader, not against stock gdsfmt's fixed-stride seek.
+    Pass `strict_frames=True` to re-frame every node on the exact
+    64 KiB grid at assembly (driver cost O(node bytes)) for
+    fixed-stride seek parity in release containers.
 
     `transposed=True` additionally emits the sample-major `~data`
     copies the reference's seqOptimize(target="by.sample") writes
@@ -1124,6 +1151,9 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     reference's NA conventions."""
     plan = _storage_plan(coder, geno=geno_coder, info=info_coder,
                          fmt=format_coder, index=index_coder)
+    # strict_frames: driver re-frames node streams on the exact 64 KiB
+    # grid at assembly (see _reframe_strict) for fixed-stride seek parity
+    plan["__strict__"] = bool(strict_frames)
     spark = ds.variants.sparkSession
     variants = ds.variants
     # the CURRENT SELECTION exports (reference seqExport semantics) —
@@ -1311,6 +1341,61 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _reframe_strict(pieces, codec: str, level: int,
+                    tmp: str, key: str, coder_name: str):
+    """strict_frames assembly: decompress the executors' irregular frame
+    runs and re-emit frames on the EXACT 64 KiB grid (every frame but
+    the last covers _RA_BSIZE uncompressed bytes), so readers that seek
+    by fixed stride (offset // bsize) land on frame boundaries — the
+    frame layout a single-writer gdsfmt produces at its stock block
+    size. The grid is pinned to 64 KiB regardless of the class's frame
+    size: the v16 entry encodes the tail remainder as u16 and its units
+    field in header-bsize multiples, so only the stock bsize represents
+    arbitrary stream tails (larger ':1M/:4M' frames trade seek parity
+    for ratio and keep the default irregular assembly). Driver cost is
+    O(node bytes) with O(bsize) memory (streamed through a spill file);
+    the default assembly stays O(boundary bytes). Opt in via
+    write_gds(strict_frames=True) for release-parity containers."""
+    fbytes = _RA_BSIZE  # grid pinned to the stock bsize (see docstring)
+    spill = os.path.join(tmp, "__strict__" + key.replace("/", "__"))
+    buf = bytearray()
+    stats = {"nframes": 0, "un": 0, "comp": 0}
+    with open(spill, "wb") as out:
+        def emit(final=False):
+            while len(buf) >= fbytes or (final and buf):
+                chunk = bytes(buf[:fbytes])
+                del buf[:fbytes]
+                cs = _compress_one(codec, level, chunk)
+                out.write(_frame_entry(_RA_ENTRY_W + len(cs), len(chunk)) + cs)
+                stats["nframes"] += 1
+                stats["un"] += len(chunk)
+                stats["comp"] += _RA_ENTRY_W + len(cs)
+
+        for t, v in pieces:
+            data = v if t == "b" else open(v, "rb").read()
+            for un, cs in _walk_frame_bytes(data):
+                raw = _decompress_one(codec, cs, un)
+                if len(raw) != un:
+                    raise RuntimeError(
+                        f"{key}: frame decoded {len(raw)} != declared {un}"
+                    )
+                buf += raw
+                emit()
+        emit(final=True)
+    header = (
+        _RA_MAGIC[codec] + bytes([0x10, _RA_BSIZE_LOG2, 0xFF])
+        + struct.pack("<I", stats["nframes"])
+    )
+
+    def w(fh):
+        fh.write(header)
+        with open(spill, "rb") as f:
+            shutil.copyfileobj(f, fh, 1 << 20)
+
+    return (len(header) + stats["comp"], w, coder_name, stats["un"],
+            stats["comp"])
+
+
 def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
               ploidy, imeta, fmeta, plan=None) -> None:
     plan = plan or {}
@@ -1385,6 +1470,9 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
             if plast:
                 state["pend"] = (b1 - 1, x[9] if x[9] >= 0 else 0)
         flush_pend()
+        if plan.get("__strict__"):
+            return _reframe_strict(pieces, codec, level, tmp, key,
+                                   coder_name)
         header = (
             _RA_MAGIC[codec] + bytes([0x10, _RA_BSIZE_LOG2, 0xFF])
             + struct.pack("<I", state["nframes"])

@@ -709,3 +709,58 @@ def test_filter_factor_reference_semantics(spark, tmp_path):
     back = SeqDataset.from_gds(spark, out)
     got = {r["position"]: r["filter"] for r in back.variants.collect()}
     assert got == {100: "q10;s50", 200: "PASS", 300: None, 400: "q10"}
+
+
+@pytest.mark.parametrize("coder", ["ZIP_ra.fast", "LZMA_ra.fast", "LZ4_ra"])
+def test_strict_frames_exact_bsize_grid(spark, tmp_path, coder):
+    """write_gds(strict_frames=True) re-frames every compressed node on
+    the exact 64 KiB grid: all frames but the last cover _RA_BSIZE
+    uncompressed bytes, so a fixed-stride reader (offset // bsize) lands
+    on frame boundaries — the layout a single-writer gdsfmt produces.
+    The default multi-block assembly leaves irregular per-block tail
+    frames (asserted here as the contrast), which only an entry-walking
+    reader can seek."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.sources.gds_write import _RA_BSIZE
+
+    n = 3000
+    rows = [
+        (i + 1, "ctg" + "x" * 40 + str(i % 7), i + 1, None, "A", ["T"],
+         None, None)
+        for i in range(n)
+    ]
+    variants = spark.createDataFrame(
+        rows,
+        "variant_id long, chromosome string, position int, id string, "
+        "ref string, alt array<string>, qual double, filter string",
+    )
+    samples = spark.createDataFrame([Row(sample_id="S1")])
+    ds = SeqDataset(variants, None, samples, ploidy=2)
+
+    loose = str(tmp_path / "loose.gds")
+    strict = str(tmp_path / "strict.gds")
+    ds.to_gds(loose, coder=coder, block_variants=500)
+    ds.to_gds(strict, coder=coder, block_variants=500, strict_frames=True)
+
+    def uncomp_lens(path):
+        f = GdsFile(path)
+        frames, _, _ = f._frame_index(f.node("chromosome"))
+        return [u for (_, u, _) in frames]
+
+    lens_loose = uncomp_lens(loose)
+    lens_strict = uncomp_lens(strict)
+    # contrast: per-block assembly leaves >1 sub-bsize interior frame
+    assert sum(1 for u in lens_loose[:-1] if u != _RA_BSIZE) >= 1
+    # strict: every frame but the last is exactly one bsize
+    assert all(u == _RA_BSIZE for u in lens_strict[:-1]), lens_strict
+    assert 0 < lens_strict[-1] <= _RA_BSIZE
+    assert sum(lens_strict) == sum(lens_loose)  # same uncompressed stream
+
+    # value parity through the distributed reader, block edges included
+    back = SeqDataset.from_gds(spark, strict, block_variants=700)
+    vals = {r["variant_id"]: r["chromosome"] for r in back.variants.collect()}
+    assert len(vals) == n
+    for i in (0, 699, 700, 2099, 2100, n - 1):
+        assert vals[i + 1] == "ctg" + "x" * 40 + str(i % 7), i
