@@ -48,6 +48,11 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    from seqarray_spark.operators.text import spread
+
+    # token_count runs BEFORE the per-shard window exchange; widen the
+    # scan so a narrow parquet doesn't tokenize on one core
+    docs = spread(docs)
     toks = token_count(F.col(text_col))
     if shard_col is None:
         shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int")
@@ -112,8 +117,11 @@ def contamination_check(
     (benchmarks are MBs, the corpus is TBs), so its distinct shingles
     BROADCAST and the corpus side is one explode + broadcast-hash-join +
     one aggregation — the 100 TB table never shuffles for the join."""
-    from seqarray_spark.operators.text import word_shingles
+    from seqarray_spark.operators.text import spread, word_shingles
 
+    # widen a narrow scan before the CPU-heavy shingle pass — without
+    # this a small parquet pins the whole corpus tokenization to one core
+    docs = spread(docs)
     probe_sh = (
         probes.select(
             F.col(probe_id_col).alias("__pid"),
@@ -181,10 +189,13 @@ def pii_scrub(
     whole address — including the embedded dotted quad — because
     'email' precedes 'ipv4').
     """
+    from seqarray_spark.operators.text import spread
+
     kinds = list(PII_PATTERNS) if kinds is None else kinds
     unknown = [k for k in kinds if k not in PII_PATTERNS]
     if unknown:
         raise ValueError(f"unknown PII kinds: {unknown}")
+    docs = spread(docs)  # five regex passes — don't run them on one core
     scrubbed = F.col(text_col)
     found = F.lit(0)
     for kind in kinds:
