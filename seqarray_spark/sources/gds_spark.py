@@ -220,7 +220,7 @@ def _spark_type(kind: str, is_array: bool) -> str:
 def from_gds(
     spark: SparkSession,
     path: str,
-    block_variants: int = 8192,
+    block_variants: int | None = None,
     info_fields: list[str] | None = None,
     format_fields: list[str] | None = None,
 ):
@@ -244,6 +244,14 @@ def from_gds(
     n_var = int(f.node("variant.id").dims[0])
     sample_ids = list(f.read_array("sample.id"))
     n_samp = len(sample_ids)
+
+    if block_variants is None:
+        # auto-size so even a small file decodes with full parallelism:
+        # enough blocks to feed every core, but never under 256 variants
+        # per block (per-block VL-index/Arrow overhead would dominate)
+        # and never over the 8192 a large file wants for frame locality
+        ncores = spark.sparkContext.defaultParallelism
+        block_variants = max(256, min(8192, -(-n_var // max(ncores, 1))))
 
     # --- driver-side linear pass over the small index nodes ------------
     geno = f.node("genotype/data") if _has(f, "genotype/data") else None
