@@ -41,13 +41,18 @@ def pack_2bit_genotypes(ds: SeqDataset, sample_ids: list[str] | None = None) -> 
     stride = math.ceil(n_samp / 4)
     pad = stride * 4 - n_samp
 
-    # ONE shuffle: collect each variant's (sample-ordinal, dosage) pairs;
-    # alignment, missing-fill, and bit-packing all happen as numpy
-    # scatter over whole Arrow batches. (An earlier two-shuffle
+    # ONE calls-scale shuffle: collect each variant's (sample-ordinal,
+    # dosage) pairs; alignment, missing-fill, and bit-packing all happen
+    # as numpy scatter over whole Arrow batches. (An earlier two-shuffle
     # map_from_entries + per-slot element_at formulation was 5x slower.)
-    order_expr = F.map_from_arrays(
-        F.array(*[F.lit(s) for s in sample_ids]),
-        F.array(*[F.lit(i) for i in range(len(sample_ids))]),
+    # The sample -> ordinal mapping is a BROADCAST hash join: a literal
+    # map_from_arrays + getItem evaluates as a linear scan of the map
+    # per row (O(n_samp) per call — measured dominating this operator),
+    # where the hash join probe is O(1).
+    spark = ds.calls.sparkSession
+    ord_df = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(sample_ids)],
+        "sample_id string, __ord int",
     )
     # (sample-ordinal, 2-bit code) fused into one integer so the Arrow
     # batch arrives as plain int arrays — no Python-level struct decode.
@@ -58,10 +63,8 @@ def pack_2bit_genotypes(ds: SeqDataset, sample_ids: list[str] | None = None) -> 
     dos = dosage_alt("alleles", partial_missing=True)
     code = F.when(dos.isNull(), F.lit(3)).otherwise(F.least(dos, F.lit(2)))
     pairs = (
-        ds.calls.select(
-            "variant_id",
-            (order_expr.getItem(F.col("sample_id")) * 4 + code).alias("oc"),
-        )
+        ds.calls.join(F.broadcast(ord_df), "sample_id")
+        .select("variant_id", (F.col("__ord") * 4 + code).alias("oc"))
         .groupBy("variant_id")
         .agg(F.collect_list("oc").alias("ocs"))
     )
