@@ -45,8 +45,18 @@ def main() -> None:
     # best-of-2 per query: a single sample is vulnerable to GC pauses /
     # background load; the min of two runs is a stable plan-cost proxy
     # (two consecutive bench runs agree within ~10% per query).
+    # Between queries, drop lifecycle-tied cached intermediates
+    # deterministically (gc runs the release_on_gc unpersists, clearCache
+    # sweeps the rest): otherwise earlier queries' persisted RDDs linger
+    # until a Python GC happens to run, stealing executor storage from
+    # later queries and making per-query numbers depend on GC timing
+    # (observed 3-5x run-to-run swings on the persist-using dedup ops).
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
+        gc.collect()
+        spark.catalog.clearCache()
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
