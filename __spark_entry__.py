@@ -116,6 +116,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": emb_cosine_topk,
         "emb_dup_pairs": emb_dup_pairs,
         "emb_ivf_topk": emb_ivf_topk,  # approximate -> rows-only check
+        "emb_ivf_topk_full": emb_ivf_topk_full,  # full probe == exact
         "doc_normalize": doc_normalize,
         "doc_dup_clusters": doc_dup_clusters,
         "doc_pack_batches": doc_pack_batches,
@@ -520,12 +521,18 @@ def seq_dosage_af(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def seq_pack_genotypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-bit packed genotype export (reference: seqGet2bGeno
-    R/Methods.R:1224-1342) — binary payload, driver checks rows-only."""
+    R/Methods.R:1224-1342). The packed BINARY column is returned as its
+    hex rendering so the DuckDB oracle can replay the byte layout in
+    SQL (per-sample $dosage_alt2 codes -> duplicate collapse by max
+    non-missing -> 4 codes per byte, little-end-first) and the gate
+    value-hashes the exact bytes — not just row counts."""
     from seqarray_spark.sources.packed import pack_2bit_genotypes
 
     ds = td.variant_dataset(spark, sf_dir)
     out = pack_2bit_genotypes(ds)
-    return out.select("variant_id", "n_samples", F.length("packed").alias("n_bytes"))
+    return out.select(
+        "variant_id", "n_samples", F.hex("packed").alias("packed_hex")
+    )
 
 
 GDS_FIXTURE = "/root/reference/inst/extdata/CEU_Exon.gds"
@@ -749,6 +756,28 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = emb.orderBy("vec_id").limit(1).first()["embedding"]
     out = ivf_topk(emb, [float(x) for x in anchor], k=EMB_TOPK, ncells=16, nprobe=4)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def emb_ivf_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = ncells probes EVERY cell and degenerates to
+    exact search, so the IVF plumbing (centroid fit, shuffle-free cell
+    assignment, probe pruning) is pinned against the brute-force oracle
+    by value hash — the gate form of pytest's
+    test_ivf_full_probe_equals_exact. Over-fetch 2k raw-ranked rows,
+    then re-rank on the ROUNDED score like emb_cosine_topk so float
+    fold order can't flip the k-boundary between engines."""
+    from seqarray_spark.operators.similarity import ivf_topk
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    anchor = emb.orderBy("vec_id").limit(1).first()["embedding"]
+    out = ivf_topk(
+        emb, [float(x) for x in anchor], k=2 * EMB_TOPK, ncells=8, nprobe=8
+    )
+    return (
+        out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(EMB_TOPK)
+    )
 
 
 def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,6 +1459,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT chromosome,
                    md5(string_agg(CAST(position AS STRING) || ':' || ref, ',' ORDER BY CAST(position AS STRING) || ':' || ref)) AS digest
             FROM gvariants GROUP BY chromosome
+        """,
+        # 2-bit pack replayed byte-for-byte in SQL: per-sample
+        # $dosage_alt2 codes (missing=3), duplicate (variant,sample)
+        # rows collapse to max non-missing, ordinals are the
+        # lexicographic sample rank, 4 codes per byte little-end-first,
+        # pad cells carry the missing code — hex strings must hash-match
+        # the engine's BINARY column exactly
+        "seq_pack_genotypes": P
+        + """
+            , ords AS (
+              SELECT sample_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY sample_id) - 1 AS INT) AS ord
+              FROM (SELECT DISTINCT sample_id FROM gsamples)
+            ), n AS (SELECT COUNT(*) AS n_samp FROM ords
+            ), gridax AS (
+              SELECT CAST(x.g AS INT) AS ord
+              FROM n, LATERAL UNNEST(range(0, CAST(CEIL(n.n_samp / 4.0) * 4 AS INT))) AS x(g)
+            ), rowcodes AS (
+              SELECT variant_id, o.ord,
+                CASE WHEN a1 IS NULL AND a2 IS NULL THEN 3
+                     ELSE LEAST(2,
+                       (CASE WHEN a1 IS NOT NULL AND a1 <> 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN a2 IS NOT NULL AND a2 <> 0 THEN 1 ELSE 0 END))
+                END AS code
+              FROM gcalls g JOIN ords o ON g.sample_id = o.sample_id
+            ), cellcodes AS (
+              SELECT variant_id, ord,
+                     COALESCE(MAX(CASE WHEN code <> 3 THEN code END), 3) AS code
+              FROM rowcodes GROUP BY variant_id, ord
+            ), grid AS (
+              SELECT v.variant_id, a.ord, COALESCE(c.code, 3) AS code
+              FROM gvariants v CROSS JOIN gridax a
+              LEFT JOIN cellcodes c
+                ON c.variant_id = v.variant_id AND c.ord = a.ord
+            ), bytes AS (
+              SELECT variant_id, ord // 4 AS bidx,
+                     SUM(code * (CASE ord % 4 WHEN 0 THEN 1 WHEN 1 THEN 4
+                                 WHEN 2 THEN 16 ELSE 64 END)) AS b
+              FROM grid GROUP BY variant_id, ord // 4
+            )
+            SELECT variant_id,
+                   (SELECT CAST(n_samp AS INT) FROM n) AS n_samples,
+                   STRING_AGG(LPAD(UPPER(TO_HEX(CAST(b AS INT))), 2, '0'),
+                              '' ORDER BY bidx) AS packed_hex
+            FROM bytes GROUP BY variant_id
+        """,
+        "emb_ivf_topk_full": f"""
+            WITH q AS (
+              SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+            ), z AS (
+              SELECT vec_id, UNNEST(embedding) AS x, UNNEST((SELECT qv FROM q)) AS y
+              FROM embeddings
+            ), scored AS (
+              SELECT vec_id,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cosine
+              FROM z GROUP BY vec_id
+            )
+            SELECT vec_id, cosine FROM scored
+            ORDER BY cosine DESC, vec_id LIMIT {EMB_TOPK}
         """,
         "seq_dosage_af": f"""
             WITH gdosage AS ({GDOSAGE_SQL})
