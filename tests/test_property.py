@@ -122,3 +122,69 @@ def test_packedreal_quantization_property(vals, kind):
         else:
             clipped = min(max(v, lo * scale), hi * scale)
             assert abs(g - clipped) <= scale / 2 + 1e-12, (kind, v, g)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(call, min_size=1, max_size=20, unique_by=lambda c: (c[0], c[1])))
+def test_allele_freq_at_matches_python_fold(spark, calls):
+    """Named-allele AF (FC_AF_Allele semantics) vs a pure-Python fold:
+    the target allele's index is looked up per variant, freq = count of
+    that index over non-missing slots, NULL when absent or all-missing."""
+    from pyspark.sql import functions as F
+
+    from seqarray_spark.operators.aggregates import allele_freq_at
+
+    df = spark.createDataFrame(
+        [(v, f"s{s}", a) for v, s, a in calls],
+        "variant_id int, sample_id string, alleles array<int>",
+    )
+    # variants: allele list cycles so the target 'G' lands at a different
+    # index (or not at all) per variant: v%4==0 -> ref, 1 -> alt1,
+    # 2 -> alt2, 3 -> absent
+    vids = sorted({v for v, _, _ in calls})
+    ref_alt = {
+        0: ("G", ["A", "C"]),
+        1: ("A", ["G", "C"]),
+        2: ("A", ["C", "G"]),
+        3: ("A", ["C", "T"]),
+    }
+    variants = spark.createDataFrame(
+        [(v, *ref_alt[v % 4]) for v in vids],
+        "variant_id int, ref string, alt array<string>",
+    )
+    got = {r["variant_id"]: r["af"] for r in allele_freq_at(df, variants, "G").collect()}
+
+    for v in vids:
+        idx = {0: 0, 1: 1, 2: 2, 3: -1}[v % 4]
+        slots = [x for vv, _, a in calls if vv == v for x in a]
+        known = [x for x in slots if x is not None]
+        if idx < 0 or not known:
+            assert got[v] is None, (v, got[v])
+        else:
+            assert got[v] == pytest.approx(
+                sum(1 for x in known if x == idx) / len(known)
+            ), v
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.text(min_size=0, max_size=300))
+def test_pii_scrub_idempotent(spark, text):
+    """Scrubbing is idempotent: redaction tokens never re-match any PII
+    pattern, so a second pass finds nothing and changes nothing."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators.curate import pii_scrub
+
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    once = pii_scrub(df).select("doc_id", "text")
+    twice = pii_scrub(once).collect()[0]
+    assert twice["pii_found"] == 0
+    assert twice["text"] == once.collect()[0]["text"]
