@@ -639,9 +639,17 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # seed labels one propagation step ahead: label0 = min(id, neighbors)
+    # — identical to the state after a first nbr-min round (pointer
+    # jumping is the identity when label == id), so shallow graphs (the
+    # near-dup norm) converge one full round earlier
     labels = (
-        edges.select(F.col("a").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("a")
+        .agg(F.min("b").alias("__nb"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("__nb")).alias("label"),
+        )
         .localCheckpoint()
     )
     # convergence check by label-sum: labels only ever DECREASE, so the
