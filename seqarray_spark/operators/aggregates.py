@@ -458,6 +458,68 @@ def missing_rate_dosage(calls: DataFrame, ds_col: str = "DS", per: str = "varian
     return calls.groupBy(key).agg(F.avg(miss).alias("missing_rate"))
 
 
+def summary_var(ds, varname: str) -> dict:
+    """Per-variable summary — the seqSummary(gdsfile, varname) form
+    (reference: R/Summary.R:74-200 .summary_geno/.summary_phase and
+    :280-530 .summary_info/.summary_format/.summary_sample_annot):
+    'genotype'/'phase' report full-file and selected dims; the
+    annotation folders report their field catalogs.
+
+    dim follows the reference's (ploidy, n_samples, n_variants) order;
+    seldim applies the CURRENT filter stack. Driver cost is two counts;
+    no data plane is touched."""
+    if varname in ("genotype", "phase"):
+        n_var_all = ds._base_variants.count()
+        n_samp_all = (
+            ds._base_samples.count() if ds._base_samples is not None else 0
+        )
+        n_var_sel = (
+            ds.variants.count()
+            if ds._sel.variant_filtered
+            else n_var_all
+        )
+        n_samp_sel = (
+            ds.samples.count()
+            if ds._sel.sample_filtered and ds.samples is not None
+            else n_samp_all
+        )
+        return {
+            "dim": (ds.ploidy, n_samp_all, n_var_all),
+            "seldim": (ds.ploidy, n_samp_sel, n_var_sel),
+        }
+    if varname == "annotation/info":
+        v = ds._base_variants
+        if "info" not in v.columns:
+            return {"fields": []}
+        return {
+            "fields": [
+                {"ID": f.name, "Type": f.dataType.simpleString()}
+                for f in v.schema["info"].dataType.fields
+            ]
+        }
+    if varname == "annotation/format":
+        if ds._base_calls is None:
+            return {"fields": []}
+        skip = ("variant_id", "sample_id", "alleles", "phased")
+        sch = {f.name: f.dataType.simpleString() for f in ds._base_calls.schema.fields}
+        return {
+            "fields": [
+                {"ID": c, "Type": t} for c, t in sch.items() if c not in skip
+            ]
+        }
+    if varname == "sample.annotation":
+        if ds._base_samples is None:
+            return {"fields": []}
+        return {
+            "fields": [
+                {"ID": f.name, "Type": f.dataType.simpleString()}
+                for f in ds._base_samples.schema.fields
+                if f.name != "sample_id"
+            ]
+        }
+    raise KeyError(f"summary_var: unknown varname {varname!r}")
+
+
 def summary(ds) -> dict:
     """Dataset profile (reference: seqSummary R/Summary.R:652-775):
     dimensions, per-chromosome variant counts, allele-count tabulation,

@@ -274,3 +274,34 @@ def test_allele_freq_index_scalar_matches_allele_freq(tiny_calls, tiny_variants)
     )
     for v in (1, 2):
         assert b[v]["af"] == pytest.approx(a[v]["af"])
+
+
+def test_summary_var_forms(spark, tiny_calls, tiny_variants):
+    """seqSummary(varname=) parity (R/Summary.R:74-200): genotype dims
+    follow (ploidy, n_samples, n_variants) with seldim tracking the
+    filter stack; annotation folders report field catalogs."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from seqarray_spark.dataset import SeqDataset
+
+    samples = spark.createDataFrame(
+        [Row(sample_id=s, pop="P1") for s in ("a", "b", "c")]
+    )
+    ds = SeqDataset(tiny_variants, tiny_calls, samples, ploidy=2)
+    s = agg.summary_var(ds, "genotype")
+    assert s["dim"] == (2, 3, 3)
+    assert s["seldim"] == (2, 3, 3)
+
+    ds.set_filter_variant(F.col("variant_id") <= 2)
+    s = agg.summary_var(ds, "genotype")
+    assert s["dim"] == (2, 3, 3)
+    assert s["seldim"] == (2, 3, 2)
+    ds.reset_filter()
+
+    fmt = agg.summary_var(ds, "annotation/format")
+    assert fmt == {"fields": []}  # tiny_calls carries no FORMAT fields
+    sa = agg.summary_var(ds, "sample.annotation")
+    assert [f["ID"] for f in sa["fields"]] == ["pop"]
+    with pytest.raises(KeyError):
+        agg.summary_var(ds, "nope")
