@@ -1069,9 +1069,16 @@ def _bits_writer(frags, bits):
                 buf = bytearray(f.read())
             b0 = s // per
             b1 = (s + n + per - 1) // per
-            assert len(buf) == b1 - b0, (p, len(buf), b1 - b0)
+            # explicit raise (not assert): a violated invariant here would
+            # silently write a corrupt container under `python -O`
+            if len(buf) != b1 - b0:
+                raise RuntimeError(
+                    f"bit fragment size mismatch: {p} has {len(buf)} bytes, "
+                    f"expected {b1 - b0}"
+                )
             if pend is not None:
-                assert pend[0] == b0, "bit fragments not contiguous"
+                if pend[0] != b0:
+                    raise RuntimeError(f"bit fragments not contiguous at {p}")
                 buf[0] |= pend[1]
             if (s + n) % per:
                 pend = (b1 - 1, buf[-1])
