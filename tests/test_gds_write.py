@@ -764,3 +764,46 @@ def test_strict_frames_exact_bsize_grid(spark, tmp_path, coder):
     assert len(vals) == n
     for i in (0, 699, 700, 2099, 2100, n - 1):
         assert vals[i + 1] == "ctg" + "x" * 40 + str(i % 7), i
+
+
+def test_strict_frames_bit_boundary_genotypes(spark, tmp_path):
+    """strict_frames over a bit-packed genotype node whose Spark block
+    boundary lands mid-byte: the assembler's 1-byte boundary frames must
+    decode and re-frame onto the 64 KiB grid without corrupting the
+    spliced byte (501-variant blocks x 1 sample x ploidy 2 = 1002 slots
+    per block -> 250.5 bytes, so every boundary shares a byte)."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.dataset import SeqDataset
+
+    n = 1503  # three 501-variant blocks
+    variants = spark.createDataFrame(
+        [(i + 1, "1", i + 1, None, "A", ["T"], None, None) for i in range(n)],
+        "variant_id long, chromosome string, position int, id string, "
+        "ref string, alt array<string>, qual double, filter string",
+    )
+    calls = spark.createDataFrame(
+        [
+            Row(variant_id=i + 1, sample_id="S1",
+                alleles=[i % 3 if i % 7 else None, (i + 1) % 2],
+                phased=[i % 2 == 0])
+            for i in range(n)
+        ],
+        "variant_id long, sample_id string, alleles array<int>, "
+        "phased array<boolean>",
+    )
+    samples = spark.createDataFrame([Row(sample_id="S1")])
+    ds = SeqDataset(variants, calls, samples, ploidy=2)
+    out = str(tmp_path / "strictgeno.gds")
+    ds.to_gds(out, coder="ZIP_ra.fast", block_variants=501,
+              strict_frames=True)
+
+    back = SeqDataset.from_gds(spark, out, block_variants=400)
+    got = {
+        r["variant_id"]: r["alleles"]
+        for r in back.calls.select("variant_id", "alleles").collect()
+    }
+    assert len(got) == n
+    for i in (0, 500, 501, 1001, 1002, n - 1):  # block edges + interior
+        exp = [i % 3 if i % 7 else None, (i + 1) % 2]
+        assert got[i + 1] == exp, (i, got[i + 1], exp)
