@@ -123,6 +123,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": doc_stratified_sample,
         "doc_contamination": doc_contamination,
         "doc_pii_scrub": doc_pii_scrub,
+        "doc_lm_score": doc_lm_score,
         # -- multimodal columns (binary payload + typed metadata) -----------
         "mm_media_meta": mm_media_meta,
         "mm_feature_extract": mm_feature_extract,
@@ -895,6 +896,17 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("probe_id"), "text"
     )
     return contamination_check(docs, probes, n=5)
+
+
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: mean negative log-prob of
+    each doc's tokens under the corpus's own unigram distribution.
+    Rounded to 6dp so float fold order can't flip the hash."""
+    from seqarray_spark.operators.text import lm_score
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    out = lm_score(docs)
+    return out.select("doc_id", F.round("lm_nll", 6).alias("lm_nll"))
 
 
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1709,6 +1721,30 @@ def oracle_sql() -> dict[str, str]:
         # exactly like pii_scrub's fold); patterns are the shared
         # Java-regex ∩ RE2 strings from operators/curate.py
         "doc_pii_scrub": _pii_scrub_oracle(),
+        # exact replay of the unigram LM score: same 8192-char prefix,
+        # same token regex, corpus-wide vocab counts, AVG(-ln(c/N));
+        # 6dp rounding absorbs float fold-order differences
+        "doc_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(regexp_extract_all(
+                         lower(substring(text, 1, 8192)), '[a-z0-9'']+'
+                     )) AS t
+              FROM documents
+            ), freq AS (
+              SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+            ), tot AS (
+              SELECT SUM(c) AS n FROM freq
+            ), scored AS (
+              SELECT doc_id,
+                     ROUND(AVG(-LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+                         AS lm_nll
+              FROM toks JOIN freq USING (t) CROSS JOIN tot
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, s.lm_nll
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
         "doc_stratified_sample": """
             WITH t AS (
               SELECT doc_id, CAST(doc_id % 5 AS INT) AS stratum,

@@ -243,3 +243,38 @@ def token_count_ws(text: str | Column) -> Column:
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     ).cast("int")
+
+
+def lm_score(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", prefix: int = 8192) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style corpus
+    filter): score each document by the mean negative log-probability of
+    its tokens under the CORPUS'S OWN unigram distribution. Documents
+    full of rare/garbage tokens score high (worse); formulaic boilerplate
+    scores low. Appends `lm_nll DOUBLE` (NULL for token-less docs).
+
+    Plan shape: one explode + one groupBy builds the vocab frequency
+    table, which BROADCASTS back onto the token stream (vocab is
+    sublinear in corpus size), then one groupBy per doc — two
+    corpus-scale shuffles total, no UDFs. Tokens come from the first
+    `prefix` chars like the other statistical text metrics (bounded
+    per-doc cost). At extreme vocab (100 TB of multilingual web text),
+    cap the table to top-K tokens + an OOV floor before broadcasting;
+    the full-vocab default matches the exact oracle.
+    """
+    docs = spread(docs)
+    t = F.substring(F.col(text_col), 1, prefix)
+    toks = docs.select(F.col(id_col).alias("__id"), F.explode(tokens(t)).alias("__t"))
+    freq = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    total = freq.agg(F.sum("__c").alias("__n"))
+    scored = (
+        toks.join(F.broadcast(freq), "__t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("__id")
+        .agg(
+            F.avg(
+                -F.log(F.col("__c").cast("double") / F.col("__n").cast("double"))
+            ).alias("lm_nll")
+        )
+    )
+    return docs.join(scored, docs[id_col] == scored["__id"], "left").drop("__id")

@@ -522,3 +522,24 @@ def test_pii_scrub_order_and_kinds(spark):
     assert only_ip["text"].count("[IPV4]") == 2  # no email pass first
     with pytest.raises(ValueError):
         pii_scrub(df, kinds=["nope"])
+
+
+def test_lm_score_ranks_rare_tokens_worse(spark):
+    """Unigram LM score (CCNet-style): a doc of corpus-common tokens
+    scores lower (better) than a doc of corpus-unique tokens; token-less
+    docs get NULL; a doc repeating one common token approaches
+    -ln(freq/total) exactly."""
+    from seqarray_spark.operators.text import lm_score
+
+    rows = [
+        Row(doc_id=1, text="the the the the the the the the"),
+        Row(doc_id=2, text="the cat sat on the mat"),
+        Row(doc_id=3, text="zxqv wvuk qqjx plmn"),
+        Row(doc_id=4, text="...!!!"),  # no word tokens
+    ]
+    out = {r["doc_id"]: r["lm_nll"] for r in lm_score(spark.createDataFrame(rows)).collect()}
+    assert out[1] < out[2] < out[3]
+    assert out[4] is None
+    # doc 1: every token is 'the' with corpus freq 10 of 18 tokens
+    import math
+    assert out[1] == pytest.approx(-math.log(10 / 18))
