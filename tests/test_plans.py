@@ -209,3 +209,42 @@ def test_minhash_pairs_single_signature_scan(spark):
     plan = E.plan_string(cand, "simple")
     # candidate generation is join-free (the verify stage joins later)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_pii_scrub_is_pure_projection(spark, sf_dir):
+    """pii_scrub must stay a Column pipeline: no aggregation shuffle, no
+    Python eval node — the scan-speed property its docstring promises.
+    (spread() may add at most one round-robin exchange on a narrow
+    scan.)"""
+    from seqarray_spark.operators.curate import pii_scrub
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    df = pii_scrub(docs)
+    assert E.num_shuffles(df) <= 1
+    plan = E.plan_string(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_broadcasts_probes(spark, sf_dir):
+    """The corpus side of contamination_check must never shuffle for the
+    join: probe shingles broadcast, and no sort-merge join appears."""
+    from seqarray_spark.operators.curate import contamination_check
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    df = contamination_check(docs, probes, n=5)
+    assert E.broadcast_join_count(df) >= 1
+    assert E.sortmerge_join_count(df) == 0
+
+
+def test_lm_score_broadcasts_vocab(spark, sf_dir):
+    """lm_score's vocab table must broadcast back onto the token stream
+    (no sort-merge join of the corpus against its own vocabulary)."""
+    from seqarray_spark.operators.text import lm_score
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    df = lm_score(docs)
+    assert E.broadcast_join_count(df) >= 2  # freq + total scalar
+    assert E.sortmerge_join_count(df) == 0
