@@ -154,12 +154,21 @@ class SeqDataset:
                 self._sel.variant_filtered,
             )
         }
-        if self._base_samples is not None and self._sel.samples is not None:
+        # The reference ALWAYS returns both sample.sel and variant.sel
+        # vectors (SEQ_GetSpace) — emit sample_sel unconditionally: the
+        # all-True mask when unfiltered, an empty (sample_id, selected)
+        # frame for a variant-only dataset (parity with a zero-length
+        # logical vector).
+        if self._base_samples is not None:
             out["sample_sel"] = mask(
                 self._base_samples,
                 self._sel.samples,
                 "sample_id",
-                self._sel.sample_filtered,
+                self._sel.sample_filtered and self._sel.samples is not None,
+            )
+        else:
+            out["sample_sel"] = self._base_variants.sparkSession.createDataFrame(
+                [], "sample_id string, selected boolean"
             )
         return out
 

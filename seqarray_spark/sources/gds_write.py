@@ -290,6 +290,30 @@ def _walk_frame_bytes(data: bytes):
         o += comp
 
 
+def _walk_frame_file(path: str):
+    """Streaming twin of _walk_frame_bytes: iterate (uncompressed_len,
+    stream_bytes) straight off a fragment FILE, reading exactly one
+    entry + one stream per step — O(frame) memory even for multi-GB
+    fragments (a full-fragment read() would spike driver RSS during
+    strict assembly)."""
+    with open(path, "rb") as f:
+        while True:
+            entry = f.read(_RA_ENTRY_W)
+            if not entry:
+                return
+            if len(entry) < _RA_ENTRY_W:
+                raise RuntimeError("corrupt fragment frame chain")
+            comp = int.from_bytes(entry[:3], "little")
+            rem = int.from_bytes(entry[3:5], "little")
+            units = entry[5]
+            if comp < _RA_ENTRY_W:
+                raise RuntimeError("corrupt fragment frame chain")
+            cs = f.read(comp - _RA_ENTRY_W)
+            if len(cs) != comp - _RA_ENTRY_W:
+                raise RuntimeError("corrupt fragment frame chain")
+            yield units * _RA_BSIZE + rem, cs
+
+
 def _decompress_one(codec: str, cs: bytes, un: int) -> bytes:
     if codec == "zip":
         return zlib.decompress(cs)
@@ -1379,8 +1403,8 @@ def _reframe_strict(pieces, codec: str, level: int,
                 stats["comp"] += _RA_ENTRY_W + len(cs)
 
         for t, v in pieces:
-            data = v if t == "b" else open(v, "rb").read()
-            for un, cs in _walk_frame_bytes(data):
+            frames = _walk_frame_bytes(v) if t == "b" else _walk_frame_file(v)
+            for un, cs in frames:
                 raw = _decompress_one(codec, cs, un)
                 if len(raw) != un:
                     raise RuntimeError(

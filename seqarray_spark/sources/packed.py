@@ -68,6 +68,11 @@ def pack_2bit_genotypes(ds: SeqDataset, sample_ids: list[str] | None = None) -> 
         .groupBy("variant_id")
         .agg(F.collect_list("oc").alias("ocs"))
     )
+    # A selected variant whose call rows were ALL removed (e.g. by a
+    # sample filter) must still emit a packed row — all-missing, like the
+    # reference's seqGet2bGeno grid over the full selection. Left join
+    # from the variant axis; pack() turns the NULL ocs into code-3 bytes.
+    pairs = ds.variants.select("variant_id").join(pairs, "variant_id", "left")
 
     def pack(batches):
         shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
@@ -75,9 +80,16 @@ def pack_2bit_genotypes(ds: SeqDataset, sample_ids: list[str] | None = None) -> 
             if not len(pdf):
                 continue
             n = len(pdf)
-            lens = np.fromiter((len(p) for p in pdf["ocs"]), dtype=np.int64, count=n)
+            # NULL ocs = zero-call variant (left-join miss): packs all-missing
+            lens = np.fromiter(
+                (0 if p is None else len(p) for p in pdf["ocs"]),
+                dtype=np.int64, count=n,
+            )
             row_idx = np.repeat(np.arange(n), lens)
-            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pdf["ocs"]])
+            flat = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in pdf["ocs"] if p is not None]
+                or [np.empty(0, dtype=np.int64)]
+            )
             ords = flat >> 2
             cvals = (flat & 3).astype(np.uint8)
             # duplicate (variant, sample) rows collapse via max over the

@@ -79,6 +79,22 @@ def test_pack_unpack_2bit(spark, ds):
     assert got[(2, "s1")] == 1
 
 
+def test_pack_2bit_zero_call_variant(spark, ds):
+    """A selected variant with NO surviving call rows still packs — as an
+    all-missing (code 3) row, matching the oracle's variants x samples
+    grid and the reference's seqGet2bGeno selection semantics."""
+    from seqarray_spark.sources import packed
+
+    extra_v = ds.variants.sparkSession.createDataFrame(
+        [(4, "2", 999, "rs4", "T", ["C"])],
+        "variant_id long, chromosome string, position int, id string, ref string, alt array<string>",
+    )
+    ds2 = SeqDataset(ds.variants.unionByName(extra_v), ds._base_calls, ds._base_samples)
+    p = {r["variant_id"]: bytes(r["packed"]) for r in packed.pack_2bit_genotypes(ds2).collect()}
+    assert set(p) == {1, 2, 3, 4}
+    assert p[4] == b"\xff"  # 4 samples x code 3 = 0b11111111
+
+
 def test_af_from_packed_matches_long_form(spark, ds):
     """The packed-column fast scan must agree with the long-format fused
     aggregate (ALT-side AF/AC)."""
