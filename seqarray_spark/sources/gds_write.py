@@ -688,6 +688,52 @@ def _np_dtype(kind: str):
     return object
 
 
+def _emit_fragment(tmp, blk, plan, rows, kname, kind=None, values=None,
+                   raw=None, nvals=None, aux=0, s=-1, bits=None,
+                   compress=True):
+    """Write one node fragment for block `blk` (executor side) and append
+    its manifest row. With a codec, the fragment is compressed IN THE
+    TASK into _RA frames; bit-packed fragments whose boundary lands
+    mid-byte strip the shared partial byte(s) into the manifest (pb0/
+    pb1) for the assembler to merge. Shared by the SEQ_ARRAY writer's
+    kernel and the SNP-GDS adapter (snp_gds.py)."""
+    if raw is None:
+        raw = _encode_values(kind, values)
+        if nvals is None:
+            nvals = len(values)
+    enc, ub, nfr, pb0, pb1 = 0, len(raw), 0, -1, -1
+    payload = raw
+    _, codec, level, fbytes = (plan or {}).get(
+        _node_class(kname), ("", "", 0, _RA_BSIZE)
+    )
+    if codec and compress:
+        core = raw
+        if bits is not None and s >= 0 and len(raw):
+            per = 8 // bits
+            pfirst = s % per != 0
+            plast = (s + nvals) % per != 0
+            if pfirst and plast and len(raw) == 1:
+                pb0, core = raw[0], b""  # single byte shared both ways
+            else:
+                if pfirst:
+                    pb0 = raw[0]
+                if plast:
+                    pb1 = raw[-1]
+                core = raw[1 if pfirst else 0:
+                           len(raw) - (1 if plast else 0)]
+        payload, nfr = _compress_frames(codec, level, core, fbytes)
+        ub = len(core)
+        enc = 1
+    p = _frag_path(tmp, blk, kname)
+    if len(payload):
+        tmpp = p + ".w"
+        with open(tmpp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmpp, p)
+    rows.append((blk, kname, int(nvals), len(payload), int(aux),
+                 int(s), enc, int(ub), int(nfr), int(pb0), int(pb1)))
+
+
 def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
                         plane0, plan=None):
     """Per-block encoder: takes the block's variants (+ calls) and writes
@@ -712,41 +758,9 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
 
         def emit(kname, kind=None, values=None, raw=None, nvals=None, aux=0,
                  s=-1, bits=None, compress=True):
-            if raw is None:
-                raw = _encode_values(kind, values)
-                if nvals is None:
-                    nvals = len(values)
-            enc, ub, nfr, pb0, pb1 = 0, len(raw), 0, -1, -1
-            payload = raw
-            _, codec, level, fbytes = (plan or {}).get(
-                _node_class(kname), ("", "", 0, _RA_BSIZE)
-            )
-            if codec and compress:
-                core = raw
-                if bits is not None and s >= 0 and len(raw):
-                    per = 8 // bits
-                    pfirst = s % per != 0
-                    plast = (s + nvals) % per != 0
-                    if pfirst and plast and len(raw) == 1:
-                        pb0, core = raw[0], b""  # single byte shared both ways
-                    else:
-                        if pfirst:
-                            pb0 = raw[0]
-                        if plast:
-                            pb1 = raw[-1]
-                        core = raw[1 if pfirst else 0:
-                                   len(raw) - (1 if plast else 0)]
-                payload, nfr = _compress_frames(codec, level, core, fbytes)
-                ub = len(core)
-                enc = 1
-            p = _frag_path(tmp, blk, kname)
-            if len(payload):
-                tmpp = p + ".w"
-                with open(tmpp, "wb") as fh:
-                    fh.write(payload)
-                os.replace(tmpp, p)
-            rows.append((blk, kname, int(nvals), len(payload), int(aux),
-                         int(s), enc, int(ub), int(nfr), int(pb0), int(pb1)))
+            _emit_fragment(tmp, blk, plan, rows, kname, kind=kind,
+                           values=values, raw=raw, nvals=nvals, aux=aux,
+                           s=s, bits=bits, compress=compress)
 
         vdf = vdf.sort_values("__vidx")
         nv = len(vdf)
@@ -1427,8 +1441,10 @@ def _reframe_strict(pieces, codec: str, level: int,
             stats["comp"])
 
 
-def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
-              ploidy, imeta, fmeta, plan=None) -> None:
+def _make_assembler(tmp, manifest, plan):
+    """Driver-side node-assembly toolkit over a fragment manifest:
+    returns (builder, frags, tot, dnode, raw_node). Shared by the
+    SEQ_ARRAY assembler below and the SNP-GDS adapter (snp_gds.py)."""
     plan = plan or {}
     frags: dict[str, list] = {}
     for r in manifest:
@@ -1566,6 +1582,14 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
                     total_bytes=len(raw), comp_bytes=len(frames),
                 )
         return b.array_node(kind, dims, raw, attrs=attrs)
+
+    return b, frags, tot, dnode, raw_node
+
+
+def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
+              ploidy, imeta, fmeta, plan=None) -> None:
+    plan = plan or {}
+    b, frags, tot, dnode, raw_node = _make_assembler(tmp, manifest, plan)
 
     root_id = b.new_id()  # = 1
     entries: list[tuple[int, str, bool]] = []

@@ -74,3 +74,21 @@ def bcf2gds(spark, bcf_path: str, gds_path: str, *,
     """One-step BCF -> GDS container conversion (reference: seqBCF2GDS's
     full pipeline) — pure Python end to end."""
     read_bcf(spark, bcf_path, **(read_opts or {})).to_gds(gds_path, **write_opts)
+
+
+def snp2gds(spark, snp_fn: str, out_fn: str, **kwargs) -> str:
+    """SNPRelate snp.gds -> SeqArray .gds, incl. the major-allele-as-ref
+    recode (reference: seqSNP2GDS, R/Conversion.R:555-825). True
+    container form — see sources/snp_gds.py."""
+    from seqarray_spark.sources.snp_gds import snp2gds as _s2g
+
+    return _s2g(spark, snp_fn, out_fn, **kwargs)
+
+
+def gds2snp(spark, gds_fn: str, out_fn: str, **kwargs) -> str:
+    """SeqArray .gds -> SNPRelate snp.gds (bit2 'SNP_ARRAY' or
+    packedreal 'IMPUTED_DOSAGE' dosage form; reference: seqGDS2SNP,
+    R/Conversion.R:410-547)."""
+    from seqarray_spark.sources.snp_gds import gds2snp as _g2s
+
+    return _g2s(spark, gds_fn, out_fn, **kwargs)

@@ -245,10 +245,12 @@ def af_from_packed(packed: DataFrame, ploidy: int = 2) -> DataFrame:
 
 
 def to_dosage_matrix(ds: SeqDataset, sample_ids: list[str] | None = None) -> DataFrame:
-    """Wide dosage export (reference: seqGDS2SNP dosage mode,
-    R/Conversion.R:410-547): one row per variant with an ARRAY<INT> of
-    alt-dosages in sample order — the long→wide pivot without pivot()
-    (collect_list of (order, value) structs, sorted, projected)."""
+    """Wide dosage export as a DataFrame (the in-memory analogue of
+    seqGDS2SNP's dosage mode, R/Conversion.R:410-547): one row per
+    variant with an ARRAY<INT> of alt-dosages in sample order — the
+    long→wide pivot without pivot() (collect_list of (order, value)
+    structs, sorted, projected). For the actual SNPRelate snp.gds
+    CONTAINER on disk use sources/snp_gds.write_snp_gds / gds2snp."""
     if sample_ids is None:
         sample_ids = [
             r[0] for r in ds.samples.select("sample_id").orderBy("sample_id").collect()
@@ -281,8 +283,10 @@ def from_dosage_matrix(
     matrix: DataFrame, sample_ids: list[str], ploidy: int = 2
 ) -> DataFrame:
     """Dosage matrix → long calls with reconstructed alleles arrays
-    (reference: seqSNP2GDS, R/Conversion.R:555-825): dosage d becomes
-    d ALT copies + (ploidy-d) REF copies; NULL dosage → missing call."""
+    (the in-memory analogue of seqSNP2GDS, R/Conversion.R:555-825):
+    dosage d becomes d ALT copies + (ploidy-d) REF copies; NULL dosage
+    → missing call. For reading an actual snp.gds container use
+    sources/snp_gds.read_snp_gds / snp2gds."""
     sample_arr = F.array(*[F.lit(s) for s in sample_ids])
     exploded = matrix.select(
         "variant_id", F.posexplode("dosages").alias("__pos", "d")
