@@ -476,7 +476,8 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     tau: float = 0.95,
     bucketed: bool = False,
-    planes: int = 8,
+    planes: int = 6,
+    bands: int = 8,
     blocks: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine >= tau.
@@ -486,11 +487,19 @@ def embedding_dup_pairs(
     no driver collect, no broadcast of the matrix, shuffle volume N*B rows
     for B^2/2 block-pair tasks. Exactness is the point; for corpus-scale
     near-dup detection prefer bucketed=True.
-    bucketed=True: random-hyperplane LSH — vectors are first keyed by the
-    sign pattern of `planes` deterministic pseudo-hyperplanes (md5-seeded
-    ±1 components), the self-join runs per bucket, then exact cosine
-    verifies. This is the 100 TB path: the shuffle key is the bucket, and
-    only same-bucket pairs are scored.
+    bucketed=True: banded random-hyperplane LSH (the OR-of-ANDs
+    construction, same shape as minhash_dup_pairs' bands): each vector is
+    keyed by `bands` independent sign patterns of `planes` deterministic
+    hyperplanes, the self-join runs per (band, bucket), and exact cosine
+    verifies before a distinct collapses multi-band hits. A single band
+    misses any near-dup pair split by one of its hyperplanes (recall
+    (1-θ/π)^planes per band); OR'ing `bands` bands lifts recall to
+    1-(1-r)^bands — ≥0.98 at tau=0.9 with the 6-plane/8-band default.
+    `planes` is the precision knob (bucket count 2^planes bounds
+    candidate volume), `bands` the recall knob. This is the 100 TB path:
+    the shuffle key is (band, bucket) and only same-bucket pairs are
+    scored; the sign matrix is folded into the plan as literals (no
+    runtime hashing, no stored model).
     """
     # per-row norm computed ONCE per side before the join, so per-pair
     # work is a single dot fold + one division
@@ -499,13 +508,26 @@ def embedding_dup_pairs(
         F.col(vec_col).alias("_v"),
         _norm(F.col(vec_col)).alias("_n"),
     )
-    if bucketed:
-        df = df.withColumn("_bucket", _hyperplane_bucket(F.col("_v"), planes))
-        a = df.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"), "_bucket")
-        b = df.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), "_bucket")
-        joined = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
-    else:
+    if not bucketed:
         return _all_pairs_matmul(df, tau, blocks)
+    first = emb.select(vec_col).first()
+    if first is None:
+        dim = 1
+    else:
+        dim = len(first[0])
+    band_buckets = F.array(*[
+        _signed_bucket(F.col("_v"), _plane_signs(dim, planes, band))
+        for band in range(bands)
+    ])
+    df = df.select(
+        "_id", "_v", "_n",
+        F.posexplode(band_buckets).alias("_band", "_bucket"),
+    )
+    a = df.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                  F.col("_n").alias("na"), "_band", "_bucket")
+    b = df.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                  F.col("_n").alias("nb"), "_band", "_bucket")
+    joined = a.join(b, ["_band", "_bucket"]).filter(F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(
         F.zip_with(
             F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")
@@ -513,10 +535,14 @@ def embedding_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # verify IN-BUCKET (map-side after the join), then distinct: the
+    # cosine fold is deterministic in array order, so a pair surfacing in
+    # several bands collapses exactly
     return (
         joined.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= float(tau))
         .select("id_a", "id_b", "cosine")
+        .distinct()
     )
 
 
@@ -589,6 +615,42 @@ def _all_pairs_matmul(df: DataFrame, tau: float, blocks: int | None = None) -> D
     )
 
 
+def _plane_signs(dim: int, planes: int, band: int = 0) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components, computed driver-side and
+    folded into the plan as literals. Band 0 plane p component d seeds
+    from md5('p:d') (identical to the runtime-hashed _hyperplane_bucket,
+    so single-band bucket ids are unchanged); band b>0 seeds from
+    md5('b<b>:p:d') — independent planes per band."""
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            seed = f"{p}:{d}" if band == 0 else f"b{band}:{p}:{d}"
+            nib = hashlib.md5(seed.encode()).hexdigest()[0]
+            row.append(1.0 if nib in "89abcdef" else -1.0)
+        out.append(row)
+    return out
+
+
+def _signed_bucket(vec: Column, signs: list[list[float]]) -> Column:
+    """Bucket id = sign pattern of literal-matrix projections (the
+    constant-folded twin of _hyperplane_bucket: one zip_with fold per
+    plane, zero runtime hashing)."""
+    out = None
+    for p, row in enumerate(signs):
+        arr = F.array(*[F.lit(s) for s in row])
+        proj = F.aggregate(
+            F.zip_with(vec, arr, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("int")
+
+
 def _hyperplane_bucket(vec: Column, planes: int) -> Column:
     """Sign pattern of `planes` deterministic hyperplanes. Component (p,d)
     = +1 if md5('p:d') first nibble >= 8 else -1 — reproducible anywhere,
@@ -627,12 +689,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     every node adopts the min of its own label, its neighbors' labels,
     AND its current label's label (path halving), so convergence takes
     O(log diameter) rounds rather than O(diameter): a 10^6-long dup
-    chain converges in ~20 rounds. Each round is two shuffled joins +
-    one agg; `localCheckpoint` per round keeps the plan from growing.
-    No driver-side graph: the driver only checks the convergence sum.
-    Raises RuntimeError if max_iter rounds don't converge (never returns
-    a partially-propagated labeling — downstream keeper selection would
-    silently over-keep)."""
+    chain converges in ~20 rounds. The label's-label lookup rides the
+    SAME join as the neighbor pass (each node contributes a transient
+    id->label edge), so a round is ONE shuffled join + one agg;
+    `localCheckpoint` per round keeps the plan from growing, and the
+    label-sum convergence probe runs every SECOND round (labels only
+    decrease, so an unchanged sum across two rounds proves both were
+    no-ops). No driver-side graph. Raises RuntimeError if max_iter
+    rounds don't converge (never returns a partially-propagated labeling
+    — downstream keeper selection would silently over-keep)."""
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
@@ -657,42 +722,38 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     # round instead of a self-join diff
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        # neighbor pass + pointer jump in ONE join: every node also
+        # contributes a transient (id -> label) edge, so min over the
+        # combined neighborhood = min(neighbor labels, label's label)
+        cedges = edges.union(
+            labels.select(F.col("id").alias("a"), F.col("label").alias("b"))
+        )
         nbr_min = (
-            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            cedges.join(labels.withColumnRenamed("id", "b"), "b")
             .groupBy("a")
             .agg(F.min("label").alias("nbr"))
             .withColumnRenamed("a", "id")
         )
-        # pointer jumping: each node also looks up its LABEL's label
-        lol = (
-            labels.alias("l1")
-            .join(
-                labels.select(
-                    F.col("id").alias("label"), F.col("label").alias("ll")
-                ),
-                "label",
-            )
-            .select("id", "ll")
-        )
         labels = (
             labels.join(nbr_min, "id", "left")
-            .join(lol, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"),
                     F.coalesce(F.col("nbr"), F.col("label")),
-                    F.coalesce(F.col("ll"), F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+        # probe every 2nd round: the sum is monotone non-increasing, so
+        # equality with the sum from two rounds ago proves convergence
+        if it % 2 == 1 or it == max_iter - 1:
+            cur_sum = labels.agg(F.sum("label")).first()[0]
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iter} rounds; "

@@ -133,6 +133,50 @@ def test_embedding_dup_pairs_bucketed_recall(emb):
     assert len(approx) >= len(exact) * 0.5  # same-bucket recall is decent
 
 
+def test_embedding_lsh_banding_recall(spark):
+    """The OR-of-ANDs banding closes the single-band recall cliff: at
+    tau=0.9 a lone sign-band misses pairs split by any one hyperplane,
+    while 8 OR'd bands recover >= 0.95 of the exact pair set."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, npairs = 32, 200
+    rows = []
+    for i in range(npairs):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        # perturb to cosine ~0.92-0.97: inside tau=0.9, random direction
+        # (E[cos] ~ 1/sqrt(1 + scale^2 * dim) ~ 0.93 at 0.07/32)
+        w = v + rng.normal(scale=0.07, size=dim)
+        w /= np.linalg.norm(w)
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in D.embedding_dup_pairs(df, tau=0.9).collect()}
+    assert len(exact) >= npairs * 0.5  # the construction worked
+
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_dup_pairs(
+            df, tau=0.9, bucketed=True, planes=6, bands=1
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_dup_pairs(
+            df, tau=0.9, bucketed=True, planes=6, bands=8
+        ).collect()
+    }
+    assert single <= exact and banded <= exact  # exact verify: no false hits
+    r1 = len(single) / len(exact)
+    r8 = len(banded) / len(exact)
+    assert r1 < 0.9            # the single-band cliff is real
+    assert r8 >= 0.95          # banding fixes it
+    assert r8 > r1
+
+
 def test_cosine_topk(emb):
     q = [1.0, 0.0] + [0.0] * 6
     top = S.cosine_topk(emb, q, k=5).collect()
