@@ -42,6 +42,7 @@ distributed reader (tests/test_gds_write.py).
 
 from __future__ import annotations
 
+import hashlib
 import lzma
 import math
 import os
@@ -1149,7 +1150,8 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
               index_coder: str | None = None,
               format_storage: dict[str, str] | None = None,
               transposed: bool = False,
-              strict_frames: bool = False) -> None:
+              strict_frames: bool = False,
+              digest: bool = True) -> None:
     """SeqDataset -> .gds container (reference writer: seqVCF2GDS,
     R/ConvVCF2GDS.R:559-1465). Read back with SeqDataset.from_gds.
 
@@ -1188,6 +1190,13 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     fixed-point at the reference's quantization
     ("packedreal16:offset=0,scale=0.0001", R/ConvVCF2GDS.R:578-583)
     instead of float32.
+
+    `digest=True` (the reference's default) stamps every data node with
+    the md5 attribute gdsfmt's digest.gdsn(action='add') would —
+    computed over the node's on-disk data-stream content, the exact
+    convention of the reference's released fixtures — so an R-side
+    seqSummary(check='full') can re-validate engine-written containers
+    (R/Internal.R:918-1003). Verify locally with gds.verify_digests.
 
     Distributed: executor tasks encode per-block node fragments; the
     driver stream-assembles them (see module docstring). Floats are
@@ -1380,7 +1389,7 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
                 )
         _assemble(
             ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
-            ploidy, imeta, fmeta, plan=plan,
+            ploidy, imeta, fmeta, plan=plan, digest=digest,
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1441,10 +1450,40 @@ def _reframe_strict(pieces, codec: str, level: int,
             stats["comp"])
 
 
-def _make_assembler(tmp, manifest, plan):
+class _Md5Sink:
+    """File-like sink that only hashes — lets a deferred node writer run
+    once ahead of emit to stamp the digest attribute (the writers are
+    re-runnable: they re-read fragment/spill files)."""
+
+    def __init__(self):
+        self.h = hashlib.md5()
+
+    def write(self, b) -> int:
+        self.h.update(b)
+        return len(b)
+
+
+def _digest_key(key: str) -> bool:
+    """Which writer node keys get a digest attribute — the reference
+    stamps every imported data node EXCEPT the genotype/phase overflow
+    streams (.DigestFile R/Internal.R:941-1003 + seqOptimize's ~data
+    re-digest); description/* and sample.id route through raw_node."""
+    return not key.startswith(("geno.extra", "phase.extra"))
+
+
+def _make_assembler(tmp, manifest, plan, digest=False):
     """Driver-side node-assembly toolkit over a fragment manifest:
     returns (builder, frags, tot, dnode, raw_node). Shared by the
-    SEQ_ARRAY assembler below and the SNP-GDS adapter (snp_gds.py)."""
+    SEQ_ARRAY assembler below and the SNP-GDS adapter (snp_gds.py).
+
+    With ``digest=True``, data-bearing nodes gain the same per-node
+    ``md5`` attribute the reference stamps at import (gdsfmt
+    digest.gdsn(action='add') via .DigestCode, R/Internal.R:918-936):
+    the hash of the node's allocated data-stream CONTENT as stored on
+    disk (coder header + frames for compressed nodes, raw bytes
+    otherwise) — verified byte-identical against the md5 attributes in
+    the reference's own released CEU/1KG/Imputed containers. Costs one
+    extra driver read pass over each node's (compressed) bytes."""
     plan = plan or {}
     frags: dict[str, list] = {}
     for r in manifest:
@@ -1559,16 +1598,28 @@ def _make_assembler(tmp, manifest, plan):
 
     def dnode(kind, dims, key, bits=None, attrs=None):
         csize, writer, nd_coder, tot_u, comp = deferred(key, bits=bits)
+        if digest and _digest_key(key):
+            sink = _Md5Sink()
+            writer(sink)
+            attrs = dict(attrs or {})
+            attrs["md5"] = sink.h.hexdigest()
         return b.array_node(
             kind, dims, deferred=(csize, writer), attrs=attrs,
             coder=nd_coder, total_bytes=tot_u, comp_bytes=comp,
         )
 
-    def raw_node(kind, dims, raw, attrs=None):
+    def raw_node(kind, dims, raw, attrs=None, digestable=False):
         """Driver-side (small) node under the base-class coder: frame-
         compress in place so sample.id / sample.annotation / description
         streams get the same treatment as the executor-encoded nodes
         (skipped under ~129 B, where frame overhead exceeds the gain)."""
+        def _attrs(content):
+            if digest and digestable:
+                a = dict(attrs or {})
+                a["md5"] = hashlib.md5(content).hexdigest()
+                return a
+            return attrs
+
         name, codec, level, fb = plan.get("base", ("", "", 0, _RA_BSIZE))
         if codec and len(raw) > 128:
             frames, nfr = _compress_frames(codec, level, raw, fb)
@@ -1578,18 +1629,20 @@ def _make_assembler(tmp, manifest, plan):
             )
             if len(payload) < len(raw):
                 return b.array_node(
-                    kind, dims, payload, attrs=attrs, coder=name,
+                    kind, dims, payload, attrs=_attrs(payload), coder=name,
                     total_bytes=len(raw), comp_bytes=len(frames),
                 )
-        return b.array_node(kind, dims, raw, attrs=attrs)
+        return b.array_node(kind, dims, raw, attrs=_attrs(raw))
 
     return b, frags, tot, dnode, raw_node
 
 
 def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
-              ploidy, imeta, fmeta, plan=None) -> None:
+              ploidy, imeta, fmeta, plan=None, digest=False) -> None:
     plan = plan or {}
-    b, frags, tot, dnode, raw_node = _make_assembler(tmp, manifest, plan)
+    b, frags, tot, dnode, raw_node = _make_assembler(
+        tmp, manifest, plan, digest=digest
+    )
 
     root_id = b.new_id()  # = 1
     entries: list[tuple[int, str, bool]] = []
@@ -1641,7 +1694,8 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
     entries.append((desc_id, "description", True))
 
     entries.append(
-        (raw_node("vlstr", (n_samp,), _encode_values("vlstr", sample_ids)),
+        (raw_node("vlstr", (n_samp,), _encode_values("vlstr", sample_ids),
+                  digestable=True),
          "sample.id", False)
     )
     entries.append((dnode("int32", (n_var,), "variant.id"), "variant.id", False))
@@ -1794,13 +1848,15 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
                 vals = [srows[s][c] for s in sample_ids]
                 if dt == "string":
                     sa_entries.append(
-                        (raw_node("vlstr", (n_samp,), _encode_values("vlstr", vals)), c, False)
+                        (raw_node("vlstr", (n_samp,), _encode_values("vlstr", vals),
+                                   digestable=True), c, False)
                     )
                 elif dt in ("double", "float"):
                     sa_entries.append(
                         (raw_node(
                             "float32", (n_samp,),
-                            _encode_values("float32", [math.nan if v is None else v for v in vals])), c, False)
+                            _encode_values("float32", [math.nan if v is None else v for v in vals]),
+                            digestable=True), c, False)
                     )
                 else:
                     # NULL ints take the INT32_MIN NA code (the reader's
@@ -1811,7 +1867,7 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
                             _encode_values(
                                 "int32",
                                 [_INT_NA if v is None else int(v) for v in vals],
-                            )), c, False)
+                            ), digestable=True), c, False)
                     )
     sa_folder = b.new_id()
     b.folder(sa_folder, sa_entries)
