@@ -121,6 +121,7 @@ _CODER_LEVELS = {
     "fast": 1, "def": 6, "default": 6, "max": 9, "ultra": 10, "ultra_max": 11,
 }
 _BSIZE_SUFFIX = {
+    "64K": 1 << 16, "128K": 1 << 17,
     "256K": 1 << 18, "512K": 1 << 19, "1M": 1 << 20, "2M": 1 << 21,
     "4M": 1 << 22, "8M": 1 << 23,
 }
@@ -206,7 +207,14 @@ def _storage_plan(coder: str | None, *, geno: str | None = None,
         elif c.lower().endswith(".max"):
             c, info_d, fmt_d = c + ":1M", c + ":1M", c + ":4M"
         else:
-            fmt_d = c + ":1M"
+            # plain stock coders: gdsfmt's suffix-less default is multi-MB
+            # frames, not the 64 KiB stock grid — the reference's released
+            # 1KG fixture stores its plain-'LZMA_RA' genotype plane as
+            # 3.4-4.4 MB frames. Mirror with :4M everywhere except the
+            # FORMAT class, which seqStorageOption pins to :1M explicitly
+            # (R/Utilities.R:286-288)
+            c, info_d, index_d = c + ":4M", c + ":4M", c + ":4M"
+            geno_d, fmt_d = geno_d + ":4M", fmt_d + ":1M"
     return {
         "base": _parse_coder(c),
         "geno": _parse_coder(geno if geno is not None else geno_d),
@@ -1151,6 +1159,7 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
               format_storage: dict[str, str] | None = None,
               transposed: bool = False,
               strict_frames: bool = False,
+              heal_frames: bool = True,
               digest: bool = True) -> None:
     """SeqDataset -> .gds container (reference writer: seqVCF2GDS,
     R/ConvVCF2GDS.R:559-1465). Read back with SeqDataset.from_gds.
@@ -1208,6 +1217,9 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     # strict_frames: driver re-frames node streams on the exact 64 KiB
     # grid at assembly (see _reframe_strict) for fixed-stride seek parity
     plan["__strict__"] = bool(strict_frames)
+    # heal_frames: fragmentation auto-heal at assembly (_framed_stream);
+    # False preserves each Spark block's frame run verbatim
+    plan["__heal__"] = bool(heal_frames)
     spark = ds.variants.sparkSession
     variants = ds.variants
     # the CURRENT SELECTION exports (reference seqExport semantics) —
@@ -1224,9 +1236,12 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
 
     n_var = variants.count()
     if block_variants is None:
-        # target ~2M grid cells per task so block memory stays bounded
-        # regardless of sample count
-        block_variants = min(max(2_000_000 // max(n_samp, 1), 64), 65536)
+        # target ~8M grid cells per task: bounded block memory at any
+        # sample count, AND genotype payload per block (~cells/2 bytes
+        # at ploidy 2) spanning whole 4 MiB default frames, so the
+        # fragmentation auto-heal (_framed_stream) stays dormant on the
+        # dominant node at scale
+        block_variants = min(max(8_000_000 // max(n_samp, 1), 64), 65536)
     nblocks = max(1, math.ceil(n_var / block_variants))
 
     # FILTER factor levels, reference-exact (R/ConvVCF2GDS.R:1405-1425 +
@@ -1396,7 +1411,8 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
 
 
 def _reframe_strict(pieces, codec: str, level: int,
-                    tmp: str, key: str, coder_name: str):
+                    tmp: str, key: str, coder_name: str,
+                    grid: int | None = None):
     """strict_frames assembly: decompress the executors' irregular frame
     runs and re-emit frames on the EXACT 64 KiB grid (every frame but
     the last covers _RA_BSIZE uncompressed bytes), so readers that seek
@@ -1409,8 +1425,12 @@ def _reframe_strict(pieces, codec: str, level: int,
     for ratio and keep the default irregular assembly). Driver cost is
     O(node bytes) with O(bsize) memory (streamed through a spill file);
     the default assembly stays O(boundary bytes). Opt in via
-    write_gds(strict_frames=True) for release-parity containers."""
-    fbytes = _RA_BSIZE  # grid pinned to the stock bsize (see docstring)
+    write_gds(strict_frames=True) for release-parity containers.
+
+    `grid` overrides the frame grid (the fragmentation auto-heal
+    re-frames onto the node CLASS's frame size — e.g. 4 MiB for the
+    plain stock coders — while strict mode keeps the stock 64 KiB)."""
+    fbytes = grid or _RA_BSIZE  # default: stock bsize (see docstring)
     spill = os.path.join(tmp, "__strict__" + key.replace("/", "__"))
     buf = bytearray()
     stats = {"nframes": 0, "un": 0, "comp": 0}
@@ -1559,6 +1579,26 @@ def _make_assembler(tmp, manifest, plan, digest=False):
         if plan.get("__strict__"):
             return _reframe_strict(pieces, codec, level, tmp, key,
                                    coder_name)
+        # Auto-heal fragmentation: a node whose frames average well
+        # under the class's frame grid (small Spark blocks -> mostly
+        # partial tail frames) pays real ratio loss from per-frame
+        # dictionary resets, so re-frame it onto the exact grid at
+        # assembly — O(node bytes) driver work that only triggers when
+        # the overhead is material. Self-limiting at scale: blocks are
+        # sized to span whole frames (write_gds block_variants), fill
+        # approaches 1, and this path never runs.
+        # Capped at 256 MiB of node payload: beyond that the driver
+        # recompression pass would become the bottleneck — huge nodes
+        # (genotype/FORMAT planes) are exactly the ones whose blocks
+        # already span whole frames, and the residual axis-node overhead
+        # is a sub-percent of file bytes (SCALE.md storage audit).
+        fbytes = plan.get(_node_class(key), ("", "", 0, _RA_BSIZE))[3]
+        if (plan.get("__heal__", True)
+                and state["nframes"] > 2
+                and state["un"] < 0.7 * state["nframes"] * fbytes
+                and state["un"] < (1 << 28)):
+            return _reframe_strict(pieces, codec, level, tmp, key,
+                                   coder_name, grid=fbytes)
         header = (
             _RA_MAGIC[codec] + bytes([0x10, _RA_BSIZE_LOG2, 0xFF])
             + struct.pack("<I", state["nframes"])

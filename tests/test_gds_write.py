@@ -305,7 +305,8 @@ def test_zip_ra_random_access(spark, ds, tmp_path, monkeypatch):
     from seqarray_spark.sources.gds import decode_values
 
     out = str(tmp_path / "z.gds")
-    ds.to_gds(out, coder="ZIP_ra", block_variants=2)  # multi-frame nodes
+    ds.to_gds(out, coder="ZIP_ra:256K", block_variants=2,
+              heal_frames=False)  # multi-frame nodes, per-block run kept
     f = GdsFile(out)
     node = f.node("variant.id")
     frames, _, codec = f._frame_index(node)
@@ -453,7 +454,8 @@ def test_multiframe_node_roundtrip(spark, tmp_path):
     samples = spark.createDataFrame([Row(sample_id="S1")])
     ds = SeqDataset(variants, None, samples, ploidy=2)
     out = str(tmp_path / "wide.gds")
-    ds.to_gds(out)  # default LZMA_ra, single block
+    # pin the frame size below the node's bytes so it must split
+    ds.to_gds(out, coder="LZMA_ra:64K")
     f = GdsFile(out)
     node = f.node("chromosome")
     frames, _, codec = f._frame_index(node)
@@ -519,7 +521,7 @@ def test_lz4_ra_roundtrip_and_random_access(spark, ds, tmp_path, monkeypatch):
     from seqarray_spark.sources.gds import decode_values
 
     out = str(tmp_path / "l.gds")
-    ds.to_gds(out, coder="LZ4_ra", block_variants=2)
+    ds.to_gds(out, coder="LZ4_ra:256K", block_variants=2, heal_frames=False)
     f = GdsFile(out)
     node = f.node("variant.id")
     assert node.coder == "LZ4_ra"
@@ -741,8 +743,12 @@ def test_strict_frames_exact_bsize_grid(spark, tmp_path, coder):
 
     loose = str(tmp_path / "loose.gds")
     strict = str(tmp_path / "strict.gds")
-    ds.to_gds(loose, coder=coder, block_variants=500)
-    ds.to_gds(strict, coder=coder, block_variants=500, strict_frames=True)
+    # pin the stock 64 KiB grid and keep the raw per-block frame runs on
+    # the loose side (the contrast the strict mode exists to fix)
+    ds.to_gds(loose, coder=coder + ":64K", block_variants=500,
+              heal_frames=False)
+    ds.to_gds(strict, coder=coder + ":64K", block_variants=500,
+              strict_frames=True)
 
     def uncomp_lens(path):
         f = GdsFile(path)
