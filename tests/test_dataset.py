@@ -156,6 +156,36 @@ def test_chrom_pos2_reference_suffixing(spark):
     assert got2 == {1: "1:100", 2: "1:200", 3: "1:100"}
 
 
+def test_chrom_pos2_numbers_dups_over_the_selection(spark):
+    """Under an active filter the dup walk runs over the SELECTION, not
+    the file: two same-position variants separated by a filtered-out
+    variant become ADJACENT in the selection and the second gets '_1'
+    (reference: get_chrom_pos2 src/GetData.cpp:710-748 iterates
+    Sel.pVariant and compares each SELECTED key to the previous SELECTED
+    one). Conversely a run split by the filter loses its suffixes."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(1, "1", 100, "A", ["T"]), (2, "1", 200, "A", ["G"]),
+         (3, "1", 100, "A", ["C"]), (4, "1", 300, "A", ["T"])],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>",
+    )
+    ds = SeqDataset(v, ids_dense=True)
+    # unfiltered: 1 and 3 are non-adjacent -> both bare
+    got = {r["variant_id"]: r["chrom_pos2"]
+           for r in ds.get_data("$chrom_pos2").collect()}
+    # the reference's walk is strictly consecutive-previous: 1,2,3 ->
+    # 3 compares against 2 ('1:200'), so 3 stays bare
+    assert got == {1: "1:100", 2: "1:200", 3: "1:100", 4: "1:300"}
+    # filter drops 2: now 1 and 3 are consecutive in the selection and
+    # 3 must be suffixed _1
+    ds.set_filter_variant_id([1, 3, 4])
+    got_f = {r["variant_id"]: r["chrom_pos2"]
+             for r in ds.get_data("$chrom_pos2").collect()}
+    assert got_f == {1: "1:100", 3: "1:100_1", 4: "1:300"}
+
+
 def test_filter_pos_matches_alt(spark):
     """match_alleles matches ALT too when probes carry alt_one — a
     ref-only match would select allele-mismatched variants."""
