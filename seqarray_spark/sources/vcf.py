@@ -725,12 +725,30 @@ def _header_from_dataset(ds, info_fields: list[str], format_fields: list[str]) -
 
 
 def _fmt_num(col: Column) -> Column:
-    """Render a double the way VCF expects (no trailing '.0' on integers)."""
+    """Render an INTEGER column the way VCF expects (plain digits, '.'
+    for null — the reference's fast_itoa path, ConvGDS2VCF.cpp:203)."""
     return F.when(col.isNull(), F.lit(".")).otherwise(
         F.when(col == col.cast("long"), col.cast("long").cast("string")).otherwise(
             col.cast("string")
         )
     )
+
+
+def _fmt_g(col: Column) -> Column:
+    """C printf '%g' rendering for FLOAT columns — the reference writes
+    every QUAL / Float INFO / Float FORMAT cell with snprintf("%g")
+    (_Line_Append(double), src/ConvGDS2VCF.cpp:195-201): 6 significant
+    digits, trailing zeros stripped, '.' for non-finite, and the
+    fixed/scientific cutover at exponent < -4 or >= 6. Java's %.6g
+    shares the cutover rule and exponent spelling ('1.23457e+06'); only
+    the zero-stripping differs, applied here by regex."""
+    d = col.cast("double")
+    g = F.format_string("%.6g", d)
+    g = F.regexp_replace(g, r"(\.\d*?)0+(e|$)", r"$1$2")
+    g = F.regexp_replace(g, r"\.(e|$)", r"$1")
+    return F.when(
+        d.isNull() | F.isnan(d) | (F.abs(d) == float("inf")), F.lit(".")
+    ).otherwise(g)
 
 
 def write_vcf(
@@ -772,9 +790,10 @@ def write_vcf(
         elif dt.startswith("array"):
             # the no-trailing-.0 renderer is for NUMERIC elements only: a
             # String-typed field like '007' must not be coerced to '7'
+            et = dt[6:-1]
             elem_fmt = (
-                _fmt_num if dt[6:-1] in ("int", "bigint", "smallint",
-                                         "double", "float")
+                _fmt_g if et in ("double", "float")
+                else _fmt_num if et in ("int", "bigint", "smallint")
                 else (lambda x: F.coalesce(x, F.lit(".")))
             )
             info_parts.append(
@@ -784,7 +803,7 @@ def write_vcf(
                 )
             )
         elif dt == "double":
-            info_parts.append(F.when(c.isNotNull(), F.concat(F.lit(name + "="), _fmt_num(c))))
+            info_parts.append(F.when(c.isNotNull(), F.concat(F.lit(name + "="), _fmt_g(c))))
         else:
             info_parts.append(
                 F.when(c.isNotNull(), F.concat(F.lit(name + "="), c.cast("string")))
@@ -805,7 +824,7 @@ def write_vcf(
             F.coalesce(F.col("id"), F.lit(".")),
             F.col("ref"),
             F.when(F.size("alt") > 0, F.concat_ws(",", "alt")).otherwise(F.lit(".")),
-            F.coalesce(_fmt_num(F.col("qual")), F.lit(".")),
+            F.coalesce(_fmt_g(F.col("qual")), F.lit(".")),
             F.coalesce(F.col("filter"), F.lit(".")),
             info_str,
         ).alias("__fixed"),
@@ -835,16 +854,17 @@ def write_vcf(
             c = F.col(f_name)
             dt = dict(calls.dtypes)[f_name]
             if dt.startswith("array"):
+                et = dt[6:-1]
                 elem_fmt = (
-                    _fmt_num if dt[6:-1] in ("int", "bigint", "smallint",
-                                             "double", "float")
+                    _fmt_g if et in ("double", "float")
+                    else _fmt_num if et in ("int", "bigint", "smallint")
                     else (lambda x: F.coalesce(x, F.lit(".")))
                 )
                 fmt_cols.append(
                     F.coalesce(F.concat_ws(",", F.transform(c, elem_fmt)), F.lit("."))
                 )
             elif dt == "double":
-                fmt_cols.append(_fmt_num(c))
+                fmt_cols.append(_fmt_g(c))
             else:
                 fmt_cols.append(F.coalesce(c.cast("string"), F.lit(".")))
         token = F.concat_ws(":", *fmt_cols)

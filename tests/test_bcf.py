@@ -289,3 +289,50 @@ def test_bcf_int16_dictionary_key(spark, tmp_path):
     ds = read_bcf(spark, p)
     r = ds.variants.first()
     assert r["position"] == 100 and r["info"]["DP"] == 33
+
+
+def test_bcf_ragged_format_eov_vs_missing(spark, tmp_path):
+    """Multi-sample ragged FORMAT vectors: END_OF_VECTOR pads a
+    shorter sample's vector (truncate), MISSING is a real '.' slot
+    (htslib vcf.c typed-vector semantics; the reference imports the
+    resulting tokens per src/ConvVCF2GDS.cpp:744-997). S1=[3,4],
+    S2=[5,EOV] -> '5', S3=[MISS,EOV] -> '.' (the whole-field-missing
+    token, which parses as a NULL field exactly like read_vcf on the
+    same text — htslib prints it identically), and an interior MISSING
+    S1-of-record-2 [7,MISS] keeps its slot as None."""
+    header = HEADER_LINES + [
+        "##FORMAT=<ID=AD,Number=.,Type=Integer,Description=\"Depths\">",
+    ]
+    AD = 6  # appended after GT=5 in appearance order
+    text = "\n".join(header + [CHROM_LINE]) + "\n\x00"
+    hb = text.encode()
+    out = b"BCF\x02\x02" + struct.pack("<I", len(hb)) + hb
+    MISS8 = -0x80
+    out += record(
+        0, 100, "", ["A", "T"], 1.0, [PASS_],
+        [],
+        [(GT, T_INT8, 2, [2, 4] * 3),
+         (AD, T_INT8, 2, [3, 4, 5, EOV8, MISS8, EOV8])],
+        3,
+    )
+    out += record(
+        0, 200, "", ["C", "G"], 1.0, [PASS_],
+        [],
+        [(GT, T_INT8, 2, [2, 4] * 3),
+         (AD, T_INT8, 2, [7, MISS8, 1, 2, EOV8, EOV8])],
+        3,
+    )
+    p = str(tmp_path / "ragged.bcf")
+    with BgzfWriter(p) as w:
+        w.write(out)
+    ds = read_bcf(spark, p)
+    ad = {
+        (r["variant_id"], r["sample_id"]): r["AD"]
+        for r in ds.calls.collect()
+    }
+    assert ad[(1, "S1")] == [3, 4]
+    assert ad[(1, "S2")] == [5]          # EOV truncates, no phantom slot
+    assert ad[(1, "S3")] is None         # [MISS,EOV] == '.' == NULL field
+    assert ad[(2, "S1")] == [7, None]    # interior MISSING keeps position
+    assert ad[(2, "S2")] == [1, 2]
+    assert ad[(2, "S3")] is None         # all-EOV renders '.' too

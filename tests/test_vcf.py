@@ -631,3 +631,24 @@ def test_vcf_samp_id_and_example_files():
         assert len(vcf_samp_id(example_file_name("vcf"))) == 90
     with _pytest.raises(ValueError):
         example_file_name("nope")
+
+
+def test_float_rendering_matches_c_percent_g(spark):
+    """QUAL / Float INFO / Float FORMAT cells render exactly as the
+    reference's snprintf("%g") (_Line_Append, ConvGDS2VCF.cpp:195-201):
+    6 significant digits, stripped zeros, C exponent form, '.' for
+    non-finite. Python's '%g' is the C formatter — used as the oracle."""
+    import math
+
+    from seqarray_spark.sources.vcf import _fmt_g
+
+    vals = [0.5, 1.0, 2.0, 1 / 3, 0.0001, 0.00001, 1234567.0, 0.1234,
+            123456.0, 1.5e-7, -0.25, 2 - 0.1234, 99.9999999, 0.0,
+            float("nan"), float("inf"), None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["g"] for r in df.select(_fmt_g(F.col("x")).alias("g")).collect()]
+    want = [
+        "." if v is None or not math.isfinite(v) else ("%g" % v)
+        for v in vals
+    ]
+    assert got == want, list(zip(vals, got, want))
