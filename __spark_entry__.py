@@ -57,6 +57,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # past the window, where the local harness (tools/check_correctness.py)
     # still covers them.
     return {
+        # -- r6 additions (newest first — unchecked by the driver yet) ------
+        "doc_repetition": doc_repetition,
         # -- r5 additions, driver-unchecked until r6: curation + multimodal --
         "doc_pack_batches": doc_pack_batches,
         "doc_stratified_sample": doc_stratified_sample,
@@ -661,6 +663,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(F.md5(F.col("text")).alias("content_md5")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate 2-/3-gram fractions and
+    the char share of the most frequent 2-gram. The engine computes the
+    mode gram with a zero-shuffle sorted-array fold; the oracle uses a
+    completely different algorithm (unnest + GROUP BY + window) — an
+    algorithmic cross-check, not a replay."""
+    from seqarray_spark.operators.text import repetition_signals
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    # no rounding: every metric is a single int/int IEEE division (or
+    # 1.0 minus one), bit-identical across engines
+    return repetition_signals(docs).select(
+        "doc_id", "dup_2gram_frac", "dup_3gram_frac", "top_2gram_char_frac",
     )
 
 

@@ -278,3 +278,63 @@ def lm_score(docs: DataFrame, text_col: str = "text",
         )
     )
     return docs.join(scored, docs[id_col] == scored["__id"], "left").drop("__id")
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       prefix: int = 8192) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public
+    recipe): per document, the duplicate fraction of word 2-grams and
+    3-grams (1 - distinct/total) and the fraction of prefix characters
+    covered by the single most frequent 2-gram. Highly repetitive docs
+    (boilerplate, keyword stuffing, degenerate generations) light up all
+    three.
+
+    Plan shape: pure Column expressions, ZERO shuffles — the mode
+    2-gram is found by sorting each doc's shingle array and folding a
+    (prev, run, best, best_gram) struct accumulator over it (runs of a
+    sorted array ARE the counts), so the whole thing rides the scan.
+    Ties break to the lexicographically larger gram, matching the
+    oracle's ORDER BY cnt DESC, gram DESC. Metrics are computed over the
+    first `prefix` chars like every statistical text metric here (O(1)
+    per doc); NULL where a doc has too few tokens to form a gram.
+    """
+    docs = spread(docs)
+    t = F.substring(F.col(text_col), 1, prefix)
+
+    def dup_frac(n: int) -> Column:
+        sh = word_shingles(t, n)
+        tot = F.size(sh)
+        return F.when(
+            tot > 0,
+            F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double")
+            / tot.cast("double"),
+        )
+
+    sh2 = F.array_sort(word_shingles(t, 2))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("best"), F.lit("").alias("bg"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = (run > acc["best"]) | ((run == acc["best"]) & (x > acc["bg"]))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+        )
+
+    top = F.aggregate(sh2, zero, step)
+    n_chars = F.length(t)
+    return docs.withColumns(
+        {
+            "dup_2gram_frac": dup_frac(2),
+            "dup_3gram_frac": dup_frac(3),
+            "top_2gram_char_frac": F.when(
+                (F.size(sh2) > 0) & (n_chars > 0),
+                (top["best"] * F.length(top["bg"])).cast("double")
+                / n_chars.cast("double"),
+            ),
+        }
+    )
