@@ -374,6 +374,62 @@ def read_snp_gds(spark: SparkSession, path: str, *, major_ref: bool = True,
         nval = valid.sum(axis=1)
         return ssum < nval
 
+    # sample-row blocks for the transposed (snp.order) layout — used by
+    # both the rev-flag precompute and the calls reader
+    srow = max(1, 2_000_000 // max(n_var, 1))
+    sblocks = [(i, min(i + srow, n_samp)) for i in range(0, n_samp, srow)]
+
+    def _sample_rows(g, s, e):
+        """(e-s, n_var) code/dosage matrix rows of a snp.order file."""
+        gn = g.node("genotype")
+        if gn.kind == "bit2":
+            vals = np.asarray(_bit_rows(g, gn, s, e, n_var), np.float64)
+        else:
+            vals = np.asarray(
+                _node_slice(g, gn, s * n_var, e * n_var), np.float64
+            )
+        return vals.reshape(e - s, n_var)
+
+    # For transposed files the flip decision needs variant-axis sums that
+    # no single sample-row task sees, so precompute them distributedly:
+    # each task folds its sample rows into per-variant partial (sum,
+    # n_valid) vectors — one n_var-length pair per block, no cell-level
+    # shuffle — then the driver reduces and broadcasts n_var flip bits
+    # (same driver footprint as the flip_ok mask above). Both the
+    # variants and the calls kernels read this one vector, so ref/alt and
+    # the genotype recode can never disagree.
+    bcrev = None
+    if major_ref and not sample_major:
+        sdf0 = spark.createDataFrame(sblocks, "s long, e long").repartition(
+            min(max(len(sblocks), 1), ncores * 4)
+        )
+
+        def partial_kernel(batches):
+            g = bc.value
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    m = _sample_rows(g, int(row["s"]), int(row["e"]))
+                    valid = np.isfinite(m) & (m >= 0) & (m <= 2)
+                    yield pd.DataFrame(
+                        {
+                            "ssum": [
+                                np.where(valid, m, 0).sum(axis=0).tolist()
+                            ],
+                            "nval": [
+                                valid.sum(axis=0).astype(float).tolist()
+                            ],
+                        }
+                    )
+
+        ssum = np.zeros(n_var)
+        nval = np.zeros(n_var)
+        for r in sdf0.mapInPandas(
+            partial_kernel, "ssum array<double>, nval array<double>"
+        ).collect():
+            ssum += np.asarray(r["ssum"])
+            nval += np.asarray(r["nval"])
+        bcrev = spark.sparkContext.broadcast((ssum < nval) & flip_ok)
+
     # --- variants ------------------------------------------------------
     def variants_kernel(batches):
         g = bc.value
@@ -381,10 +437,12 @@ def read_snp_gds(spark: SparkSession, path: str, *, major_ref: bool = True,
             for _, row in pdf.iterrows():
                 s, e, vids, pos, chroms, alleles, rs = _block_meta(g, row)
                 splits = [_split_allele(a) for a in alleles]
-                if major_ref:
+                if not major_ref:
+                    rev = np.zeros(e - s, dtype=bool)
+                elif sample_major:
                     rev = _rev_flags(_codes_block(g, s, e)) & bcf.value[s:e]
                 else:
-                    rev = np.zeros(e - s, dtype=bool)
+                    rev = bcrev.value[s:e]
                 refs, alts = [], []
                 for (a, rest), rv in zip(splits, rev):
                     if rv:
@@ -393,9 +451,12 @@ def read_snp_gds(spark: SparkSession, path: str, *, major_ref: bool = True,
                         parts = [a] + (rest.split(",") if rest else [])
                     refs.append(parts[0])
                     alts.append(parts[1:])
+                # reference seqSNP2GDS copies snp.rs.id verbatim whenever
+                # the node exists (blank entries stay blank); snp.id is
+                # the fallback only when there is no rs node at all
+                # (R/Conversion.R:644-652)
                 ids = (
-                    [("" if r is None else str(r)) or str(v)
-                     for r, v in zip(rs, vids)]
+                    ["" if r is None else str(r) for r in rs]
                     if rs is not None else [str(v) for v in vids]
                 )
                 yield pd.DataFrame(
@@ -484,30 +545,16 @@ def read_snp_gds(spark: SparkSession, path: str, *, major_ref: bool = True,
         # tasks, explode to (variant_ord, sample, value), shuffle to
         # variant-major, then recode per variant — one exchange,
         # inherent to consuming a transposed matrix by the other axis
-        sblocks = [
-            (i, min(i + max(1, 2_000_000 // max(n_var, 1)), n_samp))
-            for i in range(0, n_samp, max(1, 2_000_000 // max(n_var, 1)))
-        ]
         sdf = spark.createDataFrame(sblocks, "s long, e long").repartition(
             min(max(len(sblocks), 1), ncores * 4)
         )
 
         def long_kernel(batches):
             g = bc.value
-            gn = g.node("genotype")
             for pdf in batches:
                 for _, row in pdf.iterrows():
                     s, e = int(row["s"]), int(row["e"])
-                    if gn.kind == "bit2":
-                        vals = np.asarray(
-                            _bit_rows(g, gn, s, e, n_var), np.float64
-                        )
-                    else:
-                        vals = np.asarray(
-                            _node_slice(g, gn, s * n_var, e * n_var),
-                            np.float64,
-                        )
-                    m = vals.reshape(e - s, n_var)
+                    m = _sample_rows(g, s, e)
                     yield pd.DataFrame(
                         {
                             "__vord": np.tile(
@@ -545,8 +592,12 @@ def read_snp_gds(spark: SparkSession, path: str, *, major_ref: bool = True,
                 for i, cells in enumerate(pdf["cells"]):
                     for c in cells:
                         codes[i, sample_pos[c["sample_id"]]] = c["g"]
+                # use the precomputed broadcast flips (same vector the
+                # variants kernel reads) — NOT a local _rev_flags on the
+                # regrouped codes, so calls and variants stay coherent
+                # even if a partition saw a partial sample set
                 rev = (
-                    _rev_flags(codes) & bcf.value[vords] if major_ref
+                    bcrev.value[vords] if major_ref
                     else np.zeros(len(pdf), dtype=bool)
                 )
                 yield _emit_calls(vids, codes, rev)
@@ -561,13 +612,31 @@ def read_snp_gds(spark: SparkSession, path: str, *, major_ref: bool = True,
             if child.is_folder or child.kind is None:
                 continue
             vals = f.read_array(child.path)
+            # preserve the node's storage type (the reference copies
+            # annotation nodes as-is, R/Conversion.R:706-719) — numpy
+            # scalars from int/float nodes are converted to Python
+            # natives of the matching Spark type
+            styp, conv = _annot_spark_type(child.kind)
             aux = spark.createDataFrame(
-                [(s, None if v is None else v) for s, v in zip(sample_ids, vals)],
-                f"sample_id string, `{child.name}` string",
+                [
+                    (s, None if v is None else conv(v))
+                    for s, v in zip(sample_ids, vals)
+                ],
+                f"sample_id string, `{child.name}` {styp}",
             )
             samples = samples.join(aux, "sample_id", "left")
 
     return SeqDataset(variants, calls, samples, ploidy=2)
+
+
+def _annot_spark_type(kind: str):
+    """Map a GDS storage kind to (spark type ddl, value converter) so
+    sample.annot children keep their numeric types across the read."""
+    if kind in ("int8", "int16", "int32", "uint8", "bit1", "bit2", "vlint"):
+        return "long", int
+    if kind in ("float32", "float64") or kind.startswith("packedreal"):
+        return "double", float
+    return "string", str
 
 
 def _has(f: GdsFile, path: str) -> bool:

@@ -256,3 +256,164 @@ def test_ceu_gds2snp_af_parity(spark, tmp_path):
     a0, a1 = af(orig), af(back)
     assert set(a0) == set(a1)
     assert a0 == a1
+
+
+def _emit_snp_container(path, sample_ids, snp_ids, pos, chroms, alleles,
+                        codes, *, transposed=False, rs_ids=None,
+                        annots=None):
+    """Hand-build a snp.gds container (SNP_ARRAY bit2) for adversarial
+    read tests: optional snp.order transpose, snp.rs.id node, and typed
+    sample.annot children."""
+    from seqarray_spark.sources.gds_write import _Builder, _encode_values
+
+    n_var, n_samp = len(snp_ids), len(sample_ids)
+    b = _Builder()
+    root = b.new_id()
+    entries = [
+        (b.array_node("vlstr", (n_samp,),
+                      _encode_values("vlstr", list(sample_ids))),
+         "sample.id", False),
+        (b.array_node("int32", (n_var,),
+                      _encode_values("int32", list(snp_ids))),
+         "snp.id", False),
+        (b.array_node("int32", (n_var,),
+                      _encode_values("int32", list(pos))),
+         "snp.position", False),
+        (b.array_node("vlstr", (n_var,),
+                      _encode_values("vlstr", list(chroms))),
+         "snp.chromosome", False),
+        (b.array_node("vlstr", (n_var,),
+                      _encode_values("vlstr", list(alleles))),
+         "snp.allele", False),
+    ]
+    if rs_ids is not None:
+        entries.append((
+            b.array_node("vlstr", (n_var,),
+                         _encode_values("vlstr", list(rs_ids))),
+            "snp.rs.id", False))
+    m = np.asarray(codes)          # (n_var, n_samp)
+    if transposed:
+        entries.append((
+            b.array_node("bit2", (n_samp, n_var),
+                         _encode_values("bit2", m.T.ravel()),
+                         attrs={"snp.order": None}),
+            "genotype", False))
+    else:
+        entries.append((
+            b.array_node("bit2", (n_var, n_samp),
+                         _encode_values("bit2", m.ravel()),
+                         attrs={"sample.order": None}),
+            "genotype", False))
+    if annots:
+        kids = []
+        for name, kind, vals in annots:
+            kids.append((
+                b.array_node(kind, (n_samp,), _encode_values(kind, vals)),
+                name, False))
+        aid = b.new_id()
+        b.folder(aid, kids)
+        entries.append((aid, "sample.annot", True))
+    b.folder(root, entries, attrs={"FileFormat": "SNP_ARRAY"})
+    b.emit(path)
+
+
+def test_snp_order_nonsquare_variants_match_calls(spark, tmp_path):
+    """ADVICE r6 (high): on a transposed snp.order file with
+    n_samp != n_var, the major_ref flip decision must come from
+    variant-axis data — ref/alt in `variants` has to agree with the
+    recode applied in `calls`, and both must equal the sample.order
+    read of the same matrix."""
+    sample_ids = ["s1", "s2", "s3"]
+    snp_ids = [1, 2, 3, 4, 5]
+    pos = [100, 200, 300, 400, 500]
+    chroms = ["1"] * 5
+    alleles = ["A/G", "C/T", "G/A", "T/C", "A/C"]
+    # rows = variants, cols = samples; codes = count of FIRST allele.
+    # Variants 2 and 4 are minor-first (sum < n_valid) -> flip; the
+    # pattern is asymmetric so a transposed mis-read changes the flags.
+    codes = np.array([
+        [2, 2, 1],   # sum 5 >= 3 -> keep A/G
+        [0, 0, 1],   # sum 1 <  3 -> flip to T,C
+        [2, 1, 2],   # keep
+        [0, 1, 0],   # flip to C,T
+        [3, 2, 2],   # missing + 2,2 -> sum 4 >= 2 -> keep
+    ])
+    p1 = str(tmp_path / "sq.snp.gds")
+    p2 = str(tmp_path / "tr.snp.gds")
+    _emit_snp_container(p1, sample_ids, snp_ids, pos, chroms, alleles, codes)
+    _emit_snp_container(p2, sample_ids, snp_ids, pos, chroms, alleles, codes,
+                        transposed=True)
+
+    a = snp_gds.read_snp_gds(spark, p1, major_ref=True)
+    t = snp_gds.read_snp_gds(spark, p2, major_ref=True)
+    va = sorted(map(tuple, a.variants.select(
+        "variant_id", "ref", "alt").collect()))
+    vt = sorted(map(tuple, t.variants.select(
+        "variant_id", "ref", "alt").collect()))
+    assert va == vt
+    assert [(v, r, list(a)) for v, r, a in va] == [
+        (1, "A", ["G"]), (2, "T", ["C"]), (3, "G", ["A"]),
+        (4, "C", ["T"]), (5, "A", ["C"]),
+    ]
+    ca = sorted(map(tuple, a.calls.select(
+        "variant_id", "sample_id", "alleles").collect()))
+    ct = sorted(map(tuple, t.calls.select(
+        "variant_id", "sample_id", "alleles").collect()))
+    assert ca == ct
+    # and the recode itself (FC_SNP2GDS): unflipped g=2 -> (0,0);
+    # flipped g maps to g copies of allele 1, so variant 2's g=0 -> (0,0)
+    # (old minor allele is now ALT) and g=1 -> (0,1); code 3 -> missing
+    d = {(v, s): list(al) for v, s, al in ca}
+    assert d[(1, "s1")] == [0, 0]
+    assert d[(2, "s1")] == [0, 0]
+    assert d[(2, "s3")] == [0, 1]
+    assert d[(3, "s2")] == [0, 1]
+    assert d[(5, "s1")] == [None, None]
+
+
+def test_blank_rs_id_stays_blank(spark, tmp_path):
+    """ADVICE r6 (low): snp.rs.id is copied verbatim when the node
+    exists — blank entries do NOT fall back to snp.id
+    (reference seqSNP2GDS R/Conversion.R:644-652)."""
+    p = str(tmp_path / "rs.snp.gds")
+    _emit_snp_container(
+        p, ["s1", "s2"], [7, 8, 9], [10, 20, 30], ["1"] * 3,
+        ["A/G", "C/T", "G/A"], np.array([[0, 1], [1, 2], [2, 2]]),
+        rs_ids=["rs7", "", "rs9"])
+    d = snp_gds.read_snp_gds(spark, p, major_ref=False)
+    ids = {r["variant_id"]: r["id"] for r in
+           d.variants.select("variant_id", "id").collect()}
+    assert ids == {7: "rs7", 8: "", 9: "rs9"}
+    # no rs node at all -> synthesize from snp.id
+    p2 = str(tmp_path / "nors.snp.gds")
+    _emit_snp_container(
+        p2, ["s1", "s2"], [7, 8], [10, 20], ["1"] * 2,
+        ["A/G", "C/T"], np.array([[0, 1], [1, 2]]))
+    d2 = snp_gds.read_snp_gds(spark, p2, major_ref=False)
+    ids2 = {r["variant_id"]: r["id"] for r in
+            d2.variants.select("variant_id", "id").collect()}
+    assert ids2 == {7: "7", 8: "8"}
+
+
+def test_numeric_sample_annotations(spark, tmp_path):
+    """ADVICE r6 (medium): int/float sample.annot children load with
+    their storage types preserved (the reference copies annotation
+    nodes as-is) instead of crashing Spark's schema verifier."""
+    p = str(tmp_path / "annot.snp.gds")
+    _emit_snp_container(
+        p, ["s1", "s2", "s3"], [1, 2], [10, 20], ["1"] * 2,
+        ["A/G", "C/T"], np.array([[0, 1, 2], [1, 2, 0]]),
+        annots=[
+            ("age", "int32", [31, 42, 53]),
+            ("weight", "float64", [60.5, 72.25, 81.0]),
+            ("pop", "vlstr", ["CEU", "YRI", "CHB"]),
+        ])
+    d = snp_gds.read_snp_gds(spark, p, major_ref=False)
+    schema = {f.name: f.dataType.simpleString() for f in d.samples.schema}
+    assert schema["age"] == "bigint"
+    assert schema["weight"] == "double"
+    assert schema["pop"] == "string"
+    rows = {r["sample_id"]: (r["age"], r["weight"], r["pop"])
+            for r in d.samples.collect()}
+    assert rows == {"s1": (31, 60.5, "CEU"), "s2": (42, 72.25, "YRI"),
+                    "s3": (53, 81.0, "CHB")}
