@@ -1755,6 +1755,62 @@ def oracle_sql() -> dict[str, str]:
         # exactly like pii_scrub's fold); patterns are the shared
         # Java-regex ∩ RE2 strings from operators/curate.py
         "doc_pii_scrub": _pii_scrub_oracle(),
+        # algorithmic cross-check of the Gopher repetition filters: the
+        # engine finds the mode 2-gram by folding run-lengths over a
+        # SORTED shingle array (zero shuffles); the oracle replays it a
+        # completely different way — unnest every gram, GROUP BY, and a
+        # ROW_NUMBER window with the SAME tie-break (cnt DESC, gram
+        # DESC = the fold's keep-the-larger-gram-on-equal-run rule).
+        # All three metrics are single int/int IEEE divisions (or 1.0
+        # minus one), so values hash bit-identically; docs with too few
+        # prefix tokens to form a gram stay NULL via the LEFT JOINs.
+        "doc_repetition": """
+            WITH base AS (
+              SELECT doc_id, substring(text, 1, 8192) AS t,
+                     regexp_extract_all(lower(substring(text, 1, 8192)),
+                                        '[a-z0-9'']+') AS toks
+              FROM documents
+            ), g2 AS (
+              SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+              FROM (SELECT doc_id, toks,
+                           UNNEST(generate_series(1, len(toks)-1)) AS i
+                    FROM base WHERE len(toks) >= 2) z
+            ), g3 AS (
+              SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+              FROM (SELECT doc_id, toks,
+                           UNNEST(generate_series(1, len(toks)-2)) AS i
+                    FROM base WHERE len(toks) >= 3) z
+            ), d2 AS (
+              SELECT doc_id,
+                     1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) AS dup_2gram_frac
+              FROM g2 GROUP BY doc_id
+            ), d3 AS (
+              SELECT doc_id,
+                     1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) AS dup_3gram_frac
+              FROM g3 GROUP BY doc_id
+            ), mode2 AS (
+              SELECT doc_id, g, c,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, g DESC) AS rn
+              FROM (SELECT doc_id, g, COUNT(*) AS c
+                    FROM g2 GROUP BY doc_id, g) z
+            ), topf AS (
+              SELECT m.doc_id AS doc_id,
+                     CAST(m.c * length(m.g) AS DOUBLE)
+                         / CAST(length(b.t) AS DOUBLE)
+                         AS top_2gram_char_frac
+              FROM mode2 m JOIN base b ON b.doc_id = m.doc_id
+              WHERE m.rn = 1
+            )
+            SELECT b.doc_id, d2.dup_2gram_frac, d3.dup_3gram_frac,
+                   topf.top_2gram_char_frac
+            FROM base b
+            LEFT JOIN d2 ON d2.doc_id = b.doc_id
+            LEFT JOIN d3 ON d3.doc_id = b.doc_id
+            LEFT JOIN topf ON topf.doc_id = b.doc_id
+        """,
         # exact replay of the unigram LM score: same 8192-char prefix,
         # same token regex, corpus-wide vocab counts, AVG(-ln(c/N));
         # 6dp rounding absorbs float fold-order differences

@@ -587,3 +587,92 @@ def test_lm_score_ranks_rare_tokens_worse(spark):
     # doc 1: every token is 'the' with corpus freq 10 of 18 tokens
     import math
     assert out[1] == pytest.approx(-math.log(10 / 18))
+
+
+# -- repetition filters (Gopher, Rae et al. 2021 A1.1) ------------------------
+
+
+def test_repetition_signals_hand_values(spark):
+    """Hand-computed dup fractions and mode-2-gram char share, covering
+    the tie-break (cnt DESC, gram DESC) and too-short docs."""
+    rows = [
+        Row(doc_id=1, text="a b a b a b"),
+        # mode tie between 'aa bb' (x2) and 'c d' (x2): the fold keeps
+        # the lexicographically LARGER gram -> 'c d' (len 3), not
+        # 'aa bb' (len 5)
+        Row(doc_id=2, text="aa bb aa bb c d c d"),
+        Row(doc_id=3, text="hello"),           # 1 token: all NULL
+        Row(doc_id=4, text="hello world"),     # 1 2-gram, no 3-gram
+        Row(doc_id=5, text=""),                # empty: all NULL
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in X.repetition_signals(spark.createDataFrame(rows)).collect()
+    }
+    # doc 1: 5 2-grams {'a b' x3, 'b a' x2}, 4 3-grams (2 distinct)
+    assert out[1]["dup_2gram_frac"] == 1 - 2 / 5
+    assert out[1]["dup_3gram_frac"] == 1 - 2 / 4
+    assert out[1]["top_2gram_char_frac"] == 3 * 3 / 11
+    # doc 2: 7 2-grams, 5 distinct; tie-break picks 'c d': 2*3/19
+    assert out[2]["dup_2gram_frac"] == 1 - 5 / 7
+    assert out[2]["dup_3gram_frac"] == 0.0
+    assert out[2]["top_2gram_char_frac"] == 2 * 3 / 19
+    assert all(out[3][c] is None for c in
+               ("dup_2gram_frac", "dup_3gram_frac", "top_2gram_char_frac"))
+    assert out[4]["dup_2gram_frac"] == 0.0
+    assert out[4]["dup_3gram_frac"] is None
+    assert out[4]["top_2gram_char_frac"] == 11 / 11
+    assert all(out[5][c] is None for c in
+               ("dup_2gram_frac", "dup_3gram_frac", "top_2gram_char_frac"))
+
+
+def test_repetition_signals_prefix_boundary(spark):
+    """Metrics are computed over exactly the first 8192 chars — a token
+    cut mid-word at the boundary counts as its truncated form."""
+    # 'word ' x 2000 = 10000 chars; prefix = 1638 x 'word' + 'wo'
+    doc = spark.createDataFrame([Row(doc_id=1, text="word " * 2000)])
+    r = X.repetition_signals(doc).collect()[0]
+    n2 = 1638  # 1639 tokens -> 1638 2-grams: 'word word' x1637, 'word wo'
+    assert r["dup_2gram_frac"] == 1 - 2 / n2
+    assert r["dup_3gram_frac"] == 1 - 2 / 1637
+    assert r["top_2gram_char_frac"] == 1637 * 9 / 8192
+
+
+def test_repetition_oracle_cross_check(spark):
+    """The DuckDB oracle (unnest + GROUP BY + window) replays the
+    sorted-fold engine on adversarial docs — independent algorithms,
+    identical values (the doc_repetition gate at toy scale)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        (1, "a b a b a b"),
+        (2, "aa bb aa bb c d c d"),
+        (3, "hello"),
+        (4, "hello world"),
+        (5, ""),
+        (6, "x y x y z z z y x " * 40),
+        (7, "word " * 2000),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eng = {
+        r["doc_id"]: (
+            r["dup_2gram_frac"], r["dup_3gram_frac"],
+            r["top_2gram_char_frac"],
+        )
+        for r in X.repetition_signals(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    ora = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            entry_mod.oracle_sql()["doc_repetition"]
+        ).fetchall()
+    }
+    assert eng == ora
