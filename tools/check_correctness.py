@@ -40,16 +40,15 @@ def rows_to_canon(cols, rows):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
-def main():
+def run_checks(spark, sf_dir, only=None, echo=print):
+    """Run every queries() entry against its oracle_sql() twin; returns
+    [(name, problem)] — empty means all pass. Importable so pytest can
+    sweep the FULL registry (including entries past the external
+    driver's 50-query window) every run."""
     import duckdb
 
     import __spark_entry__ as entry_mod
-    from seqarray_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    spark = get_spark("check-correctness")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
@@ -71,10 +70,10 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
-            print(f"FAIL {name}: spark error: {e}")
+            echo(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only check, {len(srows)} rows")
+            echo(f"ok   {name}: rows-only check, {len(srows)} rows")
             continue
         try:
             res = con.execute(oracles[name])
@@ -82,7 +81,7 @@ def main():
             orows = res.fetchall()
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
-            print(f"FAIL {name}: duckdb error: {e}")
+            echo(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
         if len(srows) != len(orows):
@@ -97,11 +96,20 @@ def main():
                 problems.append(f"{ndiff} differing rows; e.g. {example[0][:120]} vs {example[1][:120]}")
         if problems:
             failures.append((name, "; ".join(problems)))
-            print(f"FAIL {name}: {'; '.join(problems)}")
+            echo(f"FAIL {name}: {'; '.join(problems)}")
         else:
-            print(f"ok   {name}: {len(srows)} rows match oracle")
+            echo(f"ok   {name}: {len(srows)} rows match oracle")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries pass")
+    echo(f"\n{len(queries) - len(failures)}/{len(queries)} queries pass")
+    return failures
+
+
+def main():
+    from seqarray_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    failures = run_checks(get_spark("check-correctness"), sf_dir, only)
     sys.exit(1 if failures else 0)
 
 
