@@ -54,8 +54,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: the external driver value-checks only the FIRST 50 entries in
     # registry order. Queries that have not yet earned a green driver row sit
     # at the FRONT; long-stable queries (green since r1-r2) rotate to the back
-    # past the window, where the local harness (tools/check_correctness.py)
-    # still covers them.
+    # past the window. Every entry — in-window or not — is value-checked on
+    # every pytest run by tests/test_registry_sweep.py (the CI twin of the
+    # driver gate), so out-of-window queries cannot silently regress.
     return {
         # -- r6 additions (newest first — unchecked by the driver yet) ------
         "doc_repetition": doc_repetition,

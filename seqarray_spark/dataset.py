@@ -299,58 +299,108 @@ class SeqDataset:
         match_alleles: bool = True,
         multi_pos: bool = True,
         intersect: bool = True,
-    ) -> "SeqDataset":
+        ret_idx: bool = False,
+        ord_col: str = "probe_ord",
+    ) -> "SeqDataset | DataFrame":
         """Point-lookup probe join (reference: seqSetFilterPos
         R/Methods.R:334-420, sorted-merge SEQ_FindMatchIndex
         src/Methods.cpp:1234-1415).
 
-        probes: DataFrame with columns chromosome, position [, ref, alt_one].
-        The reference's hand-written sorted merge becomes a broadcast hash
-        semi-join — the probe list is small by construction.
+        probes: DataFrame with columns chromosome, position [, ref,
+        alt_one]. The reference's hand-written sorted merge becomes a
+        broadcast hash join — the probe list is small by construction.
+
+        Allele matching follows SEQ_FindMatchIndex exactly: a NULL probe
+        ref/alt matches anything; otherwise probe ref must equal the
+        variant's REF, and probe alt must equal the FULL comma-joined ALT
+        remainder of the allele string (src/Methods.cpp:1363-1371 — a
+        probe alt 'T' does NOT match a multiallelic 'A,T,G'; 'T,G' does),
+        and a variant with no ALT at all never alt-matches.
+
         multi_pos=False keeps only the first variant per probe (lowest
-        variant_id), matching the reference's first-hit semantics.
+        variant index), matching the reference's first-hit semantics.
+
+        ret_idx=True is seqSetFilterPos(ret.idx=TRUE): the filter is
+        still applied, and the return value becomes a DataFrame mapping
+        each probe ROW (identified by its input-order `ord_col`) to the
+        1-based index of its first matching variant within the NEW
+        selection (`match(i1, $variant_index)` in the reference), NULL
+        for no-match — so callers can align external per-probe vectors
+        to the selection order. Probe rows duplicated in the input each
+        get their own output row, like the reference's vector form.
         """
-        keys = ["chromosome", "position"]
-        dedup_keys = ["chromosome", "position"]
-        if match_alleles and "ref" in probes.columns:
-            keys.append("ref")
-            dedup_keys.append("ref")
         base = self._sel.variants if intersect else self._base_variants
-        p = probes
-        if match_alleles and "alt_one" in probes.columns:
-            # ALT must match too (reference matches chr/pos/ref/alt,
-            # SURVEY §2.3): the probe's single ALT allele has to appear
-            # among the variant's alts — an equi-semi-join on
-            # (keys, alt_one) with alt_one exploded from the variant side
-            pk = p.select(*keys, "alt_one").distinct()
-            matched = (
-                base.withColumn("__alt_one", F.explode_outer("alt"))
-                .join(
-                    F.broadcast(pk.withColumnRenamed("alt_one", "__alt_one")),
-                    keys + ["__alt_one"],
-                    "left_semi",
+        use_ref = match_alleles and "ref" in probes.columns
+        use_alt = match_alleles and "alt_one" in probes.columns
+        pcols = ["chromosome", "position"]
+        if use_ref:
+            pcols.append("ref")
+        if use_alt:
+            pcols.append("alt_one")
+
+        def match_cond(p, v):
+            cond = (p["chromosome"] == v["chromosome"]) & (
+                p["position"] == v["position"]
+            )
+            if use_ref:
+                cond = cond & (p["ref"].isNull() | (p["ref"] == v["ref"]))
+            if use_alt:
+                cond = cond & (
+                    p["alt_one"].isNull()
+                    | (
+                        (F.size(v["alt"]) > 0)
+                        & (p["alt_one"] == F.concat_ws(",", v["alt"]))
+                    )
                 )
-                .drop("__alt_one")
-                .dropDuplicates(["variant_id"])
-            )
-            dedup_keys.append("alt")
-        else:
-            matched = base.join(
-                F.broadcast(p.select(*keys).distinct()), keys, "left_semi"
-            )
+            return cond
+
+        pk = F.broadcast(probes.select(*pcols).distinct()).alias("p")
+        v = base.alias("v")
+        matched = v.join(pk, match_cond(pk, v), "left_semi")
         if not multi_pos:
             from pyspark.sql.window import Window
 
             # first hit PER PROBE KEY: dedup by the full match-key set,
             # not just (chromosome, position) — two probes differing in
             # ref/alt at the same position each keep their own first hit
-            w = Window.partitionBy(*dedup_keys).orderBy("variant_id")
-            matched = (
-                matched.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
+            hits = v.join(pk, match_cond(pk, v), "inner").select(
+                *[F.col(f"p.{c}").alias(f"__p_{c}") for c in pcols],
+                F.col("v.variant_id").alias("__vid"),
             )
-        return self._set_variants(matched, intersect)
+            w = Window.partitionBy(
+                *[f"__p_{c}" for c in pcols]
+            ).orderBy("__vid")
+            reps = (
+                hits.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(F.col("__vid").alias("variant_id"))
+                .distinct()
+            )
+            matched = base.join(F.broadcast(reps), "variant_id", "left_semi")
+        self._set_variants(matched, intersect)
+        if not ret_idx:
+            return self
+        if ord_col not in probes.columns:
+            raise ValueError(
+                f"ret_idx needs an input-order column {ord_col!r} on probes"
+            )
+        # per probe ROW: first matching variant (i1), then its rank in
+        # the new selection — the reference's match(i1, $variant_index)
+        pr = F.broadcast(probes.select(ord_col, *pcols)).alias("p")
+        i1 = (
+            pr.join(v, match_cond(pr, v), "left")
+            .groupBy(F.col(f"p.{ord_col}").alias(ord_col))
+            .agg(F.min("v.variant_id").alias("__vid"))
+        )
+        vidx = self.get_data("$variant_index")
+        return (
+            i1.join(
+                vidx.withColumnRenamed("variant_id", "__vid"),
+                "__vid",
+                "left",
+            )
+            .select(ord_col, F.col("variant_index").alias("idx"))
+        )
 
     def set_filter_annot_id(self, ids, intersect: bool = True) -> "SeqDataset":
         """Membership of annotation id (reference: seqSetFilterAnnotID

@@ -187,8 +187,10 @@ def test_chrom_pos2_numbers_dups_over_the_selection(spark):
 
 
 def test_filter_pos_matches_alt(spark):
-    """match_alleles matches ALT too when probes carry alt_one — a
-    ref-only match would select allele-mismatched variants."""
+    """match_alleles follows SEQ_FindMatchIndex (src/Methods.cpp:1363):
+    the probe alt must equal the FULL comma-joined ALT remainder — a
+    single alt 'T' does NOT match a multiallelic 'C,G,T' variant; the
+    exact remainder 'G,T' does. NULL probe ref/alt matches anything."""
     from seqarray_spark.dataset import SeqDataset
 
     v = spark.createDataFrame(
@@ -203,7 +205,24 @@ def test_filter_pos_matches_alt(spark):
         "chromosome string, position int, ref string, alt_one string",
     )
     ds.set_filter_pos(probes, match_alleles=True)
-    assert {r["variant_id"] for r in ds.variants.collect()} == {1, 3}
+    assert {r["variant_id"] for r in ds.variants.collect()} == {1}
+
+    ds2 = SeqDataset(v, None, None)
+    probes2 = spark.createDataFrame(
+        [("1", 100, "A", "T"), ("1", 200, "C", "G,T")],
+        "chromosome string, position int, ref string, alt_one string",
+    )
+    ds2.set_filter_pos(probes2, match_alleles=True)
+    assert {r["variant_id"] for r in ds2.variants.collect()} == {1, 3}
+
+    # NA ref/alt match any (the reference's is.na(ref) | ref==r)
+    ds3 = SeqDataset(v, None, None)
+    probes3 = spark.createDataFrame(
+        [("1", 100, None, None)],
+        "chromosome string, position int, ref string, alt_one string",
+    )
+    ds3.set_filter_pos(probes3, match_alleles=True)
+    assert {r["variant_id"] for r in ds3.variants.collect()} == {1, 2}
 
 
 def test_get_filter_masks(ds):
@@ -227,3 +246,102 @@ def test_get_filter_masks(ds):
         s = masks["sample_sel"]
         assert s.filter("selected").count() == s.count()
     ds.reset_filter()
+
+
+def test_filter_pos_ret_idx(spark):
+    """seqSetFilterPos(ret.idx=TRUE) parity (R/Methods.R:414-419 +
+    reference test_filterpos.R): every probe ROW gets the 1-based index
+    of its first matching variant within the NEW selection
+    (match(i1, $variant_index)), NULL for no-match; duplicated probes
+    each get their own row; multi-chrom probes combine."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(10, "1", 100, "A", ["T"]),
+         (20, "1", 100, "A", ["G"]),   # second variant at same pos
+         (30, "1", 200, "C", ["G"]),
+         (40, "2", 100, "T", ["C"]),
+         (50, "2", 300, "G", ["A"])],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>",
+    )
+    ds = SeqDataset(v, None, None)
+    probes = spark.createDataFrame(
+        [(1, "1", 100), (2, "2", 300), (3, "1", 999),   # no match
+         (4, "1", 100),                                  # duplicate probe
+         (5, "2", 100)],
+        "probe_ord int, chromosome string, position int",
+    )
+    idx = ds.set_filter_pos(probes, match_alleles=False, ret_idx=True)
+    # selection (multi_pos=True) = {10,20,30?no(200 not probed)...}:
+    # positions probed: (1,100) -> 10,20; (2,300) -> 50; (2,100) -> 40
+    sel = sorted(r["variant_id"] for r in ds.variants.collect())
+    assert sel == [10, 20, 40, 50]
+    # ranks in selection order: 10->1, 20->2, 40->3, 50->4
+    got = {r["probe_ord"]: r["idx"] for r in idx.collect()}
+    assert got == {1: 1, 2: 4, 3: None, 4: 1, 5: 3}
+    assert len(got) == 5  # one row per probe ROW, dups included
+
+
+def test_filter_pos_ret_idx_multi_pos_false(spark):
+    """multi.pos=FALSE keeps only first-hit representatives; ret.idx
+    ranks within that smaller selection."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(10, "1", 100, "A", ["T"]), (20, "1", 100, "A", ["G"]),
+         (30, "1", 200, "C", ["G"])],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>",
+    )
+    ds = SeqDataset(v, None, None)
+    probes = spark.createDataFrame(
+        [(1, "1", 100), (2, "1", 200)],
+        "probe_ord int, chromosome string, position int",
+    )
+    idx = ds.set_filter_pos(
+        probes, match_alleles=False, multi_pos=False, ret_idx=True
+    )
+    assert sorted(r["variant_id"] for r in ds.variants.collect()) == [10, 30]
+    got = {r["probe_ord"]: r["idx"] for r in idx.collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_filter_pos_ret_idx_with_alleles(spark):
+    """ret.idx + ref/alt matching: the representative is the first
+    variant whose ref AND full-alt-remainder match the probe's."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(10, "1", 100, "A", ["T"]), (20, "1", 100, "A", ["G"]),
+         (30, "1", 100, "C", ["G", "T"])],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>",
+    )
+    ds = SeqDataset(v, None, None)
+    probes = spark.createDataFrame(
+        [(1, "1", 100, "A", "G"), (2, "1", 100, "C", "G,T"),
+         (3, "1", 100, "A", "Z")],
+        "probe_ord int, chromosome string, position int, ref string, "
+        "alt_one string",
+    )
+    idx = ds.set_filter_pos(probes, match_alleles=True, ret_idx=True)
+    assert sorted(r["variant_id"] for r in ds.variants.collect()) == [20, 30]
+    got = {r["probe_ord"]: r["idx"] for r in idx.collect()}
+    assert got == {1: 1, 2: 2, 3: None}
+
+
+def test_filter_pos_ret_idx_requires_ord(spark):
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(10, "1", 100, "A", ["T"])],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>",
+    )
+    ds = SeqDataset(v, None, None)
+    probes = spark.createDataFrame(
+        [("1", 100)], "chromosome string, position int"
+    )
+    with pytest.raises(ValueError, match="probe_ord"):
+        ds.set_filter_pos(probes, match_alleles=False, ret_idx=True)
