@@ -691,18 +691,20 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     O(log diameter) rounds rather than O(diameter): a 10^6-long dup
     chain converges in ~20 rounds. The label's-label lookup rides the
     SAME join as the neighbor pass (each node contributes a transient
-    id->label edge), so a round is ONE shuffled join + one agg;
-    `localCheckpoint` per round keeps the plan from growing, and the
-    label-sum convergence probe runs every SECOND round (labels only
-    decrease, so an unchanged sum across two rounds proves both were
-    no-ops). No driver-side graph. Raises RuntimeError if max_iter
-    rounds don't converge (never returns a partially-propagated labeling
-    — downstream keeper selection would silently over-keep)."""
+    id->label edge), so a round is ONE shuffled join + one agg; LAZY
+    `localCheckpoint`s per round keep the plan from growing but
+    materialize only when the label-sum convergence probe (every SECOND
+    round — labels only decrease, so an unchanged sum across two rounds
+    proves both were no-ops) runs its action, so two propagation rounds
+    cost ONE Spark job instead of three. No driver-side graph. Raises
+    RuntimeError if max_iter rounds don't converge (never returns a
+    partially-propagated labeling — downstream keeper selection would
+    silently over-keep)."""
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # seed labels one propagation step ahead: label0 = min(id, neighbors)
     # — identical to the state after a first nbr-min round (pointer
@@ -715,7 +717,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             F.col("a").alias("id"),
             F.least(F.col("a"), F.col("__nb")).alias("label"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # convergence check by label-sum: labels only ever DECREASE, so the
     # total strictly drops whenever any node changed — one tiny agg per
@@ -744,7 +746,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
                     F.coalesce(F.col("nbr"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # probe every 2nd round: the sum is monotone non-increasing, so
         # equality with the sum from two rounds ago proves convergence
