@@ -707,7 +707,11 @@ def _header_from_dataset(ds, info_fields: list[str], format_fields: list[str]) -
                 hdr.info[f.name] = _field(f.name, f.dataType)
     calls = ds._base_calls
     if calls is not None:
-        hdr.formats["GT"] = VcfField("GT", "1", "String", "Genotype")
+        # GT is declared only when the dataset actually carries genotype
+        # calls — a dosage-only dataset (no alleles column) exports via
+        # the reference's SEQ_ToVCF_NoGeno path with no GT anywhere
+        if "alleles" in calls.columns:
+            hdr.formats["GT"] = VcfField("GT", "1", "String", "Genotype")
         for f in calls.schema.fields:
             if f.name in format_fields:
                 hdr.formats[f.name] = _field(f.name, f.dataType)
@@ -848,8 +852,19 @@ def write_vcf(
                 if c not in ("variant_id", "sample_id", "alleles", "phased",
                              "vcf_errors")
             ]
-        gt_str = _genotype_string(F.col("alleles"), F.col("phased"))
-        fmt_cols = [gt_str]
+        # a calls frame without an alleles column is a no-genotype
+        # dataset (dosage-only etc.): the reference dispatches to
+        # SEQ_ToVCF_NoGeno (R/Conversion.R:364-367) — FORMAT carries the
+        # format vars with NO leading GT, or '.' if there are none
+        # (ExportInfoFormat src/ConvGDS2VCF.cpp:533-541)
+        has_gt = "alleles" in calls.columns
+        fmt_cols = []
+        if has_gt:
+            phased = (
+                F.col("phased") if "phased" in calls.columns
+                else F.lit(None).cast("array<boolean>")
+            )
+            fmt_cols.append(_genotype_string(F.col("alleles"), phased))
         for f_name in format_fields:
             c = F.col(f_name)
             dt = dict(calls.dtypes)[f_name]
@@ -867,7 +882,7 @@ def write_vcf(
                 fmt_cols.append(_fmt_g(c))
             else:
                 fmt_cols.append(F.coalesce(c.cast("string"), F.lit(".")))
-        token = F.concat_ws(":", *fmt_cols)
+        token = F.concat_ws(":", *fmt_cols) if fmt_cols else F.lit("")
         order_expr = F.map_from_arrays(
             F.array(*[F.lit(s) for s in sample_ids]),
             F.array(*[F.lit(i) for i in range(len(sample_ids))]),
@@ -888,7 +903,9 @@ def write_vcf(
                 ).alias("__samples")
             )
         )
-        fmt_decl = ":".join(["GT"] + list(format_fields))
+        fmt_decl = ":".join(
+            (["GT"] if has_gt else []) + list(format_fields)
+        ) or "."
         lines = fixed.join(per_variant, "variant_id", "left").select(
             F.concat_ws(
                 "\t",

@@ -652,3 +652,110 @@ def test_float_rendering_matches_c_percent_g(spark):
         for v in vals
     ]
     assert got == want, list(zip(vals, got, want))
+
+
+def _assemble(out, tmp_path, name="single.vcf"):
+    import glob
+
+    txt = open(f"{out}/_header.vcf").read()
+    body = "".join(open(p).read() for p in sorted(glob.glob(f"{out}/part-*")))
+    single = str(tmp_path / name)
+    with open(single, "w") as fh:
+        fh.write(txt + body)
+    return single
+
+
+def test_haploid_export_renders_single_allele(spark, tmp_path):
+    """Ploidy-1 fast path (reference SEQ_ToVCF_Haploid
+    src/ConvGDS2VCF.cpp:873-940): haploid GT is ONE allele with no
+    separator ('1', not '1/.' or '1/'); missing is '.'. Round-trips."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(1, "1", 100, "rs1", "A", ["G"], 50.0, "PASS"),
+         (2, "1", 200, "rs2", "C", ["T"], 60.0, "PASS")],
+        "variant_id long, chromosome string, position int, id string, "
+        "ref string, alt array<string>, qual double, filter string",
+    )
+    c = spark.createDataFrame(
+        [(1, "s1", [0], [False]), (1, "s2", [1], [False]),
+         (2, "s1", [None], [False]), (2, "s2", [0], [False])],
+        "variant_id long, sample_id string, alleles array<smallint>, "
+        "phased array<boolean>",
+    )
+    s = spark.createDataFrame([("s1",), ("s2",)], "sample_id string")
+    ds = SeqDataset(v, c, s, ploidy=1)
+    out = str(tmp_path / "hap_out")
+    vcfmod.write_vcf(ds, out)
+    single = _assemble(out, tmp_path)
+    data = [l for l in open(single) if not l.startswith("#")]
+    cells = {
+        (f[0], f[1]): f[9:] for f in (l.rstrip("\n").split("\t") for l in data)
+    }
+    assert cells[("1", "100")] == ["0", "1"]
+    assert cells[("1", "200")] == [".", "0"]
+    back = vcfmod.read_vcf(spark, single)
+    assert back.ploidy == 1
+    got = {
+        (r["variant_id"], r["sample_id"]): list(r["alleles"])
+        for r in back.calls.collect()
+    }
+    assert got[(1, "s1")] == [0] and got[(1, "s2")] == [1]
+    assert got[(2, "s1")] == [None] and got[(2, "s2")] == [0]
+
+
+def test_nogeno_export_drops_gt(spark, tmp_path):
+    """No-genotype datasets export via the reference's SEQ_ToVCF_NoGeno
+    path (src/ConvGDS2VCF.cpp:948-989, dispatch R/Conversion.R:364-367):
+    FORMAT lists only the format vars with NO leading GT, and the header
+    declares no GT either."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(1, "1", 100, "rs1", "A", ["G"], 50.0, "PASS")],
+        "variant_id long, chromosome string, position int, id string, "
+        "ref string, alt array<string>, qual double, filter string",
+    )
+    # dosage-only calls: no alleles/phased columns at all
+    c = spark.createDataFrame(
+        [(1, "s1", 0.5), (1, "s2", 1.25)],
+        "variant_id long, sample_id string, DS double",
+    )
+    s = spark.createDataFrame([("s1",), ("s2",)], "sample_id string")
+    ds = SeqDataset(v, c, s)
+    out = str(tmp_path / "ds_out")
+    vcfmod.write_vcf(ds, out)
+    single = _assemble(out, tmp_path)
+    hdr_text = open(f"{out}/_header.vcf").read()
+    assert "##FORMAT=<ID=GT" not in hdr_text
+    assert "##FORMAT=<ID=DS" in hdr_text
+    line = next(l for l in open(single) if not l.startswith("#"))
+    f = line.rstrip("\n").split("\t")
+    assert f[8] == "DS"          # no 'GT:' prefix
+    assert f[9:] == ["0.5", "1.25"]
+
+
+def test_variants_only_export_has_no_format_column(spark, tmp_path):
+    """With no samples at all the FORMAT column disappears entirely —
+    8 fixed columns (ExportInfoFormat returns before FORMAT when
+    VCF_NumSample <= 0, src/ConvGDS2VCF.cpp:528)."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(1, "1", 100, "rs1", "A", ["G"], 50.0, "PASS"),
+         (2, "2", 200, "rs2", "C", ["T", "G"], None, "q10")],
+        "variant_id long, chromosome string, position int, id string, "
+        "ref string, alt array<string>, qual double, filter string",
+    )
+    ds = SeqDataset(v, None, None)
+    out = str(tmp_path / "vonly_out")
+    vcfmod.write_vcf(ds, out)
+    single = _assemble(out, tmp_path)
+    lines = [l.rstrip("\n") for l in open(single)]
+    chrom = next(l for l in lines if l.startswith("#CHROM"))
+    assert chrom == "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+    data = [l for l in lines if not l.startswith("#")]
+    assert all(len(l.split("\t")) == 8 for l in data)
+    assert data[0].split("\t")[:8] == [
+        "1", "100", "rs1", "A", "G", "50", "PASS", "."]
+    assert data[1].split("\t")[5] == "."  # NULL qual renders '.'
