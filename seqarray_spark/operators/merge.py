@@ -154,9 +154,15 @@ def merge_samples_pair(a: SeqDataset, b: SeqDataset) -> SeqDataset:
     vb = b.variants.withColumn("__alts", akey).alias("vb")
     key = VKEY + ["__alts"]
     joined = va.join(vb, key, "full_outer")
-    # keep a's annotations when present (first-file-wins, as the reference
-    # copies file-1 nodes then patches: R/UtilsMerge.R:713-858)
-    pick = lambda c: F.coalesce(F.col(f"va.{c}"), F.col(f"vb.{c}")).alias(c)
+    # first-file-wins by VARIANT PRESENCE, not value non-nullness: the
+    # reference's SEQ_MergeInfo (src/FileMerge.cpp:326-347) walks files
+    # in order and the first file CONTAINING the variant supplies the
+    # value — even a missing one (it breaks before looking at file 2),
+    # so a NULL in file 1 must NOT be patched from file 2. A value
+    # coalesce(va, vb) would diverge exactly there.
+    pick = lambda c: F.when(
+        F.col("va.variant_id").isNotNull(), F.col(f"va.{c}")
+    ).otherwise(F.col(f"vb.{c}")).alias(c)
     extra_cols = [
         c for c in a.variants.columns if c not in VKEY + ["alt", "variant_id"]
         and c in b.variants.columns

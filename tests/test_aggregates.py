@@ -305,3 +305,33 @@ def test_summary_var_forms(spark, tiny_calls, tiny_variants):
     assert [f["ID"] for f in sa["fields"]] == ["pop"]
     with pytest.raises(KeyError):
         agg.summary_var(ds, "nope")
+
+
+def test_summary_seldim_tracks_filter_stack(spark, tiny_calls, tiny_variants):
+    """seqSummary(f,'genotype')$seldim under push/pop (reference .seldim
+    R/Internal.R:110-116 reads the CURRENT TSelection; seqFilterPush/Pop
+    src/SeqArray.cpp:77-124 save/restore it): seldim shrinks with each
+    intersecting filter, pop restores the pushed dims exactly, and both
+    sample and variant axes track independently."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from seqarray_spark.dataset import SeqDataset
+
+    samples = spark.createDataFrame(
+        [Row(sample_id=s, pop="P1") for s in ("a", "b", "c")]
+    )
+    ds = SeqDataset(tiny_variants, tiny_calls, samples, ploidy=2)
+    ds.set_filter_variant(F.col("variant_id") <= 2)
+    ds.set_filter_sample(F.col("sample_id") != "c")
+    assert agg.summary_var(ds, "genotype")["seldim"] == (2, 2, 2)
+
+    ds.filter_push()
+    ds.set_filter_variant(F.col("variant_id") == 1, intersect=True)
+    assert agg.summary_var(ds, "genotype")["seldim"] == (2, 2, 1)
+    ds.filter_pop()
+    s = agg.summary_var(ds, "genotype")
+    assert s["seldim"] == (2, 2, 2)      # restored, not the inner state
+    assert s["dim"] == (2, 3, 3)         # full dims never move
+    ds.reset_filter()
+    assert agg.summary_var(ds, "genotype")["seldim"] == (2, 3, 3)

@@ -141,3 +141,40 @@ def test_merge_unions_header_meta(spark, parts_variant_mode):
     assert m.meta["contigs"] == [{"ID": "1"}, {"ID": "X"}]
     assert m.meta["alts"] == [{"ID": "DEL", "Description": "Deletion"}]
     assert m.meta["header_pairs"] == [("fileDate", "20240101"), ("source", "imp")]
+
+
+def test_merge_sample_info_conflict_first_file_wins_by_presence(spark):
+    """SEQ_MergeInfo parity (src/FileMerge.cpp:326-347): the first file
+    CONTAINING a variant supplies its INFO/annotation values — even when
+    that value is NULL and the second file has one. A value-coalesce
+    would wrongly patch file-1's missing QUAL/INFO from file 2."""
+    from seqarray_spark.dataset import SeqDataset
+
+    va = spark.createDataFrame(
+        [(1, "1", 100, "A", ["G"], None, "rsA"),     # NULL qual in file 1
+         (2, "1", 200, "C", ["T"], 30.0, None)],     # NULL id in file 1
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>, qual double, id string",
+    )
+    vb = spark.createDataFrame(
+        [(11, "1", 100, "A", ["G"], 99.0, "rsB"),    # conflicting values
+         (12, "1", 200, "C", ["T"], 77.0, "rsX"),
+         (13, "1", 300, "G", ["A"], 55.0, "rsOnlyB")],  # only in file 2
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>, qual double, id string",
+    )
+    sa = spark.createDataFrame([("s1",)], "sample_id string")
+    sb = spark.createDataFrame([("s2",)], "sample_id string")
+    m = M.merge_samples_pair(
+        SeqDataset(va, None, sa), SeqDataset(vb, None, sb)
+    )
+    got = {
+        (r["chromosome"], r["position"]): (r["qual"], r["id"])
+        for r in m.variants.collect()
+    }
+    # shared variants: file 1 present -> file 1's values verbatim,
+    # including its NULLs
+    assert got[("1", 100)] == (None, "rsA")
+    assert got[("1", 200)] == (30.0, None)
+    # file-2-only variant: file 2 supplies
+    assert got[("1", 300)] == (55.0, "rsOnlyB")
