@@ -596,6 +596,14 @@ def seq_check(ds) -> dict:
     to the (variant_id, num_allele) projection and the sample-id list —
     all violation counters fused into a single shuffle each, no
     per-check scans. Returns counters plus an overall 'ok'.
+
+    For GDS containers, `sources.gds.verify_digests` is the companion
+    byte-level check (stored per-node md5 vs stream content). A False
+    there matches what R's seqCheck(check='full') reports on the same
+    file — including the reference's own CEU fixture, whose two DP
+    digests were stamped before a later rewrite (a stale stamp, not
+    corruption); neither engine can distinguish the two cases from the
+    file alone.
     """
     from seqarray_spark.functions.variant import num_allele as na
 

@@ -18,18 +18,56 @@ from __future__ import annotations
 
 
 
-def as_pandas(ds, max_rows: int = 1_000_000) -> dict:
+def as_pandas(ds, max_rows: int = 1_000_000, info="all", geno="all") -> dict:
     """Collect the current selection into pandas frames (driver-side;
     guarded so a full-scale dataset can't be pulled onto the driver by
-    accident)."""
+    accident).
+
+    `info` / `geno` mirror seqAsVCF's column subsetting (R/asVCF.R:5-57,
+    exercised by the reference's test_asVCF.R test_info_geno /
+    test_info_geno_na): 'all' keeps everything; a list keeps only those
+    INFO fields / FORMAT variables ('GT' names the genotype+phase pair);
+    None (the reference's NA) keeps none — with geno=None the calls
+    frame is omitted entirely, like a zero-length geno(vcf)."""
+    from pyspark.sql import functions as F
+
     n = ds.variants.count()
     if n > max_rows:
         raise ValueError(
             f"selection has {n} variants > max_rows={max_rows}; filter first"
         )
-    out = {"variants": ds.variants.toPandas()}
-    if ds._base_calls is not None:
-        out["calls"] = ds.calls.toPandas()
+    v = ds.variants
+    if info != "all" and "info" in v.columns:
+        keep = list(info or [])
+        have = [f.name for f in v.schema["info"].dataType.fields]
+        missing = set(keep) - set(have)
+        if missing:
+            raise ValueError(f"unknown INFO fields: {sorted(missing)}")
+        if not keep:
+            v = v.drop("info")
+        else:
+            v = v.withColumn(
+                "info", F.struct(*[F.col(f"info.{k}").alias(k) for k in keep])
+            )
+    out = {"variants": v.toPandas()}
+    if ds._base_calls is not None and geno is not None:
+        c = ds.calls
+        if geno != "all":
+            keep = list(geno)
+            fixed = ["variant_id", "sample_id"]
+            gt_cols = [x for x in ("alleles", "phased") if x in c.columns]
+            fmt = [
+                x for x in c.columns
+                if x not in fixed + gt_cols + ["vcf_errors"]
+            ]
+            missing = set(keep) - set(fmt) - {"GT"}
+            if missing:
+                raise ValueError(f"unknown FORMAT variables: {sorted(missing)}")
+            cols = fixed + (gt_cols if "GT" in keep else []) + [
+                x for x in fmt if x in keep
+            ]
+            c = c.select(*cols)
+        out["calls"] = c.toPandas()
     if ds.samples is not None:
         out["samples"] = ds.samples.toPandas()
     return out

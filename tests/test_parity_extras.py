@@ -87,3 +87,45 @@ def test_read_bcf_no_external_binary(spark):
 
     with pytest.raises((FileNotFoundError, OSError)):
         read_bcf(spark, "/nonexistent.bcf")
+
+
+def test_as_pandas_info_geno_subsetting(spark):
+    """seqAsVCF(info=, geno=) parity (R/asVCF.R:5-57; reference
+    test_asVCF.R test_info_geno / test_info_geno_na): lists subset the
+    INFO struct and FORMAT variables ('GT' names the genotype pair),
+    None keeps nothing, unknown names raise."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.sources.interop import as_pandas
+
+    v = spark.createDataFrame(
+        [(1, "1", 100, "A", ["G"], Row(AN=4, DP=10, VT="snp"))],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>, info struct<AN:int,DP:int,VT:string>",
+    )
+    c = spark.createDataFrame(
+        [(1, "s1", [0, 1], [False], 0.5, 9)],
+        "variant_id long, sample_id string, alleles array<smallint>, "
+        "phased array<boolean>, DS double, DP int",
+    )
+    s = spark.createDataFrame([("s1",)], "sample_id string")
+    ds = SeqDataset(v, c, s)
+
+    f = as_pandas(ds, info=["AN", "VT"], geno=["DS"])
+    assert list(f["variants"]["info"][0]) == ["AN", "VT"]
+    assert set(f["calls"].columns) == {"variant_id", "sample_id", "DS"}
+
+    f2 = as_pandas(ds, info=["AN"], geno=["GT", "DP"])
+    assert set(f2["calls"].columns) == {
+        "variant_id", "sample_id", "alleles", "phased", "DP"}
+
+    # the reference's info=NA / geno=NA: zero INFO, zero geno
+    f3 = as_pandas(ds, info=None, geno=None)
+    assert "info" not in f3["variants"].columns
+    assert "calls" not in f3
+
+    with pytest.raises(ValueError, match="unknown INFO"):
+        as_pandas(ds, info=["NOPE"])
+    with pytest.raises(ValueError, match="unknown FORMAT"):
+        as_pandas(ds, geno=["NOPE"])
