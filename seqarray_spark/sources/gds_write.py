@@ -238,6 +238,23 @@ def _node_class(kname: str) -> str:
     return "base"
 
 
+def _xz(chunk: bytes, preset: int) -> bytes:
+    """xz with the dictionary capped at the chunk size (pow2, >=64 KiB):
+    a dict larger than the input cannot find more matches, so output
+    frames are byte-identical to the plain preset's — but skipping the
+    preset's full dict allocation (64 MiB at level 9) makes small-frame
+    compression ~30-60x faster (measured; it dominated container write
+    wall-clock before the cap, r7 stress audit)."""
+    d = 1 << 16
+    while d < min(len(chunk), 1 << 26):
+        d <<= 1
+    return lzma.compress(
+        chunk,
+        format=lzma.FORMAT_XZ,
+        filters=[{"id": lzma.FILTER_LZMA2, "preset": preset, "dict_size": d}],
+    )
+
+
 def _compress_one(codec: str, level: int, chunk: bytes) -> bytes:
     if codec == "zip":
         return zlib.compress(chunk, min(level, 9))
@@ -247,12 +264,10 @@ def _compress_one(codec: str, level: int, chunk: bytes) -> bytes:
         # ultra modes: xz PRESET_EXTREME is not monotonically better —
         # compress both ways and keep the smaller frame, so 'Ultra'
         # output is never larger than '.max' on the same frames
-        a = lzma.compress(chunk, format=lzma.FORMAT_XZ, preset=9)
-        b = lzma.compress(
-            chunk, format=lzma.FORMAT_XZ, preset=9 | lzma.PRESET_EXTREME
-        )
+        a = _xz(chunk, 9)
+        b = _xz(chunk, 9 | lzma.PRESET_EXTREME)
         return b if len(b) <= len(a) else a
-    return lzma.compress(chunk, format=lzma.FORMAT_XZ, preset=level)
+    return _xz(chunk, level)
 
 
 def _frame_entry(comp_with_entry: int, un: int) -> bytes:
@@ -547,15 +562,22 @@ def _planes_sql(col):
 def _explode(series: pd.Series):
     """(lens, row_ids, positions, exploded) for a Series of list-likes.
     Rows that are None/empty contribute len 0 and no exploded entries.
-    All C-speed pandas ops — no per-element Python loop."""
+
+    rid/pos come from numpy repeat/cumsum arithmetic, not
+    groupby.cumcount — the cumcount + Series.map formulation was the
+    single hottest path of the whole container write (profiled at ~12 s
+    of a 15 s 20k-variant block kernel; this form is ~10x cheaper)."""
     s = series.reset_index(drop=True)
-    lens = s.map(
-        lambda a: 0 if a is None or (isinstance(a, float) and np.isnan(a)) else len(a)
-    ).to_numpy(np.int64)
-    keep = s[lens > 0]
-    ex = keep.explode()
-    rid = ex.index.to_numpy(np.int64)
-    pos = ex.groupby(level=0).cumcount().to_numpy(np.int64)
+    vals = s.to_numpy()
+    isna = s.isna().to_numpy()
+    lens = np.zeros(len(vals), dtype=np.int64)
+    nz = vals[~isna]
+    lens[~isna] = np.fromiter(map(len, nz), dtype=np.int64, count=len(nz))
+    total = int(lens.sum())
+    rid = np.repeat(np.arange(len(vals), dtype=np.int64), lens)
+    ends = np.cumsum(lens)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+    ex = s[lens > 0].explode()
     return lens, rid, pos, ex
 
 
@@ -843,15 +865,23 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
         planes = _planes_of(mc)
         miss = (1 << (2 * planes)) - 1
         codes_f = np.where(codes < 0, miss[:, None, None], codes)
-        chunks = []
-        for i in range(nv):
-            c = int(planes[i])
-            pl = (codes_f[i].ravel()[None, :] >> (2 * np.arange(c)[:, None])) & 3
-            chunks.append(pl.ravel())
-        stream = (
-            np.concatenate(chunks).astype(np.uint8)
-            if chunks else np.zeros(0, np.uint8)
-        )
+        # per-variant plane emission, vectorized by plane COUNT instead
+        # of a 65k-iteration Python loop (profiled hot): variants with
+        # the same plane count c emit c*nsp values each; scatter every
+        # group's (k, c, nsp) shift/mask block into the stream at the
+        # variants' cumulative offsets
+        out_lens = planes * nsp
+        offs = np.concatenate([[0], np.cumsum(out_lens)])
+        stream = np.zeros(int(offs[-1]), np.uint8)
+        flat = codes_f.reshape(nv, nsp) if codes.size else codes_f
+        for c in np.unique(planes):
+            c = int(c)
+            idx = np.nonzero(planes == c)[0]
+            block = (
+                flat[idx][:, None, :] >> (2 * np.arange(c))[None, :, None]
+            ) & 3
+            tgt = offs[idx][:, None] + np.arange(c * nsp)[None, :]
+            stream[tgt.ravel()] = block.reshape(len(idx), c * nsp).ravel()
         if plane0 is not None:
             s_g = plane0.get(blk, 0) * nsp
         else:
@@ -1242,6 +1272,18 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
         # fragmentation auto-heal (_framed_stream) stays dormant on the
         # dominant node at scale
         block_variants = min(max(8_000_000 // max(n_samp, 1), 64), 65536)
+        # parallelism floor: the cell target alone can leave fewer
+        # blocks than cores on small-variant-axis datasets (500k x 100
+        # -> 8 blocks on 32 cores = a 4x wall-clock cliff, r7 stress
+        # audit), so aim for ~4 blocks/core when the axis allows it.
+        # Storage parity is unaffected: the sub-frame fragments these
+        # smaller blocks emit are re-framed onto the class grid by the
+        # assembler's capped auto-heal, which at this size is seconds of
+        # driver work. At real scale n_var/4ncores far exceeds the cell
+        # target and this floor never binds.
+        ncores = ds.variants.sparkSession.sparkContext.defaultParallelism
+        par_bv = max(64, math.ceil(n_var / max(4 * ncores, 1)))
+        block_variants = max(64, min(block_variants, par_bv))
     nblocks = max(1, math.ceil(n_var / block_variants))
 
     # FILTER factor levels, reference-exact (R/ConvVCF2GDS.R:1405-1425 +
@@ -1313,13 +1355,16 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
                 n for n, _, _ in fmeta
             ]
             # fresh attribute for the calls-side key (cogroup would see a
-            # self-join ambiguity if both sides carried vindex's __blk)
-            cj = calls.select(*ccols).join(
-                vindex.select(
-                    "variant_id", F.col("__blk").alias("__cblk")
-                ),
-                "variant_id",
-            )
+            # self-join ambiguity if both sides carried vindex's __blk).
+            # Pin the join strategy: broadcast the n_var-row index when
+            # it is broadcast-sized, else force sort-merge — never let
+            # size ESTIMATES pick the 100x-bigger Python-evaluated calls
+            # relation as the broadcast build side (observed: an 8 GiB
+            # driver OOM'd broadcasting a 22M-call frame on the 1KG
+            # fixture rewrite, r7 audit)
+            vj = vindex.select("variant_id", F.col("__blk").alias("__cblk"))
+            vj = F.broadcast(vj) if n_var <= 4_000_000 else vj.hint("merge")
+            cj = calls.select(*ccols).join(vj, "variant_id")
             man_df = vgrp.cogroup(cj.groupBy("__cblk")).applyInPandas(
                 kernel, _MANIFEST_SCHEMA
             )
