@@ -677,13 +677,24 @@ def _hyperplane_bucket(vec: Column, planes: int) -> Column:
     return out.cast("int")
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iter: int = 30,
+                 driver_threshold: int = 200_000) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     components over the pair graph, labeled by each component's minimum
     id -> (doc_id, cluster_id). This is the step a curation pipeline
     runs after any pair generator (minhash/simhash/embedding) to pick
     one keeper per duplicate group — pairs alone under-remove when dups
     chain (A~B, B~C but not A~C).
+
+    Pair sets up to `driver_threshold` rows take a BOUNDED driver
+    union-find fast path (a few MB at the cap): iterative CC pays
+    several Spark stage launches per round, which on a near-dup graph
+    of a few hundred edges is pure scheduling overhead — the same
+    bounded-small-side trade as IVF's driver centroid sample. Identical
+    labels either way (pytest-pinned); pass driver_threshold=0 to force
+    the distributed loop. At corpus scale the count exceeds the
+    threshold and the label-propagation path below is the only one that
+    runs.
 
     Algorithm: min-label propagation with pointer jumping — each round
     every node adopts the min of its own label, its neighbors' labels,
@@ -700,6 +711,10 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     RuntimeError if max_iter rounds don't converge (never returns a
     partially-propagated labeling — downstream keeper selection would
     silently over-keep)."""
+    if driver_threshold:
+        head = pairs.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            return _driver_union_find(pairs.sparkSession, head)
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
@@ -765,3 +780,30 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def _driver_union_find(spark, rows) -> DataFrame:
+    """Min-label connected components over a BOUNDED collected pair
+    list (the dup_clusters small-input fast path): classic union-find
+    with path compression, then every root relabeled to its component's
+    minimum member id — the exact labeling the distributed
+    min-label-propagation loop converges to."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = int(r["id_a"]), int(r["id_b"])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(out or [], "doc_id long, cluster_id long")

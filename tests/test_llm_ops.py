@@ -676,3 +676,21 @@ def test_repetition_oracle_cross_check(spark):
         ).fetchall()
     }
     assert eng == ora
+
+
+def test_dup_clusters_driver_and_distributed_paths_agree(spark):
+    """The bounded driver union-find fast path labels identically to the
+    distributed min-label propagation loop (driver_threshold=0 forces
+    the loop), including chains, multiple components, and singletons
+    attached by one edge."""
+    rows = [(1, 5), (5, 9), (9, 13),        # chain -> all label 1
+            (20, 22), (22, 21),             # component labeled 20
+            (30, 31)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    fast = {(r["doc_id"], r["cluster_id"])
+            for r in D.dup_clusters(pairs).collect()}
+    slow = {(r["doc_id"], r["cluster_id"])
+            for r in D.dup_clusters(pairs, driver_threshold=0).collect()}
+    assert fast == slow
+    assert fast == {(1, 1), (5, 1), (9, 1), (13, 1),
+                    (20, 20), (21, 20), (22, 20), (30, 30), (31, 30)}
