@@ -159,19 +159,60 @@ def merge_samples_pair(a: SeqDataset, b: SeqDataset) -> SeqDataset:
     # in order and the first file CONTAINING the variant supplies the
     # value — even a missing one (it breaks before looking at file 2),
     # so a NULL in file 1 must NOT be patched from file 2. A value
-    # coalesce(va, vb) would diverge exactly there.
-    pick = lambda c: F.when(
-        F.col("va.variant_id").isNotNull(), F.col(f"va.{c}")
-    ).otherwise(F.col(f"vb.{c}")).alias(c)
-    extra_cols = [
-        c for c in a.variants.columns if c not in VKEY + ["alt", "variant_id"]
-        and c in b.variants.columns
-    ]
+    # coalesce(va, vb) would diverge exactly there. Annotation columns
+    # and INFO struct FIELDS are the UNION across files
+    # (R/UtilsMerge.R:758-766 collects varnm over every file): a var the
+    # first file lacks stays missing wherever file 1 contains the
+    # variant and carries file 2's values only at file-2-only variants.
+    a_present = F.col("va.variant_id").isNotNull()
+
+    def pick(c):
+        in_a = c in a.variants.columns
+        in_b = c in b.variants.columns
+        ta = dict(a.variants.dtypes).get(c)
+        tb = dict(b.variants.dtypes).get(c)
+        va_c = F.col(f"va.{c}") if in_a else F.lit(None).cast(tb)
+        vb_c = F.col(f"vb.{c}") if in_b else F.lit(None).cast(ta)
+        return F.when(a_present, va_c).otherwise(vb_c).alias(c)
+
+    def pick_info():
+        fa = (
+            {f.name: f.dataType for f in a.variants.schema["info"].dataType.fields}
+            if "info" in a.variants.columns else {}
+        )
+        fb = (
+            {f.name: f.dataType for f in b.variants.schema["info"].dataType.fields}
+            if "info" in b.variants.columns else {}
+        )
+        names = list(fa) + [n for n in fb if n not in fa]
+
+        def side(fields, prefix):
+            return F.struct(*[
+                (
+                    F.col(f"{prefix}.info.{n}") if n in fields
+                    else F.lit(None).cast(fb.get(n) or fa.get(n))
+                ).alias(n)
+                for n in names
+            ])
+
+        return F.when(a_present, side(fa, "va")).otherwise(
+            side(fb, "vb")
+        ).alias("info")
+
+    extra_cols = sorted(
+        {
+            c for c in a.variants.columns + b.variants.columns
+            if c not in VKEY + ["alt", "variant_id", "info", "__alts"]
+        },
+        key=lambda c: (c not in a.variants.columns, c),
+    )
+    has_info = "info" in a.variants.columns or "info" in b.variants.columns
     variants = joined.select(
         F.xxhash64(*VKEY, F.col("__alts")).alias("variant_id"),
         *[F.col(c) for c in VKEY],
         pick("alt"),
         *[pick(c) for c in extra_cols],
+        *([pick_info()] if has_info else []),
         F.col("va.variant_id").alias("__vid_a"),
         F.col("vb.variant_id").alias("__vid_b"),
     )

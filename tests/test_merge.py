@@ -178,3 +178,41 @@ def test_merge_sample_info_conflict_first_file_wins_by_presence(spark):
     assert got[("1", 200)] == (30.0, None)
     # file-2-only variant: file 2 supplies
     assert got[("1", 300)] == (55.0, "rsOnlyB")
+
+
+def test_merge_sample_info_vars_union_across_files(spark):
+    """Sample-mode INFO vars are the UNION across files
+    (R/UtilsMerge.R:758-766): a var only file 2 carries appears in the
+    merged schema, stays missing wherever file 1 CONTAINS the variant
+    (SEQ_MergeInfo breaks at the first containing file, which lacks the
+    var), and carries file 2's values at file-2-only variants."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.dataset import SeqDataset
+
+    va = spark.createDataFrame(
+        [(1, "1", 100, "A", ["G"], Row(DP=7))],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>, info struct<DP:int>",
+    )
+    vb = spark.createDataFrame(
+        [(11, "1", 100, "A", ["G"], Row(DP=9, AF=0.25)),
+         (12, "1", 300, "G", ["A"], Row(DP=3, AF=0.5))],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>, info struct<DP:int,AF:double>",
+    )
+    sa = spark.createDataFrame([("s1",)], "sample_id string")
+    sb = spark.createDataFrame([("s2",)], "sample_id string")
+    m = M.merge_samples_pair(
+        SeqDataset(va, None, sa), SeqDataset(vb, None, sb)
+    )
+    assert [f.name for f in m.variants.schema["info"].dataType.fields] == [
+        "DP", "AF"]
+    got = {
+        r["position"]: (r["info"]["DP"], r["info"]["AF"])
+        for r in m.variants.collect()
+    }
+    # shared variant: file 1 contains it -> DP from file 1, AF missing
+    assert got[100] == (7, None)
+    # file-2-only variant: file 2 supplies both
+    assert got[300] == (3, 0.5)
