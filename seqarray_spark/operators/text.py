@@ -301,40 +301,70 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     docs = spread(docs)
     t = F.substring(F.col(text_col), 1, prefix)
 
-    def dup_frac(n: int) -> Column:
-        sh = word_shingles(t, n)
-        tot = F.size(sh)
-        return F.when(
-            tot > 0,
-            F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double")
-            / tot.cast("double"),
-        )
-
+    # Spark does not subexpression-eliminate lambda-bearing expressions
+    # — every REFERENCE to a fold re-runs it, and every metric written
+    # independently re-tokenizes the prefix. Two counters fix both:
+    # (1) the mode fold also counts elements and runs (runs of a sorted
+    #     array ARE the distinct count), and its `finish` lambda turns
+    #     the accumulator straight into the two 2-gram metrics, so
+    #     tokenize+sort+fold happens once;
+    # (2) the one-element explode below is a Generate barrier, so
+    #     CollapseProject cannot inline the metrics struct back into
+    #     the three output columns (which would triple-evaluate it).
     sh2 = F.array_sort(word_shingles(t, 2))
+    n_chars = F.length(t)
     zero = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"),
         F.lit(0).alias("best"), F.lit("").alias("bg"),
+        F.lit(0).alias("nd"), F.lit(0).alias("n"),
     )
 
     def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        # the first element always opens a run (prev='' never equals a
+        # gram: grams are non-empty)
+        fresh = x != acc["prev"]
+        run = F.when(fresh, F.lit(1)).otherwise(acc["run"] + 1)
         better = (run > acc["best"]) | ((run == acc["best"]) & (x > acc["bg"]))
         return F.struct(
             x.alias("prev"), run.alias("run"),
             F.when(better, run).otherwise(acc["best"]).alias("best"),
             F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+            (acc["nd"] + fresh.cast("int")).alias("nd"),
+            (acc["n"] + 1).alias("n"),
         )
 
-    top = F.aggregate(sh2, zero, step)
-    n_chars = F.length(t)
-    return docs.withColumns(
-        {
-            "dup_2gram_frac": dup_frac(2),
-            "dup_3gram_frac": dup_frac(3),
-            "top_2gram_char_frac": F.when(
-                (F.size(sh2) > 0) & (n_chars > 0),
-                (top["best"] * F.length(top["bg"])).cast("double")
+    def finish(acc):
+        n2 = acc["n"]
+        return F.struct(
+            F.when(
+                n2 > 0,
+                F.lit(1.0) - acc["nd"].cast("double") / n2.cast("double"),
+            ).alias("d2"),
+            F.when(
+                (n2 > 0) & (n_chars > 0),
+                (acc["best"] * F.length(acc["bg"])).cast("double")
                 / n_chars.cast("double"),
-            ),
-        }
+            ).alias("topf"),
+        )
+
+    sh3 = word_shingles(t, 3)
+    n3 = F.size(sh3)
+    metrics = F.struct(
+        F.aggregate(sh2, zero, step, finish).alias("g2"),
+        F.when(
+            n3 > 0,
+            F.lit(1.0) - F.size(F.array_distinct(sh3)).cast("double")
+            / n3.cast("double"),
+        ).alias("d3"),
+    )
+    return (
+        docs.select("*", F.explode(F.array(metrics)).alias("__m"))
+        .withColumns(
+            {
+                "dup_2gram_frac": F.col("__m.g2.d2"),
+                "dup_3gram_frac": F.col("__m.d3"),
+                "top_2gram_char_frac": F.col("__m.g2.topf"),
+            }
+        )
+        .drop("__m")
     )
