@@ -58,7 +58,10 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every pytest run by tests/test_registry_sweep.py (the CI twin of the
     # driver gate), so out-of-window queries cannot silently regress.
     return {
-        # -- r6 additions (newest first — unchecked by the driver yet) ------
+        # -- r7 additions (newest first — unchecked by the driver yet) ------
+        "seq_row_ranges": seq_row_ranges,
+        "seq_col_data": seq_col_data,
+        # -- r6 additions ----------------------------------------------------
         "doc_repetition": doc_repetition,
         # -- r5 additions, driver-unchecked until r6: curation + multimodal --
         "doc_pack_batches": doc_pack_batches,
@@ -279,6 +282,27 @@ def seq_missing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def seq_af_ac_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.af_ac_missing(td.gcalls(spark, sf_dir))
+
+
+def seq_row_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rowRanges accessor (reference S4 method
+    R/Methods-SeqVarGDSClass.R:262-270): per selected variant a GRanges
+    row (seqnames, start, end = pos + max(len(REF),1) - 1) plus the
+    ID/REF/ALT/QUAL/FILTER metadata columns, REF scrubbed to the
+    DNAStringSet alphabet. Pure projection — no shuffle."""
+    from seqarray_spark.functions.accessors import row_ranges
+
+    ds = td.variant_dataset(spark, sf_dir)
+    return row_ranges(ds)
+
+
+def seq_col_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """colData accessor (reference R/Methods-SeqVarGDSClass.R:273-292):
+    Samples ordinal + sample annotations over the current selection."""
+    from seqarray_spark.functions.accessors import col_data
+
+    ds = td.variant_dataset(spark, sf_dir)
+    return col_data(ds)
 
 
 def seq_num_allele(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1233,6 +1257,29 @@ def oracle_sql() -> dict[str, str]:
                      CAST(SUM(CASE WHEN a1 IS NULL OR a2 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS ns
               FROM gcalls GROUP BY variant_id
             ) t
+        """,
+        # rowRanges: end = pos + max(len(REF),1) - 1; REF scrub is an
+        # identity on the testdata alphabet but pinned by pytest
+        "seq_row_ranges": P
+        + """
+            SELECT variant_id,
+                   chromosome AS seqnames,
+                   position AS start,
+                   CAST(position + GREATEST(LENGTH(ref), 1) - 1 AS INT)
+                       AS "end",
+                   id AS ID,
+                   ref AS REF,
+                   alt_str AS ALT,
+                   qual AS QUAL,
+                   filter AS FILTER
+            FROM gvariants
+        """,
+        "seq_col_data": P
+        + """
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY sample_id) AS INT)
+                       AS Samples,
+                   sample_id, population
+            FROM gsamples
         """,
         "seq_num_allele": P
         + """

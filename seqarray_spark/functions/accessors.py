@@ -1,0 +1,89 @@
+"""VariantAnnotation-style accessors over a SeqDataset — the reference's
+S4 methods on SeqVarGDSClass (R/Methods-SeqVarGDSClass.R:9-292):
+granges / rowRanges / colData / fixed / ref / alt / qual / filt.
+
+All pure Column projections over the CURRENT selection (each method in
+the reference calls seqGetData, which honors the filter stack), no
+shuffles: a GRanges row is (seqnames, start, end) with
+end = start + max(nchar(REF), 1) - 1, exactly the reference's
+reflen[reflen < 1] <- 1 rule. ref() scrubs characters outside the
+IUPAC/indel alphabet to '.' like the reference's gsub before
+DNAStringSet construction (R/Methods-SeqVarGDSClass.R:28-35).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the reference's DNAStringSet-safe alphabet (IUPAC codes + - + .)
+_REF_SCRUB = r"[^ACGTMRWSYKVHDBNacgtmrwsykvhdbn\-\+\.]"
+
+
+def ref_scrubbed(col=F.col("ref")):
+    """REF with invalid characters replaced by '.' (reference ref()
+    method's gsub; keeps DNAStringSet-constructible strings)."""
+    return F.regexp_replace(col, _REF_SCRUB, ".")
+
+
+def granges(ds) -> DataFrame:
+    """(variant_id, seqnames, start, end) over the current selection
+    (reference granges method R/Methods-SeqVarGDSClass.R:9-24):
+    end = pos + max(nchar(REF), 1) - 1."""
+    v = ds.variants
+    reflen = F.greatest(F.coalesce(F.length("ref"), F.lit(1)), F.lit(1))
+    return v.select(
+        "variant_id",
+        F.col("chromosome").alias("seqnames"),
+        F.col("position").alias("start"),
+        (F.col("position") + reflen - 1).alias("end"),
+    )
+
+
+def row_ranges(ds) -> DataFrame:
+    """granges + ID/REF/ALT/QUAL/FILTER metadata columns (reference
+    rowRanges, R/Methods-SeqVarGDSClass.R:262-270). ALT renders as the
+    comma-joined allele list like the ALT strings the alt() method's
+    CharacterList carries."""
+    v = ds.variants
+    reflen = F.greatest(F.coalesce(F.length("ref"), F.lit(1)), F.lit(1))
+    return v.select(
+        "variant_id",
+        F.col("chromosome").alias("seqnames"),
+        F.col("position").alias("start"),
+        (F.col("position") + reflen - 1).alias("end"),
+        F.col("id").alias("ID") if "id" in v.columns else F.lit(None).cast("string").alias("ID"),
+        ref_scrubbed().alias("REF"),
+        F.concat_ws(",", "alt").alias("ALT"),
+        (F.col("qual") if "qual" in v.columns else F.lit(None).cast("double")).alias("QUAL"),
+        (F.col("filter") if "filter" in v.columns else F.lit(None).cast("string")).alias("FILTER"),
+    )
+
+
+def fixed(ds) -> DataFrame:
+    """The fixed-field frame (REF/ALT/QUAL/FILTER — reference fixed(),
+    R/Methods-SeqVarGDSClass.R:64-70)."""
+    v = ds.variants
+    return v.select(
+        "variant_id",
+        ref_scrubbed().alias("REF"),
+        F.concat_ws(",", "alt").alias("ALT"),
+        (F.col("qual") if "qual" in v.columns else F.lit(None).cast("double")).alias("QUAL"),
+        (F.col("filter") if "filter" in v.columns else F.lit(None).cast("string")).alias("FILTER"),
+    )
+
+
+def col_data(ds) -> DataFrame:
+    """(Samples ordinal, sample_id, annotation columns...) over the
+    current sample selection (reference colData,
+    R/Methods-SeqVarGDSClass.R:273-292 — Samples = seq_along(sample.id),
+    plus every sample.annotation variable)."""
+    from pyspark.sql.window import Window
+
+    if ds.samples is None:
+        raise ValueError("dataset has no samples table")
+    s = ds.samples
+    return s.select(
+        F.row_number().over(Window.orderBy("sample_id")).alias("Samples"),
+        "*",
+    )

@@ -129,3 +129,48 @@ def test_as_pandas_info_geno_subsetting(spark):
         as_pandas(ds, info=["NOPE"])
     with pytest.raises(ValueError, match="unknown FORMAT"):
         as_pandas(ds, geno=["NOPE"])
+
+
+def test_accessors_granges_fixed_coldata(spark):
+    """VariantAnnotation accessors (reference S4 methods
+    R/Methods-SeqVarGDSClass.R:9-292): granges end = pos +
+    max(nchar(REF),1) - 1 (indels span, empty REF clamps to 1); ref()
+    scrubs non-IUPAC characters to '.'; colData numbers samples from 1
+    in sample-id order and carries annotations; all honor the filter."""
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.functions import accessors as A
+
+    v = spark.createDataFrame(
+        [(1, "1", 100, "rs1", "A", ["G"], 50.0, "PASS"),
+         (2, "1", 200, "rs2", "ACGT", ["A"], 60.0, "PASS"),   # indel: 4bp
+         (3, "2", 300, None, "", ["T"], None, "q10"),         # empty REF
+         (4, "2", 400, "rs4", "AXZ!", ["C"], 1.0, "PASS")],   # scrub
+        "variant_id long, chromosome string, position int, id string, "
+        "ref string, alt array<string>, qual double, filter string",
+    )
+    s = spark.createDataFrame(
+        [("s1", 31), ("s2", 42)], "sample_id string, age int"
+    )
+    ds = SeqDataset(v, None, s)
+    gr = {r["variant_id"]: (r["seqnames"], r["start"], r["end"])
+          for r in A.granges(ds).collect()}
+    assert gr[1] == ("1", 100, 100)
+    assert gr[2] == ("1", 200, 203)
+    assert gr[3] == ("2", 300, 300)   # reflen clamps to 1
+
+    rr = {r["variant_id"]: r for r in A.row_ranges(ds).collect()}
+    assert rr[4]["REF"] == "A..."     # X, Z, ! all outside IUPAC+indel
+    assert rr[2]["ALT"] == "A" and rr[1]["QUAL"] == 50.0
+    assert rr[3]["ID"] is None and rr[3]["FILTER"] == "q10"
+
+    fx = {r["variant_id"]: r["REF"] for r in A.fixed(ds).collect()}
+    assert fx[4] == "A..."
+
+    cd = {r["sample_id"]: (r["Samples"], r["age"])
+          for r in A.col_data(ds).collect()}
+    assert cd == {"s1": (1, 31), "s2": (2, 42)}
+
+    # accessors follow the variant filter (each reference method reads
+    # through seqGetData, which honors the selection)
+    ds.set_filter_chrom(["1"])
+    assert {r["variant_id"] for r in A.granges(ds).collect()} == {1, 2}
