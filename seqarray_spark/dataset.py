@@ -20,6 +20,7 @@ table).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -247,25 +248,90 @@ class SeqDataset:
 
     def set_filter_chrom(
         self,
-        include,
-        from_bp: int | None = None,
-        to_bp: int | None = None,
+        include=None,
+        from_bp=None,
+        to_bp=None,
         intersect: bool = True,
+        is_num: bool | None = None,
     ) -> "SeqDataset":
-        """Chromosome membership ± bp window (reference: seqSetFilterChrom
+        """Chromosome membership ± bp windows (reference: seqSetFilterChrom
         R/Methods.R:310-327, SEQ_SetSpaceChrom src/SeqArray.cpp:709-883).
 
-        With the variants dataset partitioned by chromosome this is pure
-        partition pruning + row-group min/max skipping on position.
+        Full reference semantics:
+        - ``from_bp``/``to_bp`` may be vectors, one window per ``include``
+          entry; a chromosome repeated in ``include`` selects the UNION of
+          its windows (the reference's per-chromosome CRangeSet,
+          src/SeqArray.cpp:808-815). Scalars broadcast to every entry.
+        - ``None`` (the reference's NA) in a bp vector opens that side of
+          the window (NA from -> 0, NA to -> 2^31-1,
+          src/SeqArray.cpp:810-812).
+        - ``is_num`` mirrors is.num: True keeps only numeric-named
+          chromosomes, False only non-numeric (strtol full-parse test,
+          src/SeqArray.cpp:701-706); with ``include=None`` it selects by
+          name class over the whole file (src/SeqArray.cpp:759-779).
+        - ``include=None, is_num=None`` selects everything (memset TRUE).
+
+        With the variants dataset partitioned by chromosome this stays pure
+        partition pruning + row-group min/max skipping on position: the
+        predicate is a disjunction of (chromosome = c AND position BETWEEN
+        ...) conjuncts, all parquet-pushable.
         """
+        numeric_re = r"^[ \t\n\v\f\r]*[+-]?[0-9]+$"  # strtol base-10 full parse
+        if include is None:
+            if from_bp is not None or to_bp is not None:
+                raise ValueError("from_bp/to_bp require include (reference errors too)")
+            if is_num is None:
+                pred = F.lit(True)
+            else:
+                num = F.col("chromosome").rlike(numeric_re)
+                pred = num if is_num else ~num
+            return self.set_filter_variant(pred, intersect)
+
         if isinstance(include, (str, int)):
             include = [include]
         include = [str(c) for c in include]
-        pred = F.col("chromosome").isin(include)
-        if from_bp is not None:
-            pred = pred & (F.col("position") >= int(from_bp))
-        if to_bp is not None:
-            pred = pred & (F.col("position") <= int(to_bp))
+        n = len(include)
+
+        def _expand(b, name):
+            if b is None:
+                return [None] * n
+            if isinstance(b, (int, float)):
+                return [int(b)] * n
+            b = list(b)
+            if len(b) != n:
+                raise ValueError(f"'{name}' should have the same length as 'include'")
+            return [None if v is None else int(v) for v in b]
+
+        if is_num is not None:
+            keep = [bool(re.match(numeric_re, c)) == bool(is_num) for c in include]
+        else:
+            keep = [True] * n
+
+        if from_bp is None and to_bp is None:
+            chroms = list(dict.fromkeys(c for c, k in zip(include, keep) if k))
+            pred = F.col("chromosome").isin(chroms) if chroms else F.lit(False)
+            return self.set_filter_variant(pred, intersect)
+
+        fr = _expand(from_bp, "from_bp")
+        to = _expand(to_bp, "to_bp")
+        windows: dict[str, list[tuple[int, int]]] = {}
+        for c, f, t, k in zip(include, fr, to, keep):
+            if k:
+                windows.setdefault(c, []).append(
+                    (0 if f is None else f, 2147483647 if t is None else t)
+                )
+        per_chrom = []
+        for c, ws in windows.items():
+            rng = None
+            for st, ed in ws:
+                w = F.col("position").between(st, ed)
+                rng = w if rng is None else (rng | w)
+            per_chrom.append((F.col("chromosome") == c) & rng)
+        pred = F.lit(False)
+        if per_chrom:
+            pred = per_chrom[0]
+            for p in per_chrom[1:]:
+                pred = pred | p
         return self.set_filter_variant(pred, intersect)
 
     def set_filter_ranges(self, ranges: DataFrame, intersect: bool = True) -> "SeqDataset":

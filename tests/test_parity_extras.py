@@ -174,3 +174,62 @@ def test_accessors_granges_fixed_coldata(spark):
     # through seqGetData, which honors the selection)
     ds.set_filter_chrom(["1"])
     assert {r["variant_id"] for r in A.granges(ds).collect()} == {1, 2}
+
+
+def test_filter_chrom_vectorized_windows(spark):
+    """seqSetFilterChrom full parity: per-entry bp windows with repeated-
+    chromosome union (CRangeSet, src/SeqArray.cpp:808-815), NA->open bounds
+    (src/SeqArray.cpp:810-812), is.num name-class selection
+    (src/SeqArray.cpp:701-706,759-779)."""
+    import pytest as _pt
+
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(1, "1", 100), (2, "1", 250), (3, "1", 900),
+         (4, "2", 50), (5, "2", 500), (6, "X", 120), (7, "MT", 10)],
+        "variant_id long, chromosome string, position int",
+    )
+
+    def ids(ds):
+        return sorted(r["variant_id"] for r in ds.variants.select("variant_id").collect())
+
+    # vectorized windows; chrom "1" repeated -> union of [90,110] and [240,260]
+    ds = SeqDataset(v, None, None)
+    ds.set_filter_chrom(["1", "1", "2"], from_bp=[90, 240, 400], to_bp=[110, 260, 600])
+    assert ids(ds) == [1, 2, 5]
+
+    # None (NA) opens a side: chrom 2 from 100 up; chrom X fully open
+    ds = SeqDataset(v, None, None)
+    ds.set_filter_chrom(["2", "X"], from_bp=[100, None], to_bp=[None, None])
+    assert ids(ds) == [5, 6]
+
+    # scalar bp broadcasts over every include entry (back-compat form)
+    ds = SeqDataset(v, None, None)
+    ds.set_filter_chrom(["1", "2"], from_bp=100, to_bp=500)
+    assert ids(ds) == [1, 2, 5]
+
+    # is_num over an include list drops the non-numeric names
+    ds = SeqDataset(v, None, None)
+    ds.set_filter_chrom(["1", "X", "MT"], is_num=True)
+    assert ids(ds) == [1, 2, 3]
+
+    # include=None + is_num: whole-file name-class selection
+    ds = SeqDataset(v, None, None)
+    ds.set_filter_chrom(is_num=False)
+    assert ids(ds) == [6, 7]
+    ds = SeqDataset(v, None, None)
+    ds.set_filter_chrom(is_num=True)
+    assert ids(ds) == [1, 2, 3, 4, 5]
+
+    # include=None, is_num=None selects everything (memset TRUE)
+    ds = SeqDataset(v, None, None)
+    ds.set_filter_chrom()
+    assert ids(ds) == [1, 2, 3, 4, 5, 6, 7]
+
+    # reference errors: bp without include; length mismatch
+    ds = SeqDataset(v, None, None)
+    with _pt.raises(ValueError):
+        ds.set_filter_chrom(from_bp=100)
+    with _pt.raises(ValueError):
+        ds.set_filter_chrom(["1", "2"], from_bp=[1, 2, 3], to_bp=[4, 5, 6])
