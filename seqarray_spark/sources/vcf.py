@@ -323,8 +323,18 @@ def read_vcf(
     ignore_chr_prefix: str = "chr",
     assign_ids: str = "order",
     validate: str = "none",
+    genotype_var_name: str = "GT",
+    start: int = 1,
+    count: int = -1,
 ):
     """VCF → SeqDataset (reference: seqVCF2GDS R/ConvVCF2GDS.R:559-1465).
+
+    genotype_var_name: which FORMAT field holds the genotype calls
+    (reference genotype.var.name; located per record in FORMAT, so records
+    that omit it decode as all-missing at the header ploidy).
+    start/count: 1-based file-order row range to import (reference's
+    parallel-chunk mechanism, R/ConvVCF2GDS.R:826-837); the imported
+    chunk is re-numbered 1..count like each reference chunk file.
 
     assign_ids: 'order' = dense 1..N ids in file order (reference parity,
     one zipWithIndex pass); 'hash' = xxhash64(chrom:pos:ref:alt) without
@@ -432,9 +442,25 @@ def read_vcf(
             )
             .drop("__file", "__blk", "__i", "__off", "__i0")
         )
+    if start != 1 or count != -1:
+        # row-range import (reference: seqVCF2GDS(start=, count=),
+        # R/ConvVCF2GDS.R:826-837 — the parallel-chunk mechanism; each
+        # chunk file gets dense ids 1..count over its own rows). Needs
+        # the file-order ids to define the range.
+        if assign_ids != "order":
+            raise ValueError("start/count require assign_ids='order'")
+        if start < 1:
+            raise ValueError("'start' should be a positive integer")
+        hi = None if count < 0 else start + int(count) - 1
+        pred = F.col("variant_id") >= int(start)
+        if hi is not None:
+            pred = pred & (F.col("variant_id") <= hi)
+        lines = lines.filter(pred).withColumn(
+            "variant_id", F.col("variant_id") - int(start) + 1
+        )
     return parse_vcf_lines(
         lines, header, info_fields, format_fields, ignore_chr_prefix, assign_ids,
-        validate,
+        validate, genotype_var_name,
     )
 
 
@@ -446,6 +472,7 @@ def parse_vcf_lines(
     ignore_chr_prefix: str = "chr",
     assign_ids: str = "hash",
     validate: str = "none",
+    genotype_var_name: str = "GT",
 ):
     """Core line-parse: a DataFrame with a 'value' column of VCF data lines
     (and optionally a precomputed variant_id) → SeqDataset. Works on batch
@@ -457,7 +484,7 @@ def parse_vcf_lines(
     spark = lines.sparkSession
     info_fields = list(header.info) if info_fields is None else info_fields
     format_fields = (
-        [f for f in header.formats if f != "GT"]
+        [f for f in header.formats if f != genotype_var_name]
         if format_fields is None
         else format_fields
     )
@@ -540,19 +567,36 @@ def parse_vcf_lines(
                 "__pos", "__token"
             ),
         ).withColumn("sample_id", F.element_at(sample_arr, F.col("__pos") + 1))
-        gt = F.element_at(F.split(F.col("__token"), ":"), 1)
+        # the genotype field (genotype.var.name, default GT) is located in
+        # the per-record FORMAT column, not assumed first: records whose
+        # FORMAT omits it yield all-missing calls at the header ploidy
+        # (reference: geno field index per record, R/ConvVCF2GDS.R:589-590,
+        # src/ConvVCF2GDS.cpp missing-genotype fill)
+        gt_idx = F.array_position(F.col("__fmt"), genotype_var_name)
+        gt = F.try_element_at(F.split(F.col("__token"), ":"), gt_idx.cast("int"))
         # alleles: '0/1', '0|1', '.', './.', '0/0/1' (mixed ploidy — the
         # reference's genotype/extra mechanism collapses into array length,
         # src/ConvVCF2GDS.cpp:1775-1797)
-        alleles = F.transform(
-            F.split(gt, r"[/|]"),
-            lambda x: F.nullif(x, F.lit(".")).try_cast("smallint"),
+        missing_alleles = F.array_repeat(
+            F.lit(None).cast("smallint"), int(header.ploidy or 2)
         )
+        alleles = F.when(
+            gt_idx > 0,
+            F.transform(
+                F.split(gt, r"[/|]"),
+                lambda x: F.nullif(x, F.lit(".")).try_cast("smallint"),
+            ),
+        ).otherwise(missing_alleles)
         # per-slot phase flags: the separator *before* each later slot
         # (reference: phase/data bit matrix, R/ConvVCF2GDS.R:1011-1031)
-        phased = F.transform(
-            F.regexp_extract_all(gt, F.lit(r"[/|]"), 0),
-            lambda x: x == "|",
+        phased = F.when(
+            gt_idx > 0,
+            F.transform(
+                F.regexp_extract_all(gt, F.lit(r"[/|]"), 0),
+                lambda x: x == "|",
+            ),
+        ).otherwise(
+            F.array_repeat(F.lit(False), max(int(header.ploidy or 2) - 1, 0))
         )
         fmt_viol_cols = []
         if validate != "none":

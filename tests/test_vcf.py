@@ -759,3 +759,69 @@ def test_variants_only_export_has_no_format_column(spark, tmp_path):
     assert data[0].split("\t")[:8] == [
         "1", "100", "rs1", "A", "G", "50", "PASS", "."]
     assert data[1].split("\t")[5] == "."  # NULL qual renders '.'
+
+
+def test_genotype_field_located_in_format(spark, tmp_path):
+    """The genotype field is found per record in FORMAT, not assumed to be
+    the first colon token (reference: genotype.var.name lookup,
+    R/ConvVCF2GDS.R:589-590): a record whose FORMAT omits GT decodes as
+    all-missing at the header ploidy instead of misreading another field."""
+    p = str(tmp_path / "nogt.vcf")
+    with open(p, "w") as fh:
+        fh.write(
+            "##fileformat=VCFv4.2\n"
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+            '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+            "1\t10\t.\tA\tC\t5\tPASS\t.\tGT:DP\t0|1:7\n"
+            "1\t20\t.\tG\tT\t5\tPASS\t.\tDP\t7\n"
+        )
+    ds = vcfmod.read_vcf(spark, p)
+    c = {r["variant_id"]: r for r in ds.calls.collect()}
+    assert c[1]["alleles"] == [0, 1] and c[1]["phased"] == [True]
+    # FORMAT=DP only: DP must remain 7, alleles all-missing at ploidy 2
+    assert c[2]["DP"] == 7
+    assert c[2]["alleles"] == [None, None] and c[2]["phased"] == [False]
+
+
+def test_genotype_var_name_custom(spark, tmp_path):
+    """seqVCF2GDS(genotype.var.name=) imports calls from an alternate
+    FORMAT field (R/ConvVCF2GDS.R:561,589-590)."""
+    p = str(tmp_path / "gty.vcf")
+    with open(p, "w") as fh:
+        fh.write(
+            "##fileformat=VCFv4.2\n"
+            '##FORMAT=<ID=GTY,Number=1,Type=String,Description="alt geno">\n'
+            '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+            "1\t10\t.\tA\tC\t5\tPASS\t.\tDP:GTY\t7:1/1\n"
+        )
+    ds = vcfmod.read_vcf(spark, p, genotype_var_name="GTY")
+    c = ds.calls.collect()[0]
+    assert c["alleles"] == [1, 1] and c["DP"] == 7
+
+
+def test_start_count_range_import(spark, tmp_path):
+    """seqVCF2GDS(start=, count=) imports a file-order row range, ids
+    renumbered 1..count like each reference chunk file
+    (R/ConvVCF2GDS.R:826-837)."""
+    import pytest as _pt
+
+    p = str(tmp_path / "rng.vcf")
+    with open(p, "w") as fh:
+        fh.write(
+            "##fileformat=VCFv4.2\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            + "".join(f"1\t{i * 10}\t.\tA\tC\t5\tPASS\t.\n" for i in range(1, 11))
+        )
+    ds = vcfmod.read_vcf(spark, p, start=4, count=3)
+    rows = sorted((r["variant_id"], r["position"]) for r in ds.variants.collect())
+    assert rows == [(1, 40), (2, 50), (3, 60)]
+    # open-ended count
+    ds = vcfmod.read_vcf(spark, p, start=9)
+    rows = sorted((r["variant_id"], r["position"]) for r in ds.variants.collect())
+    assert rows == [(1, 90), (2, 100)]
+    with _pt.raises(ValueError):
+        vcfmod.read_vcf(spark, p, start=0)
+    with _pt.raises(ValueError):
+        vcfmod.read_vcf(spark, p, start=2, assign_ids="hash")
