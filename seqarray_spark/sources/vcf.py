@@ -806,9 +806,16 @@ def write_vcf(
     info_fields: list[str] | None = None,
     format_fields: list[str] | None = None,
     compression: str | None = None,
+    chr_prefix: str = "",
+    no_sample: bool | None = None,
 ) -> None:
     """SeqDataset → VCF text (reference: seqGDS2VCF R/Conversion.R:30-402;
     line formatters src/ConvGDS2VCF.cpp:571-989).
+
+    chr_prefix prepends to every CHROM cell on export (reference
+    chr_prefix, R/Conversion.R:31,160-162); no_sample=True forces a
+    sites-only export of a dataset that HAS samples (reference no_sample,
+    R/Conversion.R:31 — None keeps the auto behavior).
 
     The per-row line formatter is a single concat_ws projection —
     whole-stage codegen, no UDF. Output is a directory of part files in
@@ -820,6 +827,8 @@ def write_vcf(
     # header no longer declares, shifting genotype columns
     variants = ds.variants
     calls = ds.calls if ds._base_calls is not None else None
+    if no_sample:
+        calls = None
     info_type = dict(variants.dtypes).get("info")
     if info_fields is None:
         info_fields = (
@@ -867,7 +876,9 @@ def write_vcf(
         "variant_id",
         F.concat_ws(
             "\t",
-            F.col("chromosome"),
+            F.concat(F.lit(chr_prefix), F.col("chromosome"))
+            if chr_prefix
+            else F.col("chromosome"),
             F.col("position").cast("string"),
             F.coalesce(F.col("id"), F.lit(".")),
             F.col("ref"),
@@ -884,7 +895,9 @@ def write_vcf(
     )
 
     sample_ids = (
-        [r[0] for r in ds.samples.select("sample_id").collect()] if ds.samples is not None else []
+        [r[0] for r in ds.samples.select("sample_id").collect()]
+        if ds.samples is not None and not no_sample
+        else []
     )
 
     if calls is not None and sample_ids:

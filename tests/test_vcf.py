@@ -825,3 +825,30 @@ def test_start_count_range_import(spark, tmp_path):
         vcfmod.read_vcf(spark, p, start=0)
     with _pt.raises(ValueError):
         vcfmod.read_vcf(spark, p, start=2, assign_ids="hash")
+
+
+def test_export_chr_prefix_and_no_sample(spark, tmp_path):
+    """seqGDS2VCF(chr_prefix=, no_sample=TRUE): CHROM cells gain the
+    prefix; no_sample forces a sites-only export of a genotyped dataset
+    (reference R/Conversion.R:30-31)."""
+    import glob
+
+    src = str(tmp_path / "src.vcf")
+    with open(src, "w") as fh:
+        fh.write(
+            "##fileformat=VCFv4.2\n"
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+            "1\t10\t.\tA\tC\t5\tPASS\t.\tGT\t0/1\n"
+        )
+    ds = vcfmod.read_vcf(spark, src)
+    out = str(tmp_path / "out_vcf")
+    vcfmod.write_vcf(ds, out, chr_prefix="chr", no_sample=True)
+    body = "".join(
+        open(f).read() for f in sorted(glob.glob(out + "/part-*"))
+    )
+    hdr = open(out + "/_header.vcf").read()
+    assert body.startswith("chr1\t10\t")
+    assert "\tFORMAT" not in hdr and "\tS1" not in hdr
+    assert hdr.rstrip().splitlines()[-1].endswith("\tINFO")
+    assert "\t0/1" not in body  # sites-only: no genotype columns
