@@ -42,6 +42,104 @@ def add_variant_value(ds: SeqDataset, name: str, col_or_df, join_key: str = "var
                       meta=ds.meta)
 
 
+#: varnm -> variants-frame column for the reference's core-node paths
+_CORE_VARIANT_NODES = {
+    "variant.id": "variant_id",
+    "position": "position",
+    "chromosome": "chromosome",
+    "allele": None,  # handled specially: "REF,ALT1,..." splits into ref/alt
+    "annotation/id": "id",
+    "annotation/qual": "qual",
+    "annotation/filter": "filter",
+}
+
+
+def add_value(ds: SeqDataset, varnm: str, val, replace: bool = False) -> SeqDataset:
+    """The reference's node-path dispatch form of seqAddValue
+    (R/AddValue.R:520-591): ``varnm`` addresses the same GDS node paths —
+    core variant nodes (variant.id/position/chromosome/allele,
+    annotation/id|qual|filter), ``annotation/info/<NAME>`` (a field inside
+    the info struct), and ``sample.annotation/<NAME>`` / ``sample.id``.
+
+    ``val`` is a Column expression, or a keyed DataFrame
+    ((variant_id, value) / (sample_id, value)) for the reference's
+    'length == #variants/#samples' vector path (broadcast-joined).
+    Adding an existing node without ``replace=True`` errors, matching the
+    reference's replace guard (R/AddValue.R:56-66)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias clarity)
+
+    if varnm in _CORE_VARIANT_NODES:
+        if not replace:
+            raise ValueError(f"'{varnm}' exists; pass replace=True (reference guard)")
+        if varnm == "allele":
+            # reference stores "REF,ALT1,ALT2"; split back into ref/alt
+            v = ds._base_variants
+            if isinstance(val, DataFrame):
+                aux = val.withColumnRenamed(
+                    [c for c in val.columns if c != "variant_id"][0], "__allele"
+                )
+                from seqarray_spark.plans.hints import maybe_broadcast
+
+                v = v.join(maybe_broadcast(aux), "variant_id", "left")
+                src = F.col("__allele")
+            else:
+                src = val
+            parts = F.split(src, ",")
+            v = (
+                v.withColumn("ref", parts[0])
+                .withColumn("alt", F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))))
+                .drop("__allele")
+            )
+            return SeqDataset(v, ds._base_calls, ds._base_samples,
+                              ploidy=ds.ploidy, meta=ds.meta)
+        return add_variant_value(ds, _CORE_VARIANT_NODES[varnm], val)
+    if varnm.startswith("annotation/info/"):
+        name = varnm[len("annotation/info/"):]
+        if not name:
+            raise ValueError("Invalid 'varnm'.")
+        v = ds._base_variants
+        have = (
+            "info" in v.columns
+            and name in [f.name for f in v.schema["info"].dataType.fields]
+        )
+        if have and not replace:
+            raise ValueError(f"info/{name} exists; pass replace=True")
+        if isinstance(val, DataFrame):
+            from seqarray_spark.plans.hints import maybe_broadcast
+
+            aux = val.withColumnRenamed(
+                [c for c in val.columns if c != "variant_id"][0], "__v"
+            )
+            v = v.join(maybe_broadcast(aux), "variant_id", "left")
+            new = F.col("__v")
+        else:
+            new = val
+        keep = (
+            [f.name for f in v.schema["info"].dataType.fields if f.name != name]
+            if "info" in v.columns
+            else []
+        )
+        v = v.withColumn(
+            "info",
+            F.struct(*[F.col(f"info.{n}").alias(n) for n in keep], new.alias(name)),
+        ).drop("__v")
+        return SeqDataset(v, ds._base_calls, ds._base_samples,
+                          ploidy=ds.ploidy, meta=ds.meta)
+    if varnm == "sample.id":
+        if not replace:
+            raise ValueError("'sample.id' exists; pass replace=True")
+        return add_sample_value(ds, "sample_id", val)
+    if varnm == "sample.annotation" or varnm.startswith("sample.annotation/"):
+        name = varnm[len("sample.annotation/"):] or None
+        if name is None:
+            raise ValueError("pass sample.annotation/<name>")
+        s = ds._base_samples
+        if s is not None and name in s.columns and not replace:
+            raise ValueError(f"sample.annotation/{name} exists; pass replace=True")
+        return add_sample_value(ds, name, val)
+    raise ValueError("Invalid `varnm`.")
+
+
 def add_sample_value(ds: SeqDataset, name: str, col_or_df) -> SeqDataset:
     """Per-sample annotation add (reference: seqAddValue
     'sample.annotation/<name>' path)."""

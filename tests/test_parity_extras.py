@@ -233,3 +233,59 @@ def test_filter_chrom_vectorized_windows(spark):
         ds.set_filter_chrom(from_bp=100)
     with _pt.raises(ValueError):
         ds.set_filter_chrom(["1", "2"], from_bp=[1, 2, 3], to_bp=[4, 5, 6])
+
+
+def test_add_value_node_paths(spark):
+    """seqAddValue's node-path dispatch (R/AddValue.R:520-591): core
+    variant nodes need replace=TRUE, annotation/info/<NAME> lands inside
+    the info struct, allele strings split back into ref/alt, and
+    sample.annotation/<NAME> adds a sample column."""
+    import pytest as _pt
+
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.operators import mutate as M
+
+    v = spark.createDataFrame(
+        [(1, "1", 100, "A", ["C"], 9.0, None),
+         (2, "1", 200, "G", ["T"], 8.0, None)],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>, qual double, id string",
+    )
+    s = spark.createDataFrame([("s1",), ("s2",)], "sample_id string")
+    ds = SeqDataset(v, None, s)
+
+    # replace guard on an existing core node
+    with _pt.raises(ValueError):
+        M.add_value(ds, "position", F.col("position") + 1)
+    out = M.add_value(ds, "position", F.col("position") + 1, replace=True)
+    assert [r["position"] for r in out.variants.orderBy("variant_id").collect()] == [101, 201]
+
+    # annotation/qual via a keyed DataFrame (the vector path)
+    qdf = spark.createDataFrame([(1, 1.5), (2, 2.5)], "variant_id long, q double")
+    out = M.add_value(ds, "annotation/qual", qdf, replace=True)
+    assert [r["qual"] for r in out.variants.orderBy("variant_id").collect()] == [1.5, 2.5]
+
+    # allele string "REF,ALT1,ALT2" splits into ref/alt
+    adf = spark.createDataFrame(
+        [(1, "T,G,C"), (2, "C,A")], "variant_id long, allele string"
+    )
+    out = M.add_value(ds, "allele", adf, replace=True)
+    rows = {r["variant_id"]: r for r in out.variants.collect()}
+    assert rows[1]["ref"] == "T" and rows[1]["alt"] == ["G", "C"]
+    assert rows[2]["ref"] == "C" and rows[2]["alt"] == ["A"]
+
+    # new INFO field materializes an info struct; replacing needs the flag
+    out = M.add_value(ds, "annotation/info/DP", F.lit(7))
+    assert out.variants.select("info.DP").distinct().collect()[0][0] == 7
+    with _pt.raises(ValueError):
+        M.add_value(out, "annotation/info/DP", F.lit(8))
+    out2 = M.add_value(out, "annotation/info/DP", F.lit(8), replace=True)
+    assert out2.variants.select("info.DP").distinct().collect()[0][0] == 8
+
+    # sample.annotation/<name>
+    out = M.add_value(ds, "sample.annotation/pop", F.lit("CEU"))
+    assert out.samples.columns == ["sample_id", "pop"]
+    with _pt.raises(ValueError):
+        M.add_value(out, "sample.annotation/pop", F.lit("YRI"))
+    with _pt.raises(ValueError):
+        M.add_value(ds, "not/a/node", F.lit(1))
