@@ -59,6 +59,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver gate), so out-of-window queries cannot silently regress.
     return {
         # -- r7 additions (newest first — unchecked by the driver yet) ------
+        "doc_domain_mix": doc_domain_mix,
         "seq_row_ranges": seq_row_ranges,
         "seq_col_data": seq_col_data,
         # -- r6 additions ----------------------------------------------------
@@ -973,6 +974,17 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted mixture sampling (α=0.5): per-source targets
+    ∝ isqrt(n_s), rows chosen by the md5 coin — the training-mixture
+    reweighting step of a 100 TB corpus pipeline, engine-exact by
+    integer-sqrt weight construction (operators/curate.py:domain_mix)."""
+    from seqarray_spark.operators.curate import domain_mix
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return domain_mix(docs, "source", 0.3, seed=11).select("doc_id", "source")
+
+
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: exactly ceil(0.2 * |stratum|)
     docs per stratum, chosen by the md5(seed:id) coin — reproducible
@@ -1882,6 +1894,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, s.lm_nll
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "doc_domain_mix": """
+            WITH c AS (
+              SELECT source, COUNT(*) AS n,
+                     CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT source, n, w,
+                     SUM(n) OVER () AS n_total, SUM(w) OVER () AS tot_w
+              FROM c
+            ), tgt AS (
+              SELECT source,
+                     LEAST(n, GREATEST(1,
+                       CAST(FLOOR(CAST(FLOOR(n_total * 0.3) AS BIGINT) * w / tot_w)
+                            AS BIGINT))) AS target
+              FROM t
+            ), r AS (
+              SELECT d.doc_id, d.source, tgt.target,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5('11:' || CAST(d.doc_id AS STRING)), d.doc_id
+                     ) AS rn
+              FROM documents d JOIN tgt ON d.source = tgt.source
+            )
+            SELECT doc_id, source FROM r WHERE rn <= target
         """,
         "doc_stratified_sample": """
             WITH t AS (

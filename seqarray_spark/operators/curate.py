@@ -100,6 +100,70 @@ def sample_stratified(
     )
 
 
+def domain_mix(
+    docs: DataFrame,
+    domain_col: str,
+    budget_fraction: float = 0.3,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-reweighted domain mixture sampling — the standard
+    training-mixture recipe (sample domain s with probability ∝ n_s^α,
+    α=0.5): rare sources are upweighted relative to their raw share, so
+    a dominant crawl domain cannot swamp the mixture.
+
+    Determinism across engines and re-runs is engineered in: weights use
+    the INTEGER sqrt of the domain count (FLOOR(SQRT(n_s)) — sqrt is
+    IEEE-correctly-rounded in every engine, and all downstream products
+    stay under 2^53), the per-domain target is
+    LEAST(n_s, GREATEST(1, FLOOR(budget * isqrt_s / Σ isqrt))), and the
+    kept rows are the target_s smallest md5(seed:id) coins — the same
+    portable coin as sample_stratified. Every domain keeps ≥1 doc.
+
+    Scale: the per-domain count is a tiny aggregate (|domains| rows)
+    broadcast back; the only data-sized op is one window ranked by the
+    coin within each domain. A single dominant domain makes that window
+    partition large but never wider than the domain itself — for
+    pathological single-domain corpora pre-split the domain or sample it
+    with a plain hash threshold first.
+    """
+    if not (0.0 < budget_fraction <= 1.0):
+        raise ValueError("budget_fraction must be in (0, 1]")
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    # the unpartitioned window runs over the POST-AGGREGATION frame —
+    # |domains| rows, not |docs| — so the single-partition funnel is tiny
+    w_all = Window.partitionBy()
+    targets = (
+        counts.withColumn("__w", F.floor(F.sqrt(F.col("__n"))).cast("long"))
+        .withColumn("__N", F.sum("__n").over(w_all))
+        .withColumn("__tot_w", F.sum("__w").over(w_all))
+        .withColumn(
+            "__budget", F.floor(F.col("__N") * F.lit(float(budget_fraction))).cast("long")
+        )
+        .withColumn(
+            "__target",
+            F.least(
+                F.col("__n"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(F.col("__budget") * F.col("__w") / F.col("__tot_w")).cast(
+                        "long"
+                    ),
+                ),
+            ),
+        )
+        .select(domain_col, "__target")
+    )
+    coin = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(coin, F.col(id_col))
+    return (
+        docs.join(F.broadcast(targets), domain_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("__target"))
+        .drop("__rn", "__target")
+    )
+
+
 def contamination_check(
     docs: DataFrame,
     probes: DataFrame,

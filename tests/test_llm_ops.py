@@ -694,3 +694,41 @@ def test_dup_clusters_driver_and_distributed_paths_agree(spark):
     assert fast == slow
     assert fast == {(1, 1), (5, 1), (9, 1), (13, 1),
                     (20, 20), (21, 20), (22, 20), (30, 30), (31, 30)}
+
+
+def test_domain_mix_temperature_weights(spark):
+    """domain_mix: targets follow isqrt(n_s) weights — rare domains keep a
+    larger SHARE than their raw proportion (alpha=0.5 upweighting), every
+    domain keeps >= 1 doc, and the selection is the deterministic md5-coin
+    prefix. Hand-computed: n = {a: 100, b: 4, c: 1}, budget_fraction 0.5
+    -> budget = 52, weights isqrt = {10, 2, 1}, tot 13 ->
+    targets = floor(52*w/13) = {a: 40, b: min(4, 8) = 4, c: min(1, 4) = 1}."""
+    from seqarray_spark.operators.curate import domain_mix
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(100 + i, "b") for i in range(4)]
+        + [(104, "c")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_mix(docs, "source", 0.5, seed=3)
+    got = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == {"a": 40, "b": 4, "c": 1}
+    # raw share of 'a' is 100/105 = 95%; mixture share is 40/45 = 89% —
+    # the rare domains gained share, and the singleton survived
+    # determinism: same seed -> same rows; the kept 'a' ids are the 40
+    # smallest md5('3:'+id) coins
+    again = domain_mix(docs, "source", 0.5, seed=3)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    import hashlib
+
+    a_ids = sorted(range(100), key=lambda i: (hashlib.md5(f"3:{i}".encode()).hexdigest(), i))[:40]
+    assert sorted(r["doc_id"] for r in out.where(F.col("source") == "a").collect()) == sorted(a_ids)
+
+    with pytest.raises(ValueError):
+        domain_mix(docs, "source", 0.0)
