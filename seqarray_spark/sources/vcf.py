@@ -116,16 +116,18 @@ def apply_header_line(hdr: VcfHeader, line: str) -> None:
         hdr.meta.append(line)
         if line.startswith("##INFO=<"):
             d = _parse_structured_meta(line)
-            hdr.info[d["ID"]] = VcfField(
+            # duplicated IDs keep the FIRST declaration (reference drops
+            # later duplicates, R/ConvVCF2GDS.R:1055, :734 for FORMAT)
+            hdr.info.setdefault(d["ID"], VcfField(
                 d["ID"], d.get("Number", "."), d.get("Type", "String"),
                 d.get("Description", ""),
-            )
+            ))
         elif line.startswith("##FORMAT=<"):
             d = _parse_structured_meta(line)
-            hdr.formats[d["ID"]] = VcfField(
+            hdr.formats.setdefault(d["ID"], VcfField(
                 d["ID"], d.get("Number", "."), d.get("Type", "String"),
                 d.get("Description", ""),
-            )
+            ))
         elif line.startswith("##FILTER=<"):
             d = _parse_structured_meta(line)
             hdr.filters.append(d["ID"])

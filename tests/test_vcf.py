@@ -852,3 +852,29 @@ def test_export_chr_prefix_and_no_sample(spark, tmp_path):
     assert "\tFORMAT" not in hdr and "\tS1" not in hdr
     assert hdr.rstrip().splitlines()[-1].endswith("\tINFO")
     assert "\t0/1" not in body  # sites-only: no genotype columns
+
+
+def test_duplicate_header_ids_keep_first(spark, tmp_path):
+    """Duplicated INFO/FORMAT declarations keep the FIRST and drop later
+    ones (reference: duplicated-ID removal, R/ConvVCF2GDS.R:1055 INFO,
+    :734 FORMAT) — the Type of the first declaration wins."""
+    p = str(tmp_path / "dup.vcf")
+    with open(p, "w") as fh:
+        fh.write(
+            "##fileformat=VCFv4.2\n"
+            '##INFO=<ID=DP,Number=1,Type=Integer,Description="first">\n'
+            '##INFO=<ID=DP,Number=1,Type=Float,Description="second">\n'
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+            '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="first">\n'
+            '##FORMAT=<ID=GQ,Number=1,Type=String,Description="second">\n'
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+            "1\t10\t.\tA\tC\t5\tPASS\tDP=3\tGT:GQ\t0/1:42\n"
+        )
+    hdr = vcfmod.parse_vcf_header(p)
+    assert hdr.info["DP"].type == "Integer" and hdr.info["DP"].description == "first"
+    assert hdr.formats["GQ"].type == "Integer"
+    ds = vcfmod.read_vcf(spark, p)
+    row = ds.variants.collect()[0]
+    assert row["info"]["DP"] == 3
+    call = ds.calls.collect()[0]
+    assert call["GQ"] == 42  # Integer-typed per the first declaration
