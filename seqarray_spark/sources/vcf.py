@@ -801,6 +801,31 @@ def _fmt_g(col: Column) -> Column:
     ).otherwise(g)
 
 
+def _trim_trailing_missing(c: Column, et: str) -> Column:
+    """Drop an array cell's trailing missing run (reference: both INFO
+    and FORMAT value writers walk back from the end past NA/non-finite/
+    empty before rendering — INFO_GetNum src/ConvGDS2VCF.cpp:245-270,
+    FORMAT_Write :329-403). Interior missing still renders '.'; an
+    all-missing array trims to empty."""
+    if et in ("double", "float"):
+        missing = lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf"))
+    elif et == "string":
+        missing = lambda x: x.isNull() | (x == "")
+    else:
+        missing = lambda x: x.isNull()
+    n_trail = F.aggregate(
+        F.reverse(c),
+        F.struct(F.lit(0).cast("int").alias("n"), F.lit(False).alias("stop")),
+        lambda acc, x: F.struct(
+            F.when(acc["stop"] | ~missing(x), acc["n"])
+            .otherwise(acc["n"] + 1)
+            .alias("n"),
+            (acc["stop"] | ~missing(x)).alias("stop"),
+        ),
+    )["n"]
+    return F.slice(c, 1, F.greatest(F.size(c) - n_trail, F.lit(0)))
+
+
 def write_vcf(
     ds,
     out_path: str,
@@ -855,10 +880,14 @@ def write_vcf(
                 else _fmt_num if et in ("int", "bigint", "smallint")
                 else (lambda x: F.coalesce(x, F.lit(".")))
             )
+            # trailing missing trim; an all-missing array omits the key
+            # entirely (reference: INFO_GetNum m==0 skips the field,
+            # src/ConvGDS2VCF.cpp:511-520)
+            trimmed = _trim_trailing_missing(c, et)
             info_parts.append(
                 F.when(
-                    c.isNotNull(),
-                    F.concat(F.lit(name + "="), F.concat_ws(",", F.transform(c, elem_fmt))),
+                    c.isNotNull() & (F.size(trimmed) > 0),
+                    F.concat(F.lit(name + "="), F.concat_ws(",", F.transform(trimmed, elem_fmt))),
                 )
             )
         elif dt == "double":
@@ -927,6 +956,9 @@ def write_vcf(
         for f_name in format_fields:
             c = F.col(f_name)
             dt = dict(calls.dtypes)[f_name]
+            # missing renders per FORMAT_Write (src/ConvGDS2VCF.cpp:329-403):
+            # trailing missing values trim off the cell, and an all-missing
+            # cell (scalar NA included) renders EMPTY after the ':', not '.'
             if dt.startswith("array"):
                 et = dt[6:-1]
                 elem_fmt = (
@@ -935,12 +967,23 @@ def write_vcf(
                     else (lambda x: F.coalesce(x, F.lit(".")))
                 )
                 fmt_cols.append(
-                    F.coalesce(F.concat_ws(",", F.transform(c, elem_fmt)), F.lit("."))
+                    F.coalesce(
+                        F.concat_ws(
+                            ",", F.transform(_trim_trailing_missing(c, et), elem_fmt)
+                        ),
+                        F.lit(""),
+                    )
                 )
             elif dt == "double":
-                fmt_cols.append(_fmt_g(c))
+                d = c.cast("double")
+                fmt_cols.append(
+                    F.when(
+                        d.isNull() | F.isnan(d) | (F.abs(d) == float("inf")),
+                        F.lit(""),
+                    ).otherwise(_fmt_g(c))
+                )
             else:
-                fmt_cols.append(F.coalesce(c.cast("string"), F.lit(".")))
+                fmt_cols.append(F.coalesce(c.cast("string"), F.lit("")))
         token = F.concat_ws(":", *fmt_cols) if fmt_cols else F.lit("")
         order_expr = F.map_from_arrays(
             F.array(*[F.lit(s) for s in sample_ids]),

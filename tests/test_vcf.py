@@ -117,9 +117,23 @@ def test_roundtrip(spark, ds, tmp_path):
     assert [tuple(r) for r in v1.collect()] == [tuple(r) for r in v2.collect()]
 
     key = ["chromosome", "position", "ref", "alt", "sample_id"]
+    # the export renderer trims trailing missing values per cell like the
+    # reference (FORMAT_Write src/ConvGDS2VCF.cpp:329-403), so an
+    # all-missing array cell round-trips as field-missing — normalize the
+    # pre-export side the same way before comparing
+    n_trail = F.aggregate(
+        F.reverse(F.col("HQ")),
+        F.struct(F.lit(0).alias("n"), F.lit(False).alias("s")),
+        lambda a, x: F.struct(
+            F.when(a["s"] | x.isNotNull(), a["n"]).otherwise(a["n"] + 1).alias("n"),
+            (a["s"] | x.isNotNull()).alias("s"),
+        ),
+    )["n"]
+    kept = F.size(F.col("HQ")) - n_trail
+    hq_norm = F.when(kept > 0, F.slice(F.col("HQ"), 1, kept))
     c1 = (
         ds.calls.join(ds.variants, "variant_id")
-        .select(*key, "alleles", "phased", "DP", "HQ")
+        .select(*key, "alleles", "phased", "DP", hq_norm.alias("HQ"))
         .orderBy(*key)
     )
     c2 = (
@@ -878,3 +892,44 @@ def test_duplicate_header_ids_keep_first(spark, tmp_path):
     assert row["info"]["DP"] == 3
     call = ds.calls.collect()[0]
     assert call["GQ"] == 42  # Integer-typed per the first declaration
+
+
+def test_export_missing_cell_rendering(spark, tmp_path):
+    """Reference missing-value rendering on export (INFO_GetNum
+    src/ConvGDS2VCF.cpp:245-270, FORMAT_Write :329-403): trailing missing
+    values trim off array cells, interior missing keep '.', an all-missing
+    FORMAT cell renders EMPTY after the colon (not '.'), a missing scalar
+    FORMAT renders empty, and an all-missing INFO array omits the key."""
+    import glob
+
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(1, "1", 10, None, "A", ["C"], None, None,
+          {"AC": [3, None], "AN": [None, None]}),
+         (2, "1", 20, None, "G", ["T"], None, None,
+          {"AC": [None, 4], "AN": [1, None]})],
+        "variant_id long, chromosome string, position int, id string, "
+        "ref string, alt array<string>, qual double, filter string, "
+        "info struct<AC: array<int>, AN: array<int>>",
+    )
+    c = spark.createDataFrame(
+        [(1, "S1", [0, 1], [False], 7, [9.0, None]),
+         (2, "S1", [1, 1], [False], None, [None, None])],
+        "variant_id long, sample_id string, alleles array<smallint>, "
+        "phased array<boolean>, DP int, GL array<double>",
+    )
+    s = spark.createDataFrame([("S1",)], "sample_id string")
+    ds = SeqDataset(v, c, s)
+    out = str(tmp_path / "miss_vcf")
+    vcfmod.write_vcf(ds, out)
+    body = "".join(open(f).read() for f in sorted(glob.glob(out + "/part-*")))
+    l1, l2 = [ln for ln in body.splitlines() if ln]
+    # variant 1: AC trims to '3' (trailing missing dropped), AN omitted
+    assert "AC=3" in l1 and ";3," not in l1 and "AN" not in l1
+    # variant 2: AC keeps interior missing as '.,4'; AN trims to '1'
+    assert "AC=.,4" in l2 and "AN=1" in l2
+    # FORMAT: GL [9.0, None] trims to '9'; [None, None] renders empty;
+    # missing scalar DP renders empty between colons
+    assert l1.endswith("0/1:7:9")
+    assert l2.endswith("1/1::")
