@@ -59,6 +59,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver gate), so out-of-window queries cannot silently regress.
     return {
         # -- r7 additions (newest first — unchecked by the driver yet) ------
+        "seq_geno_gt": seq_geno_gt,
         "doc_domain_mix": doc_domain_mix,
         "seq_row_ranges": seq_row_ranges,
         "seq_col_data": seq_col_data,
@@ -283,6 +284,17 @@ def seq_missing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def seq_af_ac_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.af_ac_missing(td.gcalls(spark, sf_dir))
+
+
+def seq_geno_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geno(x)$GT accessor (reference R/Methods-SeqVarGDSClass.R:182-214):
+    'a1<sep>a2' strings, '|' when phased, R paste() quirks preserved
+    (missing slot -> literal 'NA', unphased 'NA/NA' -> '.'). Long format;
+    pure projection riding the calls scan."""
+    from seqarray_spark.functions.accessors import geno_gt
+
+    ds = td.variant_dataset(spark, sf_dir)
+    return geno_gt(ds)
 
 
 def seq_row_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,6 +1284,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rowRanges: end = pos + max(len(REF),1) - 1; REF scrub is an
         # identity on the testdata alphabet but pinned by pytest
+        "seq_geno_gt": P
+        + """
+            SELECT variant_id, sample_id,
+                   CASE WHEN g = 'NA/NA' THEN '.' ELSE g END AS gt
+            FROM (
+              SELECT variant_id, sample_id,
+                     CONCAT(COALESCE(CAST(a1 AS STRING), 'NA'),
+                            CASE WHEN is_phased THEN '|' ELSE '/' END,
+                            COALESCE(CAST(a2 AS STRING), 'NA')) AS g
+              FROM gcalls
+            )
+        """,
         "seq_row_ranges": P
         + """
             SELECT variant_id,

@@ -87,3 +87,29 @@ def col_data(ds) -> DataFrame:
         F.row_number().over(Window.orderBy("sample_id")).alias("Samples"),
         "*",
     )
+
+
+def geno_gt(ds) -> DataFrame:
+    """The VariantAnnotation `geno(x)$GT` accessor (reference
+    R/Methods-SeqVarGDSClass.R:182-214): per-call diploid genotype
+    strings 'a1<sep>a2' with '|' when phased — R paste() quirks
+    preserved: a missing slot renders the literal 'NA', and only the
+    exact unphased all-missing string 'NA/NA' collapses to '.'
+    (`gt[gt == "NA/NA"] <- "."`, :213). Long-format (variant_id,
+    sample_id, gt) instead of the reference's samples x variants
+    matrix — the matrix is a pivot away and never materializes at
+    engine scale."""
+    c = ds.calls
+    sep = F.when(
+        F.coalesce(F.element_at("phased", 1), F.lit(False)), F.lit("|")
+    ).otherwise(F.lit("/"))
+    gt = F.concat(
+        F.coalesce(F.element_at("alleles", 1).cast("string"), F.lit("NA")),
+        sep,
+        F.coalesce(F.element_at("alleles", 2).cast("string"), F.lit("NA")),
+    )
+    return c.select(
+        "variant_id",
+        "sample_id",
+        F.when(gt == "NA/NA", F.lit(".")).otherwise(gt).alias("gt"),
+    )

@@ -289,3 +289,35 @@ def test_add_value_node_paths(spark):
         M.add_value(out, "sample.annotation/pop", F.lit("YRI"))
     with _pt.raises(ValueError):
         M.add_value(ds, "not/a/node", F.lit(1))
+
+
+def test_geno_gt_accessor_quirks(spark):
+    """geno(x)$GT string assembly (R/Methods-SeqVarGDSClass.R:182-214):
+    '|' separator when phased, missing slots render literal 'NA' (R
+    paste semantics), and ONLY the exact unphased 'NA/NA' collapses to
+    '.' — a phased all-missing 'NA|NA' stays as-is, matching the
+    reference's `gt[gt == "NA/NA"] <- "."`."""
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.functions.accessors import geno_gt
+
+    c = spark.createDataFrame(
+        [(1, "s1", [0, 1], [True]),
+         (1, "s2", [1, 1], [False]),
+         (2, "s1", [None, 1], [False]),
+         (2, "s2", [None, None], [False]),
+         (3, "s1", [None, None], [True])],
+        "variant_id long, sample_id string, alleles array<smallint>, "
+        "phased array<boolean>",
+    )
+    v = spark.createDataFrame([(1,), (2,), (3,)], "variant_id long")
+    out = {
+        (r["variant_id"], r["sample_id"]): r["gt"]
+        for r in geno_gt(SeqDataset(v, c, None)).collect()
+    }
+    assert out == {
+        (1, "s1"): "0|1",
+        (1, "s2"): "1/1",
+        (2, "s1"): "NA/1",   # partial missing keeps the literal NA
+        (2, "s2"): ".",      # unphased all-missing collapses
+        (3, "s1"): "NA|NA",  # phased all-missing does NOT
+    }
