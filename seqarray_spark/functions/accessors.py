@@ -113,3 +113,18 @@ def geno_gt(ds) -> DataFrame:
         "sample_id",
         F.when(gt == "NA/NA", F.lit(".")).otherwise(gt).alias("gt"),
     )
+
+
+def info_df(ds, infovar: list[str] | None = None) -> DataFrame:
+    """The VariantAnnotation `info(x, infovar=)` accessor (reference
+    R/Methods-SeqVarGDSClass.R:132-179): one row per selected variant,
+    one column per INFO field (optionally restricted to `infovar`),
+    keyed by variant_id (the reference's row.names). Unknown names are
+    simply absent, matching `des[des$ID %in% infovar, ]`."""
+    v = ds.variants
+    if "info" not in v.columns:
+        return v.select("variant_id")
+    names = [f.name for f in v.schema["info"].dataType.fields]
+    if infovar is not None:
+        names = [n for n in names if n in set(infovar)]
+    return v.select("variant_id", *[F.col(f"info.{n}").alias(n) for n in names])

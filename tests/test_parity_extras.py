@@ -321,3 +321,21 @@ def test_geno_gt_accessor_quirks(spark):
         (2, "s2"): ".",      # unphased all-missing collapses
         (3, "s1"): "NA|NA",  # phased all-missing does NOT
     }
+
+
+def test_info_df_accessor(spark):
+    """info(x, infovar=) accessor (R/Methods-SeqVarGDSClass.R:132-179):
+    per-variant INFO columns keyed by variant_id, optionally restricted;
+    unknown names silently absent."""
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.functions.accessors import info_df
+
+    v = spark.createDataFrame(
+        [(1, {"DP": 3, "AF": [0.5]}), (2, {"DP": None, "AF": [0.25]})],
+        "variant_id long, info struct<DP: int, AF: array<double>>",
+    )
+    ds = SeqDataset(v, None, None)
+    full = {r["variant_id"]: r for r in info_df(ds).collect()}
+    assert full[1]["DP"] == 3 and full[2]["AF"] == [0.25]
+    sub = info_df(ds, ["DP", "NOPE"])
+    assert sub.columns == ["variant_id", "DP"]

@@ -248,3 +248,31 @@ def test_lm_score_broadcasts_vocab(spark, sf_dir):
     df = lm_score(docs)
     assert E.broadcast_join_count(df) >= 2  # freq + total scalar
     assert E.sortmerge_join_count(df) == 0
+
+
+def test_domain_mix_plan_shape(spark):
+    """domain_mix: the domain-count aggregate must combine map-side, the
+    tiny targets frame must broadcast back (never shuffle the corpus
+    against it), and only the ranked-selection window may shuffle the
+    data-sized frame."""
+    from seqarray_spark.operators.curate import domain_mix
+
+    docs = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 7).cast("string")).alias("source"),
+    )
+    out = domain_mix(docs, "source", 0.3)
+    assert E.has_partial_aggregation(out)
+    assert E.broadcast_join_count(out) >= 1
+    # counts agg + its single-partition total + the per-domain window:
+    # nothing else may introduce an Exchange
+    assert E.num_shuffles(out) <= 3
+
+
+def test_geno_gt_is_pure_projection(stored):
+    """geno_gt must ride the calls scan: no shuffle, no join."""
+    from seqarray_spark.functions.accessors import geno_gt
+
+    stored.reset_filter()
+    out = geno_gt(stored)
+    assert E.num_shuffles(out) <= 1  # at most the filter-stack semi-join
