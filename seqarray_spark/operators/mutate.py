@@ -71,6 +71,33 @@ def add_value(ds: SeqDataset, varnm: str, val, replace: bool = False) -> SeqData
     if varnm in _CORE_VARIANT_NODES:
         if not replace:
             raise ValueError(f"'{varnm}' exists; pass replace=True (reference guard)")
+        if varnm == "variant.id" and isinstance(val, DataFrame):
+            # id replacement by (old id -> new id) mapping — the DataFrame
+            # analogue of the reference's positional vector form. The
+            # reference's genotype planes are positional so re-labeling
+            # variant.id keeps them aligned for free (.r_variant_id,
+            # R/AddValue.R); the long-format analogue remaps calls too.
+            from seqarray_spark.plans.hints import maybe_broadcast
+
+            aux = val.withColumnRenamed(
+                [c for c in val.columns if c != "variant_id"][0], "__newid"
+            )
+
+            def _remap(df):
+                return (
+                    df.join(maybe_broadcast(aux), "variant_id", "left")
+                    .withColumn("variant_id", F.coalesce("__newid", "variant_id"))
+                    .drop("__newid")
+                )
+
+            c = ds._base_calls
+            return SeqDataset(
+                _remap(ds._base_variants),
+                _remap(c) if c is not None else None,
+                ds._base_samples,
+                ploidy=ds.ploidy,
+                meta=ds.meta,
+            )
         if varnm == "allele":
             # reference stores "REF,ALT1,ALT2"; split back into ref/alt
             v = ds._base_variants
@@ -128,6 +155,28 @@ def add_value(ds: SeqDataset, varnm: str, val, replace: bool = False) -> SeqData
     if varnm == "sample.id":
         if not replace:
             raise ValueError("'sample.id' exists; pass replace=True")
+        if isinstance(val, DataFrame):
+            # (old sample_id -> new sample_id) mapping, remapped through
+            # samples AND calls (see the variant.id note above)
+            aux = val.withColumnRenamed(
+                [c for c in val.columns if c != "sample_id"][0], "__newid"
+            )
+
+            def _remap_s(df):
+                return (
+                    df.join(F.broadcast(aux), "sample_id", "left")
+                    .withColumn("sample_id", F.coalesce("__newid", "sample_id"))
+                    .drop("__newid")
+                )
+
+            c = ds._base_calls
+            return SeqDataset(
+                ds._base_variants,
+                _remap_s(c) if c is not None else None,
+                _remap_s(ds._base_samples) if ds._base_samples is not None else None,
+                ploidy=ds.ploidy,
+                meta=ds.meta,
+            )
         return add_sample_value(ds, "sample_id", val)
     if varnm == "sample.annotation" or varnm.startswith("sample.annotation/"):
         name = varnm[len("sample.annotation/"):] or None

@@ -339,3 +339,35 @@ def test_info_df_accessor(spark):
     assert full[1]["DP"] == 3 and full[2]["AF"] == [0.25]
     sub = info_df(ds, ["DP", "NOPE"])
     assert sub.columns == ["variant_id", "DP"]
+
+
+def test_add_value_id_remap(spark):
+    """seqAddValue('variant.id'/'sample.id') vector replacement: the
+    reference re-labels the id node and its positional genotype planes
+    stay aligned for free (.r_variant_id/.r_sample_id, R/AddValue.R);
+    the long-format analogue must remap calls consistently with the
+    (old -> new) mapping."""
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.operators import mutate as M
+
+    v = spark.createDataFrame([(1, "1", 10), (2, "1", 20)],
+                              "variant_id long, chromosome string, position int")
+    c = spark.createDataFrame(
+        [(1, "s1", [0, 1]), (2, "s1", [1, 1])],
+        "variant_id long, sample_id string, alleles array<smallint>",
+    )
+    s = spark.createDataFrame([("s1",)], "sample_id string")
+    ds = SeqDataset(v, c, s)
+
+    vid_map = spark.createDataFrame([(1, 101), (2, 102)],
+                                    "variant_id long, new long")
+    out = M.add_value(ds, "variant.id", vid_map, replace=True)
+    assert sorted(r["variant_id"] for r in out.variants.collect()) == [101, 102]
+    pairs = {(r["variant_id"], r["alleles"][1]) for r in out.calls.collect()}
+    assert pairs == {(101, 1), (102, 1)}  # calls follow the new ids
+
+    sid_map = spark.createDataFrame([("s1", "SAMP1")],
+                                    "sample_id string, new string")
+    out = M.add_value(ds, "sample.id", sid_map, replace=True)
+    assert [r["sample_id"] for r in out.samples.collect()] == ["SAMP1"]
+    assert {r["sample_id"] for r in out.calls.collect()} == {"SAMP1"}
