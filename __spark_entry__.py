@@ -59,6 +59,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver gate), so out-of-window queries cannot silently regress.
     return {
         # -- r7 additions (newest first — unchecked by the driver yet) ------
+        "doc_incremental_dedup": doc_incremental_dedup,
         "seq_geno_gt": seq_geno_gt,
         "doc_domain_mix": doc_domain_mix,
         "seq_row_ranges": seq_row_ranges,
@@ -743,6 +744,27 @@ def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = td.load_table(spark, sf_dir, "documents")
     return lang_guess(docs).select("doc_id", "lang_guess")
+
+
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs with doc_id % 5 == 0 arrive as a
+    new batch and are checked against the rest of the corpus via its
+    STORED minhash signatures (dedup.incremental_dup_pairs) — per-batch
+    cost scales with the batch, not the corpus. Values equal the full
+    LSH pair set restricted to pairs touching the batch (band keys are
+    per-doc independent), which is what the oracle replays."""
+    from seqarray_spark.operators.dedup import incremental_dup_pairs, minhash_signature
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    corpus_sigs = minhash_signature(corpus, num_hashes=16, shingle_n=3).select(
+        "doc_id", "mh_sig"
+    )
+    return incremental_dup_pairs(
+        batch, corpus_sigs, num_hashes=16, bands=4, shingle_n=3, tau=0.7,
+        corpus_docs=corpus,
+    )
 
 
 def doc_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1786,6 +1808,15 @@ def oracle_sql() -> dict[str, str]:
             FROM hits
         """,
         "doc_minhash_dups": _MH_PAIRS_SQL,
+        # the incremental form equals the full pair set restricted to
+        # pairs touching the batch (doc_id % 5 == 0): banding is per-doc
+        # independent, so batch-vs-corpus + batch-vs-batch candidates are
+        # exactly the full-LSH candidates with at least one batch side
+        "doc_incremental_dedup": f"""
+            WITH full_pairs AS ({_MH_PAIRS_SQL})
+            SELECT id_a, id_b, jaccard FROM full_pairs
+            WHERE id_a % 5 = 0 OR id_b % 5 = 0
+        """,
         # connected components over the SAME pair graph: transitive
         # closure by recursive CTE, component label = min reachable id
         "doc_dup_clusters": f"""

@@ -217,6 +217,121 @@ def minhash_dup_pairs(
     )
 
 
+def incremental_dup_pairs(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    tau: float | None = 0.7,
+    corpus_docs: DataFrame | None = None,
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Dedup an ingest BATCH against an existing corpus without
+    re-hashing the corpus — the 100 TB production ingest pattern: the
+    corpus side arrives as its stored `minhash_signature` output
+    (`mh_sig` persisted at original ingest), so per-batch cost scales
+    with the batch, not the corpus. Only the new docs are shingled;
+    banded keys equi-join new→corpus (plus new→new bucket pairs when
+    `include_new_pairs`).
+
+    Returns the same (id_a < id_b, jaccard) frame as minhash_dup_pairs
+    restricted to pairs touching the batch — identical values to running
+    the full-corpus LSH and filtering, because band keys are per-doc
+    independent. `tau` verification needs the matched corpus docs' text:
+    pass `corpus_docs` (only the candidate ids are re-shingled, via a
+    broadcast semi-join) or tau=None for raw candidates.
+
+    At scale, store the corpus band keys pre-exploded and bucketed by
+    band_key (optimize_bucketed-style) and the per-batch join is
+    shuffle-free on the corpus side.
+    """
+    rows = num_hashes // bands
+    new_sigs = _minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n)
+    new_band_exprs = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    new_bands = new_sigs.select("_id", *new_band_exprs).select(
+        "_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    corpus_bands = corpus_sigs.select(
+        F.col(id_col).alias("__cid"), *lsh_band_keys(num_hashes, bands)
+    ).select(
+        "__cid",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    cand = (
+        new_bands.join(corpus_bands, ["band_idx", "band_key"])
+        .filter(F.col("_id") != F.col("__cid"))
+        .select(
+            F.least("_id", "__cid").alias("id_a"),
+            F.greatest("_id", "__cid").alias("id_b"),
+        )
+    )
+    if include_new_pairs:
+        buckets = (
+            new_bands.groupBy("band_idx", "band_key")
+            .agg(F.collect_list("_id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        new_pairs = (
+            buckets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, a -> "
+                        "transform(filter(ids, b -> b > a), "
+                        "b -> struct(a AS id_a, b AS id_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+        )
+        cand = cand.unionByName(new_pairs)
+    cand = cand.distinct()
+    if tau is None:
+        return cand
+    if corpus_docs is None:
+        raise ValueError("tau verification needs corpus_docs (or pass tau=None)")
+    cand = cand.localCheckpoint()
+    ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    texts = new_docs.select(id_col, text_col).unionByName(
+        corpus_docs.select(id_col, text_col)
+    )
+    shingle_sets = texts.join(
+        F.broadcast(ids), texts[id_col] == ids["_id"], "left_semi"
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    return (
+        cand.join(
+            shingle_sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            shingle_sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= float(tau))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, intersection-driven)
 # ---------------------------------------------------------------------------

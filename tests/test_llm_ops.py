@@ -732,3 +732,49 @@ def test_domain_mix_temperature_weights(spark):
 
     with pytest.raises(ValueError):
         domain_mix(docs, "source", 0.0)
+
+
+def test_incremental_dedup_equals_filtered_full(spark):
+    """incremental_dup_pairs(batch, corpus_sigs) must equal the full-LSH
+    pair set restricted to pairs touching the batch — band keys are
+    per-doc independent, so splitting the corpus cannot change any
+    candidate. With tau=None the batch path must not read corpus TEXT at
+    all (signatures only)."""
+    from seqarray_spark.operators.dedup import (
+        incremental_dup_pairs,
+        minhash_dup_pairs,
+        minhash_signature,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = []
+    for i in range(40):
+        # clusters of 4 near-identical docs + noise words per doc
+        text = base + f" cluster{i % 10} " + ("extra pad " * (i % 3))
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    sigs = minhash_signature(corpus, num_hashes=16, shingle_n=3).select(
+        "doc_id", "mh_sig"
+    )
+
+    inc = incremental_dup_pairs(
+        batch, sigs, num_hashes=16, bands=4, shingle_n=3, tau=0.7,
+        corpus_docs=corpus,
+    )
+    full = minhash_dup_pairs(docs, num_hashes=16, bands=4, shingle_n=3, tau=0.7)
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in full.collect()
+        if r["id_a"] % 4 == 0 or r["id_b"] % 4 == 0
+    }
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in inc.collect()}
+    assert got == want and len(got) > 0
+
+    # signatures-only mode: candidates come out without touching corpus text
+    cand = incremental_dup_pairs(batch, sigs, num_hashes=16, bands=4,
+                                 shingle_n=3, tau=None)
+    assert cand.count() >= len(want)
+    with pytest.raises(ValueError):
+        incremental_dup_pairs(batch, sigs, tau=0.7)  # corpus_docs required
