@@ -188,3 +188,48 @@ def test_pii_scrub_idempotent(spark, text):
     twice = pii_scrub(once).collect()[0]
     assert twice["pii_found"] == 0
     assert twice["text"] == once.collect()[0]["text"]
+
+
+chrom_name = st.sampled_from(["1", "2", "10", "X", "MT"])
+window = st.tuples(
+    chrom_name,
+    st.one_of(st.none(), st.integers(min_value=0, max_value=500)),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=500)),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(window, min_size=1, max_size=6))
+def test_filter_chrom_vectorized_equals_scalar_union(spark, windows):
+    """Property: a vectorized seqSetFilterChrom call selects exactly the
+    UNION of the per-entry scalar calls (the reference's per-chromosome
+    CRangeSet semantics, src/SeqArray.cpp:808-815) — for any mix of
+    chromosomes, repeated entries, and open (None) bounds."""
+    from seqarray_spark.dataset import SeqDataset
+
+    rows = [
+        (i, c, p)
+        for i, (c, p) in enumerate(
+            (c, p) for c in ["1", "2", "10", "X", "MT"] for p in (50, 150, 300, 450)
+        )
+    ]
+    v = spark.createDataFrame(rows, "variant_id long, chromosome string, position int")
+
+    ds = SeqDataset(v, None, None)
+    ds.set_filter_chrom(
+        [w[0] for w in windows],
+        from_bp=[w[1] for w in windows],
+        to_bp=[w[2] for w in windows],
+    )
+    got = {r["variant_id"] for r in ds.variants.select("variant_id").collect()}
+
+    want = set()
+    for c, lo, hi in windows:
+        d2 = SeqDataset(v, None, None)
+        d2.set_filter_chrom([c], from_bp=lo, to_bp=hi)
+        want |= {r["variant_id"] for r in d2.variants.select("variant_id").collect()}
+    assert got == want
