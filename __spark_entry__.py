@@ -60,6 +60,10 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r7 additions (newest first — unchecked by the driver yet) ------
         "doc_incremental_dedup": doc_incremental_dedup,
+        # recently-CHANGED operators stay in the driver window (r7 touched
+        # dup_clusters' fast path; r6 touched embedding banding)
+        "doc_dup_clusters": doc_dup_clusters,
+        "emb_dup_pairs": emb_dup_pairs,
         "seq_geno_gt": seq_geno_gt,
         "doc_domain_mix": doc_domain_mix,
         "seq_row_ranges": seq_row_ranges,
@@ -128,11 +132,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         # -- similarity search ------------------------------------------------
         "emb_cosine_topk": emb_cosine_topk,
-        "emb_dup_pairs": emb_dup_pairs,
         "emb_ivf_topk": emb_ivf_topk,  # approximate -> rows-only check
         "emb_ivf_topk_full": emb_ivf_topk_full,  # full probe == exact
         "doc_normalize": doc_normalize,
-        "doc_dup_clusters": doc_dup_clusters,
         # -- long-stable tail (green since r1-r2; past the driver's 50-query
         # window by design — still value-checked by the local harness) -------
         "q1_pricing_summary": q1_pricing_summary,
