@@ -878,7 +878,7 @@ def write_vcf(
             elem_fmt = (
                 _fmt_g if et in ("double", "float")
                 else _fmt_num if et in ("int", "bigint", "smallint")
-                else (lambda x: F.coalesce(x, F.lit(".")))
+                else (lambda x: F.coalesce(F.nullif(x, F.lit("")), F.lit(".")))
             )
             # trailing missing trim; an all-missing array omits the key
             # entirely (reference: INFO_GetNum m==0 skips the field,
@@ -964,7 +964,7 @@ def write_vcf(
                 elem_fmt = (
                     _fmt_g if et in ("double", "float")
                     else _fmt_num if et in ("int", "bigint", "smallint")
-                    else (lambda x: F.coalesce(x, F.lit(".")))
+                    else (lambda x: F.coalesce(F.nullif(x, F.lit("")), F.lit(".")))
                 )
                 fmt_cols.append(
                     F.coalesce(
