@@ -64,6 +64,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dup_clusters' fast path; r6 touched embedding banding)
         "doc_dup_clusters": doc_dup_clusters,
         "emb_dup_pairs": emb_dup_pairs,
+        "seq_chrom_rle": seq_chrom_rle,
         "seq_geno_gt": seq_geno_gt,
         "doc_domain_mix": doc_domain_mix,
         "seq_row_ranges": seq_row_ranges,
@@ -287,6 +288,15 @@ def seq_missing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def seq_af_ac_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.af_ac_missing(td.gcalls(spark, sf_dir))
+
+
+def seq_chrom_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqGetData('$chromosome'): run-length encoding of the chromosome
+    vector over the selection in variant order (reference get_chrom_rle
+    src/GetData.cpp:199-240 — the R Rle's (lengths, values) as
+    (run_id, chromosome, run_length) rows)."""
+    ds = td.variant_dataset(spark, sf_dir)
+    return ds.get_data("$chromosome")
 
 
 def seq_geno_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1308,6 +1318,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rowRanges: end = pos + max(len(REF),1) - 1; REF scrub is an
         # identity on the testdata alphabet but pinned by pytest
+        "seq_chrom_rle": P
+        + """
+            , ordered AS (
+              SELECT variant_id, chromosome,
+                     CASE WHEN LAG(chromosome) OVER (ORDER BY variant_id) IS NULL
+                            OR LAG(chromosome) OVER (ORDER BY variant_id) <> chromosome
+                          THEN 1 ELSE 0 END AS chg
+              FROM gvariants
+            ), runs AS (
+              SELECT chromosome,
+                     CAST(SUM(chg) OVER (ORDER BY variant_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+              FROM ordered
+            )
+            SELECT run_id, MIN(chromosome) AS chromosome,
+                   COUNT(*) AS run_length
+            FROM runs GROUP BY run_id
+        """,
         "seq_geno_gt": P
         + """
             SELECT variant_id, sample_id,

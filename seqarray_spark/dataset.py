@@ -544,6 +544,34 @@ class SeqDataset:
             return v.select(
                 "variant_id", F.concat_ws(",", F.col("alt")).alias("alt")
             )
+        if name == "$chromosome":
+            # RLE of chromosome over the selection in variant order
+            # (reference get_chrom_rle src/GetData.cpp:199-240; the R Rle
+            # object's (lengths, values) become (run_id, chromosome,
+            # run_length) rows). Gaps-and-islands: a global-order lag
+            # funnels the SELECTED variants' (id, chrom) pairs — two
+            # narrow columns — through one partition; the per-partition
+            # RLE + boundary-merge form is the 100 TB path if a full-file
+            # call ever needs it.
+            from pyspark.sql.window import Window
+
+            w = Window.orderBy("variant_id")
+            chg = F.when(
+                F.lag("chromosome").over(w).isNull()
+                | (F.lag("chromosome").over(w) != F.col("chromosome")),
+                1,
+            ).otherwise(0)
+            runs = v.select("variant_id", "chromosome").withColumn(
+                "run_id", F.sum(chg).over(w)
+            )
+            return (
+                runs.groupBy("run_id")
+                .agg(
+                    F.first("chromosome").alias("chromosome"),
+                    F.count(F.lit(1)).alias("run_length"),
+                )
+                .orderBy("run_id")
+            )
         if name == "$chrom_pos":
             return v.select("variant_id", chrom_pos().alias("chrom_pos"))
         if name == "$chrom_pos2":

@@ -371,3 +371,27 @@ def test_add_value_id_remap(spark):
     out = M.add_value(ds, "sample.id", sid_map, replace=True)
     assert [r["sample_id"] for r in out.samples.collect()] == ["SAMP1"]
     assert {r["sample_id"] for r in out.calls.collect()} == {"SAMP1"}
+
+
+def test_chrom_rle_get_data(spark):
+    """seqGetData('$chromosome') RLE (src/GetData.cpp:199-240): maximal
+    consecutive same-chromosome runs over the SELECTION in variant
+    order — a chromosome reappearing later starts a NEW run (Rle, not
+    group-by), and the RLE recomputes against the active filter."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(1, "1"), (2, "1"), (3, "2"), (4, "1"), (5, "1"), (6, "X")],
+        "variant_id long, chromosome string",
+    )
+    ds = SeqDataset(v, None, None)
+    runs = [(r["run_id"], r["chromosome"], r["run_length"])
+            for r in ds.get_data("$chromosome").collect()]
+    assert runs == [(1, "1", 2), (2, "2", 1), (3, "1", 2), (4, "X", 1)]
+
+    # under a filter the runs re-derive over the selection: removing the
+    # only chr2 variant fuses the two chr1 runs
+    ds.set_filter_variant(F.col("variant_id") != 3)
+    runs = [(r["run_id"], r["chromosome"], r["run_length"])
+            for r in ds.get_data("$chromosome").collect()]
+    assert runs == [(1, "1", 4), (2, "X", 1)]
