@@ -64,6 +64,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dup_clusters' fast path; r6 touched embedding banding)
         "doc_dup_clusters": doc_dup_clusters,
         "emb_dup_pairs": emb_dup_pairs,
+        "doc_vocab_top": doc_vocab_top,
         "seq_chrom_rle": seq_chrom_rle,
         "seq_geno_gt": seq_geno_gt,
         "doc_domain_mix": doc_domain_mix,
@@ -687,6 +688,23 @@ def ev_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def doc_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table: top 200 tokens by total count with a
+    deterministic (count DESC, token ASC) tie-break — the vocabulary-
+    build / BPE-prep statistic of a corpus pipeline. One explode + one
+    partial-agg'd groupBy; the top-k is a tiny driver-side sort."""
+    from seqarray_spark.operators.text import tokens
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(200)
     )
 
 
@@ -1318,6 +1336,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rowRanges: end = pos + max(len(REF),1) - 1; REF scrub is an
         # identity on the testdata alphabet but pinned by pytest
+        "doc_vocab_top": """
+            SELECT token, COUNT(*) AS cnt
+            FROM (
+              SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS token
+              FROM documents
+            )
+            GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT 200
+        """,
         "seq_chrom_rle": P
         + """
             , ordered AS (
