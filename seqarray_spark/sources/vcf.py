@@ -561,20 +561,23 @@ def parse_vcf_lines(
     if header.samples:
         sample_arr = F.array(*[F.lit(s) for s in header.samples])
         fmt_arr = F.split(F.col("__fields")[8], ":")
+        # the genotype field (genotype.var.name, default GT) is located in
+        # the per-record FORMAT column, not assumed first: records whose
+        # FORMAT omits it yield all-missing calls at the header ploidy
+        # (reference: geno field index per record, R/ConvVCF2GDS.R:589-590,
+        # src/ConvVCF2GDS.cpp missing-genotype fill). The index rides the
+        # PRE-explode projection so it evaluates once per variant, not
+        # once per sample cell — Generate replicates the value.
         exploded = base.select(
             "variant_id",
             fmt_arr.alias("__fmt"),
+            F.array_position(fmt_arr, genotype_var_name).alias("__gtidx"),
             n_alt.alias("__n_alt"),
             F.posexplode(F.slice("__fields", 10, len(header.samples))).alias(
                 "__pos", "__token"
             ),
         ).withColumn("sample_id", F.element_at(sample_arr, F.col("__pos") + 1))
-        # the genotype field (genotype.var.name, default GT) is located in
-        # the per-record FORMAT column, not assumed first: records whose
-        # FORMAT omits it yield all-missing calls at the header ploidy
-        # (reference: geno field index per record, R/ConvVCF2GDS.R:589-590,
-        # src/ConvVCF2GDS.cpp missing-genotype fill)
-        gt_idx = F.array_position(F.col("__fmt"), genotype_var_name)
+        gt_idx = F.col("__gtidx")
         gt = F.try_element_at(F.split(F.col("__token"), ":"), gt_idx.cast("int"))
         # alleles: '0/1', '0|1', '.', './.', '0/0/1' (mixed ploidy — the
         # reference's genotype/extra mechanism collapses into array length,
