@@ -241,10 +241,15 @@ def _typed_info_col(fld: VcfField, raw_map: Column) -> Column:
     return F.nullif(raw, F.lit(".")).alias(fld.id)
 
 
-def _typed_format_col(fld: VcfField, token: Column, fmt_arr: Column) -> Column:
+def _typed_format_col(
+    fld: VcfField, token: Column, fmt_arr: Column, idx: Column | None = None
+) -> Column:
     """One FORMAT field from a sample token, positioned by the line's
-    FORMAT column (reference: TVCF_Format src/ConvVCF2GDS.cpp:744-997)."""
-    idx = F.array_position(fmt_arr, fld.id)
+    FORMAT column (reference: TVCF_Format src/ConvVCF2GDS.cpp:744-997).
+    Pass a precomputed per-variant `idx` to keep the array_position out
+    of the per-cell projection (callers hoist it above the explode)."""
+    if idx is None:
+        idx = F.array_position(fmt_arr, fld.id)
     # try_element_at, not element_at: a spec-valid VCF may drop trailing
     # FORMAT fields per-sample ('0/0' under 'GT:DP:GQ'); under ANSI mode
     # (Spark 4 default) element_at would abort the whole import, while the
@@ -572,6 +577,11 @@ def parse_vcf_lines(
             "variant_id",
             fmt_arr.alias("__fmt"),
             F.array_position(fmt_arr, genotype_var_name).alias("__gtidx"),
+            *[
+                F.array_position(fmt_arr, f).alias(f"__fidx_{k}")
+                for k, f in enumerate(format_fields)
+                if f in header.formats
+            ],
             n_alt.alias("__n_alt"),
             F.posexplode(F.slice("__fields", 10, len(header.samples))).alias(
                 "__pos", "__token"
@@ -608,7 +618,8 @@ def parse_vcf_lines(
             for f in format_fields:
                 if f not in header.formats:
                     continue
-                idx = F.array_position(F.col("__fmt"), f)
+                k = [x for x in format_fields if x in header.formats].index(f)
+                idx = F.col(f"__fidx_{k}")
                 raw = F.when(
                     idx > 0,
                     F.try_element_at(F.split(F.col("__token"), ":"), idx.cast("int")),
@@ -635,9 +646,11 @@ def parse_vcf_lines(
             alleles.alias("alleles"),
             phased.alias("phased"),
             *[
-                _typed_format_col(header.formats[f], F.col("__token"), F.col("__fmt"))
-                for f in format_fields
-                if f in header.formats
+                _typed_format_col(
+                    header.formats[f], F.col("__token"), F.col("__fmt"),
+                    idx=F.col(f"__fidx_{k}"),
+                )
+                for k, f in enumerate(x for x in format_fields if x in header.formats)
             ],
             *([fmt_errs.alias("vcf_errors")] if validate == "quarantine" else []),
         )
