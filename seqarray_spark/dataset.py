@@ -217,13 +217,39 @@ class SeqDataset:
         )
         return self
 
-    def set_filter_variant_id(self, ids, intersect: bool = True) -> "SeqDataset":
+    def set_filter_variant_id(
+        self, ids, intersect: bool = True, ret_idx: bool = False
+    ) -> "SeqDataset | DataFrame":
         """By-id selection (reference: SEQ_SetSpaceVariant
         src/SeqArray.cpp:374). Small id lists become an IN-list predicate
         (pushed to parquet); large ones should use a semi-join via
-        set_filter_variant_df."""
+        set_filter_variant_df.
+
+        ret_idx=True is seqSetFilter(variant.id=, ret.idx=TRUE)
+        (R/Methods.R:177-183): the filter is still applied and the return
+        value becomes (req_ord, variant_id, idx) — for each requested id
+        (1-based request order) the 1-based position of that id within
+        the NEW selection in variant order, NULL when absent
+        (`match(variant.id, seqGetData(., "variant.id"))`)."""
+        ids = list(ids)
         base = self._sel.variants if intersect else self._base_variants
-        return self._set_variants(base.filter(F.col("variant_id").isin(list(ids))), intersect)
+        self._set_variants(base.filter(F.col("variant_id").isin(ids)), intersect)
+        if not ret_idx:
+            return self
+        from pyspark.sql.window import Window
+
+        spark = base.sparkSession
+        req = spark.createDataFrame(
+            [(k + 1, i) for k, i in enumerate(ids)], "req_ord int, variant_id long"
+        )
+        sel = self._sel.variants.select("variant_id").withColumn(
+            "idx", F.row_number().over(Window.orderBy("variant_id"))
+        )
+        return (
+            req.join(sel, "variant_id", "left")
+            .select("req_ord", "variant_id", "idx")
+            .orderBy("req_ord")
+        )
 
     def set_filter_variant_df(self, ids_df: DataFrame, intersect: bool = True) -> "SeqDataset":
         from seqarray_spark.plans.hints import maybe_broadcast
@@ -234,17 +260,40 @@ class SeqDataset:
             intersect,
         )
 
-    def set_filter_sample_id(self, ids, intersect: bool = True) -> "SeqDataset":
+    def set_filter_sample_id(
+        self, ids, intersect: bool = True, ret_idx: bool = False
+    ) -> "SeqDataset | DataFrame":
+        """By-id sample selection; ret_idx mirrors
+        seqSetFilter(sample.id=, ret.idx=TRUE) (R/Methods.R:153-160) with
+        ascending sample_id as the selection order (the engine's
+        canonical sample order, as in col_data)."""
         if self._base_samples is None:
             raise ValueError("dataset has no samples table")
+        ids = list(ids)
         base = self._sel.samples if intersect else self._base_samples
         self._sel = _Selection(
             self._sel.variants,
-            base.filter(F.col("sample_id").isin(list(ids))),
+            base.filter(F.col("sample_id").isin(ids)),
             variant_filtered=self._sel.variant_filtered,
             sample_filtered=True,
         )
-        return self
+        if not ret_idx:
+            return self
+        from pyspark.sql.window import Window
+
+        spark = base.sparkSession
+        req = spark.createDataFrame(
+            [(k + 1, str(i)) for k, i in enumerate(ids)],
+            "req_ord int, sample_id string",
+        )
+        sel = self._sel.samples.select("sample_id").withColumn(
+            "idx", F.row_number().over(Window.orderBy("sample_id"))
+        )
+        return (
+            req.join(sel, "sample_id", "left")
+            .select("req_ord", "sample_id", "idx")
+            .orderBy("req_ord")
+        )
 
     def set_filter_chrom(
         self,

@@ -345,3 +345,33 @@ def test_filter_pos_ret_idx_requires_ord(spark):
     )
     with pytest.raises(ValueError, match="probe_ord"):
         ds.set_filter_pos(probes, match_alleles=False, ret_idx=True)
+
+
+def test_set_filter_id_ret_idx(spark):
+    """seqSetFilter(variant.id=/sample.id=, ret.idx=TRUE)
+    (R/Methods.R:153-183): for each REQUESTED id, the 1-based position of
+    that id within the new selection's order — NULL for ids not present
+    (unknown, or dropped by intersect with the prior filter)."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(10, "1"), (20, "1"), (30, "2"), (40, "2")],
+        "variant_id long, chromosome string",
+    )
+    s = spark.createDataFrame([("sa",), ("sb",), ("sc",)], "sample_id string")
+    ds = SeqDataset(v, None, s)
+
+    out = ds.set_filter_variant_id([30, 10, 99], ret_idx=True)
+    rows = [(r["req_ord"], r["variant_id"], r["idx"]) for r in out.collect()]
+    # selection = {10, 30} in variant order -> 10 is #1, 30 is #2
+    assert rows == [(1, 30, 2), (2, 10, 1), (3, 99, None)]
+
+    # intersect with the prior filter: 20 was excluded above -> NULL
+    out = ds.set_filter_variant_id([10, 20], intersect=True, ret_idx=True)
+    rows = [(r["req_ord"], r["idx"]) for r in out.collect()]
+    assert rows == [(1, 1), (2, None)]
+
+    out = ds.set_filter_sample_id(["sc", "sa", "zz"], ret_idx=True)
+    rows = [(r["req_ord"], r["sample_id"], r["idx"]) for r in out.collect()]
+    assert rows == [(1, "sc", 2), (2, "sa", 1), (3, "zz", None)]
+    ds.reset_filter()
