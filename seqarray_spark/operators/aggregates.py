@@ -517,6 +517,53 @@ def summary_var(ds, varname: str) -> dict:
                 if f.name != "sample_id"
             ]
         }
+    meta = getattr(ds, "meta", None) or {}
+    if varname in ("sample.id", "variant.id", "position"):
+        # the reference returns the node length (.summary_sample_id /
+        # _variant_id / _position, R/Summary.R:176-231)
+        if varname == "sample.id":
+            n = ds._base_samples.count() if ds._base_samples is not None else 0
+        else:
+            n = ds._base_variants.count()
+        return {"length": n}
+    if varname == "chromosome":
+        # per-chromosome table over the SELECTION, numeric names first in
+        # numeric order (.summary_chrom R/Summary.R:233-265)
+        rows = summary_by_chrom(ds.variants).collect()
+
+        def _key(r):
+            c = r["chromosome"]
+            return (0, int(c)) if c.lstrip("+-").isdigit() else (1, c)
+
+        return {r["chromosome"]: r["n_variants"] for r in sorted(rows, key=_key)}
+    if varname in ("allele", "$alt"):
+        # declared ALT structured lines (.summary_allele R/Summary.R:268-291)
+        return {"alt": list(meta.get("alts") or [])}
+    if varname in ("annotation/filter", "$filter"):
+        # FILTER levels with Descriptions + observed counts
+        # (.summary_filter R/Summary.R:361-400)
+        counts = {
+            r["filter"]: r["n"] for r in summary_filter_hist(ds.variants).collect()
+        }
+        declared = list(meta.get("filter_meta") or [])
+        seen = {d.get("ID") for d in declared}
+        levels = [
+            {
+                "ID": d.get("ID"),
+                "Description": d.get("Description", ""),
+                "Count": counts.get(d.get("ID"), 0),
+            }
+            for d in declared
+        ] + [
+            {"ID": k, "Description": "", "Count": v}
+            for k, v in sorted(counts.items())
+            if k not in seen and k is not None
+        ]
+        return {"filter": levels}
+    if varname == "$reference":
+        return {"reference": meta.get("reference")}
+    if varname == "$contig":
+        return {"contig": list(meta.get("contigs") or [])}
     raise KeyError(f"summary_var: unknown varname {varname!r}")
 
 

@@ -335,3 +335,41 @@ def test_summary_seldim_tracks_filter_stack(spark, tiny_calls, tiny_variants):
     assert s["dim"] == (2, 3, 3)         # full dims never move
     ds.reset_filter()
     assert agg.summary_var(ds, "genotype")["seldim"] == (2, 3, 3)
+
+
+def test_summary_var_extended_names(spark, tmp_path):
+    """The remaining seqSummary varnames (R/Summary.R:750-773 dispatch):
+    node lengths, the per-chromosome table with numeric-first ordering,
+    declared ALT/contig/reference metadata, and FILTER levels joined
+    with observed counts."""
+    from seqarray_spark.operators import aggregates as agg
+    from seqarray_spark.sources import vcf as vcfmod
+
+    p = str(tmp_path / "s.vcf")
+    with open(p, "w") as fh:
+        fh.write(
+            "##fileformat=VCFv4.2\n"
+            "##reference=GRCh99\n"
+            '##FILTER=<ID=q10,Description="low qual">\n'
+            '##contig=<ID=1,length=1000>\n'
+            '##ALT=<ID=DEL,Description="deletion">\n'
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            "2\t10\t.\tA\tC\t5\tPASS\t.\n"
+            "10\t20\t.\tG\tT\t5\tq10\t.\n"
+            "10\t30\t.\tG\tT\t5\tq10\t.\n"
+            "X\t40\t.\tT\tA\t5\tPASS\t.\n"
+        )
+    ds = vcfmod.read_vcf(spark, p)
+    assert agg.summary_var(ds, "variant.id") == {"length": 4}
+    assert agg.summary_var(ds, "position") == {"length": 4}
+    # numeric chroms first in numeric order (2 before 10), then X
+    assert list(agg.summary_var(ds, "chromosome").items()) == [
+        ("2", 1), ("10", 2), ("X", 1)
+    ]
+    assert agg.summary_var(ds, "$reference") == {"reference": "GRCh99"}
+    assert agg.summary_var(ds, "$contig")["contig"][0]["ID"] == "1"
+    assert agg.summary_var(ds, "$alt")["alt"][0]["ID"] == "DEL"
+    flt = agg.summary_var(ds, "annotation/filter")["filter"]
+    by_id = {d["ID"]: d for d in flt}
+    assert by_id["q10"]["Count"] == 2 and by_id["q10"]["Description"] == "low qual"
+    assert by_id["PASS"]["Count"] == 2  # observed but undeclared level
