@@ -100,9 +100,12 @@ def geno_gt(ds) -> DataFrame:
     matrix — the matrix is a pivot away and never materializes at
     engine scale."""
     c = ds.calls
-    sep = F.when(
-        F.coalesce(F.element_at("phased", 1), F.lit(False)), F.lit("|")
-    ).otherwise(F.lit("/"))
+    phased1 = (
+        F.coalesce(F.element_at("phased", 1), F.lit(False))
+        if "phased" in c.columns
+        else F.lit(False)
+    )
+    sep = F.when(phased1, F.lit("|")).otherwise(F.lit("/"))
     gt = F.concat(
         F.coalesce(F.element_at("alleles", 1).cast("string"), F.lit("NA")),
         sep,
