@@ -27,6 +27,35 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def sample_order_cols(samples: DataFrame) -> list[Column]:
+    """The engine's canonical sample ordering, as orderBy columns.
+
+    The reference defines sample order as FILE order everywhere
+    (sample.id node order; `match(sample.id, seqGetData(., "sample.id"))`
+    ranks against it). Importers (VCF/BCF/GDS/SNP-GDS/PLINK) preserve it
+    in a 1-based `sample_ordinal` column; when present it wins, so
+    ret.idx / $sample_index / colData / export sample order are all
+    reference-exact for files whose samples are not stored sorted.
+    Frames without the column (e.g. ad-hoc parquet samples tables) fall
+    back to ascending sample_id — and every consumer of this helper uses
+    the SAME fallback, so callers never mix the two conventions."""
+    if "sample_ordinal" in samples.columns:
+        return [F.col("sample_ordinal")]
+    return [F.col("sample_id")]
+
+
+def ordered_sample_ids(samples: DataFrame) -> list[str]:
+    """Collect the sample_id list in canonical (file) order — the
+    bounded driver-side list every exporter's sample axis is built from
+    (samples are ≤~10^6 even for biobanks; a few MB at most)."""
+    return [
+        r[0]
+        for r in samples.select("sample_id")
+        .orderBy(*sample_order_cols(samples))
+        .collect()
+    ]
+
+
 @dataclass
 class _Selection:
     """One level of the filter stack: current variant/sample frames plus a
@@ -264,9 +293,12 @@ class SeqDataset:
         self, ids, intersect: bool = True, ret_idx: bool = False
     ) -> "SeqDataset | DataFrame":
         """By-id sample selection; ret_idx mirrors
-        seqSetFilter(sample.id=, ret.idx=TRUE) (R/Methods.R:153-160) with
-        ascending sample_id as the selection order (the engine's
-        canonical sample order, as in col_data)."""
+        seqSetFilter(sample.id=, ret.idx=TRUE) (R/Methods.R:153-160):
+        idx ranks the new selection in the dataset's canonical sample
+        order (file order via sample_ordinal when the importer preserved
+        it — matching the reference's
+        `match(sample.id, seqGetData(., "sample.id"))` against stored
+        order — else ascending sample_id; see sample_order_cols)."""
         if self._base_samples is None:
             raise ValueError("dataset has no samples table")
         ids = list(ids)
@@ -286,8 +318,11 @@ class SeqDataset:
             [(k + 1, str(i)) for k, i in enumerate(ids)],
             "req_ord int, sample_id string",
         )
-        sel = self._sel.samples.select("sample_id").withColumn(
-            "idx", F.row_number().over(Window.orderBy("sample_id"))
+        sel = self._sel.samples.select(
+            "sample_id",
+            F.row_number()
+            .over(Window.orderBy(*sample_order_cols(self._sel.samples)))
+            .alias("idx"),
         )
         return (
             req.join(sel, "sample_id", "left")
@@ -701,7 +736,9 @@ class SeqDataset:
                 raise ValueError("dataset has no samples table")
             return self.samples.select(
                 "sample_id",
-                F.row_number().over(Window.orderBy("sample_id")).alias("sample_index"),
+                F.row_number()
+                .over(Window.orderBy(*sample_order_cols(self.samples)))
+                .alias("sample_index"),
             )
         raise KeyError(f"unknown variable name: {name}")
 

@@ -77,15 +77,24 @@ def col_data(ds) -> DataFrame:
     """(Samples ordinal, sample_id, annotation columns...) over the
     current sample selection (reference colData,
     R/Methods-SeqVarGDSClass.R:273-292 — Samples = seq_along(sample.id),
-    plus every sample.annotation variable)."""
+    plus every sample.annotation variable). Ordinals follow the
+    dataset's canonical sample order (file order when the importer
+    preserved sample_ordinal, else ascending sample_id — the reference
+    ranks by sample.id node order). The unpartitioned window is safe by
+    construction: the samples axis is ≤~10^6 rows even for biobanks."""
     from pyspark.sql.window import Window
+
+    from seqarray_spark.dataset import sample_order_cols
 
     if ds.samples is None:
         raise ValueError("dataset has no samples table")
     s = ds.samples
+    out_cols = [c for c in s.columns if c != "sample_ordinal"]
     return s.select(
-        F.row_number().over(Window.orderBy("sample_id")).alias("Samples"),
-        "*",
+        F.row_number()
+        .over(Window.orderBy(*sample_order_cols(s)))
+        .alias("Samples"),
+        *out_cols,
     )
 
 
@@ -101,15 +110,21 @@ def geno_gt(ds) -> DataFrame:
     engine scale."""
     c = ds.calls
     phased1 = (
-        F.coalesce(F.element_at("phased", 1), F.lit(False))
+        # try_element_at: the phased array is empty for haploid calls
+        # (ploidy-1 separators) and ANSI element_at would abort on it
+        F.coalesce(F.try_element_at("phased", F.lit(1)), F.lit(False))
         if "phased" in c.columns
         else F.lit(False)
     )
     sep = F.when(phased1, F.lit("|")).otherwise(F.lit("/"))
+    # try_element_at: haploid calls carry 1-element allele arrays (the
+    # engine supports them end-to-end) and the session runs ANSI mode,
+    # where element_at on a short array aborts the job; slot 2's NULL
+    # then renders 'NA' via coalesce — exactly the R paste() quirk.
     gt = F.concat(
-        F.coalesce(F.element_at("alleles", 1).cast("string"), F.lit("NA")),
+        F.coalesce(F.try_element_at("alleles", F.lit(1)).cast("string"), F.lit("NA")),
         sep,
-        F.coalesce(F.element_at("alleles", 2).cast("string"), F.lit("NA")),
+        F.coalesce(F.try_element_at("alleles", F.lit(2)).cast("string"), F.lit("NA")),
     )
     return c.select(
         "variant_id",

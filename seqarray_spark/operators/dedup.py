@@ -826,10 +826,18 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30,
     RuntimeError if max_iter rounds don't converge (never returns a
     partially-propagated labeling — downstream keeper selection would
     silently over-keep)."""
+    id_type = pairs.schema["id_a"].dataType.simpleString()
+    # lazy-checkpoint BEFORE the threshold probe: the probe's
+    # limit+collect materializes (and caches) the upstream pair plan —
+    # typically a full LSH pipeline — so when the count exceeds the
+    # threshold the distributed loop's `edges` reads the cached
+    # partitions instead of re-running the pair generator from scratch
+    # (at corpus scale that re-run is a full extra LSH pass)
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     if driver_threshold:
-        head = pairs.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+        head = pairs.limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:
-            return _driver_union_find(pairs.sparkSession, head)
+            return _driver_union_find(pairs.sparkSession, head, id_type)
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
@@ -849,10 +857,20 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30,
         )
         .localCheckpoint(eager=False)
     )
-    # convergence check by label-sum: labels only ever DECREASE, so the
-    # total strictly drops whenever any node changed — one tiny agg per
-    # round instead of a self-join diff
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # convergence check by label-hash-sum: labels only ever DECREASE
+    # (min-propagation), so any change alters the multiset of labels and
+    # with it the sum of xxhash64(label) — one tiny agg per round
+    # instead of a self-join diff. xxhash64 keeps the probe id-type-
+    # agnostic (string doc ids hash like longs); a no-change round can
+    # only alias a changed round via a 64-bit sum collision
+    def _label_sum(lb):
+        # decimal(38,0) accumulator: ANSI mode aborts on long overflow,
+        # and a sum of 64-bit hashes overflows at ~2 rows
+        return lb.agg(
+            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for it in range(max_iter):
         # neighbor pass + pointer jump in ONE join: every node also
@@ -881,7 +899,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30,
         # probe every 2nd round: the sum is monotone non-increasing, so
         # equality with the sum from two rounds ago proves convergence
         if it % 2 == 1 or it == max_iter - 1:
-            cur_sum = labels.agg(F.sum("label")).first()[0]
+            cur_sum = _label_sum(labels)
             if cur_sum == prev_sum:
                 converged = True
                 break
@@ -897,15 +915,18 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30,
     )
 
 
-def _driver_union_find(spark, rows) -> DataFrame:
+def _driver_union_find(spark, rows, id_type: str = "bigint") -> DataFrame:
     """Min-label connected components over a BOUNDED collected pair
     list (the dup_clusters small-input fast path): classic union-find
     with path compression, then every root relabeled to its component's
     minimum member id — the exact labeling the distributed
-    min-label-propagation loop converges to."""
-    parent: dict[int, int] = {}
+    min-label-propagation loop converges to. Id-type-agnostic like the
+    distributed path (min/max over any orderable id — string doc ids
+    included); `id_type` is the pairs' id_a Spark type, echoed into the
+    result schema."""
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         r = x
         while parent[r] != r:
             r = parent[r]
@@ -914,11 +935,13 @@ def _driver_union_find(spark, rows) -> DataFrame:
         return r
 
     for r in rows:
-        a, b = int(r["id_a"]), int(r["id_b"])
+        a, b = r["id_a"], r["id_b"]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     out = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(out or [], "doc_id long, cluster_id long")
+    return spark.createDataFrame(
+        out or [], f"doc_id {id_type}, cluster_id {id_type}"
+    )

@@ -27,6 +27,40 @@ from seqarray_spark.dataset import SeqDataset
 VKEY = ["chromosome", "position", "ref"]
 
 
+def _merged_samples(parts: list[DataFrame], concat_order: bool) -> DataFrame | None:
+    """Union the per-file samples frames, keeping the file-order
+    convention coherent. sample_ordinal is per-FILE (1..N each), so a
+    raw union would collide ordinals — and distinct() would stop
+    deduplicating identical samples whose ordinals differ across files.
+
+    - concat_order=True (sample-mode merge, disjoint sample sets): the
+      reference's merged order is file-1 samples then file-2 then ...
+      (R/UtilsMerge.R:694-700 c(samp1, samp2)); offset each file's
+      ordinals by the cumulative count of earlier files. Counts are
+      driver-side but samples-axis-bounded (≤~10^6).
+    - concat_order=False (variant-mode merge, same/overlapping sample
+      sets): ordinals are meaningless across files — drop them and fall
+      back to the sorted-sample_id convention after distinct().
+    Any file lacking the column drops the convention for the whole
+    merge (mixed ordinals would be undefined)."""
+    if not parts:
+        return None
+    if not all("sample_ordinal" in p.columns for p in parts) or not concat_order:
+        parts = [p.drop("sample_ordinal") for p in parts]
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        ).distinct()
+    out, offset = [], 0
+    for p in parts:
+        out.append(p.withColumn(
+            "sample_ordinal", F.col("sample_ordinal") + F.lit(offset)
+        ))
+        offset += p.count()
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), out
+    ).distinct()
+
+
 def _overlap_mode(datasets: list[SeqDataset]) -> str:
     """Decide merge mode the way the reference prechecks overlap
     (R/UtilsMerge.R:303-381): disjoint variants -> 'variant';
@@ -101,11 +135,9 @@ def merge_variants(datasets: list[SeqDataset], reset_variant_id: bool = True) ->
         if calls_list
         else None
     )
-    samples_list = [d.samples for d in datasets if d.samples is not None]
-    samples = (
-        reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), samples_list).distinct()
-        if samples_list
-        else None
+    samples = _merged_samples(
+        [d.samples for d in datasets if d.samples is not None],
+        concat_order=False,
     )
     return SeqDataset(variants, calls, samples, ploidy=datasets[0].ploidy,
                       meta=_merge_meta([d.meta for d in datasets]))
@@ -238,11 +270,9 @@ def merge_samples_pair(a: SeqDataset, b: SeqDataset) -> SeqDataset:
         if calls_parts
         else None
     )
-    samples_parts = [d.samples for d in (a, b) if d.samples is not None]
-    samples = (
-        reduce(lambda x, y: x.unionByName(y, allowMissingColumns=True), samples_parts).distinct()
-        if samples_parts
-        else None
+    samples = _merged_samples(
+        [d.samples for d in (a, b) if d.samples is not None],
+        concat_order=True,
     )
     variants = variants.drop("__vid_a", "__vid_b")
     return SeqDataset(variants, calls, samples, ploidy=max(a.ploidy, b.ploidy),

@@ -403,7 +403,11 @@ def from_gds(
         calls = blocks_df.mapInPandas(calls_kernel, schema=c_schema)
 
     # --- samples -------------------------------------------------------
-    samples = spark.createDataFrame([(s,) for s in sample_ids], "sample_id string")
+    # sample_ordinal = 1-based node order (the reference's sample order)
+    samples = spark.createDataFrame(
+        [(s, k + 1) for k, s in enumerate(sample_ids)],
+        "sample_id string, sample_ordinal int",
+    )
     if _has(f, "sample.annotation"):
         for child in f.node("sample.annotation").children:
             if child.is_folder or child.kind is None:

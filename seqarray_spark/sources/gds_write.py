@@ -1257,11 +1257,9 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     # sample list and scatter rows to out-of-range sample ordinals
     calls = ds.calls if ds._base_calls is not None else None
     ploidy = ds.ploidy
-    sample_ids = (
-        [r[0] for r in ds.samples.select("sample_id").orderBy("sample_id").collect()]
-        if ds.samples is not None
-        else []
-    )
+    from seqarray_spark.dataset import ordered_sample_ids
+
+    sample_ids = ordered_sample_ids(ds.samples) if ds.samples is not None else []
     n_samp = len(sample_ids)
 
     n_var = variants.count()
@@ -1925,7 +1923,13 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
     # sample.annotation extras (O(n_samp) — driver-side by design)
     sa_entries: list[tuple[int, str, bool]] = []
     if ds.samples is not None:
-        extra = [c for c in ds.samples.columns if c != "sample_id"]
+        # sample_ordinal is engine bookkeeping (file-order rank), not a
+        # user annotation — the ORDER it encodes is already preserved by
+        # the sample.id node order via ordered_sample_ids above
+        extra = [
+            c for c in ds.samples.columns
+            if c not in ("sample_id", "sample_ordinal")
+        ]
         if extra:
             srows = {r["sample_id"]: r for r in ds.samples.collect()}
             for c in extra:

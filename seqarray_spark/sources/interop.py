@@ -69,7 +69,15 @@ def as_pandas(ds, max_rows: int = 1_000_000, info="all", geno="all") -> dict:
             c = c.select(*cols)
         out["calls"] = c.toPandas()
     if ds.samples is not None:
-        out["samples"] = ds.samples.toPandas()
+        # canonical (file) order; sample_ordinal itself is engine
+        # bookkeeping, not a sample.annotation column
+        from seqarray_spark.dataset import sample_order_cols
+
+        out["samples"] = (
+            ds.samples.orderBy(*sample_order_cols(ds.samples))
+            .drop("sample_ordinal")
+            .toPandas()
+        )
     return out
 
 

@@ -34,9 +34,9 @@ def pack_2bit_genotypes(ds: SeqDataset, sample_ids: list[str] | None = None) -> 
     Returns: variant_id LONG, n_samples INT, packed BINARY.
     """
     if sample_ids is None:
-        sample_ids = [
-            r[0] for r in ds.samples.select("sample_id").orderBy("sample_id").collect()
-        ]
+        from seqarray_spark.dataset import ordered_sample_ids
+
+        sample_ids = ordered_sample_ids(ds.samples)
     n_samp = len(sample_ids)
     stride = math.ceil(n_samp / 4)
     pad = stride * 4 - n_samp
@@ -252,9 +252,9 @@ def to_dosage_matrix(ds: SeqDataset, sample_ids: list[str] | None = None) -> Dat
     structs, sorted, projected). For the actual SNPRelate snp.gds
     CONTAINER on disk use sources/snp_gds.write_snp_gds / gds2snp."""
     if sample_ids is None:
-        sample_ids = [
-            r[0] for r in ds.samples.select("sample_id").orderBy("sample_id").collect()
-        ]
+        from seqarray_spark.dataset import ordered_sample_ids
+
+        sample_ids = ordered_sample_ids(ds.samples)
     order_expr = F.map_from_arrays(
         F.array(*[F.lit(s) for s in sample_ids]),
         F.array(*[F.lit(i) for i in range(len(sample_ids))]),

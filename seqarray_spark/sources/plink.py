@@ -92,8 +92,13 @@ def read_plink(
         F.lit(None).cast("string").alias("filter"),
     )
 
-    samples = spark.createDataFrame(fam[["iid", "fid", "sex", "pheno"]]).select(
-        F.col("iid").alias("sample_id"), "fid", "sex", "pheno"
+    # sample_ordinal = 1-based .fam row order (the reference's sample order)
+    samples = spark.createDataFrame(
+        fam[["iid", "fid", "sex", "pheno"]].assign(
+            sample_ordinal=range(1, len(fam) + 1)
+        )
+    ).select(
+        F.col("iid").alias("sample_id"), "fid", "sex", "pheno", "sample_ordinal"
     )
 
     # RANGE partitioning: each task must own a CONTIGUOUS index span so
@@ -158,7 +163,9 @@ def write_plink(ds: SeqDataset, out_prefix: str) -> None:
     splittable sink, so the final concatenation is inherently sequential)."""
     from seqarray_spark.functions.variant import dosage_alt
 
-    sample_ids = [r[0] for r in ds.samples.select("sample_id").orderBy("sample_id").collect()]
+    from seqarray_spark.dataset import ordered_sample_ids
+
+    sample_ids = ordered_sample_ids(ds.samples)
     n_samp = len(sample_ids)
     order = {s: i for i, s in enumerate(sample_ids)}
 

@@ -97,9 +97,9 @@ def write_snp_gds(ds, path: str, *, dosage: bool | str = False,
         "geno": _parse_coder(compress_geno),
         "index": _parse_coder(compress_annotation),
     }
-    sample_ids = [
-        r[0] for r in ds.samples.select("sample_id").orderBy("sample_id").collect()
-    ]
+    from seqarray_spark.dataset import ordered_sample_ids
+
+    sample_ids = ordered_sample_ids(ds.samples)
     n_samp = len(sample_ids)
     sample_pos = {s: i for i, s in enumerate(sample_ids)}
 
@@ -604,8 +604,10 @@ def read_snp_gds(spark: SparkSession, path: str, *, major_ref: bool = True,
 
         calls = grp.mapInPandas(regroup_kernel, schema=c_schema)
 
+    # sample_ordinal = 1-based node order (the reference's sample order)
     samples = spark.createDataFrame(
-        [(s,) for s in sample_ids], "sample_id string"
+        [(s, k + 1) for k, s in enumerate(sample_ids)],
+        "sample_id string, sample_ordinal int",
     )
     if _has(f, "sample.annot"):
         for child in f.node("sample.annot").children:

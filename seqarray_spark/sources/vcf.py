@@ -573,14 +573,20 @@ def parse_vcf_lines(
         # src/ConvVCF2GDS.cpp missing-genotype fill). The index rides the
         # PRE-explode projection so it evaluates once per variant, not
         # once per sample cell — Generate replicates the value.
+        # header-declared FORMAT fields only, in request order; unknown
+        # names are silently skipped (reference: undeclared FORMAT IDs are
+        # dropped at import, R/ConvVCF2GDS.R:560-570).  `k` below is the
+        # index into THIS filtered list everywhere — producer and both
+        # consumers — so a request like ['NOPE','DP'] cannot misalign the
+        # hoisted __fidx_{k} columns.
+        valid_formats = [f for f in format_fields if f in header.formats]
         exploded = base.select(
             "variant_id",
             fmt_arr.alias("__fmt"),
             F.array_position(fmt_arr, genotype_var_name).alias("__gtidx"),
             *[
                 F.array_position(fmt_arr, f).alias(f"__fidx_{k}")
-                for k, f in enumerate(format_fields)
-                if f in header.formats
+                for k, f in enumerate(valid_formats)
             ],
             n_alt.alias("__n_alt"),
             F.posexplode(F.slice("__fields", 10, len(header.samples))).alias(
@@ -615,10 +621,7 @@ def parse_vcf_lines(
         )
         fmt_viol_cols = []
         if validate != "none":
-            for f in format_fields:
-                if f not in header.formats:
-                    continue
-                k = [x for x in format_fields if x in header.formats].index(f)
+            for k, f in enumerate(valid_formats):
                 idx = F.col(f"__fidx_{k}")
                 raw = F.when(
                     idx > 0,
@@ -650,13 +653,19 @@ def parse_vcf_lines(
                     header.formats[f], F.col("__token"), F.col("__fmt"),
                     idx=F.col(f"__fidx_{k}"),
                 )
-                for k, f in enumerate(x for x in format_fields if x in header.formats)
+                for k, f in enumerate(valid_formats)
             ],
             *([fmt_errs.alias("vcf_errors")] if validate == "quarantine" else []),
         )
 
+    # sample_ordinal: 1-based FILE order (header column order) — the
+    # reference's sample order everywhere; ranks ret.idx/$sample_index/
+    # colData/export axes via dataset.sample_order_cols
     samples = (
-        spark.createDataFrame([(s,) for s in header.samples], "sample_id string")
+        spark.createDataFrame(
+            [(s, k + 1) for k, s in enumerate(header.samples)],
+            "sample_id string, sample_ordinal int",
+        )
         if header.samples
         else None
     )

@@ -778,3 +778,50 @@ def test_incremental_dedup_equals_filtered_full(spark):
     assert cand.count() >= len(want)
     with pytest.raises(ValueError):
         incremental_dup_pairs(batch, sigs, tau=0.7)  # corpus_docs required
+
+
+def test_dup_clusters_string_ids(spark):
+    """dup_clusters is id-type-agnostic on BOTH paths (the driver
+    union-find used to coerce int() and pin a long schema — string doc
+    ids crashed on the default fast path)."""
+    rows = [("a", "b"), ("b", "c"), ("x", "y")]
+    pairs = spark.createDataFrame(rows, "id_a string, id_b string")
+    fast = {(r["doc_id"], r["cluster_id"])
+            for r in D.dup_clusters(pairs).collect()}
+    slow = {(r["doc_id"], r["cluster_id"])
+            for r in D.dup_clusters(pairs, driver_threshold=0).collect()}
+    expect = {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+    assert fast == expect and slow == expect
+    out = D.dup_clusters(pairs)
+    assert dict(out.dtypes) == {"doc_id": "string", "cluster_id": "string"}
+
+
+def test_dup_clusters_pairs_evaluated_once(spark):
+    """The threshold probe must not cost a second evaluation of the
+    pair generator when the big-input path runs: pairs are
+    lazy-checkpointed BEFORE the probe, so the distributed loop's
+    edges (which scans pairs TWICE via the symmetrizing union) reads
+    cached partitions. Counted with an accumulator inside a
+    mapInPandas pair source — each partition may compute at most
+    once."""
+    import pandas as pd
+
+    acc = spark.sparkContext.accumulator(0)
+    n_parts = 4
+    seed = spark.range(0, 40, 1, n_parts)
+
+    def gen(batches):
+        acc.add(1)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id_a": pdf["id"], "id_b": pdf["id"] + 1}
+            )
+
+    pairs = seed.mapInPandas(gen, "id_a long, id_b long")
+    # threshold 5 < 40 rows -> probe overflows -> distributed loop runs
+    out = D.dup_clusters(pairs, driver_threshold=5)
+    assert out.count() == 41  # one 41-node chain
+    assert acc.value <= n_parts, (
+        f"pair generator ran {acc.value} partition-tasks for {n_parts} "
+        f"partitions — pairs were re-evaluated after the threshold probe"
+    )
