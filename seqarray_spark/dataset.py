@@ -56,6 +56,117 @@ def ordered_sample_ids(samples: DataFrame) -> list[str]:
     ]
 
 
+def chrom_rle(v: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """seqGetData('$chromosome'): run-length encoding of the chromosome
+    vector over the selection in variant order (reference get_chrom_rle
+    src/GetData.cpp:199-240; the R Rle's (lengths, values) become
+    (run_id, chromosome, run_length) rows — the reference's own chrom
+    index is per-chrom run lists, src/Index.cpp:382+).
+
+    DISTRIBUTED: no global window. Range-partition by variant_id (each
+    task owns a contiguous span of variant order), fold each partition
+    to its local runs with a vectorized numpy diff (Arrow-batched,
+    state carried across a partition's batches), then merge boundaries:
+    only the ≤n_partitions per-partition summaries (n_runs, first/last
+    chromosome) come to the driver, which folds them into per-partition
+    run-id offsets — a partition whose first run continues the previous
+    partition's last chromosome shares its run id, and chains spanning
+    many partitions fold correctly because the offsets accumulate
+    sequentially. The final groupBy(run_id) sums the split boundary
+    runs back together; it shuffles only run-count rows (≈ a few per
+    chromosome, not per variant). At 81M variants the widest thing on
+    any single machine is the n_partitions-row summary list.
+
+    `num_partitions` pins the range-partition count (tests sweep it to
+    pin partition-count invariance); default lets AQE pick."""
+    import pandas as pd
+
+    spark = v.sparkSession
+    out_schema = "run_id bigint, chromosome string, run_length bigint"
+    narrow = v.select("variant_id", "chromosome")
+    ranged = (
+        narrow.repartitionByRange(num_partitions, "variant_id")
+        if num_partitions is not None
+        else narrow.repartitionByRange("variant_id")
+    )
+    part = ranged.sortWithinPartitions("variant_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+
+    def fold(batches):
+        import numpy as np
+
+        pid = None
+        runs: list[list] = []  # [chromosome, length], merged across batches
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            ch = pdf["chromosome"].to_numpy()
+            starts = np.flatnonzero(
+                np.concatenate(([True], ch[1:] != ch[:-1]))
+            )
+            lens = np.diff(np.append(starts, len(ch)))
+            for i, ln in zip(starts, lens):
+                c = ch[i]
+                if runs and runs[-1][0] == c:
+                    runs[-1][1] += int(ln)
+                else:
+                    runs.append([c, int(ln)])
+        if pid is None:
+            return
+        yield pd.DataFrame(
+            {
+                "pid": pid,
+                "seq": range(1, len(runs) + 1),
+                "chromosome": [r[0] for r in runs],
+                "run_length": [r[1] for r in runs],
+            }
+        )
+
+    runs = part.mapInPandas(
+        fold, "pid int, seq int, chromosome string, run_length bigint"
+    ).localCheckpoint(eager=False)
+
+    # boundary merge: one summary row per non-empty partition
+    meta = sorted(
+        runs.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.min_by("chromosome", "seq").alias("first_chrom"),
+            F.max_by("chromosome", "seq").alias("last_chrom"),
+        )
+        .collect(),
+        key=lambda r: r["pid"],
+    )
+    if not meta:
+        return spark.createDataFrame([], out_schema)
+    base: dict[int, int] = {}
+    count, last = 0, None
+    for r in meta:
+        merged = last is not None and r["first_chrom"] == last
+        base[r["pid"]] = count - (1 if merged else 0)
+        count = base[r["pid"]] + r["n_runs"]
+        last = r["last_chrom"]
+    adj = spark.createDataFrame(
+        [(p, b) for p, b in base.items()], "pid int, run_base bigint"
+    )
+    return (
+        runs.join(F.broadcast(adj), "pid")
+        .select(
+            (F.col("run_base") + F.col("seq")).cast("bigint").alias("run_id"),
+            "chromosome",
+            "run_length",
+        )
+        .groupBy("run_id")
+        .agg(
+            F.first("chromosome").alias("chromosome"),
+            F.sum("run_length").alias("run_length"),
+        )
+        .orderBy("run_id")
+    )
+
+
 @dataclass
 class _Selection:
     """One level of the filter stack: current variant/sample frames plus a
@@ -629,33 +740,7 @@ class SeqDataset:
                 "variant_id", F.concat_ws(",", F.col("alt")).alias("alt")
             )
         if name == "$chromosome":
-            # RLE of chromosome over the selection in variant order
-            # (reference get_chrom_rle src/GetData.cpp:199-240; the R Rle
-            # object's (lengths, values) become (run_id, chromosome,
-            # run_length) rows). Gaps-and-islands: a global-order lag
-            # funnels the SELECTED variants' (id, chrom) pairs — two
-            # narrow columns — through one partition; the per-partition
-            # RLE + boundary-merge form is the 100 TB path if a full-file
-            # call ever needs it.
-            from pyspark.sql.window import Window
-
-            w = Window.orderBy("variant_id")
-            chg = F.when(
-                F.lag("chromosome").over(w).isNull()
-                | (F.lag("chromosome").over(w) != F.col("chromosome")),
-                1,
-            ).otherwise(0)
-            runs = v.select("variant_id", "chromosome").withColumn(
-                "run_id", F.sum(chg).over(w)
-            )
-            return (
-                runs.groupBy("run_id")
-                .agg(
-                    F.first("chromosome").alias("chromosome"),
-                    F.count(F.lit(1)).alias("run_length"),
-                )
-                .orderBy("run_id")
-            )
+            return chrom_rle(v)
         if name == "$chrom_pos":
             return v.select("variant_id", chrom_pos().alias("chrom_pos"))
         if name == "$chrom_pos2":

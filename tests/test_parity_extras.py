@@ -395,3 +395,46 @@ def test_chrom_rle_get_data(spark):
     runs = [(r["run_id"], r["chromosome"], r["run_length"])
             for r in ds.get_data("$chromosome").collect()]
     assert runs == [(1, "1", 4), (2, "X", 1)]
+
+
+def test_chrom_rle_partition_count_invariance(spark):
+    """The distributed per-partition-fold + boundary-merge RLE equals a
+    driver-computed reference RLE for EVERY partition count — including
+    single-run-per-partition chains (one chromosome spanning many
+    partitions) and 1-partition degenerate layouts."""
+    import random
+
+    from seqarray_spark.dataset import chrom_rle
+
+    rng = random.Random(8)
+    chroms, cur = [], "1"
+    for _ in range(500):
+        if rng.random() < 0.15:
+            cur = rng.choice(["1", "2", "3", "X"])
+        chroms.append(cur)
+    rows = [(i + 1, c) for i, c in enumerate(chroms)]
+
+    expect, prev = [], None
+    for _, c in rows:
+        if c != prev:
+            expect.append([len(expect) + 1, c, 0])
+            prev = c
+        expect[-1][2] += 1
+    expect = [tuple(e) for e in expect]
+
+    v = spark.createDataFrame(rows, "variant_id long, chromosome string")
+    for n_parts in (1, 3, 7, 16, 64):
+        got = [
+            (r["run_id"], r["chromosome"], r["run_length"])
+            for r in chrom_rle(v, num_partitions=n_parts).collect()
+        ]
+        assert got == expect, f"mismatch at num_partitions={n_parts}"
+    # one-chromosome chain: every partition merges into ONE global run
+    mono = spark.createDataFrame(
+        [(i + 1, "7") for i in range(100)], "variant_id long, chromosome string"
+    )
+    got = [
+        (r["run_id"], r["chromosome"], r["run_length"])
+        for r in chrom_rle(mono, num_partitions=16).collect()
+    ]
+    assert got == [(1, "7", 100)]

@@ -276,3 +276,23 @@ def test_geno_gt_is_pure_projection(stored):
     stored.reset_filter()
     out = geno_gt(stored)
     assert E.num_shuffles(out) <= 1  # at most the filter-stack semi-join
+
+
+def test_chrom_rle_no_single_partition_exchange(spark):
+    """$chromosome RLE must not funnel the variant axis through one
+    task: no Exchange SinglePartition and no global Window in the plan
+    (the fold is per-partition; only run-count rows shuffle)."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [Row(variant_id=i + 1, chromosome=str(1 + i // 40)) for i in range(200)]
+    )
+    df = SeqDataset(v, None, None).get_data("$chromosome")
+    plan = E.plan_string(df, "simple")
+    # the output orderBy sorts run-count rows (tiny) — rangepartitioning
+    # is fine; what must be absent is a SinglePartition funnel or a
+    # global window over the variant axis
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
