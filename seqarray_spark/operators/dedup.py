@@ -217,9 +217,73 @@ def minhash_dup_pairs(
     )
 
 
+def corpus_band_index(
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Pre-exploded corpus band keys: (band_key, __cid) with the band
+    ordinal folded INTO the key ('<b>:<md5>') so the ingest join is
+    SINGLE-key — that's what lets a bucketed layout serve it with zero
+    Exchange and zero Sort on the corpus side (a two-key join over a
+    one-key bucket spec would re-sort every corpus bucket per batch)."""
+    rows = num_hashes // bands
+    keyed = corpus_sigs.select(
+        F.col(id_col).alias("__cid"), *lsh_band_keys(num_hashes, bands)
+    )
+    return keyed.select(
+        "__cid",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(b)), F.col(f"band_{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+
+
+def write_corpus_band_index(
+    corpus_sigs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n_buckets: int = 64,
+) -> None:
+    """Persist the corpus band-key index bucketed+sorted by band_key
+    (saveAsTable) — the stored layout incremental ingest dedup joins
+    against with NO Exchange on the corpus side (plan-asserted in
+    tests/test_plans.py). This is the operator's whole 100 TB claim:
+    the corpus is exploded and hashed ONCE at ingest; every later batch
+    pays only its own shuffle into the same bucket hash.
+
+    n_buckets sizing: target corpus_band_rows/n_buckets ≈ 1-2 GB per
+    bucket at full scale (band rows are two narrow columns; a 10^10-doc
+    corpus at 4 bands is 4·10^10 rows ≈ 3 TB -> a few thousand
+    buckets). Append new batches' own band keys with
+    spark.table(table).writeTo(...).append() or a periodic rewrite."""
+    (
+        corpus_band_index(corpus_sigs, id_col, num_hashes, bands)
+        # ONE file per bucket: Spark only trusts (and re-uses) the
+        # stored per-bucket sort when a bucket is a single file —
+        # multi-file buckets get re-sorted on every batch join, which
+        # is exactly the per-batch corpus-scale cost this layout exists
+        # to avoid. repartition uses the same Murmur3 hash as the
+        # bucket spec, so each task owns exactly one bucket's rows.
+        .repartition(n_buckets, "band_key")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(table)
+    )
+
+
 def incremental_dup_pairs(
     new_docs: DataFrame,
-    corpus_sigs: DataFrame,
+    corpus_sigs: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
@@ -228,6 +292,7 @@ def incremental_dup_pairs(
     tau: float | None = 0.7,
     corpus_docs: DataFrame | None = None,
     include_new_pairs: bool = True,
+    corpus_band_table: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an ingest BATCH against an existing corpus without
     re-hashing the corpus — the 100 TB production ingest pattern: the
@@ -244,9 +309,12 @@ def incremental_dup_pairs(
     pass `corpus_docs` (only the candidate ids are re-shingled, via a
     broadcast semi-join) or tau=None for raw candidates.
 
-    At scale, store the corpus band keys pre-exploded and bucketed by
-    band_key (optimize_bucketed-style) and the per-batch join is
-    shuffle-free on the corpus side.
+    At scale, pass `corpus_band_table` = the pre-exploded, bucketed
+    band-key index written by write_corpus_band_index (and
+    corpus_sigs=None): the per-batch join is then a single-key
+    bucket-aligned sort-merge join with NO Exchange and NO Sort on the
+    corpus side (plan-asserted in tests/test_plans.py) — only the
+    batch's own band keys shuffle into the bucket hash.
     """
     rows = num_hashes // bands
     new_sigs = _minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n)
@@ -262,17 +330,31 @@ def incremental_dup_pairs(
             "band_idx", "band_key"
         ),
     )
-    corpus_bands = corpus_sigs.select(
-        F.col(id_col).alias("__cid"), *lsh_band_keys(num_hashes, bands)
-    ).select(
-        "__cid",
-        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
-            "band_idx", "band_key"
-        ),
-    )
+    if corpus_band_table is not None:
+        # stored-index path: fold band_idx into the key exactly like
+        # corpus_band_index did at write time, then SINGLE-key join —
+        # bucket-aligned, so the corpus side neither shuffles nor sorts
+        new_keyed = new_bands.select(
+            "_id",
+            F.concat_ws(
+                ":", F.col("band_idx").cast("string"), F.col("band_key")
+            ).alias("band_key"),
+        )
+        matched = new_keyed.join(corpus_band_table, "band_key")
+    else:
+        if corpus_sigs is None:
+            raise ValueError("need corpus_sigs or corpus_band_table")
+        corpus_bands = corpus_sigs.select(
+            F.col(id_col).alias("__cid"), *lsh_band_keys(num_hashes, bands)
+        ).select(
+            "__cid",
+            F.posexplode(
+                F.array(*[F.col(f"band_{b}") for b in range(bands)])
+            ).alias("band_idx", "band_key"),
+        )
+        matched = new_bands.join(corpus_bands, ["band_idx", "band_key"])
     cand = (
-        new_bands.join(corpus_bands, ["band_idx", "band_key"])
-        .filter(F.col("_id") != F.col("__cid"))
+        matched.filter(F.col("_id") != F.col("__cid"))
         .select(
             F.least("_id", "__cid").alias("id_a"),
             F.greatest("_id", "__cid").alias("id_b"),

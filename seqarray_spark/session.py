@@ -51,5 +51,12 @@ def get_spark(
         # pin ANSI so parse semantics (try_cast / try_element_at paths are
         # written against ANSI-on) don't flip with the Spark version
         .config("spark.sql.ansi.enabled", "true")
+        # report the stored per-bucket sort of bucketed tables (only
+        # applies when a bucket is a single file — our bucketed writers
+        # repartition to guarantee that): elides the corpus-side Sort in
+        # bucket-aligned sort-merge joins (incremental ingest dedup,
+        # optimize_bucketed), which otherwise re-sorts every corpus
+        # bucket on every batch join
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     )
     return builder.getOrCreate()

@@ -825,3 +825,43 @@ def test_dup_clusters_pairs_evaluated_once(spark):
         f"pair generator ran {acc.value} partition-tasks for {n_parts} "
         f"partitions — pairs were re-evaluated after the threshold probe"
     )
+
+
+def test_incremental_dedup_bucketed_index_equals_sigs_path(spark, tmp_path):
+    """The stored bucketed band-key index (write_corpus_band_index)
+    yields EXACTLY the pairs of the signatures path — the index is just
+    the same band keys pre-exploded with the band ordinal folded into
+    the key."""
+    from seqarray_spark.operators.dedup import (
+        incremental_dup_pairs,
+        minhash_signature,
+        write_corpus_band_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [(i, base + f" cluster{i % 10} " + ("extra pad " * (i % 3)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    sigs = minhash_signature(corpus, num_hashes=16, shingle_n=3).select(
+        "doc_id", "mh_sig"
+    )
+    try:
+        write_corpus_band_index(sigs, "cbi_test", num_hashes=16, bands=4,
+                                n_buckets=8)
+        via_sigs = incremental_dup_pairs(
+            batch, sigs, num_hashes=16, bands=4, shingle_n=3, tau=0.7,
+            corpus_docs=corpus,
+        )
+        via_index = incremental_dup_pairs(
+            batch, None, num_hashes=16, bands=4, shingle_n=3, tau=0.7,
+            corpus_docs=corpus, corpus_band_table=spark.table("cbi_test"),
+        )
+        a = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+             for r in via_sigs.collect()}
+        b = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+             for r in via_index.collect()}
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbi_test")

@@ -296,3 +296,54 @@ def test_chrom_rle_no_single_partition_exchange(spark):
     # global window over the variant axis
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_incremental_dedup_corpus_side_shuffle_free(spark):
+    """The operator's 100 TB claim, proven in the plan: joining a batch
+    against the stored bucketed band-key index produces exactly ONE
+    Exchange (the batch's own band keys hashing into the bucket layout)
+    and at most one Sort (the batch side) — the corpus side is read
+    bucket-aligned and pre-sorted, so per-batch cost scales with the
+    batch, never the corpus."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators.dedup import (
+        incremental_dup_pairs,
+        minhash_signature,
+        write_corpus_band_index,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta epsilon zeta {i % 7}")
+         for i in range(60)]
+    )
+    batch = docs.where("doc_id % 6 = 0")
+    corpus = docs.where("doc_id % 6 != 0")
+    sigs = minhash_signature(corpus, num_hashes=16, shingle_n=3).select(
+        "doc_id", "mh_sig"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_corpus_band_index(sigs, "cbi_plan", num_hashes=16, bands=4,
+                                n_buckets=8)
+        cand = incremental_dup_pairs(
+            batch, None, num_hashes=16, bands=4, shingle_n=3, tau=None,
+            include_new_pairs=False,
+            corpus_band_table=spark.table("cbi_plan"),
+        )
+        plan = E.plan_string(cand, "simple")
+        assert E.sortmerge_join_count(cand) >= 1
+        # corpus side read bucket-aligned...
+        assert "Bucketed: true" in plan
+        # ...with its stored sort trusted: the ONLY sort on the join key
+        # is the batch side's (one occurrence); a second one would mean
+        # the corpus re-sorts per batch
+        assert plan.count("Sort [band_key") == 1, plan
+        # exchanges: batch minhash groupBy + batch join hash + final
+        # distinct — all batch/pair-scaled; NONE on the corpus side
+        n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n_exchanges <= 3, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS cbi_plan")
