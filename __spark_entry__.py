@@ -864,12 +864,18 @@ def emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse quantize -> probe nearest cells);
-    approximate by construction, so the driver records rows-only."""
+    approximate by construction, so the driver records rows-only — but
+    its recall is a MEASURED contract, not a comment: recall@k >= 0.8
+    vs emb_cosine_topk is pytest-pinned (test_ivf_topk_recall_contract).
+    nprobe=8/16 cells: the synthetic embeddings are near-random, the
+    worst case for IVF (recall ~ nprobe/ncells when neighbors spread
+    uniformly across cells); real clustered embeddings do better at
+    lower nprobe."""
     from seqarray_spark.operators.similarity import ivf_topk
 
     emb = td.load_table(spark, sf_dir, "embeddings")
     anchor = emb.orderBy("vec_id").limit(1).first()["embedding"]
-    out = ivf_topk(emb, [float(x) for x in anchor], k=EMB_TOPK, ncells=16, nprobe=4)
+    out = ivf_topk(emb, [float(x) for x in anchor], k=EMB_TOPK, ncells=16, nprobe=8)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 

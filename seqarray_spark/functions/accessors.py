@@ -133,6 +133,90 @@ def geno_gt(ds) -> DataFrame:
     )
 
 
+def header_df(ds) -> dict[str, DataFrame]:
+    """The VariantAnnotation `header(x)` accessor (reference
+    NAMESPACE:72, R/Methods-SeqVarGDSClass.R): the declared INFO /
+    FORMAT / FILTER catalogs as three DataFrames keyed by ID —
+    {'info': (ID, Number, Type, Description),
+     'format': (ID, Number, Type, Description),
+     'filter': (ID, Description)}.
+
+    Sources, in order: the dataset's stored declarations
+    (meta['info_meta'/'format_meta'/'filter_meta'], preserved from the
+    VCF/BCF header at import and from Number/Type/Description node
+    attrs in GDS containers — reference pins them at
+    R/ConvVCF2GDS.R:1245-1260); else synthesized from the schema with
+    the same rules the VCF exporter uses (arrays declare Number='.').
+    GT is always declared when the dataset carries genotype calls, like
+    the reference's geno(x)$GT surface. Catalogs are header-sized
+    (driver-local lists -> tiny DataFrames), never data-scan derived."""
+    from seqarray_spark.sources.vcf import _header_from_dataset
+
+    meta = getattr(ds, "meta", None) or {}
+    spark = ds.variants.sparkSession
+
+    info_cat = list(meta.get("info_meta") or [])
+    fmt_cat = list(meta.get("format_meta") or [])
+    if not info_cat or not fmt_cat:
+        v = ds.variants
+        info_fields = (
+            [f.name for f in v.schema["info"].dataType.fields]
+            if "info" in v.columns
+            else []
+        )
+        calls = ds._base_calls
+        fmt_fields = (
+            [
+                c for c in calls.columns
+                if c not in ("variant_id", "sample_id", "alleles", "phased",
+                             "vcf_errors")
+            ]
+            if calls is not None
+            else []
+        )
+        hdr = _header_from_dataset(ds, info_fields, fmt_fields)
+        if not info_cat:
+            info_cat = [
+                {"ID": f.id, "Number": f.number, "Type": f.type,
+                 "Description": f.description or ""}
+                for f in hdr.info.values()
+            ]
+        if not fmt_cat:
+            fmt_cat = [
+                {"ID": f.id, "Number": f.number, "Type": f.type,
+                 "Description": f.description or ""}
+                for f in hdr.formats.values()
+            ]
+    if (
+        ds._base_calls is not None
+        and "alleles" in ds._base_calls.columns
+        and not any(d.get("ID") == "GT" for d in fmt_cat)
+    ):
+        fmt_cat.insert(0, {"ID": "GT", "Number": "1", "Type": "String",
+                           "Description": "Genotype"})
+    filt_cat = [
+        {"ID": d.get("ID", ""), "Description": d.get("Description", "") or ""}
+        for d in (meta.get("filter_meta") or [])
+    ]
+    cat_schema = "ID string, Number string, Type string, Description string"
+    return {
+        "info": spark.createDataFrame(
+            [(d["ID"], d.get("Number", "."), d.get("Type", ""),
+              d.get("Description", "") or "") for d in info_cat],
+            cat_schema,
+        ),
+        "format": spark.createDataFrame(
+            [(d["ID"], d.get("Number", "."), d.get("Type", ""),
+              d.get("Description", "") or "") for d in fmt_cat],
+            cat_schema,
+        ),
+        "filter": spark.createDataFrame(
+            [(d["ID"], d["Description"]) for d in filt_cat],
+            "ID string, Description string",
+        ),
+    }
+
+
 def info_df(ds, infovar: list[str] | None = None) -> DataFrame:
     """The VariantAnnotation `info(x, infovar=)` accessor (reference
     R/Methods-SeqVarGDSClass.R:132-179): one row per selected variant,

@@ -429,10 +429,8 @@ def _description_meta(f: GdsFile) -> dict:
     vcf.alt / vcf.contig / vcf.header data.frame folders, vcf.fileformat
     folder attribute)."""
     meta: dict = {}
-    if not _has(f, "description"):
-        return meta
-    desc = f.node("description")
-    ff = desc.attrs.get("vcf.fileformat")
+    has_desc = _has(f, "description")
+    ff = f.node("description").attrs.get("vcf.fileformat") if has_desc else None
     if ff:
         meta["fileformat"] = ff
     if _has(f, "description/reference"):
@@ -465,6 +463,39 @@ def _description_meta(f: GdsFile) -> dict:
             (r.get("id", ""), r.get("value", ""))
             for r in _df("description/vcf.header")
         ]
+
+    # declared INFO/FORMAT/FILTER catalogs from node attrs (the
+    # reference pins Number/Type/Description per annotation node,
+    # R/ConvVCF2GDS.R:1245-1260, and FILTER levels+Descriptions on the
+    # filter factor, :1417-1424) — feeds the header() accessor and
+    # declaration-faithful VCF re-export
+    def _decl(node) -> dict | None:
+        a = node.attrs
+        if "Number" not in a and "Type" not in a:
+            return None
+        return {"ID": node.name, "Number": str(a.get("Number", ".")),
+                "Type": str(a.get("Type", "")),
+                "Description": str(a.get("Description", "") or "")}
+
+    info_meta = [d for c in _info_nodes(f) if (d := _decl(c)) is not None]
+    if info_meta:
+        meta["info_meta"] = info_meta
+    fmt_meta = [d for c in _format_nodes(f) if (d := _decl(c)) is not None]
+    if fmt_meta:
+        meta["format_meta"] = fmt_meta
+    if _has(f, "annotation/filter"):
+        fa = f.node("annotation/filter").attrs
+        levels = fa.get("R.levels") or []
+        if isinstance(levels, str):
+            levels = [levels]
+        descs = fa.get("Description") or []
+        if isinstance(descs, str):
+            descs = [descs]
+        if levels:
+            meta["filter_meta"] = [
+                {"ID": lv, "Description": descs[i] if i < len(descs) else ""}
+                for i, lv in enumerate(levels)
+            ]
     return meta
 
 

@@ -1867,22 +1867,45 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
          "filter", False)
     )
 
+    # declared INFO/FORMAT catalogs from the import header, by ID —
+    # the reference pins Number/Type/Description as node attrs
+    # (R/ConvVCF2GDS.R:1245-1260); fall back to schema-synthesized
+    # values when the dataset was never VCF-born
+    _meta_cat = getattr(ds, "meta", None) or {}
+    _info_decl = {d["ID"]: d for d in _meta_cat.get("info_meta", [])}
+    _fmt_decl = {d["ID"]: d for d in _meta_cat.get("format_meta", [])}
+
+    def _decl_attrs(decl: dict | None, kind: str, is_arr: bool) -> dict:
+        if decl is not None:
+            return {"Number": decl.get("Number", "." if is_arr else "1"),
+                    "Type": decl.get("Type", ""),
+                    "Description": decl.get("Description", "")}
+        return {"Number": "." if is_arr else ("0" if kind == "bit1" else "1"),
+                "Type": "Flag" if kind == "bit1"
+                else "Float" if kind == "float32" or kind.startswith("packedreal")
+                else ("String" if kind == "vlstr" else "Integer"),
+                "Description": ""}
+
     info_entries: list[tuple[int, str, bool]] = []
     for name, kind, is_arr in imeta:
+        iattrs = _decl_attrs(_info_decl.get(name), kind, is_arr)
         if is_arr:
             info_entries.append(
-                (dnode(kind, (tot(f"info.{name}"),), f"info.{name}"), name, False)
+                (dnode(kind, (tot(f"info.{name}"),), f"info.{name}",
+                       attrs=iattrs), name, False)
             )
             info_entries.append(
                 (dnode("int32", (n_var,), f"info.@{name}"), f"@{name}", False)
             )
         elif kind == "bit1":
             info_entries.append(
-                (dnode("bit1", (n_var,), f"info.{name}", bits=1), name, False)
+                (dnode("bit1", (n_var,), f"info.{name}", bits=1,
+                       attrs=iattrs), name, False)
             )
         else:
             info_entries.append(
-                (dnode(kind, (n_var,), f"info.{name}"), name, False)
+                (dnode(kind, (n_var,), f"info.{name}", attrs=iattrs),
+                 name, False)
             )
     info_folder = b.new_id()
     b.folder(info_folder, info_entries)
@@ -1903,13 +1926,7 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
         b.folder(
             f_folder,
             f_children,
-            attrs={
-                "Number": "." if is_arr else "1",
-                "Type": "Float"
-                if kind == "float32" or kind.startswith("packedreal")
-                else ("String" if kind == "vlstr" else "Integer"),
-                "Description": "",
-            },
+            attrs=_decl_attrs(_fmt_decl.get(name), kind, is_arr),
         )
         fmt_entries.append((f_folder, name, True))
     fmt_folder = b.new_id()

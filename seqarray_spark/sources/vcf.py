@@ -693,6 +693,20 @@ def header_meta(header: VcfHeader) -> dict:
         # declared-but-unobserved levels and carries their Descriptions
         # (R/ConvVCF2GDS.R:1405-1425)
         "filter_meta": list(header.filter_meta),
+        # declared INFO/FORMAT catalogs (reference: seqVCF_Header's
+        # header$info/header$format data.frames, R/ConvVCF2GDS.R:92-512;
+        # the container pins them as Number/Type/Description node attrs)
+        # — the header() accessor and VCF re-export read these back
+        "info_meta": [
+            {"ID": f.id, "Number": f.number, "Type": f.type,
+             "Description": f.description or ""}
+            for f in header.info.values()
+        ],
+        "format_meta": [
+            {"ID": f.id, "Number": f.number, "Type": f.type,
+             "Description": f.description or ""}
+            for f in header.formats.values()
+        ],
     }
 
 
@@ -796,6 +810,22 @@ def _header_from_dataset(ds, info_fields: list[str], format_fields: list[str]) -
         {"ID": r["chromosome"]}
         for r in v.select("chromosome").distinct().orderBy("chromosome").collect()
     ]
+    # declared catalogs win over schema synthesis (reference: seqGDS2VCF
+    # rebuilds ##INFO/##FORMAT from the STORED Number/Type/Description
+    # attrs, R/Conversion.R:83-143) — only for fields actually exported
+    for d in meta.get("info_meta") or []:
+        if d.get("ID") in hdr.info:
+            hdr.info[d["ID"]] = VcfField(
+                d["ID"], d.get("Number", "."), d.get("Type", "String"),
+                d.get("Description", ""),
+            )
+    for d in meta.get("format_meta") or []:
+        if d.get("ID") in hdr.formats:
+            hdr.formats[d["ID"]] = VcfField(
+                d["ID"], d.get("Number", "."), d.get("Type", "String"),
+                d.get("Description", ""),
+            )
+    hdr.filter_meta = list(meta.get("filter_meta") or [])
     return hdr
 
 

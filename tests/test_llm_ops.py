@@ -865,3 +865,19 @@ def test_incremental_dedup_bucketed_index_equals_sigs_path(spark, tmp_path):
         assert a == b and len(a) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS cbi_test")
+
+
+def test_ivf_topk_recall_contract(spark):
+    """emb_ivf_topk is the only rows-only gate by design (approximate);
+    this pins its RECALL as a measured number instead of a comment:
+    recall@k vs brute-force cosine top-k on the sf0.01 embeddings must
+    hold at the gate's own parameters (ncells=16, nprobe=4)."""
+    import __spark_entry__ as entry_mod
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact = [r["vec_id"]
+             for r in entry_mod.emb_cosine_topk(spark, sf_dir).collect()]
+    approx = {r["vec_id"]
+              for r in entry_mod.emb_ivf_topk(spark, sf_dir).collect()}
+    recall = len([v for v in exact if v in approx]) / len(exact)
+    assert recall >= 0.8, f"recall@{len(exact)} = {recall:.2f} < 0.8"

@@ -150,3 +150,92 @@ def test_geno_gt_haploid_under_ansi(spark):
     out = {(r["variant_id"], r["sample_id"]): r["gt"]
            for r in geno_gt(SeqDataset(v, c, None)).collect()}
     assert out == {(1, "s1"): "0/NA", (1, "s2"): "1/NA", (2, "s1"): "."}
+
+
+# ---------------------------------------------------------------------------
+# header() accessor (reference NAMESPACE:72) — r8
+# ---------------------------------------------------------------------------
+
+def test_header_accessor_matches_parsed_vcf_header(spark):
+    """header(x) catalogs == the declarations parse_vcf_header read."""
+    from seqarray_spark.functions.accessors import header_df
+
+    hdr = vcfmod.parse_vcf_header(FIXTURE)
+    ds = vcfmod.read_vcf(spark, FIXTURE)
+    cats = header_df(ds)
+    info = {r["ID"]: (r["Number"], r["Type"], r["Description"])
+            for r in cats["info"].collect()}
+    assert set(info) == set(hdr.info)
+    for fid, f in hdr.info.items():
+        assert info[fid] == (f.number, f.type, f.description or "")
+    fmt = {r["ID"]: (r["Number"], r["Type"])
+           for r in cats["format"].collect()}
+    for fid, f in hdr.formats.items():
+        assert fmt[fid] == (f.number, f.type)
+    assert "GT" in fmt  # always declared when genotype calls exist
+    filt = {r["ID"]: r["Description"] for r in cats["filter"].collect()}
+    assert "q10" in filt
+
+
+def test_header_accessor_from_reference_container(spark):
+    """from_gds recovers the declared catalogs from the reference's own
+    Number/Type/Description node attrs (CEU_Exon.gds)."""
+    from seqarray_spark.functions.accessors import header_df
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    ds = from_gds(spark, "/root/reference/inst/extdata/CEU_Exon.gds")
+    cats = header_df(ds)
+    info = {r["ID"]: (r["Number"], r["Type"], r["Description"])
+            for r in cats["info"].collect()}
+    assert info["AA"] == (".", "String", "Ancestral Allele")
+    assert info["HM2"] == ("0", "Flag", "HapMap2 membership")
+    assert info["DP"] == ("1", "Integer", "Total Depth")
+    fmt = {r["ID"]: (r["Number"], r["Type"], r["Description"])
+           for r in cats["format"].collect()}
+    assert fmt["DP"] == (".", "Integer", "Read Depth from MOSAIK BAM")
+    filt = {r["ID"]: r["Description"] for r in cats["filter"].collect()}
+    assert filt == {"PASS": "All filters passed",
+                    "q10": "Quality below 10"}
+
+
+def test_declarations_survive_vcf_gds_vcf_round_trip(spark, tmp_path):
+    """VCF -> GDS -> read -> VCF: ##INFO/##FORMAT/##FILTER lines carry
+    the ORIGINAL Number/Type/Description (reference: seqGDS2VCF rebuilds
+    the header from the stored attrs, R/Conversion.R:83-143) — not
+    schema-synthesized '.' arities."""
+    import glob
+
+    from seqarray_spark.sources.gds_spark import from_gds
+    from seqarray_spark.sources.gds_write import write_gds
+
+    src = vcfmod.read_vcf(spark, FIXTURE)
+    gds = str(tmp_path / "rt.gds")
+    write_gds(src, gds)
+    back = from_gds(spark, gds)
+    assert {d["ID"]: (d["Number"], d["Type"], d["Description"])
+            for d in back.meta["info_meta"]} == {
+        d["ID"]: (d["Number"], d["Type"], d["Description"])
+        for d in src.meta["info_meta"]
+    }
+    out = str(tmp_path / "rt_out")
+    vcfmod.write_vcf(back, out)
+    hdr_lines = open(f"{out}/_header.vcf").read().splitlines()
+    orig = vcfmod.parse_vcf_header(FIXTURE)
+    reparsed = vcfmod.VcfHeader()
+    for line in hdr_lines:
+        if line.startswith("##"):
+            vcfmod.apply_header_line(reparsed, line)
+    for fid, f in orig.info.items():
+        g = reparsed.info[fid]
+        assert (g.number, g.type, g.description) == (
+            f.number, f.type, f.description
+        ), fid
+    for fid, f in orig.formats.items():
+        g = reparsed.formats[fid]
+        assert (g.number, g.type, g.description) == (
+            f.number, f.type, f.description
+        ), fid
+    filt = {d["ID"]: d.get("Description", "")
+            for d in reparsed.filter_meta}
+    assert filt.get("q10") == orig.filter_meta[0].get("Description", "") \
+        if orig.filter_meta else True
