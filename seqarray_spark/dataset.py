@@ -25,6 +25,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 
 
 def sample_order_cols(samples: DataFrame) -> list[Column]:
@@ -705,10 +706,20 @@ class SeqDataset:
     # ------------------------------------------------------------------
     # projections (reference: seqGetData §2.2)
     # ------------------------------------------------------------------
-    def get_data(self, name: str) -> DataFrame:
+    def get_data(self, name: str, pad_na: bool = False) -> DataFrame:
         """Name-dispatched projection (reference: seqGetData TVarMap,
         src/GetData.cpp:1248-1395). Derived names use Column expressions —
-        the reference's C kernels become Catalyst expressions."""
+        the reference's C kernels become Catalyst expressions.
+
+        pad_na mirrors seqGetData(.padNA=TRUE) (src/GetData.cpp:984-1037)
+        for ragged annotation/info fields: the reference flattens ONLY
+        when the field's FILE-WIDE max length is 1 (`V.ValLenMax()==1`,
+        a stored CIndex property — not the selection's max), turning
+        absent values into NA scalars; any longer field — e.g. Number=G
+        on mixed-ploidy data, where per-variant lengths differ — keeps
+        the list form UNPADDED AND UNTRUNCATED (the flag is simply
+        inert, falling through to the tolist/(length,data) branches).
+        FORMAT fields are 2-dim in the reference and never flatten."""
         from seqarray_spark.functions.variant import (
             chrom_pos,
             chrom_pos2,
@@ -787,7 +798,26 @@ class SeqDataset:
             return d.filter(F.col("dosage_alt").isNull() | (F.col("dosage_alt") != 0))
         if name.startswith("annotation/info/") or name.startswith("info."):
             fld = name.split("/")[-1] if "/" in name else name.split(".", 1)[1]
-            return v.select("variant_id", F.col(f"info.{fld}").alias(fld))
+            col = F.col(f"info.{fld}")
+            if pad_na and isinstance(
+                self._base_variants.schema["info"].dataType[fld].dataType,
+                ArrayType,
+            ):
+                # ValLenMax over the BASE frame (the reference's CIndex
+                # property is file-wide): one tiny agg on two narrow
+                # columns; flatten only when every stored value has
+                # length <= 1
+                vmax = (
+                    self._base_variants.agg(
+                        F.max(F.size(F.coalesce(col, F.array())))
+                    ).first()[0]
+                    or 0
+                )
+                if vmax <= 1:
+                    return v.select(
+                        "variant_id", F.try_element_at(col, F.lit(1)).alias(fld)
+                    )
+            return v.select("variant_id", col.alias(fld))
         if name.startswith("annotation/format/") or name.startswith("format."):
             fld = name.split("/")[-1] if "/" in name else name.split(".", 1)[1]
             c = self.calls

@@ -14,8 +14,13 @@ from pyspark.sql import functions as F
 
 
 def pad_na(col: str | Column, length: int = 1) -> Column:
-    """'.padNA' mode: truncate/pad a ragged array to fixed length with
-    NULLs (length=1 returns the reference's scalar-ified column)."""
+    """Raw fixed-length pad/truncate primitive (length=1 returns the
+    scalar-ified column). NOTE: the reference's seqGetData(.padNA=TRUE)
+    NEVER truncates — it flattens only fields whose file-wide max length
+    is 1 and leaves longer (e.g. Number=G mixed-ploidy) fields in list
+    form untouched (src/GetData.cpp:984-1037). That contract lives in
+    SeqDataset.get_data(pad_na=True); this helper is the explicit-length
+    building block for callers who KNOW the arity they want."""
     c = F.col(col) if isinstance(col, str) else col
     padded = F.concat(
         F.coalesce(c, F.array()),

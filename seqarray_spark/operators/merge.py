@@ -26,6 +26,85 @@ from seqarray_spark.dataset import SeqDataset
 
 VKEY = ["chromosome", "position", "ref"]
 
+_NUM_RANK = {"smallint": 0, "int": 1, "bigint": 2, "float": 3, "double": 4}
+
+
+def _unify_scalar(types):
+    from pyspark.sql.types import StringType
+
+    names = [t.simpleString() for t in types]
+    if len(set(names)) == 1:
+        return types[0]
+    if all(n in _NUM_RANK for n in names):
+        return max(types, key=lambda t: _NUM_RANK[t.simpleString()])
+    return StringType()
+
+
+def _unify_types(types):
+    from pyspark.sql.types import ArrayType
+
+    arrays = [t for t in types if isinstance(t, ArrayType)]
+    if arrays:
+        elems = [t.elementType for t in arrays] + [
+            t for t in types if not isinstance(t, ArrayType)
+        ]
+        return ArrayType(_unify_scalar(elems))
+    return _unify_scalar(types)
+
+
+def _harmonize_calls(parts: list[DataFrame]) -> list[DataFrame]:
+    """Schema-harmonize FORMAT columns across merged files BEFORE the
+    union — the reference's SEQ_MergeFormat (src/FileMerge.cpp:365-460)
+    merges per-variant blocks whose arity (Number) DIFFERS across files
+    by padding each to the per-variant max; a file that declares a
+    field scalar (Number=1) and another that declares it a vector must
+    land in one column. In long format that is a TYPE unification:
+
+    - scalar in one file + array in another -> array (a non-null scalar
+      x becomes [x]; a NULL scalar stays a NULL array, matching the
+      reference's NA plane);
+    - numeric widths widen (int < long < double), anything mixed with
+      string becomes string.
+
+    Per-variant MAX-arity padding itself happens where the reference
+    does it — on export, where the container writer pads each sample's
+    array to the variant's max length; the long format carries ragged
+    arrays losslessly in between. GT columns (alleles/phased) are
+    excluded: ploidy mixing is the genotype/extra mechanism, not
+    FORMAT Number unification."""
+    from pyspark.sql.types import ArrayType
+
+    fixed = ("variant_id", "sample_id", "alleles", "phased", "vcf_errors")
+    all_types: dict[str, list] = {}
+    for p in parts:
+        for f in p.schema.fields:
+            if f.name not in fixed:
+                all_types.setdefault(f.name, []).append(f.dataType)
+    targets = {
+        n: _unify_types(ts)
+        for n, ts in all_types.items()
+        if len({t.simpleString() for t in ts}) > 1
+    }
+    if not targets:
+        return parts
+    out = []
+    for p in parts:
+        cols = []
+        for f in p.schema.fields:
+            n, tgt = f.name, targets.get(f.name)
+            if tgt is None or f.dataType.simpleString() == tgt.simpleString():
+                cols.append(F.col(n))
+            elif isinstance(tgt, ArrayType) and not isinstance(f.dataType, ArrayType):
+                cols.append(
+                    F.when(F.col(n).isNull(), F.lit(None).cast(tgt))
+                    .otherwise(F.array(F.col(n).cast(tgt.elementType)))
+                    .alias(n)
+                )
+            else:
+                cols.append(F.col(n).cast(tgt).alias(n))
+        out.append(p.select(*cols))
+    return out
+
 
 def _merged_samples(parts: list[DataFrame], concat_order: bool) -> DataFrame | None:
     """Union the per-file samples frames, keeping the file-order
@@ -129,7 +208,7 @@ def merge_variants(datasets: list[SeqDataset], reset_variant_id: bool = True) ->
         lambda a, b: a.unionByName(b, allowMissingColumns=True),
         [v for v, _ in pairs],
     )
-    calls_list = [c for _, c in pairs if c is not None]
+    calls_list = _harmonize_calls([c for _, c in pairs if c is not None])
     calls = (
         reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), calls_list)
         if calls_list
@@ -260,13 +339,14 @@ def merge_samples_pair(a: SeqDataset, b: SeqDataset) -> SeqDataset:
             .select(F.col("__new_vid").alias("variant_id"), *keep)
         )
 
-    calls_parts = []
+    calls_parts: list[DataFrame] = []
     if a._base_calls is not None:
         calls_parts.append(relabel_calls(a._base_calls, "__vid_a"))
     if b._base_calls is not None:
         calls_parts.append(relabel_calls(b._base_calls, "__vid_b"))
     calls = (
-        reduce(lambda x, y: x.unionByName(y, allowMissingColumns=True), calls_parts)
+        reduce(lambda x, y: x.unionByName(y, allowMissingColumns=True),
+               _harmonize_calls(calls_parts))
         if calls_parts
         else None
     )

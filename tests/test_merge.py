@@ -216,3 +216,120 @@ def test_merge_sample_info_vars_union_across_files(spark):
     assert got[100] == (7, None)
     # file-2-only variant: file 2 supplies both
     assert got[300] == (3, 0.5)
+
+
+def test_merge_format_number_disagreement(spark):
+    """SEQ_MergeFormat parity (src/FileMerge.cpp:365-460): files that
+    disagree on a FORMAT field's Number merge into ONE column — scalar
+    (Number=1) sides promote to 1-element arrays ([x]; NULL scalar stays
+    a NULL array, the reference's NA plane), and mixed numeric widths
+    widen. Exercised on BOTH merge modes."""
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.operators.merge import merge_samples_pair, merge_variants
+
+    va = spark.createDataFrame(
+        [(1, "1", 100, "A", ["G"])],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>",
+    )
+    # file A: DP scalar int
+    ca = spark.createDataFrame(
+        [(1, "s1", [0, 1], [False], 7), (1, "s2", [0, 0], [False], None)],
+        "variant_id long, sample_id string, alleles array<smallint>, "
+        "phased array<boolean>, DP int",
+    )
+    sa = spark.createDataFrame([("s1",), ("s2",)], "sample_id string")
+    # file B: DP array<double> (Number=2)
+    vb = spark.createDataFrame(
+        [(9, "1", 100, "A", ["G"])],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>",
+    )
+    cb = spark.createDataFrame(
+        [(9, "s3", [0, 1], [False], [1.5, 2.5])],
+        "variant_id long, sample_id string, alleles array<smallint>, "
+        "phased array<boolean>, DP array<double>",
+    )
+    sb = spark.createDataFrame([("s3",)], "sample_id string")
+
+    merged = merge_samples_pair(SeqDataset(va, ca, sa), SeqDataset(vb, cb, sb))
+    assert dict(merged.calls.dtypes)["DP"] == "array<double>"
+    rows = {r["sample_id"]: r["DP"] for r in merged.calls.collect()}
+    assert rows["s1"] == [7.0]
+    assert rows["s2"] is None          # NULL scalar -> NULL array, not [NULL]
+    assert rows["s3"] == [1.5, 2.5]
+
+    # variant mode: same samples, disjoint variants, same disagreement
+    vb2 = spark.createDataFrame(
+        [(2, "1", 200, "C", ["T"])],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>",
+    )
+    cb2 = spark.createDataFrame(
+        [(2, "s1", [1, 1], [False], [3.0])],
+        "variant_id long, sample_id string, alleles array<smallint>, "
+        "phased array<boolean>, DP array<double>",
+    )
+    m2 = merge_variants(
+        [SeqDataset(va, ca, sa), SeqDataset(vb2, cb2, sa)],
+        reset_variant_id=False,
+    )
+    assert dict(m2.calls.dtypes)["DP"] == "array<double>"
+    got = {(r["variant_id"], r["sample_id"]): r["DP"]
+           for r in m2.calls.collect()}
+    assert got[(1, "s1")] == [7.0] and got[(2, "s1")] == [3.0]
+
+
+def test_merge_format_export_pads_to_variant_max_arity(spark, tmp_path):
+    """After a Number-disagreement merge, the container writer pads each
+    sample's FORMAT block to the per-variant max arity — the reference's
+    step = max(len/SampNum) NA-padding (src/FileMerge.cpp:413-443)."""
+    from seqarray_spark.dataset import SeqDataset
+    from seqarray_spark.operators.merge import merge_samples_pair
+    from seqarray_spark.sources.gds import GdsFile
+    from seqarray_spark.sources.gds_write import write_gds
+
+    va = spark.createDataFrame(
+        [(1, "1", 100, "A", ["G"], None, 50.0, "PASS")],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>, id string, qual double, filter string",
+    )
+    ca = spark.createDataFrame(
+        [(1, "s1", [0, 1], [False], 7)],
+        "variant_id long, sample_id string, alleles array<smallint>, "
+        "phased array<boolean>, DP int",
+    )
+    sa = spark.createDataFrame([("s1",), ("s2",)], "sample_id string")
+    # file A knows s2 but has no call for it at variant 1: absent row
+    vb = spark.createDataFrame(
+        [(9, "1", 100, "A", ["G"], None, 60.0, "PASS")],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>, id string, qual double, filter string",
+    )
+    cb = spark.createDataFrame(
+        [(9, "s3", [0, 1], [False], [10, 20])],
+        "variant_id long, sample_id string, alleles array<smallint>, "
+        "phased array<boolean>, DP array<int>",
+    )
+    sb = spark.createDataFrame([("s3",)], "sample_id string")
+    merged = merge_samples_pair(SeqDataset(va, ca, sa), SeqDataset(vb, cb, sb))
+    path = str(tmp_path / "fmt_merge.gds")
+    write_gds(merged, path)
+    f = GdsFile(path)
+    # one variant, 3 samples, max arity 2 -> idx [2], data 2x3 with NA
+    # filling s1's second slot and s2's whole block
+    assert list(f.read_array("annotation/format/DP/@data")) == [2]
+    data = f.read_array("annotation/format/DP/data")
+    import numpy as np
+
+    arr = np.asarray(data, dtype=object).reshape(2, 3)
+    sids = list(f.read_array("sample.id"))
+    col = {s: i for i, s in enumerate(sids)}
+    NA = -2147483648  # NA_INTEGER, the reference's int NA code
+
+    def is_na(x):
+        return x is None or x == NA
+
+    assert arr[0][col["s1"]] == 7 and is_na(arr[1][col["s1"]])
+    assert is_na(arr[0][col["s2"]]) and is_na(arr[1][col["s2"]])
+    assert arr[0][col["s3"]] == 10 and arr[1][col["s3"]] == 20

@@ -438,3 +438,37 @@ def test_chrom_rle_partition_count_invariance(spark):
         for r in chrom_rle(mono, num_partitions=16).collect()
     ]
     assert got == [(1, "7", 100)]
+
+
+def test_get_data_pad_na_reference_semantics(spark):
+    """seqGetData(.padNA=TRUE) (src/GetData.cpp:984-1037): flattens an
+    info field ONLY when its FILE-WIDE max length is 1 (absent -> NA
+    scalar); a Number=G field whose lengths vary (mixed ploidy) keeps
+    the list form unpadded and UNTRUNCATED — and the file-wide rule
+    means a selection that happens to see only short values still does
+    NOT flatten."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(1, "1", 100, ([5], [1, 2, 3])),
+         (2, "1", 200, ([], [9])),
+         (3, "1", 300, (None, None))],
+        "variant_id long, chromosome string, position int, "
+        "info struct<AA: array<int>, GL: array<int>>",
+    ).select("variant_id", "chromosome", "position", "info")
+    ds = SeqDataset(v, None, None)
+
+    flat = {r["variant_id"]: r["AA"]
+            for r in ds.get_data("annotation/info/AA", pad_na=True).collect()}
+    assert flat == {1: 5, 2: None, 3: None}
+
+    ragged = {r["variant_id"]: r["GL"]
+              for r in ds.get_data("annotation/info/GL", pad_na=True).collect()}
+    assert ragged == {1: [1, 2, 3], 2: [9], 3: None}
+
+    # file-wide rule: select only variant 2 (GL length 1 there) — still
+    # list form, because the BASE frame's max is 3
+    ds.set_filter_variant_id([2])
+    only2 = ds.get_data("annotation/info/GL", pad_na=True).collect()
+    assert len(only2) == 1 and only2[0]["GL"] == [9]
+    ds.reset_filter()
