@@ -58,7 +58,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every pytest run by tests/test_registry_sweep.py (the CI twin of the
     # driver gate), so out-of-window queries cannot silently regress.
     return {
-        # -- r7 additions (newest first — unchecked by the driver yet) ------
+        # -- r8 additions (newest first) ------------------------------------
+        "seq_header_catalogs": seq_header_catalogs,
+        # -- r7 additions ----------------------------------------------------
         "doc_incremental_dedup": doc_incremental_dedup,
         # recently-CHANGED operators stay in the driver window (r7 touched
         # dup_clusters' fast path; r6 touched embedding banding)
@@ -298,6 +300,47 @@ def seq_chrom_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (run_id, chromosome, run_length) rows)."""
     ds = td.variant_dataset(spark, sf_dir)
     return ds.get_data("$chromosome")
+
+
+def seq_header_catalogs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantAnnotation header(x) accessor (reference NAMESPACE:72):
+    the declared INFO/FORMAT/FILTER catalogs as one stacked frame.
+    Runs on the repo's toy.vcf fixture (sf-independent, like
+    gds_read_af's fixture read) so the full pipeline — header parse ->
+    meta catalogs -> header_df — is value-checked against the literal
+    declarations in the file (static VALUES oracle)."""
+    import os as _os
+
+    from seqarray_spark.functions.accessors import header_df
+    from seqarray_spark.sources.vcf import read_vcf
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "tests", "fixtures",
+        "toy.vcf",
+    )
+    ds = read_vcf(spark, fixture)
+    cats = header_df(ds)
+    info = cats["info"].select(
+        F.lit("INFO").alias("kind"), "ID", "Number", "Type", "Description"
+    )
+    fmt = cats["format"].select(
+        F.lit("FORMAT").alias("kind"), "ID", "Number", "Type", "Description"
+    )
+    flt = cats["filter"].select(
+        F.lit("FILTER").alias("kind"), "ID",
+        F.lit("").alias("Number"), F.lit("").alias("Type"), "Description",
+    )
+    return (
+        info.unionByName(fmt).unionByName(flt)
+        .select(
+            "kind",
+            F.col("ID").alias("id"),
+            F.col("Number").alias("arity"),
+            F.col("Type").alias("vtype"),
+            F.col("Description").alias("descr"),
+        )
+        .orderBy("kind", "id")
+    )
 
 
 def seq_geno_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1190,6 +1233,23 @@ def _pii_scrub_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     P = td.oracle_prelude()
     return {
+        # the literal declarations of tests/fixtures/toy.vcf — a static
+        # oracle, because DuckDB cannot parse VCF headers; any drift in
+        # header parse/meta/header_df shows as a value-hash mismatch
+        "seq_header_catalogs": """
+            SELECT * FROM (VALUES
+              ('FILTER', 'q10', '', '', 'Quality below 10'),
+              ('FORMAT', 'DP', '1', 'Integer', 'Read Depth'),
+              ('FORMAT', 'GT', '1', 'String', 'Genotype'),
+              ('FORMAT', 'HQ', '2', 'Integer', 'Haplotype Quality'),
+              ('INFO', 'AA', '1', 'String', 'Ancestral Allele'),
+              ('INFO', 'AF', 'A', 'Float', 'Allele Frequency'),
+              ('INFO', 'BN', '.', 'Integer', 'Ragged ints'),
+              ('INFO', 'DB', '0', 'Flag', 'dbSNP membership'),
+              ('INFO', 'DP', '1', 'Integer', 'Total Depth')
+            ) AS t(kind, id, arity, vtype, descr)
+            ORDER BY kind, id
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
