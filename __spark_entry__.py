@@ -311,14 +311,24 @@ def seq_header_catalogs(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarations in the file (static VALUES oracle)."""
     import os as _os
 
+    from seqarray_spark.dataset import SeqDataset
     from seqarray_spark.functions.accessors import header_df
-    from seqarray_spark.sources.vcf import read_vcf
+    from seqarray_spark.sources.vcf import header_meta, parse_vcf_header
 
     fixture = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "tests", "fixtures",
         "toy.vcf",
     )
-    ds = read_vcf(spark, fixture)
+    # header-only pipeline: parse -> meta catalogs -> header_df. The
+    # full read_vcf wiring (meta attached to the dataset) is pinned by
+    # tests/test_sample_order.py::test_header_accessor_matches_parsed_vcf_header;
+    # the gate value-checks the catalogs without constructing the
+    # (unused) variant/calls parse plans.
+    meta = header_meta(parse_vcf_header(fixture))
+    ds = SeqDataset(
+        spark.range(0).select(F.col("id").alias("variant_id")), None, None,
+        meta=meta,
+    )
     cats = header_df(ds)
     info = cats["info"].select(
         F.lit("INFO").alias("kind"), "ID", "Number", "Type", "Description"
@@ -339,6 +349,10 @@ def seq_header_catalogs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("Type").alias("vtype"),
             F.col("Description").alias("descr"),
         )
+        # orderBy on LocalRelation catalogs constant-folds in the
+        # optimizer (no exchange is ever scheduled); a coalesce(1)+
+        # local-sort formulation measured 12s because it blocks that
+        # collapse
         .orderBy("kind", "id")
     )
 

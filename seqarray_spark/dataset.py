@@ -57,7 +57,11 @@ def ordered_sample_ids(samples: DataFrame) -> list[str]:
     ]
 
 
-def chrom_rle(v: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def chrom_rle(
+    v: DataFrame,
+    num_partitions: int | None = None,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
     """seqGetData('$chromosome'): run-length encoding of the chromosome
     vector over the selection in variant order (reference get_chrom_rle
     src/GetData.cpp:199-240; the R Rle's (lengths, values) become
@@ -79,12 +83,34 @@ def chrom_rle(v: DataFrame, num_partitions: int | None = None) -> DataFrame:
     any single machine is the n_partitions-row summary list.
 
     `num_partitions` pins the range-partition count (tests sweep it to
-    pin partition-count invariance); default lets AQE pick."""
+    pin partition-count invariance); default lets AQE pick.
+
+    Selections up to `driver_threshold` variants take a BOUNDED driver
+    fast path (two narrow columns, a few MB at the cap): the
+    distributed fold pays ~4 job rounds of scheduling, pure overhead on
+    a small selection — the same bounded-small-side trade as
+    dup_clusters' union-find. Identical output either way
+    (property-tested); pass driver_threshold=0 to force the
+    distributed fold. The frame is lazy-checkpointed BEFORE the probe
+    so an over-threshold input does not re-evaluate upstream."""
     import pandas as pd
 
     spark = v.sparkSession
     out_schema = "run_id bigint, chromosome string, run_length bigint"
     narrow = v.select("variant_id", "chromosome")
+    if driver_threshold:
+        narrow = narrow.localCheckpoint(eager=False)
+        head = narrow.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            head.sort(key=lambda r: r["variant_id"])
+            runs: list[tuple[int, str, int]] = []
+            for r in head:
+                ch = r["chromosome"]
+                if runs and runs[-1][1] == ch:
+                    runs[-1] = (runs[-1][0], ch, runs[-1][2] + 1)
+                else:
+                    runs.append((len(runs) + 1, ch, 1))
+            return spark.createDataFrame(runs or [], out_schema)
     ranged = (
         narrow.repartitionByRange(num_partitions, "variant_id")
         if num_partitions is not None

@@ -423,19 +423,28 @@ def test_chrom_rle_partition_count_invariance(spark):
     expect = [tuple(e) for e in expect]
 
     v = spark.createDataFrame(rows, "variant_id long, chromosome string")
+    # distributed fold (driver_threshold=0 forces it) across partition
+    # counts, plus the bounded driver fast path — all identical
     for n_parts in (1, 3, 7, 16, 64):
         got = [
             (r["run_id"], r["chromosome"], r["run_length"])
-            for r in chrom_rle(v, num_partitions=n_parts).collect()
+            for r in chrom_rle(
+                v, num_partitions=n_parts, driver_threshold=0
+            ).collect()
         ]
         assert got == expect, f"mismatch at num_partitions={n_parts}"
+    fast = [
+        (r["run_id"], r["chromosome"], r["run_length"])
+        for r in chrom_rle(v).collect()
+    ]
+    assert fast == expect
     # one-chromosome chain: every partition merges into ONE global run
     mono = spark.createDataFrame(
         [(i + 1, "7") for i in range(100)], "variant_id long, chromosome string"
     )
     got = [
         (r["run_id"], r["chromosome"], r["run_length"])
-        for r in chrom_rle(mono, num_partitions=16).collect()
+        for r in chrom_rle(mono, num_partitions=16, driver_threshold=0).collect()
     ]
     assert got == [(1, "7", 100)]
 

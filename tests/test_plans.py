@@ -286,10 +286,14 @@ def test_chrom_rle_no_single_partition_exchange(spark):
 
     from seqarray_spark.dataset import SeqDataset
 
+    from seqarray_spark.dataset import chrom_rle
+
     v = spark.createDataFrame(
         [Row(variant_id=i + 1, chromosome=str(1 + i // 40)) for i in range(200)]
     )
-    df = SeqDataset(v, None, None).get_data("$chromosome")
+    # driver_threshold=0 forces the distributed fold (the default takes
+    # the bounded driver fast path on a selection this small)
+    df = chrom_rle(v, driver_threshold=0)
     plan = E.plan_string(df, "simple")
     # the output orderBy sorts run-count rows (tiny) — rangepartitioning
     # is fine; what must be absent is a SinglePartition funnel or a
