@@ -123,6 +123,49 @@ def unit_counts(units: DataFrame) -> DataFrame:
     )
 
 
+def unit_create(spark, idx, desp: list[dict] | None = None) -> DataFrame:
+    """User-defined unit list from per-unit variant-id vectors
+    (reference: seqUnitCreate R/UnitList.R:181-209). Reference
+    sanitization preserved: None and <1 entries are silently dropped
+    from each vector; a non-sequence unit errors. `desp` is the
+    reference's desp data.frame — one dict per unit, joined onto the
+    rows; default desp is the 1-based unit id alone.
+
+    Returns a long (unit_id, variant_id, <desp columns...>) frame —
+    the engine's id-keyed unit shape (unit lists are caller-supplied
+    driver data by definition, so driver-side assembly is the
+    reference's own shape, not a scale concession)."""
+    if desp is not None and len(desp) != len(idx):
+        raise ValueError("desp must have one row per unit")
+    rows = []
+    for i, ks in enumerate(idx):
+        if not hasattr(ks, "__iter__"):
+            raise ValueError(f"idx[{i}] should be a sequence of variant ids")
+        ks = [int(k) for k in ks if k is not None and int(k) >= 1]
+        d = desp[i] if desp is not None else {}
+        for k in ks:
+            rows.append((i + 1, k, *d.values()))
+        if not ks:
+            rows.append((i + 1, None, *d.values()))
+    extra = ""
+    if desp:
+        def styp(v):
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, int):
+                return "bigint"
+            if isinstance(v, float):
+                return "double"
+            return "string"
+
+        extra = "".join(
+            f", `{k}` {styp(v)}" for k, v in desp[0].items()
+        )
+    return spark.createDataFrame(
+        rows, f"unit_id int, variant_id bigint{extra}"
+    )
+
+
 def unit_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union of unit lists (reference: seqUnitMerge R/UnitList.R:242-260).
     Empty-window placeholders (NULL variant_id) survive only for windows

@@ -679,6 +679,16 @@ def parse_vcf_lines(
     )
 
 
+def vcf_sample_ids(path: str) -> list[str]:
+    """Sample ids from a VCF header without importing the file
+    (reference: seqVCF_SampID R/ConvVCF2GDS.R:522-556 — errors when the
+    file declares no samples, preserved here)."""
+    samples = parse_vcf_header(path).samples
+    if not samples:
+        raise ValueError(f"{path}: no sample columns in the VCF header")
+    return list(samples)
+
+
 def header_meta(header: VcfHeader) -> dict:
     """The slice of a VcfHeader the container's description/* nodes
     preserve (reference: R/ConvVCF2GDS.R:928-957)."""

@@ -933,3 +933,14 @@ def test_export_missing_cell_rendering(spark, tmp_path):
     # missing scalar DP renders empty between colons
     assert l1.endswith("0/1:7:9")
     assert l2.endswith("1/1::")
+
+
+def test_vcf_sample_ids(tmp_path):
+    """seqVCF_SampID parity (R/ConvVCF2GDS.R:522-556): header-only
+    sample list; a sites-only VCF errors like the reference."""
+    assert vcfmod.vcf_sample_ids(FIXTURE) == ["NA001", "NA002", "NA003"]
+    p = tmp_path / "nosamp.vcf"
+    p.write_text("##fileformat=VCFv4.2\n"
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    with pytest.raises(ValueError):
+        vcfmod.vcf_sample_ids(str(p))

@@ -96,3 +96,28 @@ def test_unit_apply_agg(spark, variants):
     units = W.sliding_windows(variants, win_size=5000, win_shift=5000, dup_rm=False)
     out = W.unit_apply_agg(units, calls, F.count(F.lit(1)).alias("n_calls"))
     assert out.filter(F.col("n_calls") <= 0).count() == 0
+
+
+def test_unit_create_reference_sanitization(spark):
+    """seqUnitCreate parity (R/UnitList.R:181-209): None/<1 entries
+    dropped per unit, empty units keep a placeholder row, desp joins
+    per unit, non-sequence units error."""
+    import pytest as _pt
+
+    from seqarray_spark.operators.windows import unit_create
+
+    u = unit_create(
+        spark,
+        [[1, 2, None, 0, 3], [], [7]],
+        desp=[{"name": "a"}, {"name": "b"}, {"name": "c"}],
+    )
+    rows = {(r["unit_id"], r["variant_id"], r["name"]) for r in u.collect()}
+    assert rows == {(1, 1, "a"), (1, 2, "a"), (1, 3, "a"),
+                    (2, None, "b"), (3, 7, "c")}
+    # default desp = unit ids only
+    u2 = unit_create(spark, [[5], [6]])
+    assert dict(u2.dtypes) == {"unit_id": "int", "variant_id": "bigint"}
+    with _pt.raises(ValueError):
+        unit_create(spark, [42])
+    with _pt.raises(ValueError):
+        unit_create(spark, [[1]], desp=[{"x": 1}, {"x": 2}])
