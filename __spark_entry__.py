@@ -59,6 +59,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver gate), so out-of-window queries cannot silently regress.
     return {
         # -- r8 additions (newest first) ------------------------------------
+        "doc_incremental_exact": doc_incremental_exact,
         "seq_header_catalogs": seq_header_catalogs,
         # -- r7 additions ----------------------------------------------------
         "doc_incremental_dedup": doc_incremental_dedup,
@@ -833,6 +834,27 @@ def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_guess(docs).select("doc_id", "lang_guess")
 
 
+def doc_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup: the batch (doc_id % 5 == 0) is probed
+    against the corpus's stored content-hash index
+    (dedup.incremental_exact_dedup) — kept ids = batch docs whose
+    normalized content is new to the corpus AND min-id within the
+    batch. Normalization = first 30 chars lowercased (the synthetic
+    docs are unique as full text; the prefix key manufactures realistic
+    collision structure). Corpus-first precedence; oracle replays the
+    same key logic without md5 (hash-of-key equality == key equality)."""
+    from seqarray_spark.operators.dedup import incremental_exact_dedup
+
+    docs = td.load_table(spark, sf_dir, "documents").withColumn(
+        "__norm", F.substring(F.lower("text"), 1, 30)
+    )
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    idx = corpus.select(F.md5("__norm").alias("content_md5"))
+    out = incremental_exact_dedup(batch, idx, text_col="__norm")
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: docs with doc_id % 5 == 0 arrive as a
     new batch and are checked against the rest of the corpus via its
@@ -1247,6 +1269,18 @@ def _pii_scrub_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     P = td.oracle_prelude()
     return {
+        "doc_incremental_exact": """
+            WITH d AS (
+              SELECT doc_id, SUBSTRING(LOWER(text), 1, 30) AS k
+              FROM documents
+            ),
+            b AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+            c AS (SELECT k FROM d WHERE doc_id % 5 <> 0),
+            keep AS (SELECT k, MIN(doc_id) AS doc_id FROM b GROUP BY k)
+            SELECT doc_id FROM keep
+            WHERE k NOT IN (SELECT k FROM c)
+            ORDER BY doc_id
+        """,
         # the literal declarations of tests/fixtures/toy.vcf — a static
         # oracle, because DuckDB cannot parse VCF headers; any drift in
         # header parse/meta/header_df shows as a value-hash mismatch

@@ -47,6 +47,66 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.join(keepers, id_col, "left_semi")
 
 
+def write_corpus_hash_index(
+    docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the corpus EXACT-dedup index — (content_md5, doc_id) for
+    the corpus's kept docs — bucketed+sorted by content_md5, one file
+    per bucket (same layout contract as write_corpus_band_index): the
+    per-batch exact-dup probe then joins with zero Exchange and zero
+    Sort on the corpus side. At 10^10 docs this is two narrow columns;
+    the batch pays the only shuffle."""
+    (
+        docs.select(
+            F.md5(F.col(text_col)).alias("content_md5"),
+            F.col(id_col).alias("corpus_id"),
+        )
+        .repartition(n_buckets, "content_md5")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "content_md5")
+        .sortBy("content_md5")
+        .saveAsTable(table)
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dedup an ingest BATCH against a stored corpus hash index
+    (the exact-hash sibling of incremental_dup_pairs): keeps each new
+    doc only if its content hash is absent from the corpus AND it is
+    the min-id representative within the batch. Precedence is
+    CORPUS-FIRST — an already-ingested doc wins over any batch doc with
+    the same hash regardless of id (the corpus is immutable at ingest
+    time), so with monotonically growing ids this equals re-running
+    exact_dedup over corpus+batch and taking the batch-side keepers;
+    with id inversions the corpus copy still wins where a full re-run
+    would have preferred the smaller batch id (pytest-pinned).
+
+    Plan shape: the batch hashes + one left_anti join against the index
+    (bucket-aligned and shuffle-free on the corpus side when the index
+    came from write_corpus_hash_index) + one batch-internal groupBy.
+    Per-batch cost scales with the batch."""
+    hashed = new_docs.withColumn("content_md5", F.md5(F.col(text_col)))
+    batch_keepers = hashed.groupBy("content_md5").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return (
+        hashed.join(batch_keepers, ["content_md5", id_col], "left_semi")
+        .join(
+            corpus_index.select("content_md5"), "content_md5", "left_anti"
+        )
+        .drop("content_md5")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -881,3 +881,85 @@ def test_ivf_topk_recall_contract(spark):
               for r in entry_mod.emb_ivf_topk(spark, sf_dir).collect()}
     recall = len([v for v in exact if v in approx]) / len(exact)
     assert recall >= 0.8, f"recall@{len(exact)} = {recall:.2f} < 0.8"
+
+
+def test_incremental_exact_dedup_semantics(spark):
+    """incremental_exact_dedup: corpus-first precedence. With monotone
+    ids (the normal ingest case) the result equals a full exact_dedup
+    re-run restricted to the batch; with an id inversion the corpus
+    copy still wins where a full re-run would prefer the smaller batch
+    id."""
+    from seqarray_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "ccc")], "doc_id long, text string"
+    )
+    idx = corpus.select(F.md5("text").alias("content_md5"))
+    # monotone ids: batch 10..13 — 'bbb' dup of corpus, 'ddd' batch-internal dup
+    batch = spark.createDataFrame(
+        [(10, "ddd"), (11, "bbb"), (12, "ddd"), (13, "eee")],
+        "doc_id long, text string",
+    )
+    inc = {r["doc_id"]
+           for r in incremental_exact_dedup(batch, idx).collect()}
+    assert inc == {10, 13}
+    full = {r["doc_id"]
+            for r in exact_dedup(corpus.unionByName(batch)).collect()
+            if r["doc_id"] >= 10}
+    assert inc == full
+    # id inversion: batch id 0 < corpus id 2 for 'bbb' — corpus wins
+    inv = spark.createDataFrame([(0, "bbb")], "doc_id long, text string")
+    assert incremental_exact_dedup(inv, idx).count() == 0
+    # (a full re-run WOULD keep doc 0 — the divergence is the contract)
+    assert 0 in {r["doc_id"]
+                 for r in exact_dedup(corpus.unionByName(inv)).collect()}
+
+
+def test_incremental_exact_bucketed_index_shuffle_free(spark):
+    """write_corpus_hash_index layout: the batch anti-join reads the
+    corpus bucket-aligned — no Exchange, no Sort on the corpus side
+    (same contract as the minhash band index)."""
+    from seqarray_spark.operators.dedup import (
+        incremental_exact_dedup,
+        write_corpus_hash_index,
+    )
+    from seqarray_spark.plans import explain as E
+
+    corpus = spark.createDataFrame(
+        [(i, f"text number {i % 40}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, f"text number {i % 50}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.sql("DROP TABLE IF EXISTS chi_test")
+        write_corpus_hash_index(corpus, "chi_test", n_buckets=8)
+        out = incremental_exact_dedup(batch, spark.table("chi_test"))
+        plan = E.plan_string(out, "simple")
+        assert "Bucketed: true" in plan
+        # the corpus side must feed the anti-join straight from the
+        # bucketed scan: no Sort (and no Exchange) on ITS content_md5
+        # attribute — identified from the FileScan's output list; the
+        # batch side is free to sort/shuffle (it's batch-scaled)
+        import re as _re
+
+        m = _re.search(r"chi_test\[[^\]]*content_md5#(\d+)", plan)
+        assert m, plan
+        corpus_attr = f"content_md5#{m.group(1)}"
+        assert f"Sort [{corpus_attr}" not in plan, plan
+        assert f"Exchange hashpartitioning({corpus_attr}" not in plan, plan
+        got = {r["doc_id"] for r in out.collect()}
+        # batch texts i%50: i in 0..39 collide with corpus (i%40 when
+        # i<40 matches text); keepers among the rest
+        expect = {1000 + i for i in range(40, 50)}
+        assert got == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS chi_test")
