@@ -149,6 +149,71 @@ def dedup_stream(
     )
 
 
+def ingest_dedup_stream(
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 64,
+):
+    """The production corpus-ingest loop: a document stream is exact-
+    deduped against the ENTIRE corpus ever ingested, not a watermark
+    horizon. Per micro-batch (foreachBatch):
+
+    1. probe the STORED bucketed content-hash index
+       (operators.dedup.incremental_exact_dedup — zero corpus-side
+       shuffle; per-batch cost scales with the batch);
+    2. append the kept docs to the corpus parquet and their hashes to
+       the index, so the next batch sees them (corpus-first precedence
+       across batches — earlier-ingested always wins).
+
+    Cross-batch dedup state lives in the DISK index, unbounded corpus /
+    bounded executor memory — the complement of dedup_stream's
+    dropDuplicatesWithinWatermark, whose state store is watermark-
+    bounded by design. Appends add one file per bucket per batch, which
+    keeps the join Exchange-free on the corpus side but re-introduces a
+    per-bucket Sort until a periodic compaction (rewrite via
+    write_corpus_hash_index) restores the one-file-per-bucket layout.
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from seqarray_spark.operators.dedup import (exact_dedup,
+                                                incremental_exact_dedup)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(index_table):
+            kept = incremental_exact_dedup(
+                batch_df, spark.table(index_table), text_col, id_col
+            )
+        else:
+            kept = exact_dedup(batch_df, text_col, id_col)
+        # stabilize: kept feeds TWO sinks; without materialization the
+        # second write would re-evaluate the probe after the index
+        # already changed (reading your own append = duplicate leak)
+        kept = kept.localCheckpoint()
+        kept.write.mode("append").parquet(corpus_dir)
+        (
+            kept.select(
+                F.md5(F.col(text_col)).alias("content_md5"),
+                F.col(id_col).alias("corpus_id"),
+            )
+            .repartition(n_buckets, "content_md5")
+            .write.mode("append")
+            .bucketBy(n_buckets, "content_md5")
+            .sortBy("content_md5")
+            .saveAsTable(index_table)
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def sessionize_events(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -140,3 +140,52 @@ def test_sessionize(spark, sf_dir):
     out = S.run_stream_to_memory(sess, "sessions", mode="complete")
     rows = out.limit(5).collect()
     assert rows and all(r["n_events"] >= 1 for r in rows)
+
+
+def test_ingest_dedup_stream_cross_batch(spark, tmp_path):
+    """foreachBatch corpus ingest: exact dedup against the WHOLE corpus
+    ever ingested (disk-index state, not a watermark horizon) —
+    cross-batch dups drop with corpus-first precedence, batch-internal
+    dups keep the min id, and the final corpus equals a batch
+    exact_dedup over the concatenated batches under monotone ids."""
+    import json
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    # batch files processed one per micro-batch (maxFilesPerTrigger=1;
+    # lexicographic file order pins which batch is 'first')
+    b1 = [(1, "alpha"), (2, "beta"), (3, "alpha")]       # 3 dups 1
+    b2 = [(10, "beta"), (11, "gamma"), (12, "gamma")]    # 10 dups 2, 12 dups 11
+    for name, rows in (("a.json", b1), ("b.json", b2)):
+        with open(in_dir / name, "w") as fh:
+            for i, t in rows:
+                fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    spark.sql("DROP TABLE IF EXISTS ingest_idx_test")
+    try:
+        q = S.ingest_dedup_stream(
+            stream, corpus_dir, "ingest_idx_test",
+            checkpoint_dir=ck, n_buckets=4,
+        )
+        q.awaitTermination()
+        got = {(r["doc_id"], r["text"])
+               for r in spark.read.parquet(corpus_dir).collect()}
+        assert got == {(1, "alpha"), (2, "beta"), (11, "gamma")}
+        idx = {r["content_md5"]: r["corpus_id"]
+               for r in spark.table("ingest_idx_test").collect()}
+        assert set(idx.values()) == {1, 2, 11}
+        # equivalence with a batch re-run (monotone ids across batches)
+        from seqarray_spark.operators.dedup import exact_dedup
+
+        full = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+        want = {(r["doc_id"], r["text"]) for r in exact_dedup(full).collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ingest_idx_test")
