@@ -707,7 +707,9 @@ class SeqDataset:
         R/Methods.R:426-470): compute per-variant MAF/MAC/missing over the
         *current* selection, threshold, and intersect.
 
-        Scalar maf/mac = lower bound on the minor value; tuple = [lo, hi).
+        Scalar maf/mac = lower bound on the minor value; tuple = [lo, hi)
+        with either side None for an open bound (the reference's
+        c(NaN, hi) / c(lo, NaN) forms, R/Methods.R:448-458).
         """
         from seqarray_spark.operators.aggregates import af_ac_missing
 
@@ -715,12 +717,14 @@ class SeqDataset:
         pred = F.lit(True)
         if maf is not None:
             lo, hi = maf if isinstance(maf, tuple) else (maf, None)
-            pred = pred & (F.col("maf") >= float(lo))
+            if lo is not None:
+                pred = pred & (F.col("maf") >= float(lo))
             if hi is not None:
                 pred = pred & (F.col("maf") < float(hi))
         if mac is not None:
             lo, hi = mac if isinstance(mac, tuple) else (mac, None)
-            pred = pred & (F.col("mac") >= int(lo))
+            if lo is not None:
+                pred = pred & (F.col("mac") >= int(lo))
             if hi is not None:
                 pred = pred & (F.col("mac") < int(hi))
         if missing_rate is not None:

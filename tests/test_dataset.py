@@ -375,3 +375,37 @@ def test_set_filter_id_ret_idx(spark):
     rows = [(r["req_ord"], r["sample_id"], r["idx"]) for r in out.collect()]
     assert rows == [(1, "sc", 2), (2, "sa", 1), (3, "zz", None)]
     ds.reset_filter()
+
+
+def test_filter_cond_open_bounds(spark):
+    """seqSetFilterCond one-sided bounds (R/Methods.R:448-458): the
+    reference's c(NaN, hi) form — upper bound only — and c(lo, NaN) —
+    lower only — must both work; boundary semantics are lo <= x < hi."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(i, "1", i * 10) for i in range(1, 5)],
+        "variant_id long, chromosome string, position int",
+    )
+    # variant i: i alt alleles of 4 slots -> folded maf = min(i,4-i)/4
+    rows = []
+    for i in range(1, 5):
+        g = [1] * i + [0] * (4 - i)
+        rows.append((i, "s1", [g[0], g[1]], [False]))
+        rows.append((i, "s2", [g[2], g[3]], [False]))
+    c = spark.createDataFrame(
+        rows,
+        "variant_id long, sample_id string, alleles array<smallint>, "
+        "phased array<boolean>",
+    )
+    ds = SeqDataset(v, c, None)
+    # maf by variant: 1:0.25 2:0.5 3:0.25 4:0.0
+    ds.set_filter_cond(maf=(None, 0.5))   # maf < 0.5
+    assert {r["variant_id"] for r in ds.variants.collect()} == {1, 3, 4}
+    ds.reset_filter()
+    ds.set_filter_cond(maf=(0.25, None))  # maf >= 0.25
+    assert {r["variant_id"] for r in ds.variants.collect()} == {1, 2, 3}
+    ds.reset_filter()
+    ds.set_filter_cond(mac=(None, 2))     # mac < 2
+    assert {r["variant_id"] for r in ds.variants.collect()} == {1, 3, 4}
+    ds.reset_filter()

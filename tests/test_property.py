@@ -233,3 +233,81 @@ def test_filter_chrom_vectorized_equals_scalar_union(spark, windows):
         d2.set_filter_chrom([c], from_bp=lo, to_bp=hi)
         want |= {r["variant_id"] for r in d2.variants.select("variant_id").collect()}
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),          # doc_id
+            st.integers(min_value=0, max_value=7),           # content class
+        ),
+        min_size=1, max_size=30, unique_by=lambda d: d[0],
+    )
+)
+def test_incremental_exact_equals_full_rerun_monotone(spark, docs):
+    """Property: for ANY corpus/batch split where batch ids are all
+    larger than corpus ids (monotone ingest), incremental exact dedup
+    over the stored index == full exact_dedup over the union restricted
+    to the batch."""
+    from seqarray_spark.operators.dedup import (exact_dedup,
+                                                incremental_exact_dedup)
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"text class {c}") for i, c in docs]
+    mid = max(i for i, _ in rows) // 2
+    corpus_rows = [r for r in rows if r[0] <= mid]
+    batch_rows = [r for r in rows if r[0] > mid]
+    if not corpus_rows or not batch_rows:
+        return
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    # corpus index holds KEPT corpus docs' hashes (post-dedup, as the
+    # production loop maintains it) — hash set identical either way
+    idx = corpus.select(F.md5("text").alias("content_md5"))
+    inc = {r["doc_id"]
+           for r in incremental_exact_dedup(batch, idx).collect()}
+    full = {r["doc_id"]
+            for r in exact_dedup(corpus.unionByName(batch)).collect()
+            if r["doc_id"] > mid}
+    assert inc == full
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=500),  # variant_id
+            st.sampled_from(["1", "2", "3", "X"]),    # chromosome
+        ),
+        min_size=1, max_size=60, unique_by=lambda r: r[0],
+    ),
+    st.integers(min_value=1, max_value=9),            # partition count
+)
+def test_chrom_rle_distributed_equals_driver(spark, rows, n_parts):
+    """Property: the distributed per-partition fold + boundary merge
+    and the bounded driver fast path produce identical RLE for ANY
+    (variant_id, chromosome) set and ANY partition count."""
+    from seqarray_spark.dataset import chrom_rle
+
+    v = spark.createDataFrame(rows, "variant_id long, chromosome string")
+    dist = [
+        (r["run_id"], r["chromosome"], r["run_length"])
+        for r in chrom_rle(v, num_partitions=n_parts,
+                           driver_threshold=0).collect()
+    ]
+    fast = [
+        (r["run_id"], r["chromosome"], r["run_length"])
+        for r in chrom_rle(v).collect()
+    ]
+    assert dist == fast
+    assert sum(x[2] for x in dist) == len(rows)
