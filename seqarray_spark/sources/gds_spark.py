@@ -223,6 +223,7 @@ def from_gds(
     block_variants: int | None = None,
     info_fields: list[str] | None = None,
     format_fields: list[str] | None = None,
+    chromosomes: list[str] | None = None,
 ):
     """Open a SeqArray .gds container as a SeqDataset.
 
@@ -237,6 +238,18 @@ def from_gds(
     from other gdsfmt builds) fall back to whole-stream decompression
     per task (sources/gds.py _parse_zip_ra) — O(N^2/B) at scale; convert
     such files once via to_gds(coder='LZMA_ra') before distributed use.
+
+    `chromosomes`: prune the CONTAINER SCAN to the named chromosomes —
+    the Spark analogue of the reference's per-chromosome run-list index
+    (src/Index.cpp:382+, what makes seqSetFilterChrom O(selection) on a
+    GDS file). A chromosome-column-only pre-scan (one tiny kernel pass
+    over just that node's bytes) yields the per-chromosome row runs;
+    decode blocks not overlapping a selected run are DROPPED from the
+    plan, so genotype/INFO/FORMAT planes of other chromosomes are never
+    read. Partial boundary blocks decode and are trimmed by an exact
+    chromosome filter (variants) + broadcast semi-join (calls). Without
+    this, set_filter_chrom on a whole-genome container pays a full-file
+    decode before the filter.
     """
     from seqarray_spark.dataset import SeqDataset
 
@@ -343,6 +356,20 @@ def from_gds(
         "vb0 array<long>, vb1 array<long>, ve0 array<long>"
     )
     ncores = spark.sparkContext.defaultParallelism
+
+    if chromosomes is not None:
+        # scan-prune like the reference's per-chromosome run-list index
+        # (src/Index.cpp:382+): a chromosome-only kernel pass (touches
+        # just that node's bytes) yields the global runs; blocks not
+        # overlapping a selected run never enter the decode plan
+        chrom_set = {str(c) for c in chromosomes}
+        runs = _gds_chrom_runs(spark, bc, blocks, bschema, vlpaths, ncores)
+        sel = [(s0, e0) for ch, s0, e0 in runs if ch in chrom_set]
+        blocks = [
+            blk for blk in blocks
+            if any(blk[0] < e0 and blk[1] > s0 for s0, e0 in sel)
+        ]
+
     blocks_df = spark.createDataFrame(blocks, bschema).repartition(
         min(max(len(blocks), 1), ncores * 4)
     )
@@ -419,8 +446,68 @@ def from_gds(
             )
             samples = samples.join(aux, "sample_id", "left")
 
+    if chromosomes is not None:
+        # trim partial boundary blocks exactly; the calls side takes the
+        # engine's standard id-projection semi-join (size-guarded)
+        from seqarray_spark.plans.hints import maybe_broadcast
+
+        variants = variants.filter(
+            F.col("chromosome").isin([str(c) for c in chromosomes])
+        )
+        if calls is not None:
+            calls = calls.join(
+                maybe_broadcast(variants.select("variant_id")),
+                "variant_id", "left_semi",
+            )
+
     return SeqDataset(variants, calls, samples, ploidy=ploidy,
                       meta=_description_meta(f))
+
+
+def _gds_chrom_runs(spark, bc, blocks, bschema, vlpaths, ncores):
+    """Global (chromosome, start_idx, end_idx) runs of a container's
+    chromosome column: per-block numpy RLE in executor kernels (each
+    task reads ONLY its slice of the chromosome node) + a driver merge
+    of the run list (runs ≈ #chromosomes + #block boundaries — tiny).
+    The distributed sibling of the reference's CIndex chrom run lists
+    and of dataset.chrom_rle's boundary merge."""
+    bdf = spark.createDataFrame(blocks, bschema).repartition(
+        min(max(len(blocks), 1), ncores * 4)
+    )
+
+    def kernel(batches):
+        g = bc.value
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                s, e = int(row["start"]), int(row["end"])
+                vl = _row_vl(row, vlpaths)
+                ch = np.asarray(
+                    _node_slice(g, g.node("chromosome"), s, e, vl),
+                    dtype=object,
+                )
+                starts = np.flatnonzero(
+                    np.concatenate(([True], ch[1:] != ch[:-1]))
+                )
+                lens = np.diff(np.append(starts, len(ch)))
+                yield pd.DataFrame(
+                    {
+                        "chrom": [str(ch[i]) for i in starts],
+                        "rs": (s + starts).astype(np.int64),
+                        "re": (s + starts + lens).astype(np.int64),
+                    }
+                )
+
+    rows = sorted(
+        bdf.mapInPandas(kernel, "chrom string, rs long, re long").collect(),
+        key=lambda r: r["rs"],
+    )
+    merged: list[list] = []
+    for r in rows:
+        if merged and merged[-1][0] == r["chrom"] and merged[-1][2] == r["rs"]:
+            merged[-1][2] = r["re"]
+        else:
+            merged.append([r["chrom"], r["rs"], r["re"]])
+    return [(c, int(s), int(e)) for c, s, e in merged]
 
 
 def _description_meta(f: GdsFile) -> dict:

@@ -254,3 +254,81 @@ def test_from_gds_many_blocks_parity(spark):
         .select("variant_id", "chromosome", "position", "ref", "alt") \
         .orderBy("variant_id").collect()
     assert small == big
+
+
+def test_from_gds_chromosome_pruned_read(spark):
+    """from_gds(chromosomes=...) — the reference's chrom-run-index
+    pruning (src/Index.cpp:382+) on the container scan: result equals
+    the full read filtered after the fact, for single and multiple
+    chromosomes, on the reference's own CEU fixture."""
+    from pyspark.sql import functions as F
+
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    p = "/root/reference/inst/extdata/CEU_Exon.gds"
+    full = from_gds(spark, p, block_variants=64)
+    for chroms in (["22"], ["1", "22"], ["nope"]):
+        pruned = from_gds(spark, p, block_variants=64, chromosomes=chroms)
+        want_v = sorted(
+            r["variant_id"]
+            for r in full.variants.filter(
+                F.col("chromosome").isin(chroms)
+            ).collect()
+        )
+        got_v = sorted(r["variant_id"] for r in pruned.variants.collect())
+        assert got_v == want_v, chroms
+        want_c = full.calls.join(
+            full.variants.filter(F.col("chromosome").isin(chroms))
+            .select("variant_id"),
+            "variant_id", "left_semi",
+        ).count()
+        assert pruned.calls.count() == want_c, chroms
+
+
+def test_gds_chrom_runs_match_column_rle(spark):
+    """The distributed chromosome-run scan equals a driver RLE of the
+    raw chromosome column (runs partition the variant axis exactly)."""
+    import numpy as np
+
+    from seqarray_spark.sources.gds import GdsFile
+    from seqarray_spark.sources.gds_spark import (_build_vl_index,
+                                                  _gds_chrom_runs, from_gds)
+
+    p = "/root/reference/inst/extdata/CEU_Exon.gds"
+    f = GdsFile(p)
+    ch = list(f.read_array("chromosome"))
+    expect, prev = [], None
+    for i, c in enumerate(ch):
+        if c != prev:
+            expect.append([str(c), i, i + 1])
+            prev = c
+        else:
+            expect[-1][2] += 1
+    expect = [tuple(e) for e in expect]
+
+    n_var = len(ch)
+    bstarts = np.arange(0, n_var, 100, dtype=np.int64)
+    vaxis = np.append(bstarts, n_var)
+    bc = spark.sparkContext.broadcast(f)
+    vlpaths, vl_elem, vl_bytes = _build_vl_index(
+        f, vaxis, [], [], 0, spark=spark, bc=bc
+    )
+    blocks = []
+    for b, s in enumerate(bstarts):
+        s = int(s)
+        e = int(min(s + 100, n_var))
+        blocks.append((
+            s, e, 0, 0, [], [], [], [], 0, 0, 0, 0, 0, 0,
+            [int(vl_bytes[q][b]) for q in vlpaths],
+            [int(vl_bytes[q][b + 1]) for q in vlpaths],
+            [int(vl_elem[q][b]) for q in vlpaths],
+        ))
+    bschema = (
+        "start long, end long, p0 long, p1 long, "
+        "i0 array<long>, i1 array<long>, f0 array<long>, f1 array<long>, "
+        "g0 long, g1 long, go long, q0 long, q1 long, qo long, "
+        "vb0 array<long>, vb1 array<long>, ve0 array<long>"
+    )
+    runs = _gds_chrom_runs(spark, bc, blocks, bschema, vlpaths, 8)
+    assert runs == expect
+    assert sum(e - s for _, s, e in runs) == n_var
