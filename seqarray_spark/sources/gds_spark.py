@@ -224,6 +224,7 @@ def from_gds(
     info_fields: list[str] | None = None,
     format_fields: list[str] | None = None,
     chromosomes: list[str] | None = None,
+    bp_range: tuple[int | None, int | None] | None = None,
 ):
     """Open a SeqArray .gds container as a SeqDataset.
 
@@ -250,6 +251,20 @@ def from_gds(
     chromosome filter (variants) + broadcast semi-join (calls). Without
     this, set_filter_chrom on a whole-genome container pays a full-file
     decode before the filter.
+
+    `bp_range=(from_bp, to_bp)` (either bound None = open) additionally
+    prunes by POSITION: the same pre-scan also collects per-block
+    position min/max per chromosome run — block-level zone-map stats,
+    the parquet row-group min/max analogue — and blocks whose stats
+    cannot intersect the window are dropped too. Stats-based, so
+    correct even for position-unsorted files (a non-intersecting
+    min/max proves absence; an intersecting one merely decodes and is
+    trimmed exactly). With a sorted whole-genome container this makes a
+    gene-region read O(window), the Spark analogue of
+    seqSetFilterChrom(from.bp, to.bp) riding the reference's index.
+    Combines with `chromosomes`; the window applies to every selected
+    chromosome (the reference's vectored per-chrom windows remain
+    available post-read via set_filter_chrom).
     """
     from seqarray_spark.dataset import SeqDataset
 
@@ -357,14 +372,27 @@ def from_gds(
     )
     ncores = spark.sparkContext.defaultParallelism
 
-    if chromosomes is not None:
+    bp_lo, bp_hi = bp_range if bp_range is not None else (None, None)
+    if chromosomes is not None or bp_range is not None:
         # scan-prune like the reference's per-chromosome run-list index
-        # (src/Index.cpp:382+): a chromosome-only kernel pass (touches
-        # just that node's bytes) yields the global runs; blocks not
-        # overlapping a selected run never enter the decode plan
-        chrom_set = {str(c) for c in chromosomes}
-        runs = _gds_chrom_runs(spark, bc, blocks, bschema, vlpaths, ncores)
-        sel = [(s0, e0) for ch, s0, e0 in runs if ch in chrom_set]
+        # (src/Index.cpp:382+): a chromosome(+position)-only kernel pass
+        # (touches just those nodes' bytes) yields per-block runs with
+        # zone-map position stats; blocks not overlapping a selected
+        # run never enter the decode plan
+        chrom_set = (
+            {str(c) for c in chromosomes} if chromosomes is not None else None
+        )
+        stats = _gds_chrom_pos_stats(
+            spark, bc, blocks, bschema, vlpaths, ncores,
+            with_pos=bp_range is not None,
+        )
+        sel = [
+            (r["rs"], r["re"])
+            for r in stats
+            if (chrom_set is None or r["chrom"] in chrom_set)
+            and (bp_lo is None or r["pmax"] >= bp_lo)
+            and (bp_hi is None or r["pmin"] <= bp_hi)
+        ]
         blocks = [
             blk for blk in blocks
             if any(blk[0] < e0 and blk[1] > s0 for s0, e0 in sel)
@@ -446,14 +474,21 @@ def from_gds(
             )
             samples = samples.join(aux, "sample_id", "left")
 
-    if chromosomes is not None:
+    if chromosomes is not None or bp_range is not None:
         # trim partial boundary blocks exactly; the calls side takes the
         # engine's standard id-projection semi-join (size-guarded)
         from seqarray_spark.plans.hints import maybe_broadcast
 
-        variants = variants.filter(
-            F.col("chromosome").isin([str(c) for c in chromosomes])
-        )
+        cond = F.lit(True)
+        if chromosomes is not None:
+            cond = cond & F.col("chromosome").isin(
+                [str(c) for c in chromosomes]
+            )
+        if bp_lo is not None:
+            cond = cond & (F.col("position") >= int(bp_lo))
+        if bp_hi is not None:
+            cond = cond & (F.col("position") <= int(bp_hi))
+        variants = variants.filter(cond)
         if calls is not None:
             calls = calls.join(
                 maybe_broadcast(variants.select("variant_id")),
@@ -464,13 +499,16 @@ def from_gds(
                       meta=_description_meta(f))
 
 
-def _gds_chrom_runs(spark, bc, blocks, bschema, vlpaths, ncores):
-    """Global (chromosome, start_idx, end_idx) runs of a container's
-    chromosome column: per-block numpy RLE in executor kernels (each
-    task reads ONLY its slice of the chromosome node) + a driver merge
-    of the run list (runs ≈ #chromosomes + #block boundaries — tiny).
-    The distributed sibling of the reference's CIndex chrom run lists
-    and of dataset.chrom_rle's boundary merge."""
+def _gds_chrom_pos_stats(spark, bc, blocks, bschema, vlpaths, ncores,
+                         with_pos: bool = False):
+    """Per-block chromosome runs of a container, optionally with the
+    position min/max of each run: per-block numpy RLE in executor
+    kernels (each task reads ONLY its slice of the chromosome — and,
+    with_pos, position — node) collected to the driver. Rows are
+    (chrom, rs, re[, pmin, pmax]) sorted by rs; each row lies entirely
+    inside one decode block, so they double as block-level zone-map
+    stats (the parquet row-group min/max analogue) for position-window
+    pruning. Run count ≈ #chromosomes + #block boundaries — tiny."""
     bdf = spark.createDataFrame(blocks, bschema).repartition(
         min(max(len(blocks), 1), ncores * 4)
     )
@@ -489,18 +527,35 @@ def _gds_chrom_runs(spark, bc, blocks, bschema, vlpaths, ncores):
                     np.concatenate(([True], ch[1:] != ch[:-1]))
                 )
                 lens = np.diff(np.append(starts, len(ch)))
-                yield pd.DataFrame(
-                    {
-                        "chrom": [str(ch[i]) for i in starts],
-                        "rs": (s + starts).astype(np.int64),
-                        "re": (s + starts + lens).astype(np.int64),
-                    }
-                )
+                out = {
+                    "chrom": [str(ch[i]) for i in starts],
+                    "rs": (s + starts).astype(np.int64),
+                    "re": (s + starts + lens).astype(np.int64),
+                }
+                if with_pos:
+                    pos = np.asarray(
+                        _node_slice(g, g.node("position"), s, e, vl),
+                        dtype=np.int64,
+                    )
+                    out["pmin"] = np.minimum.reduceat(pos, starts)
+                    out["pmax"] = np.maximum.reduceat(pos, starts)
+                yield pd.DataFrame(out)
 
-    rows = sorted(
-        bdf.mapInPandas(kernel, "chrom string, rs long, re long").collect(),
-        key=lambda r: r["rs"],
+    schema = "chrom string, rs long, re long" + (
+        ", pmin long, pmax long" if with_pos else ""
     )
+    return sorted(
+        bdf.mapInPandas(kernel, schema).collect(), key=lambda r: r["rs"]
+    )
+
+
+def _gds_chrom_runs(spark, bc, blocks, bschema, vlpaths, ncores):
+    """Global (chromosome, start_idx, end_idx) runs of a container's
+    chromosome column: the per-block runs of _gds_chrom_pos_stats plus
+    a driver merge of block-boundary continuations. The distributed
+    sibling of the reference's CIndex chrom run lists
+    (src/Index.cpp:382+) and of dataset.chrom_rle's boundary merge."""
+    rows = _gds_chrom_pos_stats(spark, bc, blocks, bschema, vlpaths, ncores)
     merged: list[list] = []
     for r in rows:
         if merged and merged[-1][0] == r["chrom"] and merged[-1][2] == r["rs"]:

@@ -285,6 +285,104 @@ def test_from_gds_chromosome_pruned_read(spark):
         assert pruned.calls.count() == want_c, chroms
 
 
+def test_from_gds_bp_range_pruned_read(spark):
+    """from_gds(bp_range=...) — zone-map position pruning on the
+    container scan: result equals the full read filtered after the
+    fact, for two-sided / one-sided / empty windows, with and without a
+    chromosome restriction, on the reference's own CEU fixture."""
+    from pyspark.sql import functions as F
+
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    p = "/root/reference/inst/extdata/CEU_Exon.gds"
+    full = from_gds(spark, p, block_variants=64)
+    cases = [
+        (["1"], (100_000_000, 200_000_000)),
+        (None, (50_000_000, 60_000_000)),
+        (["22"], (None, 30_000_000)),
+        (["22"], (30_000_000, None)),
+        (["1"], (1, 2)),  # empty window
+    ]
+    for chroms, win in cases:
+        pruned = from_gds(
+            spark, p, block_variants=64, chromosomes=chroms, bp_range=win
+        )
+        cond = F.lit(True)
+        if chroms is not None:
+            cond = cond & F.col("chromosome").isin(chroms)
+        if win[0] is not None:
+            cond = cond & (F.col("position") >= win[0])
+        if win[1] is not None:
+            cond = cond & (F.col("position") <= win[1])
+        want_v = sorted(
+            r["variant_id"] for r in full.variants.filter(cond).collect()
+        )
+        got_v = sorted(r["variant_id"] for r in pruned.variants.collect())
+        assert got_v == want_v, (chroms, win)
+        want_c = full.calls.join(
+            full.variants.filter(cond).select("variant_id"),
+            "variant_id", "left_semi",
+        ).count()
+        assert pruned.calls.count() == want_c, (chroms, win)
+
+
+def test_gds_chrom_pos_stats_match_driver(spark):
+    """The distributed per-block run/zone-map scan equals a driver
+    recomputation from the raw chromosome+position columns."""
+    import numpy as np
+
+    from seqarray_spark.sources.gds import GdsFile
+    from seqarray_spark.sources.gds_spark import (_build_vl_index,
+                                                  _gds_chrom_pos_stats)
+
+    p = "/root/reference/inst/extdata/CEU_Exon.gds"
+    f = GdsFile(p)
+    ch = [str(c) for c in f.read_array("chromosome")]
+    pos = list(f.read_array("position"))
+    n_var = len(ch)
+    bsize = 100
+    expect = []
+    for s in range(0, n_var, bsize):
+        e = min(s + bsize, n_var)
+        i = s
+        while i < e:
+            j = i
+            while j < e and ch[j] == ch[i]:
+                j += 1
+            expect.append(
+                (ch[i], i, j, min(pos[i:j]), max(pos[i:j]))
+            )
+            i = j
+
+    bstarts = np.arange(0, n_var, bsize, dtype=np.int64)
+    vaxis = np.append(bstarts, n_var)
+    bc = spark.sparkContext.broadcast(f)
+    vlpaths, vl_elem, vl_bytes = _build_vl_index(
+        f, vaxis, [], [], 0, spark=spark, bc=bc
+    )
+    blocks = []
+    for b, s in enumerate(bstarts):
+        s = int(s)
+        e = int(min(s + bsize, n_var))
+        blocks.append((
+            s, e, 0, 0, [], [], [], [], 0, 0, 0, 0, 0, 0,
+            [int(vl_bytes[q][b]) for q in vlpaths],
+            [int(vl_bytes[q][b + 1]) for q in vlpaths],
+            [int(vl_elem[q][b]) for q in vlpaths],
+        ))
+    bschema = (
+        "start long, end long, p0 long, p1 long, "
+        "i0 array<long>, i1 array<long>, f0 array<long>, f1 array<long>, "
+        "g0 long, g1 long, go long, q0 long, q1 long, qo long, "
+        "vb0 array<long>, vb1 array<long>, ve0 array<long>"
+    )
+    rows = _gds_chrom_pos_stats(
+        spark, bc, blocks, bschema, vlpaths, 8, with_pos=True
+    )
+    got = [(r["chrom"], r["rs"], r["re"], r["pmin"], r["pmax"]) for r in rows]
+    assert got == expect
+
+
 def test_gds_chrom_runs_match_column_rle(spark):
     """The distributed chromosome-run scan equals a driver RLE of the
     raw chromosome column (runs partition the variant axis exactly)."""
