@@ -214,6 +214,124 @@ def ingest_dedup_stream(
     return writer.start()
 
 
+def ingest_neardup_stream(
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    band_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    tau: float = 0.7,
+    n_buckets: int = 64,
+):
+    """NEAR-duplicate corpus-ingest loop — the MinHash-LSH sibling of
+    ingest_dedup_stream, i.e. the full production training-data ingest
+    pattern: each micro-batch is near-deduped against the ENTIRE corpus
+    ever ingested via the STORED band-key index (foreachBatch):
+
+    1. candidate pairs touching the batch come from
+       operators.dedup.incremental_dup_pairs over the persisted
+       band-key index (corpus side bucket-aligned: no Exchange, no
+       re-hash — per-batch cost scales with the batch); Jaccard >= tau
+       verified against corpus text re-shingled only for candidates.
+    2. pairs resolve to clusters (dedup.dup_clusters — pairs alone
+       under-remove when dups chain A~B~C); a batch doc is kept only if
+       its cluster has NO corpus member (corpus-first precedence: the
+       corpus is immutable at ingest time) and it is the cluster's
+       min-id batch representative.
+    3. kept docs append to the corpus parquet and their band keys to
+       the bucketed index, so the next batch sees them.
+
+    First batch bootstraps the index via write_corpus_band_index.
+    As with the exact loop, per-batch appends add one file per bucket,
+    re-introducing a per-bucket Sort until a periodic compaction
+    (write_corpus_band_index over the full corpus sigs) restores the
+    one-file-per-bucket layout.
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from seqarray_spark.operators.dedup import (corpus_band_index,
+                                                dup_clusters,
+                                                incremental_dup_pairs,
+                                                minhash_dup_pairs,
+                                                minhash_signature,
+                                                write_corpus_band_index)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        have_index = spark.catalog.tableExists(band_table)
+        if have_index:
+            corpus_docs = spark.read.parquet(corpus_dir)
+            pairs = incremental_dup_pairs(
+                batch_df,
+                None,
+                text_col,
+                id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+                tau=tau,
+                corpus_docs=corpus_docs,
+                include_new_pairs=True,
+                corpus_band_table=spark.table(band_table),
+            )
+        else:
+            pairs = minhash_dup_pairs(
+                batch_df, text_col, id_col,
+                num_hashes=num_hashes, bands=bands,
+                shingle_n=shingle_n, tau=tau,
+            )
+        members = dup_clusters(pairs.select("id_a", "id_b"))
+        batch_ids = batch_df.select(F.col(id_col).alias("doc_id"))
+        members = members.join(
+            batch_ids.withColumn("__is_batch", F.lit(True)), "doc_id", "left"
+        ).withColumn("__is_batch", F.coalesce("__is_batch", F.lit(False)))
+        stats = members.groupBy("cluster_id").agg(
+            F.max(~F.col("__is_batch")).alias("has_corpus"),
+            F.min(F.when(F.col("__is_batch"), F.col("doc_id"))).alias(
+                "batch_keeper"
+            ),
+        )
+        drops = (
+            members.filter("__is_batch")
+            .join(stats, "cluster_id")
+            .filter(
+                F.col("has_corpus") | (F.col("doc_id") != F.col("batch_keeper"))
+            )
+            .select(F.col("doc_id").alias(id_col))
+        )
+        # stabilize: kept feeds two sinks; without materialization the
+        # second write would re-probe after the index already changed
+        kept = batch_df.join(drops, id_col, "left_anti").localCheckpoint()
+        kept.write.mode("append").parquet(corpus_dir)
+        kept_sigs = minhash_signature(
+            kept, text_col, num_hashes, shingle_n, id_col
+        )
+        if have_index:
+            (
+                corpus_band_index(kept_sigs, id_col, num_hashes, bands)
+                .repartition(n_buckets, "band_key")
+                .write.mode("append")
+                .bucketBy(n_buckets, "band_key")
+                .sortBy("band_key")
+                .saveAsTable(band_table)
+            )
+        else:
+            write_corpus_band_index(
+                kept_sigs, band_table, id_col, num_hashes, bands, n_buckets
+            )
+
+    writer = docs_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def sessionize_events(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

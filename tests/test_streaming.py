@@ -189,3 +189,63 @@ def test_ingest_dedup_stream_cross_batch(spark, tmp_path):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS ingest_idx_test")
+
+
+def test_ingest_neardup_stream_cross_batch(spark, tmp_path):
+    """foreachBatch NEAR-dup corpus ingest over the stored band index:
+    cross-batch near-dups drop with corpus-first precedence,
+    batch-internal near-dups keep the min id, distinct-vocab docs all
+    survive, and the band index holds exactly the kept docs' keys."""
+    import json
+
+    # 26-word bases with one APPENDED word: jaccard 0.96, verified to
+    # collide in >=1 of the 4 LSH bands with these exact md5-derived
+    # signatures (LSH collision at s<1 is probabilistic over texts but
+    # deterministic per text — shorter/less-similar variants measured
+    # here can miss, e.g. 14-word s=0.85 pairs)
+    base1 = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu")
+    near1a = base1 + " aaa"
+    near1b = base1 + " bbb"
+    other = ("red orange yellow green blue indigo violet cyan magenta "
+             "teal maroon olive navy silver gold bronze copper pearl "
+             "ruby amber jade coral ivory onyx slate plum")
+    base2 = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen "
+             "eighteen nineteen twenty twentyone twentytwo twentythree "
+             "twentyfour twentyfive twentysix")
+    near2 = base2 + " ccc"
+
+    b1 = [(1, base1), (2, near1a), (3, other)]      # 2 near-dups 1
+    b2 = [(10, near1b), (11, base2), (12, near2)]   # 10 ~ corpus 1; 12 ~ 11
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    for name, rows in (("a.json", b1), ("b.json", b2)):
+        with open(in_dir / name, "w") as fh:
+            for i, t in rows:
+                fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    spark.sql("DROP TABLE IF EXISTS neardup_idx_test")
+    try:
+        q = S.ingest_neardup_stream(
+            stream, corpus_dir, "neardup_idx_test",
+            checkpoint_dir=ck, n_buckets=4,
+        )
+        q.awaitTermination()
+        got = {(r["doc_id"], r["text"])
+               for r in spark.read.parquet(corpus_dir).collect()}
+        assert got == {(1, base1), (3, other), (11, base2)}
+        # index covers exactly the kept docs (4 band keys each)
+        idx = spark.table("neardup_idx_test")
+        assert {r["__cid"] for r in idx.select("__cid").collect()} == {1, 3, 11}
+        assert idx.count() == 3 * 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS neardup_idx_test")
