@@ -393,10 +393,22 @@ def from_gds(
             and (bp_lo is None or r["pmax"] >= bp_lo)
             and (bp_hi is None or r["pmin"] <= bp_hi)
         ]
+        # boundary blocks trim INSIDE the kernels via per-block selected
+        # index ranges (sel0/sel1): unselected rows never cross the
+        # Arrow boundary, and — chromosome runs being exact — the calls
+        # side needs no id semi-join at all unless bp_range set
+        # stats-approximate ranges
         blocks = [
-            blk for blk in blocks
+            blk + ([max(s0, blk[0]) for s0, e0 in sel
+                    if blk[0] < e0 and blk[1] > s0],
+                   [min(e0, blk[1]) for s0, e0 in sel
+                    if blk[0] < e0 and blk[1] > s0])
+            for blk in blocks
             if any(blk[0] < e0 and blk[1] > s0 for s0, e0 in sel)
         ]
+    else:
+        blocks = [blk + ([], []) for blk in blocks]
+    bschema += ", sel0 array<long>, sel1 array<long>"
 
     blocks_df = spark.createDataFrame(blocks, bschema).repartition(
         min(max(len(blocks), 1), ncores * 4)
@@ -475,10 +487,14 @@ def from_gds(
             samples = samples.join(aux, "sample_id", "left")
 
     if chromosomes is not None or bp_range is not None:
-        # trim partial boundary blocks exactly; the calls side takes the
-        # engine's standard id-projection semi-join (size-guarded)
-        from seqarray_spark.plans.hints import maybe_broadcast
-
+        # the kernels already trimmed to the selected index ranges —
+        # EXACT for chromosome runs, zone-map-approximate for bp_range.
+        # So the Column re-filter below is a correctness backstop that
+        # only does real work for bp_range boundary runs, and the calls
+        # side needs an id semi-join ONLY when bp_range is set (for
+        # chromosomes-only selections it would join against rows the
+        # kernels already made exact — a pure broadcast of a
+        # Python-evaluated relation for nothing)
         cond = F.lit(True)
         if chromosomes is not None:
             cond = cond & F.col("chromosome").isin(
@@ -489,7 +505,9 @@ def from_gds(
         if bp_hi is not None:
             cond = cond & (F.col("position") <= int(bp_hi))
         variants = variants.filter(cond)
-        if calls is not None:
+        if calls is not None and bp_range is not None:
+            from seqarray_spark.plans.hints import maybe_broadcast
+
             calls = calls.join(
                 maybe_broadcast(variants.select("variant_id")),
                 "variant_id", "left_semi",
@@ -747,6 +765,26 @@ def _py(v):
     return v
 
 
+def _block_sel_mask(row, s: int, e: int):
+    """Per-variant keep mask for a block from its selected index ranges
+    (sel0/sel1, global variant-index space), or None when the block is
+    untrimmed (no pruning, or the block lies entirely inside one
+    selected run). Trimming here — before the Arrow boundary — is what
+    lets a pruned read skip the calls-side id semi-join entirely for
+    chromosome selections (runs are exact chromosome spans)."""
+    if "sel0" not in row.index:
+        return None
+    s0, e0 = row["sel0"], row["sel1"]
+    if s0 is None or len(s0) == 0:
+        return None
+    if len(s0) == 1 and s0[0] <= s and e0[0] >= e:
+        return None
+    mask = np.zeros(e - s, dtype=bool)
+    for a, b in zip(s0, e0):
+        mask[max(int(a) - s, 0):max(int(b) - s, 0)] = True
+    return mask
+
+
 def _variants_block(g, s, e, row, imeta, filter_levels, vl=None):
     vid = np.asarray(_node_slice(g, g.node("variant.id"), s, e, vl), dtype=np.int64)
     chrom = _node_slice(g, g.node("chromosome"), s, e, vl)
@@ -813,7 +851,9 @@ def _variants_block(g, s, e, row, imeta, filter_levels, vl=None):
         out["info"] = [
             {name: info_cols[name][i] for name, _, _ in imeta} for i in range(e - s)
         ]
-    return pd.DataFrame(out)
+    pdf = pd.DataFrame(out)
+    mask = _block_sel_mask(row, s, e)
+    return pdf if mask is None else pdf[mask]
 
 
 def _mask_to_obj(a: np.ndarray, mask: np.ndarray) -> np.ndarray:
@@ -912,7 +952,11 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None):
             dtype=np.int64,
         ) if _has(g, f"annotation/format/{name}/@data") else np.ones(nv, dtype=np.int64)
         out[name] = _format_col(flat, rcounts, nv, n_samp, is_arr)
-    return pd.DataFrame(out)
+    pdf = pd.DataFrame(out)
+    mask = _block_sel_mask(row, s, e)
+    # per-variant mask expands across the block's sample axis; applied
+    # AFTER _apply_extra (overflow entries index by in-block call slot)
+    return pdf if mask is None else pdf[np.repeat(mask, n_samp)]
 
 
 def _na_mask(a: np.ndarray) -> np.ndarray:
