@@ -1187,6 +1187,7 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
               format_coder: str | None = None,
               index_coder: str | None = None,
               format_storage: dict[str, str] | None = None,
+              scenario: str = "general",
               transposed: bool = False,
               strict_frames: bool = False,
               heal_frames: bool = True,
@@ -1230,6 +1231,11 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     ("packedreal16:offset=0,scale=0.0001", R/ConvVCF2GDS.R:578-583)
     instead of float32.
 
+    `scenario="imputation"` is the reference's named shorthand for
+    exactly that (seqVCF2GDS(scenario=), R/ConvVCF2GDS.R:572-583): DS
+    and GP default to packedreal16; an explicit `format_storage` entry
+    for either field wins. "general" (default) changes nothing.
+
     `digest=True` (the reference's default) stamps every data node with
     the md5 attribute gdsfmt's digest.gdsn(action='add') would —
     computed over the node's on-disk data-stream content, the exact
@@ -1242,6 +1248,13 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     stored as float32 (the reference stores VCF Type=Float the same
     way); missing ints as INT32_MIN, missing floats as NaN — both the
     reference's NA conventions."""
+    if scenario not in ("general", "imputation"):
+        raise ValueError(f"unknown scenario {scenario!r}")
+    if scenario == "imputation":
+        format_storage = {
+            "DS": "packedreal16", "GP": "packedreal16",
+            **(format_storage or {}),
+        }
     plan = _storage_plan(coder, geno=geno_coder, info=info_coder,
                          fmt=format_coder, index=index_coder)
     # strict_frames: driver re-frames node streams on the exact 64 KiB

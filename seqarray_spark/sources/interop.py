@@ -87,7 +87,7 @@ def vcf2gds(spark, vcf_path, gds_path: str, *, read_opts: dict | None = None,
     R/ConvVCF2GDS.R:559-1465 — its single most-used entry point).
     Distributed both directions: expression-only VCF parse, executor-side
     frame-compressed container encode. write_opts pass to write_gds
-    (coder=, format_storage=, transposed=, ...); read_opts to read_vcf
+    (coder=, format_storage=, scenario=, transposed=, ...); read_opts to read_vcf
     (assign_ids=, validate=, ...)."""
     from seqarray_spark.sources.vcf import read_vcf
 

@@ -865,3 +865,33 @@ def test_digest_matches_reference_convention(spark, tmp_path):
     assert len(r2) >= 20 and all(r2.values()), {
         k: v for k, v in r2.items() if not v
     }
+
+
+def test_scenario_imputation_equals_explicit_format_storage(spark, tmp_path):
+    """to_gds(scenario="imputation") is the reference's named shorthand
+    for format_storage={'DS'/'GP': 'packedreal16'} (seqVCF2GDS scenario,
+    R/ConvVCF2GDS.R:572-583): byte-identical container to the explicit
+    spelling, node kind pinned; an explicit format_storage entry wins
+    over the scenario default; unknown scenarios refuse."""
+    src = "/root/reference/inst/extdata/Imputed_dosages.gds"
+    if not os.path.exists(src):
+        pytest.skip("reference fixture unavailable")
+    from seqarray_spark.dataset import SeqDataset
+
+    orig = SeqDataset.from_gds(spark, src)
+    a = str(tmp_path / "scen.gds")
+    b = str(tmp_path / "expl.gds")
+    orig.to_gds(a, scenario="imputation", block_variants=40)
+    orig.to_gds(b, format_storage={"DS": "packedreal16"}, block_variants=40)
+    # the fixture has only DS, so the scenario's GP default is inert
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()
+    assert GdsFile(a).node("annotation/format/DS/data").kind == "packedreal16"
+
+    c = str(tmp_path / "win.gds")
+    orig.to_gds(c, scenario="imputation",
+                format_storage={"DS": "packedreal32"}, block_variants=40)
+    assert GdsFile(c).node("annotation/format/DS/data").kind == "packedreal32"
+
+    with pytest.raises(ValueError, match="scenario"):
+        orig.to_gds(str(tmp_path / "bad.gds"), scenario="nope")
