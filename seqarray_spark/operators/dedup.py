@@ -107,6 +107,60 @@ def incremental_exact_dedup(
     )
 
 
+def compact_bucketed_index(spark, table: str) -> None:
+    """Restore a streamed-into bucketed index (corpus hash index or
+    band-key index) to ONE file per bucket.
+
+    The ingest loops append one file per bucket per micro-batch; Spark
+    only trusts (and reuses) a bucket's stored sort when the bucket is
+    a single file, so after N batches every batch join re-sorts the
+    whole corpus side — exactly the per-batch corpus-scale cost the
+    bucketed layout exists to avoid. Run this periodically (e.g. every
+    K batches or nightly): it reads the table's own bucket spec from
+    the catalog, rewrites through the same repartition-by-bucket-hash
+    recipe as the original writers, and swaps via a staging table +
+    RENAME — so a crash mid-compaction leaves either the old table or
+    a complete staged copy, never a half-written index. Not atomic
+    against concurrent readers; run it from the ingest loop's driver
+    between batches (foreachBatch is serial per query)."""
+    rows = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    n_buckets = int(rows["Num Buckets"])
+    def _cols(spec: str) -> list[str]:
+        return [c.strip(" `") for c in spec.strip("[]").split(",")]
+    bucket_cols = _cols(rows["Bucket Columns"])
+    sort_cols = _cols(rows["Sort Columns"]) if rows.get("Sort Columns") else bucket_cols
+    stage = f"{table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    # FORCE the bucketed scan for the rewrite: Catalyst elides the
+    # repartition (the catalog bucket spec already satisfies its
+    # distribution) while the auto-bucketed-scan rule simultaneously
+    # decides the query "doesn't benefit" and reads plain files — net
+    # effect, NO exchange AND per-file partitions, so two tasks can
+    # hold the same bucket's rows and each writes its own bucket file
+    # (observed: 16 files stayed 16). Pinning autoBucketedScan off
+    # forces one-partition-per-bucket reads, making the elision
+    # correct: task == bucket == one output file.
+    auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto)
+    spark.conf.set(auto, "false")
+    try:
+        (
+            spark.table(table)
+            .repartition(n_buckets, *bucket_cols)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*sort_cols)
+            .saveAsTable(stage)
+        )
+    finally:
+        spark.conf.set(auto, prev)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -157,6 +157,7 @@ def ingest_dedup_stream(
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
     n_buckets: int = 64,
+    compact_every: int | None = None,
 ):
     """The production corpus-ingest loop: a document stream is exact-
     deduped against the ENTIRE corpus ever ingested, not a watermark
@@ -174,11 +175,15 @@ def ingest_dedup_stream(
     dropDuplicatesWithinWatermark, whose state store is watermark-
     bounded by design. Appends add one file per bucket per batch, which
     keeps the join Exchange-free on the corpus side but re-introduces a
-    per-bucket Sort until a periodic compaction (rewrite via
-    write_corpus_hash_index) restores the one-file-per-bucket layout.
+    per-bucket Sort until compaction restores the one-file-per-bucket
+    layout: pass `compact_every=K` to run
+    operators.dedup.compact_bucketed_index after every K-th batch
+    (safe here — foreachBatch is serial per query), or run it yourself
+    on a maintenance schedule.
 
     Returns the StreamingQuery (caller awaits/stops it)."""
-    from seqarray_spark.operators.dedup import (exact_dedup,
+    from seqarray_spark.operators.dedup import (compact_bucketed_index,
+                                                exact_dedup,
                                                 incremental_exact_dedup)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -205,6 +210,8 @@ def ingest_dedup_stream(
             .sortBy("content_md5")
             .saveAsTable(index_table)
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_bucketed_index(spark, index_table)
 
     writer = docs_stream.writeStream.foreachBatch(process).trigger(
         availableNow=True
@@ -226,6 +233,7 @@ def ingest_neardup_stream(
     shingle_n: int = 3,
     tau: float = 0.7,
     n_buckets: int = 64,
+    compact_every: int | None = None,
 ):
     """NEAR-duplicate corpus-ingest loop — the MinHash-LSH sibling of
     ingest_dedup_stream, i.e. the full production training-data ingest
@@ -247,12 +255,13 @@ def ingest_neardup_stream(
 
     First batch bootstraps the index via write_corpus_band_index.
     As with the exact loop, per-batch appends add one file per bucket,
-    re-introducing a per-bucket Sort until a periodic compaction
-    (write_corpus_band_index over the full corpus sigs) restores the
-    one-file-per-bucket layout.
+    re-introducing a per-bucket Sort until compaction restores the
+    one-file-per-bucket layout — `compact_every=K` runs
+    operators.dedup.compact_bucketed_index after every K-th batch.
 
     Returns the StreamingQuery (caller awaits/stops it)."""
-    from seqarray_spark.operators.dedup import (corpus_band_index,
+    from seqarray_spark.operators.dedup import (compact_bucketed_index,
+                                                corpus_band_index,
                                                 dup_clusters,
                                                 incremental_dup_pairs,
                                                 minhash_dup_pairs,
@@ -323,6 +332,8 @@ def ingest_neardup_stream(
             write_corpus_band_index(
                 kept_sigs, band_table, id_col, num_hashes, bands, n_buckets
             )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_bucketed_index(spark, band_table)
 
     writer = docs_stream.writeStream.foreachBatch(process).trigger(
         availableNow=True

@@ -351,3 +351,70 @@ def test_incremental_dedup_corpus_side_shuffle_free(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS cbi_plan")
+
+
+def test_compaction_restores_shuffle_free_corpus_join(spark):
+    """The ingest loops' append path adds one file per bucket per batch;
+    multi-file buckets make Spark distrust the stored sort, so the
+    corpus side re-sorts on every batch join. compact_bucketed_index
+    rewrites to one file per bucket and the plan returns to the
+    single-Sort (batch-side-only) shape the layout promises."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators.dedup import (
+        compact_bucketed_index,
+        corpus_band_index,
+        incremental_dup_pairs,
+        minhash_signature,
+        write_corpus_band_index,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta epsilon zeta {i % 7}")
+         for i in range(60)]
+    )
+    batch = docs.where("doc_id % 6 = 0")
+    corpus1 = docs.where("doc_id % 6 = 1")
+    corpus2 = docs.where("doc_id % 6 = 2")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS cbi_compact")
+    try:
+        sigs1 = minhash_signature(corpus1, num_hashes=16, shingle_n=3) \
+            .select("doc_id", "mh_sig")
+        write_corpus_band_index(sigs1, "cbi_compact", num_hashes=16,
+                                bands=4, n_buckets=8)
+        # streamed append: second batch of band keys -> 2 files/bucket
+        sigs2 = minhash_signature(corpus2, num_hashes=16, shingle_n=3) \
+            .select("doc_id", "mh_sig")
+        (
+            corpus_band_index(sigs2, "doc_id", 16, 4)
+            .repartition(8, "band_key")
+            .write.mode("append")
+            .bucketBy(8, "band_key")
+            .sortBy("band_key")
+            .saveAsTable("cbi_compact")
+        )
+
+        def probe():
+            cand = incremental_dup_pairs(
+                batch, None, num_hashes=16, bands=4, shingle_n=3, tau=None,
+                include_new_pairs=False,
+                corpus_band_table=spark.table("cbi_compact"),
+            )
+            return cand, E.plan_string(cand, "simple")
+
+        cand, plan = probe()
+        # multi-file buckets: the corpus side re-sorts -> 2 band_key sorts
+        assert plan.count("Sort [band_key") == 2, plan
+        rows_before = cand.count()
+
+        compact_bucketed_index(spark, "cbi_compact")
+        cand, plan = probe()
+        assert plan.count("Sort [band_key") == 1, plan
+        assert "Bucketed: true" in plan
+        assert cand.count() == rows_before  # identical results
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS cbi_compact")
+        spark.sql("DROP TABLE IF EXISTS cbi_compact__compacting")

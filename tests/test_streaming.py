@@ -249,3 +249,52 @@ def test_ingest_neardup_stream_cross_batch(spark, tmp_path):
         assert idx.count() == 3 * 4
     finally:
         spark.sql("DROP TABLE IF EXISTS neardup_idx_test")
+
+
+def test_ingest_dedup_stream_with_compaction(spark, tmp_path):
+    """compact_every=K inside the ingest loop: identical corpus result,
+    and the index lands at ONE file per bucket (the layout whose stored
+    sort Spark trusts — plan-asserted in test_plans) instead of one per
+    batch."""
+    import glob
+    import json
+
+    b1 = [(1, "alpha"), (2, "beta"), (3, "alpha")]
+    b2 = [(10, "beta"), (11, "gamma"), (12, "gamma")]
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    for name, rows in (("a.json", b1), ("b.json", b2)):
+        with open(in_dir / name, "w") as fh:
+            for i, t in rows:
+                fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    spark.sql("DROP TABLE IF EXISTS ingest_idx_compact")
+    try:
+        q = S.ingest_dedup_stream(
+            stream, corpus_dir, "ingest_idx_compact",
+            checkpoint_dir=str(tmp_path / "ck"), n_buckets=4,
+            compact_every=1,
+        )
+        q.awaitTermination()
+        got = {r["doc_id"]
+               for r in spark.read.parquet(corpus_dir).collect()}
+        assert got == {1, 2, 11}
+        loc = [
+            r["data_type"]
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED ingest_idx_compact"
+            ).collect()
+            if r["col_name"] == "Location"
+        ][0].replace("file:", "")
+        files = glob.glob(f"{loc}/part-*")
+        # one file per non-empty bucket, never one per batch per bucket
+        buckets = {f.rsplit("_", 1)[1].split(".")[0] for f in files}
+        assert len(files) == len(buckets), files
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ingest_idx_compact")
+        spark.sql("DROP TABLE IF EXISTS ingest_idx_compact__compacting")
