@@ -48,15 +48,19 @@ def synth(spark, n_var: int, n_samp: int, layout: str):
     from seqarray_spark.dataset import SeqDataset
 
     per_chrom = (n_var + 21) // 22
-    chrom = (
-        ((F.col("id") - 1) / per_chrom + 1).cast("int")
-        if layout == "sorted"
-        else (F.col("id") % 22 + 1).cast("int")
-    )
+    if layout == "sorted":
+        # how real VCF->GDS imports land: chromosome-contiguous AND
+        # position-sorted within each chromosome (what makes zone-map
+        # bp_range pruning O(window))
+        chrom = ((F.col("id") - 1) / per_chrom + 1).cast("int")
+        pos = (((F.col("id") - 1) % per_chrom) * 400 + 1).cast("int")
+    else:
+        chrom = (F.col("id") % 22 + 1).cast("int")
+        pos = ((F.col("id") * 7) % 200_000_000 + 1).cast("int")
     v = spark.range(1, n_var + 1, 1, 64).select(
         F.col("id").alias("variant_id"),
         chrom.cast("string").alias("chromosome"),
-        ((F.col("id") * 7) % 200_000_000 + 1).cast("int").alias("position"),
+        pos.alias("position"),
         F.lit(None).cast("string").alias("id"),
         F.element_at(
             F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T")),
@@ -149,6 +153,42 @@ def main():
         t0 = time.time()
         pruned = af_summary(from_gds(spark, path, chromosomes=["7", "8"]))
         t_pruned = time.time() - t0
+
+        # gene-window read: chromosome + bp window — on the sorted
+        # layout the zone-map stats cut within the chromosome too, so
+        # cost tracks the WINDOW, not the chromosome
+        per_chrom = (n_var + 21) // 22
+        # ~10% of chrom 7's position span, starting 20% in
+        span = per_chrom * 400
+        win = (int(span * 0.2) + 1, int(span * 0.3))
+        t0 = time.time()
+        wds = from_gds(spark, path, chromosomes=["7"], bp_range=win)
+        w_pruned = af_summary(wds)
+        t_win = time.time() - t0
+
+        t0 = time.time()
+        cds = from_gds(spark, path, chromosomes=["7"])
+        t_chrom_only = time.time() - t0  # open+prescan only; AF below
+        ref = from_gds(spark, path)
+        ref.set_filter_chrom(["7"], from_bp=win[0], to_bp=win[1])
+        w_ref = af_summary(ref)
+        assert w_pruned == w_ref, (w_pruned, w_ref)
+        t0 = time.time()
+        c_only = af_summary(cds)
+        t_chrom_af = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "stage": f"{layout}_gene_window_af",
+                    "window_variants": w_pruned["variants"],
+                    "chrom_variants": c_only["variants"],
+                    "window_read_sec": round(t_win, 2),
+                    "chrom_only_read_sec": round(t_chrom_af + t_chrom_only, 2),
+                    "driver_rss_mb": round(rss_mb(), 1),
+                }
+            ),
+            flush=True,
+        )
 
         assert pruned == f_only, (pruned, f_only)
         print(
