@@ -552,13 +552,21 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
     )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency via a count window over shingle: ONE shuffle of
+    # the shingle relation (partition + sort by shingle) instead of the
+    # groupBy(shingle) + equi-join-back pair, which shuffled the same
+    # relation twice and evaluated the explode lineage for both sides
+    from pyspark.sql.window import Window as _W
+
+    with_df = sh.withColumn(
+        "df", F.count(F.lit(1)).over(_W.partitionBy("shingle"))
+    )
     # per-doc prefix = the floor((1-tau)*|d|)+1 globally-rarest shingles,
     # carved with one sorted-collect aggregation (a window row_number here
     # costs an extra shuffle + full sort pass); posexplode keeps each
     # prefix shingle's 0-based rank for the positional filter
     prefix = (
-        sh.join(dfreq, "shingle")
+        with_df
         .groupBy("_id")
         .agg(
             F.slice(
