@@ -199,18 +199,27 @@ def header_df(ds) -> dict[str, DataFrame]:
         for d in (meta.get("filter_meta") or [])
     ]
     cat_schema = "ID string, Number string, Type string, Description string"
+
+    def _local(rows, schema):
+        # header-sized catalogs: ONE partition, not defaultParallelism —
+        # the default slicing turns a 9-row union into ~100 empty tasks
+        # (measured: a 1.4 s count job for a toy header)
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        ) if rows else spark.createDataFrame([], schema)
+
     return {
-        "info": spark.createDataFrame(
+        "info": _local(
             [(d["ID"], d.get("Number", "."), d.get("Type", ""),
               d.get("Description", "") or "") for d in info_cat],
             cat_schema,
         ),
-        "format": spark.createDataFrame(
+        "format": _local(
             [(d["ID"], d.get("Number", "."), d.get("Type", ""),
               d.get("Description", "") or "") for d in fmt_cat],
             cat_schema,
         ),
-        "filter": spark.createDataFrame(
+        "filter": _local(
             [(d["ID"], d["Description"]) for d in filt_cat],
             "ID string, Description string",
         ),
