@@ -225,6 +225,7 @@ def from_gds(
     format_fields: list[str] | None = None,
     chromosomes: list[str] | None = None,
     bp_range: tuple[int | None, int | None] | None = None,
+    samples: list[str] | None = None,
 ):
     """Open a SeqArray .gds container as a SeqDataset.
 
@@ -265,6 +266,14 @@ def from_gds(
     Combines with `chromosomes`; the window applies to every selected
     chromosome (the reference's vectored per-chrom windows remain
     available post-read via set_filter_chrom).
+
+    `samples`: prune the SAMPLE axis at the scan — the reference's
+    seqSetFilter(sample.id=) pushed into the decode kernels. Genotype
+    bit planes still decode whole rows (the packing is per full sample
+    row), but per-cell list building, FORMAT expansion, and the Arrow
+    transfer — the dominant calls-side costs — run at |selection|: a
+    1k-of-500k-sample biobank read ships 0.2% of the cells. Unknown
+    ids raise (the reference's match() stops on NA too).
     """
     from seqarray_spark.dataset import SeqDataset
 
@@ -280,6 +289,19 @@ def from_gds(
         # and never over the 8192 a large file wants for frame locality
         ncores = spark.sparkContext.defaultParallelism
         block_variants = max(256, min(8192, -(-n_var // max(ncores, 1))))
+
+    s_sel = None
+    if samples is not None:
+        pos = {sid: i for i, sid in enumerate(sample_ids)}
+        missing = [sid for sid in samples if sid not in pos]
+        if missing:
+            raise ValueError(f"unknown sample ids: {missing[:5]}")
+        # stored order, like the reference's sample selection
+        want = set(samples)
+        s_sel = np.array(
+            [i for i, sid in enumerate(sample_ids) if sid in want],
+            dtype=np.int64,
+        )
 
     # --- driver-side linear pass over the small index nodes ------------
     geno = f.node("genotype/data") if _has(f, "genotype/data") else None
@@ -465,14 +487,16 @@ def from_gds(
             for pdf in batches:
                 for _, row in pdf.iterrows():
                     yield _calls_block(g, row, sids, ploidy, fmeta,
-                                       _row_vl(row, vlpaths))
+                                       _row_vl(row, vlpaths), s_sel)
 
         calls = blocks_df.mapInPandas(calls_kernel, schema=c_schema)
 
     # --- samples -------------------------------------------------------
     # sample_ordinal = 1-based node order (the reference's sample order)
+    keep_ord = None if s_sel is None else {int(i) + 1 for i in s_sel}
     samples = spark.createDataFrame(
-        [(s, k + 1) for k, s in enumerate(sample_ids)],
+        [(s, k + 1) for k, s in enumerate(sample_ids)
+         if keep_ord is None or k + 1 in keep_ord],
         "sample_id string, sample_ordinal int",
     )
     if _has(f, "sample.annotation"):
@@ -864,16 +888,31 @@ def _mask_to_obj(a: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return out
 
 
-def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None):
+def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None, s_sel=None):
+    """s_sel: optional np array of selected 0-based sample ordinals —
+    the sample-axis prune (reference seqSetFilter(sample.id=) pushed
+    into the scan): bit planes decode whole rows (packing is per full
+    sample row), but the per-cell Python list building, FORMAT
+    expansion, and Arrow transfer all run at |selection|, the dominant
+    costs of the calls side."""
     s, e = int(row["start"]), int(row["end"])
     p0, p1 = int(row["p0"]), int(row["p1"])
-    n_samp = len(sample_ids)
+    n_all = len(sample_ids)
+    if s_sel is None:
+        sub_ids = sample_ids
+        n_samp = n_all
+        remap = None
+    else:
+        sub_ids = [sample_ids[i] for i in s_sel]
+        n_samp = len(sub_ids)
+        remap = np.full(n_all, -1, dtype=np.int64)
+        remap[s_sel] = np.arange(n_samp)
     nv = e - s
     has_geno = _has(g, "genotype/data") and g.node("genotype/data").dims[0] > 0
     if has_geno:
         geno_node = g.node("genotype/data")
         planes = np.asarray(
-            _bit_rows(g, geno_node, p0, p1, n_samp * ploidy), dtype=np.int64
+            _bit_rows(g, geno_node, p0, p1, n_all * ploidy), dtype=np.int64
         )
         counts = np.asarray(_node_slice(g, g.node("genotype/@data"), s, e, vl),
                             dtype=np.int64) \
@@ -882,7 +921,7 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None):
         # whole-block shift + grouped bitwise-or (reduceat over plane
         # rows), no per-variant Python loop
         npl = p1 - p0
-        P = planes.reshape(npl, n_samp * ploidy)
+        P = planes.reshape(npl, n_all * ploidy)
         if npl == nv and counts.max(initial=1) == 1:
             acc = P
         elif (counts >= 1).all():
@@ -890,7 +929,7 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None):
             k_of = np.arange(npl) - np.repeat(starts, counts)
             acc = np.bitwise_or.reduceat(P << (2 * k_of)[:, None], starts, axis=0)
         else:  # degenerate zero-plane variants: per-variant fallback
-            acc = np.zeros((nv, n_samp * ploidy), dtype=np.int64)
+            acc = np.zeros((nv, n_all * ploidy), dtype=np.int64)
             off = 0
             for i, c in enumerate(counts):
                 for k in range(int(c)):
@@ -904,14 +943,18 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None):
                 f"variant block [{s},{e}) has {int(counts.max())} genotype "
                 "bit planes; allele codes exceed the int16 call schema"
             )
-        alleles = acc.reshape(nv, n_samp, ploidy)
+        alleles = acc.reshape(nv, n_all, ploidy)
+        if s_sel is not None:
+            alleles = alleles[:, s_sel, :]
         is_missing = alleles == ((1 << (2 * counts)) - 1)[:, None, None]
     phase_vals = None
     if has_geno and _has(g, "phase/data") and g.node("phase/data").dims[0] > 0:
         phase_vals = np.asarray(
-            _bit_rows(g, g.node("phase/data"), s, e, n_samp * (ploidy - 1)),
+            _bit_rows(g, g.node("phase/data"), s, e, n_all * (ploidy - 1)),
             dtype=bool,
-        ).reshape(nv, n_samp, max(ploidy - 1, 0)) if ploidy > 1 else None
+        ).reshape(nv, n_all, max(ploidy - 1, 0)) if ploidy > 1 else None
+        if phase_vals is not None and s_sel is not None:
+            phase_vals = phase_vals[:, s_sel, :]
 
     vid = np.asarray(_node_slice(g, g.node("variant.id"), s, e, vl), dtype=np.int64)
     if has_geno:
@@ -926,7 +969,7 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None):
         phased_col = [[]] * (nv * n_samp)
     out = {
         "variant_id": np.repeat(vid, n_samp),
-        "sample_id": np.tile(np.asarray(sample_ids, dtype=object), nv),
+        "sample_id": np.tile(np.asarray(sub_ids, dtype=object), nv),
         "alleles": alleles_col,
         "phased": phased_col,
     }
@@ -936,22 +979,22 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None):
     if has_geno and int(row["g1"]) > int(row["g0"]):
         _apply_extra(
             g, "genotype", row["g0"], row["g1"], row["go"], s, n_samp,
-            out["alleles"], lambda x: None if x < 0 else int(x),
+            out["alleles"], lambda x: None if x < 0 else int(x), remap,
         )
     if phase_vals is not None and int(row["q1"]) > int(row["q0"]):
         _apply_extra(
             g, "phase", row["q0"], row["q1"], row["qo"], s, n_samp,
-            out["phased"], lambda x: bool(x),
+            out["phased"], lambda x: bool(x), remap,
         )
     for k, (name, kind, is_arr) in enumerate(fmeta):
         node = g.node(f"annotation/format/{name}/data")
         r0, r1 = int(row["f0"][k]), int(row["f1"][k])
-        flat = _node_slice_2d(g, node, r0, r1, n_samp, vl)
+        flat = _node_slice_2d(g, node, r0, r1, n_all, vl)
         rcounts = np.asarray(
             _node_slice(g, g.node(f"annotation/format/{name}/@data"), s, e, vl),
             dtype=np.int64,
         ) if _has(g, f"annotation/format/{name}/@data") else np.ones(nv, dtype=np.int64)
-        out[name] = _format_col(flat, rcounts, nv, n_samp, is_arr)
+        out[name] = _format_col(flat, rcounts, nv, n_all, is_arr, s_sel)
     pdf = pd.DataFrame(out)
     mask = _block_sel_mask(row, s, e)
     # per-variant mask expands across the block's sample axis; applied
@@ -969,41 +1012,52 @@ def _na_mask(a: np.ndarray) -> np.ndarray:
     return np.zeros(a.shape, dtype=bool)
 
 
-def _format_col(flat, rcounts, nv, n_samp, is_arr):
-    """One FORMAT field column for a block: rows of n_samp values grouped
-    per variant by rcounts. Uniform row counts take the vectorized
-    reshape path; ragged falls back to the per-variant loop."""
+def _format_col(flat, rcounts, nv, n_all, is_arr, s_sel=None):
+    """One FORMAT field column for a block: rows of n_all stored values
+    grouped per variant by rcounts, optionally subset to the s_sel
+    sample ordinals. Uniform row counts take the vectorized reshape
+    path; ragged falls back to the per-variant loop."""
+    n_samp = n_all if s_sel is None else len(s_sel)
     uniform = nv > 0 and rcounts.min(initial=1) == rcounts.max(initial=1)
     if uniform and not isinstance(flat, list):
         c = int(rcounts[0]) if len(rcounts) else 1
-        a = np.asarray(flat)[: nv * c * n_samp]
+        a = np.asarray(flat)[: nv * c * n_all]
         obj = _mask_to_obj(a, _na_mask(a))
         if is_arr:
-            # (nv, c, n_samp) -> per-call [v_r0..v_rc] lists
-            return obj.reshape(nv, c, n_samp).transpose(0, 2, 1) \
-                .reshape(nv * n_samp, c).tolist()
+            # (nv, c, n_all) -> per-call [v_r0..v_rc] lists
+            cube = obj.reshape(nv, c, n_all)
+            if s_sel is not None:
+                cube = cube[:, :, s_sel]
+            return cube.transpose(0, 2, 1).reshape(nv * n_samp, c).tolist()
         if c == 1:
+            if s_sel is not None:
+                return list(obj.reshape(nv, n_all)[:, s_sel].reshape(-1))
             return list(obj)
+    cols = range(n_all) if s_sel is None else s_sel
     vals, off = [], 0
     for i, c in enumerate(rcounts):
         c = int(c)
         if is_arr:
             # variant's c rows -> per-sample value lists
             vals.extend(
-                [_py(flat[(off + r) * n_samp + j]) for r in range(c)]
-                for j in range(n_samp)
+                [_py(flat[(off + r) * n_all + j]) for r in range(c)]
+                for j in cols
             )
         elif c < 1:
             vals.extend([None] * n_samp)
         else:
-            vals.extend(_py(x) for x in flat[off * n_samp:(off + 1) * n_samp])
+            vals.extend(_py(flat[off * n_all + j]) for j in cols)
         off += c
     return vals
 
 
-def _apply_extra(g, folder, e0, e1, off0, s, n_samp, lists, conv):
+def _apply_extra(g, folder, e0, e1, off0, s, n_samp, lists, conv,
+                 remap=None):
     """Append overflow values from <folder>/extra to the per-call lists
-    for extra.index entries [e0, e1)."""
+    for extra.index entries [e0, e1). `remap` (sample-pruned reads)
+    maps stored 0-based sample ordinals to selected positions, -1 =
+    sample not selected (the entry's values are skipped but the value
+    cursor still advances — offsets are absolute in the stream)."""
     e0, e1, off0 = int(e0), int(e1), int(off0)
     trip = np.asarray(
         _node_slice_2d(g, g.node(f"{folder}/extra.index"), e0, e1, 3)
@@ -1017,6 +1071,11 @@ def _apply_extra(g, folder, e0, e1, off0, s, n_samp, lists, conv):
         li = int(vidx) - 1 - s
         j = int(sidx) - 1
         ln = int(ln)
+        if remap is not None:
+            j = int(remap[j])
+            if j < 0:
+                off += ln
+                continue
         k = li * n_samp + j
         lists[k] = list(lists[k]) + [conv(x) for x in vals[off:off + ln]]
         off += ln

@@ -430,3 +430,97 @@ def test_gds_chrom_runs_match_column_rle(spark):
     runs = _gds_chrom_runs(spark, bc, blocks, bschema, vlpaths, 8)
     assert runs == expect
     assert sum(e - s for _, s, e in runs) == n_var
+
+
+def test_from_gds_sample_pruned_read(spark, tmp_path):
+    """from_gds(samples=...) — the sample-axis scan prune
+    (seqSetFilter(sample.id=) pushed into the kernels): result equals
+    the full read filtered to the same samples, on the CEU fixture
+    (genotype+phase), on a FORMAT-carrying dosage fixture, and on a
+    mixed-ploidy container exercising the extras remap; unknown ids
+    raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    p = "/root/reference/inst/extdata/CEU_Exon.gds"
+    full = from_gds(spark, p, block_variants=64)
+    ids = [r["sample_id"] for r in full.samples.orderBy("sample_ordinal")
+           .limit(7).collect()]
+    pick = [ids[0], ids[3], ids[6]]
+    pruned = from_gds(spark, p, block_variants=64, samples=pick)
+    assert sorted(
+        r["sample_id"] for r in pruned.samples.collect()
+    ) == sorted(pick)
+
+    def key(df):
+        return {
+            (r["variant_id"], r["sample_id"]):
+                (tuple(r["alleles"] or []), tuple(r["phased"] or []))
+            for r in df.collect()
+        }
+
+    want = key(full.calls.filter(F.col("sample_id").isin(pick)))
+    got = key(pruned.calls)
+    assert got == want and len(got) > 0
+
+    # FORMAT fields subset (dosage fixture)
+    q = "/root/reference/inst/extdata/Imputed_dosages.gds"
+    dfull = from_gds(spark, q, block_variants=40)
+    dids = sorted(r["sample_id"] for r in dfull.samples.collect())[:3]
+    dpruned = from_gds(spark, q, block_variants=40, samples=dids)
+    wantd = {
+        (r["variant_id"], r["sample_id"]): r["DS"]
+        for r in dfull.calls.filter(F.col("sample_id").isin(dids)).collect()
+    }
+    gotd = {
+        (r["variant_id"], r["sample_id"]): r["DS"]
+        for r in dpruned.calls.collect()
+    }
+    assert gotd == wantd and len(gotd) > 0
+
+    with _pytest.raises(ValueError, match="unknown sample"):
+        from_gds(spark, p, samples=["NOPE1"])
+
+
+def test_from_gds_sample_pruned_mixed_ploidy_extras(spark, tmp_path):
+    """Sample pruning remaps the genotype/phase extras side-table
+    correctly: entries of unselected samples are skipped (with the
+    value cursor still advancing), selected ones land on the remapped
+    call slot — pinned against the full read on a triploid/haploid
+    container."""
+    from pyspark.sql import functions as F
+
+    from seqarray_spark.sources import vcf as vcfmod
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    src = tmp_path / "mixed.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "##contig=<ID=1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\n"
+        "1\t100\t.\tA\tT\t10\tPASS\t.\tGT\t0/0/1\t0|1\t0\n"
+        "1\t200\t.\tC\tG,T\t10\tPASS\t.\tGT\t1/2/2/0\t./.\t2\n"
+        "1\t300\t.\tG\tA\t10\tPASS\t.\tGT\t0/.\t1|0|1\t./0/1\n"
+    )
+    out = str(tmp_path / "mixed.gds")
+    vcfmod.read_vcf(spark, str(src), assign_ids="order").to_gds(out)
+
+    full = from_gds(spark, out)
+    for pick in (["S1", "S3"], ["S2"], ["S3"]):
+        pruned = from_gds(spark, out, samples=pick)
+        want = {
+            (r["variant_id"], r["sample_id"]):
+                (tuple(r["alleles"] or []), tuple(r["phased"] or []))
+            for r in full.calls.filter(
+                F.col("sample_id").isin(pick)
+            ).collect()
+        }
+        got = {
+            (r["variant_id"], r["sample_id"]):
+                (tuple(r["alleles"] or []), tuple(r["phased"] or []))
+            for r in pruned.calls.collect()
+        }
+        assert got == want, pick
