@@ -73,6 +73,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_mix": doc_domain_mix,
         "seq_row_ranges": seq_row_ranges,
         "seq_col_data": seq_col_data,
+        # -- r8 additions ------------------------------------------------
+        "doc_boilerplate": doc_boilerplate,
         # -- r6 additions ----------------------------------------------------
         "doc_repetition": doc_repetition,
         # -- r5 additions, driver-unchecked until r6: curation + multimodal --
@@ -790,6 +792,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(F.md5(F.col("text")).alias("content_md5")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate: the fraction of each doc's distinct
+    5-gram shingles that appear in >= 3 documents (shared headers /
+    footers / disclaimers — the ACROSS-docs complement of
+    doc_repetition's within-doc signals). boilerplate_frac is one
+    int/int IEEE division, bit-identical across engines."""
+    from seqarray_spark.operators.text import boilerplate_signals
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return boilerplate_signals(docs).select(
+        "doc_id", "n_shingles", "n_hot", "boilerplate_frac"
     )
 
 
@@ -2160,6 +2176,31 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             )
             SELECT doc_id, stratum FROM r WHERE rn <= CEIL(n * 0.2)
+        """,
+        "doc_boilerplate": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+              FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t)-4)) AS i
+                    FROM toks WHERE len(t) >= 5) z
+            ), freq AS (
+              SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+            ), agg AS (
+              SELECT sh.doc_id,
+                     COUNT(*) AS n_shingles,
+                     SUM(CASE WHEN freq.df >= 3 THEN 1 ELSE 0 END) AS n_hot
+              FROM sh JOIN freq ON freq.s = sh.s
+              GROUP BY sh.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_shingles, 0) AS n_shingles,
+                   COALESCE(a.n_hot, 0) AS n_hot,
+                   CASE WHEN a.n_shingles > 0
+                        THEN CAST(a.n_hot AS DOUBLE) / a.n_shingles
+                   END AS boilerplate_frac
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
         "doc_ngram_dups": """
             WITH toks AS (

@@ -368,3 +368,62 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
         )
         .drop("__m")
     )
+
+
+def boilerplate_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate detection: the fraction of a doc's
+    distinct word `shingle_n`-grams that are HOT — appearing in at
+    least `min_df` documents (shared headers/footers/disclaimers, the
+    spans corpus-curation pipelines strip before training). Per doc:
+    (n_shingles, n_hot, boilerplate_frac = n_hot/n_shingles, NULL for
+    docs shorter than shingle_n tokens). Complements
+    repetition_signals, which is WITHIN-doc (a doc repeating itself);
+    this is ACROSS docs (many docs repeating each other).
+
+    Plan shape: one explode of distinct shingles, document frequency
+    via a count window over the shingle (ONE shuffle — the same trick
+    as ngram_jaccard_pairs' prefix build), one groupBy(doc) for the
+    per-doc tallies, and an id-keyed left join back to docs for the
+    zero-shingle rows. No all-pairs anything: cost is O(total
+    shingles), shuffle keys are the shingles themselves (near-uniform;
+    the hot ones by definition have heavy groups, but a group is just
+    a count — partial aggregation absorbs the skew... the window path
+    sorts within shingle partitions, equivalent work)."""
+    from pyspark.sql.window import Window
+
+    docs = spread(docs)
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(word_shingles(text_col, shingle_n))
+        ).alias("__s"),
+    )
+    w = Window.partitionBy("__s")
+    agg = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(w))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("__df") >= int(min_df)).cast("long")
+            ).alias("n_hot"),
+        )
+    )
+    return (
+        docs.join(agg, docs[id_col] == agg["__id"], "left")
+        .select(
+            *docs.columns,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hot", F.lit(0)).alias("n_hot"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_hot").cast("double") / F.col("n_shingles"),
+            ).alias("boilerplate_frac"),
+        )
+    )

@@ -963,3 +963,48 @@ def test_incremental_exact_bucketed_index_shuffle_free(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS chi_test")
+
+
+def test_boilerplate_signals_hand_values(spark):
+    """Shared-footer corpus: footer 5-grams (4 of them) go hot at
+    min_df=3; bridging/body shingles stay cold; short docs get NULL."""
+    from seqarray_spark.operators.text import boilerplate_signals
+
+    footer = "this email and any attachments are confidential"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha bravo charlie delta echo {footer}"),
+            (2, f"one two three four five {footer}"),
+            (3, f"red orange yellow green blue {footer}"),
+            (4, "totally unique text with six tokens here"),
+            (5, "too short now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_signals(docs).collect()}
+    # 12 tokens -> 8 shingles; 3 pure-footer shingles are hot (df=3)
+    for i in (1, 2, 3):
+        assert out[i]["n_shingles"] == 8
+        assert out[i]["n_hot"] == 3
+        assert out[i]["boilerplate_frac"] == pytest.approx(3 / 8)
+    assert out[4]["n_shingles"] == 3 and out[4]["n_hot"] == 0
+    assert out[4]["boilerplate_frac"] == 0.0
+    assert out[5]["n_shingles"] == 0 and out[5]["boilerplate_frac"] is None
+
+
+def test_boilerplate_df_is_per_document(spark):
+    """A doc repeating the footer TWICE still counts once toward df
+    (distinct shingles per doc) — two docs sharing it stay below
+    min_df=3, so nothing goes hot."""
+    from seqarray_spark.operators.text import boilerplate_signals
+
+    footer = "this email and any attachments are confidential"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha bravo charlie delta echo {footer}"),
+            (2, f"one two three four five {footer} {footer}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_signals(docs).collect()}
+    assert out[1]["n_hot"] == 0 and out[2]["n_hot"] == 0
