@@ -139,6 +139,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         # -- similarity search ------------------------------------------------
         "emb_cosine_topk": emb_cosine_topk,
+        "emb_kmeans_cells": emb_kmeans_cells,
         "emb_ivf_topk": emb_ivf_topk,  # approximate -> rows-only check
         "emb_ivf_topk_full": emb_ivf_topk_full,  # full probe == exact
         "doc_normalize": doc_normalize,
@@ -927,6 +928,33 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_TOPK = 20
+
+
+def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact spherical k-means assignment step (the primitive under
+    SemDeDup-style semantic dedup and corpus domain discovery): K=8
+    centroids = the vectors of the 8 lowest vec_ids; every embedding
+    assigns to its max-cosine centroid (rounded to 6dp; ties -> lowest
+    centroid ordinal). Per-cell outputs are order-independent (count,
+    min, max of already-rounded values), so the hash survives engine
+    aggregation-order differences."""
+    from seqarray_spark.operators.similarity import kmeans_assign_exact
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    init = emb.orderBy("vec_id").limit(8).collect()
+    cents = spark.createDataFrame(
+        [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)],
+        "centroid_ord int, cvec array<float>",
+    )
+    assign = kmeans_assign_exact(emb, cents)
+    return (
+        assign.groupBy("centroid_ord")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("cos").alias("min_cos"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
 
 
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2266,6 +2294,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, md5(string_agg(h, ',' ORDER BY h)) AS fingerprint
             FROM ranked WHERE rn <= 8 GROUP BY doc_id
+        """,
+        "emb_kmeans_cells": """
+            WITH cents AS (
+              SELECT embedding AS cvec,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS centroid_ord
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), z AS (
+              SELECT e.vec_id, c.centroid_ord,
+                     UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+              FROM embeddings e CROSS JOIN cents c
+            ), scored AS (
+              SELECT vec_id, centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cos
+              FROM z GROUP BY vec_id, centroid_ord
+            ), best AS (
+              SELECT vec_id, centroid_ord, cos,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, centroid_ord) AS rn
+              FROM scored
+            )
+            SELECT centroid_ord, COUNT(*) AS n_points,
+                   MIN(cos) AS min_cos, MAX(cos) AS max_cos
+            FROM best WHERE rn = 1 GROUP BY centroid_ord
         """,
         "emb_cosine_topk": f"""
             WITH q AS (

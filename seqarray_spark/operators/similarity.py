@@ -191,3 +191,98 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans_assign_exact(
+    emb: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment as PURE Column expressions
+    (cross-engine-mirrorable form): broadcast the k-row centroid frame
+    (centroid_ord int, cvec array<float>), score every (point,
+    centroid) with the sequential-fold cosine, round, and keep each
+    point's best by (cosine DESC, centroid_ord ASC) — the rounding +
+    deterministic tie-break make the assignment REPRODUCIBLE across
+    engines and BLAS variants (a float64 GEMM argmax can flip
+    near-ties between SIMD partial-sum orders; the rounded sequential
+    fold cannot). Adds (centroid_ord, cos). k·N scored rows — for the
+    production path at large k use ivf_assign's mapInPandas argmax
+    instead; this form exists for exact, oracle-checkable clustering
+    steps (SemDeDup-style dedup decisions ride on it)."""
+    from pyspark.sql.window import Window
+
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(centroids_df.select("centroid_ord", "cvec")))
+        .select(
+            id_col,
+            "centroid_ord",
+            cosine(F.col(vec_col), F.col("cvec")).alias("cos"),
+        )
+    )
+    if round_to is not None:
+        scored = scored.withColumn("cos", F.round("cos", int(round_to)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("centroid_ord")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def kmeans_fit_distributed(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "tuple":
+    """Full-corpus spherical k-means (Lloyd's), DISTRIBUTED: unlike
+    kmeans_centroids (bounded driver sample — the IVF recipe), every
+    point participates in every assignment and every mean. Per
+    iteration: centroids broadcast with the plan (k·dim literals),
+    assignment via the mapInPandas argmax (zero shuffle), then the
+    new means by ONE groupBy over (cell, dim) of the posexploded
+    vectors — the only shuffle, k·dim output rows to the driver.
+    Deterministic init: the k lowest-id points' vectors. Returns
+    (centroids ndarray (k, dim) row-normalized, assignment DataFrame
+    (id, ivf_cell) of the final iteration)."""
+    import numpy as np
+
+    init = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(int(k)).collect()
+    )
+    cents = np.array([r[vec_col] for r in init], dtype=np.float64)
+    cents = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    assign = None
+    for _ in range(int(iters)):
+        assign = ivf_assign(emb, cents, vec_col, id_col)
+        sums = (
+            assign.select(
+                "ivf_cell", F.posexplode(vec_col).alias("__d", "__x")
+            )
+            .groupBy("ivf_cell", "__d")
+            .agg(
+                F.sum(F.col("__x").cast("double")).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        acc: dict[int, np.ndarray] = {}
+        for r in sums:
+            acc.setdefault(r["ivf_cell"], np.zeros(cents.shape[1]))
+            acc[r["ivf_cell"]][r["__d"]] = r["__s"] / r["__n"]
+        for c, m in acc.items():
+            n = np.linalg.norm(m)
+            if n > 1e-12:
+                new[c] = m / n
+        cents = new
+    return cents, assign.select(id_col, "ivf_cell")

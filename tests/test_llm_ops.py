@@ -1008,3 +1008,53 @@ def test_boilerplate_df_is_per_document(spark):
     )
     out = {r["doc_id"]: r for r in boilerplate_signals(docs).collect()}
     assert out[1]["n_hot"] == 0 and out[2]["n_hot"] == 0
+
+
+def test_kmeans_fit_distributed_matches_local_lloyd(spark, sf_dir):
+    """Distributed Lloyd's (broadcast centroids, mapInPandas argmax,
+    one groupBy per iteration) equals a local numpy Lloyd's run from
+    the same deterministic init (k lowest-id vectors) on the same
+    data."""
+    import numpy as np
+
+    from seqarray_spark.operators.similarity import kmeans_fit_distributed
+    from seqarray_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, iters = 4, 3
+    cents, assign = kmeans_fit_distributed(emb, k=k, iters=iters)
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = xn[:k].copy()
+    for _ in range(iters):
+        lab = np.argmax(xn @ c.T, axis=1)
+        new = c.copy()
+        for j in range(k):
+            m = x[lab == j]
+            if len(m):
+                mu = m.mean(axis=0)
+                n = np.linalg.norm(mu)
+                if n > 1e-12:
+                    new[j] = mu / n
+        c = new
+    assert np.allclose(cents, c, atol=1e-9)
+    got = {r["vec_id"]: r["ivf_cell"] for r in assign.collect()}
+    # the returned assignment is computed with the centroids ENTERING
+    # the last iteration (Lloyd's assigns, then updates); replicate:
+    c2 = xn[:k].copy()
+    for it in range(iters - 1):
+        lab = np.argmax(xn @ c2.T, axis=1)
+        new = c2.copy()
+        for j in range(k):
+            m = x[lab == j]
+            if len(m):
+                mu = m.mean(axis=0)
+                n = np.linalg.norm(mu)
+                if n > 1e-12:
+                    new[j] = mu / n
+        c2 = new
+    want = dict(zip(ids, np.argmax(xn @ c2.T, axis=1).tolist()))
+    assert got == want
