@@ -1146,6 +1146,13 @@ def _driver_union_find(spark, rows, id_type: str = "bigint") -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     out = [(x, find(x)) for x in parent]
+    schema = f"doc_id {id_type}, cluster_id {id_type}"
+    if not out:
+        return spark.createDataFrame([], schema)
+    # ONE partition, not defaultParallelism slices: the label frame is
+    # bounded (<= 2*driver_threshold rows, a few MB at the cap) and the
+    # default slicing turns every downstream action into ~32 near-empty
+    # tasks (the header_df lesson)
     return spark.createDataFrame(
-        out or [], f"doc_id {id_type}, cluster_id {id_type}"
+        spark.sparkContext.parallelize(out, 1), schema
     )
