@@ -418,3 +418,37 @@ def test_compaction_restores_shuffle_free_corpus_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS cbi_compact")
         spark.sql("DROP TABLE IF EXISTS cbi_compact__compacting")
+
+
+def test_boilerplate_two_shuffles(spark, sf_dir):
+    """boilerplate_signals: df-by-window + per-doc groupBy + the id
+    join back — shuffle count stays O(1) (no join-back for df, no
+    all-pairs)."""
+    from seqarray_spark.operators.text import boilerplate_signals
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    df = boilerplate_signals(docs)
+    # window(shingle) + groupBy(doc) + id-join sides; spread() may add
+    # one narrow-scan round-robin
+    assert E.num_shuffles(df) <= 5
+    plan = E.plan_string(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """kmeans_assign_exact: the k-row centroid side is BROADCAST (never
+    shuffled against N points); the only wide ops are the per-point
+    window."""
+    from seqarray_spark.operators.similarity import kmeans_assign_exact
+    from pyspark.sql import functions as F
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    init = emb.orderBy("vec_id").limit(4).collect()
+    cents = spark.createDataFrame(
+        [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)],
+        "centroid_ord int, cvec array<float>",
+    )
+    df = kmeans_assign_exact(emb, cents)
+    plan = E.plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
