@@ -22,9 +22,32 @@ Derivation sketch (seeded entirely by table keys, no randomness):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Per-session cache of (logical) DataFrames keyed by (kind, sf_dir, name).
+# DataFrames are immutable plans, so reuse is safe; what this saves is the
+# per-construction driver work — parquet file listing + footer schema read
+# + temp-view registration + SQL parse — a fixed ~0.5s that otherwise
+# repeats in EVERY registry query touching the derived genomic frames
+# (the registry-size dilution mechanism from the r8 bench decomposition).
+# WeakKey so a stopped session's entries drop with it.
+_df_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _session_cache(spark: SparkSession) -> dict:
+    try:
+        d = _df_cache.get(spark)
+        if d is None:
+            d = {}
+            _df_cache[spark] = d
+        return d
+    except TypeError:  # non-weakrefable session stand-in (mocks)
+        return {}
 
 TABLES = [
     "region",
@@ -58,11 +81,16 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    cache = _session_cache(spark)
+    key = ("table", sf_dir, name)
+    if key in cache:
+        return cache[key]
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong read: int64 nanos -> TIMESTAMP
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    cache[key] = df
     return df
 
 
@@ -136,36 +164,60 @@ def oracle_prelude() -> str:
 
 def gvariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived variants frame with a real ARRAY<STRING> alt column."""
-    register_testdata(spark, sf_dir, ["part"])
-    return spark.sql(GVARIANTS_SQL).withColumn("alt", F.split("alt_str", ","))
+    cache = _session_cache(spark)
+    key = ("gvariants", sf_dir)
+    if key not in cache:
+        register_testdata(spark, sf_dir, ["part"])
+        cache[key] = spark.sql(GVARIANTS_SQL).withColumn(
+            "alt", F.split("alt_str", ",")
+        )
+    return cache[key]
 
 
 def gcalls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived calls frame with ARRAY<INT> alleles / ARRAY<BOOLEAN> phased."""
-    register_testdata(spark, sf_dir, ["lineitem"])
-    df = spark.sql(GCALLS_SQL)
-    return df.select(
-        "variant_id",
-        "sample_id",
-        F.array("a1", "a2").alias("alleles"),
-        # engine invariant: len(phased) == len(alleles) - 1 (one
-        # separator per allele boundary — what vcf/plink/gds sources
-        # produce and seq_check/write paths expect)
-        F.array("is_phased").alias("phased"),
-    )
+    cache = _session_cache(spark)
+    key = ("gcalls", sf_dir)
+    if key not in cache:
+        register_testdata(spark, sf_dir, ["lineitem"])
+        df = spark.sql(GCALLS_SQL)
+        cache[key] = df.select(
+            "variant_id",
+            "sample_id",
+            F.array("a1", "a2").alias("alleles"),
+            # engine invariant: len(phased) == len(alleles) - 1 (one
+            # separator per allele boundary — what vcf/plink/gds sources
+            # produce and seq_check/write paths expect)
+            F.array("is_phased").alias("phased"),
+        )
+    return cache[key]
 
 
 def gsamples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_testdata(spark, sf_dir, ["lineitem"])
-    return spark.sql(GSAMPLES_SQL)
+    cache = _session_cache(spark)
+    key = ("gsamples", sf_dir)
+    if key not in cache:
+        register_testdata(spark, sf_dir, ["lineitem"])
+        cache[key] = spark.sql(GSAMPLES_SQL)
+    return cache[key]
 
 
 def variant_dataset(spark: SparkSession, sf_dir: str):
     """Full SeqDataset view over the derived tables."""
     from seqarray_spark.dataset import SeqDataset
 
+    # variant count == part row count, free from the parquet footer (no
+    # Spark job); lets $chromosome's RLE skip its size probe entirely
+    n_variants = None
+    try:
+        import pyarrow.parquet as pq
+
+        n_variants = pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    except Exception:
+        pass
     return SeqDataset(
         gvariants(spark, sf_dir), gcalls(spark, sf_dir), gsamples(spark, sf_dir),
         # p_partkey is a gapless 1..N sequence — file-order ids
         ids_dense=True,
+        n_variants_hint=n_variants,
     )

@@ -20,7 +20,9 @@ def test_all_registry_queries_match_oracles(spark):
     failures = run_checks(spark, SF_DIR, echo=lambda *_: None)
     assert not failures, "; ".join(f"{n}: {p}" for n, p in failures)
     # the sweep only proves anything if it saw the whole registry
-    assert len(entry_mod.queries()) >= 59
+    # (VERDICT r8 item 8: pin the actual count so an accidental registry
+    # truncation fails loudly; bump when adding queries)
+    assert len(entry_mod.queries()) >= 70
 
 
 def test_every_query_has_oracle_or_documented_exemption():
@@ -39,3 +41,35 @@ def test_every_query_has_oracle_or_documented_exemption():
     }
     missing = set(entry_mod.queries()) - set(entry_mod.oracle_sql()) - exempt
     assert not missing, f"queries without an oracle: {sorted(missing)}"
+
+
+def test_rotation_invariant():
+    """VERDICT r8 item 2: every registry entry that has NEVER earned a
+    driver row (green or rows-only) must sit at index < 50 — inside the
+    external driver's value-check window — so no new operator can ship
+    past the hard correctness gate (the emb_kmeans_cells lesson). The
+    'checked' set is computed from the committed CORRECTNESS_r*.json
+    files, so it self-updates each round instead of going stale."""
+    import glob
+    import json
+
+    import __spark_entry__ as entry_mod
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            # a driver row counts if the value hash matched, or it is the
+            # structurally rows-only case (err == "no_oracle")
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                checked.add(name)
+    names = list(entry_mod.queries().keys())
+    stragglers = [
+        (i, n) for i, n in enumerate(names) if n not in checked and i >= 50
+    ]
+    assert not stragglers, (
+        "registry entries never driver-checked but OUTSIDE the 50-entry "
+        f"driver window: {stragglers} — move them to the front"
+    )
