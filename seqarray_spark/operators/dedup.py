@@ -407,6 +407,7 @@ def incremental_dup_pairs(
     corpus_docs: DataFrame | None = None,
     include_new_pairs: bool = True,
     corpus_band_table: DataFrame | None = None,
+    batch_key_pushdown: int | None = 20_000,
 ) -> DataFrame:
     """Dedup an ingest BATCH against an existing corpus without
     re-hashing the corpus — the 100 TB production ingest pattern: the
@@ -429,7 +430,29 @@ def incremental_dup_pairs(
     bucket-aligned sort-merge join with NO Exchange and NO Sort on the
     corpus side (plan-asserted in tests/test_plans.py) — only the
     batch's own band keys shuffle into the bucket hash.
-    """
+
+    `batch_key_pushdown` (stored-index path only) is the DPP-style scan
+    prune: when the batch's distinct band keys number at most the cap,
+    they are bounded-collected and applied as an IN filter on the
+    corpus index scan BEFORE the join — Spark then prunes whole buckets
+    at planning time (SelectedBucketsCount in the scan) and, because
+    each bucket file is sorted by band_key, parquet row-group min/max
+    stats prune within the surviving files — corpus scan BYTES track
+    the batch, not the corpus. An inner-join side can always be
+    pre-filtered by the other side's keys, so values are unchanged
+    (plan + equivalence tests in tests/test_plans.py). Batches touching
+    more keys than the cap fall back to the plain bucket-aligned join —
+    a batch that wide touches every bucket anyway. None disables. The
+    batch's keyed frame is persist()ed so the minhash pass feeds both
+    the key collect and the join once (released via release_on_gc /
+    after the candidate checkpoint). Cluster note: raise
+    spark.sql.parquet.pushdown.inFilterThreshold above the batch key
+    count, else Spark pushes a min..max range that random md5 keys
+    stretch over the whole keyspace (no row-group pruning); measured
+    regime analysis in SCALE.md r9 + tools/dedup_pushdown_stress.py."""
+    from seqarray_spark.plans.lifecycle import release_on_gc
+
+    _pin = None  # persisted batch frame on the pushdown path
     rows = num_hashes // bands
     new_sigs = _minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n)
     new_band_exprs = [
@@ -454,6 +477,26 @@ def incremental_dup_pairs(
                 ":", F.col("band_idx").cast("string"), F.col("band_key")
             ).alias("band_key"),
         )
+        if batch_key_pushdown:
+            # persist (NOT localCheckpoint: an ExistingRDD's unknown
+            # stats made Spark inject a runtime bloom filter whose
+            # creation side RE-SCANNED the corpus — the opposite of the
+            # point) so the batch minhash pass feeds both the key
+            # collect and the join once; unpersisted when the returned
+            # frame is garbage-collected (release_on_gc at the returns)
+            new_keyed = new_keyed.persist()
+            _pin = new_keyed
+            keys = [
+                r[0]
+                for r in new_keyed.select("band_key")
+                .distinct()
+                .limit(int(batch_key_pushdown) + 1)
+                .collect()
+            ]
+            if len(keys) <= int(batch_key_pushdown):
+                corpus_band_table = corpus_band_table.where(
+                    F.col("band_key").isin(keys)
+                )
         matched = new_keyed.join(corpus_band_table, "band_key")
     else:
         if corpus_sigs is None:
@@ -495,10 +538,15 @@ def incremental_dup_pairs(
         cand = cand.unionByName(new_pairs)
     cand = cand.distinct()
     if tau is None:
-        return cand
+        return release_on_gc(_pin, cand) if _pin is not None else cand
     if corpus_docs is None:
         raise ValueError("tau verification needs corpus_docs (or pass tau=None)")
     cand = cand.localCheckpoint()
+    if _pin is not None:
+        # the candidate set is materialized by the checkpoint above, so
+        # the persisted batch frame has served both its readers
+        _pin.unpersist()
+        _pin = None
     ids = (
         cand.select(F.col("id_a").alias("_id"))
         .union(cand.select(F.col("id_b").alias("_id")))

@@ -331,10 +331,14 @@ def test_incremental_dedup_corpus_side_shuffle_free(spark):
     try:
         write_corpus_band_index(sigs, "cbi_plan", num_hashes=16, bands=4,
                                 n_buckets=8)
+        # batch_key_pushdown=None: this test pins the PURE bucket-layout
+        # shape (full-index join); the pushdown variant has its own
+        # plan+equivalence test below
         cand = incremental_dup_pairs(
             batch, None, num_hashes=16, bands=4, shingle_n=3, tau=None,
             include_new_pairs=False,
             corpus_band_table=spark.table("cbi_plan"),
+            batch_key_pushdown=None,
         )
         plan = E.plan_string(cand, "simple")
         assert E.sortmerge_join_count(cand) >= 1
@@ -351,6 +355,66 @@ def test_incremental_dedup_corpus_side_shuffle_free(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS cbi_plan")
+
+
+def test_incremental_dedup_batch_key_pushdown(spark):
+    """VERDICT r8 item 4 / SCALE.md's named next lever: with
+    batch_key_pushdown (the default), the batch's distinct band keys are
+    bounded-collected and applied as an IN filter on the corpus index
+    scan BEFORE the join — PushedFilters shows In(band_key, ...) on the
+    bucketed scan, so parquet row-group min/max stats (files are sorted
+    by band_key) and bucket pruning make corpus scan BYTES track the
+    batch, not the corpus. Values must equal the unpruned join (an
+    inner-join side can always be pre-filtered by the other side's
+    keys). Also guards the two regressions found while building it: no
+    runtime bloom-filter injection (an ExistingRDD batch side once made
+    Spark RE-SCAN the corpus to build a bloom), and exactly ONE corpus
+    FileScan in the plan."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators.dedup import (
+        incremental_dup_pairs,
+        minhash_signature,
+        write_corpus_band_index,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta epsilon zeta {i % 7}")
+         for i in range(60)]
+    )
+    batch = docs.where("doc_id % 6 = 0")
+    corpus = docs.where("doc_id % 6 != 0")
+    sigs = minhash_signature(corpus, num_hashes=16, shingle_n=3).select(
+        "doc_id", "mh_sig"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS cbi_pushdown")
+    try:
+        write_corpus_band_index(sigs, "cbi_pushdown", num_hashes=16,
+                                bands=4, n_buckets=8)
+        tbl = spark.table("cbi_pushdown")
+        cand = incremental_dup_pairs(
+            batch, None, num_hashes=16, bands=4, shingle_n=3, tau=None,
+            include_new_pairs=False, corpus_band_table=tbl,
+        )
+        plan = E.plan_string(cand, "simple")
+        # the batch's keys reached the corpus parquet scan
+        assert "PushedFilters: [In(band_key" in plan, plan
+        # and only ONE corpus scan exists (no bloom-creation re-scan)
+        assert plan.count("FileScan parquet") == 1, plan
+        assert "might_contain" not in plan, plan
+        base = incremental_dup_pairs(
+            batch, None, num_hashes=16, bands=4, shingle_n=3, tau=None,
+            include_new_pairs=False, corpus_band_table=tbl,
+            batch_key_pushdown=None,
+        )
+        assert sorted(map(tuple, cand.collect())) == sorted(
+            map(tuple, base.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS cbi_pushdown")
 
 
 def test_compaction_restores_shuffle_free_corpus_join(spark):
@@ -397,10 +461,13 @@ def test_compaction_restores_shuffle_free_corpus_join(spark):
         )
 
         def probe():
+            # pushdown off: this test is about the stored-sort trust,
+            # which the batch-key filter deliberately bypasses
             cand = incremental_dup_pairs(
                 batch, None, num_hashes=16, bands=4, shingle_n=3, tau=None,
                 include_new_pairs=False,
                 corpus_band_table=spark.table("cbi_compact"),
+                batch_key_pushdown=None,
             )
             return cand, E.plan_string(cand, "simple")
 
