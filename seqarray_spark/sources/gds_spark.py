@@ -57,6 +57,38 @@ def _bit_rows(f: GdsFile, node: GdsNode, row_start: int, row_end: int, vals_per_
     return vals[off:off + (v1 - v0)]
 
 
+def _bit_rows_sel(
+    f: GdsFile,
+    node: GdsNode,
+    row_start: int,
+    row_end: int,
+    vals_per_row: int,
+    ent: np.ndarray,
+):
+    """Selected entries of rows [row_start, row_end) of a packed
+    bit1/bit2 matrix, decoded COLUMN-PRUNED: only the len(ent)
+    selected per-row entries are unpacked, so decode work scales with
+    the selection, not the row width — the Spark analogue of the
+    reference's transposed read-by-sample path (src/ReadBySample.cpp:
+    98-160), which re-reads the matrix sample-major for the same
+    reason. Bytes still stream at row granularity (the compression
+    frames force that anyway); what is pruned is the unpack/expansion
+    to one int per 2-bit code, the dominant in-memory cost on wide
+    containers. Returns shape (n_rows, len(ent))."""
+    bits = 1 if node.kind == "bit1" else 2
+    per = 8 // bits
+    mask = (1 << bits) - 1
+    v0 = row_start * vals_per_row
+    v1 = row_end * vals_per_row
+    b0, b1 = v0 // per, (v1 + per - 1) // per
+    raw = np.frombuffer(f.read_node_bytes(node, b0, b1), dtype=np.uint8)
+    idx = (
+        np.arange(row_start, row_end, dtype=np.int64)[:, None] * vals_per_row
+        + np.asarray(ent, dtype=np.int64)[None, :]
+    )
+    return (raw[(idx // per) - b0] >> ((idx % per) * bits).astype(np.uint8)) & mask
+
+
 # (file_path, file_size, node_path, bounds_digest) -> offsets. Bounds
 # arrays are tiny (n_blocks+1); the cache makes repeated from_gds calls
 # on the same container free. Bounded to keep long-lived drivers small.
@@ -909,11 +941,12 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None, s_sel=None):
         remap[s_sel] = np.arange(n_samp)
     nv = e - s
     has_geno = _has(g, "genotype/data") and g.node("genotype/data").dims[0] > 0
+    # column-pruned bit-plane decode pays when the selection is a
+    # minority of the row; near-full selections keep the bulk unpack
+    # (contiguous shifts beat an equally-sized gather)
+    prune_bits = s_sel is not None and 2 * len(s_sel) <= n_all
     if has_geno:
         geno_node = g.node("genotype/data")
-        planes = np.asarray(
-            _bit_rows(g, geno_node, p0, p1, n_all * ploidy), dtype=np.int64
-        )
         counts = np.asarray(_node_slice(g, g.node("genotype/@data"), s, e, vl),
                             dtype=np.int64) \
             if _has(g, "genotype/@data") else np.ones(nv, dtype=np.int64)
@@ -921,7 +954,25 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None, s_sel=None):
         # whole-block shift + grouped bitwise-or (reduceat over plane
         # rows), no per-variant Python loop
         npl = p1 - p0
-        P = planes.reshape(npl, n_all * ploidy)
+        if prune_bits:
+            # decode ONLY the selected samples' 2-bit codes (the
+            # reference's transposed ~data read, src/ReadBySample.cpp:
+            # 98-160): plane width becomes |selection|*ploidy and every
+            # step below scales with the selection
+            ent = (
+                np.asarray(s_sel, dtype=np.int64)[:, None] * ploidy
+                + np.arange(ploidy, dtype=np.int64)
+            ).ravel()
+            P = _bit_rows_sel(
+                g, geno_node, p0, p1, n_all * ploidy, ent
+            ).astype(np.int64)
+            width = n_samp * ploidy
+        else:
+            planes = np.asarray(
+                _bit_rows(g, geno_node, p0, p1, n_all * ploidy), dtype=np.int64
+            )
+            P = planes.reshape(npl, n_all * ploidy)
+            width = n_all * ploidy
         if npl == nv and counts.max(initial=1) == 1:
             acc = P
         elif (counts >= 1).all():
@@ -929,7 +980,7 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None, s_sel=None):
             k_of = np.arange(npl) - np.repeat(starts, counts)
             acc = np.bitwise_or.reduceat(P << (2 * k_of)[:, None], starts, axis=0)
         else:  # degenerate zero-plane variants: per-variant fallback
-            acc = np.zeros((nv, n_all * ploidy), dtype=np.int64)
+            acc = np.zeros((nv, width), dtype=np.int64)
             off = 0
             for i, c in enumerate(counts):
                 for k in range(int(c)):
@@ -943,18 +994,29 @@ def _calls_block(g, row, sample_ids, ploidy, fmeta, vl=None, s_sel=None):
                 f"variant block [{s},{e}) has {int(counts.max())} genotype "
                 "bit planes; allele codes exceed the int16 call schema"
             )
-        alleles = acc.reshape(nv, n_all, ploidy)
-        if s_sel is not None:
+        alleles = acc.reshape(nv, width // ploidy, ploidy)
+        if s_sel is not None and not prune_bits:
             alleles = alleles[:, s_sel, :]
         is_missing = alleles == ((1 << (2 * counts)) - 1)[:, None, None]
     phase_vals = None
     if has_geno and _has(g, "phase/data") and g.node("phase/data").dims[0] > 0:
-        phase_vals = np.asarray(
-            _bit_rows(g, g.node("phase/data"), s, e, n_all * (ploidy - 1)),
-            dtype=bool,
-        ).reshape(nv, n_all, max(ploidy - 1, 0)) if ploidy > 1 else None
-        if phase_vals is not None and s_sel is not None:
-            phase_vals = phase_vals[:, s_sel, :]
+        if ploidy <= 1:
+            phase_vals = None
+        elif prune_bits:
+            ent_ph = (
+                np.asarray(s_sel, dtype=np.int64)[:, None] * (ploidy - 1)
+                + np.arange(ploidy - 1, dtype=np.int64)
+            ).ravel()
+            phase_vals = _bit_rows_sel(
+                g, g.node("phase/data"), s, e, n_all * (ploidy - 1), ent_ph
+            ).astype(bool).reshape(nv, n_samp, ploidy - 1)
+        else:
+            phase_vals = np.asarray(
+                _bit_rows(g, g.node("phase/data"), s, e, n_all * (ploidy - 1)),
+                dtype=bool,
+            ).reshape(nv, n_all, ploidy - 1)
+            if s_sel is not None:
+                phase_vals = phase_vals[:, s_sel, :]
 
     vid = np.asarray(_node_slice(g, g.node("variant.id"), s, e, vl), dtype=np.int64)
     if has_geno:

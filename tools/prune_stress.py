@@ -111,6 +111,60 @@ def af_summary(ds):
     return {"variants": row[0], "ac": int(row[1]), "an": int(row[2])}
 
 
+def sample_stress(spark, n_var: int, n_samp: int) -> None:
+    """Sample-axis prune on a WIDE container (r9: the bit-plane decode
+    itself is column-pruned — VERDICT r8 item 6): from_gds(samples=10)
+    vs full-read-then-filter, result-asserted equal. Run with
+    variants << samples (e.g. 20000 2500 samples) — the biobank shape
+    where row width, not variant count, is the cost."""
+    import shutil
+
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    tmp = tempfile.mkdtemp(prefix="prune_samples_")
+    path = f"{tmp}/stress.gds"
+    ds0 = synth(spark, n_var, n_samp, "sorted")
+    t0 = time.time()
+    ds0.to_gds(path, coder="LZ4_ra")
+    t_write = time.time() - t0
+
+    pick = [f"S{i:05d}" for i in range(0, n_samp, max(1, n_samp // 10))][:10]
+
+    t0 = time.time()
+    full = af_summary(from_gds(spark, path))
+    t_full = time.time() - t0
+
+    t0 = time.time()
+    ds = from_gds(spark, path)
+    ds.set_filter_sample_id(pick)
+    f_only = af_summary(ds)
+    t_filter = time.time() - t0
+
+    t0 = time.time()
+    pruned = af_summary(from_gds(spark, path, samples=pick))
+    t_pruned = time.time() - t0
+
+    assert pruned == f_only, (pruned, f_only)
+    print(
+        json.dumps(
+            {
+                "stage": "samples_read_af",
+                "n_variants": n_var,
+                "n_samples": n_samp,
+                "n_selected": len(pick),
+                "write_sec": round(t_write, 2),
+                "full_sec": round(t_full, 2),
+                "filter_only_sec": round(t_filter, 2),
+                "pruned_sec": round(t_pruned, 2),
+                "speedup_vs_filter_only": round(t_filter / t_pruned, 2),
+                "driver_rss_mb": round(rss_mb(), 1),
+            }
+        ),
+        flush=True,
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     n_var = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     n_samp = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -121,6 +175,10 @@ def main():
 
     spark = get_spark("prune-stress", cpus=32, shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if which == "samples":
+        sample_stress(spark, n_var, n_samp)
+        return
 
     layouts = ["sorted", "shuffled"] if which == "both" else [which]
     for layout in layouts:
