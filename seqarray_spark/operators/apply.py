@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame
 
 
 def block_apply(
-    df: DataFrame, func: Callable, schema: str, var_index: str = "none"
+    df: DataFrame,
+    func: Callable,
+    schema: str,
+    var_index: str = "none",
+    base_df: DataFrame | None = None,
 ) -> DataFrame:
     """Vectorized per-block apply (seqBlockApply parity): `func` receives
     pandas DataFrames of whole rows (an Arrow batch ≙ the reference's
@@ -31,11 +35,20 @@ def block_apply(
     spark.sql.execution.arrow.maxRecordsPerBatch) and yields output
     frames matching `schema`.
 
-    var_index (reference: seqApply var.index=, src/ReadByVariant.cpp:
-    1071-1330): 'absolute' guarantees a variant_id column rides into
-    `func`; 'relative' additionally attaches `variant_index` = 1-based
-    position within the current selection (global row_number — the
-    output is selection-sized, same caveat as $variant_index)."""
+    var_index (reference: seqBlockApply var.index= R/Methods.R:690-769,
+    dispatching SEQ_BApply_Variant src/ReadByVariant.cpp:1284-1316):
+    both modes attach a 1-based `variant_index` column —
+    - 'relative': position within the CURRENT selection (the
+      reference's per-call `ans_index + 1`, here per-row);
+    - 'absolute': position within the FULL dataset in file order (the
+      reference's `NodeList[0]->Position + 1`, the pre-filter ordinal —
+      r9 parity review: this previously only guaranteed variant_id rode
+      along, which matches the file ordinal ONLY for dense file-order
+      ids). Pass `base_df` = the UNFILTERED variants/calls frame;
+      without it `df` is assumed unfiltered (the two modes then agree,
+      like the reference with no filter active).
+    Global row_number is single-partition; acceptable because the index
+    frame is id+ordinal only (same caveat as $variant_index)."""
     if var_index not in ("none", "absolute", "relative"):
         raise ValueError("var_index must be none|absolute|relative")
     if var_index != "none" and "variant_id" not in df.columns:
@@ -47,6 +60,22 @@ def block_apply(
         df = df.withColumn(
             "variant_index", F.row_number().over(Window.orderBy("variant_id"))
         )
+    elif var_index == "absolute":
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        base = base_df if base_df is not None else df
+        idx = (
+            base.select("variant_id")
+            .distinct()
+            .select(
+                "variant_id",
+                F.row_number()
+                .over(Window.orderBy("variant_id"))
+                .alias("variant_index"),
+            )
+        )
+        df = df.join(idx, "variant_id", "left")
 
     def gen(batches: Iterator) -> Iterator:
         for pdf in batches:

@@ -1022,8 +1022,10 @@ def write_vcf(
             c = F.col(f_name)
             dt = dict(calls.dtypes)[f_name]
             # missing renders per FORMAT_Write (src/ConvGDS2VCF.cpp:329-403):
-            # trailing missing values trim off the cell, and an all-missing
-            # cell (scalar NA included) renders EMPTY after the ':', not '.'
+            # trailing missing values trim off the cell, interior missing
+            # keeps '.', and a cell whose trim leaves NOTHING renders '.'
+            # (the writer's final `if (n <= 0) *pLine++ = '.'` — r9 parity
+            # fix: this engine previously rendered the empty string there)
             if dt.startswith("array"):
                 et = dt[6:-1]
                 elem_fmt = (
@@ -1031,24 +1033,25 @@ def write_vcf(
                     else _fmt_num if et in ("int", "bigint", "smallint")
                     else (lambda x: F.coalesce(F.nullif(x, F.lit("")), F.lit(".")))
                 )
+                trimmed = _trim_trailing_missing(c, et)
                 fmt_cols.append(
-                    F.coalesce(
-                        F.concat_ws(
-                            ",", F.transform(_trim_trailing_missing(c, et), elem_fmt)
-                        ),
-                        F.lit(""),
-                    )
+                    F.when(
+                        F.size(trimmed) > 0,
+                        F.concat_ws(",", F.transform(trimmed, elem_fmt)),
+                    ).otherwise(F.lit("."))
                 )
             elif dt == "double":
                 d = c.cast("double")
                 fmt_cols.append(
                     F.when(
                         d.isNull() | F.isnan(d) | (F.abs(d) == float("inf")),
-                        F.lit(""),
+                        F.lit("."),
                     ).otherwise(_fmt_g(c))
                 )
             else:
-                fmt_cols.append(F.coalesce(c.cast("string"), F.lit("")))
+                fmt_cols.append(
+                    F.coalesce(F.nullif(c.cast("string"), F.lit("")), F.lit("."))
+                )
         token = F.concat_ws(":", *fmt_cols) if fmt_cols else F.lit("")
         order_expr = F.map_from_arrays(
             F.array(*[F.lit(s) for s in sample_ids]),

@@ -109,6 +109,46 @@ def test_block_apply_var_index(calls):
         A.block_apply(calls, f, "x int", var_index="bogus")
 
 
+def test_block_apply_var_index_absolute_vs_relative(spark):
+    """seqBlockApply var.index modes on a FILTERED selection (reference:
+    R/Methods.R:690-769 -> SEQ_BApply_Variant src/ReadByVariant.cpp:
+    1311-1316): 'relative' numbers the selection 1..k; 'absolute' is the
+    pre-filter FILE ordinal (`NodeList[0]->Position + 1`) — for non-dense
+    ids it is the rank in the base frame, NOT the id."""
+
+    def f(pdf):
+        return pdf[["variant_id", "variant_index"]]
+
+    # non-dense ids: 10,20,...,100 in file order
+    base = spark.createDataFrame(
+        [(10 * i,) for i in range(1, 11)], "variant_id long"
+    )
+    sel = base.filter(F.col("variant_id").isin([30, 50, 90]))
+
+    rel = A.block_apply(
+        sel, f, "variant_id long, variant_index int", var_index="relative"
+    )
+    assert {r["variant_id"]: r["variant_index"] for r in rel.collect()} == {
+        30: 1, 50: 2, 90: 3,
+    }
+
+    absolute = A.block_apply(
+        sel, f, "variant_id long, variant_index int",
+        var_index="absolute", base_df=base,
+    )
+    assert {r["variant_id"]: r["variant_index"] for r in absolute.collect()} == {
+        30: 3, 50: 5, 90: 9,
+    }
+
+    # no base_df: df assumed unfiltered -> the two modes agree
+    nof = A.block_apply(
+        sel, f, "variant_id long, variant_index int", var_index="absolute"
+    )
+    assert {r["variant_id"]: r["variant_index"] for r in nof.collect()} == {
+        30: 1, 50: 2, 90: 3,
+    }
+
+
 def test_block_apply_to_sink(calls, tmp_path):
     """as.is=<connection> parity: results stream to a sink, tasks write
     directly (no driver gather)."""

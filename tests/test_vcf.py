@@ -898,8 +898,10 @@ def test_export_missing_cell_rendering(spark, tmp_path):
     """Reference missing-value rendering on export (INFO_GetNum
     src/ConvGDS2VCF.cpp:245-270, FORMAT_Write :329-403): trailing missing
     values trim off array cells, interior missing keep '.', an all-missing
-    FORMAT cell renders EMPTY after the colon (not '.'), a missing scalar
-    FORMAT renders empty, and an all-missing INFO array omits the key."""
+    FORMAT cell renders '.' (FORMAT_Write's final `if (n <= 0) '.'` —
+    the r9 parity review found the engine previously rendered it EMPTY),
+    a missing scalar FORMAT renders '.', and an all-missing INFO array
+    omits the key (INFO requires m > 0, unlike FORMAT)."""
     import glob
 
     from seqarray_spark.dataset import SeqDataset
@@ -929,10 +931,10 @@ def test_export_missing_cell_rendering(spark, tmp_path):
     assert "AC=3" in l1 and ";3," not in l1 and "AN" not in l1
     # variant 2: AC keeps interior missing as '.,4'; AN trims to '1'
     assert "AC=.,4" in l2 and "AN=1" in l2
-    # FORMAT: GL [9.0, None] trims to '9'; [None, None] renders empty;
-    # missing scalar DP renders empty between colons
+    # FORMAT: GL [9.0, None] trims to '9'; [None, None] renders '.';
+    # missing scalar DP renders '.' between colons
     assert l1.endswith("0/1:7:9")
-    assert l2.endswith("1/1::")
+    assert l2.endswith("1/1:.:.")
 
 
 def test_vcf_sample_ids(tmp_path):
