@@ -45,6 +45,28 @@ def main():
             "```",
             "",
         ]
+        if name == "seq_chrom_rle":
+            # VERDICT r8 nit 4: the registry query at this SF is under
+            # the small-selection threshold, so the plan above is the
+            # single-task fast path; also dump the DISTRIBUTED fold the
+            # same call takes at scale (driver_threshold=0), so the
+            # scale plan is reviewable without running tests
+            from seqarray_spark.dataset import chrom_rle
+            from seqarray_spark.sources import testdata as td
+
+            ds = td.variant_dataset(spark, sf_dir)
+            dist = chrom_rle(ds.variants, driver_threshold=0)
+            lines += [
+                "### seq_chrom_rle — distributed-fold variant "
+                "(driver_threshold=0, the at-scale plan)",
+                "",
+                f"- shuffles (Exchange): {E.num_shuffles(dist)}",
+                "",
+                "```",
+                E.plan_string(dist, "simple").strip(),
+                "```",
+                "",
+            ]
     with open("PLANS.md", "w") as fh:
         fh.write("\n".join(lines))
     print(f"wrote PLANS.md ({len(entry_mod.queries())} queries)")
