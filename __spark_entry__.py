@@ -62,6 +62,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_registry_sweep.py::test_rotation_invariant): any entry
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
+        "emb_semantic_dedup": emb_semantic_dedup,
         "emb_kmeans_cells": emb_kmeans_cells,
         # -- r8 additions (newest first) ------------------------------------
         "doc_incremental_exact": doc_incremental_exact,
@@ -932,6 +933,26 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_TOPK = 20
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (new r9): K=8 exact spherical
+    k-means assignment (same fixed init as emb_kmeans_cells: the 8
+    lowest-vec_id vectors), then near-duplicate pairs WITHIN each
+    cluster at cosine >= 0.4; in each pair the point with the lower
+    (centroid-cos, vec_id) is kept, the other marked kept=false. All
+    cosines rounded to 6dp before any comparison so the threshold and
+    the keeper rule are bit-stable across engines. Output is every
+    embedding row: (vec_id, centroid_ord, cos, kept)."""
+    from seqarray_spark.operators.similarity import semantic_dedup
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    init = emb.orderBy("vec_id").limit(8).collect()
+    cents = spark.createDataFrame(
+        [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)],
+        "centroid_ord int, cvec array<float>",
+    )
+    return semantic_dedup(emb, cents, tau=0.4)
 
 
 def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2307,6 +2328,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, md5(string_agg(h, ',' ORDER BY h)) AS fingerprint
             FROM ranked WHERE rn <= 8 GROUP BY doc_id
+        """,
+        "emb_semantic_dedup": """
+            WITH cents AS (
+              SELECT embedding AS cvec,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS centroid_ord
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), z AS (
+              SELECT e.vec_id, c.centroid_ord,
+                     UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+              FROM embeddings e CROSS JOIN cents c
+            ), scored AS (
+              SELECT vec_id, centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cos
+              FROM z GROUP BY vec_id, centroid_ord
+            ), pts AS (
+              SELECT vec_id, centroid_ord, cos FROM (
+                SELECT vec_id, centroid_ord, cos,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, centroid_ord) AS rn
+                FROM scored
+              ) t WHERE rn = 1
+            ), pz AS (
+              SELECT p.vec_id AS id_a, q.vec_id AS id_b,
+                     p.cos AS cos_a, q.cos AS cos_b,
+                     UNNEST(ea.embedding) AS x, UNNEST(eb.embedding) AS y
+              FROM pts p
+              JOIN pts q ON p.centroid_ord = q.centroid_ord
+                        AND p.vec_id < q.vec_id
+              JOIN embeddings ea ON ea.vec_id = p.vec_id
+              JOIN embeddings eb ON eb.vec_id = q.vec_id
+            ), pairsim AS (
+              SELECT id_a, id_b, cos_a, cos_b,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS sim
+              FROM pz GROUP BY id_a, id_b, cos_a, cos_b
+            ), drops AS (
+              SELECT DISTINCT
+                CASE WHEN (cos_a < cos_b)
+                       OR (cos_a = cos_b AND id_a < id_b)
+                     THEN id_b ELSE id_a END AS vec_id
+              FROM pairsim WHERE sim >= 0.4
+            )
+            SELECT p.vec_id, p.centroid_ord, p.cos,
+                   (d.vec_id IS NULL) AS kept
+            FROM pts p LEFT JOIN drops d ON d.vec_id = p.vec_id
         """,
         "emb_kmeans_cells": """
             WITH cents AS (

@@ -1058,3 +1058,41 @@ def test_kmeans_fit_distributed_matches_local_lloyd(spark, sf_dir):
         c2 = new
     want = dict(zip(ids, np.argmax(xn @ c2.T, axis=1).tolist()))
     assert got == want
+
+
+def test_semantic_dedup_hand_values(spark):
+    """semantic_dedup keeper rule on constructed vectors: two clusters
+    around orthogonal axes; within cluster 0, v1 and v2 are near-equal
+    (cosine > tau) — the one with LOWER centroid-cos keeps (SemDeDup's
+    low-centroid-similarity representative), the other drops; cross-
+    cluster near-pairs are never compared (v3 is similar to v1 but
+    assigned to the other centroid -> both kept)."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            # cluster 0 (x-axis): v1 exactly on the centroid, v2 tilted
+            # slightly (cos to centroid < 1) but cos(v1,v2) ~ 0.9999
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[1.0, 0.01]),
+            # cluster 1 (y-axis): far from everything in cluster 1
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+            Row(vec_id=4, embedding=[0.6, 0.8]),
+        ]
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_ord int, cvec array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["centroid_ord"], r["kept"])
+        for r in semantic_dedup(emb, cents, tau=0.99).collect()
+    }
+    # v2's centroid cos (~0.99995) < v1's (1.0) -> v2 is the keeper
+    assert out[1] == (0, False)
+    assert out[2] == (0, True)
+    # v4 (cos to y-centroid 0.8) pairs with nothing >= 0.99 in cluster 1
+    assert out[3] == (1, True)
+    assert out[4] == (1, True)
