@@ -480,10 +480,12 @@ def from_gds(
         for name, kind, eoff in info_meta
     )
     del n_samp  # block kernels derive it from sample_ids
+    fmt_names = [n for n, _, _, _ in fmt_meta]
     v_schema = (
         "variant_id long, chromosome string, position int, id string, "
         "ref string, alt array<string>, qual double, filter string"
         + (f", info struct<{info_schema}>" if info_meta else "")
+        + (", fmt_present array<string>" if fmt_names else "")
     )
     imeta = [(n, k, e is not None) for n, k, e in info_meta]
 
@@ -493,7 +495,8 @@ def from_gds(
             for _, row in pdf.iterrows():
                 s, e = int(row["start"]), int(row["end"])
                 vl = _row_vl(row, vlpaths)
-                out = _variants_block(g, s, e, row, imeta, filter_levels, vl)
+                out = _variants_block(g, s, e, row, imeta, filter_levels, vl,
+                                      fmt_names)
                 yield out
 
     variants = blocks_df.mapInPandas(variants_kernel, schema=v_schema)
@@ -841,7 +844,8 @@ def _block_sel_mask(row, s: int, e: int):
     return mask
 
 
-def _variants_block(g, s, e, row, imeta, filter_levels, vl=None):
+def _variants_block(g, s, e, row, imeta, filter_levels, vl=None,
+                    fmt_names=None):
     vid = np.asarray(_node_slice(g, g.node("variant.id"), s, e, vl), dtype=np.int64)
     chrom = _node_slice(g, g.node("chromosome"), s, e, vl)
     pos = np.asarray(_node_slice(g, g.node("position"), s, e, vl))
@@ -907,6 +911,25 @@ def _variants_block(g, s, e, row, imeta, filter_levels, vl=None):
         out["info"] = [
             {name: info_cols[name][i] for name, _, _ in imeta} for i in range(e - s)
         ]
+    if fmt_names:
+        # per-variant FORMAT presence from the stored @data row counts —
+        # the reference's own model: 0 rows = field absent at the
+        # variant, omitted from FORMAT on re-export (ExportInfoFormat's
+        # Rf_isNull skip, src/ConvGDS2VCF.cpp:546-554); no @data index
+        # node means one row per variant (always present)
+        pres: list[list[str]] = [[] for _ in range(e - s)]
+        for name in fmt_names:
+            idx_path = f"annotation/format/{name}/@data"
+            if _has(g, idx_path):
+                cnts = np.asarray(
+                    _node_slice(g, g.node(idx_path), s, e, vl), dtype=np.int64
+                )
+                hit = np.flatnonzero(cnts > 0)
+            else:
+                hit = range(e - s)
+            for i in hit:
+                pres[int(i)].append(name)
+        out["fmt_present"] = pres
     pdf = pd.DataFrame(out)
     mask = _block_sel_mask(row, s, e)
     return pdf if mask is None else pdf[mask]

@@ -766,7 +766,7 @@ def _emit_fragment(tmp, blk, plan, rows, kname, kind=None, values=None,
 
 
 def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
-                        plane0, plan=None):
+                        plane0, plan=None, has_presence=False):
     """Per-block encoder: takes the block's variants (+ calls) and writes
     one fragment file per node; returns manifest rows. Runs in executor
     tasks — everything vectorized via pandas explode + numpy scatter.
@@ -940,21 +940,55 @@ def _make_encode_kernel(tmp, sample_ids, ploidy, lut, info_meta, fmt_meta,
             col = cdf[name]
             fill = _fill_of(kind)
             dt = _np_dtype(kind)
+            # per-variant presence (reference model: a field absent from
+            # a variant's FORMAT stores ZERO rows — TVCF_Format index 0);
+            # NULL presence = present everywhere (legacy datasets). Only
+            # scalars need explicit row dropping: the array path's
+            # max-length fold already yields 0 rows for absent variants
+            pres_mask = None
+            if has_presence and "__fmt_present" in vdf.columns:
+                pm = np.array(
+                    [p is None or name in set(p) for p in vdf["__fmt_present"]],
+                    dtype=bool,
+                )
+                if not pm.all():
+                    pres_mask = pm
             if not is_arr:
-                grid = np.full((nv, n_samp), fill, dtype=dt)
+                if pres_mask is None:
+                    n_rows = nv
+                    row_of = None
+                else:
+                    sel = np.flatnonzero(pres_mask)
+                    n_rows = len(sel)
+                    row_of = np.full(nv, -1, dtype=np.int64)
+                    row_of[sel] = np.arange(n_rows)
+                grid = np.full((n_rows, n_samp), fill, dtype=dt)
                 if kind == "vlstr":
                     cv = col.to_numpy(dtype=object)
                     m = np.array([x is not None and x == x for x in cv], dtype=bool)
-                    grid[li[m], si[m]] = cv[m]
+                    if row_of is not None:
+                        m &= row_of[li] >= 0
+                        grid[row_of[li[m]], si[m]] = cv[m]
+                    else:
+                        grid[li[m], si[m]] = cv[m]
                 else:
                     v = pd.to_numeric(col).to_numpy(np.float64)
                     m = ~np.isnan(v)
-                    grid[li[m], si[m]] = v[m]
+                    if row_of is not None:
+                        m &= row_of[li] >= 0
+                        grid[row_of[li[m]], si[m]] = v[m]
+                    else:
+                        grid[li[m], si[m]] = v[m]
                 flat = grid.ravel()
                 if kind == "int32":
                     flat = flat.astype(np.int64)
-                emit(f"fmt.{name}.data", kind, flat, nvals=nv * n_samp)
-                emit(f"fmt.{name}.idx", "int32", np.ones(nv, np.int64), aux=nv)
+                emit(f"fmt.{name}.data", kind, flat, nvals=n_rows * n_samp,
+                     aux=n_rows)
+                counts = (
+                    np.ones(nv, np.int64) if pres_mask is None
+                    else pres_mask.astype(np.int64)
+                )
+                emit(f"fmt.{name}.idx", "int32", counts, aux=n_rows, s=1)
             else:
                 flens, frid, fpos, fex = _explode(col)
                 rows_per_var = np.zeros(nv, dtype=np.int64)
@@ -1352,13 +1386,18 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
     os.makedirs(tmp, exist_ok=True)
 
     try:
+        has_presence = bool(fmeta) and "fmt_present" in variants.columns
         vcols = [
             "variant_id", "position", "chromosome", "ref", "alt", "id",
             "qual", "filter",
-        ] + [F.col(f"info.{n}").alias(f"__info_{n}") for n, _, _ in imeta]
+        ] + [F.col(f"info.{n}").alias(f"__info_{n}") for n, _, _ in imeta] + (
+            [F.col("fmt_present").alias("__fmt_present")] if has_presence
+            else []
+        )
         vmeta = variants.select(*vcols).join(vindex, "variant_id")
         kernel = _make_encode_kernel(
             tmp, sample_ids, ploidy, lut, imeta, fmeta, plane0, plan=plan,
+            has_presence=has_presence,
         )
         vgrp = vmeta.groupBy("__blk")
         if calls is not None and n_samp:
@@ -1403,12 +1442,15 @@ def write_gds(ds, path: str, info_fields: list[str] | None = None,
                         nm = r["key"][4:-4]
                         idx_rows[nm] = idx_rows.get(nm, 0) + r["aux"]
                         idx_max[nm] = max(idx_max.get(nm, 0), r["s"])
+                # scalars included via the same row-count criterion:
+                # presence-gapped scalars (r9) have < n_var rows and
+                # must not transpose (the ~data grid assumes a value in
+                # every (variant, sample) cell)
                 t_fields = [
                     n for n, k, a in fmeta
-                    if k != "vlstr" and (
-                        not a
-                        or (idx_rows.get(n, 0) == n_var and idx_max.get(n, 2) <= 1)
-                    )
+                    if k != "vlstr"
+                    and idx_rows.get(n, 0) == n_var
+                    and idx_max.get(n, 2) <= 1
                 ]
                 tcols = ["variant_id", "sample_id", "alleles"] + (
                     ["phased"] if ploidy > 1 else []
@@ -1926,7 +1968,9 @@ def _assemble(ds, path, tmp, manifest, sample_ids, levels, n_var, n_samp,
 
     fmt_entries: list[tuple[int, str, bool]] = []
     for name, kind, is_arr in fmeta:
-        rows_total = tot(f"fmt.{name}.idx", 3) if is_arr else n_var
+        # aux totals the stored rows for arrays AND (r9) presence-gapped
+        # scalars; an ungapped scalar's aux sums to exactly n_var
+        rows_total = tot(f"fmt.{name}.idx", 3)
         data_id = dnode(kind, (rows_total, n_samp), f"fmt.{name}.data")
         idx_id = dnode("int32", (n_var,), f"fmt.{name}.idx")
         f_children = [(data_id, "data", False), (idx_id, "@data", False)]

@@ -511,6 +511,30 @@ def parse_vcf_lines(
         )
 
     info_map = _info_kv_map(F.col("__f")[7])
+    # per-variant FORMAT field presence (reference model: a field absent
+    # from a line's FORMAT column stores ZERO rows at that variant —
+    # TVCF_Format index 0 — and seqGDS2VCF then OMITS it from that
+    # variant's FORMAT on re-export, ExportInfoFormat's Rf_isNull skip,
+    # src/ConvGDS2VCF.cpp:546-554). Tracked as the declared non-GT
+    # fields present in the line's FORMAT, in line order; write_vcf
+    # honors it when the column exists
+    declared_non_gt = [f for f in header.formats if f != genotype_var_name]
+    fmt_present_col = (
+        [
+            F.filter(
+                # null-safe get(): a sites-only data line in a
+                # sample-carrying file has no FORMAT column (ANSI [8]
+                # would throw) -> NULL presence = full-catalog behavior
+                F.split(F.get(F.col("__f"), 8), ":"),
+                lambda x: (x != F.lit(genotype_var_name))
+                & F.array_contains(
+                    F.array(*[F.lit(f) for f in declared_non_gt]), x
+                ),
+            ).alias("fmt_present")
+        ]
+        if header.samples and declared_non_gt
+        else []
+    )
     base = parsed.select(
         "variant_id",
         "chromosome",
@@ -527,6 +551,7 @@ def parse_vcf_lines(
             if info_fields
             else []
         ),
+        *fmt_present_col,
         F.col("__f").alias("__fields"),
     )
 
@@ -1003,8 +1028,26 @@ def write_vcf(
             format_fields = [
                 c for c in calls.columns
                 if c not in ("variant_id", "sample_id", "alleles", "phased",
-                             "vcf_errors")
+                             "vcf_errors", "fmt_present")
             ]
+        # per-variant FORMAT presence (reference: a field with zero rows
+        # at a variant is OMITTED from that variant's FORMAT column and
+        # its sample cells — ExportInfoFormat's Rf_isNull skip,
+        # src/ConvGDS2VCF.cpp:546-554). Honored when the dataset carries
+        # the fmt_present column read_vcf records; NULL presence (or no
+        # column) keeps the constant-FORMAT behavior
+        has_presence = (
+            "fmt_present" in variants.columns and len(format_fields) > 0
+        )
+        if has_presence:
+            calls = calls.join(
+                variants.select("variant_id", "fmt_present"), "variant_id", "left"
+            )
+
+        def _present(f_name):
+            return F.col("fmt_present").isNull() | F.array_contains(
+                F.col("fmt_present"), f_name
+            )
         # a calls frame without an alleles column is a no-genotype
         # dataset (dosage-only etc.): the reference dispatches to
         # SEQ_ToVCF_NoGeno (R/Conversion.R:364-367) — FORMAT carries the
@@ -1021,6 +1064,7 @@ def write_vcf(
         for f_name in format_fields:
             c = F.col(f_name)
             dt = dict(calls.dtypes)[f_name]
+            cell = None
             # missing renders per FORMAT_Write (src/ConvGDS2VCF.cpp:329-403):
             # trailing missing values trim off the cell, interior missing
             # keeps '.', and a cell whose trim leaves NOTHING renders '.'
@@ -1034,24 +1078,25 @@ def write_vcf(
                     else (lambda x: F.coalesce(F.nullif(x, F.lit("")), F.lit(".")))
                 )
                 trimmed = _trim_trailing_missing(c, et)
-                fmt_cols.append(
-                    F.when(
-                        F.size(trimmed) > 0,
-                        F.concat_ws(",", F.transform(trimmed, elem_fmt)),
-                    ).otherwise(F.lit("."))
-                )
+                cell = F.when(
+                    F.size(trimmed) > 0,
+                    F.concat_ws(",", F.transform(trimmed, elem_fmt)),
+                ).otherwise(F.lit("."))
             elif dt == "double":
                 d = c.cast("double")
-                fmt_cols.append(
-                    F.when(
-                        d.isNull() | F.isnan(d) | (F.abs(d) == float("inf")),
-                        F.lit("."),
-                    ).otherwise(_fmt_g(c))
-                )
+                cell = F.when(
+                    d.isNull() | F.isnan(d) | (F.abs(d) == float("inf")),
+                    F.lit("."),
+                ).otherwise(_fmt_g(c))
             else:
-                fmt_cols.append(
-                    F.coalesce(F.nullif(c.cast("string"), F.lit("")), F.lit("."))
+                cell = F.coalesce(
+                    F.nullif(c.cast("string"), F.lit("")), F.lit(".")
                 )
+            if has_presence:
+                # absent-at-variant fields render NO cell (concat_ws
+                # drops NULL elements, matching the omitted FORMAT id)
+                cell = F.when(_present(f_name), cell)
+            fmt_cols.append(cell)
         token = F.concat_ws(":", *fmt_cols) if fmt_cols else F.lit("")
         order_expr = F.map_from_arrays(
             F.array(*[F.lit(s) for s in sample_ids]),
@@ -1073,14 +1118,31 @@ def write_vcf(
                 ).alias("__samples")
             )
         )
-        fmt_decl = ":".join(
-            (["GT"] if has_gt else []) + list(format_fields)
-        ) or "."
-        lines = fixed.join(per_variant, "variant_id", "left").select(
+        if has_presence:
+            # per-variant FORMAT: GT plus only the fields present at
+            # this variant (catalog order preserved — the reference
+            # walks the catalog and skips NULL fields)
+            decl = F.concat_ws(
+                ":",
+                *(([F.lit("GT")] if has_gt else [])
+                  + [F.when(_present(f), F.lit(f)) for f in format_fields]),
+            )
+            fmt_decl_col = F.when(decl == "", F.lit(".")).otherwise(decl)
+        else:
+            fmt_decl_col = F.lit(
+                ":".join((["GT"] if has_gt else []) + list(format_fields))
+                or "."
+            )
+        lines_src = fixed.join(per_variant, "variant_id", "left")
+        if has_presence:
+            lines_src = lines_src.join(
+                variants.select("variant_id", "fmt_present"), "variant_id", "left"
+            )
+        lines = lines_src.select(
             F.concat_ws(
                 "\t",
                 F.col("__fixed"),
-                F.lit(fmt_decl),
+                fmt_decl_col,
                 F.coalesce(F.col("__samples"), F.lit("")),
             ).alias("value"),
             "chromosome",

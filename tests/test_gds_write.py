@@ -895,3 +895,54 @@ def test_scenario_imputation_equals_explicit_format_storage(spark, tmp_path):
 
     with pytest.raises(ValueError, match="scenario"):
         orig.to_gds(str(tmp_path / "bad.gds"), scenario="nope")
+
+
+def test_gds_roundtrip_per_variant_format_presence(spark, tmp_path):
+    """Per-variant FORMAT presence survives the CONTAINER round trip
+    (r9): read_vcf records fmt_present; to_gds stores ZERO @data rows
+    for a scalar field absent at a variant (the reference's TVCF_Format
+    index-0 model); from_gds reconstructs fmt_present from the stored
+    counts; write_vcf then reproduces each line's FORMAT column. Also
+    pins that ungapped fields still store exactly one row per variant
+    (byte-layout unchanged for legacy data)."""
+    import glob
+
+    from seqarray_spark.sources import vcf as vcfmod
+    from seqarray_spark.sources.gds import GdsFile
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    src = tmp_path / "pvf.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="q">\n'
+        "##contig=<ID=1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n"
+        "1\t100\t.\tA\tT\t10\tPASS\t.\tGT:DP:GQ\t0/1:7:40\t1/1:.:50\n"
+        "1\t200\t.\tC\tG\t10\tPASS\t.\tGT\t0/0\t0/1\n"
+        "1\t300\t.\tG\tA\t10\tPASS\t.\tGT:GQ\t0/1:33\t./.:.\n"
+    )
+    out = str(tmp_path / "pvf.gds")
+    vcfmod.read_vcf(spark, str(src), assign_ids="order").to_gds(out)
+
+    # stored counts: DP present only at variant 1; GQ at variants 1+3
+    g = GdsFile(out)
+    import numpy as np
+
+    dp = np.asarray(g.read_array("annotation/format/DP/@data"))
+    gq = np.asarray(g.read_array("annotation/format/GQ/@data"))
+    assert dp.tolist() == [1, 0, 0]
+    assert gq.tolist() == [1, 0, 1]
+    assert g.node("annotation/format/DP/data").dims[0] == 1
+    assert g.node("annotation/format/GQ/data").dims[0] == 2
+
+    ds2 = from_gds(spark, out)
+    vout = str(tmp_path / "pvf_rt")
+    vcfmod.write_vcf(ds2, vout)
+    body = "".join(open(f).read() for f in sorted(glob.glob(vout + "/part-*")))
+    lines = {ln.split("\t")[1]: ln.split("\t") for ln in body.splitlines() if ln}
+    assert lines["100"][8] == "GT:DP:GQ"
+    assert lines["200"][8] == "GT"
+    assert lines["300"][8] == "GT:GQ"
+    assert lines["300"][9] == "0/1:33" and lines["300"][10] == "./.:."

@@ -946,3 +946,42 @@ def test_vcf_sample_ids(tmp_path):
                  "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
     with pytest.raises(ValueError):
         vcfmod.vcf_sample_ids(str(p))
+
+
+def test_export_per_variant_format_presence(spark, tmp_path):
+    """Per-variant FORMAT fidelity (r9, closing the PARITY.md-documented
+    divergence): the reference stores ZERO rows for a field absent from
+    a line's FORMAT and OMITS it from that variant's FORMAT on re-export
+    (ExportInfoFormat's Rf_isNull skip, src/ConvGDS2VCF.cpp:546-554).
+    read_vcf now records fmt_present per variant; write_vcf reproduces
+    each line's FORMAT column and cell layout instead of padding every
+    variant to the full catalog."""
+    import glob
+
+    src = tmp_path / "pvf.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="q">\n'
+        "##contig=<ID=1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n"
+        "1\t100\t.\tA\tT\t10\tPASS\t.\tGT:DP:GQ\t0/1:7:40\t1/1:.:50\n"
+        "1\t200\t.\tC\tG\t10\tPASS\t.\tGT\t0/0\t0/1\n"
+        "1\t300\t.\tG\tA\t10\tPASS\t.\tGT:GQ\t0/1:33\t./.:.\n"
+    )
+    ds = vcfmod.read_vcf(spark, str(src), assign_ids="order")
+    assert "fmt_present" in ds.variants.columns
+    out = str(tmp_path / "pvf_out")
+    vcfmod.write_vcf(ds, out)
+    body = "".join(open(f).read() for f in sorted(glob.glob(out + "/part-*")))
+    lines = {ln.split("\t")[1]: ln.split("\t") for ln in body.splitlines() if ln}
+    # variant 100: full catalog; DP missing for S2 renders '.'
+    assert lines["100"][8] == "GT:DP:GQ"
+    assert lines["100"][9] == "0/1:7:40" and lines["100"][10] == "1/1:.:50"
+    # variant 200: GT only — no padded ':.' cells
+    assert lines["200"][8] == "GT"
+    assert lines["200"][9] == "0/0" and lines["200"][10] == "0/1"
+    # variant 300: GT:GQ — DP omitted, GQ kept (catalog order)
+    assert lines["300"][8] == "GT:GQ"
+    assert lines["300"][9] == "0/1:33" and lines["300"][10] == "./.:."
