@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         "emb_semantic_dedup": emb_semantic_dedup,
+        "emb_pq_codes": emb_pq_codes,
         "emb_kmeans_cells": emb_kmeans_cells,
         # -- r8 additions (newest first) ------------------------------------
         "doc_incremental_exact": doc_incremental_exact,
@@ -953,6 +954,36 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_ord int, cvec array<float>",
     )
     return semantic_dedup(emb, cents, tau=0.4)
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (new r9): m=4 subspaces of 16 dims,
+    k=4 codes per subspace taken from the 4 lowest-vec_id vectors'
+    slices (the same deterministic-init convention as the kmeans
+    gates). Output per vector: the 4 codes joined as a CSV string (a
+    dialect-stable rendering of array<int>) plus the summed quantization
+    error, both rounded/derived from 6dp-rounded squared-L2 distances
+    so the argmin and the sum are bit-stable across engines."""
+    from seqarray_spark.operators.similarity import pq_encode
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    m, sub_d = 4, 16
+    init = emb.orderBy("vec_id").limit(4).collect()
+    rows = []
+    for code, r in enumerate(init):
+        v = list(map(float, r["embedding"]))
+        for j in range(m):
+            rows.append((j, code, v[j * sub_d:(j + 1) * sub_d]))
+    cbk = spark.createDataFrame(
+        rows, "sub_ord int, code int, cvec array<float>"
+    )
+    out = pq_encode(emb, cbk, m=m)
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.transform("codes", lambda c: c.cast("string")))
+        .alias("codes"),
+        "dist",
+    )
 
 
 def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2328,6 +2359,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, md5(string_agg(h, ',' ORDER BY h)) AS fingerprint
             FROM ranked WHERE rn <= 8 GROUP BY doc_id
+        """,
+        "emb_pq_codes": """
+            WITH cb AS (
+              SELECT embedding,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS code
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ), subs AS (
+              SELECT UNNEST(generate_series(0, 3)) AS sub_ord
+            ), cbk AS (
+              SELECT s.sub_ord, cb.code,
+                     list_slice(cb.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS cvec
+              FROM cb CROSS JOIN subs s
+            ), ev AS (
+              SELECT e.vec_id, s.sub_ord,
+                     list_slice(e.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS sv
+              FROM embeddings e CROSS JOIN subs s
+            ), z AS (
+              SELECT ev.vec_id, ev.sub_ord, cbk.code,
+                     UNNEST(ev.sv) AS x, UNNEST(cbk.cvec) AS y
+              FROM ev JOIN cbk ON cbk.sub_ord = ev.sub_ord
+            ), d AS (
+              SELECT vec_id, sub_ord, code,
+                ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6) AS dd
+              FROM z GROUP BY vec_id, sub_ord, code
+            ), best AS (
+              SELECT vec_id, sub_ord, code, dd,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub_ord
+                                        ORDER BY dd, code) AS rn
+              FROM d
+            )
+            SELECT vec_id,
+                   array_to_string(array_agg(code ORDER BY sub_ord), ',')
+                     AS codes,
+                   ROUND(SUM(dd), 6) AS dist
+            FROM best WHERE rn = 1 GROUP BY vec_id
         """,
         "emb_semantic_dedup": """
             WITH cents AS (

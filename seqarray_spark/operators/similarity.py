@@ -313,6 +313,81 @@ def semantic_dedup(
     )
 
 
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Product quantization encode (the IVF-PQ compression primitive —
+    Jégou et al. 2011): split each d-dim vector into `m` equal
+    subvectors and replace each with the code of its nearest codebook
+    centroid (squared L2, rounded, ties to the lowest code). Output:
+    one row per vector, (id, codes array<int>, dist double) where
+    codes[j] is subspace j's code and dist the summed quantization
+    error — at 100 TB this is what makes embedding search storable:
+    m bytes/vector instead of 4d (64-dim float32 → 4 codes = 64×
+    smaller), scanned by LUT instead of dot products.
+
+    `codebooks`: (sub_ord int, code int, cvec array<float>) — subspace
+    j's centroid `code` is its d/m-dim slice. Plan shape: ONE
+    posexplode of the m slices, a broadcast join against the m·k
+    codebook rows (tiny), a windowed argmin per (id, subspace), and a
+    groupBy(id) to reassemble — the only wide exchange is keyed by id.
+    Everything is rounded sequential-fold Column math, so the encoding
+    is reproducible across engines (the oracle-checkable property;
+    production would swap the distance for a BLAS batch per Arrow
+    block, same contract)."""
+    from pyspark.sql.window import Window
+
+    sub = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.col(vec_col),
+                        (F.size(vec_col) / m).cast("int") * j + 1,
+                        (F.size(vec_col) / m).cast("int"),
+                    )
+                    for j in range(int(m))
+                ]
+            )
+        ).alias("sub_ord", "__sv"),
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__sv"),
+                F.col("cvec"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        int(round_to),
+    )
+    w = Window.partitionBy(id_col, "sub_ord").orderBy(
+        F.col("__d"), F.col("code")
+    )
+    best = (
+        sub.join(F.broadcast(codebooks), "sub_ord")
+        .withColumn("__d", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_ord", "code"))),
+            lambda s: s["code"],
+        ).alias("codes"),
+        F.round(F.sum("__d"), int(round_to)).alias("dist"),
+    )
+
+
 def kmeans_fit_distributed(
     emb: DataFrame,
     k: int = 8,

@@ -1096,3 +1096,35 @@ def test_semantic_dedup_hand_values(spark):
     # v4 (cos to y-centroid 0.8) pairs with nothing >= 0.99 in cluster 1
     assert out[3] == (1, True)
     assert out[4] == (1, True)
+
+
+def test_pq_encode_hand_values(spark):
+    """pq_encode on constructed 4-dim vectors, m=2 subspaces of 2 dims:
+    each subvector snaps to its nearest codebook entry independently;
+    dist sums the per-subspace squared-L2 errors; ties break to the
+    lowest code."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators.similarity import pq_encode
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 1.0]),  # exact (0, 1)
+            Row(vec_id=2, embedding=[0.9, 0.1, 1.1, 0.0]),  # near (0, 0)
+            Row(vec_id=3, embedding=[0.0, 0.0, 0.0, 0.0]),  # tie -> code 0
+        ]
+    )
+    cbk = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]), (0, 1, [0.0, 1.0]),
+            (1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0]),
+        ],
+        "sub_ord int, code int, cvec array<float>",
+    )
+    out = {r["vec_id"]: (r["codes"], r["dist"])
+           for r in pq_encode(emb, cbk, m=2).collect()}
+    assert out[1] == ([0, 1], 0.0)
+    assert out[2][0] == [0, 0]
+    assert out[2][1] == pytest.approx(0.02 + 0.01, abs=1e-6)
+    # all-zero vector: both codebook entries are distance 1 -> code 0
+    assert out[3] == ([0, 0], 2.0)
