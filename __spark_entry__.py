@@ -64,6 +64,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index < 50 so the next driver run checks it ------------------------
         "emb_semantic_dedup": emb_semantic_dedup,
         "emb_pq_codes": emb_pq_codes,
+        "emb_pq_adc_topk": emb_pq_adc_topk,
         "emb_kmeans_cells": emb_kmeans_cells,
         # -- r8 additions (newest first) ------------------------------------
         "doc_incremental_exact": doc_incremental_exact,
@@ -984,6 +985,31 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("codes"),
         "dist",
     )
+
+
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-20 over PQ codes (new r9, the scan half of IVF-PQ): the
+    min-vec_id vector queries the corpus through its m=4-byte codes —
+    per-subspace LUT distances (query slice vs codebook centroid,
+    squared L2, 6dp-rounded) are inlined as literals, so the scan is a
+    pure projection over the codes + one TakeOrderedAndProject; ties by
+    vec_id. Same fixed codebooks as emb_pq_codes."""
+    from seqarray_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    m, sub_d = 4, 16
+    init = emb.orderBy("vec_id").limit(4).collect()
+    rows = []
+    for code, r in enumerate(init):
+        v = list(map(float, r["embedding"]))
+        for j in range(m):
+            rows.append((j, code, v[j * sub_d:(j + 1) * sub_d]))
+    cbk = spark.createDataFrame(
+        rows, "sub_ord int, code int, cvec array<float>"
+    )
+    codes = pq_encode(emb, cbk, m=m)
+    qv = list(map(float, init[0]["embedding"]))
+    return pq_adc_topk(codes, qv, cbk, m=m, k=20)
 
 
 def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2400,6 +2426,67 @@ def oracle_sql() -> dict[str, str]:
                      AS codes,
                    ROUND(SUM(dd), 6) AS dist
             FROM best WHERE rn = 1 GROUP BY vec_id
+        """,
+        "emb_pq_adc_topk": """
+            WITH cb AS (
+              SELECT embedding,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS code
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ), subs AS (
+              SELECT UNNEST(generate_series(0, 3)) AS sub_ord
+            ), cbk AS (
+              SELECT s.sub_ord, cb.code,
+                     list_slice(cb.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS cvec
+              FROM cb CROSS JOIN subs s
+            ), ev AS (
+              SELECT e.vec_id, s.sub_ord,
+                     list_slice(e.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS sv
+              FROM embeddings e CROSS JOIN subs s
+            ), z AS (
+              SELECT ev.vec_id, ev.sub_ord, cbk.code,
+                     UNNEST(ev.sv) AS x, UNNEST(cbk.cvec) AS y
+              FROM ev JOIN cbk ON cbk.sub_ord = ev.sub_ord
+            ), d AS (
+              SELECT vec_id, sub_ord, code,
+                ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6) AS dd
+              FROM z GROUP BY vec_id, sub_ord, code
+            ), best AS (
+              SELECT vec_id, sub_ord, code, dd,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub_ord
+                                        ORDER BY dd, code) AS rn
+              FROM d
+            ), qsub AS (
+              -- LUT: the min-vec_id QUERY's slice vs every codebook
+              -- centroid, same rounded squared-L2 as the encode
+              SELECT s.sub_ord,
+                     list_slice(q.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS qv
+              FROM (SELECT embedding FROM embeddings
+                    WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) q
+              CROSS JOIN subs s
+            ), lz AS (
+              SELECT qs.sub_ord, cbk.code,
+                     UNNEST(qs.qv) AS x, UNNEST(cbk.cvec) AS y
+              FROM qsub qs JOIN cbk ON cbk.sub_ord = qs.sub_ord
+            ), lut AS (
+              SELECT sub_ord, code,
+                ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6) AS ld
+              FROM lz GROUP BY sub_ord, code
+            )
+            SELECT b.vec_id, ROUND(SUM(l.ld), 6) AS adc_dist
+            FROM best b
+            JOIN lut l ON l.sub_ord = b.sub_ord AND l.code = b.code
+            WHERE b.rn = 1
+            GROUP BY b.vec_id
+            ORDER BY adc_dist, vec_id LIMIT 20
         """,
         "emb_semantic_dedup": """
             WITH cents AS (

@@ -388,6 +388,53 @@ def pq_encode(
     )
 
 
+def pq_adc_topk(
+    codes: DataFrame,
+    query_vec,
+    codebooks: DataFrame,
+    m: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the scan half of
+    IVF-PQ: the query stays full-precision, every database vector is
+    its m-byte code row, and the approximate distance is a sum of m
+    table lookups. The per-subspace lookup tables (query-slice vs each
+    codebook centroid, squared L2, rounded) are computed DRIVER-side
+    from the bounded m·k codebook and inlined as array literals, so the
+    scan is a pure Column projection over the codes table + ONE top-k
+    (TakeOrderedAndProject) — no join, no shuffle, no vector column
+    read. At 100 TB this is the point: the codes table is 64-256×
+    smaller than the embeddings, and the scan never touches the
+    originals. Ties break by id."""
+    import numpy as np
+
+    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
+    sub_d = len(q) // int(m)
+    cb = codebooks.select("sub_ord", "code", "cvec").collect()
+    n_codes = max(r["code"] for r in cb) + 1
+    lut = np.zeros((int(m), int(n_codes)), dtype=np.float64)
+    for r in cb:
+        j, c = int(r["sub_ord"]), int(r["code"])
+        diff = q[j * sub_d:(j + 1) * sub_d] - np.asarray(r["cvec"], np.float64)
+        lut[j, c] = round(float((diff * diff).sum()), int(round_to))
+    dist = None
+    for j in range(int(m)):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[j]]),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes.select(
+            id_col, F.round(dist, int(round_to)).alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(int(k))
+    )
+
+
 def kmeans_fit_distributed(
     emb: DataFrame,
     k: int = 8,

@@ -1128,3 +1128,35 @@ def test_pq_encode_hand_values(spark):
     assert out[2][1] == pytest.approx(0.02 + 0.01, abs=1e-6)
     # all-zero vector: both codebook entries are distance 1 -> code 0
     assert out[3] == ([0, 0], 2.0)
+
+
+def test_pq_adc_topk_hand_values(spark):
+    """ADC scan over hand-built codes: with the query equal to codebook
+    tuple (0,1), the vector encoding exactly to those codes gets
+    adc_dist 0 and ranks first; distances are sums of per-subspace LUT
+    entries; ties break by id."""
+    from pyspark.sql import Row
+
+    from seqarray_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 1.0]),   # codes (0,1)
+            Row(vec_id=2, embedding=[0.0, 1.0, 1.0, 0.0]),   # codes (1,0)
+            Row(vec_id=3, embedding=[1.0, 0.0, 1.0, 0.0]),   # codes (0,0)
+        ]
+    )
+    cbk = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]), (0, 1, [0.0, 1.0]),
+            (1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0]),
+        ],
+        "sub_ord int, code int, cvec array<float>",
+    )
+    codes = pq_encode(emb, cbk, m=2)
+    out = pq_adc_topk(codes, [1.0, 0.0, 0.0, 1.0], cbk, m=2, k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    assert out[0]["adc_dist"] == 0.0
+    # vec 3 differs in subspace 1 only: LUT dist |(0,1)-(1,0)|^2 = 2
+    assert out[1]["adc_dist"] == 2.0
+    assert out[2]["adc_dist"] == 4.0
