@@ -945,7 +945,17 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroid-cos, vec_id) is kept, the other marked kept=false. All
     cosines rounded to 6dp before any comparison so the threshold and
     the keeper rule are bit-stable across engines. Output is every
-    embedding row: (vec_id, centroid_ord, cos, kept)."""
+    embedding row: (vec_id, centroid_ord, cos, kept).
+
+    r10: pairs come from the triangle block-matmul kernel grouped by
+    cell (mode='blas' — BLAS per pair instead of a 2·dim Column fold,
+    skewed cells fan out over block-pair tasks; the r9 centroid_ord
+    self-join was the round's one scale-killer plan). Identical output
+    to the exact form — pytest-pinned — so the oracle is unchanged.
+    The gate's tau=0.4 sits where the testdata has pairs at all (max
+    pairwise cosine ~0.51, no planted high-cos dups), which is BELOW
+    the LSH-prunable regime: the banded mode's recall contract is
+    pinned on planted near-dups in tests/test_llm_ops.py instead."""
     from seqarray_spark.operators.similarity import semantic_dedup
 
     emb = td.load_table(spark, sf_dir, "embeddings")
@@ -954,7 +964,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)],
         "centroid_ord int, cvec array<float>",
     )
-    return semantic_dedup(emb, cents, tau=0.4)
+    return semantic_dedup(emb, cents, tau=0.4, mode="blas")
 
 
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,15 +115,20 @@ def chrom_rle(
             else narrow.limit(driver_threshold + 1).count() <= driver_threshold
         )
         if small:
-            # small-selection fast path: ONE task doing the whole RLE —
-            # coalesce(1) (no shuffle) + in-partition sort + a numpy
-            # fold that emits the run rows directly. One stage, zero
-            # exchanges; the task is small by the probe's guarantee.
-            # (r8 used a gaps-and-islands window here: SinglePartition
-            # exchange + window + groupBy shuffle = 3 stages of
-            # scheduling for the same single-threaded work. An even
-            # earlier collect-to-driver variant measured ~2x slower
-            # still — the run frame can be as large as the input.)
+            # small-selection fast path: fold the whole RLE in ONE task
+            # downstream of ONE narrow exchange — repartition(1), NOT
+            # coalesce(1): coalesce collapses the upstream scan/decode
+            # into the same single task, so a selective filter over a
+            # large container would scan everything single-threaded
+            # (the probe bounds OUTPUT rows, not scan work — r9 advice).
+            # The exchange ships <= threshold (variant_id, chromosome)
+            # rows — a few MB at the cap — while the scan stays
+            # parallel. (r8 used a gaps-and-islands window here:
+            # SinglePartition exchange + window + groupBy shuffle = 3
+            # stages of scheduling for the same single-threaded work.
+            # An even earlier collect-to-driver variant measured ~2x
+            # slower still — the run frame can be as large as the
+            # input.)
             def fold_small(batches):
                 import numpy as np
 
@@ -152,7 +157,7 @@ def chrom_rle(
                     )
 
             return (
-                narrow.coalesce(1)
+                narrow.repartition(1)
                 .sortWithinPartitions("variant_id")
                 .mapInPandas(fold_small, out_schema)
             )

@@ -452,6 +452,10 @@ def incremental_dup_pairs(
     regime analysis in SCALE.md r9 + tools/dedup_pushdown_stress.py."""
     from seqarray_spark.plans.lifecycle import release_on_gc
 
+    if tau is not None and corpus_docs is None:
+        # validate BEFORE any persist() so the error path cannot leak a
+        # pinned batch frame (r9 advice)
+        raise ValueError("tau verification needs corpus_docs (or pass tau=None)")
     _pin = None  # persisted batch frame on the pushdown path
     rows = num_hashes // bands
     new_sigs = _minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n)
@@ -539,8 +543,6 @@ def incremental_dup_pairs(
     cand = cand.distinct()
     if tau is None:
         return release_on_gc(_pin, cand) if _pin is not None else cand
-    if corpus_docs is None:
-        raise ValueError("tau verification needs corpus_docs (or pass tau=None)")
     cand = cand.localCheckpoint()
     if _pin is not None:
         # the candidate set is materialized by the checkpoint above, so
@@ -913,9 +915,15 @@ def embedding_dup_pairs(
     )
 
 
-def _all_pairs_matmul(df: DataFrame, tau: float, blocks: int | None = None) -> DataFrame:
+def _all_pairs_matmul(
+    df: DataFrame,
+    tau: float,
+    blocks: int | None = None,
+    group_col: str | None = None,
+    carry_col: str | None = None,
+) -> DataFrame:
     """Exact all-pairs cosine>=tau as a distributed block matmul (triangle
-    partitioning). df: (_id, _v, _n).
+    partitioning). df: (_id, _v, _n) plus `group_col` if given.
 
     Each vector lands in block b = hash(_id) % B and is replicated to the
     B block-pair groups {(min(b,p), max(b,p)) : p in 0..B-1}; each group
@@ -925,7 +933,18 @@ def _all_pairs_matmul(df: DataFrame, tau: float, blocks: int | None = None) -> D
     broadcast — shuffle volume is N*B rows, and per-task memory is
     (2N/B)*dim*8 bytes, so B is the knob that fits the task in RAM at any
     N. The division-by-norms formula matches the expression path
-    bit-for-bit up to BLAS summation order."""
+    bit-for-bit up to BLAS summation order.
+
+    `group_col` restricts pairs to rows sharing the column's value (the
+    within-cluster form semantic_dedup rides): the task key becomes
+    (group, i, j), so a skewed group still fans out over B^2/2 tasks
+    instead of serializing on one.
+
+    `carry_col` names an optional per-row double column to thread
+    through to the output as (carry_a, carry_b) — aligned with the
+    min/max id orientation — so callers needing a per-endpoint value on
+    each pair (semantic_dedup's centroid-cos keeper rule) skip two
+    joins back against the point frame."""
     import numpy as np
     import pandas as pd
 
@@ -933,10 +952,19 @@ def _all_pairs_matmul(df: DataFrame, tau: float, blocks: int | None = None) -> D
     # B^2/2 groups ~ default parallelism keeps every core busy without
     # over-replicating; callers at real scale size B from N and task RAM
     b_num = blocks or max(2, int((2 * sc.defaultParallelism) ** 0.5))
+    gcols = [group_col] if group_col else []
+    ccols = [carry_col] if carry_col else []
+    out_schema = "id_a long, id_b long, cosine double"
+    empty = {"id_a": [], "id_b": [], "cosine": []}
+    if carry_col:
+        out_schema += ", carry_a double, carry_b double"
+        empty.update({"carry_a": [], "carry_b": []})
 
     replicated = (
         df.withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(b_num)).cast("int"))
         .select(
+            *gcols,
+            *ccols,
             "_id",
             "_v",
             "_n",
@@ -948,11 +976,12 @@ def _all_pairs_matmul(df: DataFrame, tau: float, blocks: int | None = None) -> D
                 )
             ).alias("_bp"),
         )
-        .select("_id", "_v", "_n", "_blk", F.col("_bp.i").alias("_i"), F.col("_bp.j").alias("_j"))
+        .select(*gcols, *ccols, "_id", "_v", "_n", "_blk",
+                F.col("_bp.i").alias("_i"), F.col("_bp.j").alias("_j"))
     )
 
     def kernel(key, pdf):
-        i, j = int(key[0]), int(key[1])
+        i, j = int(key[-2]), int(key[-1])
         a = b = pdf
         if i != j:
             a = pdf[pdf["_blk"] == i]
@@ -960,7 +989,7 @@ def _all_pairs_matmul(df: DataFrame, tau: float, blocks: int | None = None) -> D
         a_ids = a["_id"].to_numpy(dtype=np.int64)
         b_ids = b["_id"].to_numpy(dtype=np.int64)
         if not len(a_ids) or not len(b_ids):
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame(empty)
         a_mat = np.array(list(a["_v"]), dtype=np.float64)
         b_mat = np.array(list(b["_v"]), dtype=np.float64)
         sims = (a_mat @ b_mat.T) / np.outer(
@@ -970,15 +999,23 @@ def _all_pairs_matmul(df: DataFrame, tau: float, blocks: int | None = None) -> D
             # same block on both sides: keep the upper triangle
             ai, bi = np.nonzero((sims >= tau) & (a_ids[:, None] < b_ids[None, :]))
             id_a, id_b = a_ids[ai], b_ids[bi]
+            swap = np.zeros(len(ai), dtype=bool)
         else:
             # disjoint blocks: each pair appears once, in either order
             ai, bi = np.nonzero(sims >= tau)
+            swap = a_ids[ai] > b_ids[bi]
             id_a = np.minimum(a_ids[ai], b_ids[bi])
             id_b = np.maximum(a_ids[ai], b_ids[bi])
-        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": sims[ai, bi]})
+        out = {"id_a": id_a, "id_b": id_b, "cosine": sims[ai, bi]}
+        if carry_col:
+            xa = a[carry_col].to_numpy(dtype=np.float64)[ai]
+            xb = b[carry_col].to_numpy(dtype=np.float64)[bi]
+            out["carry_a"] = np.where(swap, xb, xa)
+            out["carry_b"] = np.where(swap, xa, xb)
+        return pd.DataFrame(out)
 
-    return replicated.groupBy("_i", "_j").applyInPandas(
-        kernel, schema="id_a long, id_b long, cosine double"
+    return replicated.groupBy(*gcols, "_i", "_j").applyInPandas(
+        kernel, schema=out_schema
     )
 
 

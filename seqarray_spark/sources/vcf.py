@@ -1040,6 +1040,12 @@ def write_vcf(
             "fmt_present" in variants.columns and len(format_fields) > 0
         )
         if has_presence:
+            # a calls frame that already carries fmt_present (it is
+            # excluded from format_fields above) would make the joined
+            # column ambiguous — the variants copy is authoritative
+            # (r9 advice)
+            if "fmt_present" in calls.columns:
+                calls = calls.drop("fmt_present")
             calls = calls.join(
                 variants.select("variant_id", "fmt_present"), "variant_id", "left"
             )

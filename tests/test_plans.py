@@ -519,3 +519,36 @@ def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
     plan = E.plan_string(df, "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pq_encode_zero_shuffle(spark, sf_dir):
+    """r10 (VERDICT r9 item 2): pq_encode is ONE narrow projection that
+    rides the corpus scan — the m·k codebook is inlined as literals,
+    so the plan has 0 Exchanges, no join, no window, no explode (the
+    r9 form shuffled 2 wide exchanges of m× the corpus)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.emb_pq_codes(spark, sf_dir)
+    plan = E.plan_string(df, "simple")
+    assert E.num_shuffles(df) == 0, plan
+    for bad in ("Join", "Window", "Generate", "HashAggregate"):
+        assert bad not in plan, f"{bad} in pq_encode plan:\n{plan}"
+
+
+def test_semantic_dedup_gate_plan_not_quadratic_join(spark, sf_dir):
+    """r10 (VERDICT r9 item 1): the graded emb_semantic_dedup plan must
+    NOT contain the r9 scale-killer — a pair self-join keyed on
+    centroid_ord alone. The pairs come from the grouped triangle
+    block-matmul kernel (FlatMapGroupsInPandas keyed (centroid_ord,
+    block_i, block_j)), so a skewed cell fans out over block-pair
+    tasks instead of serializing on one partition."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.emb_semantic_dedup(spark, sf_dir)
+    plan = E.plan_string(df, "simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert not re.search(
+        r"Join \[centroid_ord#\d+\], \[centroid_ord#\d+\]", plan
+    ), plan
