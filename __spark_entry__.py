@@ -62,6 +62,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_registry_sweep.py::test_rotation_invariant): any entry
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
+        # -- r10 additions (newest first) ------------------------------------
+        "emb_ivf_pq_topk": emb_ivf_pq_topk,
+        # -- r9 additions -----------------------------------------------------
         "emb_semantic_dedup": emb_semantic_dedup,
         "emb_pq_codes": emb_pq_codes,
         "emb_pq_adc_topk": emb_pq_adc_topk,
@@ -967,6 +970,74 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, cents, tau=0.4, mode="blas")
 
 
+def _pq_fixed_codebook(spark: SparkSession, init, m: int = 4, sub_d: int = 16):
+    """The gates' deterministic PQ codebook: codes 0..3 are the 4
+    lowest-vec_id vectors' per-subspace slices (init = those collected
+    rows, lowest first)."""
+    rows = []
+    for code, r in enumerate(init[:4]):
+        v = list(map(float, r["embedding"]))
+        for j in range(m):
+            rows.append((j, code, v[j * sub_d:(j + 1) * sub_d]))
+    return spark.createDataFrame(rows, "sub_ord int, code int, cvec array<float>")
+
+
+def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed top-20 (new r10, VERDICT r9 item 3 — the
+    production ANN shape): coarse model = the 8 lowest-vec_id vectors
+    (as emb_kmeans_cells); the query (= the min-vec_id vector) probes
+    its nprobe=2 nearest cells (rounded cosine DESC, ord ASC — a REAL
+    prune, not the nprobe=ncells degeneration), every embedding
+    assigns to its cell by the exact rounded argmax, and only the
+    probed cells' rows are PQ-encoded (m=4 subspaces, the fixed
+    4-entry codebook of emb_pq_codes) and ADC-ranked by the inlined
+    LUTs. Full-fidelity DuckDB oracle: assignment, probe, encode and
+    ADC all replay in SQL, every comparison on 6dp-rounded values.
+
+    This gate form uses the oracle-mirrorable rounded assignment
+    (kmeans_assign_exact); the production operator ivf_pq_topk
+    (similarity.py) swaps in the zero-shuffle mapInPandas assignment
+    and the pre-encoded codes table — recall + exact-degeneration
+    contracts pytest-pinned in tests/test_llm_ops.py."""
+    import numpy as np
+
+    from seqarray_spark.operators.similarity import (
+        _round_half_up,
+        kmeans_assign_exact,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    init = emb.orderBy("vec_id").limit(8).collect()
+    cents_rows = [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)]
+    cents = spark.createDataFrame(
+        cents_rows, "centroid_ord int, cvec array<float>"
+    )
+    # probe: the 2 cells nearest the query, ranked on the 6dp-rounded
+    # cosine (ties -> lowest ord) over the tiny local model — the same
+    # numbers the oracle's SQL ranking computes
+    q = np.asarray(cents_rows[0][1], dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    ranked = sorted(
+        (
+            -_round_half_up(
+                float(v @ q) / (float(np.linalg.norm(v)) * qn), 6
+            ),
+            i,
+        )
+        for i, row in cents_rows
+        for v in [np.asarray(row, dtype=np.float64)]
+    )
+    probe = [i for _, i in ranked[:2]]
+    assign = kmeans_assign_exact(emb, cents, keep_vec=True)
+    kept = assign.filter(F.col("centroid_ord").isin(probe))
+    cbk = _pq_fixed_codebook(spark, init)
+    codes = pq_encode(kept.select("vec_id", "embedding"), cbk, m=4)
+    qv = list(map(float, init[0]["embedding"]))
+    return pq_adc_topk(codes, qv, cbk, m=4, k=20)
+
+
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (new r9): m=4 subspaces of 16 dims,
     k=4 codes per subspace taken from the 4 lowest-vec_id vectors'
@@ -978,17 +1049,9 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqarray_spark.operators.similarity import pq_encode
 
     emb = td.load_table(spark, sf_dir, "embeddings")
-    m, sub_d = 4, 16
     init = emb.orderBy("vec_id").limit(4).collect()
-    rows = []
-    for code, r in enumerate(init):
-        v = list(map(float, r["embedding"]))
-        for j in range(m):
-            rows.append((j, code, v[j * sub_d:(j + 1) * sub_d]))
-    cbk = spark.createDataFrame(
-        rows, "sub_ord int, code int, cvec array<float>"
-    )
-    out = pq_encode(emb, cbk, m=m)
+    cbk = _pq_fixed_codebook(spark, init)
+    out = pq_encode(emb, cbk, m=4)
     return out.select(
         "vec_id",
         F.concat_ws(",", F.transform("codes", lambda c: c.cast("string")))
@@ -1007,19 +1070,11 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqarray_spark.operators.similarity import pq_adc_topk, pq_encode
 
     emb = td.load_table(spark, sf_dir, "embeddings")
-    m, sub_d = 4, 16
     init = emb.orderBy("vec_id").limit(4).collect()
-    rows = []
-    for code, r in enumerate(init):
-        v = list(map(float, r["embedding"]))
-        for j in range(m):
-            rows.append((j, code, v[j * sub_d:(j + 1) * sub_d]))
-    cbk = spark.createDataFrame(
-        rows, "sub_ord int, code int, cvec array<float>"
-    )
-    codes = pq_encode(emb, cbk, m=m)
+    cbk = _pq_fixed_codebook(spark, init)
+    codes = pq_encode(emb, cbk, m=4)
     qv = list(map(float, init[0]["embedding"]))
-    return pq_adc_topk(codes, qv, cbk, m=m, k=20)
+    return pq_adc_topk(codes, qv, cbk, m=4, k=20)
 
 
 def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2395,6 +2450,110 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, md5(string_agg(h, ',' ORDER BY h)) AS fingerprint
             FROM ranked WHERE rn <= 8 GROUP BY doc_id
+        """,
+        "emb_ivf_pq_topk": """
+            WITH cents AS (
+              SELECT embedding AS cvec,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS centroid_ord
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), q AS (
+              SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+            ), qcz AS (
+              -- query -> cell cosines (the probe ranking)
+              SELECT centroid_ord,
+                     UNNEST(cvec) AS y, UNNEST((SELECT qv FROM q)) AS x
+              FROM cents
+            ), qc AS (
+              SELECT centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS qcos
+              FROM qcz GROUP BY centroid_ord
+            ), probe AS (
+              SELECT centroid_ord FROM qc
+              ORDER BY qcos DESC, centroid_ord LIMIT 2
+            ), z AS (
+              SELECT e.vec_id, c.centroid_ord,
+                     UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+              FROM embeddings e CROSS JOIN cents c
+            ), scored AS (
+              SELECT vec_id, centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS cos
+              FROM z GROUP BY vec_id, centroid_ord
+            ), pts AS (
+              SELECT vec_id, centroid_ord FROM (
+                SELECT vec_id, centroid_ord,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, centroid_ord)
+                         AS rn
+                FROM scored
+              ) t WHERE rn = 1
+            ), kept AS (
+              SELECT p.vec_id FROM pts p
+              JOIN probe pr ON pr.centroid_ord = p.centroid_ord
+            ), cb AS (
+              SELECT embedding,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS code
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ), subs AS (
+              SELECT UNNEST(generate_series(0, 3)) AS sub_ord
+            ), cbk AS (
+              SELECT s.sub_ord, cb.code,
+                     list_slice(cb.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS cvec
+              FROM cb CROSS JOIN subs s
+            ), ev AS (
+              SELECT e.vec_id, s.sub_ord,
+                     list_slice(e.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS sv
+              FROM embeddings e
+              JOIN kept k ON k.vec_id = e.vec_id
+              CROSS JOIN subs s
+            ), ez AS (
+              SELECT ev.vec_id, ev.sub_ord, cbk.code,
+                     UNNEST(ev.sv) AS x, UNNEST(cbk.cvec) AS y
+              FROM ev JOIN cbk ON cbk.sub_ord = ev.sub_ord
+            ), d AS (
+              SELECT vec_id, sub_ord, code,
+                ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6) AS dd
+              FROM ez GROUP BY vec_id, sub_ord, code
+            ), best AS (
+              SELECT vec_id, sub_ord, code, dd,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub_ord
+                                        ORDER BY dd, code) AS rn
+              FROM d
+            ), qsub AS (
+              SELECT s.sub_ord,
+                     list_slice((SELECT qv FROM q),
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS qslice
+              FROM subs s
+            ), lz AS (
+              SELECT qs.sub_ord, cbk.code,
+                     UNNEST(qs.qslice) AS x, UNNEST(cbk.cvec) AS y
+              FROM qsub qs JOIN cbk ON cbk.sub_ord = qs.sub_ord
+            ), lut AS (
+              SELECT sub_ord, code,
+                ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6) AS ld
+              FROM lz GROUP BY sub_ord, code
+            )
+            SELECT b.vec_id, ROUND(SUM(l.ld), 6) AS adc_dist
+            FROM best b
+            JOIN lut l ON l.sub_ord = b.sub_ord AND l.code = b.code
+            WHERE b.rn = 1
+            GROUP BY b.vec_id
+            ORDER BY adc_dist, vec_id LIMIT 20
         """,
         "emb_pq_codes": """
             WITH cb AS (

@@ -111,6 +111,10 @@ def main() -> None:
         "doc_incremental_exact", "seq_header_catalogs", "doc_boilerplate",
         "emb_kmeans_cells",
     ]
+    # r9 additions on top of r8 (BENCH_r09.json's 73-name set = r8 + these):
+    shared_r9 = shared_r8 + [
+        "emb_semantic_dedup", "emb_pq_codes", "emb_pq_adc_topk",
+    ]
 
     def subtotal(names: list[str]) -> float | None:
         vals = [timings[n] for n in names if n in timings and timings[n] >= 0]
@@ -126,6 +130,7 @@ def main() -> None:
                 "sf": sf,
                 "shared_r7_subtotal": subtotal(shared_r7),
                 "shared_r8_subtotal": subtotal(shared_r8),
+                "shared_r9_subtotal": subtotal(shared_r9),
             }
         )
     )

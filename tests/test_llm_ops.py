@@ -1276,3 +1276,71 @@ def test_pq_encode_rejects_bad_dims(spark):
             spark.createDataFrame([(1, [1.0, 0.0, 0.0, 1.0])],
                                   "vec_id long, embedding array<float>"),
             cbk, m=2), [1.0, 0.0, 0.0], cbk, m=2)
+
+
+def _ivf_pq_fixture(spark):
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+    from seqarray_spark.sources import testdata as td
+
+    emb = td.load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    init = emb.orderBy("vec_id").limit(8).collect()
+    cbk = entry_mod._pq_fixed_codebook(spark, init)
+    cents = np.array([list(map(float, r["embedding"])) for r in init])
+    qv = list(map(float, init[0]["embedding"]))
+    return emb, cents, cbk, qv
+
+
+def test_ivf_pq_topk_full_probe_degenerates_to_adc(spark):
+    """ivf_pq_topk with nprobe=ncells must equal pq_adc_topk over ALL
+    codes (the IVF prune admits everything) — pins the production
+    composition (mapInPandas assignment + inline encode + ADC) against
+    the already-oracle-checked scan half, value for value."""
+    emb, cents, cbk, qv = _ivf_pq_fixture(spark)
+    full = [(r["vec_id"], r["adc_dist"]) for r in
+            S.ivf_pq_topk(emb, qv, cents, cbk, m=4, k=20, nprobe=8).collect()]
+    allc = [(r["vec_id"], r["adc_dist"]) for r in
+            S.pq_adc_topk(S.pq_encode(emb, cbk, m=4), qv, cbk,
+                          m=4, k=20).collect()]
+    assert full == allc and len(full) == 20
+
+
+def test_ivf_pq_topk_recall_contract(spark):
+    """IVF-PQ recall vs brute-force cosine, measured (not a comment):
+    with the gates' deliberately coarse fixed codebook (4 codes per
+    subspace on near-random 64-dim data) quantization caps recall@20
+    around 0.4-0.5; the contract pins a floor under the measured value
+    on the deterministic sf0.01 data, plus that the nprobe=2 prune
+    loses little vs full-probe ADC (the IVF half's own loss)."""
+    import __spark_entry__ as entry_mod
+
+    emb, cents, cbk, qv = _ivf_pq_fixture(spark)
+    exact = [r["vec_id"] for r in
+             entry_mod.emb_cosine_topk(spark, "/root/testdata/sf0.01").collect()]
+    pruned = {r["vec_id"] for r in
+              S.ivf_pq_topk(emb, qv, cents, cbk, m=4, k=20, nprobe=2).collect()}
+    full = {r["vec_id"] for r in
+            S.ivf_pq_topk(emb, qv, cents, cbk, m=4, k=20, nprobe=8).collect()}
+    recall_bf = len([v for v in exact if v in pruned]) / len(exact)
+    assert recall_bf >= 0.35, f"recall vs brute force {recall_bf:.2f}"
+    ivf_loss = len(pruned & full) / len(full)
+    assert ivf_loss >= 0.5, f"nprobe=2 keeps only {ivf_loss:.2f} of full ADC"
+
+
+def test_ivf_pq_topk_codes_table_path(spark):
+    """The pre-encoded-index entry point (codes table carrying
+    ivf_cell — the path where the float corpus is never read) must
+    return exactly what the encode-on-the-fly path returns."""
+    emb, cents, cbk, qv = _ivf_pq_fixture(spark)
+    assigned = S.ivf_assign(emb, cents)
+    codes = S.pq_encode(
+        assigned.select("vec_id", "embedding"), cbk, m=4
+    ).join(assigned.select("vec_id", "ivf_cell"), "vec_id")
+    via_codes = [(r["vec_id"], r["adc_dist"]) for r in
+                 S.ivf_pq_topk(None, qv, cents, cbk, m=4, k=20, nprobe=2,
+                               codes=codes).collect()]
+    via_emb = [(r["vec_id"], r["adc_dist"]) for r in
+               S.ivf_pq_topk(emb, qv, cents, cbk, m=4, k=20,
+                             nprobe=2).collect()]
+    assert via_codes == via_emb and len(via_emb) == 20

@@ -22,7 +22,7 @@ def test_all_registry_queries_match_oracles(spark):
     # the sweep only proves anything if it saw the whole registry
     # (VERDICT r8 item 8: pin the actual count so an accidental registry
     # truncation fails loudly; bump when adding queries)
-    assert len(entry_mod.queries()) >= 73
+    assert len(entry_mod.queries()) >= 74
 
 
 def test_every_query_has_oracle_or_documented_exemption():
@@ -73,3 +73,17 @@ def test_rotation_invariant():
         "registry entries never driver-checked but OUTSIDE the 50-entry "
         f"driver window: {stragglers} — move them to the front"
     )
+
+
+def test_plans_md_covers_whole_registry():
+    """VERDICT r9 item 4: PLANS.md went stale at 70/73 in r9 and the
+    round's one scale-killer plan shipped unreviewed in exactly the
+    gap. The committed dump must name every registry query — adding a
+    query without regenerating (python tools/dump_plans.py) fails CI."""
+    import __spark_entry__ as entry_mod
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md")) as fh:
+        dumped = {ln[3:].strip() for ln in fh if ln.startswith("## ")}
+    missing = set(entry_mod.queries()) - dumped
+    assert not missing, f"PLANS.md missing plans for: {sorted(missing)}"

@@ -67,9 +67,19 @@ def main():
                 "```",
                 "",
             ]
+    # self-verification (VERDICT r9 item 4): the dump must cover the
+    # WHOLE registry — r9's PLANS.md went stale at 70/73 and the round's
+    # one scale-killer plan shipped unreviewed in exactly the gap
+    n_dumped = sum(1 for ln in lines if ln.startswith("## "))
+    n_reg = len(entry_mod.queries())
+    if n_dumped != n_reg:
+        raise SystemExit(
+            f"PLANS.md dump incomplete: {n_dumped} plans for {n_reg} "
+            "registry queries — a query failed to build its DataFrame"
+        )
     with open("PLANS.md", "w") as fh:
         fh.write("\n".join(lines))
-    print(f"wrote PLANS.md ({len(entry_mod.queries())} queries)")
+    print(f"wrote PLANS.md ({n_dumped}/{n_reg} queries)")
 
 
 if __name__ == "__main__":
