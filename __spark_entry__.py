@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
+        "emb_incremental_dedup": emb_incremental_dedup,
         "emb_ivf_pq_topk": emb_ivf_pq_topk,
         # -- r9 additions -----------------------------------------------------
         "emb_semantic_dedup": emb_semantic_dedup,
@@ -980,6 +981,41 @@ def _pq_fixed_codebook(spark: SparkSession, init, m: int = 4, sub_d: int = 16):
         for j in range(m):
             rows.append((j, code, v[j * sub_d:(j + 1) * sub_d]))
     return spark.createDataFrame(rows, "sub_ord int, code int, cvec array<float>")
+
+
+def emb_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup (new r10, VERDICT r9 item 5): vectors
+    with vec_id % 5 == 0 arrive as a new batch and are checked against
+    the rest of the corpus via its STORED cell assignment — per-batch
+    cost scales with the batch (only the batch re-assigns, via the
+    zero-shuffle inlined-centroid argmax; the corpus frame was
+    assigned once at its own ingest). Returns every pair touching the
+    batch with 6dp-rounded cosine >= 0.4 within the same k=8 cell
+    (the emb_kmeans_cells fixed init) — equal to the full semantic
+    pair set restricted to the batch, because assignments are
+    per-point independent; that is what the oracle replays. This gate
+    pins the oracle-expressible 'exact' candidate rule; the banded
+    stored-index path (bucket-aligned, batch-key pushdown) and the
+    foreachBatch ingest loop are plan- and value-pinned in
+    tests/test_plans.py + tests/test_streaming.py."""
+    from seqarray_spark.operators.similarity import (
+        incremental_semantic_pairs,
+        kmeans_assign_exact,
+    )
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    init = emb.orderBy("vec_id").limit(8).collect()
+    cents = spark.createDataFrame(
+        [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)],
+        "centroid_ord int, cvec array<float>",
+    )
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    corpus_assign = kmeans_assign_exact(corpus, cents)
+    return incremental_semantic_pairs(
+        batch, cents, corpus_assign=corpus_assign, corpus_emb=corpus,
+        tau=0.4, mode="exact",
+    )
 
 
 def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2450,6 +2486,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, md5(string_agg(h, ',' ORDER BY h)) AS fingerprint
             FROM ranked WHERE rn <= 8 GROUP BY doc_id
+        """,
+        "emb_incremental_dedup": """
+            WITH cents AS (
+              SELECT embedding AS cvec,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS centroid_ord
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), z AS (
+              SELECT e.vec_id, c.centroid_ord,
+                     UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+              FROM embeddings e CROSS JOIN cents c
+            ), scored AS (
+              SELECT vec_id, centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS cos
+              FROM z GROUP BY vec_id, centroid_ord
+            ), pts AS (
+              SELECT vec_id, centroid_ord FROM (
+                SELECT vec_id, centroid_ord,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, centroid_ord)
+                         AS rn
+                FROM scored
+              ) t WHERE rn = 1
+            ), pz AS (
+              SELECT p.vec_id AS id_a, q.vec_id AS id_b,
+                     UNNEST(ea.embedding) AS x, UNNEST(eb.embedding) AS y
+              FROM pts p
+              JOIN pts q ON p.centroid_ord = q.centroid_ord
+                        AND p.vec_id < q.vec_id
+              JOIN embeddings ea ON ea.vec_id = p.vec_id
+              JOIN embeddings eb ON eb.vec_id = q.vec_id
+              WHERE (p.vec_id % 5 = 0 OR q.vec_id % 5 = 0)
+            ), pairsim AS (
+              SELECT id_a, id_b,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS sim
+              FROM pz GROUP BY id_a, id_b
+            )
+            SELECT id_a, id_b, sim FROM pairsim WHERE sim >= 0.4
         """,
         "emb_ivf_pq_topk": """
             WITH cents AS (

@@ -163,8 +163,40 @@ def merge(datasets: list[SeqDataset], mode: str | None = None) -> SeqDataset:
     if mode == "variant":
         return merge_variants(datasets)
     if mode == "sample":
-        return reduce(merge_samples_pair, datasets)
+        # N-way FORMAT unification must be computed over ALL files
+        # BEFORE the pairwise fold — the reference's SEQ_MergeFormat
+        # (src/FileMerge.cpp:365-460) is a single pass over every
+        # file, so each value converts ONCE from its declared type to
+        # the globally unified one. A per-pair unification converts
+        # through intermediate types: with XX int/double/string across
+        # three files, fold order ((A+B)+C) renders A's 1 as int ->
+        # double -> '1.0' while (C+A)+B renders '1' — order-dependent
+        # values the reference never produces (r10 parity review,
+        # VERDICT r9 item 7; the 3-file fixture is pytest-pinned).
+        # Harmonizing every file to the global target first makes each
+        # pair's own _harmonize_calls a no-op, so the fold is
+        # value-order-independent again.
+        return reduce(merge_samples_pair, _preharmonized(datasets))
     raise ValueError(f"unknown merge mode {mode}")
+
+
+def _preharmonized(datasets: list[SeqDataset]) -> list[SeqDataset]:
+    """Rebuild each dataset with its calls cast to the N-way unified
+    FORMAT schema (see merge); datasets without calls pass through."""
+    idx = [i for i, d in enumerate(datasets) if d._base_calls is not None]
+    if len(idx) < 2:
+        return datasets
+    fixed = _harmonize_calls([datasets[i]._base_calls for i in idx])
+    out = list(datasets)
+    for i, calls in zip(idx, fixed):
+        d = out[i]
+        if calls is d._base_calls:
+            continue
+        out[i] = SeqDataset(
+            d._base_variants, calls, d._base_samples,
+            ploidy=d.ploidy, meta=d.meta,
+        )
+    return out
 
 
 def _merge_meta(metas: list[dict]) -> dict:

@@ -587,6 +587,280 @@ def pq_adc_topk(
     )
 
 
+def cell_assign_expr(
+    centroid_vecs: list,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> Column:
+    """Nearest-centroid cell id as a PURE Column expression: the k
+    centroid vectors inline as literals (bounded — KBs), the k rounded
+    cosines form an array, and array_position(array_max) picks the
+    first max = the LOWEST ordinal on ties — value-identical to
+    kmeans_assign_exact's windowed (cos DESC, ord ASC) rule
+    (pytest-pinned) with ZERO shuffle: the assignment rides whatever
+    scan produces the vector column. `centroid_vecs` is the list of
+    vectors in ordinal order 0..k-1."""
+    cos_arr = F.array(*[
+        F.round(
+            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])),
+            int(round_to),
+        )
+        for c in centroid_vecs
+    ])
+    return (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+
+
+def _centroid_vec_list(centroids_df: DataFrame) -> list:
+    """Bounded collect of a (centroid_ord, cvec) frame into the
+    ordinal-ordered vector list cell_assign_expr inlines."""
+    rows = centroids_df.select("centroid_ord", "cvec").collect()
+    return [
+        [float(x) for x in r["cvec"]]
+        for r in sorted(rows, key=lambda r: int(r["centroid_ord"]))
+    ]
+
+
+def embedding_cell_keys(
+    emb: DataFrame,
+    centroid_vecs: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 6,
+    bands: int = 8,
+    dim: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-vector (cell, band, bucket) keys folded into ONE string key
+    '<cell>:<band>:<bucket>' — the embedding sibling of
+    dedup.corpus_band_index's single-key design (a multi-key join over
+    a one-key bucket spec would re-sort every corpus bucket per batch).
+    Cell = cell_assign_expr (inlined centroids), buckets = the same
+    deterministic literal hyperplanes as embedding_dup_pairs' banded
+    mode — so the whole keying is ONE shuffle-free projection riding
+    the vector scan, and candidates generated against this index equal
+    the banded within-cell pair construction."""
+    from seqarray_spark.operators.dedup import _plane_signs, _signed_bucket
+
+    if dim is None:
+        dim = len(centroid_vecs[0])
+    band_buckets = F.array(*[
+        _signed_bucket(F.col(vec_col), _plane_signs(dim, planes, band))
+        for band in range(int(bands))
+    ])
+    return emb.select(
+        F.col(id_col).alias("__cid"),
+        cell_assign_expr(centroid_vecs, vec_col, round_to).alias("__cell"),
+        F.posexplode(band_buckets).alias("_band", "_bucket"),
+    ).select(
+        "__cid",
+        F.concat_ws(
+            ":",
+            F.col("__cell").cast("string"),
+            F.col("_band").cast("string"),
+            F.col("_bucket").cast("string"),
+        ).alias("cell_key"),
+    )
+
+
+def write_embedding_cell_index(
+    emb: DataFrame,
+    centroids_df: DataFrame,
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 6,
+    bands: int = 8,
+    n_buckets: int = 64,
+    round_to: int = 6,
+) -> None:
+    """Persist the corpus's (cell, band, bucket) keys bucketed+sorted by
+    cell_key — the stored index incremental SEMANTIC dedup joins with
+    no Exchange and no Sort on the corpus side (the embedding sibling
+    of dedup.write_corpus_band_index, same one-file-per-bucket layout
+    so Spark trusts the stored sort). The corpus is assigned and
+    band-hashed ONCE at ingest — a single shuffle-free projection over
+    the vector scan (cell_assign_expr + literal hyperplanes), then the
+    repartition into the bucket hash; every later batch pays only its
+    own shuffle into the same layout. Vectors are NOT stored here —
+    candidate verification re-reads only the matched ids from the
+    corpus vector table via a broadcast semi-join, exactly as the text
+    path re-shingles only candidate docs."""
+    (
+        embedding_cell_keys(
+            emb, _centroid_vec_list(centroids_df), vec_col, id_col,
+            planes, bands, round_to=round_to,
+        )
+        .repartition(n_buckets, "cell_key")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "cell_key")
+        .sortBy("cell_key")
+        .saveAsTable(table)
+    )
+
+
+def incremental_semantic_pairs(
+    new_emb: DataFrame,
+    centroids_df: DataFrame,
+    corpus_assign: DataFrame | None = None,
+    corpus_emb: DataFrame | None = None,
+    tau: float | None = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+    mode: str = "banded",
+    planes: int = 6,
+    bands: int = 8,
+    include_new_pairs: bool = True,
+    corpus_cell_table: DataFrame | None = None,
+    batch_key_pushdown: int | None = 20_000,
+) -> DataFrame:
+    """Semantic-dedup an ingest BATCH of embeddings against an existing
+    corpus without re-scoring the corpus — the embedding sibling of
+    dedup.incremental_dup_pairs (VERDICT r9 item 5, the LLM-pipeline
+    symmetry gap): per-batch cost scales with the batch, not the
+    corpus. Only the batch assigns to cells (broadcast of the k-row
+    centroid model); the corpus side arrives either as its stored
+    assignment (`corpus_assign`: id, centroid_ord — the frame recorded
+    at original ingest) or, at scale, as the bucketed
+    `corpus_cell_table` written by write_embedding_cell_index.
+
+    Returns (id_a < id_b, sim) — every pair touching the batch with
+    6dp-rounded cosine >= tau, plus batch-internal pairs when
+    `include_new_pairs`. Values equal semantic_dedup's pair set (same
+    centroids/tau) restricted to pairs touching the batch, because
+    assignments and band keys are per-point independent —
+    pytest-pinned both for the exact and the banded candidate rule.
+
+    mode 'exact' + `corpus_assign`: candidates are all same-cell
+    batch×corpus rows — the oracle-replayable form (a DuckDB query
+    can recompute it verbatim). The corpus frame is pre-filtered to
+    the batch's own cells (bounded collect: at most ncells values),
+    so a stored assignment partitioned by cell prunes its scan.
+    mode 'banded' + `corpus_cell_table`: candidates share a
+    (cell, band, bucket) key — the single-key bucket-aligned join
+    with NO Exchange and NO Sort on the corpus side, plus the r9
+    batch-key pushdown (the batch's distinct keys bounded-collect
+    into an IN filter on the index scan: planning-time bucket pruning
+    + row-group pruning, so corpus scan BYTES track the batch).
+
+    Verification is exact either way: only candidate ids' vectors are
+    re-read (broadcast semi-join against batch ∪ `corpus_emb`), and
+    the cosine is the rounded sequential Column fold both engines
+    agree on. `tau=None` returns the RAW candidate pairs lazily (no
+    verification, no checkpoint) — the plan-testable/composable form,
+    as in incremental_dup_pairs."""
+    if tau is not None and corpus_emb is None:
+        # validate before any persist() (the r9 leak lesson)
+        raise ValueError(
+            "candidate verification needs corpus_emb (or pass tau=None)"
+        )
+    _pin = None
+    cvecs = _centroid_vec_list(centroids_df)
+    if mode == "exact":
+        if corpus_assign is None:
+            raise ValueError("mode='exact' needs corpus_assign")
+        batch_assign = new_emb.select(
+            F.col(id_col),
+            cell_assign_expr(cvecs, vec_col, round_to).alias("centroid_ord"),
+        )
+        batch_cells = [
+            r[0]
+            for r in batch_assign.select("centroid_ord").distinct().collect()
+        ]
+        corp = corpus_assign.select(
+            F.col(id_col).alias("__cid"), "centroid_ord"
+        ).where(F.col("centroid_ord").isin(batch_cells))
+        matched = batch_assign.select(
+            F.col(id_col).alias("_id"), "centroid_ord"
+        ).join(corp, "centroid_ord")
+        cand = matched.filter(F.col("_id") != F.col("__cid")).select(
+            F.least("_id", "__cid").alias("id_a"),
+            F.greatest("_id", "__cid").alias("id_b"),
+        )
+        if include_new_pairs:
+            a = batch_assign.select(F.col(id_col).alias("id_a"), "centroid_ord")
+            b = batch_assign.select(F.col(id_col).alias("id_b"), "centroid_ord")
+            cand = cand.unionByName(
+                a.join(b, "centroid_ord")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+    elif mode == "banded":
+        if corpus_cell_table is None:
+            raise ValueError("mode='banded' needs corpus_cell_table")
+        keyed = embedding_cell_keys(
+            new_emb, cvecs, vec_col, id_col, planes, bands,
+            round_to=round_to,
+        ).select(F.col("__cid").alias("_id"), "cell_key")
+        if batch_key_pushdown:
+            # persist so the assignment+banding feeds both the key
+            # collect and the join once (see incremental_dup_pairs'
+            # persist-not-checkpoint note); released via release_on_gc
+            keyed = keyed.persist()
+            _pin = keyed
+            keys = [
+                r[0]
+                for r in keyed.select("cell_key")
+                .distinct()
+                .limit(int(batch_key_pushdown) + 1)
+                .collect()
+            ]
+            if len(keys) <= int(batch_key_pushdown):
+                corpus_cell_table = corpus_cell_table.where(
+                    F.col("cell_key").isin(keys)
+                )
+        matched = keyed.join(corpus_cell_table, "cell_key")
+        cand = matched.filter(F.col("_id") != F.col("__cid")).select(
+            F.least("_id", "__cid").alias("id_a"),
+            F.greatest("_id", "__cid").alias("id_b"),
+        )
+        if include_new_pairs:
+            a = keyed.select(F.col("_id").alias("id_a"), "cell_key")
+            b = keyed.select(F.col("_id").alias("id_b"), "cell_key")
+            cand = cand.unionByName(
+                a.join(b, "cell_key")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+    else:
+        raise ValueError(f"unknown mode {mode!r} (exact|banded)")
+    cand = cand.distinct()
+    if tau is None:
+        from seqarray_spark.plans.lifecycle import release_on_gc
+
+        return release_on_gc(_pin, cand) if _pin is not None else cand
+    cand = cand.localCheckpoint()
+    if _pin is not None:
+        _pin.unpersist()
+        _pin = None
+    ids = (
+        cand.select(F.col("id_a").alias("_vid"))
+        .union(cand.select(F.col("id_b").alias("_vid")))
+        .distinct()
+    )
+    vecs = new_emb.select(id_col, vec_col).unionByName(
+        corpus_emb.select(id_col, vec_col)
+    )
+    sel = vecs.join(
+        F.broadcast(ids), vecs[id_col] == ids["_vid"], "left_semi"
+    ).select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
+    return (
+        cand.join(
+            sel.select(F.col("_vid").alias("id_a"), F.col("_vv").alias("_va")),
+            "id_a",
+        )
+        .join(
+            sel.select(F.col("_vid").alias("id_b"), F.col("_vv").alias("_vb")),
+            "id_b",
+        )
+        .withColumn(
+            "sim", F.round(cosine(F.col("_va"), F.col("_vb")), int(round_to))
+        )
+        .filter(F.col("sim") >= float(tau))
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame | None,
     query_vec,

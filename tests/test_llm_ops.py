@@ -1344,3 +1344,121 @@ def test_ivf_pq_topk_codes_table_path(spark):
                S.ivf_pq_topk(emb, qv, cents, cbk, m=4, k=20,
                              nprobe=2).collect()]
     assert via_codes == via_emb and len(via_emb) == 20
+
+
+def test_cell_assign_expr_equals_windowed_assignment(spark):
+    """cell_assign_expr (pure-Column inlined-centroid argmax, zero
+    shuffle — the index/batch keying path) must reproduce
+    kmeans_assign_exact's windowed (cos DESC, ord ASC) assignment
+    value-for-value on real data."""
+    from seqarray_spark.sources import testdata as td
+
+    emb = td.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = _gate_cents(spark, emb)
+    cvecs = S._centroid_vec_list(cents)
+    via_expr = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", S.cell_assign_expr(cvecs).alias("cell")
+        ).collect()
+    }
+    via_window = {
+        r["vec_id"]: r["centroid_ord"]
+        for r in S.kmeans_assign_exact(emb, cents).collect()
+    }
+    assert via_expr == via_window and len(via_expr) > 0
+
+
+def test_incremental_semantic_pairs_exact_vs_numpy_oracle(spark):
+    """mode='exact' incremental pairs vs an independent numpy replay of
+    'the full semantic pair set restricted to pairs touching the
+    batch' (assign all points to rounded-argmax cells, same-cell pairs
+    with rounded cosine >= tau, at least one endpoint in the batch) —
+    the per-point-independence claim that makes incremental == full."""
+    import numpy as np
+
+    from seqarray_spark.sources import testdata as td
+
+    emb = td.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = _gate_cents(spark, emb)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    corpus_assign = S.kmeans_assign_exact(corpus, cents)
+    got = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in S.incremental_semantic_pairs(
+            batch, cents, corpus_assign=corpus_assign, corpus_emb=corpus,
+            tau=0.4, mode="exact",
+        ).collect()
+    }
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = np.array(S._centroid_vec_list(cents), dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cos = np.vectorize(lambda x: S._round_half_up(x, 6))(Xn @ Cn.T)
+    cell = np.argmax(cos, axis=1)  # argmax = first max = lowest ord
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cell[i] != cell[j]:
+                continue
+            if ids[i] % 5 and ids[j] % 5:
+                continue  # neither endpoint in the batch
+            sim = S._round_half_up(float(Xn[i] @ Xn[j]), 6)
+            if sim >= 0.4:
+                want.add((int(ids[i]), int(ids[j]), sim))
+    assert got == want and len(want) > 0
+
+
+def test_incremental_semantic_pairs_banded_index(spark):
+    """mode='banded' over the STORED bucketed cell index, measured in
+    the regime the banding is for (planted near-identical dups,
+    tau=0.9): every banded pair is exact-verified (subset), and recall
+    over the exact pair set clears 0.95."""
+    import hashlib
+
+    dim = 16
+
+    def vec(seed):
+        h = hashlib.md5(str(seed).encode()).digest()
+        return [(b / 255.0) - 0.5 for b in h]
+
+    rows = []
+    for i in range(60):
+        v = vec(i)
+        rows.append((i, v))
+        if i % 3 == 0:
+            w = list(v)
+            w[i % dim] += 0.005
+            rows.append((1000 + i, w))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = _gate_cents(spark, emb, k=4)
+    batch = emb.where(F.col("vec_id") >= 1000)
+    corpus = emb.where(F.col("vec_id") < 1000)
+    spark.sql("DROP TABLE IF EXISTS emb_cell_idx_test")
+    try:
+        S.write_embedding_cell_index(corpus, cents, "emb_cell_idx_test",
+                                     n_buckets=4)
+        banded = {
+            (r["id_a"], r["id_b"])
+            for r in S.incremental_semantic_pairs(
+                batch, cents, corpus_emb=corpus, tau=0.9, mode="banded",
+                corpus_cell_table=spark.table("emb_cell_idx_test"),
+            ).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in S.incremental_semantic_pairs(
+                batch, cents,
+                corpus_assign=S.kmeans_assign_exact(corpus, cents),
+                corpus_emb=corpus, tau=0.9, mode="exact",
+            ).collect()
+        }
+        assert banded <= exact
+        assert len(exact) >= 15, "fixture lost its planted dups"
+        recall = len(banded) / len(exact)
+        assert recall >= 0.95, f"banded recall {recall:.2f} < 0.95"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_cell_idx_test")

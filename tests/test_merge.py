@@ -333,3 +333,43 @@ def test_merge_format_export_pads_to_variant_max_arity(spark, tmp_path):
     assert arr[0][col["s1"]] == 7 and is_na(arr[1][col["s1"]])
     assert is_na(arr[0][col["s2"]]) and is_na(arr[1][col["s2"]])
     assert arr[0][col["s3"]] == 10 and arr[1][col["s3"]] == 20
+
+
+def test_three_file_sample_merge_order_independent_values(spark):
+    """VERDICT r9 item 7 parity review — the found-and-fixed divergence:
+    N-way sample-mode merge must unify disagreeing FORMAT declarations
+    over ALL files BEFORE the pairwise fold, like the reference's
+    single-pass SEQ_MergeFormat (src/FileMerge.cpp:365-460), so every
+    value converts ONCE. The pre-fix pairwise fold cast through
+    intermediate types: with XX declared int/double/string across
+    three files, ((A+B)+C) rendered A's 1 as '1.0' (int -> double ->
+    string) while ((C+A)+B) rendered '1' — order-dependent values the
+    reference never produces."""
+    import itertools
+
+    def mk(sid, xval, xtype):
+        v = spark.createDataFrame(
+            [(1, "1", 100, "rs1", "A", ["G"])],
+            "variant_id long, chromosome string, position int, id string, "
+            "ref string, alt array<string>",
+        )
+        c = spark.createDataFrame(
+            [(1, sid, xval)],
+            f"variant_id long, sample_id string, XX {xtype}",
+        )
+        s = spark.createDataFrame([(sid,)], "sample_id string")
+        return SeqDataset(v, c, s)
+
+    files = {
+        "A": ("sA", 1, "int"),
+        "B": ("sB", 1.5, "double"),
+        "C": ("sC", "z", "string"),
+    }
+    want = {("sA", "1"), ("sB", "1.5"), ("sC", "z")}  # single conversion
+    for order in itertools.permutations("ABC"):
+        m = M.merge([mk(*files[k]) for k in order], mode="sample")
+        got = {
+            (r["sample_id"], r["XX"])
+            for r in m.calls.select("sample_id", "XX").collect()
+        }
+        assert got == want, f"order {order}: {got}"

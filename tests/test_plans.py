@@ -552,3 +552,107 @@ def test_semantic_dedup_gate_plan_not_quadratic_join(spark, sf_dir):
     assert not re.search(
         r"Join \[centroid_ord#\d+\], \[centroid_ord#\d+\]", plan
     ), plan
+
+
+def _planted_emb(spark, n=60, dim=16):
+    import hashlib
+
+    def vec(seed):
+        h = hashlib.md5(str(seed).encode()).digest()
+        return [(b / 255.0) - 0.5 for b in h]
+
+    rows = [(i, vec(i)) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_incremental_semantic_corpus_side_shuffle_free(spark):
+    """The embedding index's 100 TB claim, proven in the plan (the
+    sibling of test_incremental_dedup_corpus_side_shuffle_free):
+    joining a batch against the stored bucketed cell-key index
+    produces NO Exchange and NO Sort on the corpus side — the batch
+    side's keying is a shuffle-free projection (cell_assign_expr +
+    literal hyperplanes), so the only exchanges are the batch keys
+    hashing into the bucket layout and the candidate distinct."""
+    from seqarray_spark.operators.similarity import (
+        incremental_semantic_pairs,
+        write_embedding_cell_index,
+    )
+
+    emb = _planted_emb(spark)
+    cents = spark.createDataFrame(
+        [(i, r["embedding"]) for i, r in
+         enumerate(emb.orderBy("vec_id").limit(4).collect())],
+        "centroid_ord int, cvec array<float>",
+    )
+    batch = emb.where("vec_id % 6 = 0")
+    corpus = emb.where("vec_id % 6 != 0")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS eci_plan")
+    try:
+        write_embedding_cell_index(corpus, cents, "eci_plan", n_buckets=4)
+        cand = incremental_semantic_pairs(
+            batch, cents, tau=None, mode="banded",
+            include_new_pairs=False,
+            corpus_cell_table=spark.table("eci_plan"),
+            batch_key_pushdown=None,
+        )
+        plan = E.plan_string(cand, "simple")
+        assert E.sortmerge_join_count(cand) >= 1
+        assert "Bucketed: true" in plan
+        # only the batch side sorts on the join key
+        assert plan.count("Sort [cell_key") == 1, plan
+        # no per-point window/assignment shuffle: batch keying rides the
+        # batch scan; exchanges = batch bucket hash + distinct
+        n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n_exchanges <= 2, plan
+        assert "Window" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS eci_plan")
+
+
+def test_incremental_semantic_batch_key_pushdown(spark):
+    """The r9 batch-key pushdown composes with the embedding index:
+    the batch's distinct cell keys reach the corpus index scan as an
+    In() filter (bucket + row-group pruning), one corpus FileScan, no
+    bloom re-scan, values unchanged vs the unpruned join."""
+    from seqarray_spark.operators.similarity import (
+        incremental_semantic_pairs,
+        write_embedding_cell_index,
+    )
+
+    emb = _planted_emb(spark)
+    cents = spark.createDataFrame(
+        [(i, r["embedding"]) for i, r in
+         enumerate(emb.orderBy("vec_id").limit(4).collect())],
+        "centroid_ord int, cvec array<float>",
+    )
+    batch = emb.where("vec_id % 6 = 0")
+    corpus = emb.where("vec_id % 6 != 0")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS eci_pushdown")
+    try:
+        write_embedding_cell_index(corpus, cents, "eci_pushdown",
+                                   n_buckets=4)
+        tbl = spark.table("eci_pushdown")
+        cand = incremental_semantic_pairs(
+            batch, cents, tau=None, mode="banded",
+            include_new_pairs=False, corpus_cell_table=tbl,
+        )
+        plan = E.plan_string(cand, "simple")
+        assert "PushedFilters: [In(cell_key" in plan, plan
+        assert plan.count("FileScan parquet") == 1, plan
+        assert "might_contain" not in plan, plan
+        base = incremental_semantic_pairs(
+            batch, cents, tau=None, mode="banded",
+            include_new_pairs=False, corpus_cell_table=tbl,
+            batch_key_pushdown=None,
+        )
+        assert sorted(map(tuple, cand.collect())) == sorted(
+            map(tuple, base.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS eci_pushdown")

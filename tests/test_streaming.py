@@ -298,3 +298,50 @@ def test_ingest_dedup_stream_with_compaction(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ingest_idx_compact")
         spark.sql("DROP TABLE IF EXISTS ingest_idx_compact__compacting")
+
+
+def test_ingest_semantic_stream_cross_batch(spark, tmp_path):
+    """foreachBatch SEMANTIC corpus ingest over the stored cell index
+    (the embedding sibling of the near-dup loop): cross-batch semantic
+    dups drop with corpus-first precedence, batch-internal dups keep
+    the min id, distinct-direction vectors all survive, and the index
+    holds exactly the kept vectors' keys (bands keys each)."""
+    import json
+
+    dim = 8
+    ax = lambda i, eps=0.0: [  # noqa: E731
+        (1.0 if d == i else 0.0) + (eps if d == (i + 1) % dim else 0.0)
+        for d in range(dim)
+    ]
+    # cells: 2 fixed orthogonal centroids
+    cents = [(0, ax(0)), (1, ax(4))]
+    b1 = [(1, ax(0)), (2, ax(0, 0.01)), (3, ax(4))]      # 2 ~ 1 in cell 0
+    b2 = [(10, ax(0, 0.02)), (11, ax(4, 0.5)), (12, ax(4, 0.502))]
+    # 10 ~ corpus 1 (cell 0); 12 ~ 11 (batch-internal, cell 1)
+    in_dir = tmp_path / "emb_in"
+    in_dir.mkdir()
+    for name, rows in (("a.json", b1), ("b.json", b2)):
+        with open(in_dir / name, "w") as fh:
+            for i, v in rows:
+                fh.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    corpus_dir = str(tmp_path / "emb_corpus")
+    spark.sql("DROP TABLE IF EXISTS sem_idx_test")
+    try:
+        q = S.ingest_semantic_stream(
+            stream, corpus_dir, "sem_idx_test", cents,
+            checkpoint_dir=str(tmp_path / "ck"), tau=0.9, n_buckets=4,
+        )
+        q.awaitTermination()
+        got = {r["vec_id"]
+               for r in spark.read.parquet(corpus_dir).collect()}
+        assert got == {1, 3, 11}
+        idx = spark.table("sem_idx_test")
+        assert {r["__cid"] for r in idx.select("__cid").collect()} == {1, 3, 11}
+        assert idx.count() == 3 * 8  # default bands=8 keys per vector
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sem_idx_test")

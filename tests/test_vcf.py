@@ -985,3 +985,31 @@ def test_export_per_variant_format_presence(spark, tmp_path):
     # variant 300: GT:GQ — DP omitted, GQ kept (catalog order)
     assert lines["300"][8] == "GT:GQ"
     assert lines["300"][9] == "0/1:33" and lines["300"][10] == "./.:."
+
+
+def test_nogeno_zero_format_cells_render_empty(spark, tmp_path):
+    """The SEQ_ToVCF_NoGeno corner with NO format vars at all
+    (src/ConvGDS2VCF.cpp:948-989): ExportInfoFormat renders FORMAT '.'
+    (the :533-541 empty-list fallback), but the per-sample loop body
+    writes NOTHING per sample, so the data line ends in '.' + empty
+    tab-separated cells — not '.' cells (r10 parity review: engine
+    already matched; pinned here)."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(1, "1", 100, "rs1", "A", ["G"], 50.0, "PASS")],
+        "variant_id long, chromosome string, position int, id string, "
+        "ref string, alt array<string>, qual double, filter string",
+    )
+    c = spark.createDataFrame(
+        [(1, "s1"), (1, "s2")], "variant_id long, sample_id string"
+    )
+    s = spark.createDataFrame([("s1",), ("s2",)], "sample_id string")
+    ds = SeqDataset(v, c, s)
+    out = str(tmp_path / "nogeno_nofmt")
+    vcfmod.write_vcf(ds, out)
+    single = _assemble(out, tmp_path)
+    line = next(l for l in open(single) if not l.startswith("#"))
+    f = line.rstrip("\n").split("\t")
+    assert f[8] == "."           # FORMAT column: '.' (no vars)
+    assert f[9:] == ["", ""]     # sample cells: EMPTY, not '.'
