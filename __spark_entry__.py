@@ -964,10 +964,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = td.load_table(spark, sf_dir, "embeddings")
     init = emb.orderBy("vec_id").limit(8).collect()
-    cents = spark.createDataFrame(
-        [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)],
-        "centroid_ord int, cvec array<float>",
-    )
+    cents = [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)]
     return semantic_dedup(emb, cents, tau=0.4, mode="blas")
 
 
@@ -1005,10 +1002,7 @@ def emb_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = td.load_table(spark, sf_dir, "embeddings")
     init = emb.orderBy("vec_id").limit(8).collect()
-    cents = spark.createDataFrame(
-        [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)],
-        "centroid_ord int, cvec array<float>",
-    )
+    cents = [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)]
     batch = emb.where(F.col("vec_id") % 5 == 0)
     corpus = emb.where(F.col("vec_id") % 5 != 0)
     corpus_assign = kmeans_assign_exact(corpus, cents)
@@ -1047,9 +1041,7 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = td.load_table(spark, sf_dir, "embeddings")
     init = emb.orderBy("vec_id").limit(8).collect()
     cents_rows = [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)]
-    cents = spark.createDataFrame(
-        cents_rows, "centroid_ord int, cvec array<float>"
-    )
+    cents = cents_rows
     # probe: the 2 cells nearest the query, ranked on the 6dp-rounded
     # cosine (ties -> lowest ord) over the tiny local model — the same
     # numbers the oracle's SQL ranking computes
@@ -1125,10 +1117,7 @@ def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = td.load_table(spark, sf_dir, "embeddings")
     init = emb.orderBy("vec_id").limit(8).collect()
-    cents = spark.createDataFrame(
-        [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)],
-        "centroid_ord int, cvec array<float>",
-    )
+    cents = [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)]
     assign = kmeans_assign_exact(emb, cents)
     return (
         assign.groupBy("centroid_ord")

@@ -406,10 +406,7 @@ def ingest_semantic_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()
-        cents = spark.createDataFrame(
-            [(int(i), [float(x) for x in v]) for i, v in centroids],
-            "centroid_ord int, cvec array<float>",
-        )
+        cents = [(int(i), [float(x) for x in v]) for i, v in centroids]
         have_index = spark.catalog.tableExists(cell_table)
         if have_index:
             corpus_emb = spark.read.parquet(corpus_dir)

@@ -502,12 +502,13 @@ def test_boilerplate_two_shuffles(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
-    """kmeans_assign_exact: the k-row centroid side is BROADCAST (never
-    shuffled against N points); the only wide ops are the per-point
-    window."""
+def test_kmeans_assign_is_pure_projection(spark, sf_dir):
+    """kmeans_assign_exact (r10): the bounded centroid frame inlines as
+    literals, so the assignment is ONE shuffle-free projection riding
+    the vector scan — no join of any kind, no window, 0 Exchanges
+    (the r1-r9 broadcast-crossJoin + row_number form shuffled k·N rows
+    per point for the same values)."""
     from seqarray_spark.operators.similarity import kmeans_assign_exact
-    from pyspark.sql import functions as F
 
     emb = td.load_table(spark, sf_dir, "embeddings")
     init = emb.orderBy("vec_id").limit(4).collect()
@@ -517,8 +518,9 @@ def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
     )
     df = kmeans_assign_exact(emb, cents)
     plan = E.plan_string(df, "simple")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert E.num_shuffles(df) == 0, plan
+    for bad in ("Join", "Window", "CartesianProduct"):
+        assert bad not in plan, f"{bad} in assignment plan:\n{plan}"
 
 
 def test_pq_encode_zero_shuffle(spark, sf_dir):
