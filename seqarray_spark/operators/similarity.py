@@ -508,6 +508,7 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 6,
+    extra_cols: dict | None = None,
 ) -> DataFrame:
     """Product quantization encode (the IVF-PQ compression primitive —
     Jégou et al. 2011): split each d-dim vector into `m` equal
@@ -600,6 +601,9 @@ def pq_encode(
         F.col(id_col),
         F.array(*code_cols).alias("codes"),
         F.round(total, int(round_to)).alias("dist"),
+        # extra_cols ride the SAME projection (write_pq_codes_index
+        # adds the coarse cell here so encode+assign is one pass)
+        *[c.alias(n) for n, c in (extra_cols or {}).items()],
     )
 
 
@@ -1033,6 +1037,42 @@ def ivf_pq_topk(
         kept.select(id_col, vec_col), codebooks, m, vec_col, id_col, round_to
     )
     return pq_adc_topk(encoded, query_vec, codebooks, m, k, id_col, round_to)
+
+
+def write_pq_codes_index(
+    emb: DataFrame,
+    coarse_centroids,
+    codebooks: DataFrame,
+    m: int,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    round_to: int = 6,
+) -> None:
+    """Build THE production ANN index: the PQ codes table partitioned by
+    coarse cell — `partitionBy(ivf_cell)` parquet, so ivf_pq_topk's
+    probe filter becomes PARTITION PRUNING (PartitionFilters in the
+    scan; plan-asserted): probing nprobe of ncells cells reads
+    nprobe/ncells of an already 64-256x-compressed table, and the
+    float corpus is never opened at query time. Encode+assign is one
+    shuffle-free projection pass over the vector scan (cell via the
+    rounded inlined argmax so stored cells equal kmeans_assign_exact /
+    the cell-key index; codes via the inlined codebook argmin); the
+    only movement is the write's own partitioned fan-out. Rebuild (or
+    append a new batch's codes) whenever the corpus grows; refitting
+    the coarse model or codebooks implies a full rebuild, exactly as
+    for write_embedding_cell_index."""
+    cvecs = _centroid_vec_list(coarse_centroids)
+    (
+        pq_encode(
+            emb, codebooks, m, vec_col, id_col, round_to,
+            extra_cols={cell_col: cell_assign_expr(cvecs, vec_col, round_to)},
+        )
+        .write.mode("overwrite")
+        .partitionBy(cell_col)
+        .parquet(path)
+    )
 
 
 def kmeans_fit_distributed(

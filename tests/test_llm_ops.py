@@ -1462,3 +1462,27 @@ def test_incremental_semantic_pairs_banded_index(spark):
         assert recall >= 0.95, f"banded recall {recall:.2f} < 0.95"
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_cell_idx_test")
+
+
+def test_pq_codes_index_partition_pruning(spark, tmp_path):
+    """write_pq_codes_index + ivf_pq_topk(codes=...): the stored codes
+    table is partitioned by coarse cell, so the probe filter prunes
+    PARTITIONS (PartitionFilters on the scan — nprobe/ncells of an
+    already-compressed table read, float corpus never opened), and the
+    results equal the encode-on-the-fly path."""
+    from seqarray_spark.plans import explain as E
+
+    emb, cents, cbk, qv = _ivf_pq_fixture(spark)
+    path = str(tmp_path / "pq_idx")
+    S.write_pq_codes_index(emb, cents, cbk, m=4, path=path)
+    codes = spark.read.parquet(path)
+    out = S.ivf_pq_topk(None, qv, cents, cbk, m=4, k=20, nprobe=2,
+                        codes=codes)
+    plan = E.plan_string(out, "simple")
+    assert E.partition_filters(out), plan      # probe prunes partitions
+    assert "embedding" not in "".join(E.read_schemas(out))  # no floats
+    via_codes = [(r["vec_id"], r["adc_dist"]) for r in out.collect()]
+    via_emb = [(r["vec_id"], r["adc_dist"]) for r in
+               S.ivf_pq_topk(emb, qv, cents, cbk, m=4, k=20,
+                             nprobe=2).collect()]
+    assert via_codes == via_emb and len(via_emb) == 20
