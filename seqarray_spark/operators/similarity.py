@@ -721,16 +721,27 @@ def embedding_cell_keys(
     bands: int = 8,
     dim: int | None = None,
     round_to: int = 6,
+    assign: str = "exact",
 ) -> DataFrame:
     """Per-vector (cell, band, bucket) keys folded into ONE string key
     '<cell>:<band>:<bucket>' — the embedding sibling of
     dedup.corpus_band_index's single-key design (a multi-key join over
     a one-key bucket spec would re-sort every corpus bucket per batch).
-    Cell = cell_assign_expr (inlined centroids), buckets = the same
-    deterministic literal hyperplanes as embedding_dup_pairs' banded
-    mode — so the whole keying is ONE shuffle-free projection riding
-    the vector scan, and candidates generated against this index equal
-    the banded within-cell pair construction."""
+    Buckets are the deterministic literal hyperplanes of
+    embedding_dup_pairs' banded mode, so candidates generated against
+    this index equal the banded within-cell pair construction.
+
+    `assign` picks the cell rule — both zero-shuffle projections:
+    - 'exact' (default): cell_assign_expr's rounded inlined argmax —
+      the cross-engine-reproducible form every oracle-checked gate
+      uses; its interpreted higher-order folds cost ~µs·k per row,
+      fine for batches, a real tax on a 10^9-row corpus build.
+    - 'fast': ivf_assign's mapInPandas numpy argmax — one BLAS matvec
+      per Arrow batch, the corpus-scale build path. Unrounded: a
+      vector whose top-2 cell cosines agree to <1e-6 may land in a
+      different cell than 'exact' — use ONE rule for an index and its
+      batches (measured throughput gap in tools/emb_index_stress.py).
+    """
     from seqarray_spark.operators.dedup import _plane_signs, _signed_bucket
 
     if dim is None:
@@ -739,9 +750,17 @@ def embedding_cell_keys(
         _signed_bucket(F.col(vec_col), _plane_signs(dim, planes, band))
         for band in range(int(bands))
     ])
-    return emb.select(
+    if assign == "fast":
+        src = ivf_assign(emb, centroid_vecs, vec_col, id_col)
+        cell = F.col("ivf_cell")
+    elif assign == "exact":
+        src = emb
+        cell = cell_assign_expr(centroid_vecs, vec_col, round_to)
+    else:
+        raise ValueError(f"unknown assign {assign!r} (exact|fast)")
+    return src.select(
         F.col(id_col).alias("__cid"),
-        cell_assign_expr(centroid_vecs, vec_col, round_to).alias("__cell"),
+        cell.alias("__cell"),
         F.posexplode(band_buckets).alias("_band", "_bucket"),
     ).select(
         "__cid",
@@ -764,6 +783,7 @@ def write_embedding_cell_index(
     bands: int = 8,
     n_buckets: int = 64,
     round_to: int = 6,
+    assign: str = "exact",
 ) -> None:
     """Persist the corpus's (cell, band, bucket) keys bucketed+sorted by
     cell_key — the stored index incremental SEMANTIC dedup joins with
@@ -780,7 +800,7 @@ def write_embedding_cell_index(
     (
         embedding_cell_keys(
             emb, _centroid_vec_list(centroids_df), vec_col, id_col,
-            planes, bands, round_to=round_to,
+            planes, bands, round_to=round_to, assign=assign,
         )
         .repartition(n_buckets, "cell_key")
         .write.mode("overwrite")
@@ -805,6 +825,7 @@ def incremental_semantic_pairs(
     include_new_pairs: bool = True,
     corpus_cell_table: DataFrame | None = None,
     batch_key_pushdown: int | None = 20_000,
+    assign: str = "exact",
 ) -> DataFrame:
     """Semantic-dedup an ingest BATCH of embeddings against an existing
     corpus without re-scoring the corpus — the embedding sibling of
@@ -882,7 +903,7 @@ def incremental_semantic_pairs(
             raise ValueError("mode='banded' needs corpus_cell_table")
         keyed = embedding_cell_keys(
             new_emb, cvecs, vec_col, id_col, planes, bands,
-            round_to=round_to,
+            round_to=round_to, assign=assign,
         ).select(F.col("__cid").alias("_id"), "cell_key")
         if batch_key_pushdown:
             # persist so the assignment+banding feeds both the key
@@ -898,8 +919,10 @@ def incremental_semantic_pairs(
                 .collect()
             ]
             if len(keys) <= int(batch_key_pushdown):
-                corpus_cell_table = corpus_cell_table.where(
-                    F.col("cell_key").isin(keys)
+                from seqarray_spark.operators.dedup import scan_safe_in_filter
+
+                corpus_cell_table = scan_safe_in_filter(
+                    corpus_cell_table, F.col("cell_key"), keys
                 )
         matched = keyed.join(corpus_cell_table, "cell_key")
         cand = matched.filter(F.col("_id") != F.col("__cid")).select(

@@ -658,3 +658,39 @@ def test_incremental_semantic_batch_key_pushdown(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS eci_pushdown")
+
+
+def test_scan_in_filter_danger_zone_skipped(spark):
+    """r10 sharp edge, measured: a parquet-pushed In filter compiles to
+    a RECURSIVE OR-chain in parquet-mr — >=1200 string keys overflow
+    the executor stack (StackOverflowError mid-scan). The pushdown
+    operators therefore skip the IN when the key count sits between
+    PARQUET_IN_CHAIN_SAFE and the session inFilterThreshold (the range
+    push at/above the threshold and shallow chains below the cap are
+    both safe). This pins the guard: a danger-zone key list leaves the
+    frame unfiltered; a safe one filters."""
+    from seqarray_spark.operators.dedup import (
+        PARQUET_IN_CHAIN_SAFE,
+        scan_safe_in_filter,
+    )
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    prev = spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+    try:
+        spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+                       "100000")
+        danger = [str(i) for i in range(PARQUET_IN_CHAIN_SAFE + 1)]
+        out = scan_safe_in_filter(df, F.col("k"), danger)
+        assert out.count() == 10  # unfiltered: the IN was skipped
+        safe = [str(i) for i in range(5)]
+        out2 = scan_safe_in_filter(df, F.col("k"), safe)
+        assert out2.count() == 5  # filtered: shallow chain is fine
+        # at/above the threshold Spark pushes a safe RANGE instead of
+        # the chain, so the same key list IS applied as a filter
+        spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+                       str(len(danger)))
+        out3 = scan_safe_in_filter(df, F.col("k"), danger)
+        assert "Filter" in E.plan_string(out3, "simple")
+        assert out3.count() == 10  # all ids 0..9 are in the key list
+    finally:
+        spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", prev)
