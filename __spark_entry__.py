@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
+        "emb_ivf_pq_residual_topk": emb_ivf_pq_residual_topk,
         "emb_incremental_dedup": emb_incremental_dedup,
         "emb_ivf_pq_topk": emb_ivf_pq_topk,
         # -- r9 additions -----------------------------------------------------
@@ -1064,6 +1065,69 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(kept.select("vec_id", "embedding"), cbk, m=4)
     qv = list(map(float, init[0]["embedding"]))
     return pq_adc_topk(codes, qv, cbk, m=4, k=20)
+
+
+def emb_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ top-20 (new r10 — the form FAISS IndexIVFPQ
+    actually deploys, Jégou et al. 2011 §IV): each vector PQ-encodes
+    its residual x - c(cell(x)) instead of x, and the ADC lookup
+    tables are per probed cell (distance target is q - c). Coarse
+    model = the 8 lowest-vec_id vectors (the emb_kmeans_cells init);
+    codebook = residual slices of the NEXT 4 vectors by id (ranks
+    9-12 — the 8 coarse-init vectors are their own centroids with
+    all-zero residuals, a degenerate codebook); query = the min-vec_id
+    vector, probing its nprobe=2 nearest cells (rounded cosine DESC,
+    ord ASC). Full-fidelity DuckDB oracle: assignment, probe, residual,
+    encode, per-cell LUTs and ADC all replay in SQL, every comparison
+    on 6dp-rounded values. Driver-side folds here are plain-Python
+    SEQUENTIAL sums (not numpy dot) so the codebook/probe derivation
+    matches the engine/oracle fold exactly."""
+    import math
+
+    from seqarray_spark.operators.similarity import (
+        _round_half_up,
+        pq_adc_topk_residual,
+        pq_encode_residual,
+    )
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    init = emb.orderBy("vec_id").limit(12).collect()
+    cents = [list(map(float, r["embedding"])) for r in init[:8]]
+
+    def _cos(a, b):
+        s = na = nb = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+            na += x * x
+            nb += y * y
+        return s / (math.sqrt(na) * math.sqrt(nb))
+
+    def _cell(v):
+        best = bi = None
+        for i, c in enumerate(cents):
+            cc = _round_half_up(_cos(v, c), 6)
+            if best is None or cc > best:
+                best, bi = cc, i
+        return bi
+
+    cb_rows = []
+    for code, r in enumerate(init[8:12]):
+        v = list(map(float, r["embedding"]))
+        res = [a - b for a, b in zip(v, cents[_cell(v)])]
+        for j in range(4):
+            cb_rows.append((j, code, res[j * 16:(j + 1) * 16]))
+    cbk = spark.createDataFrame(
+        cb_rows, "sub_ord int, code int, cvec array<double>"
+    )
+    qv = cents[0]
+    ranked = sorted(
+        (-_round_half_up(_cos(c, qv), 6), i) for i, c in enumerate(cents)
+    )
+    probe = [i for _, i in ranked[:2]]
+    codes = pq_encode_residual(emb, cents, cbk, m=4)
+    return pq_adc_topk_residual(
+        codes, qv, cents, cbk, m=4, k=20, probe_cells=probe
+    )
 
 
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2519,6 +2583,124 @@ def oracle_sql() -> dict[str, str]:
               FROM pz GROUP BY id_a, id_b
             )
             SELECT id_a, id_b, sim FROM pairsim WHERE sim >= 0.4
+        """,
+        "emb_ivf_pq_residual_topk": """
+            WITH cents AS (
+              SELECT embedding AS cvec,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS centroid_ord
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), q AS (
+              SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+            ), qcz AS (
+              SELECT centroid_ord,
+                     UNNEST(cvec) AS y, UNNEST((SELECT qv FROM q)) AS x
+              FROM cents
+            ), qc AS (
+              SELECT centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS qcos
+              FROM qcz GROUP BY centroid_ord
+            ), probe AS (
+              SELECT centroid_ord FROM qc
+              ORDER BY qcos DESC, centroid_ord LIMIT 2
+            ), z AS (
+              SELECT e.vec_id, c.centroid_ord,
+                     UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+              FROM embeddings e CROSS JOIN cents c
+            ), scored AS (
+              SELECT vec_id, centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS cos
+              FROM z GROUP BY vec_id, centroid_ord
+            ), pts AS (
+              SELECT vec_id, centroid_ord FROM (
+                SELECT vec_id, centroid_ord,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, centroid_ord)
+                         AS rn
+                FROM scored
+              ) t WHERE rn = 1
+            ),
+            -- every vector's residual vs ITS cell, element-wise with
+            -- subspace ordinal + position-in-subspace
+            rez AS (
+              SELECT vec_id,
+                     CAST(FLOOR((d - 1) / 16) AS INT) AS sub_ord,
+                     ((d - 1) % 16) + 1 AS pp,
+                     CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS r
+              FROM (
+                SELECT p0.vec_id,
+                       UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y,
+                       UNNEST(generate_series(1, 64)) AS d
+                FROM pts p0
+                JOIN embeddings e ON e.vec_id = p0.vec_id
+                JOIN cents c ON c.centroid_ord = p0.centroid_ord
+              ) t
+            ),
+            -- residual codebook: codes 0..3 = the residuals of the
+            -- vec_ids ranked 9-12 (the coarse-init 8 would be all-zero)
+            cbsel AS (
+              SELECT vec_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS code
+              FROM (
+                SELECT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT 4 OFFSET 8
+              ) s
+            ), cbz AS (
+              SELECT cs.code, r.sub_ord, r.pp, r.r AS cy
+              FROM cbsel cs JOIN rez r ON r.vec_id = cs.vec_id
+            ), kept AS (
+              SELECT p.vec_id, p.centroid_ord
+              FROM pts p JOIN probe pr ON pr.centroid_ord = p.centroid_ord
+            ), dd AS (
+              SELECT r.vec_id, r.sub_ord, c.code,
+                     ROUND(SUM((r.r - c.cy) * (r.r - c.cy)), 6) AS dsq
+              FROM rez r
+              JOIN kept k2 ON k2.vec_id = r.vec_id
+              JOIN cbz c ON c.sub_ord = r.sub_ord AND c.pp = r.pp
+              GROUP BY r.vec_id, r.sub_ord, c.code
+            ), best AS (
+              SELECT vec_id, sub_ord, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub_ord
+                                        ORDER BY dsq, code) AS rn
+              FROM dd
+            ),
+            -- per-probed-cell query residual elements -> per-cell LUTs
+            qrez AS (
+              SELECT pcell,
+                     CAST(FLOOR((d - 1) / 16) AS INT) AS sub_ord,
+                     ((d - 1) % 16) + 1 AS pp,
+                     CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS qr
+              FROM (
+                SELECT pr.centroid_ord AS pcell,
+                       UNNEST((SELECT qv FROM q)) AS x,
+                       UNNEST(c.cvec) AS y,
+                       UNNEST(generate_series(1, 64)) AS d
+                FROM probe pr
+                JOIN cents c ON c.centroid_ord = pr.centroid_ord
+              ) t
+            ), lut AS (
+              SELECT qr.pcell, qr.sub_ord, c.code,
+                     ROUND(SUM((qr.qr - c.cy) * (qr.qr - c.cy)), 6) AS ld
+              FROM qrez qr
+              JOIN cbz c ON c.sub_ord = qr.sub_ord AND c.pp = qr.pp
+              GROUP BY qr.pcell, qr.sub_ord, c.code
+            )
+            SELECT b.vec_id, ROUND(SUM(l.ld), 6) AS adc_dist
+            FROM best b
+            JOIN kept k3 ON k3.vec_id = b.vec_id
+            JOIN lut l ON l.pcell = k3.centroid_ord
+                      AND l.sub_ord = b.sub_ord AND l.code = b.code
+            WHERE b.rn = 1
+            GROUP BY b.vec_id
+            ORDER BY adc_dist, b.vec_id LIMIT 20
         """,
         "emb_ivf_pq_topk": """
             WITH cents AS (

@@ -664,6 +664,182 @@ def pq_adc_topk(
     )
 
 
+def residual_expr(
+    centroid_vecs: list,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> Column:
+    """x - c(cell(x)) element-wise as ONE shuffle-free Column expression:
+    the coarse model inlines as an array-of-arrays literal, the cell is
+    cell_assign_expr's rounded argmax, and the subtraction is an exact
+    IEEE zip_with (float element cast to double minus the double
+    literal — bit-identical to what a DuckDB oracle computes from the
+    same parquet floats, so residual-quantized values stay
+    cross-engine-reproducible). Rides whatever scan produces the
+    vector column; consumers alias it once and encode against it."""
+    cells = "array(" + ",".join(_sql_lit_arr(v) for v in centroid_vecs) + ")"
+    cos = _sql_cos_array(vec_col, centroid_vecs, round_to)
+    cell = f"(cast(array_position({cos}, array_max({cos})) as int) - 1)"
+    return _expr_cached(
+        f"zip_with(`{vec_col}`, element_at({cells}, {cell} + 1), "
+        "(x, y) -> cast(x as double) - y)"
+    )
+
+
+def pq_encode_residual(
+    emb: DataFrame,
+    coarse_centroids,
+    codebooks: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    round_to: int = 6,
+    extra_cols: dict | None = None,
+) -> DataFrame:
+    """RESIDUAL product quantization — the encode IVF-PQ actually
+    deploys (Jégou et al. 2011 §IV: quantize r = x - c(cell(x)), not x;
+    FAISS IndexIVFPQ's default): residuals concentrate near the origin
+    once the coarse quantizer has soaked up the between-cell variance,
+    so the same m·k code budget spends its resolution on the
+    within-cell structure — strictly finer quantization than raw-vector
+    PQ whenever the cells are real clusters.
+
+    Plan shape: cell (rounded inlined argmax), residual (exact zip_with
+    against the inlined coarse model) and the m code argmins are ALL
+    pure Column expressions riding one projection over the vector scan
+    — 0 Exchanges, exactly like pq_encode (plan-asserted). Output adds
+    `cell_col` (the ADC side needs it: residual distances are relative
+    to the row's cell, so the LUT is per-cell — see
+    pq_adc_topk_residual). `codebooks` must be trained/derived on
+    RESIDUALS; encoding raw-vector codebooks against residuals is a
+    model mismatch this function cannot detect."""
+    cvecs = _centroid_vec_list(coarse_centroids)
+    base = emb.select(
+        F.col(id_col),
+        cell_assign_expr(cvecs, vec_col, round_to).alias(cell_col),
+        residual_expr(cvecs, vec_col, round_to).alias("__res"),
+        *[c.alias(n) for n, c in (extra_cols or {}).items()],
+    )
+    carry = {cell_col: F.col(cell_col)}
+    carry.update({n: F.col(n) for n in (extra_cols or {})})
+    return pq_encode(
+        base, codebooks, m, vec_col="__res", id_col=id_col,
+        round_to=round_to, extra_cols=carry,
+    )
+
+
+def pq_adc_topk_residual(
+    codes: DataFrame,
+    query_vec,
+    coarse_centroids,
+    codebooks: DataFrame,
+    m: int,
+    k: int = 10,
+    probe_cells=None,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    round_to: int = 6,
+    lut_mode: str = "inline",
+) -> DataFrame:
+    """ADC top-k over RESIDUAL PQ codes: a row's code approximates
+    x - c(cell), so the query-side lookup table is PER CELL — LUT_c[j]
+    holds ||slice_j(q - c) - cvec||² for each code — and the scan picks
+    its row's table by `cell_col`. `probe_cells` limits both the scan
+    (cell filter → partition pruning over a write_pq_codes_index
+    layout) and the set of LUTs built; None scans every cell (the
+    exact-ADC degeneration the tests pin).
+
+    `lut_mode` picks how the bounded nprobe·m·k table ships:
+    - 'inline': a CASE WHEN cell chain of array literals rendered as
+      ONE parsed SQL expression — a pure projection, no join at all.
+      Right up to ~10^4 literals (nprobe·m·k); beyond that the plan
+      tree itself gets heavy.
+    - 'broadcast': an nprobe-row (cell, lut array<array<double>>)
+      frame broadcast-joined on `cell_col` — one BroadcastExchange of
+      KBs, still zero shuffle of the codes. The production shape for
+      FAISS-scale models (m=16, k=256, nprobe=32 → 131k entries).
+    Both modes are value-identical (pytest-pinned)."""
+    import numpy as np
+
+    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
+    if len(q) % int(m):
+        raise ValueError(
+            f"query dim {len(q)} not divisible by m={m} — PQ would "
+            "silently drop the tail dims"
+        )
+    sub_d = len(q) // int(m)
+    crows = _centroid_rows(coarse_centroids)
+    cmap = {o: np.asarray(v, dtype=np.float64) for o, v in crows}
+    cells = (
+        sorted(cmap) if probe_cells is None
+        else [int(c) for c in probe_cells]
+    )
+    cb = codebooks.select("sub_ord", "code", "cvec").collect()
+    by_key: dict = {}
+    n_codes = 0
+    for r in cb:
+        cv = np.asarray(r["cvec"], dtype=np.float64)
+        if len(cv) != sub_d:
+            raise ValueError(
+                f"codebook subspace width {len(cv)} != query dim/m = {sub_d}"
+            )
+        by_key[(int(r["sub_ord"]), int(r["code"]))] = cv
+        n_codes = max(n_codes, int(r["code"]) + 1)
+    # per-cell LUTs from the bounded model: qr = q - c, then the same
+    # sequential-fold + HALF_UP rounding the engine/oracle folds use
+    luts: dict[int, list] = {}
+    for c in cells:
+        qr = q - cmap[c]
+        lt = []
+        for j in range(int(m)):
+            qs = qr[j * sub_d:(j + 1) * sub_d]
+            row = []
+            for code in range(n_codes):
+                diff = qs - by_key[(j, code)]
+                acc = 0.0
+                for v in diff:
+                    acc += float(v) * float(v)
+                row.append(_round_half_up(acc, int(round_to)))
+            lt.append(row)
+        luts[c] = lt
+    sel = (
+        codes if probe_cells is None
+        else codes.filter(F.col(cell_col).isin(cells))
+    )
+    if lut_mode == "inline":
+        dist = None
+        for j in range(int(m)):
+            branches = " ".join(
+                f"when {c} then {_sql_lit_arr(luts[c][j])}" for c in cells
+            )
+            arr = _expr_cached(f"case `{cell_col}` {branches} end")
+            term = F.element_at(arr, F.element_at(F.col("codes"), j + 1) + 1)
+            dist = term if dist is None else dist + term
+        scored = sel.select(
+            id_col, F.round(dist, int(round_to)).alias("adc_dist")
+        )
+    elif lut_mode == "broadcast":
+        lut_df = sel.sparkSession.createDataFrame(
+            [(int(c), [[float(x) for x in row] for row in luts[c]])
+             for c in cells],
+            f"{cell_col} int, __lut array<array<double>>",
+        )
+        dist = None
+        for j in range(int(m)):
+            term = F.element_at(
+                F.element_at(F.col("__lut"), j + 1),
+                F.element_at(F.col("codes"), j + 1) + 1,
+            )
+            dist = term if dist is None else dist + term
+        scored = sel.join(F.broadcast(lut_df), cell_col).select(
+            id_col, F.round(dist, int(round_to)).alias("adc_dist")
+        )
+    else:
+        raise ValueError(f"unknown lut_mode {lut_mode!r} (inline|broadcast)")
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(int(k))
+
+
 def cell_assign_expr(
     centroid_vecs: list,
     vec_col: str = "embedding",
@@ -1017,6 +1193,8 @@ def ivf_pq_topk(
     codes: DataFrame | None = None,
     cell_col: str = "ivf_cell",
     round_to: int = 6,
+    residual: bool = False,
+    lut_mode: str = "inline",
 ) -> DataFrame:
     """IVF-PQ top-k — the production ANN composition at 100 TB (Jégou
     et al. 2011): the coarse quantizer (IVF) prunes the search to the
@@ -1042,18 +1220,55 @@ def ivf_pq_topk(
     The probe list comes driver-side from the tiny coarse model
     (ncells x dim — KBs). nprobe=ncells degenerates to exact ADC over
     the whole corpus (pytest-pinned equal to pq_adc_topk); recall vs
-    brute force is a measured pytest contract, not a comment."""
+    brute force is a measured pytest contract, not a comment.
+
+    `residual=True` switches both halves to the residual form (the
+    FAISS IndexIVFPQ default — see pq_encode_residual): codes must
+    then BE residual codes (from pq_encode_residual or a
+    write_pq_codes_index(residual=True) layout, which both carry
+    `cell_col`), the codebooks residual-trained, and the ADC scan uses
+    per-probed-cell LUTs (pq_adc_topk_residual, `lut_mode` passing
+    through). The probe ranking itself is identical — residuals change
+    what the codes mean, not which cells are near the query."""
     import numpy as np
 
-    cn = np.asarray(coarse_centroids, dtype=np.float64)
-    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    cn0 = np.asarray(
+        [v for _, v in _centroid_rows(coarse_centroids)], dtype=np.float64
+    )
+    cn = cn0 / np.maximum(np.linalg.norm(cn0, axis=1, keepdims=True), 1e-12)
     q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(cn @ qn), kind="stable")[: int(nprobe)].tolist()
     if codes is not None:
+        if residual:
+            return pq_adc_topk_residual(
+                codes, query_vec, cn0, codebooks, m, k,
+                probe_cells=probe, id_col=id_col, cell_col=cell_col,
+                round_to=round_to, lut_mode=lut_mode,
+            )
         sel = codes.filter(F.col(cell_col).isin([int(c) for c in probe]))
         return pq_adc_topk(
             sel, query_vec, codebooks, m, k, id_col, round_to
+        )
+    if residual:
+        # prune on the rounded argmax BEFORE the (m·k-term) encode so
+        # non-probed rows never pay for codes; the cell recomputes in
+        # the encode projection (k cosine folds — cheap next to the
+        # encode it saves)
+        cvecs = [[float(x) for x in v] for v in cn0]
+        kept = emb.filter(
+            cell_assign_expr(cvecs, vec_col, round_to).isin(
+                [int(c) for c in probe]
+            )
+        )
+        encoded = pq_encode_residual(
+            kept.select(id_col, vec_col), cvecs, codebooks, m,
+            vec_col, id_col, cell_col, round_to,
+        )
+        return pq_adc_topk_residual(
+            encoded, query_vec, cvecs, codebooks, m, k,
+            probe_cells=probe, id_col=id_col, cell_col=cell_col,
+            round_to=round_to, lut_mode=lut_mode,
         )
     kept = ivf_assign(emb, cn, vec_col, id_col, keep_cells=probe)
     encoded = pq_encode(
@@ -1072,6 +1287,7 @@ def write_pq_codes_index(
     id_col: str = "vec_id",
     cell_col: str = "ivf_cell",
     round_to: int = 6,
+    residual: bool = False,
 ) -> None:
     """Build THE production ANN index: the PQ codes table partitioned by
     coarse cell — `partitionBy(ivf_cell)` parquet, so ivf_pq_topk's
@@ -1085,17 +1301,23 @@ def write_pq_codes_index(
     only movement is the write's own partitioned fan-out. Rebuild (or
     append a new batch's codes) whenever the corpus grows; refitting
     the coarse model or codebooks implies a full rebuild, exactly as
-    for write_embedding_cell_index."""
+    for write_embedding_cell_index.
+
+    `residual=True` stores residual codes (pq_encode_residual — the
+    FAISS IndexIVFPQ layout; codebooks must be residual-trained); the
+    partitioning and query-side pruning are identical, the ADC side
+    just switches to per-cell LUTs (ivf_pq_topk(residual=True))."""
     cvecs = _centroid_vec_list(coarse_centroids)
-    (
-        pq_encode(
+    if residual:
+        encoded = pq_encode_residual(
+            emb, cvecs, codebooks, m, vec_col, id_col, cell_col, round_to
+        )
+    else:
+        encoded = pq_encode(
             emb, codebooks, m, vec_col, id_col, round_to,
             extra_cols={cell_col: cell_assign_expr(cvecs, vec_col, round_to)},
         )
-        .write.mode("overwrite")
-        .partitionBy(cell_col)
-        .parquet(path)
-    )
+    encoded.write.mode("overwrite").partitionBy(cell_col).parquet(path)
 
 
 def kmeans_fit_distributed(

@@ -1486,3 +1486,188 @@ def test_pq_codes_index_partition_pruning(spark, tmp_path):
                S.ivf_pq_topk(emb, qv, cents, cbk, m=4, k=20,
                              nprobe=2).collect()]
     assert via_codes == via_emb and len(via_emb) == 20
+
+
+def _residual_fixture(spark):
+    """Residual IVF-PQ fixture (the emb_ivf_pq_residual_topk gate
+    shape): coarse model = 8 lowest-vec_id vectors; codebook = residual
+    slices of the NEXT 4 by id (the coarse-init 8 would be all-zero
+    residuals). Codebook cells come from the ENGINE's own
+    cell_assign_expr so the fixture can't drift from the assignment
+    rule the encode uses."""
+    from seqarray_spark.sources import testdata as td
+
+    emb = td.load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    init12 = emb.orderBy("vec_id").limit(12)
+    rows = init12.select(
+        "vec_id", "embedding",
+        S.cell_assign_expr([list(map(float, r["embedding"]))
+                            for r in init12.collect()[:8]]).alias("cell"),
+    ).orderBy("vec_id").collect()
+    cents = [list(map(float, r["embedding"])) for r in rows[:8]]
+    cb_rows = []
+    for code, r in enumerate(rows[8:12]):
+        v = list(map(float, r["embedding"]))
+        res = [a - b for a, b in zip(v, cents[r["cell"]])]
+        for j in range(4):
+            cb_rows.append((j, code, res[j * 16:(j + 1) * 16]))
+    cbk = spark.createDataFrame(
+        cb_rows, "sub_ord int, code int, cvec array<double>"
+    )
+    return emb, cents, cbk, cents[0]
+
+
+def test_pq_encode_residual_matches_numpy_replay(spark):
+    """pq_encode_residual (cell + residual + m argmins, one zero-shuffle
+    projection) must reproduce an independent numpy replay: given the
+    engine's own cell assignment, residual = v - c(cell) exactly, each
+    code = argmin of HALF_UP-6dp-rounded squared L2 (first min = lowest
+    code), dist = rounded sum of the m winning distances."""
+    import numpy as np
+
+    emb, cents, cbk, _ = _residual_fixture(spark)
+    got = {r["vec_id"]: r for r in
+           S.pq_encode_residual(emb, cents, cbk, m=4).collect()}
+    cells = {r["vec_id"]: r["cell"] for r in emb.select(
+        "vec_id", S.cell_assign_expr(cents).alias("cell")).collect()}
+    cb = {(r["sub_ord"], r["code"]): np.asarray(r["cvec"], np.float64)
+          for r in cbk.collect()}
+    n_codes = 1 + max(c for _, c in cb)
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    assert set(got) == set(vecs)
+    for vid, v in vecs.items():
+        cell = cells[vid]
+        assert got[vid]["ivf_cell"] == cell
+        res = np.asarray(v) - np.asarray(cents[cell])
+        exp_codes, exp_dist = [], 0.0
+        for j in range(4):
+            s = res[j * 16:(j + 1) * 16]
+            dd = [S._round_half_up(float(((s - cb[(j, c)]) ** 2).sum()), 6)
+                  for c in range(n_codes)]
+            best = int(np.argmin(dd))  # first min = lowest code
+            exp_codes.append(best)
+            exp_dist += dd[best]
+        assert list(got[vid]["codes"]) == exp_codes, vid
+        assert got[vid]["dist"] == S._round_half_up(exp_dist, 6), vid
+
+
+def test_pq_encode_residual_zero_exchanges(spark):
+    """The residual encode must ride the vector scan exactly like
+    pq_encode: cell, residual and codes are one projection —
+    0 Exchanges in the plan."""
+    from seqarray_spark.plans import explain as E
+
+    emb, cents, cbk, _ = _residual_fixture(spark)
+    plan = E.plan_string(S.pq_encode_residual(emb, cents, cbk, m=4),
+                         "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_residual_adc_lut_modes_and_degeneration(spark):
+    """pq_adc_topk_residual: 'inline' (CASE-of-literal-arrays pure
+    projection) and 'broadcast' (nprobe-row LUT frame broadcast-joined)
+    must be value-identical; probe_cells=None (scan every cell) must
+    equal ivf_pq_topk(residual=True) at nprobe=ncells."""
+    emb, cents, cbk, qv = _residual_fixture(spark)
+    codes = S.pq_encode_residual(emb, cents, cbk, m=4)
+    inline = [(r["vec_id"], r["adc_dist"]) for r in S.pq_adc_topk_residual(
+        codes, qv, cents, cbk, m=4, k=20, lut_mode="inline").collect()]
+    bcast = [(r["vec_id"], r["adc_dist"]) for r in S.pq_adc_topk_residual(
+        codes, qv, cents, cbk, m=4, k=20, lut_mode="broadcast").collect()]
+    assert inline == bcast and len(inline) == 20
+    degen = [(r["vec_id"], r["adc_dist"]) for r in S.ivf_pq_topk(
+        None, qv, cents, cbk, m=4, k=20, nprobe=8, codes=codes,
+        residual=True).collect()]
+    assert degen == inline
+
+
+def test_ivf_pq_residual_emb_path_equals_codes_path(spark):
+    """ivf_pq_topk(residual=True): the encode-on-the-fly path (argmax
+    pre-filter -> residual encode -> per-cell ADC) must equal the
+    pre-encoded codes-table path at a REAL nprobe=2 prune."""
+    emb, cents, cbk, qv = _residual_fixture(spark)
+    codes = S.pq_encode_residual(emb, cents, cbk, m=4)
+    via_codes = [(r["vec_id"], r["adc_dist"]) for r in S.ivf_pq_topk(
+        None, qv, cents, cbk, m=4, k=20, nprobe=2, codes=codes,
+        residual=True).collect()]
+    via_emb = [(r["vec_id"], r["adc_dist"]) for r in S.ivf_pq_topk(
+        emb, qv, cents, cbk, m=4, k=20, nprobe=2,
+        residual=True).collect()]
+    assert via_codes == via_emb and len(via_emb) == 20
+
+
+def test_pq_codes_index_residual_partition_pruning(spark, tmp_path):
+    """write_pq_codes_index(residual=True) + ivf_pq_topk(residual=True,
+    codes=...): the stored residual codes prune by partition exactly
+    like the raw layout, never read the float corpus, and match the
+    encode-on-the-fly residual path."""
+    from seqarray_spark.plans import explain as E
+
+    emb, cents, cbk, qv = _residual_fixture(spark)
+    path = str(tmp_path / "pq_res_idx")
+    S.write_pq_codes_index(emb, cents, cbk, m=4, path=path, residual=True)
+    codes = spark.read.parquet(path)
+    out = S.ivf_pq_topk(None, qv, cents, cbk, m=4, k=20, nprobe=2,
+                        codes=codes, residual=True)
+    assert E.partition_filters(out), E.plan_string(out, "simple")
+    assert "embedding" not in "".join(E.read_schemas(out))
+    via_codes = [(r["vec_id"], r["adc_dist"]) for r in out.collect()]
+    via_emb = [(r["vec_id"], r["adc_dist"]) for r in S.ivf_pq_topk(
+        emb, qv, cents, cbk, m=4, k=20, nprobe=2,
+        residual=True).collect()]
+    assert via_codes == via_emb and len(via_emb) == 20
+
+
+def test_residual_quantization_beats_raw_on_clustered_data(spark):
+    """The reason residual PQ exists: once the coarse quantizer soaks
+    up between-cell variance, the codebook's resolution is spent
+    within-cell. On data WITH cluster structure (3 tight clusters
+    around orthogonal anchors), residual encoding's total quantization
+    error must beat raw-vector encoding with the SAME code budget
+    (codebooks each k-means-fit driver-side on their own target —
+    raw vectors vs residuals — 4 codes x 4 subspaces). The structure
+    has MORE clusters (8) than codes per subspace (4), so the raw
+    codebook cannot cover the anchor values and pays inter-anchor
+    distances, while residuals are pure within-cluster noise."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    anchors = np.eye(8, 16) * 10.0
+    pts = np.concatenate([
+        anchors[i] + rng.randn(40, 16) * 0.2 for i in range(8)
+    ])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[float(x) for x in a] for a in anchors]
+    # engine residuals are float32(v) - anchor; mirror that so the
+    # residual codebook fits the exact values the encode sees
+    cells = np.argmax(
+        (pts / np.linalg.norm(pts, axis=1, keepdims=True))
+        @ (anchors / np.linalg.norm(anchors, axis=1, keepdims=True)).T,
+        axis=1,
+    )
+    res = pts.astype(np.float32).astype(np.float64) - anchors[cells]
+
+    def fit_cbk(x):  # tiny Lloyd per subspace, deterministic init
+        rows = []
+        for j in range(4):
+            s = x[:, j * 4:(j + 1) * 4]
+            c = s[:4].copy()
+            for _ in range(10):
+                a = np.argmin(
+                    ((s[:, None, :] - c[None]) ** 2).sum(-1), axis=1)
+                for q in range(4):
+                    if (a == q).any():
+                        c[q] = s[a == q].mean(0)
+            rows += [(j, q, [float(v) for v in c[q]]) for q in range(4)]
+        return spark.createDataFrame(
+            rows, "sub_ord int, code int, cvec array<double>")
+
+    raw_err = S.pq_encode(emb, fit_cbk(pts), m=4).agg(
+        F.sum("dist")).collect()[0][0]
+    res_err = S.pq_encode_residual(emb, cents, fit_cbk(res), m=4).agg(
+        F.sum("dist")).collect()[0][0]
+    assert res_err < raw_err * 0.5, (res_err, raw_err)
