@@ -481,6 +481,89 @@ def ingest_semantic_stream(
     return writer.start()
 
 
+def ingest_pq_codes_stream(
+    emb_stream: DataFrame,
+    index_path: str,
+    coarse_centroids,
+    codebooks,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    residual: bool = False,
+    round_to: int = 6,
+    checkpoint_dir: str | None = None,
+):
+    """ANN-index ingest loop — keep the cells-partitioned PQ codes
+    index (the write_pq_codes_index layout) FRESH as the corpus streams
+    in: each micro-batch encodes with the PINNED coarse model +
+    codebooks (raw pq_encode or, `residual=True`, pq_encode_residual —
+    the FAISS IndexIVFPQ form) and appends its codes under the same
+    partitionBy(cell) layout, so ivf_pq_topk's partition pruning sees
+    new vectors at the next query with NO rebuild and the float batch
+    is read exactly once (the encode is a zero-shuffle projection; the
+    only movement is the partitioned write's own fan-out).
+
+    Appends add one file per touched cell per batch — the usual
+    small-file pressure; compact offline by rewriting hot cells
+    (per-cell rewrite, no global job). The model and codebooks are fit
+    once and pinned for the stream's lifetime, exactly like
+    ingest_semantic_stream's centroids: codes are only comparable
+    under one model, so refitting implies an offline index rebuild.
+    `codebooks` may be the (sub_ord, code, cvec) DataFrame or its
+    collected rows; it is materialized ONCE driver-side (bounded m·k)
+    and re-created per batch — no per-batch Spark job to re-read it.
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from seqarray_spark.operators.similarity import (
+        _centroid_vec_list,
+        cell_assign_expr,
+        pq_encode,
+        pq_encode_residual,
+    )
+
+    if isinstance(codebooks, DataFrame):
+        cb_rows = [
+            (int(r["sub_ord"]), int(r["code"]),
+             [float(x) for x in r["cvec"]])
+            for r in codebooks.select("sub_ord", "code", "cvec").collect()
+        ]
+    else:
+        cb_rows = [
+            (int(s), int(c), [float(x) for x in v]) for s, c, v in codebooks
+        ]
+    cvecs = _centroid_vec_list(coarse_centroids)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cbk = spark.createDataFrame(
+            cb_rows, "sub_ord int, code int, cvec array<double>"
+        )
+        if residual:
+            encoded = pq_encode_residual(
+                batch_df, cvecs, cbk, m, vec_col, id_col, cell_col, round_to
+            )
+        else:
+            encoded = pq_encode(
+                batch_df, cbk, m, vec_col, id_col, round_to,
+                extra_cols={
+                    cell_col: cell_assign_expr(cvecs, vec_col, round_to)
+                },
+            )
+        (
+            encoded.write.mode("append")
+            .partitionBy(cell_col)
+            .parquet(index_path)
+        )
+
+    writer = emb_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def sessionize_events(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -345,3 +345,76 @@ def test_ingest_semantic_stream_cross_batch(spark, tmp_path):
         assert idx.count() == 3 * 8  # default bands=8 keys per vector
     finally:
         spark.sql("DROP TABLE IF EXISTS sem_idx_test")
+
+
+def test_ingest_pq_codes_stream_appends_equal_rebuild(spark, tmp_path):
+    """ANN-index ingest loop: two micro-batches of vectors append their
+    (residual) PQ codes under the cells-partitioned layout; the
+    resulting index must row-for-row equal a one-shot
+    write_pq_codes_index rebuild over the union, and ivf_pq_topk over
+    the appended index must equal the encode-on-the-fly path — i.e.
+    the stream keeps the production index fresh with NO rebuild."""
+    import json
+
+    import numpy as np
+
+    from seqarray_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(3)
+    dim, m = 16, 4
+    vecs = {i: [float(x) for x in rng.randn(dim)] for i in range(40)}
+    cents = [vecs[0], vecs[1], vecs[2]]
+    # residual codebook from vectors 3..6 (engine-rule cells)
+    cb_rows = []
+    emb_all = spark.createDataFrame(
+        sorted(vecs.items()), "vec_id long, embedding array<float>"
+    )
+    cells = {r["vec_id"]: r["c"] for r in emb_all.select(
+        "vec_id", SIM.cell_assign_expr(cents).alias("c")).collect()}
+    stored = {r["vec_id"]: [float(x) for x in r["embedding"]]
+              for r in emb_all.collect()}  # float32-rounded values
+    for code, vid in enumerate(range(3, 7)):
+        res = [a - b for a, b in zip(stored[vid], cents[cells[vid]])]
+        for j in range(m):
+            cb_rows.append((j, code, res[j * 4:(j + 1) * 4]))
+    cbk = spark.createDataFrame(
+        cb_rows, "sub_ord int, code int, cvec array<double>"
+    )
+
+    in_dir = tmp_path / "pq_in"
+    in_dir.mkdir()
+    for name, ids in (("a.json", range(0, 20)), ("b.json", range(20, 40))):
+        with open(in_dir / name, "w") as fh:
+            for i in ids:
+                fh.write(json.dumps(
+                    {"vec_id": i, "embedding": vecs[i]}) + "\n")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    idx_dir = str(tmp_path / "pq_idx_stream")
+    q = S.ingest_pq_codes_stream(
+        stream, idx_dir, cents, cbk, m=m, residual=True,
+        checkpoint_dir=str(tmp_path / "ck_pq"),
+    )
+    q.awaitTermination()
+
+    rebuilt_dir = str(tmp_path / "pq_idx_rebuild")
+    SIM.write_pq_codes_index(
+        emb_all, cents, cbk, m=m, path=rebuilt_dir, residual=True
+    )
+    key = lambda r: (r["vec_id"], list(r["codes"]), r["dist"],  # noqa: E731
+                     r["ivf_cell"])
+    got = sorted(map(key, spark.read.parquet(idx_dir).collect()))
+    want = sorted(map(key, spark.read.parquet(rebuilt_dir).collect()))
+    assert got == want and len(got) == 40
+
+    qv = vecs[5]
+    via_stream_idx = [(r["vec_id"], r["adc_dist"]) for r in SIM.ivf_pq_topk(
+        None, qv, cents, cbk, m=m, k=10, nprobe=2,
+        codes=spark.read.parquet(idx_dir), residual=True).collect()]
+    via_emb = [(r["vec_id"], r["adc_dist"]) for r in SIM.ivf_pq_topk(
+        emb_all, qv, cents, cbk, m=m, k=10, nprobe=2,
+        residual=True).collect()]
+    assert via_stream_idx == via_emb and len(via_emb) == 10
