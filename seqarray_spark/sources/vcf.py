@@ -947,12 +947,25 @@ def write_vcf(
     if no_sample:
         calls = None
     info_type = dict(variants.dtypes).get("info")
+    known_info = (
+        [f.split(":")[0] for f in _struct_field_names(variants)]
+        if info_type else []
+    )
     if info_fields is None:
-        info_fields = (
-            [f.split(":")[0] for f in _struct_field_names(variants)]
-            if info_type
-            else []
-        )
+        info_fields = known_info
+    else:
+        # reference seqGDS2VCF validates info.var/fmt.var up front with
+        # a user-level error (R/Conversion.R:76-77,90-92) — not the
+        # unresolved-column AnalysisException a bad name would hit at
+        # action time
+        missing = [n for n in info_fields if n not in known_info]
+        if missing:
+            raise ValueError("Not exist: " + ",".join(missing))
+    if format_fields is not None:
+        have = set() if calls is None else set(calls.columns)
+        missing = [n for n in format_fields if n not in have]
+        if missing:
+            raise ValueError("Not exist: " + ",".join(missing))
 
     # INFO reconstruction: key=value for non-null, bare key for flags
     info_parts = []

@@ -1013,3 +1013,35 @@ def test_nogeno_zero_format_cells_render_empty(spark, tmp_path):
     f = line.rstrip("\n").split("\t")
     assert f[8] == "."           # FORMAT column: '.' (no vars)
     assert f[9:] == ["", ""]     # sample cells: EMPTY, not '.'
+
+
+def test_write_vcf_unknown_field_names_error_up_front(spark, tmp_path):
+    """Reference parity: seqGDS2VCF validates info.var / fmt.var with a
+    user-level 'Not exist:' error before any work
+    (R/Conversion.R:76-77,90-92); write_vcf must do the same rather
+    than dying later in analysis on an unresolved info.<name> column."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(1, "1", 100, "rs1", "A", ["G"], 50.0, "PASS", (7,))],
+        "variant_id long, chromosome string, position int, id string, "
+        "ref string, alt array<string>, qual double, filter string, "
+        "info struct<DP:int>",
+    )
+    c = spark.createDataFrame(
+        [(1, "s1", 9)], "variant_id long, sample_id string, DP int"
+    )
+    s = spark.createDataFrame([("s1",)], "sample_id string")
+    ds = SeqDataset(v, c, s)
+    out = str(tmp_path / "nv")
+    with pytest.raises(ValueError, match="Not exist: NOPE"):
+        vcfmod.write_vcf(ds, out, info_fields=["NOPE"])
+    with pytest.raises(ValueError, match="Not exist: GQ"):
+        vcfmod.write_vcf(ds, out, format_fields=["GQ"])
+    # empty selections are valid (reference: info.var=character(0)
+    # strips ALL INFO) and valid names still export
+    vcfmod.write_vcf(ds, out, info_fields=[], format_fields=["DP"])
+    single = _assemble(out, tmp_path)
+    line = next(l for l in open(single) if not l.startswith("#"))
+    f = line.rstrip("\n").split("\t")
+    assert f[7] == "." and f[8] == "DP" and f[9] == "9"
