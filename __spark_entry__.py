@@ -1007,9 +1007,13 @@ def emb_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.where(F.col("vec_id") % 5 == 0)
     corpus = emb.where(F.col("vec_id") % 5 != 0)
     corpus_assign = kmeans_assign_exact(corpus, cents)
+    # prefilter_cells=False: the cells pre-filter exists to prune a
+    # STORED assignment's scan; this corpus_assign is a lazy in-session
+    # frame, so the bounded collect would be a pure extra job (the
+    # inner join on centroid_ord implies the filter — value-identical)
     return incremental_semantic_pairs(
         batch, cents, corpus_assign=corpus_assign, corpus_emb=corpus,
-        tau=0.4, mode="exact",
+        tau=0.4, mode="exact", prefilter_cells=False,
     )
 
 

@@ -1002,6 +1002,7 @@ def incremental_semantic_pairs(
     corpus_cell_table: DataFrame | None = None,
     batch_key_pushdown: int | None = 20_000,
     assign: str = "exact",
+    prefilter_cells: bool = True,
 ) -> DataFrame:
     """Semantic-dedup an ingest BATCH of embeddings against an existing
     corpus without re-scoring the corpus — the embedding sibling of
@@ -1052,13 +1053,22 @@ def incremental_semantic_pairs(
             F.col(id_col),
             cell_assign_expr(cvecs, vec_col, round_to).alias("centroid_ord"),
         )
-        batch_cells = [
-            r[0]
-            for r in batch_assign.select("centroid_ord").distinct().collect()
-        ]
         corp = corpus_assign.select(
             F.col(id_col).alias("__cid"), "centroid_ord"
-        ).where(F.col("centroid_ord").isin(batch_cells))
+        )
+        if prefilter_cells:
+            # bounded collect (<= ncells values): lets a STORED
+            # assignment partitioned by cell prune its scan to the
+            # batch's cells. Pure pruning — the inner join on
+            # centroid_ord implies it — so callers whose corpus_assign
+            # is an in-memory/lazy frame skip the extra job with
+            # prefilter_cells=False
+            batch_cells = [
+                r[0]
+                for r in batch_assign.select("centroid_ord")
+                .distinct().collect()
+            ]
+            corp = corp.where(F.col("centroid_ord").isin(batch_cells))
         matched = batch_assign.select(
             F.col(id_col).alias("_id"), "centroid_ord"
         ).join(corp, "centroid_ord")
@@ -1115,7 +1125,13 @@ def incremental_semantic_pairs(
             )
     else:
         raise ValueError(f"unknown mode {mode!r} (exact|banded)")
-    cand = cand.distinct()
+    if mode == "banded":
+        # a pair surfacing in several (band, bucket) keys collapses;
+        # exact-mode candidates are UNIQUE by construction (each id
+        # assigns to exactly one cell and batch/corpus ids are
+        # disjoint), so the distinct there would shuffle the full
+        # candidate set — quadratic-ish in cell occupancy — for nothing
+        cand = cand.distinct()
     if tau is None:
         from seqarray_spark.plans.lifecycle import release_on_gc
 
