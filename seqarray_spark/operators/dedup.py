@@ -398,22 +398,27 @@ def write_corpus_band_index(
 # Measured on this JVM (tools/emb_index_stress.py repro, r10): a
 # parquet-pushed In filter compiles to a RECURSIVE OR-chain inside
 # parquet-mr, and chains of >=1200 string keys overflow the executor
-# stack; 800 is comfortably inside. Below the session's
+# stack; 800 is comfortably inside. At or below the session's
 # spark.sql.parquet.pushdown.inFilterThreshold Spark pushes the IN
-# verbatim (the chain); at or above it, a min..max RANGE (safe, but
-# random hash keys stretch it over the whole keyspace — no row-group
-# pruning). So the danger zone is SAFE_CAP < len(keys) < threshold.
+# verbatim (ParquetFilters keeps the chain while
+# values.length <= threshold); strictly above it, a min..max RANGE
+# (safe, but random hash keys stretch it over the whole keyspace — no
+# row-group pruning). So the danger zone is
+# SAFE_CAP < len(keys) <= threshold.
 PARQUET_IN_CHAIN_SAFE = 800
 
 
 def scan_safe_in_filter(df: DataFrame, col: Column, keys: list) -> DataFrame:
     """Apply `col IN keys` as a scan filter only when it cannot
     overflow the parquet OR-chain (see PARQUET_IN_CHAIN_SAFE): key
-    counts at/above the session inFilterThreshold push as a safe
+    counts strictly above the session inFilterThreshold push as a safe
     range, small counts push as a shallow chain, and the danger zone
     in between skips the filter — losing row-group pruning but never
     the join's correctness (an inner-join side filter is always
-    optional)."""
+    optional). The range boundary is EXCLUSIVE: at exactly
+    n == threshold ParquetFilters still builds the OR chain
+    (values.length <= threshold), so n == thr stays in the danger
+    zone."""
     n = len(keys)
     try:
         thr = int(
@@ -423,7 +428,7 @@ def scan_safe_in_filter(df: DataFrame, col: Column, keys: list) -> DataFrame:
         )
     except Exception:
         thr = 10
-    if n <= PARQUET_IN_CHAIN_SAFE or n >= thr:
+    if n <= PARQUET_IN_CHAIN_SAFE or n > thr:
         return df.where(col.isin(keys))
     return df
 

@@ -192,10 +192,19 @@ def _preharmonized(datasets: list[SeqDataset]) -> list[SeqDataset]:
         d = out[i]
         if calls is d._base_calls:
             continue
-        out[i] = SeqDataset(
+        nd = SeqDataset(
             d._base_variants, calls, d._base_samples,
             ploidy=d.ploidy, meta=d.meta,
+            ids_dense=d.ids_dense, n_variants_hint=d._n_variants_hint,
         )
+        # the rebuild must carry the dataset's ACTIVE selection —
+        # merge_samples_pair reads the selection-aware .variants /
+        # .samples properties, so a fresh full _Selection would
+        # silently merge filtered-out rows back in (and only for
+        # inputs whose FORMAT schema needed harmonizing)
+        nd._sel = d._sel
+        nd._stack = list(d._stack)
+        out[i] = nd
     return out
 
 

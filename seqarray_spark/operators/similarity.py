@@ -388,10 +388,14 @@ def semantic_dedup(
         _signed_bucket,
     )
 
-    assign = kmeans_assign_exact(
-        emb, centroids_df, vec_col, id_col, round_to
+    # keep_vec=True threads the vector through the zero-shuffle
+    # assignment projection — the r9 form re-joined emb on id to
+    # recover it, paying a full-corpus wide join + second scan for a
+    # column the projection carries for free (r10 review)
+    pts = kmeans_assign_exact(
+        emb, centroids_df, vec_col, id_col, round_to, keep_vec=True
     )
-    pts = assign.join(emb.select(id_col, vec_col), id_col)
+    assign = pts.select(id_col, "centroid_ord", "cos")
 
     if mode == "blas":
         cells = pts.select(
@@ -417,8 +421,10 @@ def semantic_dedup(
             .withColumnRenamed("carry_b", "cos_b")
         )
     elif mode == "banded":
-        first = emb.select(vec_col).first()
-        dim = len(first[0]) if first is not None else 1
+        # dim comes from the driver-side model — the r9 form ran a
+        # .first() Spark job at plan-build time (and crashed on a NULL
+        # first vector) to measure what the centroids already know
+        dim = len(_centroid_rows(centroids_df)[0][1])
         band_buckets = F.array(*[
             _signed_bucket(F.col("_v"), _plane_signs(dim, planes, band))
             for band in range(int(bands))
@@ -595,8 +601,13 @@ def pq_encode(
     for d in dist_cols[1:]:
         total = total + d
     # assert_true yields NULL when the guard holds; coalescing it into
-    # the sum keeps it alive against column pruning at zero cost
+    # the sum keeps it alive against column pruning at zero cost.
+    # It must ALSO ride `codes` (r10 review): consumers like
+    # ivf_pq_topk/pq_adc_topk select only (id, codes), and a guard
+    # living solely in `dist` would be PRUNED from exactly the
+    # production path the silent-truncation check exists for
     total = total + F.coalesce(dim_ok.cast("double"), F.lit(0.0))
+    code_cols[0] = code_cols[0] + F.coalesce(dim_ok.cast("int"), F.lit(0))
     return emb.select(
         F.col(id_col),
         F.array(*code_cols).alias("codes"),
@@ -1062,7 +1073,11 @@ def incremental_semantic_pairs(
             # batch's cells. Pure pruning — the inner join on
             # centroid_ord implies it — so callers whose corpus_assign
             # is an in-memory/lazy frame skip the extra job with
-            # prefilter_cells=False
+            # prefilter_cells=False. Persist so the batch scan + k
+            # cosine folds feed both the collect and the join once
+            # (the banded branch's _pin pattern)
+            batch_assign = batch_assign.persist()
+            _pin = batch_assign
             batch_cells = [
                 r[0]
                 for r in batch_assign.select("centroid_ord")
@@ -1286,7 +1301,18 @@ def ivf_pq_topk(
             probe_cells=probe, id_col=id_col, cell_col=cell_col,
             round_to=round_to, lut_mode=lut_mode,
         )
-    kept = ivf_assign(emb, cn, vec_col, id_col, keep_cells=probe)
+    # the prune uses the same ROUNDED argmax rule the stored indexes
+    # record (cell_assign_expr — r10 review: ivf_assign's unrounded
+    # numpy argmax can flip a <1e-6 near-tie vs a
+    # write_pq_codes_index/cell-key index built with the rounded rule,
+    # making codes-path and emb-path results diverge; one rule per
+    # index and its queries, as embedding_cell_keys documents)
+    cvecs = [[float(x) for x in v] for v in cn0]
+    kept = emb.filter(
+        cell_assign_expr(cvecs, vec_col, round_to).isin(
+            [int(c) for c in probe]
+        )
+    )
     encoded = pq_encode(
         kept.select(id_col, vec_col), codebooks, m, vec_col, id_col, round_to
     )

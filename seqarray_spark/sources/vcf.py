@@ -944,6 +944,15 @@ def write_vcf(
     # header no longer declares, shifting genotype columns
     variants = ds.variants
     calls = ds.calls if ds._base_calls is not None else None
+    if format_fields is not None:
+        # validate against the DATASET's FORMAT catalog (like the
+        # reference's fmt.var check against the file's format vars),
+        # before no_sample nulls `calls` — a sites-only export of a
+        # real field must not false-error (r10 review)
+        have = set() if calls is None else set(calls.columns)
+        missing = [n for n in format_fields if n not in have]
+        if missing:
+            raise ValueError("Not exist: " + ",".join(missing))
     if no_sample:
         calls = None
     info_type = dict(variants.dtypes).get("info")
@@ -959,11 +968,6 @@ def write_vcf(
         # unresolved-column AnalysisException a bad name would hit at
         # action time
         missing = [n for n in info_fields if n not in known_info]
-        if missing:
-            raise ValueError("Not exist: " + ",".join(missing))
-    if format_fields is not None:
-        have = set() if calls is None else set(calls.columns)
-        missing = [n for n in format_fields if n not in have]
         if missing:
             raise ValueError("Not exist: " + ",".join(missing))
 

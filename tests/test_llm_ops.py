@@ -1265,6 +1265,11 @@ def test_pq_encode_rejects_bad_dims(spark):
     )
     with pytest.raises(Exception, match="tail dims"):
         S.pq_encode(emb, cbk, m=2).collect()
+    # the guard must survive column pruning on the production path that
+    # selects only (id, codes) — r10 review: a guard living solely in
+    # `dist` is pruned from exactly the consumers it protects
+    with pytest.raises(Exception, match="tail dims"):
+        S.pq_encode(emb, cbk, m=2).select("vec_id", "codes").collect()
     ragged = spark.createDataFrame(
         [(0, 0, [1.0, 0.0]), (1, 0, [1.0])],
         "sub_ord int, code int, cvec array<float>",
@@ -1333,10 +1338,13 @@ def test_ivf_pq_topk_codes_table_path(spark):
     ivf_cell — the path where the float corpus is never read) must
     return exactly what the encode-on-the-fly path returns."""
     emb, cents, cbk, qv = _ivf_pq_fixture(spark)
-    assigned = S.ivf_assign(emb, cents)
+    # the index's cells use the ROUNDED rule (what write_pq_codes_index
+    # stores) — one assignment rule per index and its queries
+    cvecs = [[float(x) for x in v] for v in cents]
     codes = S.pq_encode(
-        assigned.select("vec_id", "embedding"), cbk, m=4
-    ).join(assigned.select("vec_id", "ivf_cell"), "vec_id")
+        emb, cbk, m=4,
+        extra_cols={"ivf_cell": S.cell_assign_expr(cvecs)},
+    )
     via_codes = [(r["vec_id"], r["adc_dist"]) for r in
                  S.ivf_pq_topk(None, qv, cents, cbk, m=4, k=20, nprobe=2,
                                codes=codes).collect()]

@@ -373,3 +373,45 @@ def test_three_file_sample_merge_order_independent_values(spark):
             for r in m.calls.select("sample_id", "XX").collect()
         }
         assert got == want, f"order {order}: {got}"
+
+
+def test_preharmonized_sample_merge_respects_active_filters(spark):
+    """r10 review fix: when sample-mode merge harmonizes disagreeing
+    FORMAT declarations (the N-way single-pass rebuild), the rebuilt
+    datasets must carry their ACTIVE selections — the pre-fix rebuild
+    used a fresh full _Selection, so a filtered dataset's excluded
+    variants silently reappeared in the merge, and ONLY when schemas
+    disagreed (identity harmonize kept the filter). Reference
+    seqMerge operates on each file's current filter
+    (R/UtilsMerge.R seqMerge uses the open files' selections)."""
+
+    def mk(sid, xtype, positions):
+        v = spark.createDataFrame(
+            [(i, "1", p, f"rs{p}", "A", ["G"]) for i, p in
+             enumerate(positions, 1)],
+            "variant_id long, chromosome string, position int, id string, "
+            "ref string, alt array<string>",
+        )
+        c = spark.createDataFrame(
+            [(i, sid, "1" if xtype == "string" else 1)
+             for i in range(1, len(positions) + 1)],
+            f"variant_id long, sample_id string, XX {xtype}",
+        )
+        s = spark.createDataFrame([(sid,)], "sample_id string")
+        return SeqDataset(v, c, s)
+
+    da = mk("sA", "int", [100, 200, 300])
+    db = mk("sB", "string", [100, 200, 300])   # XX type disagrees -> harmonize
+    # filter ds A to positions <= 200 through the public filter API
+    da.set_filter_variant(F.col("position") <= 200)
+    m = M.merge([da, db], mode="sample")
+    pos = sorted(r["position"] for r in m.variants.select("position").collect())
+    # A contributes only its SELECTED variants; 300 appears solely
+    # because unfiltered B still carries it
+    xa = {(r["sample_id"], r["position"]) for r in
+          m.calls.join(m.variants.select("variant_id", "position"),
+                       "variant_id")
+          .select("sample_id", "position").collect()}
+    assert ("sA", 300) not in xa, xa
+    assert ("sB", 300) in xa
+    assert pos == [100, 200, 300]

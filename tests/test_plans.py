@@ -685,12 +685,19 @@ def test_scan_in_filter_danger_zone_skipped(spark):
         safe = [str(i) for i in range(5)]
         out2 = scan_safe_in_filter(df, F.col("k"), safe)
         assert out2.count() == 5  # filtered: shallow chain is fine
-        # at/above the threshold Spark pushes a safe RANGE instead of
-        # the chain, so the same key list IS applied as a filter
+        # STRICTLY above the threshold Spark pushes a safe RANGE
+        # instead of the chain, so the key list IS applied as a filter
         spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
-                       str(len(danger)))
+                       str(len(danger) - 1))
         out3 = scan_safe_in_filter(df, F.col("k"), danger)
         assert "Filter" in E.plan_string(out3, "simple")
         assert out3.count() == 10  # all ids 0..9 are in the key list
+        # boundary (r10 review): at EXACTLY n == threshold
+        # ParquetFilters still builds the OR chain
+        # (values.length <= threshold) — must stay skipped
+        spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+                       str(len(danger)))
+        out4 = scan_safe_in_filter(df, F.col("k"), danger)
+        assert "Filter" not in E.plan_string(out4, "simple")
     finally:
         spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", prev)

@@ -1045,3 +1045,8 @@ def test_write_vcf_unknown_field_names_error_up_front(spark, tmp_path):
     line = next(l for l in open(single) if not l.startswith("#"))
     f = line.rstrip("\n").split("\t")
     assert f[7] == "." and f[8] == "DP" and f[9] == "9"
+    # a sites-only export of a REAL field must not false-error: the
+    # check runs against the dataset's FORMAT catalog, not the
+    # post-no_sample calls=None (r10 review)
+    vcfmod.write_vcf(ds, str(tmp_path / "ns"), format_fields=["DP"],
+                     no_sample=True)
