@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
+        "emb_knn_join": emb_knn_join,
         "emb_ivf_pq_residual_topk": emb_ivf_pq_residual_topk,
         "emb_incremental_dedup": emb_incremental_dedup,
         "emb_ivf_pq_topk": emb_ivf_pq_topk,
@@ -1069,6 +1070,24 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(kept.select("vec_id", "embedding"), cbk, m=4)
     qv = list(map(float, init[0]["embedding"]))
     return pq_adc_topk(codes, qv, cbk, m=4, k=20)
+
+
+def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN join (new r10): every 50th vector is a QUERY, the
+    rest are the corpus; for each query the top-5 corpus rows by
+    6dp-rounded cosine, ties to the lowest corpus id — the
+    retrieval/dedup-against-a-reference-corpus shape (one plan answers
+    the whole query table; the single-vector topk gates answer one).
+    This gate pins the exact mode (broadcast nested-loop + per-query
+    window) — the oracle replays it verbatim; the IVF-celled mode
+    (in-plan probing, corpus never shuffled) is recall- and
+    degeneration-pinned in tests/test_llm_ops.py."""
+    from seqarray_spark.operators.similarity import knn_join
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    cs = emb.where(F.col("vec_id") % 50 != 0)
+    return knn_join(qs, cs, k=5)
 
 
 def emb_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2587,6 +2606,33 @@ def oracle_sql() -> dict[str, str]:
               FROM pz GROUP BY id_a, id_b
             )
             SELECT id_a, id_b, sim FROM pairsim WHERE sim >= 0.4
+        """,
+        "emb_knn_join": """
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+              WHERE vec_id % 50 = 0
+            ), c AS (
+              SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+              WHERE vec_id % 50 <> 0
+            ), z AS (
+              SELECT q.q_id, c.c_id,
+                     UNNEST(q.qv) AS x, UNNEST(c.cv) AS y
+              FROM q CROSS JOIN c
+            ), s AS (
+              SELECT q_id, c_id,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS sim
+              FROM z GROUP BY q_id, c_id
+            ), r AS (
+              SELECT q_id, c_id, sim,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                             ORDER BY sim DESC, c_id)
+                          AS INT) AS rank
+              FROM s
+            )
+            SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5
         """,
         "emb_ivf_pq_residual_topk": """
             WITH cents AS (

@@ -1362,6 +1362,115 @@ def write_pq_codes_index(
     encoded.write.mode("overwrite").partitionBy(cell_col).parquet(path)
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    centroids=None,
+    nprobe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batched k-NN JOIN: for EVERY query row, the top-k corpus rows by
+    6dp-rounded cosine (ties → lowest corpus id). Output
+    (q_id, c_id, sim, rank). This is the retrieval/dedup-against-a-
+    reference-corpus shape — the single-vector top-k ops
+    (cosine_topk/ivf_topk/ivf_pq_topk) answer one query per job, a
+    k-NN join answers a whole query TABLE in one plan.
+
+    Two modes:
+    - exact (centroids/nprobe omitted): one BroadcastNestedLoopJoin of
+      the (broadcast) queries against the corpus scan + per-query
+      row_number window — the oracle-replayable baseline. Quadratic by
+      definition; right answer for bounded query batches.
+    - IVF (centroids + nprobe): each query probes its nprobe nearest
+      cells ENTIRELY IN-PLAN (rounded cosine array → array_sort by
+      (cos DESC, ord ASC) → slice → posexplode — no driver job per
+      query), the corpus assigns cells via the same rounded argmax,
+      and candidates join on cell. With `broadcast_queries` (the
+      common queries ≪ corpus regime) the corpus is NEVER shuffled:
+      assignment rides its scan, the join broadcasts the replicated
+      queries, and the only exchange is the per-query top-k window
+      over candidates (output-scaled, not corpus-scaled). Scoring is
+      the Arrow-batched numpy cosine; ranking re-rounds to `round_to`,
+      which absorbs fold-order noise (the emb_dup_pairs precedent).
+      Recall vs exact is a measured pytest contract; nprobe=ncells
+      degenerates to exact (pinned)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("__cv")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("c_id")
+    )
+    if centroids is None or nprobe is None:
+        pairs = (F.broadcast(q) if broadcast_queries else q).crossJoin(c)
+        scored = pairs.select(
+            "q_id", "c_id",
+            F.round(
+                cosine(F.col("__qv"), F.col("__cv")), int(round_to)
+            ).alias("sim"),
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select("q_id", "c_id", "sim", "rank")
+        )
+    cvecs = _centroid_vec_list(centroids)
+    cos_sql = _sql_cos_array("__qv", cvecs, round_to)
+    structs = (
+        "zip_with(" + cos_sql +
+        f", sequence(0, {len(cvecs) - 1}), (c, o) -> "
+        "named_struct('cos', c, 'ord', o))"
+    )
+    probe = _expr_cached(
+        f"slice(array_sort({structs}, (l, r) -> "
+        "case when l.cos > r.cos then -1 when l.cos < r.cos then 1 "
+        "when l.ord < r.ord then -1 when l.ord > r.ord then 1 "
+        f"else 0 end), 1, {int(nprobe)})"
+    )
+    qk = q.select(
+        "q_id", "__qv", F.explode(probe).alias("__p")
+    ).select("q_id", "__qv", F.col("__p.ord").alias("__cell"))
+    ck = c.select(
+        "c_id", "__cv",
+        cell_assign_expr(cvecs, "__cv", round_to).alias("__cell"),
+    )
+    cand = (F.broadcast(qk) if broadcast_queries else qk).join(ck, "__cell")
+
+    @F.pandas_udf("double")
+    def _pair_cos(a, b):
+        import numpy as np
+        import pandas as pd
+
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.array(list(a), dtype=np.float64)
+        B = np.array(list(b), dtype=np.float64)
+        return pd.Series(
+            np.einsum("ij,ij->i", A, B)
+            / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        )
+
+    scored = cand.select(
+        "q_id", "c_id",
+        F.round(
+            _pair_cos(F.col("__qv"), F.col("__cv")), int(round_to)
+        ).alias("sim"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("q_id", "c_id", "sim", "rank")
+    )
+
+
 def kmeans_fit_distributed(
     emb: DataFrame,
     k: int = 8,

@@ -1679,3 +1679,55 @@ def test_residual_quantization_beats_raw_on_clustered_data(spark):
     res_err = S.pq_encode_residual(emb, cents, fit_cbk(res), m=4).agg(
         F.sum("dist")).collect()[0][0]
     assert res_err < raw_err * 0.5, (res_err, raw_err)
+
+
+def test_knn_join_ivf_degenerates_and_recall(spark):
+    """knn_join IVF mode: nprobe=ncells must equal exact mode rank-for-
+    rank (every corpus cell probed ⇒ every pair scored exactly once);
+    a real nprobe=2 prune keeps a measured recall floor vs exact on the
+    near-random sf0.01 embeddings."""
+    from pyspark.sql import functions as F
+
+    from seqarray_spark.sources import testdata as td
+
+    emb = td.load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    cs = emb.where(F.col("vec_id") % 50 != 0)
+    init = emb.orderBy("vec_id").limit(8).collect()
+    cents = [list(map(float, r["embedding"])) for r in init]
+    exact = {(r["q_id"], r["rank"]): r["c_id"]
+             for r in S.knn_join(qs, cs, k=5).collect()}
+    degen = {(r["q_id"], r["rank"]): r["c_id"]
+             for r in S.knn_join(qs, cs, k=5, centroids=cents,
+                                 nprobe=8).collect()}
+    assert degen == exact and len(exact) >= 5
+    pruned = {(r["q_id"], r["c_id"])
+              for r in S.knn_join(qs, cs, k=5, centroids=cents,
+                                  nprobe=2).collect()}
+    hits = len(pruned & {(q, c) for (q, _), c in exact.items()})
+    recall = hits / len(exact)
+    assert recall >= 0.3, f"nprobe=2 recall {recall:.2f}"
+
+
+def test_knn_join_ivf_corpus_never_shuffles(spark):
+    """The broadcast_queries IVF plan's contract at 100 TB: the CORPUS
+    side must reach the cell join unshuffled (assignment rides its
+    scan; the replicated queries broadcast) — the only Exchange in the
+    plan is the per-query top-k window over candidates."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from seqarray_spark.plans import explain as E
+    from seqarray_spark.sources import testdata as td
+
+    emb = td.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    cs = emb.where(F.col("vec_id") % 50 != 0)
+    init = emb.orderBy("vec_id").limit(8).collect()
+    cents = [list(map(float, r["embedding"])) for r in init]
+    df = S.knn_join(qs, cs, k=5, centroids=cents, nprobe=2)
+    plan = E.plan_string(df, "simple")
+    hash_ex = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert hash_ex == ["q_id"], plan  # only the window's exchange
+    assert "BroadcastExchange" in plan  # the replicated queries
