@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
+        "emb_ivf_pq_rerank": emb_ivf_pq_rerank,
         "emb_knn_join": emb_knn_join,
         "emb_ivf_pq_residual_topk": emb_ivf_pq_residual_topk,
         "emb_incremental_dedup": emb_incremental_dedup,
@@ -1070,6 +1071,58 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(kept.select("vec_id", "embedding"), cbk, m=4)
     qv = list(map(float, init[0]["embedding"]))
     return pq_adc_topk(codes, qv, cbk, m=4, k=20)
+
+
+def emb_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ retrieval (new r10 — FAISS refine): the
+    emb_ivf_pq_topk pipeline shortlists the top-50 by compressed ADC
+    distance, then ONLY those 50 ids' original vectors re-read and
+    rank by exact 6dp-rounded query cosine (ties → lowest id), top-20.
+    Quantization error bounds stage 1's recall, never the final
+    ordering. Oracle replays both stages in SQL."""
+    import numpy as np
+
+    from seqarray_spark.operators.dedup import cosine as _cos_col
+    from seqarray_spark.operators.similarity import (
+        _query_lit,
+        _round_half_up,
+        kmeans_assign_exact,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    init = emb.orderBy("vec_id").limit(8).collect()
+    cents_rows = [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)]
+    q = np.asarray(cents_rows[0][1], dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    ranked = sorted(
+        (
+            -_round_half_up(
+                float(v @ q) / (float(np.linalg.norm(v)) * qn), 6
+            ),
+            i,
+        )
+        for i, row in cents_rows
+        for v in [np.asarray(row, dtype=np.float64)]
+    )
+    probe = [i for _, i in ranked[:2]]
+    assign = kmeans_assign_exact(emb, cents_rows, keep_vec=True)
+    kept = assign.filter(F.col("centroid_ord").isin(probe))
+    cbk = _pq_fixed_codebook(spark, init)
+    codes = pq_encode(kept.select("vec_id", "embedding"), cbk, m=4)
+    qv = list(map(float, init[0]["embedding"]))
+    short = pq_adc_topk(codes, qv, cbk, m=4, k=50).select("vec_id")
+    return (
+        emb.join(F.broadcast(short), "vec_id", "left_semi")
+        .select(
+            "vec_id",
+            F.round(_cos_col(F.col("embedding"), _query_lit(qv)), 6)
+            .alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(20)
+    )
 
 
 def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2606,6 +2659,126 @@ def oracle_sql() -> dict[str, str]:
               FROM pz GROUP BY id_a, id_b
             )
             SELECT id_a, id_b, sim FROM pairsim WHERE sim >= 0.4
+        """,
+        "emb_ivf_pq_rerank": """
+            WITH cents AS (
+              SELECT embedding AS cvec,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS centroid_ord
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), q AS (
+              SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+            ), qcz AS (
+              SELECT centroid_ord,
+                     UNNEST(cvec) AS y, UNNEST((SELECT qv FROM q)) AS x
+              FROM cents
+            ), qc AS (
+              SELECT centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS qcos
+              FROM qcz GROUP BY centroid_ord
+            ), probe AS (
+              SELECT centroid_ord FROM qc
+              ORDER BY qcos DESC, centroid_ord LIMIT 2
+            ), z AS (
+              SELECT e.vec_id, c.centroid_ord,
+                     UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+              FROM embeddings e CROSS JOIN cents c
+            ), scored AS (
+              SELECT vec_id, centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS cos
+              FROM z GROUP BY vec_id, centroid_ord
+            ), pts AS (
+              SELECT vec_id, centroid_ord FROM (
+                SELECT vec_id, centroid_ord,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, centroid_ord)
+                         AS rn
+                FROM scored
+              ) t WHERE rn = 1
+            ), kept AS (
+              SELECT p.vec_id FROM pts p
+              JOIN probe pr ON pr.centroid_ord = p.centroid_ord
+            ), cb AS (
+              SELECT embedding,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS code
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ), subs AS (
+              SELECT UNNEST(generate_series(0, 3)) AS sub_ord
+            ), cbk AS (
+              SELECT s.sub_ord, cb.code,
+                     list_slice(cb.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS cvec
+              FROM cb CROSS JOIN subs s
+            ), ev AS (
+              SELECT e.vec_id, s.sub_ord,
+                     list_slice(e.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS sv
+              FROM embeddings e
+              JOIN kept k ON k.vec_id = e.vec_id
+              CROSS JOIN subs s
+            ), ez AS (
+              SELECT ev.vec_id, ev.sub_ord, cbk.code,
+                     UNNEST(ev.sv) AS x, UNNEST(cbk.cvec) AS y
+              FROM ev JOIN cbk ON cbk.sub_ord = ev.sub_ord
+            ), d AS (
+              SELECT vec_id, sub_ord, code,
+                ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6) AS dd
+              FROM ez GROUP BY vec_id, sub_ord, code
+            ), best AS (
+              SELECT vec_id, sub_ord, code, dd,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub_ord
+                                        ORDER BY dd, code) AS rn
+              FROM d
+            ), qsub AS (
+              SELECT s.sub_ord,
+                     list_slice((SELECT qv FROM q),
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS qslice
+              FROM subs s
+            ), lz AS (
+              SELECT qs.sub_ord, cbk.code,
+                     UNNEST(qs.qslice) AS x, UNNEST(cbk.cvec) AS y
+              FROM qsub qs JOIN cbk ON cbk.sub_ord = qs.sub_ord
+            ), lut AS (
+              SELECT sub_ord, code,
+                ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6) AS ld
+              FROM lz GROUP BY sub_ord, code
+            ), short AS (
+              -- stage 1: compressed shortlist, top-50 by ADC
+              SELECT b.vec_id
+              FROM best b
+              JOIN lut l ON l.sub_ord = b.sub_ord AND l.code = b.code
+              WHERE b.rn = 1
+              GROUP BY b.vec_id
+              ORDER BY ROUND(SUM(l.ld), 6), b.vec_id LIMIT 50
+            ), qx AS (
+              -- stage 2: exact query cosine over ONLY the shortlist
+              SELECT e.vec_id,
+                     UNNEST(e.embedding) AS x,
+                     UNNEST((SELECT qv FROM q)) AS y
+              FROM embeddings e JOIN short s ON s.vec_id = e.vec_id
+            ), ex AS (
+              SELECT vec_id,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS cosine
+              FROM qx GROUP BY vec_id
+            )
+            SELECT vec_id, cosine FROM ex
+            ORDER BY cosine DESC, vec_id LIMIT 20
         """,
         "emb_knn_join": """
             WITH q AS (

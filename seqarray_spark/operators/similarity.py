@@ -707,6 +707,7 @@ def pq_encode_residual(
     cell_col: str = "ivf_cell",
     round_to: int = 6,
     extra_cols: dict | None = None,
+    assign: str = "exact",
 ) -> DataFrame:
     """RESIDUAL product quantization — the encode IVF-PQ actually
     deploys (Jégou et al. 2011 §IV: quantize r = x - c(cell(x)), not x;
@@ -724,7 +725,26 @@ def pq_encode_residual(
     to the row's cell, so the LUT is per-cell — see
     pq_adc_topk_residual). `codebooks` must be trained/derived on
     RESIDUALS; encoding raw-vector codebooks against residuals is a
-    model mismatch this function cannot detect."""
+    model mismatch this function cannot detect.
+
+    `assign` picks the implementation (the embedding_cell_keys split):
+    - 'exact' (default): pure Column expressions — the
+      cross-engine-reproducible form every oracle-checked gate uses.
+      Its cost quirk: the rounded argmax evaluates TWICE per row (the
+      cell column + inside the residual) because interpreted
+      higher-order exprs get no common-subexpression elimination.
+    - 'fast': ONE mapInPandas kernel (BLAS argmax + residual + GEMM
+      codebook distances) — the corpus-scale index-build path
+      (measured 2.7× the exact build at 500k vectors). Unrounded:
+      a <1e-6 near-tie in cell or code may land differently than
+      'exact' — use ONE rule for an index and its queries."""
+    if assign == "fast":
+        return _pq_encode_residual_fast(
+            emb, coarse_centroids, codebooks, m, vec_col, id_col,
+            cell_col, round_to, extra_cols,
+        )
+    if assign != "exact":
+        raise ValueError(f"unknown assign {assign!r} (exact|fast)")
     cvecs = _centroid_vec_list(coarse_centroids)
     base = emb.select(
         F.col(id_col),
@@ -738,6 +758,91 @@ def pq_encode_residual(
         base, codebooks, m, vec_col="__res", id_col=id_col,
         round_to=round_to, extra_cols=carry,
     )
+
+
+def _pq_encode_residual_fast(
+    emb: DataFrame,
+    coarse_centroids,
+    codebooks: DataFrame,
+    m: int,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    round_to: int,
+    extra_cols: dict | None,
+) -> DataFrame:
+    """pq_encode_residual's corpus-scale build kernel (assign='fast'):
+    cell = BLAS argmax, residual = one vector subtract, per-subspace
+    codes via the GEMM distance identity |s-c|² = |s|² + |c|² - 2s·c —
+    everything one mapInPandas projection, zero shuffle. See
+    pq_encode_residual for the exact-vs-fast contract."""
+    import numpy as np
+
+    if extra_cols:
+        raise ValueError(
+            "assign='fast' cannot evaluate extra_cols Column expressions "
+            "inside the numpy kernel — use assign='exact' or add them "
+            "downstream"
+        )
+    cents = np.asarray(_centroid_vec_list(coarse_centroids), np.float64)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    cb_rows = codebooks.select("sub_ord", "code", "cvec").collect()
+    sub_d = len(cb_rows[0]["cvec"])
+    n_codes = 1 + max(int(r["code"]) for r in cb_rows)
+    cb = np.zeros((int(m), n_codes, sub_d), np.float64)
+    for r in cb_rows:
+        cb[int(r["sub_ord"]), int(r["code"])] = r["cvec"]
+    cb_sq = (cb ** 2).sum(-1)  # (m, k)
+    dim = int(m) * sub_d
+    schema = (
+        f"{id_col} long, codes array<int>, dist double, {cell_col} int"
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if mat.shape[1] != dim:
+                raise ValueError(
+                    f"PQ: vector dim != m*sub_d = {dim} (got "
+                    f"{mat.shape[1]}) — tail dims would be silently "
+                    "dropped"
+                )
+            cells = np.argmax(mat @ cn.T, axis=1)
+            res = mat - cents[cells]
+            n = len(res)
+            codes = np.empty((n, int(m)), np.int32)
+            dist = np.zeros(n, np.float64)
+            for j in range(int(m)):
+                s = res[:, j * sub_d:(j + 1) * sub_d]
+                dd = (
+                    (s ** 2).sum(1)[:, None]
+                    + cb_sq[j][None, :]
+                    - 2.0 * (s @ cb[j].T)
+                )
+                cj = dd.argmin(1)  # first min = lowest code
+                codes[:, j] = cj
+                # per-subspace rounding BEFORE the sum — the exact
+                # path's contract (dist = round(sum of rounded d_j));
+                # np.round is half-even where the exact path is
+                # HALF_UP, another face of the documented near-tie
+                # divergence
+                dist += np.round(
+                    np.maximum(dd[np.arange(n), cj], 0.0), int(round_to)
+                )
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "codes": list(codes),
+                "dist": np.round(dist, int(round_to)),
+                cell_col: cells.astype(np.int32),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
 
 
 def pq_adc_topk_residual(
@@ -1330,6 +1435,7 @@ def write_pq_codes_index(
     cell_col: str = "ivf_cell",
     round_to: int = 6,
     residual: bool = False,
+    assign: str = "exact",
 ) -> None:
     """Build THE production ANN index: the PQ codes table partitioned by
     coarse cell — `partitionBy(ivf_cell)` parquet, so ivf_pq_topk's
@@ -1352,14 +1458,74 @@ def write_pq_codes_index(
     cvecs = _centroid_vec_list(coarse_centroids)
     if residual:
         encoded = pq_encode_residual(
-            emb, cvecs, codebooks, m, vec_col, id_col, cell_col, round_to
+            emb, cvecs, codebooks, m, vec_col, id_col, cell_col,
+            round_to, assign=assign,
         )
     else:
+        if assign != "exact":
+            raise ValueError(
+                "assign='fast' is the residual kernel's build path — "
+                "raw-vector pq_encode has no fast mode (single argmax, "
+                "no duplicated subtree)"
+            )
         encoded = pq_encode(
             emb, codebooks, m, vec_col, id_col, round_to,
             extra_cols={cell_col: cell_assign_expr(cvecs, vec_col, round_to)},
         )
     encoded.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+
+
+def ivf_pq_rerank_topk(
+    emb: DataFrame,
+    query_vec,
+    coarse_centroids,
+    codebooks: DataFrame,
+    m: int,
+    k: int = 10,
+    rerank: int = 100,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes: DataFrame | None = None,
+    cell_col: str = "ivf_cell",
+    round_to: int = 6,
+    residual: bool = False,
+    lut_mode: str = "inline",
+) -> DataFrame:
+    """Two-stage IVF-PQ retrieval — how production systems actually
+    answer queries (FAISS's IndexIVFPQ + refine): stage 1 shortlists
+    `rerank` (R >= k) candidates by compressed ADC distance (cells
+    pruned, codes scanned, floats untouched); stage 2 re-reads ONLY
+    those R ids' original vectors and ranks by exact 6dp-rounded cosine
+    (ties → lowest id). The quantization error bounds stage 1's RECALL
+    but never the final ORDERING — growing R buys back ADC's ranking
+    noise at the cost of R exact distances, while the corpus-sized work
+    stays compressed.
+
+    Plan: stage 1 is the usual zero-shuffle ADC scan; the shortlist is
+    R ids (bounded, k-scale) broadcast into a semi-join on the float
+    corpus, so stage 2 reads R vectors off the emb scan and one
+    TakeOrderedAndProject ranks them. `codes`/`residual`/`lut_mode` as
+    in ivf_pq_topk; `emb` is always required here (stage 2 reads it).
+    Output: (id, cosine) — exact scores, not ADC approximations."""
+    short = ivf_pq_topk(
+        emb if codes is None else None, query_vec, coarse_centroids,
+        codebooks, m, k=int(rerank), nprobe=nprobe, vec_col=vec_col,
+        id_col=id_col, codes=codes, cell_col=cell_col,
+        round_to=round_to, residual=residual, lut_mode=lut_mode,
+    ).select(id_col)
+    ql = _query_lit(query_vec)
+    return (
+        emb.join(F.broadcast(short), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine(F.col(vec_col), ql), int(round_to)
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(int(k))
+    )
 
 
 def knn_join(

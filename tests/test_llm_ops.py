@@ -1731,3 +1731,74 @@ def test_knn_join_ivf_corpus_never_shuffles(spark):
     hash_ex = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
     assert hash_ex == ["q_id"], plan  # only the window's exchange
     assert "BroadcastExchange" in plan  # the replicated queries
+
+
+def test_pq_encode_residual_fast_matches_exact(spark):
+    """assign='fast' (one mapInPandas BLAS kernel — the corpus-scale
+    index-build path) must reproduce assign='exact''s (cell, codes)
+    row-for-row on the sf0.01 fixture, and dist to 6dp (the GEMM
+    identity |s-c|^2 = |s|^2+|c|^2-2s.c introduces <=1e-9 float noise
+    the rounding absorbs; genuine <1e-6 near-ties are the documented
+    exact/fast divergence, absent in this data)."""
+    emb, cents, cbk, _ = _residual_fixture(spark)
+    exact = {r["vec_id"]: (r["ivf_cell"], list(r["codes"]), r["dist"])
+             for r in S.pq_encode_residual(emb, cents, cbk, m=4).collect()}
+    fast = {r["vec_id"]: (r["ivf_cell"], list(r["codes"]), r["dist"])
+            for r in S.pq_encode_residual(emb, cents, cbk, m=4,
+                                          assign="fast").collect()}
+    assert set(exact) == set(fast)
+    for vid, (cell, codes, dist) in exact.items():
+        fc, fcodes, fdist = fast[vid]
+        assert (fc, fcodes) == (cell, codes), vid
+        assert abs(fdist - dist) <= 1e-9, (vid, dist, fdist)
+
+
+def test_ivf_pq_rerank_recovers_exact_ranking(spark):
+    """Two-stage retrieval contract: the exact re-rank must (a) beat or
+    match ADC-only recall vs brute force at the same nprobe, (b) return
+    EXACT cosines (equal to brute force for every returned id), and
+    (c) at rerank >= probed-cell population degenerate to brute force
+    restricted to the probed cells."""
+    import __spark_entry__ as entry_mod
+
+    emb, cents, cbk, qv = _ivf_pq_fixture(spark)
+    exact_ids = [r["vec_id"] for r in entry_mod.emb_cosine_topk(
+        spark, "/root/testdata/sf0.01").collect()]
+    exact_cos = {r["vec_id"]: r["cosine"] for r in entry_mod.emb_cosine_topk(
+        spark, "/root/testdata/sf0.01").collect()}
+    adc = {r["vec_id"] for r in S.ivf_pq_topk(
+        emb, qv, cents, cbk, m=4, k=20, nprobe=2).collect()}
+    rr = S.ivf_pq_rerank_topk(
+        emb, qv, cents, cbk, m=4, k=20, rerank=100, nprobe=2).collect()
+    rr_ids = {r["vec_id"] for r in rr}
+    hits = lambda s: len([v for v in exact_ids if v in s])  # noqa: E731
+    assert hits(rr_ids) >= hits(adc), (hits(rr_ids), hits(adc))
+    for r in rr:  # exact scores, not ADC approximations
+        if r["vec_id"] in exact_cos:
+            assert r["cosine"] == exact_cos[r["vec_id"]]
+    # degeneration: huge shortlist = brute force over the probed cells
+    big = S.ivf_pq_rerank_topk(
+        emb, qv, cents, cbk, m=4, k=20, rerank=10_000, nprobe=8).collect()
+    brute = entry_mod.emb_cosine_topk(spark, "/root/testdata/sf0.01").collect()
+    assert [(r["vec_id"], r["cosine"]) for r in big] == \
+        [(r["vec_id"], r["cosine"]) for r in brute]
+
+
+def test_ivf_pq_rerank_codes_path_never_reads_floats_in_stage1(spark, tmp_path):
+    """With a stored codes index, stage 1 must stay compressed: the
+    only float-vector read in the whole plan is stage 2's R-id
+    semi-join on the emb scan (one emb read schema; the codes scan
+    partition-prunes)."""
+    emb, cents, cbk, qv = _ivf_pq_fixture(spark)
+    path = str(tmp_path / "pq_rr_idx")
+    S.write_pq_codes_index(emb, cents, cbk, m=4, path=path)
+    codes = spark.read.parquet(path)
+    out = S.ivf_pq_rerank_topk(
+        emb, qv, cents, cbk, m=4, k=20, rerank=50, nprobe=2, codes=codes)
+    from seqarray_spark.plans import explain as E
+    schemas = E.read_schemas(out)
+    assert sum("embedding" in s for s in schemas) == 1, schemas
+    via_emb = S.ivf_pq_rerank_topk(
+        emb, qv, cents, cbk, m=4, k=20, rerank=50, nprobe=2).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in out.collect()] == \
+        [(r["vec_id"], r["cosine"]) for r in via_emb]

@@ -168,6 +168,54 @@ def main() -> None:
     t_probe = min(adc(True) for _ in range(2))
     t_full = min(adc(False) for _ in range(2))
 
+    # 4. residual encode+index build (same layout, per-cell ADC LUTs)
+    pq_res_path = os.path.join(wh, "emb_stress_pq_res")
+    shutil.rmtree(pq_res_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_pq_codes_index(corpus, cents, cbk, m=4, path=pq_res_path,
+                         residual=True)
+    t_pq_res_build = time.perf_counter() - t0
+    codes_res = spark.read.parquet(pq_res_path)
+    shutil.rmtree(os.path.join(wh, "emb_stress_pq_res_fast"),
+                  ignore_errors=True)
+    t0 = time.perf_counter()
+    write_pq_codes_index(corpus, cents, cbk, m=4,
+                         path=os.path.join(wh, "emb_stress_pq_res_fast"),
+                         residual=True, assign="fast")
+    t_pq_res_fast = time.perf_counter() - t0
+    shutil.rmtree(os.path.join(wh, "emb_stress_pq_res_fast"),
+                  ignore_errors=True)
+
+    def adc_res():
+        out = ivf_pq_topk(None, qv, cents, cbk, m=4, k=20, nprobe=nprobe,
+                          codes=codes_res, residual=True)
+        t0 = time.perf_counter()
+        out.count()
+        return time.perf_counter() - t0
+
+    adc_res()  # warm
+    t_probe_res = min(adc_res() for _ in range(2))
+
+    # 5. batched k-NN join: 100 queries against the full corpus —
+    # exact (broadcast NLJ) vs IVF-celled (corpus never shuffled)
+    from seqarray_spark.operators.similarity import knn_join
+
+    queries = spark.read.parquet(batch_path).limit(100)
+
+    def knn(mode):
+        if mode == "ivf":
+            out = knn_join(queries, corpus, k=10, centroids=cents,
+                           nprobe=nprobe)
+        else:
+            out = knn_join(queries, corpus, k=10)
+        t0 = time.perf_counter()
+        out.count()
+        return time.perf_counter() - t0
+
+    knn("ivf")  # warm
+    t_knn_ivf = min(knn("ivf") for _ in range(2))
+    t_knn_exact = knn("exact")
+
     def dir_bytes(d):
         total = 0
         for root, _, files in os.walk(d):
@@ -208,8 +256,14 @@ def main() -> None:
         "adc_full_sec": round(t_full, 3),
         "nprobe": nprobe,
         "probed_partition_bytes": probed_bytes,
+        "pq_res_index_build_sec": round(t_pq_res_build, 2),
+        "pq_res_index_build_fast_sec": round(t_pq_res_fast, 2),
+        "adc_res_probed_sec": round(t_probe_res, 3),
+        "knn100_ivf_sec": round(t_knn_ivf, 3),
+        "knn100_exact_sec": round(t_knn_exact, 3),
     }))
     spark.sql("DROP TABLE IF EXISTS emb_stress_idx")
+    shutil.rmtree(pq_res_path, ignore_errors=True)
 
 
 if __name__ == "__main__":
