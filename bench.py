@@ -115,6 +115,11 @@ def main() -> None:
     shared_r9 = shared_r8 + [
         "emb_semantic_dedup", "emb_pq_codes", "emb_pq_adc_topk",
     ]
+    # r10 additions on top of r9 (the 78-name set = r9 + these):
+    shared_r10 = shared_r9 + [
+        "emb_incremental_dedup", "emb_ivf_pq_topk",
+        "emb_ivf_pq_residual_topk", "emb_knn_join", "emb_ivf_pq_rerank",
+    ]
 
     def subtotal(names: list[str]) -> float | None:
         vals = [timings[n] for n in names if n in timings and timings[n] >= 0]
@@ -131,6 +136,7 @@ def main() -> None:
                 "shared_r7_subtotal": subtotal(shared_r7),
                 "shared_r8_subtotal": subtotal(shared_r8),
                 "shared_r9_subtotal": subtotal(shared_r9),
+                "shared_r10_subtotal": subtotal(shared_r10),
             }
         )
     )
