@@ -493,6 +493,7 @@ def ingest_pq_codes_stream(
     residual: bool = False,
     round_to: int = 6,
     checkpoint_dir: str | None = None,
+    assign: str = "exact",
 ):
     """ANN-index ingest loop — keep the cells-partitioned PQ codes
     index (the write_pq_codes_index layout) FRESH as the corpus streams
@@ -513,8 +514,17 @@ def ingest_pq_codes_stream(
     `codebooks` may be the (sub_ord, code, cvec) DataFrame or its
     collected rows; it is materialized ONCE driver-side (bounded m·k)
     and re-created per batch — no per-batch Spark job to re-read it.
+    `assign` passes through to pq_encode_residual ('fast' = the numpy
+    build kernel; pick ONE rule for an index's whole lifetime —
+    batches appended under a different rule than the bootstrap would
+    split near-tie vectors across cells).
 
     Returns the StreamingQuery (caller awaits/stops it)."""
+    if assign != "exact" and not residual:
+        raise ValueError(
+            "assign='fast' is the residual kernel's build path — "
+            "raw-vector pq_encode has no fast mode"
+        )
     from seqarray_spark.operators.similarity import (
         _centroid_vec_list,
         cell_assign_expr,
@@ -541,7 +551,8 @@ def ingest_pq_codes_stream(
         )
         if residual:
             encoded = pq_encode_residual(
-                batch_df, cvecs, cbk, m, vec_col, id_col, cell_col, round_to
+                batch_df, cvecs, cbk, m, vec_col, id_col, cell_col,
+                round_to, assign=assign,
             )
         else:
             encoded = pq_encode(
