@@ -1035,56 +1035,26 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kmeans_assign_exact); the production operator ivf_pq_topk
     (similarity.py) swaps in the zero-shuffle mapInPandas assignment
     and the pre-encoded codes table — recall + exact-degeneration
-    contracts pytest-pinned in tests/test_llm_ops.py."""
+    contracts pytest-pinned in tests/test_llm_ops.py. Stage 1 is
+    shared with emb_ivf_pq_rerank (_ivf_pq_gate_shortlist) so the two
+    gates cannot drift."""
+    _, _, short = _ivf_pq_gate_shortlist(spark, sf_dir, k=20)
+    return short
+
+
+def _ivf_pq_gate_shortlist(spark: SparkSession, sf_dir: str, k: int):
+    """The gates' shared IVF-PQ stage 1 (oracle-mirrorable form):
+    coarse model = the 8 lowest-vec_id vectors; the min-vec_id query
+    probes its 2 nearest cells on the 6dp-rounded cosine (ties →
+    lowest ord, the probe ranking computed by a plain-Python
+    sequential fold so it matches the oracle's SQL fold exactly);
+    probed rows PQ-encode (m=4, the fixed 4-entry codebook) and ADC
+    rank to the top-k shortlist. emb_ivf_pq_topk returns it directly;
+    emb_ivf_pq_rerank re-ranks it exactly — one stage-1 rule, two
+    gates."""
     import numpy as np
 
     from seqarray_spark.operators.similarity import (
-        _round_half_up,
-        kmeans_assign_exact,
-        pq_adc_topk,
-        pq_encode,
-    )
-
-    emb = td.load_table(spark, sf_dir, "embeddings")
-    init = emb.orderBy("vec_id").limit(8).collect()
-    cents_rows = [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)]
-    cents = cents_rows
-    # probe: the 2 cells nearest the query, ranked on the 6dp-rounded
-    # cosine (ties -> lowest ord) over the tiny local model — the same
-    # numbers the oracle's SQL ranking computes
-    q = np.asarray(cents_rows[0][1], dtype=np.float64)
-    qn = float(np.linalg.norm(q))
-    ranked = sorted(
-        (
-            -_round_half_up(
-                float(v @ q) / (float(np.linalg.norm(v)) * qn), 6
-            ),
-            i,
-        )
-        for i, row in cents_rows
-        for v in [np.asarray(row, dtype=np.float64)]
-    )
-    probe = [i for _, i in ranked[:2]]
-    assign = kmeans_assign_exact(emb, cents, keep_vec=True)
-    kept = assign.filter(F.col("centroid_ord").isin(probe))
-    cbk = _pq_fixed_codebook(spark, init)
-    codes = pq_encode(kept.select("vec_id", "embedding"), cbk, m=4)
-    qv = list(map(float, init[0]["embedding"]))
-    return pq_adc_topk(codes, qv, cbk, m=4, k=20)
-
-
-def emb_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage IVF-PQ retrieval (new r10 — FAISS refine): the
-    emb_ivf_pq_topk pipeline shortlists the top-50 by compressed ADC
-    distance, then ONLY those 50 ids' original vectors re-read and
-    rank by exact 6dp-rounded query cosine (ties → lowest id), top-20.
-    Quantization error bounds stage 1's recall, never the final
-    ordering. Oracle replays both stages in SQL."""
-    import numpy as np
-
-    from seqarray_spark.operators.dedup import cosine as _cos_col
-    from seqarray_spark.operators.similarity import (
-        _query_lit,
         _round_half_up,
         kmeans_assign_exact,
         pq_adc_topk,
@@ -1112,9 +1082,22 @@ def emb_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbk = _pq_fixed_codebook(spark, init)
     codes = pq_encode(kept.select("vec_id", "embedding"), cbk, m=4)
     qv = list(map(float, init[0]["embedding"]))
-    short = pq_adc_topk(codes, qv, cbk, m=4, k=50).select("vec_id")
+    return emb, qv, pq_adc_topk(codes, qv, cbk, m=4, k=k)
+
+
+def emb_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ retrieval (new r10 — FAISS refine): the
+    emb_ivf_pq_topk pipeline shortlists the top-50 by compressed ADC
+    distance, then ONLY those 50 ids' original vectors re-read and
+    rank by exact 6dp-rounded query cosine (ties → lowest id), top-20.
+    Quantization error bounds stage 1's recall, never the final
+    ordering. Oracle replays both stages in SQL."""
+    from seqarray_spark.operators.dedup import cosine as _cos_col
+    from seqarray_spark.operators.similarity import _query_lit
+
+    emb, qv, short = _ivf_pq_gate_shortlist(spark, sf_dir, k=50)
     return (
-        emb.join(F.broadcast(short), "vec_id", "left_semi")
+        emb.join(F.broadcast(short.select("vec_id")), "vec_id", "left_semi")
         .select(
             "vec_id",
             F.round(_cos_col(F.col("embedding"), _query_lit(qv)), 6)

@@ -745,6 +745,14 @@ def pq_encode_residual(
         )
     if assign != "exact":
         raise ValueError(f"unknown assign {assign!r} (exact|fast)")
+    if not isinstance(codebooks, DataFrame):
+        # rows form (the ingest loops hold the bounded m·k model
+        # driver-side) — materialize once for pq_encode's collect
+        codebooks = emb.sparkSession.createDataFrame(
+            [(int(s), int(c), [float(x) for x in v])
+             for s, c, v in codebooks],
+            "sub_ord int, code int, cvec array<double>",
+        )
     cvecs = _centroid_vec_list(coarse_centroids)
     base = emb.select(
         F.col(id_col),
@@ -788,16 +796,41 @@ def _pq_encode_residual_fast(
     cn = cents / np.maximum(
         np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
     )
-    cb_rows = codebooks.select("sub_ord", "code", "cvec").collect()
-    sub_d = len(cb_rows[0]["cvec"])
-    n_codes = 1 + max(int(r["code"]) for r in cb_rows)
+    if isinstance(codebooks, DataFrame):
+        cb_rows = [
+            (int(r["sub_ord"]), int(r["code"]), list(r["cvec"]))
+            for r in codebooks.select("sub_ord", "code", "cvec").collect()
+        ]
+    else:
+        cb_rows = [(int(s), int(c), list(v)) for s, c, v in codebooks]
+    sub_d = len(cb_rows[0][2])
+    n_codes = 1 + max(c for _, c, _ in cb_rows)
     cb = np.zeros((int(m), n_codes, sub_d), np.float64)
-    for r in cb_rows:
-        cb[int(r["sub_ord"]), int(r["code"])] = r["cvec"]
+    # coverage validation mirrors the exact path's: a missing
+    # (sub_ord, code) entry would otherwise stay an all-ZERO centroid —
+    # and residuals cluster near the origin by design, so the phantom
+    # would silently WIN many argmins and corrupt the index
+    seen = set()
+    for s, c, v in cb_rows:
+        if len(v) != sub_d:
+            raise ValueError("codebook subspace widths disagree")
+        if (s, c) in seen:
+            raise ValueError(f"duplicate codebook entry ({s}, {c})")
+        seen.add((s, c))
+        cb[s, c] = v
+    want = {(s, c) for s in range(int(m)) for c in range(n_codes)}
+    if seen != want:
+        miss = sorted(want - seen)[:5]
+        raise ValueError(
+            f"codebooks must cover sub_ord 0..{int(m) - 1} x "
+            f"code 0..{n_codes - 1}; missing {miss}"
+        )
     cb_sq = (cb ** 2).sum(-1)  # (m, k)
     dim = int(m) * sub_d
+    id_type = dict(emb.dtypes).get(id_col, "long")
     schema = (
-        f"{id_col} long, codes array<int>, dist double, {cell_col} int"
+        f"{id_col} {id_type}, codes array<int>, dist double, "
+        f"{cell_col} int"
     )
 
     def kernel(batches):
@@ -1508,6 +1541,16 @@ def ivf_pq_rerank_topk(
     TakeOrderedAndProject ranks them. `codes`/`residual`/`lut_mode` as
     in ivf_pq_topk; `emb` is always required here (stage 2 reads it).
     Output: (id, cosine) — exact scores, not ADC approximations."""
+    if emb is None:
+        raise ValueError(
+            "ivf_pq_rerank_topk always needs emb — stage 2 re-reads the "
+            "original vectors (pass codes= for a compressed stage 1)"
+        )
+    if int(rerank) < int(k):
+        raise ValueError(
+            f"rerank={rerank} < k={k}: the shortlist cannot produce k "
+            "results"
+        )
     short = ivf_pq_topk(
         emb if codes is None else None, query_vec, coarse_centroids,
         codebooks, m, k=int(rerank), nprobe=nprobe, vec_col=vec_col,

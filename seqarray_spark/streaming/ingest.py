@@ -546,15 +546,19 @@ def ingest_pq_codes_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        cbk = spark.createDataFrame(
-            cb_rows, "sub_ord int, code int, cvec array<double>"
-        )
         if residual:
+            # pq_encode_residual accepts the rows form directly —
+            # assign='fast' feeds the numpy kernel with NO per-batch
+            # Spark job; 'exact' materializes the bounded frame once
+            # per batch for pq_encode's collect
             encoded = pq_encode_residual(
-                batch_df, cvecs, cbk, m, vec_col, id_col, cell_col,
+                batch_df, cvecs, cb_rows, m, vec_col, id_col, cell_col,
                 round_to, assign=assign,
             )
         else:
+            cbk = spark.createDataFrame(
+                cb_rows, "sub_ord int, code int, cvec array<double>"
+            )
             encoded = pq_encode(
                 batch_df, cbk, m, vec_col, id_col, round_to,
                 extra_cols={

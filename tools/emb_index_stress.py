@@ -212,8 +212,11 @@ def main() -> None:
         out.count()
         return time.perf_counter() - t0
 
-    knn("ivf")  # warm
-    t_knn_ivf = min(knn("ivf") for _ in range(2))
+    # warm-vs-warm like every other section (one warm-up then one
+    # timed run each — min-of-2 on the ~60s exact NLJ is not worth
+    # another minute of tool wall)
+    knn("ivf"), knn("exact")  # warm
+    t_knn_ivf = knn("ivf")
     t_knn_exact = knn("exact")
 
     def dir_bytes(d):
