@@ -1680,6 +1680,40 @@ def knn_join(
     )
 
 
+def compact_pq_codes_index(spark, path: str, cell_col: str = "ivf_cell"):
+    """Restore a streamed-into PQ codes index to ONE file per cell.
+
+    ingest_pq_codes_stream appends one file per touched cell per
+    micro-batch, so after N batches a probe opens N small files per
+    probed cell — footer/open overhead dominating the tiny codes. The
+    rewrite hash-routes each cell's rows to a single task
+    (repartition(cell_col): every row of a cell lands in one
+    partition, and partitionBy splits per cell within a task, so each
+    cell becomes exactly one file) and swaps via a staging dir +
+    rename — a crash leaves the old index or a complete staged copy,
+    never a half-written one. Local-FS rename semantics; an
+    object-store deployment swaps a manifest/prefix instead. Not
+    atomic against concurrent readers: run it from the ingest loop's
+    driver between batches (foreachBatch is serial per query)."""
+    import os
+    import shutil
+
+    stage = path.rstrip("/") + "__compacting"
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        spark.read.parquet(path)
+        .repartition(cell_col)
+        .write.mode("overwrite")
+        .partitionBy(cell_col)
+        .parquet(stage)
+    )
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def kmeans_fit_distributed(
     emb: DataFrame,
     k: int = 8,

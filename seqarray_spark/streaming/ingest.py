@@ -494,6 +494,7 @@ def ingest_pq_codes_stream(
     round_to: int = 6,
     checkpoint_dir: str | None = None,
     assign: str = "exact",
+    compact_every: int | None = None,
 ):
     """ANN-index ingest loop — keep the cells-partitioned PQ codes
     index (the write_pq_codes_index layout) FRESH as the corpus streams
@@ -506,8 +507,10 @@ def ingest_pq_codes_stream(
     only movement is the partitioned write's own fan-out).
 
     Appends add one file per touched cell per batch — the usual
-    small-file pressure; compact offline by rewriting hot cells
-    (per-cell rewrite, no global job). The model and codebooks are fit
+    small-file pressure; `compact_every=K` runs
+    similarity.compact_pq_codes_index (one file per cell, staged+
+    renamed) after every K-th batch, like the dedup loops' index
+    compaction. The model and codebooks are fit
     once and pinned for the stream's lifetime, exactly like
     ingest_semantic_stream's centroids: codes are only comparable
     under one model, so refitting implies an offline index rebuild.
@@ -570,6 +573,12 @@ def ingest_pq_codes_stream(
             .partitionBy(cell_col)
             .parquet(index_path)
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from seqarray_spark.operators.similarity import (
+                compact_pq_codes_index,
+            )
+
+            compact_pq_codes_index(spark, index_path, cell_col)
 
     writer = emb_stream.writeStream.foreachBatch(process).trigger(
         availableNow=True

@@ -418,3 +418,51 @@ def test_ingest_pq_codes_stream_appends_equal_rebuild(spark, tmp_path):
         emb_all, qv, cents, cbk, m=m, k=10, nprobe=2,
         residual=True).collect()]
     assert via_stream_idx == via_emb and len(via_emb) == 10
+
+
+def test_compact_pq_codes_index_one_file_per_cell(spark, tmp_path):
+    """compact_every on the ANN-index loop: streamed appends leave one
+    file per touched cell per batch; compaction rewrites to exactly
+    ONE file per cell with identical rows, and the query path is
+    unchanged."""
+    import glob
+    import json
+
+    import numpy as np
+
+    from seqarray_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(4)
+    dim, m = 16, 4
+    vecs = {i: [float(x) for x in rng.randn(dim)] for i in range(30)}
+    cents = [vecs[0], vecs[1]]
+    cb_rows = [(j, c, [float(x) for x in rng.randn(4)])
+               for j in range(m) for c in range(4)]
+    cbk = spark.createDataFrame(
+        cb_rows, "sub_ord int, code int, cvec array<double>"
+    )
+    in_dir = tmp_path / "pqc_in"
+    in_dir.mkdir()
+    for name, ids in (("a.json", range(0, 15)), ("b.json", range(15, 30))):
+        with open(in_dir / name, "w") as fh:
+            for i in ids:
+                fh.write(json.dumps(
+                    {"vec_id": i, "embedding": vecs[i]}) + "\n")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    idx = str(tmp_path / "pqc_idx")
+    q = S.ingest_pq_codes_stream(
+        stream, idx, cents, cbk, m=m, residual=True, assign="fast",
+        checkpoint_dir=str(tmp_path / "ck_pqc"), compact_every=2,
+    )
+    q.awaitTermination()
+    per_cell = {
+        d: len(glob.glob(f"{idx}/{d}/*.parquet"))
+        for d in __import__("os").listdir(idx) if d.startswith("ivf_cell=")
+    }
+    assert per_cell and all(n == 1 for n in per_cell.values()), per_cell
+    rows = spark.read.parquet(idx).collect()
+    assert len(rows) == 30 and {r["vec_id"] for r in rows} == set(range(30))
