@@ -1052,8 +1052,6 @@ def _ivf_pq_gate_shortlist(spark: SparkSession, sf_dir: str, k: int):
     rank to the top-k shortlist. emb_ivf_pq_topk returns it directly;
     emb_ivf_pq_rerank re-ranks it exactly — one stage-1 rule, two
     gates."""
-    import numpy as np
-
     from seqarray_spark.operators.similarity import (
         _round_half_up,
         kmeans_assign_exact,
@@ -1064,17 +1062,25 @@ def _ivf_pq_gate_shortlist(spark: SparkSession, sf_dir: str, k: int):
     emb = td.load_table(spark, sf_dir, "embeddings")
     init = emb.orderBy("vec_id").limit(8).collect()
     cents_rows = [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)]
-    q = np.asarray(cents_rows[0][1], dtype=np.float64)
-    qn = float(np.linalg.norm(q))
+    q = cents_rows[0][1]
+
+    # plain-Python SEQUENTIAL fold (not numpy dot), the same rule the
+    # residual gate uses: BLAS summation order differs by ~1e-15,
+    # enough in principle to flip a 6dp rounding boundary vs the
+    # oracle's SQL fold (r10 review — the docstring promised this fold;
+    # now the code keeps the promise)
+    def _cos(a, b):
+        import math
+
+        s = na = nb = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+            na += x * x
+            nb += y * y
+        return s / (math.sqrt(na) * math.sqrt(nb))
+
     ranked = sorted(
-        (
-            -_round_half_up(
-                float(v @ q) / (float(np.linalg.norm(v)) * qn), 6
-            ),
-            i,
-        )
-        for i, row in cents_rows
-        for v in [np.asarray(row, dtype=np.float64)]
+        (-_round_half_up(_cos(row, q), 6), i) for i, row in cents_rows
     )
     probe = [i for _, i in ranked[:2]]
     assign = kmeans_assign_exact(emb, cents_rows, keep_vec=True)

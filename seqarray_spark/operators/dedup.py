@@ -107,6 +107,25 @@ def incremental_exact_dedup(
     )
 
 
+def recover_bucketed_index(spark, table: str) -> None:
+    """Heal an interrupted compact_bucketed_index swap (r10 review, the
+    bucketed-table twin of similarity.recover_pq_codes_index): a crash
+    between the DROP TABLE and the RENAME leaves no live index table
+    but a COMPLETE staged copy — a restarted ingest loop's
+    tableExists() check would then re-bootstrap an index holding only
+    the replayed batch, silently forgetting the corpus. Idempotent and
+    catalog-only: if the table exists nothing happens; if it is missing
+    and the staged copy exists, the stage is renamed into place
+    (saveAsTable finished before the swap began, so the stage is always
+    complete). Called by compact itself and by every ingest loop before
+    its existence check."""
+    stage = f"{table}__compacting"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        stage
+    ):
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+
+
 def compact_bucketed_index(spark, table: str) -> None:
     """Restore a streamed-into bucketed index (corpus hash index or
     band-key index) to ONE file per bucket.
@@ -122,7 +141,10 @@ def compact_bucketed_index(spark, table: str) -> None:
     RENAME — so a crash mid-compaction leaves either the old table or
     a complete staged copy, never a half-written index. Not atomic
     against concurrent readers; run it from the ingest loop's driver
-    between batches (foreachBatch is serial per query)."""
+    between batches (foreachBatch is serial per query). Crash states
+    are healed by recover_bucketed_index (run here and by the ingest
+    loops before their existence checks)."""
+    recover_bucketed_index(spark, table)
     rows = {
         r["col_name"]: r["data_type"]
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
@@ -982,7 +1004,15 @@ def _all_pairs_matmul(
     through to the output as (carry_a, carry_b) — aligned with the
     min/max id orientation — so callers needing a per-endpoint value on
     each pair (semantic_dedup's centroid-cos keeper rule) skip two
-    joins back against the point frame."""
+    joins back against the point frame.
+
+    Ids may be any integral type or string (r10 review — the hardcoded
+    int64 path made semantic_dedup's new default mode='blas' a silent
+    regression for string-keyed corpora that the r9 exact path served):
+    the id_a/id_b output type follows the input's _id, the block hash
+    (xxhash64) is type-agnostic, and the kernel compares via numpy
+    object arrays when ids aren't integral. Other id types raise
+    up front with the exact-mode escape hatch named."""
     import numpy as np
     import pandas as pd
 
@@ -992,7 +1022,14 @@ def _all_pairs_matmul(
     b_num = blocks or max(2, int((2 * sc.defaultParallelism) ** 0.5))
     gcols = [group_col] if group_col else []
     ccols = [carry_col] if carry_col else []
-    out_schema = "id_a long, id_b long, cosine double"
+    id_type = dict(df.dtypes)["_id"]
+    ids_integral = id_type in ("tinyint", "smallint", "int", "bigint")
+    if not ids_integral and id_type != "string":
+        raise ValueError(
+            f"_all_pairs_matmul supports integral or string ids, got "
+            f"{id_type} — use the join-based mode='exact' path"
+        )
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     empty = {"id_a": [], "id_b": [], "cosine": []}
     if carry_col:
         out_schema += ", carry_a double, carry_b double"
@@ -1024,8 +1061,12 @@ def _all_pairs_matmul(
         if i != j:
             a = pdf[pdf["_blk"] == i]
             b = pdf[pdf["_blk"] == j]
-        a_ids = a["_id"].to_numpy(dtype=np.int64)
-        b_ids = b["_id"].to_numpy(dtype=np.int64)
+        # object arrays for string ids: numpy elementwise <, minimum
+        # and maximum dispatch to Python comparisons, so the triangle
+        # and min/max orientation rules below hold for both id kinds
+        np_t = np.int64 if ids_integral else object
+        a_ids = a["_id"].to_numpy(dtype=np_t)
+        b_ids = b["_id"].to_numpy(dtype=np_t)
         if not len(a_ids) or not len(b_ids):
             return pd.DataFrame(empty)
         a_mat = np.array(list(a["_v"]), dtype=np.float64)

@@ -22,6 +22,37 @@ def _query_lit(query_vec) -> Column:
     return F.array(*[F.lit(float(x)) for x in query_vec])
 
 
+_PAIR_COS_UDF = None
+
+
+def _pair_cos_udf():
+    """Shared Arrow-batched pairwise-cosine pandas UDF (one einsum +
+    two norms per batch) — the verification kernel of both
+    incremental_semantic_pairs and knn_join (r10 review: two
+    byte-identical local copies meant a future fix could land in one
+    and silently miss the other). Built lazily and cached so module
+    import never touches UDF machinery."""
+    global _PAIR_COS_UDF
+    if _PAIR_COS_UDF is None:
+
+        @F.pandas_udf("double")
+        def _pair_cos(a, b):
+            import numpy as np
+            import pandas as pd
+
+            if not len(a):
+                return pd.Series([], dtype="float64")
+            A = np.array(list(a), dtype=np.float64)
+            B = np.array(list(b), dtype=np.float64)
+            return pd.Series(
+                np.einsum("ij,ij->i", A, B)
+                / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+            )
+
+        _PAIR_COS_UDF = _pair_cos
+    return _PAIR_COS_UDF
+
+
 def _round_half_up(x: float, nd: int) -> float:
     """Driver-side rounding with the HALF_UP semantics of Spark's
     F.round / DuckDB's ROUND (Python's built-in round() is banker's —
@@ -213,7 +244,18 @@ def ivf_assign(
     cn = np.asarray(centroids, dtype=np.float64)
     cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
     keep = np.array(sorted(keep_cells), dtype=np.int64) if keep_cells is not None else None
-    out_schema = f"{id_col} long, {vec_col} array<float>, ivf_cell int"
+    # id/vector types pass through from the INPUT (r10 review): the
+    # old hardcoded 'long, array<float>' silently truncated
+    # array<double> embeddings to float32 at the Arrow boundary, so
+    # downstream consumers of the carried vector (embedding_cell_keys'
+    # assign='fast' band buckets) could flip a sign bit vs the exact
+    # path — a recall loss no verify step would surface
+    sel = emb.select(id_col, vec_col)
+    out_schema = (
+        f"{id_col} {sel.schema[id_col].dataType.simpleString()}, "
+        f"{vec_col} {sel.schema[vec_col].dataType.simpleString()}, "
+        "ivf_cell int"
+    )
 
     def kernel(batches):
         import pandas as pd
@@ -236,7 +278,7 @@ def ivf_assign(
                 out = out[np.isin(out["ivf_cell"].to_numpy(), keep)]
             yield out
 
-    return emb.select(id_col, vec_col).mapInPandas(kernel, schema=out_schema)
+    return sel.mapInPandas(kernel, schema=out_schema)
 
 
 def ivf_topk(
@@ -1318,19 +1360,7 @@ def incremental_semantic_pairs(
     # the ROUNDED value, which absorbs the <=1e-15 summation-order
     # difference vs the Column fold (the emb_dup_pairs/blas precedent;
     # oracle hash equality re-proven at both gate SFs).
-    @F.pandas_udf("double")
-    def _pair_cos(a, b):
-        import numpy as np
-        import pandas as pd
-
-        if not len(a):
-            return pd.Series([], dtype="float64")
-        A = np.array(list(a), dtype=np.float64)
-        B = np.array(list(b), dtype=np.float64)
-        dots = np.einsum("ij,ij->i", A, B)
-        na = np.linalg.norm(A, axis=1)
-        nb = np.linalg.norm(B, axis=1)
-        return pd.Series(dots / (na * nb))
+    _pair_cos = _pair_cos_udf()
 
     return (
         cand.join(
@@ -1407,7 +1437,16 @@ def ivf_pq_topk(
     cn = cn0 / np.maximum(np.linalg.norm(cn0, axis=1, keepdims=True), 1e-12)
     q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probe = np.argsort(-(cn @ qn), kind="stable")[: int(nprobe)].tolist()
+    # probe on the ROUNDED cosine, ties -> lowest ordinal (stable
+    # argsort): the same rule cell_assign_expr, the stored indexes and
+    # the gates pin. The r10 unrounded argsort could probe a different
+    # cell set than the rounded contract when two centroid cosines
+    # agree at `round_to` dp but differ at 1e-8 — 'one rule per index
+    # and its queries' applies to the probe as much as the assignment
+    cos_r = np.asarray(
+        [_round_half_up(float(c), int(round_to)) for c in cn @ qn]
+    )
+    probe = np.argsort(-cos_r, kind="stable")[: int(nprobe)].tolist()
     if codes is not None:
         if residual:
             return pq_adc_topk_residual(
@@ -1652,21 +1691,7 @@ def knn_join(
         cell_assign_expr(cvecs, "__cv", round_to).alias("__cell"),
     )
     cand = (F.broadcast(qk) if broadcast_queries else qk).join(ck, "__cell")
-
-    @F.pandas_udf("double")
-    def _pair_cos(a, b):
-        import numpy as np
-        import pandas as pd
-
-        if not len(a):
-            return pd.Series([], dtype="float64")
-        A = np.array(list(a), dtype=np.float64)
-        B = np.array(list(b), dtype=np.float64)
-        return pd.Series(
-            np.einsum("ij,ij->i", A, B)
-            / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
-        )
-
+    _pair_cos = _pair_cos_udf()
     scored = cand.select(
         "q_id", "c_id",
         F.round(
@@ -1680,6 +1705,29 @@ def knn_join(
     )
 
 
+def recover_pq_codes_index(path: str) -> None:
+    """Heal an interrupted compact swap (r10 review): a crash between
+    compact_pq_codes_index's two renames leaves NO live index dir — a
+    restarted stream's append would then recreate it holding only the
+    replayed batch, and the next compaction's cleanup would delete the
+    stranded pre-crash copy, silently losing the whole index. Idempotent
+    and O(1): if the index dir exists, nothing happens. If it is
+    missing, a COMPLETE staged copy (its _SUCCESS marker — the staging
+    write finished before any rename began) is promoted, else the
+    pre-swap '__old' copy is restored. Called by compact itself and by
+    ingest_pq_codes_stream before every append."""
+    import os
+
+    if os.path.exists(path):
+        return
+    stage = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(os.path.join(stage, "_SUCCESS")):
+        os.rename(stage, path)
+    elif os.path.exists(old):
+        os.rename(old, path)
+
+
 def compact_pq_codes_index(spark, path: str, cell_col: str = "ivf_cell"):
     """Restore a streamed-into PQ codes index to ONE file per cell.
 
@@ -1690,14 +1738,17 @@ def compact_pq_codes_index(spark, path: str, cell_col: str = "ivf_cell"):
     (repartition(cell_col): every row of a cell lands in one
     partition, and partitionBy splits per cell within a task, so each
     cell becomes exactly one file) and swaps via a staging dir +
-    rename — a crash leaves the old index or a complete staged copy,
-    never a half-written one. Local-FS rename semantics; an
+    rename. Every swap state is recoverable (recover_pq_codes_index):
+    crash mid-stage leaves the live index untouched; crash between the
+    renames leaves a complete staged copy plus the '__old' original,
+    either of which recovery promotes. Local-FS rename semantics; an
     object-store deployment swaps a manifest/prefix instead. Not
     atomic against concurrent readers: run it from the ingest loop's
     driver between batches (foreachBatch is serial per query)."""
     import os
     import shutil
 
+    recover_pq_codes_index(path)
     stage = path.rstrip("/") + "__compacting"
     shutil.rmtree(stage, ignore_errors=True)
     (

@@ -36,6 +36,18 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# calls-frame bookkeeping columns that are never FORMAT data fields:
+# the genotype pair (alleles/phased), the keys, quarantine-mode error
+# capture, and the per-variant presence record. Shared by write_vcf's
+# default FORMAT derivation AND its format_fields validation so a
+# bookkeeping name (e.g. 'alleles') cannot validate as an exportable
+# FORMAT field (reference fmt.var checks the file's format vars,
+# R/Conversion.R:90-92 — 'alleles' is genotype, not annotation/format)
+_CALL_BOOKKEEPING = (
+    "variant_id", "sample_id", "alleles", "phased",
+    "vcf_errors", "fmt_present",
+)
+
 
 # ---------------------------------------------------------------------------
 # header model (reference: SeqVCFHeaderClass, R/ConvVCF2GDS.R:92-512)
@@ -948,8 +960,15 @@ def write_vcf(
         # validate against the DATASET's FORMAT catalog (like the
         # reference's fmt.var check against the file's format vars),
         # before no_sample nulls `calls` — a sites-only export of a
-        # real field must not false-error (r10 review)
-        have = set() if calls is None else set(calls.columns)
+        # real field must not false-error (r10 review); bookkeeping
+        # columns are excluded exactly as the default derivation below
+        # excludes them, so format_fields=['alleles'] errors instead
+        # of rendering the raw genotype array as a bogus data column
+        have = (
+            set()
+            if calls is None
+            else {c for c in calls.columns if c not in _CALL_BOOKKEEPING}
+        )
         missing = [n for n in format_fields if n not in have]
         if missing:
             raise ValueError("Not exist: " + ",".join(missing))
@@ -1043,9 +1062,7 @@ def write_vcf(
             # vcf_errors is quarantine-mode bookkeeping, not a FORMAT
             # field (the GDS writer excludes it the same way)
             format_fields = [
-                c for c in calls.columns
-                if c not in ("variant_id", "sample_id", "alleles", "phased",
-                             "vcf_errors", "fmt_present")
+                c for c in calls.columns if c not in _CALL_BOOKKEEPING
             ]
         # per-variant FORMAT presence (reference: a field with zero rows
         # at a variant is OMITTED from that variant's FORMAT column and

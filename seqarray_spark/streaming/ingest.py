@@ -184,10 +184,14 @@ def ingest_dedup_stream(
     Returns the StreamingQuery (caller awaits/stops it)."""
     from seqarray_spark.operators.dedup import (compact_bucketed_index,
                                                 exact_dedup,
-                                                incremental_exact_dedup)
+                                                incremental_exact_dedup,
+                                                recover_bucketed_index)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # heal an interrupted compact swap BEFORE the existence check,
+        # or a replayed batch would re-bootstrap the index (r10 review)
+        recover_bucketed_index(spark, index_table)
         if spark.catalog.tableExists(index_table):
             kept = incremental_exact_dedup(
                 batch_df, spark.table(index_table), text_col, id_col
@@ -266,11 +270,13 @@ def ingest_neardup_stream(
                                                 incremental_dup_pairs,
                                                 minhash_dup_pairs,
                                                 minhash_signature,
+                                                recover_bucketed_index,
                                                 write_corpus_band_index)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()
+        recover_bucketed_index(spark, band_table)
         have_index = spark.catalog.tableExists(band_table)
         if have_index:
             corpus_docs = spark.read.parquet(corpus_dir)
@@ -391,7 +397,8 @@ def ingest_semantic_stream(
 
     Returns the StreamingQuery (caller awaits/stops it)."""
     from seqarray_spark.operators.dedup import (compact_bucketed_index,
-                                                dup_clusters)
+                                                dup_clusters,
+                                                recover_bucketed_index)
     from seqarray_spark.operators.similarity import (
         embedding_cell_keys,
         incremental_semantic_pairs,
@@ -407,6 +414,7 @@ def ingest_semantic_stream(
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()
         cents = [(int(i), [float(x) for x in v]) for i, v in centroids]
+        recover_bucketed_index(spark, cell_table)
         have_index = spark.catalog.tableExists(cell_table)
         if have_index:
             corpus_emb = spark.read.parquet(corpus_dir)
@@ -418,12 +426,24 @@ def ingest_semantic_stream(
                 corpus_cell_table=spark.table(cell_table),
             )
         else:
-            # bootstrap: batch-internal pairs only (empty corpus)
+            # bootstrap: batch-internal pairs only (empty corpus).
+            # Schemas derive from the BATCH (r10 review): hardcoding
+            # 'long'/'array<float>' made a stream with, say, string
+            # ids fail its unionByName only on the first batch — a
+            # nondeterministic-looking AnalysisException
+            from pyspark.sql import types as _T
+
+            id_f = batch_df.schema[id_col]
+            vec_f = batch_df.schema[vec_col]
             empty_idx = spark.createDataFrame(
-                [], "cell_key string, __cid long"
+                [],
+                _T.StructType([
+                    _T.StructField("cell_key", _T.StringType()),
+                    _T.StructField("__cid", id_f.dataType),
+                ]),
             )
             empty_emb = spark.createDataFrame(
-                [], f"{id_col} long, {vec_col} array<float>"
+                [], _T.StructType([id_f, vec_f])
             )
             pairs = incremental_semantic_pairs(
                 batch_df, cents,
@@ -549,6 +569,15 @@ def ingest_pq_codes_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # heal an interrupted compact swap BEFORE appending: without
+        # this, an append into the missing index dir would recreate it
+        # with only the replayed batch and the stranded pre-crash copy
+        # would be cleaned up on the next compaction (r10 review)
+        from seqarray_spark.operators.similarity import (
+            recover_pq_codes_index,
+        )
+
+        recover_pq_codes_index(index_path)
         if residual:
             # pq_encode_residual accepts the rows form directly —
             # assign='fast' feeds the numpy kernel with NO per-batch

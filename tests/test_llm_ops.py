@@ -1802,3 +1802,53 @@ def test_ivf_pq_rerank_codes_path_never_reads_floats_in_stage1(spark, tmp_path):
         emb, qv, cents, cbk, m=4, k=20, rerank=50, nprobe=2).collect()
     assert [(r["vec_id"], r["cosine"]) for r in out.collect()] == \
         [(r["vec_id"], r["cosine"]) for r in via_emb]
+
+
+def test_semantic_dedup_blas_supports_string_ids(spark):
+    """The r10 default mode='blas' must serve string-keyed corpora like
+    the r9 exact path did (r10 review: the matmul kernel hardcoded
+    int64 ids, so a default-argument caller with UUID/string doc ids
+    crashed mid-job). Pair decisions, keeper rule and id orientation
+    must be VALUE-identical to mode='exact'."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(4, 16)
+    rows = []
+    for i in range(40):
+        v = base[i % 4] + 0.01 * rng.randn(16)
+        rows.append((f"doc-{i:03d}", [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    cents = [(j, [float(x) for x in base[j]]) for j in range(4)]
+    key = lambda out: {  # noqa: E731
+        (r["vec_id"], r["centroid_ord"], round(r["cos"], 9), r["kept"])
+        for r in out.collect()
+    }
+    exact = key(S.semantic_dedup(emb, cents, tau=0.9, mode="exact"))
+    blas = key(S.semantic_dedup(emb, cents, tau=0.9, mode="blas"))
+    assert blas == exact and len(exact) == 40
+    # the planted near-dups actually exercised the pair path
+    assert any(not k for *_, k in exact)
+
+
+def test_ivf_assign_passes_vector_type_through(spark):
+    """ivf_assign's output schema derives from the INPUT (r10 review:
+    the hardcoded array<float> truncated double embeddings to float32
+    at the Arrow boundary, so downstream consumers of the carried
+    vector — embedding_cell_keys assign='fast' band buckets — could
+    flip a sign bit vs the exact path). Values round-trip exactly for
+    array<double>, and the float32 form keeps its declared type."""
+    vals = [1.0 + 2.0 ** -40, -1.0, 0.1234567890123456] + [0.0] * 13
+    emb = spark.createDataFrame(
+        [(7, vals)], "vec_id long, embedding array<double>"
+    )
+    cents = [[1.0] + [0.0] * 15, [0.0, 1.0] + [0.0] * 14]
+    out = S.ivf_assign(emb, cents)
+    assert dict(out.dtypes)["embedding"] == "array<double>"
+    got = out.collect()[0]["embedding"]
+    assert list(got) == vals  # bit-exact: no float32 pass-through loss
+    fl = spark.createDataFrame(
+        [(7, [float(x) for x in vals])],
+        "vec_id long, embedding array<float>",
+    )
+    assert dict(S.ivf_assign(fl, cents).dtypes)["embedding"] == "array<float>"

@@ -466,3 +466,98 @@ def test_compact_pq_codes_index_one_file_per_cell(spark, tmp_path):
     assert per_cell and all(n == 1 for n in per_cell.values()), per_cell
     rows = spark.read.parquet(idx).collect()
     assert len(rows) == 30 and {r["vec_id"] for r in rows} == set(range(30))
+
+
+def test_recover_pq_codes_index_heals_interrupted_swap(spark, tmp_path):
+    """A crash between compact_pq_codes_index's two renames leaves no
+    live index dir; without recovery a restarted stream's replayed
+    append would recreate it holding only that batch and the next
+    compaction would delete the stranded pre-crash copy — silent loss
+    of the whole index (r10 review). recover_pq_codes_index (run by
+    compact and by ingest_pq_codes_stream before every append) must
+    restore every crash state."""
+    from seqarray_spark.operators import similarity as SIM
+
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(i, [i % 4, (i + 1) % 4], i % 2) for i in range(12)],
+        "vec_id long, codes array<int>, ivf_cell int",
+    ).write.partitionBy("ivf_cell").parquet(idx)
+    want = set(range(12))
+
+    def ids():
+        return {r["vec_id"] for r in spark.read.parquet(idx).collect()}
+
+    # live index: recovery is a no-op
+    SIM.recover_pq_codes_index(idx)
+    assert ids() == want
+
+    # crash after rename(path, old), before rename(stage, path),
+    # stage never written (pre-fix compact had no such state, but the
+    # old-copy restore also covers a stage lost to manual cleanup)
+    os.rename(idx, idx + "__old")
+    SIM.recover_pq_codes_index(idx)
+    assert ids() == want
+
+    # crash exactly between the two renames: complete staged copy
+    # (_SUCCESS present) AND the '__old' original — the compacted
+    # stage wins
+    spark.read.parquet(idx).repartition("ivf_cell").write.partitionBy(
+        "ivf_cell"
+    ).parquet(idx + "__compacting")
+    os.rename(idx, idx + "__old")
+    SIM.recover_pq_codes_index(idx)
+    assert ids() == want
+    shutil.rmtree(idx + "__old", ignore_errors=True)
+
+    # compact itself heals first: simulate the crash state again and
+    # run the full compaction — rows survive, one file per cell
+    import glob
+
+    os.rename(idx, idx + "__old")
+    SIM.compact_pq_codes_index(spark, idx)
+    assert ids() == want
+    per_cell = [
+        len(glob.glob(f"{idx}/{d}/*.parquet"))
+        for d in os.listdir(idx)
+        if d.startswith("ivf_cell=")
+    ]
+    assert per_cell and all(n == 1 for n in per_cell)
+
+
+def test_recover_bucketed_index_heals_interrupted_swap(spark, tmp_path):
+    """compact_bucketed_index swaps via DROP TABLE + RENAME; a crash
+    between them leaves only the staged table, and a restarted ingest
+    loop's tableExists() would re-bootstrap the index from the replayed
+    batch (r10 review). recover_bucketed_index renames the complete
+    stage back into place; it is a no-op when the table exists."""
+    from seqarray_spark.operators.dedup import (
+        compact_bucketed_index,
+        recover_bucketed_index,
+    )
+
+    tbl = "t_recover_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
+    (
+        spark.createDataFrame(
+            [(f"h{i}", i) for i in range(10)], "content_md5 string, n int"
+        )
+        .write.bucketBy(4, "content_md5")
+        .sortBy("content_md5")
+        .saveAsTable(tbl)
+    )
+    try:
+        recover_bucketed_index(spark, tbl)  # live table: no-op
+        assert spark.table(tbl).count() == 10
+        # simulate the crash window: stage complete, table dropped
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}__compacting")
+        recover_bucketed_index(spark, tbl)
+        assert spark.table(tbl).count() == 10
+        # compact itself heals the same state first
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}__compacting")
+        compact_bucketed_index(spark, tbl)
+        assert spark.table(tbl).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")

@@ -1050,3 +1050,37 @@ def test_write_vcf_unknown_field_names_error_up_front(spark, tmp_path):
     # post-no_sample calls=None (r10 review)
     vcfmod.write_vcf(ds, str(tmp_path / "ns"), format_fields=["DP"],
                      no_sample=True)
+
+
+def test_write_vcf_bookkeeping_names_are_not_format_fields(spark, tmp_path):
+    """format_fields naming a calls BOOKKEEPING column ('alleles',
+    'phased', 'fmt_present', ...) errors like any unknown name: those
+    columns are the genotype pair / presence record, not FORMAT data
+    fields, and the default derivation already excludes them. The r10
+    validation checked raw calls.columns, so format_fields=['alleles']
+    slipped through and exported the raw genotype-allele array as a
+    bogus data column duplicating GT (r10 review)."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [(1, "1", 100, "rs1", "A", ["G"], 50.0, "PASS")],
+        "variant_id long, chromosome string, position int, id string, "
+        "ref string, alt array<string>, qual double, filter string",
+    )
+    c = spark.createDataFrame(
+        [(1, "s1", [0, 1], [False], 9)],
+        "variant_id long, sample_id string, alleles array<smallint>, "
+        "phased array<boolean>, DP int",
+    )
+    s = spark.createDataFrame([("s1",)], "sample_id string")
+    ds = SeqDataset(v, c, s)
+    out = str(tmp_path / "bk")
+    for name in ("alleles", "phased", "sample_id", "fmt_present"):
+        with pytest.raises(ValueError, match=f"Not exist: {name}"):
+            vcfmod.write_vcf(ds, out, format_fields=[name])
+    # the real data field still validates and exports
+    vcfmod.write_vcf(ds, out, format_fields=["DP"])
+    single = _assemble(out, tmp_path)
+    line = next(l for l in open(single) if not l.startswith("#"))
+    f = line.rstrip("\n").split("\t")
+    assert f[8] == "GT:DP" and f[9] == "0/1:9"
