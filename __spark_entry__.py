@@ -64,6 +64,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
         "emb_ivf_pq_rerank": emb_ivf_pq_rerank,
+        "emb_knn_join_pq": emb_knn_join_pq,
         "emb_knn_join": emb_knn_join,
         "emb_ivf_pq_residual_topk": emb_ivf_pq_residual_topk,
         "emb_incremental_dedup": emb_incremental_dedup,
@@ -1130,6 +1131,44 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.where(F.col("vec_id") % 50 == 0)
     cs = emb.where(F.col("vec_id") % 50 != 0)
     return knn_join(qs, cs, k=5)
+
+
+def emb_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN join over PQ CODES (new r10 — the serving shape of
+    the whole ANN stack): every 50th vector is a QUERY against the
+    rest of the corpus stored as m=4 PQ codes with its IVF cell; each
+    query probes its nprobe=2 nearest cells (rounded cosine DESC, ord
+    ASC), the batch's probed cells push into the codes scan, and the
+    per-(query, code-row) ADC distance is the sum of the m
+    6dp-rounded subspace LUT entries — the float corpus is never read
+    at query time. Top-5 per query, ties to the lowest corpus id.
+    Coarse model = the 8 lowest-vec_id vectors; codebook = the fixed
+    4-entry slices (the emb_pq_codes convention). Full-fidelity DuckDB
+    oracle: probe, assignment, encode, LUTs and ranking all replay in
+    SQL on 6dp-rounded values. The stored-index form (cells-partitioned
+    parquet, planning-time partition pruning) is plan- and
+    value-pinned in tests/test_llm_ops.py."""
+    from seqarray_spark.operators.similarity import (
+        cell_assign_expr,
+        knn_join_codes,
+        pq_encode,
+    )
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    init = emb.orderBy("vec_id").limit(8).collect()
+    cents = [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)]
+    cbk = _pq_fixed_codebook(spark, init[:4])
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    cs = emb.where(F.col("vec_id") % 50 != 0)
+    codes = pq_encode(
+        cs, cbk, m=4,
+        extra_cols={
+            "ivf_cell": cell_assign_expr(
+                [v for _, v in cents], "embedding", 6
+            )
+        },
+    )
+    return knn_join_codes(qs, codes, cents, cbk, m=4, k=5, nprobe=2)
 
 
 def emb_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2768,6 +2807,126 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cosine FROM ex
             ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        "emb_knn_join_pq": """
+            WITH cents AS (
+              SELECT embedding AS cvec,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS centroid_ord
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), qs AS (
+              SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+              WHERE vec_id % 50 = 0
+            ), qcz AS (
+              -- per-query cell cosines (the probe ranking)
+              SELECT qs.q_id, c.centroid_ord,
+                     UNNEST(qs.qv) AS x, UNNEST(c.cvec) AS y
+              FROM qs CROSS JOIN cents c
+            ), qc AS (
+              SELECT q_id, centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS qcos
+              FROM qcz GROUP BY q_id, centroid_ord
+            ), probe AS (
+              SELECT q_id, centroid_ord FROM (
+                SELECT q_id, centroid_ord,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY qcos DESC, centroid_ord)
+                         AS rn
+                FROM qc
+              ) t WHERE rn <= 2
+            ), z AS (
+              SELECT e.vec_id, c.centroid_ord,
+                     UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+              FROM embeddings e CROSS JOIN cents c
+              WHERE e.vec_id % 50 <> 0
+            ), scored AS (
+              SELECT vec_id, centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS cos
+              FROM z GROUP BY vec_id, centroid_ord
+            ), pts AS (
+              SELECT vec_id, centroid_ord FROM (
+                SELECT vec_id, centroid_ord,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, centroid_ord)
+                         AS rn
+                FROM scored
+              ) t WHERE rn = 1
+            ), kept AS (
+              -- per query: corpus rows in its probed cells
+              SELECT pr.q_id, p.vec_id FROM pts p
+              JOIN probe pr ON pr.centroid_ord = p.centroid_ord
+            ), cb AS (
+              SELECT embedding,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS code
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ), subs AS (
+              SELECT UNNEST(generate_series(0, 3)) AS sub_ord
+            ), cbk AS (
+              SELECT s.sub_ord, cb.code,
+                     list_slice(cb.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS cvec
+              FROM cb CROSS JOIN subs s
+            ), ev AS (
+              SELECT e.vec_id, s.sub_ord,
+                     list_slice(e.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS sv
+              FROM embeddings e CROSS JOIN subs s
+              WHERE e.vec_id % 50 <> 0
+            ), ez AS (
+              SELECT ev.vec_id, ev.sub_ord, cbk.code,
+                     UNNEST(ev.sv) AS x, UNNEST(cbk.cvec) AS y
+              FROM ev JOIN cbk ON cbk.sub_ord = ev.sub_ord
+            ), d AS (
+              SELECT vec_id, sub_ord, code,
+                ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6) AS dd
+              FROM ez GROUP BY vec_id, sub_ord, code
+            ), best AS (
+              SELECT vec_id, sub_ord, code FROM (
+                SELECT vec_id, sub_ord, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub_ord
+                                          ORDER BY dd, code) AS rn
+                FROM d
+              ) t WHERE rn = 1
+            ), qsub AS (
+              SELECT qs.q_id, s.sub_ord,
+                     list_slice(qs.qv,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS qslice
+              FROM qs CROSS JOIN subs s
+            ), lz AS (
+              SELECT q.q_id, q.sub_ord, cbk.code,
+                     UNNEST(q.qslice) AS x, UNNEST(cbk.cvec) AS y
+              FROM qsub q JOIN cbk ON cbk.sub_ord = q.sub_ord
+            ), lut AS (
+              SELECT q_id, sub_ord, code,
+                ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6) AS ld
+              FROM lz GROUP BY q_id, sub_ord, code
+            ), dist AS (
+              SELECT k.q_id, b.vec_id AS c_id, ROUND(SUM(l.ld), 6) AS dist
+              FROM kept k
+              JOIN best b ON b.vec_id = k.vec_id
+              JOIN lut l ON l.q_id = k.q_id AND l.sub_ord = b.sub_ord
+                        AND l.code = b.code
+              GROUP BY k.q_id, b.vec_id
+            )
+            SELECT q_id, c_id, dist, rank FROM (
+              SELECT q_id, c_id, dist,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                             ORDER BY dist, c_id)
+                          AS INT) AS rank
+              FROM dist
+            ) r WHERE rank <= 5
         """,
         "emb_knn_join": """
             WITH q AS (

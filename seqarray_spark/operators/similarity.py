@@ -1610,6 +1610,26 @@ def ivf_pq_rerank_topk(
     )
 
 
+def _probe_cells_col(cvecs: list, qv_col: str, nprobe: int, round_to: int):
+    """Per-row probe list as ONE Column expression: rank the bounded
+    centroid set by 6dp-rounded cosine to the row's vector (DESC, ties
+    -> lowest ordinal) and keep the first `nprobe` — the same rule every
+    stored index and gate pins, evaluated entirely in-plan (no driver
+    job per query row). Elements are structs (cos, ord)."""
+    cos_sql = _sql_cos_array(qv_col, cvecs, round_to)
+    structs = (
+        "zip_with(" + cos_sql +
+        f", sequence(0, {len(cvecs) - 1}), (c, o) -> "
+        "named_struct('cos', c, 'ord', o))"
+    )
+    return _expr_cached(
+        f"slice(array_sort({structs}, (l, r) -> "
+        "case when l.cos > r.cos then -1 when l.cos < r.cos then 1 "
+        "when l.ord < r.ord then -1 when l.ord > r.ord then 1 "
+        f"else 0 end), 1, {int(nprobe)})"
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1671,18 +1691,7 @@ def knn_join(
             .select("q_id", "c_id", "sim", "rank")
         )
     cvecs = _centroid_vec_list(centroids)
-    cos_sql = _sql_cos_array("__qv", cvecs, round_to)
-    structs = (
-        "zip_with(" + cos_sql +
-        f", sequence(0, {len(cvecs) - 1}), (c, o) -> "
-        "named_struct('cos', c, 'ord', o))"
-    )
-    probe = _expr_cached(
-        f"slice(array_sort({structs}, (l, r) -> "
-        "case when l.cos > r.cos then -1 when l.cos < r.cos then 1 "
-        "when l.ord < r.ord then -1 when l.ord > r.ord then 1 "
-        f"else 0 end), 1, {int(nprobe)})"
-    )
+    probe = _probe_cells_col(cvecs, "__qv", nprobe, round_to)
     qk = q.select(
         "q_id", "__qv", F.explode(probe).alias("__p")
     ).select("q_id", "__qv", F.col("__p.ord").alias("__cell"))
@@ -1702,6 +1711,163 @@ def knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
         .select("q_id", "c_id", "sim", "rank")
+    )
+
+
+def knn_join_codes(
+    queries: DataFrame,
+    codes: DataFrame,
+    coarse_centroids,
+    codebooks,
+    m: int,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    round_to: int = 6,
+    residual: bool = False,
+    broadcast_queries: bool = True,
+    cell_pushdown: bool = True,
+) -> DataFrame:
+    """Batched k-NN join over the STORED PQ codes index — the serving
+    shape of the whole r10 ANN stack: a query TABLE against the
+    compressed, cells-partitioned index in ONE plan, never touching
+    the float corpus. knn_join answers the same question by re-reading
+    original vectors; at 100 TB the index is 64-256x smaller and the
+    only thing resident, so the production batch-retrieval path is
+    queries x codes.
+
+    Plan: each query row ranks its `nprobe` cells in-plan
+    (_probe_cells_col — the rounded-cosine DESC / ord ASC rule every
+    stored index pins), the batch's distinct probed cells
+    bounded-collect (<= ncells values) into an IN filter on the codes
+    scan — PLANNING-time partition pruning over a write_pq_codes_index
+    layout, the r9 batch-key-pushdown idea applied to ANN serving —
+    then the (broadcast) exploded queries join the codes on the cell
+    and an Arrow-batched kernel scores ADC distances: per DISTINCT
+    query (and probed cell, in residual mode) it builds the same
+    sequential-fold HALF_UP-rounded LUT pq_adc_topk inlines for one
+    query, and gathers lut[j, code_j] sums across the batch — one
+    numpy pass, no per-row Python. One output-scaled window ranks
+    top-k per query (dist ASC, id ASC). Output (q_id, c_id, dist,
+    rank).
+
+    `residual=True` scores residual codes (write_pq_codes_index
+    residual layout): the LUT target becomes q - c(cell) per probed
+    cell, exactly pq_adc_topk_residual's rule. nprobe=ncells over raw
+    codes degenerates to per-query pq_adc_topk (pytest-pinned)."""
+    import numpy as np
+
+    cvecs = _centroid_vec_list(coarse_centroids)
+    dim = len(cvecs[0])
+    if dim % int(m):
+        raise ValueError(
+            f"dim {dim} not divisible by m={m} — PQ would silently "
+            "drop the tail dims"
+        )
+    sub_d = dim // int(m)
+    if isinstance(codebooks, DataFrame):
+        cb_rows = [
+            (int(r["sub_ord"]), int(r["code"]),
+             [float(x) for x in r["cvec"]])
+            for r in codebooks.select("sub_ord", "code", "cvec").collect()
+        ]
+    else:
+        cb_rows = [
+            (int(s), int(c), [float(x) for x in v]) for s, c, v in codebooks
+        ]
+    n_codes = 1 + max(c for _, c, _ in cb_rows)
+    cb = np.zeros((int(m), n_codes, sub_d), np.float64)
+    for s, c, v in cb_rows:
+        if len(v) != sub_d:
+            raise ValueError(
+                f"codebook subspace width {len(v)} != dim/m = {sub_d}"
+            )
+        cb[s, c] = v
+    cents_mat = np.asarray(cvecs, dtype=np.float64)
+    m_i, rt = int(m), int(round_to)
+
+    qk = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv")
+    ).select(
+        "q_id", "__qv",
+        F.explode(
+            _probe_cells_col(cvecs, "__qv", nprobe, round_to)
+        ).alias("__p"),
+    ).select("q_id", "__qv", F.col("__p.ord").alias("__cell"))
+
+    sel = codes.select(
+        F.col(id_col).alias("c_id"), F.col("codes"),
+        F.col(cell_col).alias("__cell"),
+    )
+    if cell_pushdown:
+        # bounded collect (<= ncells ints): planning-time partition
+        # pruning on the cells-partitioned index — the scan reads only
+        # the batch's probed cells, so scan BYTES track the batch
+        cells = [
+            int(r[0])
+            for r in qk.select("__cell").distinct().collect()
+        ]
+        sel = sel.filter(F.col("__cell").isin(cells))
+    cand = (F.broadcast(qk) if broadcast_queries else qk).join(
+        sel, "__cell"
+    )
+
+    def _lut_for(qv: np.ndarray, cell: int) -> np.ndarray:
+        target = qv - cents_mat[cell] if residual else qv
+        lt = np.empty((m_i, n_codes), np.float64)
+        for j in range(m_i):
+            qs = target[j * sub_d:(j + 1) * sub_d]
+            for code in range(n_codes):
+                diff = qs - cb[j, code]
+                acc = 0.0
+                for v in diff:
+                    acc += float(v) * float(v)
+                lt[j, code] = _round_half_up(acc, rt)
+        return lt
+
+    @F.pandas_udf("double")
+    def _adc(qv_s, codes_s, cell_s):
+        import pandas as pd
+
+        if not len(qv_s):
+            return pd.Series([], dtype="float64")
+        cells_np = cell_s.to_numpy(dtype=np.int64)
+        code_mat = np.array(list(codes_s), dtype=np.int64)
+        # LUTs per distinct (query, cell-if-residual) in the batch —
+        # bounded by |batch queries| x nprobe, built once each
+        luts: dict = {}
+        keys = np.empty(len(qv_s), dtype=np.int64)
+        tables = []
+        for i, qv in enumerate(qv_s):
+            qa = np.asarray(qv, dtype=np.float64)
+            kk = (qa.tobytes(), int(cells_np[i]) if residual else -1)
+            got = luts.get(kk)
+            if got is None:
+                got = len(tables)
+                tables.append(_lut_for(qa, int(cells_np[i])))
+                luts[kk] = got
+            keys[i] = got
+        lut3 = np.stack(tables)
+        dist = lut3[keys[:, None], np.arange(m_i)[None, :], code_mat].sum(
+            axis=1
+        )
+        return pd.Series(dist)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("dist"), F.col("c_id"))
+    scored = cand.select(
+        "q_id", "c_id",
+        F.round(
+            _adc(F.col("__qv"), F.col("codes"), F.col("__cell")), rt
+        ).alias("dist"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("q_id", "c_id", "dist", "rank")
     )
 
 

@@ -1852,3 +1852,93 @@ def test_ivf_assign_passes_vector_type_through(spark):
         "vec_id long, embedding array<float>",
     )
     assert dict(S.ivf_assign(fl, cents).dtypes)["embedding"] == "array<float>"
+
+
+def test_knn_join_codes_degenerates_to_per_query_adc(spark):
+    """knn_join_codes (new r10 — batched queries over the PQ codes
+    table) at nprobe=ncells must equal per-query pq_adc_topk over all
+    codes, rank for rank and distance for distance, in BOTH raw and
+    residual modes — the batched serve path pinned against the
+    already-oracle-checked single-query scan."""
+    emb, cents, cbk, _ = _ivf_pq_fixture(spark)
+    cvecs = [list(map(float, v)) for v in cents]
+    queries = emb.orderBy("vec_id").limit(3)
+    qvecs = {
+        r["vec_id"]: list(map(float, r["embedding"]))
+        for r in queries.collect()
+    }
+
+    codes = S.pq_encode(
+        emb, cbk, m=4,
+        extra_cols={"ivf_cell": S.cell_assign_expr(cvecs, "embedding", 6)},
+    )
+    got = {}
+    for r in S.knn_join_codes(
+        queries, codes, cvecs, cbk, m=4, k=10, nprobe=8
+    ).collect():
+        got.setdefault(r["q_id"], []).append(
+            (r["rank"], r["c_id"], r["dist"])
+        )
+    for qid, qv in qvecs.items():
+        want = [
+            (i + 1, r["vec_id"], r["adc_dist"])
+            for i, r in enumerate(S.pq_adc_topk(codes, qv, cbk, m=4,
+                                                k=10).collect())
+        ]
+        assert sorted(got[qid]) == want
+
+    rcodes = S.pq_encode_residual(emb, cvecs, cbk, m=4)
+    got_r = {}
+    for r in S.knn_join_codes(
+        queries, rcodes, cvecs, cbk, m=4, k=10, nprobe=8, residual=True
+    ).collect():
+        got_r.setdefault(r["q_id"], []).append(
+            (r["rank"], r["c_id"], r["dist"])
+        )
+    for qid, qv in qvecs.items():
+        want = [
+            (i + 1, r["vec_id"], r["adc_dist"])
+            for i, r in enumerate(
+                S.pq_adc_topk_residual(rcodes, qv, cvecs, cbk, m=4,
+                                       k=10).collect()
+            )
+        ]
+        assert sorted(got_r[qid]) == want
+
+
+def test_knn_join_codes_index_partition_pruning(spark, tmp_path):
+    """knn_join_codes over the STORED cells-partitioned index: the
+    batch's probed cells bounded-collect into an IN filter on the codes
+    scan, which becomes planning-time PARTITION pruning (the r9
+    batch-key pushdown applied to ANN serving) — and the float
+    embedding column is never read. Values equal the in-memory codes
+    path."""
+    from seqarray_spark.plans import explain as E
+
+    emb, cents, cbk, _ = _ivf_pq_fixture(spark)
+    cvecs = [list(map(float, v)) for v in cents]
+    path = str(tmp_path / "pq_idx_knn")
+    S.write_pq_codes_index(emb, cents, cbk, m=4, path=path)
+    stored = spark.read.parquet(path)
+    queries = emb.orderBy("vec_id").limit(3)
+
+    out = S.knn_join_codes(queries, stored, cvecs, cbk, m=4, k=5, nprobe=2)
+    plan = E.plan_string(out, "simple")
+    assert E.partition_filters(out), plan
+    assert "embedding" not in "".join(
+        s for s in E.read_schemas(out) if "codes" in s
+    )
+    via_stored = sorted(
+        (r["q_id"], r["rank"], r["c_id"], r["dist"]) for r in out.collect()
+    )
+    mem_codes = S.pq_encode(
+        emb, cbk, m=4,
+        extra_cols={"ivf_cell": S.cell_assign_expr(cvecs, "embedding", 6)},
+    )
+    via_mem = sorted(
+        (r["q_id"], r["rank"], r["c_id"], r["dist"])
+        for r in S.knn_join_codes(
+            queries, mem_codes, cvecs, cbk, m=4, k=5, nprobe=2
+        ).collect()
+    )
+    assert via_stored == via_mem and len(via_stored) == 15
