@@ -219,6 +219,40 @@ def main() -> None:
     t_knn_ivf = knn("ivf")
     t_knn_exact = knn("exact")
 
+    # 5b. batched k-NN over the STORED codes index (knn_join_codes —
+    # the compressed serve path): same 100 queries, float corpus never
+    # read; plus a small 5-query batch whose probed-cell pushdown
+    # partition-prunes the index scan (a wide batch probes most cells,
+    # so the bytes win belongs to focused batches — measured, not
+    # assumed)
+    from seqarray_spark.operators.similarity import knn_join_codes
+
+    def knn_codes(q):
+        out = knn_join_codes(q, codes, cents, cbk, m=4, k=10,
+                             nprobe=nprobe)
+        t0 = time.perf_counter()
+        out.count()
+        return time.perf_counter() - t0
+
+    knn_codes(queries)  # warm
+    t_knn_codes = knn_codes(queries)
+    small_q = spark.read.parquet(batch_path).limit(5)
+    knn_codes(small_q)  # warm
+    t_knn_codes_small = knn_codes(small_q)
+    import numpy as _np
+
+    _cn = _np.asarray([v for _, v in cents], dtype=_np.float64)
+    _cn = _cn / _np.maximum(
+        _np.linalg.norm(_cn, axis=1, keepdims=True), 1e-12
+    )
+    small_cells = set()
+    for r in small_q.collect():
+        qx = _np.asarray([float(x) for x in r["embedding"]])
+        qx = qx / max(_np.linalg.norm(qx), 1e-12)
+        small_cells.update(
+            _np.argsort(-(_cn @ qx), kind="stable")[:nprobe].tolist()
+        )
+
     def dir_bytes(d):
         total = 0
         for root, _, files in os.walk(d):
@@ -264,6 +298,14 @@ def main() -> None:
         "adc_res_probed_sec": round(t_probe_res, 3),
         "knn100_ivf_sec": round(t_knn_ivf, 3),
         "knn100_exact_sec": round(t_knn_exact, 3),
+        "knn100_codes_sec": round(t_knn_codes, 3),
+        "knn5_codes_sec": round(t_knn_codes_small, 3),
+        "knn5_probed_cells": f"{len(small_cells)}/{ncells}",
+        "knn5_probed_bytes": sum(
+            dir_bytes(os.path.join(pq_path, f"ivf_cell={c}"))
+            for c in small_cells
+            if os.path.isdir(os.path.join(pq_path, f"ivf_cell={c}"))
+        ),
     }))
     spark.sql("DROP TABLE IF EXISTS emb_stress_idx")
     shutil.rmtree(pq_res_path, ignore_errors=True)
