@@ -22,6 +22,33 @@ def _query_lit(query_vec) -> Column:
     return F.array(*[F.lit(float(x)) for x in query_vec])
 
 
+def probe_cells_py(centroid_vecs, query_vec, nprobe: int, round_to: int = 6):
+    """Driver-side probe list under THE rule every stored index and gate
+    pins: 6dp-rounded cosine DESC, ties -> lowest ordinal — with the
+    cosine computed by a plain-Python SEQUENTIAL fold (dot/(sqrt*sqrt)),
+    the same fold the SQL oracles and _probe_cells_col evaluate. The
+    single source of truth for Python-side probe selection (r10 review:
+    ivf_pq_topk and the stress tool each re-derived it with numpy
+    normalize-then-dot, whose ~1e-16 fold difference can flip a rounding
+    boundary and probe a different cell set than the pinned rule)."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    ranked = []
+    for i, cv in enumerate(centroid_vecs):
+        s = na = nb = 0.0
+        for x, y in zip(q, cv):
+            y = float(y)
+            s += x * y
+            na += x * x
+            nb += y * y
+        ranked.append(
+            (-_round_half_up(s / (math.sqrt(na) * math.sqrt(nb)), round_to), i)
+        )
+    ranked.sort()
+    return [i for _, i in ranked[: int(nprobe)]]
+
+
 _PAIR_COS_UDF = None
 
 
@@ -700,7 +727,15 @@ def pq_adc_topk(
                 f"codebook subspace width {len(cv)} != query dim/m = {sub_d}"
             )
         diff = q[j * sub_d:(j + 1) * sub_d] - cv
-        lut[j, c] = _round_half_up(float((diff * diff).sum()), int(round_to))
+        # SEQUENTIAL fold, not numpy .sum() (r10 review): the oracle's
+        # SQL SUM folds in element order, and pairwise numpy summation
+        # differs by ~1 ulp — enough in principle to flip a 6dp HALF_UP
+        # boundary; the residual sibling and knn_join_codes already
+        # fold sequentially, so one rule everywhere
+        acc = 0.0
+        for v in diff:
+            acc += float(v) * float(v)
+        lut[j, c] = _round_half_up(acc, int(round_to))
     dist = None
     for j in range(int(m)):
         term = F.element_at(
@@ -1434,19 +1469,14 @@ def ivf_pq_topk(
     cn0 = np.asarray(
         [v for _, v in _centroid_rows(coarse_centroids)], dtype=np.float64
     )
-    cn = cn0 / np.maximum(np.linalg.norm(cn0, axis=1, keepdims=True), 1e-12)
-    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    # probe on the ROUNDED cosine, ties -> lowest ordinal (stable
-    # argsort): the same rule cell_assign_expr, the stored indexes and
-    # the gates pin. The r10 unrounded argsort could probe a different
-    # cell set than the rounded contract when two centroid cosines
-    # agree at `round_to` dp but differ at 1e-8 — 'one rule per index
-    # and its queries' applies to the probe as much as the assignment
-    cos_r = np.asarray(
-        [_round_half_up(float(c), int(round_to)) for c in cn @ qn]
+    # probe under THE pinned rule (rounded sequential-fold cosine DESC,
+    # ties -> lowest ordinal) via the shared helper — r10 review twice:
+    # first the unrounded argsort, then a rounded-but-BLAS
+    # normalize-then-dot variant; 'one rule per index and its queries'
+    # includes the fold that computes the cosine
+    probe = probe_cells_py(
+        [[float(x) for x in v] for v in cn0], query_vec, nprobe, round_to
     )
-    probe = np.argsort(-cos_r, kind="stable")[: int(nprobe)].tolist()
     if codes is not None:
         if residual:
             return pq_adc_topk_residual(
@@ -1802,9 +1832,16 @@ def knn_join_codes(
         F.col(cell_col).alias("__cell"),
     )
     if cell_pushdown:
-        # bounded collect (<= ncells ints): planning-time partition
-        # pruning on the cells-partitioned index — the scan reads only
-        # the batch's probed cells, so scan BYTES track the batch
+        # materialize the (bounded: |queries| x nprobe rows) probe
+        # frame ONCE before collecting its cells: a nondeterministic
+        # queries source (limit/sample) re-evaluated at join time could
+        # otherwise probe cells the IN filter below never collected,
+        # silently dropping those queries' candidates (r10 review).
+        # Then the bounded collect (<= ncells ints) becomes
+        # planning-time partition pruning on the cells-partitioned
+        # index — the scan reads only the batch's probed cells, so
+        # scan BYTES track the batch
+        qk = qk.localCheckpoint()
         cells = [
             int(r[0])
             for r in qk.select("__cell").distinct().collect()

@@ -249,8 +249,13 @@ def af_from_packed(packed: DataFrame, ploidy: int = 2) -> DataFrame:
                 bufs[1], dtype=width, count=n + 1,
                 offset=pk.offset * np.dtype(width).itemsize,
             )
-            if pk.null_count == 0 and offs[-1] - offs[0] == n * stride:
-                # fixed-width rows (the pack writer's invariant): the
+            if pk.null_count == 0 and bool(
+                np.all(np.diff(offs) == stride)
+            ):
+                # fixed-width rows (the pack writer's invariant),
+                # checked PER ROW — a total-length check would accept
+                # ragged rows whose widths merely sum to n*stride and
+                # misparse every row after the first (r10 review). The
                 # values buffer IS the byte matrix — zero copies
                 mat = np.frombuffer(
                     bufs[2], dtype=np.uint8, count=n * stride,

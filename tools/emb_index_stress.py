@@ -225,12 +225,19 @@ def main() -> None:
     # partition-prunes the index scan (a wide batch probes most cells,
     # so the bytes win belongs to focused batches — measured, not
     # assumed)
-    from seqarray_spark.operators.similarity import knn_join_codes
+    from seqarray_spark.operators.similarity import (
+        knn_join_codes,
+        probe_cells_py,
+    )
 
     def knn_codes(q):
+        # timer INCLUDES construction: cell_pushdown runs the
+        # probe-collect job at build time, which is real serve work
+        # the knn_join timings it is A/B'd against also pay inside
+        # count() (r10 review)
+        t0 = time.perf_counter()
         out = knn_join_codes(q, codes, cents, cbk, m=4, k=10,
                              nprobe=nprobe)
-        t0 = time.perf_counter()
         out.count()
         return time.perf_counter() - t0
 
@@ -239,18 +246,14 @@ def main() -> None:
     small_q = spark.read.parquet(batch_path).limit(5)
     knn_codes(small_q)  # warm
     t_knn_codes_small = knn_codes(small_q)
-    import numpy as _np
-
-    _cn = _np.asarray([v for _, v in cents], dtype=_np.float64)
-    _cn = _cn / _np.maximum(
-        _np.linalg.norm(_cn, axis=1, keepdims=True), 1e-12
-    )
+    # probed-cell accounting under the LIBRARY's own probe rule
+    # (rounded sequential-fold cosine DESC, ord ASC) — not a hand
+    # re-derivation that could count partitions the query never read
+    cvec_list = [v for _, v in cents]
     small_cells = set()
     for r in small_q.collect():
-        qx = _np.asarray([float(x) for x in r["embedding"]])
-        qx = qx / max(_np.linalg.norm(qx), 1e-12)
         small_cells.update(
-            _np.argsort(-(_cn @ qx), kind="stable")[:nprobe].tolist()
+            probe_cells_py(cvec_list, list(r["embedding"]), nprobe)
         )
 
     def dir_bytes(d):
@@ -260,12 +263,7 @@ def main() -> None:
                          for f in files if f.endswith(".parquet"))
         return total
 
-    import numpy as np
-
-    cn = np.asarray([v for _, v in cents], dtype=np.float64)
-    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
-    qn = np.asarray(qv) / max(np.linalg.norm(qv), 1e-12)
-    probe = np.argsort(-(cn @ qn), kind="stable")[:nprobe].tolist()
+    probe = probe_cells_py([v for _, v in cents], qv, nprobe)
     pq_bytes = dir_bytes(pq_path)
     probed_bytes = sum(
         dir_bytes(os.path.join(pq_path, f"ivf_cell={c}"))
