@@ -287,3 +287,30 @@ def test_lz4_block_codec_edges():
 
     with _pytest.raises(ValueError):
         decompress_block(b"\x10A\x09\x00\x00", 100)
+
+
+def test_af_from_packed_ragged_rows_fall_back(spark):
+    """af_from_packed's zero-copy fast path requires FIXED-width rows,
+    checked per row (r10 review: a total-length check accepted ragged
+    rows whose widths merely sum to n*stride and misparsed every row
+    after the first). Hand-built ragged rows — widths stride+1 and
+    stride-1 for n_samples=8, stride=2 — must compute the documented
+    fallback semantics (truncate long rows, pad short rows with 0xff =
+    all-missing lanes), not the misparsed fast path."""
+    from seqarray_spark.sources.packed import af_from_packed
+
+    # stride = 2; row A: 3 bytes (one extra), row B: 1 byte (one short)
+    # A's first 2 bytes: 0b01010101 x2 -> dosage 1 in all 8 lanes
+    # B's single byte:  0b00000000 -> dosage 0 in 4 lanes, 4 pad-missing
+    df = spark.createDataFrame(
+        [(1, 8, bytes([0b01010101, 0b01010101, 0xAB])),
+         (2, 8, bytes([0x00]))],
+        "variant_id long, n_samples int, packed binary",
+    )
+    out = {r["variant_id"]: r for r in af_from_packed(df).collect()}
+    # row 1: all 8 lanes dosage 1 -> ac=8, an=16, miss=0
+    assert out[1]["ac_alt"] == 8 and out[1]["an"] == 16
+    assert out[1]["missing_rate"] == 0.0
+    # row 2: 4 lanes dosage 0, 4 lanes missing (0xff pad) -> ac=0, an=8
+    assert out[2]["ac_alt"] == 0 and out[2]["an"] == 8
+    assert out[2]["missing_rate"] == 0.5
