@@ -109,12 +109,51 @@ def apply_by_sample(
     calls: DataFrame,
     func: Callable,
     schema: str,
+    var_index: str = "none",
+    sample_order: list[str] | None = None,
+    base_sample_order: list[str] | None = None,
 ) -> DataFrame:
     """Per-sample grouped apply (seqApply margin='by.sample' parity):
     `func(pdf)` gets one sample's calls as a pandas DataFrame. The
     reference needed a transposed on-disk copy (seqOptimize '~data',
     R/Utilities.R:1235-1323) to make this fast; in Spark the shuffle *is*
-    the transpose."""
+    the transpose.
+
+    var_index (reference SEQ_Apply_Sample src/ReadBySample.cpp:612-645,
+    the by-sample twin of block_apply's variant modes): attaches a
+    1-based `sample_index` column to each group —
+    - 'relative': position within the CURRENT sample selection
+      (`ans_index + 1`), order given by `sample_order` (the dataset's
+      ordered selected ids, e.g. dataset.ordered_sample_ids);
+    - 'absolute': position within the PRE-filter file order
+      (`NodeList.begin()->Position + 1`) via `base_sample_order` (the
+      unfiltered samples frame's order; defaults to `sample_order`,
+      the two modes agreeing exactly when no filter is active, like
+      the reference).
+    The index rides as a column rather than a separate FUN argument —
+    the pandas-native rendering of the reference's prepended R_Index."""
+    if var_index not in ("none", "relative", "absolute"):
+        raise ValueError("var_index must be none|relative|absolute")
+    if var_index != "none":
+        if sample_order is None:
+            raise ValueError(
+                "var_index needs sample_order (the selection's ordered "
+                "sample ids)"
+            )
+        order = (
+            sample_order if var_index == "relative"
+            else (base_sample_order or sample_order)
+        )
+        from pyspark.sql import functions as F
+
+        spark = calls.sparkSession
+        idx = F.broadcast(
+            spark.createDataFrame(
+                [(s, i + 1) for i, s in enumerate(order)],
+                "sample_id string, sample_index int",
+            )
+        )
+        calls = calls.join(idx, "sample_id", "left")
     return calls.groupBy("sample_id").applyInPandas(func, schema=schema)
 
 

@@ -167,3 +167,45 @@ def test_block_apply_to_sink(calls, tmp_path):
     # append mode really appends
     A.block_apply_to(calls, f, "variant_id int, n int", out_dir)
     assert calls.sparkSession.read.parquet(out_dir).count() == 120
+
+
+def test_apply_by_sample_var_index_modes(calls):
+    """seqApply(margin='by.sample', var.index=) parity (r10, the
+    by-sample twin of the r9 block_apply audit — SEQ_Apply_Sample
+    src/ReadBySample.cpp:612-645): 'relative' = 1-based position in the
+    CURRENT sample selection (ans_index + 1); 'absolute' = the
+    PRE-filter file ordinal (NodeList Position + 1). Pinned on a
+    filtered, non-prefix selection so the two modes disagree."""
+    base_order = ["s0", "s1", "s2"]  # file order
+    # the reference iterates the selection in FILE order — a sample
+    # filter keeps file order, so the selection is [s0, s2]
+    selection = ["s0", "s2"]
+    sel_calls = calls.where(F.col("sample_id").isin(selection))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "sample_id": [pdf["sample_id"].iloc[0]],
+                "sample_index": [int(pdf["sample_index"].iloc[0])],
+            }
+        )
+
+    rel = {
+        r["sample_id"]: r["sample_index"]
+        for r in A.apply_by_sample(
+            sel_calls, kernel, "sample_id string, sample_index int",
+            var_index="relative", sample_order=selection,
+        ).collect()
+    }
+    assert rel == {"s0": 1, "s2": 2}
+    ab = {
+        r["sample_id"]: r["sample_index"]
+        for r in A.apply_by_sample(
+            sel_calls, kernel, "sample_id string, sample_index int",
+            var_index="absolute", sample_order=selection,
+            base_sample_order=base_order,
+        ).collect()
+    }
+    assert ab == {"s0": 1, "s2": 3}  # s2 keeps its file ordinal
+    with pytest.raises(ValueError, match="sample_order"):
+        A.apply_by_sample(sel_calls, kernel, "x int", var_index="relative")
