@@ -64,6 +64,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
         "emb_ivf_pq_rerank": emb_ivf_pq_rerank,
+        "doc_chunk_windows": doc_chunk_windows,
         "emb_knn_join_pq": emb_knn_join_pq,
         "emb_knn_join": emb_knn_join,
         "emb_ivf_pq_residual_topk": emb_ivf_pq_residual_topk,
@@ -1453,6 +1454,22 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (new r10): every document splits into
+    64-token windows with 16 tokens of overlap (stride 48) — the
+    training-prep / retrieval step pack_sequences needs upstream of it
+    (packing never splits a document). One zero-shuffle projection:
+    tokenize, explode the bounded chunk-ordinal sequence, slice;
+    chunk_ord is 0-based, the last chunk may be short but reaches the
+    document's end, token-less docs yield no rows. The oracle replays
+    tokenization (the engine's lowercased word regex), window math and
+    the space-rejoin verbatim."""
+    from seqarray_spark.operators.curate import chunk_documents
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=64, overlap=16)
+
+
 def doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents to ~512-token training batches
     by per-shard running token count (windows partitioned by shard —
@@ -2807,6 +2824,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cosine FROM ex
             ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        "doc_chunk_windows": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, toks,
+                CASE WHEN LENGTH(toks) <= 0 THEN 0
+                     ELSE CAST(FLOOR(
+                       (GREATEST(LENGTH(toks) - 64, 0) + 47) / 48.0
+                     ) AS INT) + 1 END AS nc
+              FROM t
+            ), e AS (
+              SELECT doc_id, toks,
+                     UNNEST(generate_series(0, nc - 1)) AS co
+              FROM c WHERE nc > 0
+            )
+            SELECT doc_id,
+                   CAST(co AS INT) AS chunk_ord,
+                   array_to_string(
+                     list_slice(toks, co * 48 + 1, co * 48 + 64), ' '
+                   ) AS chunk_text,
+                   CAST(LENGTH(
+                     list_slice(toks, co * 48 + 1, co * 48 + 64)
+                   ) AS INT) AS n_tokens
+            FROM e
         """,
         "emb_knn_join_pq": """
             WITH cents AS (

@@ -74,6 +74,81 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split every document into token-window CHUNKS of `size` tokens
+    with `overlap` tokens shared between neighbours (stride = size −
+    overlap) — the standard training-prep / retrieval-index step
+    between cleaning and packing: pack_sequences never splits a
+    document, so over-long documents need chunking FIRST to fit a
+    sequence budget, and retrieval corpora index chunks, not whole
+    documents.
+
+    Output (doc_id, chunk_ord, chunk_text, n_tokens): chunk_ord is
+    0-based; chunk k covers tokens [k·stride, k·stride + size); every
+    token lands in at least one chunk; the LAST chunk may be shorter
+    but always reaches the document's end; a document with no tokens
+    yields no rows. Tokens are the engine's lowercased word tokens
+    (text.tokens — the same unit token_count/pack budgets count), and
+    chunk_text rejoins them with single spaces, so chunking is
+    deterministic and exactly replayable by a SQL oracle.
+
+    Scale shape: ONE zero-shuffle projection — tokenize, explode a
+    bounded per-row chunk-ordinal sequence, slice. No window, no join,
+    no driver work; output rows ≈ corpus tokens / stride regardless of
+    document skew (a 10^6-token doc fans out to 10^6/stride rows on
+    its own partition, never through a groupBy)."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    if not (0 <= overlap < size):
+        raise ValueError("need 0 <= overlap < size (stride must be > 0)")
+    from seqarray_spark.operators.text import tokens
+
+    stride = size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.greatest(n - size, F.lit(0)) + stride - 1) / stride
+            ).cast("int")
+            + 1
+        )
+    )
+    return (
+        docs.select(
+            F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc")
+        )
+        .where(F.col("__nc") > 0)
+        .select(
+            id_col,
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__nc") - 1)
+            ).alias("chunk_ord"),
+        )
+        .select(
+            id_col,
+            "chunk_ord",
+            F.slice(
+                "__toks", F.col("chunk_ord") * stride + 1, size
+            ).alias("__ct"),
+        )
+        .select(
+            id_col,
+            "chunk_ord",
+            F.array_join("__ct", " ").alias("chunk_text"),
+            F.size("__ct").cast("int").alias("n_tokens"),
+        )
+    )
+
+
 def sample_stratified(
     docs: DataFrame,
     strata_col: str,

@@ -1942,3 +1942,39 @@ def test_knn_join_codes_index_partition_pruning(spark, tmp_path):
         ).collect()
     )
     assert via_stored == via_mem and len(via_stored) == 15
+
+
+def test_chunk_documents_semantics(spark):
+    """chunk_documents (new r10): chunk k covers tokens
+    [k*stride, k*stride + size); neighbours share exactly `overlap`
+    tokens; the last chunk may be short but reaches the document's
+    end; token-less docs yield no rows; invalid geometry errors."""
+    import pytest
+
+    from seqarray_spark.operators.curate import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "   "), (4, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, size=4, overlap=1)  # stride 3
+    rows = {
+        (r["doc_id"], r["chunk_ord"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # doc 1: 10 tokens, chunks at 0,3,6 -> [0:4],[3:7],[6:10]
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert rows[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert (1, 3) not in rows
+    # doc 2: 3 tokens < size -> one short chunk
+    assert rows[(2, 0)] == ("a b c", 3)
+    # docs 3/4: no tokens -> no rows
+    assert not any(d in (3, 4) for d, _ in rows)
+    # every token of doc 1 is covered and neighbours overlap by 1
+    assert len(rows) == 4
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, size=4, overlap=4)
+    with pytest.raises(ValueError, match="size"):
+        chunk_documents(docs, size=0)
