@@ -140,10 +140,12 @@ def apply_by_sample(
                 "var_index needs sample_order (the selection's ordered "
                 "sample ids)"
             )
-        order = (
-            sample_order if var_index == "relative"
-            else (base_sample_order or sample_order)
-        )
+        if var_index == "relative" or base_sample_order is None:
+            # falsiness would silently turn an explicitly-passed empty
+            # base order into relative indexes — only None falls back
+            order = sample_order
+        else:
+            order = base_sample_order
         from pyspark.sql import functions as F
 
         spark = calls.sparkSession
@@ -153,7 +155,22 @@ def apply_by_sample(
                 "sample_id string, sample_index int",
             )
         )
-        calls = calls.join(idx, "sample_id", "left")
+        # fail fast (with the sample named) on a call whose sample is
+        # absent from the supplied order — a stale/incomplete list
+        # would otherwise surface as a NULL index inside the kernel
+        calls = calls.join(idx, "sample_id", "left").withColumn(
+            "sample_index",
+            F.when(
+                F.col("sample_index").isNotNull(), F.col("sample_index")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("sample not in sample_order: "),
+                        F.col("sample_id"),
+                    )
+                )
+            ),
+        )
     return calls.groupBy("sample_id").applyInPandas(func, schema=schema)
 
 

@@ -107,8 +107,11 @@ def chunk_documents(
         raise ValueError("size must be positive")
     if not (0 <= overlap < size):
         raise ValueError("need 0 <= overlap < size (stride must be > 0)")
-    from seqarray_spark.operators.text import tokens
+    from seqarray_spark.operators.text import spread, tokens
 
+    # widen the scan so a narrow parquet doesn't tokenize on one core
+    # (the same guard every tokenize-heavy op in this module applies)
+    docs = spread(docs)
     stride = size - overlap
     toks = tokens(F.col(text_col))
     n = F.size(toks)
