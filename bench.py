@@ -115,10 +115,12 @@ def main() -> None:
     shared_r9 = shared_r8 + [
         "emb_semantic_dedup", "emb_pq_codes", "emb_pq_adc_topk",
     ]
-    # r10 additions on top of r9 (the 78-name set = r9 + these):
+    # r10 additions on top of r9 (the 80-name set = r9 + these; the
+    # full round-10 registry as the driver records BENCH_r10.json):
     shared_r10 = shared_r9 + [
         "emb_incremental_dedup", "emb_ivf_pq_topk",
         "emb_ivf_pq_residual_topk", "emb_knn_join", "emb_ivf_pq_rerank",
+        "emb_knn_join_pq", "doc_chunk_windows",
     ]
 
     def subtotal(names: list[str]) -> float | None:
