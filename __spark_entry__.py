@@ -63,6 +63,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
+        "doc_bm25_topk": doc_bm25_topk,
+        "doc_dsir_weights": doc_dsir_weights,
         "emb_ivf_pq_rerank": emb_ivf_pq_rerank,
         "doc_chunk_windows": doc_chunk_windows,
         "emb_knn_join_pq": emb_knn_join_pq,
@@ -1454,6 +1456,34 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over the corpus (new r10): Okapi BM25 with
+    Lucene's non-negative idf, query 'spark hash join window', top 20.
+    Two corpus scans and ZERO joins/shuffles — a 1-row stats reduce
+    (N, avgdl, per-term df) broadcast back, then a pure-Column scoring
+    projection (tf via filter(tokens, x -> x = t), no explode) +
+    TakeOrderedAndProject. The oracle replays the identical float
+    pipeline in DuckDB SQL with list lambdas."""
+    from seqarray_spark.operators.rank import bm25_topk
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "spark hash join window", k=20)
+
+
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance log-ratios (new r10; Xie et al. 2023,
+    arXiv:2302.03169): hashed word-bigram buckets (md5 4-hex = 65536),
+    smoothed target-vs-raw bucket distributions with target =
+    source='src18', per-doc sum of feature log-ratios. Fit is one
+    explode+groupBy to a bounded O(B) table; score is explode +
+    broadcast join + id-keyed partial agg — no wide shuffle over the
+    corpus. The data-mixture weighting step of a training pipeline."""
+    from seqarray_spark.operators.rank import dsir_logratios
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return dsir_logratios(docs, F.col("source") == "src18")
+
+
 def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking (new r10): every document splits into
     64-token windows with 16 tokens of overlap (stride 48) — the
@@ -1668,8 +1698,14 @@ def _pii_scrub_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
+
     P = td.oracle_prelude()
     return {
+        # engine/oracle twins live side by side in operators/rank.py so
+        # the scoring expressions stay in lockstep
+        "doc_bm25_topk": bm25_topk_sql("spark hash join window", k=20),
+        "doc_dsir_weights": dsir_logratios_sql("source = 'src18'"),
         "doc_incremental_exact": """
             WITH d AS (
               SELECT doc_id, SUBSTRING(LOWER(text), 1, 30) AS k

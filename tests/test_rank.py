@@ -1,0 +1,127 @@
+"""BM25 ranking + DSIR importance weighting (operators/rank.py, new r10).
+
+Value parity vs DuckDB is covered by the full-registry sweep
+(doc_bm25_topk / doc_dsir_weights); these tests pin the operator
+SEMANTICS (monotonicity, exclusions, the amortized-stats path) and the
+scale-critical plan shapes."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from seqarray_spark.operators.rank import (  # noqa: E402
+    bm25_stats,
+    bm25_topk,
+    dsir_logratios,
+)
+from seqarray_spark.plans import explain as E  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark shuffle join join join performance"),
+        (2, "spark join"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "join join spark spark shuffle shuffle " * 8),  # long doc
+        (5, "hash partitions"),
+        (6, ""),
+        (7, "one"),
+        (8, "spark join the quick brown fox over lazy dog"),  # tf=1 each, longer
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_bm25_scores_and_exclusions(corpus):
+    out = {
+        r["doc_id"]: r for r in bm25_topk(corpus, "spark join", k=10).collect()
+    }
+    # docs with no query term (3, 5, 6, 7) score exactly 0 and are dropped
+    assert set(out) == {1, 2, 4, 8}
+    # length normalization: equal tf (1 per term) but doc 8 is 4.5x
+    # longer, so the short doc 2 must outscore it
+    assert out[2]["bm25"] > out[8]["bm25"]
+    # tf saturation still rewards the tf-16 doc over a tf-1 doc
+    assert out[4]["bm25"] > out[2]["bm25"]
+    # every kept score is positive (Lucene +1 idf is non-negative)
+    assert all(r["bm25"] > 0 for r in out.values())
+    # n_tokens matches the shared tokenizer
+    assert out[2]["n_tokens"] == 2
+
+
+def test_bm25_precomputed_stats_path_identical(corpus):
+    """stats= (the workload-amortized single-scan path) must reproduce
+    the self-computed scores exactly."""
+    from seqarray_spark.operators.rank import _query_terms
+
+    terms = _query_terms("spark join")
+    pre = bm25_stats(corpus, terms)
+    a = sorted(bm25_topk(corpus, "spark join", k=10).collect())
+    b = sorted(bm25_topk(corpus, "spark join", k=10, stats=pre).collect())
+    assert a == b
+
+
+def test_bm25_empty_query_raises(corpus):
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_topk(corpus, "!!! ???")
+
+
+def test_bm25_repeated_query_terms_dedupe(corpus):
+    a = sorted(bm25_topk(corpus, "spark join", k=10).collect())
+    b = sorted(bm25_topk(corpus, "spark spark JOIN join", k=10).collect())
+    assert a == b
+
+
+def test_bm25_plan_no_explode_no_wide_join(corpus):
+    """The scoring pass must ride the scan: no Generate (explode), no
+    SortMergeJoin — the only join is the broadcast of the 1-row stats,
+    and the only Exchange is the stats reduce's SinglePartition (plus
+    nothing on the scoring side before TakeOrderedAndProject)."""
+    df = bm25_topk(corpus, "spark join", k=10)
+    plan = E.plan_string(df, "simple")
+    assert "Generate" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert E.num_shuffles(df) <= 1, plan
+
+
+def test_dsir_weights_point_to_target(spark):
+    """Planted two-domain corpus: target-domain docs must receive a
+    strictly higher mean log-ratio than raw-domain docs."""
+    tgt = [(i, "alpha beta gamma delta " * 5, "tgt") for i in range(20)]
+    raw = [(100 + i, "zeta eta theta iota " * 5, "raw") for i in range(20)]
+    docs = spark.createDataFrame(tgt + raw, "doc_id int, text string, source string")
+    out = dsir_logratios(docs, F.col("source") == "tgt").collect()
+    by_id = {r["doc_id"]: r["dsir_logratio"] for r in out}
+    t_mean = sum(by_id[i] for i in range(20)) / 20
+    r_mean = sum(by_id[100 + i] for i in range(20)) / 20
+    assert t_mean > 0 > r_mean
+    assert t_mean > r_mean + 1.0
+
+
+def test_dsir_sub_two_token_docs_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo", "a"), (2, "", "a"), (3, "two tokens here", "a")],
+        "doc_id int, text string, source string",
+    )
+    out = dsir_logratios(docs, F.col("source") == "a").collect()
+    assert {r["doc_id"] for r in out} == {3}
+    assert out[0]["n_feats"] == 2  # bigrams of a 3-token doc
+
+
+def test_dsir_plan_broadcast_bucket_join(spark):
+    """The O(B)-bounded bucket-weight table must broadcast — a
+    SortMergeJoin here would wide-shuffle the exploded corpus on a
+    65536-key space at 100 TB."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma", "a") for i in range(10)],
+        "doc_id int, text string, source string",
+    )
+    df = dsir_logratios(docs, F.col("source") == "a")
+    plan = E.plan_string(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
