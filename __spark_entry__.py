@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
+        "doc_window_dups": doc_window_dups,
         "doc_bm25_topk": doc_bm25_topk,
         "doc_dsir_weights": doc_dsir_weights,
         "emb_ivf_pq_rerank": emb_ivf_pq_rerank,
@@ -1456,6 +1457,18 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+def doc_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-window dedup candidates (new r10; the distributed
+    hash-of-every-window form of Lee et al. 2021's suffix-array exact
+    dedup, arXiv:2107.06499): doc pairs sharing >= 1 exact 8-token
+    window, counting distinct shared windows; windows hot in > 64 docs
+    are excluded (boilerplate, and the h^2 pair-blowup guard)."""
+    from seqarray_spark.operators.dedup import window_dup_pairs
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    return window_dup_pairs(docs, w=8, max_hot=64)
+
+
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword search over the corpus (new r10): Okapi BM25 with
     Lucene's non-negative idf, query 'spark hash join window', top 20.
@@ -1706,6 +1719,26 @@ def oracle_sql() -> dict[str, str]:
         # the scoring expressions stay in lockstep
         "doc_bm25_topk": bm25_topk_sql("spark hash join window", k=20),
         "doc_dsir_weights": dsir_logratios_sql("source = 'src18'"),
+        "doc_window_dups": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+              FROM documents
+            ), wins AS (
+              SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS win_h
+              FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t)-7)) AS i
+                    FROM toks WHERE len(t) >= 8) z
+            ), cold AS (
+              SELECT doc_id, win_h FROM (
+                SELECT doc_id, win_h, COUNT(*) OVER (PARTITION BY win_h) AS ndocs
+                FROM wins) q
+              WHERE ndocs <= 64
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_shared_windows
+            FROM cold a JOIN cold b
+              ON a.win_h = b.win_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
         "doc_incremental_exact": """
             WITH d AS (
               SELECT doc_id, SUBSTRING(LOWER(text), 1, 30) AS k

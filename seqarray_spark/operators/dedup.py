@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from seqarray_spark.operators.text import spread as _spread
-from seqarray_spark.operators.text import word_shingles
+from seqarray_spark.operators.text import tokens, word_shingles
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -767,6 +767,65 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return release_on_gc(cand, result)
+
+
+def window_dup_pairs(
+    docs: DataFrame,
+    w: int = 8,
+    max_hot: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-window dedup candidates (the Spark form of Lee et
+    al. 2021's 'Deduplicating Training Data Makes Language Models
+    Better', arXiv:2107.06499 — their suffix-array stage finds exact
+    w-token repeats; this is the distributed hash-of-every-window
+    equivalent): two docs pair when they share at least ONE exact
+    w-token window, with the shared-window count as evidence.
+
+    Output: (doc_a, doc_b, n_shared_windows) with doc_a < doc_b;
+    n_shared_windows counts DISTINCT shared window hashes (within-doc
+    repetition — doc_repetition's territory — does not inflate pairs).
+
+    Windows appearing in > max_hot docs are excluded before the pair
+    join: they are cross-corpus boilerplate (doc_boilerplate measures
+    those), and a window shared by h docs contributes h^2/2 pairs — the
+    cap is what keeps the exact operator alive at corpus scale, the
+    same discipline as the PPJoin prefix filter above. Plan: one
+    explode + distinct, ONE shuffle on win_h for the count window, a
+    same-key self-join (no re-shuffle under AQE), and the pair groupBy."""
+    from pyspark.sql.window import Window as _W
+
+    toks = tokens(text_col)
+    win_exprs = F.when(
+        F.size(toks) >= int(w),
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - int(w) + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, int(w)))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = (
+        _spread(docs)
+        .select(F.col(id_col).alias("_id"), F.explode(win_exprs).alias("win_h"))
+        .distinct()
+    )
+    cold = (
+        wins.withColumn("ndocs", F.count(F.lit(1)).over(_W.partitionBy("win_h")))
+        .where(F.col("ndocs") <= int(max_hot))
+        .select("_id", "win_h")
+    )
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.win_h") == F.col("b.win_h"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1978,3 +1978,32 @@ def test_chunk_documents_semantics(spark):
         chunk_documents(docs, size=4, overlap=4)
     with pytest.raises(ValueError, match="size"):
         chunk_documents(docs, size=0)
+
+
+def test_window_dup_pairs_semantics(spark):
+    """Exact substring-window candidates (r10): pairs require a full
+    shared w-token window; within-doc repetition doesn't inflate the
+    count; hot windows (> max_hot docs) are excluded."""
+    shared = "one two three four five six seven eight"  # exactly w=8 tokens
+    hot = "h1 h2 h3 h4 h5 h6 h7 h8"
+    rows = [
+        (1, f"{shared} tail one"),
+        (2, f"lead {shared}"),
+        (3, "totally different words go here right now ok fine"),
+        # doc 4 repeats the shared window twice — still ONE distinct hash
+        (4, f"{shared} mid {shared}"),
+    ] + [(100 + i, f"{hot} suffix{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_windows"]
+        for r in D.window_dup_pairs(docs, w=8, max_hot=4).collect()
+    }
+    # 1-2, 1-4, 2-4 share the window; 3 pairs with nobody
+    assert (1, 2) in out and (1, 4) in out and (2, 4) in out
+    assert out[(1, 2)] == 1  # only the one full window aligns
+    assert not any(3 in p for p in out)
+    # the hot window appears in 5 docs > max_hot=4 -> all its pairs cut
+    assert not any(a >= 100 or b >= 100 for a, b in out)
+    # raising the cap brings the hot family back
+    out2 = D.window_dup_pairs(docs, w=8, max_hot=5).collect()
+    assert any(r["doc_a"] >= 100 for r in out2)
