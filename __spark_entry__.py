@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
+        "seq_ld_pairs": seq_ld_pairs,
         "doc_window_dups": doc_window_dups,
         "doc_bm25_topk": doc_bm25_topk,
         "doc_dsir_weights": doc_dsir_weights,
@@ -649,6 +650,20 @@ SELECT
        ELSE FLOOR(l_discount * 40) / 2 END     AS DS
 FROM lineitem
 """
+
+
+def seq_ld_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LD r² between same-chromosome variant pairs within 5 kb (new r10;
+    the composite-dosage r² SNPRelate's C kernels compute — SeqArray
+    delegates LD there, so this extends the surface): integer-exact
+    sums, binned range self-join (never a per-chromosome cross join),
+    NULL r² for monomorphic pairs. The LD-pruning primitive that thins
+    a biobank genotype matrix to independent markers."""
+    from seqarray_spark.operators.ld import ld_pairs
+
+    v = td.gvariants(spark, sf_dir)
+    c = td.gcalls(spark, sf_dir)
+    return ld_pairs(v, c, bp_window=5000)
 
 
 def seq_dosage_af(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1711,12 +1726,14 @@ def _pii_scrub_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from seqarray_spark.operators.ld import ld_pairs_oracle_sql as _ld_oracle
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
     return {
         # engine/oracle twins live side by side in operators/rank.py so
         # the scoring expressions stay in lockstep
+        "seq_ld_pairs": P + _ld_oracle(bp_window=5000),
         "doc_bm25_topk": bm25_topk_sql("spark hash join window", k=20),
         "doc_dsir_weights": dsir_logratios_sql("source = 'src18'"),
         "doc_window_dups": """

@@ -1,0 +1,196 @@
+"""Linkage-disequilibrium r² between nearby variant pairs — the
+genomics complement of the LLM-pipeline dedup family (LD pruning is how
+a 100 TB genotype matrix thins to an independent marker set before
+PCA/GRM). Extension beyond the reference's own surface (SeqArray
+delegates LD to SNPRelate's C kernels, declared out of scope in
+SURVEY.md; this is the composite-dosage r² those kernels compute,
+re-expressed as Spark Column algebra).
+
+Numeric contract: every accumulated quantity is an INTEGER (dosages are
+0/1/2; sums, cross-products and the r² numerator/denominator terms stay
+BIGINT-exact), so the result is independent of partition/aggregation
+order — the only float ops are the final two multiplies and one divide
+over exactly-representable integers (|term| < 2^53 up to ~3e7 samples),
+which are correctly-rounded IEEE in any engine. This is what makes the
+operator value-hash comparable against a sequential SQL oracle.
+
+Scale shape: one (variant, sample) pre-aggregation shuffle, one
+groupBy(variant) vector-build shuffle, then a BINNED same-chromosome
+self-join (each variant meets only its ±window neighbours — never a
+cartesian) and a pure-Column fold over the zipped dosage maps. At
+biobank width the per-variant map is ~n_samples entries; the packed
+2-bit plane kernels (sources/packed.py) are the denser substrate if
+this ever dominates — the join/bin topology stays the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from seqarray_spark.functions.variant import dosage_alt
+
+
+def _dose_map(calls: DataFrame) -> DataFrame:
+    """Per-variant map<sample_id, dosage>: duplicate (variant, sample)
+    observations (the calls frame is an observation log, not a matrix)
+    collapse deterministically to MIN(dosage) — the 'best available'
+    observation rule, mirrored verbatim in the oracle."""
+    dose = calls.select(
+        "variant_id",
+        "sample_id",
+        dosage_alt("alleles", partial_missing=False).alias("_d"),
+    )
+    per_vs = dose.groupBy("variant_id", "sample_id").agg(F.min("_d").alias("_d"))
+    return per_vs.groupBy("variant_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("sample_id", "_d"))).alias("_dm")
+    )
+
+
+def ld_pairs(
+    variants: DataFrame,
+    calls: DataFrame,
+    bp_window: int = 50_000,
+    min_n: int = 1,
+) -> DataFrame:
+    """r² (squared Pearson correlation of ALT-dosage) for every variant
+    pair on the same chromosome within ``bp_window`` base pairs.
+
+    Output: (va, vb, n_used, r2) where va precedes vb in (position,
+    variant_id) order, n_used counts samples with BOTH dosages known,
+    and r2 is NULL when either variant is monomorphic over those
+    samples (zero variance — the reference kernels emit NaN there).
+    Pairs with n_used < min_n are dropped.
+
+    Pair generation is the standard binned range join: side A keyed by
+    floor(pos/W), side B exploded to {bin, bin-1}, so each variant is
+    compared against only its window neighbours — the plan contains a
+    bounded-fanout equi-join, not a per-chromosome cross join."""
+    w = int(bp_window)
+    v = variants.select("variant_id", "chromosome", "position")
+    dm = _dose_map(calls)
+    va = (
+        v.withColumn("_bin", F.floor(F.col("position") / w))
+        .join(dm, "variant_id")
+        .select(
+            F.col("variant_id").alias("va"),
+            F.col("chromosome").alias("_ch"),
+            F.col("position").alias("_pa"),
+            "_bin",
+            F.col("_dm").alias("_ma"),
+        )
+    )
+    vb = (
+        v.select(
+            F.col("variant_id").alias("vb"),
+            F.col("chromosome").alias("_ch"),
+            F.col("position").alias("_pb"),
+            F.explode(
+                F.array(
+                    F.floor(F.col("position") / w),
+                    F.floor(F.col("position") / w) - 1,
+                )
+            ).alias("_bin"),
+        )
+        .join(dm.select(F.col("variant_id").alias("vb"), F.col("_dm").alias("_mb")), "vb")
+    )
+    pairs = va.join(vb, ["_ch", "_bin"]).where(
+        (
+            (F.col("_pb") > F.col("_pa"))
+            | ((F.col("_pb") == F.col("_pa")) & (F.col("vb") > F.col("va")))
+        )
+        & (F.col("_pb") - F.col("_pa") <= F.lit(w))
+    )
+    # zip the two dosage maps on sample key; entries where either side is
+    # unknown (missing call, or sample absent from one variant) fold away
+    zipped = F.map_values(
+        F.map_zip_with(
+            F.col("_ma"),
+            F.col("_mb"),
+            lambda k, x, y: F.when(
+                x.isNotNull() & y.isNotNull(),
+                F.struct(x.cast("long").alias("x"), y.cast("long").alias("y")),
+            ),
+        )
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("sx"),
+        F.lit(0).cast("long").alias("sy"),
+        F.lit(0).cast("long").alias("sxy"),
+        F.lit(0).cast("long").alias("sxx"),
+        F.lit(0).cast("long").alias("syy"),
+    )
+
+    def _merge(acc, e):
+        return F.when(e.isNull(), acc).otherwise(
+            F.struct(
+                (acc["n"] + 1).alias("n"),
+                (acc["sx"] + e["x"]).alias("sx"),
+                (acc["sy"] + e["y"]).alias("sy"),
+                (acc["sxy"] + e["x"] * e["y"]).alias("sxy"),
+                (acc["sxx"] + e["x"] * e["x"]).alias("sxx"),
+                (acc["syy"] + e["y"] * e["y"]).alias("syy"),
+            )
+        )
+
+    s = pairs.select("va", "vb", F.aggregate(zipped, init, _merge).alias("_s"))
+    n = F.col("_s.n")
+    num = n * F.col("_s.sxy") - F.col("_s.sx") * F.col("_s.sy")
+    d1 = n * F.col("_s.sxx") - F.col("_s.sx") * F.col("_s.sx")
+    d2 = n * F.col("_s.syy") - F.col("_s.sy") * F.col("_s.sy")
+    r2 = F.when(
+        (d1 != 0) & (d2 != 0),
+        (num.cast("double") * num.cast("double"))
+        / (d1.cast("double") * d2.cast("double")),
+    )
+    return (
+        s.where(n >= int(min_n))
+        .select("va", "vb", n.alias("n_used"), r2.alias("r2"))
+    )
+
+
+def ld_pairs_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
+    """DuckDB oracle twin of ld_pairs over the gvariants/gcalls CTEs
+    (caller prepends seqarray_spark.sources.testdata.oracle_prelude()).
+    Sums CAST to BIGINT immediately — DuckDB SUM yields HUGEINT, whose
+    float rendering drifts from int64 (the r9 doc_boilerplate lesson)."""
+    w = int(bp_window)
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id,
+                 MIN(CASE WHEN a1 IS NULL OR a2 IS NULL THEN NULL
+                      ELSE (CASE WHEN a1 <> 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN a2 <> 0 THEN 1 ELSE 0 END) END) AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), pr AS (
+          SELECT a.variant_id AS va, b.variant_id AS vb
+          FROM gvariants a JOIN gvariants b
+            ON a.chromosome = b.chromosome
+           AND (b.position > a.position
+                OR (b.position = a.position AND b.variant_id > a.variant_id))
+           AND b.position - a.position <= {w}
+        ), j AS (
+          SELECT pr.va, pr.vb, x.d AS dx, y.d AS dy
+          FROM pr JOIN dose x ON x.variant_id = pr.va
+                  JOIN dose y ON y.variant_id = pr.vb
+                             AND y.sample_id = x.sample_id
+          WHERE x.d IS NOT NULL AND y.d IS NOT NULL
+        ), s AS (
+          SELECT va, vb, COUNT(*) AS n_used,
+                 CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+                 CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                 CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                 CAST(SUM(dy * dy) AS BIGINT) AS syy
+          FROM j GROUP BY va, vb
+        )
+        SELECT va, vb, n_used,
+               CASE WHEN (n_used * sxx - sx * sx) <> 0
+                     AND (n_used * syy - sy * sy) <> 0
+                    THEN (CAST(n_used * sxy - sx * sy AS DOUBLE)
+                          * CAST(n_used * sxy - sx * sy AS DOUBLE))
+                         / (CAST(n_used * sxx - sx * sx AS DOUBLE)
+                            * CAST(n_used * syy - sy * sy AS DOUBLE))
+               END AS r2
+        FROM s WHERE n_used >= {int(min_n)}
+    """

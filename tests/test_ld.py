@@ -1,0 +1,78 @@
+"""LD r² pairs (operators/ld.py, new r10): planted-genotype semantics.
+Value parity vs DuckDB at sf0.001/0.01 is covered by the registry sweep
+(seq_ld_pairs); these pin the math and the pairing rules."""
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from seqarray_spark.operators.ld import ld_pairs  # noqa: E402
+
+
+def _mk(spark, calls):
+    variants = spark.createDataFrame(
+        [(1, "1", 100), (2, "1", 200), (3, "1", 10_000), (4, "2", 150)],
+        "variant_id long, chromosome string, position int",
+    )
+    cdf = spark.createDataFrame(
+        [(v, s, a) for v, s, a in calls],
+        "variant_id long, sample_id string, alleles array<int>",
+    )
+    return variants, cdf
+
+
+def test_ld_perfect_and_anti_correlation(spark):
+    # v1 == v2 dosage-wise (r2=1); v3 out of the 5kb window from v2's 200
+    # (9800 > 5000) but inside from... nothing; v4 on another chromosome
+    calls = []
+    for i, d in enumerate([0, 1, 2, 0, 2]):
+        al = [0, 0] if d == 0 else ([0, 1] if d == 1 else [1, 1])
+        inv = [0, 0] if d == 2 else ([0, 1] if d == 1 else [1, 1])
+        calls += [(1, f"S{i}", al), (2, f"S{i}", inv), (3, f"S{i}", al), (4, f"S{i}", al)]
+    v, c = _mk(spark, calls)
+    out = {(r["va"], r["vb"]): r for r in ld_pairs(v, c, bp_window=5000).collect()}
+    assert set(out) == {(1, 2)}  # v3 beyond window, v4 other chromosome
+    r = out[(1, 2)]
+    assert r["n_used"] == 5
+    # anti-correlated dosage still has r^2 == 1
+    assert math.isclose(r["r2"], 1.0)
+
+
+def test_ld_monomorphic_null_and_missing_excluded(spark):
+    calls = [
+        (1, "S0", [0, 1]), (1, "S1", [1, 1]), (1, "S2", [0, 0]),
+        (2, "S0", [0, 0]), (2, "S1", [0, 0]), (2, "S2", [0, 0]),  # monomorphic
+        (1, "S3", [None, 1]), (2, "S3", [0, 1]),  # v1 missing at S3
+    ]
+    v, c = _mk(spark, calls)
+    out = {(r["va"], r["vb"]): r for r in ld_pairs(v, c, bp_window=5000).collect()}
+    r = out[(1, 2)]
+    assert r["n_used"] == 3  # S3's half-missing call drops the sample
+    assert r["r2"] is None  # zero variance on v2
+
+
+def test_ld_duplicate_observations_min_rule(spark):
+    # duplicate (variant, sample) observations collapse to MIN(dosage)
+    calls = [
+        (1, "S0", [1, 1]), (1, "S0", [0, 0]),   # -> 0
+        (1, "S1", [0, 1]),
+        (2, "S0", [0, 0]), (2, "S1", [0, 1]),
+    ]
+    v, c = _mk(spark, calls)
+    out = {(r["va"], r["vb"]): r for r in ld_pairs(v, c, bp_window=5000).collect()}
+    r = out[(1, 2)]
+    assert r["n_used"] == 2
+    # v1 collapses to (0, 1); v2 is (0, 1): identical -> r2 == 1
+    assert math.isclose(r["r2"], 1.0)
+
+
+def test_ld_plan_is_binned_equijoin_not_cross(spark):
+    from seqarray_spark.plans import explain as E
+
+    calls = [(1, "S0", [0, 1]), (2, "S0", [1, 1]), (3, "S0", [0, 0]), (4, "S0", [0, 1])]
+    v, c = _mk(spark, calls)
+    plan = E.plan_string(ld_pairs(v, c, bp_window=5000), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
