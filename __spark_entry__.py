@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
+        "seq_ld_prune": seq_ld_prune,
         "seq_ld_pairs": seq_ld_pairs,
         "doc_window_dups": doc_window_dups,
         "doc_bm25_topk": doc_bm25_topk,
@@ -664,6 +665,18 @@ def seq_ld_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
     return ld_pairs(v, c, bp_window=5000)
+
+
+def seq_ld_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass LD pruning (new r10): drop variants with r² > 0.3
+    against ANY earlier in-window variant — the embarrassingly-parallel
+    (and SQL-expressible) variant of PLINK/SNPRelate windowed pruning;
+    one anti-join over the ld_pairs relation."""
+    from seqarray_spark.operators.ld import ld_prune
+
+    v = td.gvariants(spark, sf_dir)
+    c = td.gcalls(spark, sf_dir)
+    return ld_prune(v, c, bp_window=5000, tau=0.3)
 
 
 def seq_dosage_af(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1727,6 +1740,7 @@ def _pii_scrub_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import ld_pairs_oracle_sql as _ld_oracle
+    from seqarray_spark.operators.ld import ld_prune_oracle_sql as _ldp_oracle
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
@@ -1734,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
         # engine/oracle twins live side by side in operators/rank.py so
         # the scoring expressions stay in lockstep
         "seq_ld_pairs": P + _ld_oracle(bp_window=5000),
+        "seq_ld_prune": P + _ldp_oracle(bp_window=5000, tau=0.3),
         "doc_bm25_topk": bm25_topk_sql("spark hash join window", k=20),
         "doc_dsir_weights": dsir_logratios_sql("source = 'src18'"),
         "doc_window_dups": """

@@ -150,11 +150,10 @@ def ld_pairs(
     )
 
 
-def ld_pairs_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
-    """DuckDB oracle twin of ld_pairs over the gvariants/gcalls CTEs
-    (caller prepends seqarray_spark.sources.testdata.oracle_prelude()).
-    Sums CAST to BIGINT immediately — DuckDB SUM yields HUGEINT, whose
-    float rendering drifts from int64 (the r9 doc_boilerplate lesson)."""
+def _ld_ctes(bp_window: int) -> str:
+    """Shared CTE chain (dose → pr → j → s) for the LD oracles. Sums
+    CAST to BIGINT immediately — DuckDB SUM yields HUGEINT, whose float
+    rendering drifts from int64 (the r9 doc_boilerplate lesson)."""
     w = int(bp_window)
     return f"""
         , dose AS (
@@ -184,13 +183,69 @@ def ld_pairs_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
                  CAST(SUM(dy * dy) AS BIGINT) AS syy
           FROM j GROUP BY va, vb
         )
-        SELECT va, vb, n_used,
-               CASE WHEN (n_used * sxx - sx * sx) <> 0
+    """
+
+
+_LD_R2_SQL = """CASE WHEN (n_used * sxx - sx * sx) <> 0
                      AND (n_used * syy - sy * sy) <> 0
                     THEN (CAST(n_used * sxy - sx * sy AS DOUBLE)
                           * CAST(n_used * sxy - sx * sy AS DOUBLE))
                          / (CAST(n_used * sxx - sx * sx AS DOUBLE)
                             * CAST(n_used * syy - sy * sy AS DOUBLE))
-               END AS r2
+               END"""
+
+
+def ld_pairs_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
+    """DuckDB oracle twin of ld_pairs over the gvariants/gcalls CTEs
+    (caller prepends seqarray_spark.sources.testdata.oracle_prelude())."""
+    return f"""{_ld_ctes(bp_window)}
+        SELECT va, vb, n_used, {_LD_R2_SQL} AS r2
         FROM s WHERE n_used >= {int(min_n)}
+    """
+
+
+def ld_prune(
+    variants: DataFrame,
+    calls: DataFrame,
+    bp_window: int = 50_000,
+    tau: float = 0.2,
+    min_n: int = 1,
+) -> DataFrame:
+    """Single-pass LD prune: drop every variant whose r² with ANY
+    earlier variant (in (position, variant_id) order, within
+    ``bp_window``) exceeds ``tau``; return the kept variants.
+
+    This is the embarrassingly-parallel variant of windowed LD
+    pruning — deliberately NOT the sequential greedy scan (PLINK
+    --indep-pairwise / SNPRelate snpgdsLDpruning re-test pairs against
+    the KEPT set only, so a variant can survive because its correlate
+    was itself dropped): the greedy chain is a per-chromosome
+    sequential dependence that cannot fan out at 100 TB, while the
+    dominated-by-earlier rule is one anti-join over the ld_pairs
+    relation — strictly more aggressive (kept ⊆ greedy-kept), same
+    purpose (an approximately-independent marker set), and
+    SQL-expressible for the oracle."""
+    pairs = ld_pairs(variants, calls, bp_window=bp_window, min_n=min_n)
+    dropped = (
+        pairs.where(F.col("r2") > float(tau))
+        .select(F.col("vb").alias("variant_id"))
+        .distinct()
+    )
+    return variants.select("variant_id", "chromosome", "position").join(
+        dropped, "variant_id", "left_anti"
+    )
+
+
+def ld_prune_oracle_sql(
+    bp_window: int = 50_000, tau: float = 0.2, min_n: int = 1
+) -> str:
+    """DuckDB oracle twin of ld_prune (caller prepends oracle_prelude());
+    shares the ld_pairs CTE chain and anti-joins the dominated variants."""
+    return f"""{_ld_ctes(bp_window)}
+        SELECT v.variant_id, v.chromosome, v.position
+        FROM gvariants v
+        WHERE v.variant_id NOT IN (
+          SELECT vb FROM s
+          WHERE n_used >= {int(min_n)} AND ({_LD_R2_SQL}) > {float(tau)!r}
+        )
     """

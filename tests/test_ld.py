@@ -76,3 +76,17 @@ def test_ld_plan_is_binned_equijoin_not_cross(spark):
     plan = E.plan_string(ld_pairs(v, c, bp_window=5000), "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ld_prune_drops_dominated_later_variant(spark):
+    from seqarray_spark.operators.ld import ld_prune
+
+    # v1 at 100 and v2 at 200 perfectly correlated -> the LATER (v2)
+    # drops; v4 (other chromosome) and v3 (out of window) stay
+    calls = []
+    for i, d in enumerate([0, 1, 2, 0, 2]):
+        al = [0, 0] if d == 0 else ([0, 1] if d == 1 else [1, 1])
+        calls += [(1, f"S{i}", al), (2, f"S{i}", al), (3, f"S{i}", al), (4, f"S{i}", al)]
+    v, c = _mk(spark, calls)
+    kept = {r["variant_id"] for r in ld_prune(v, c, bp_window=5000, tau=0.3).collect()}
+    assert kept == {1, 3, 4}
