@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
+        "seq_grm_pairs": seq_grm_pairs,
         "seq_ld_prune": seq_ld_prune,
         "seq_ld_pairs": seq_ld_pairs,
         "doc_window_dups": doc_window_dups,
@@ -665,6 +666,18 @@ def seq_ld_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
     return ld_pairs(v, c, bp_window=5000)
+
+
+def seq_grm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCTA-style GRM estimates for every sample pair (new r10): the
+    relatedness screen upstream of PCA/mixed models (SNPRelate's
+    snpgdsGRM in C; SeqArray delegates). Per-(variant, pair)
+    contributions quantized to integer micro-units before the BIGINT
+    sum, so the per-pair total is aggregation-order-free."""
+    from seqarray_spark.operators.ld import grm_pairs
+
+    c = td.gcalls(spark, sf_dir)
+    return grm_pairs(c)
 
 
 def seq_ld_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1740,6 +1753,7 @@ def _pii_scrub_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import ld_pairs_oracle_sql as _ld_oracle
+    from seqarray_spark.operators.ld import grm_pairs_oracle_sql as _grm_oracle
     from seqarray_spark.operators.ld import ld_prune_oracle_sql as _ldp_oracle
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
@@ -1749,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         # the scoring expressions stay in lockstep
         "seq_ld_pairs": P + _ld_oracle(bp_window=5000),
         "seq_ld_prune": P + _ldp_oracle(bp_window=5000, tau=0.3),
+        "seq_grm_pairs": P + _grm_oracle(),
         "doc_bm25_topk": bm25_topk_sql("spark hash join window", k=20),
         "doc_dsir_weights": dsir_logratios_sql("source = 'src18'"),
         "doc_window_dups": """

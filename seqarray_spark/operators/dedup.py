@@ -796,14 +796,18 @@ def window_dup_pairs(
     same-key self-join (no re-shuffle under AQE), and the pair groupBy."""
     from pyspark.sql.window import Window as _W
 
-    toks = tokens(text_col)
-    win_exprs = F.when(
-        F.size(toks) >= int(w),
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - int(w) + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, int(w)))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from seqarray_spark.operators.text import bind1
+
+    def _wins(t):
+        return F.when(
+            F.size(t) >= int(w),
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - int(w) + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, int(w)))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    win_exprs = bind1(tokens(text_col), _wins)
     wins = (
         _spread(docs)
         .select(F.col(id_col).alias("_id"), F.explode(win_exprs).alias("win_h"))

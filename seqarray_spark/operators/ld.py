@@ -249,3 +249,131 @@ def ld_prune_oracle_sql(
           WHERE n_used >= {int(min_n)} AND ({_LD_R2_SQL}) > {float(tau)!r}
         )
     """
+
+
+def _dose_flat(calls: DataFrame) -> DataFrame:
+    """Deduped (variant_id, sample_id, d) dosage observations — the
+    MIN-collapse rule shared with _dose_map, kept flat for the
+    sample-pair operators."""
+    dose = calls.select(
+        "variant_id",
+        "sample_id",
+        dosage_alt("alleles", partial_missing=False).alias("_d"),
+    )
+    return dose.groupBy("variant_id", "sample_id").agg(F.min("_d").alias("d"))
+
+
+def grm_pairs(
+    calls: DataFrame,
+    min_m: int = 1,
+    unit_scale: int = 6,
+) -> DataFrame:
+    """GCTA-style genetic-relationship estimates for every sample pair:
+    A_jk = (1/m) * sum_i (x_ij - 2p_i)(x_ik - 2p_i) / (2 p_i (1 - p_i))
+    over the m variants where BOTH samples have a known dosage and the
+    variant is polymorphic (0 < p_i < 1). Off-diagonal only (j < k) —
+    the relatedness screen upstream of PCA/mixed models (SNPRelate's
+    snpgdsGRM computes the same estimator in C; SeqArray delegates).
+
+    Numeric contract: per-(variant, pair) contributions are computed
+    from exact-integer inputs (dosages, allele-count sums) through a
+    fixed expression tree of correctly-rounded IEEE ops, then QUANTIZED
+    to integer 10^-unit_scale units and BIGINT-summed — so the per-pair
+    total is aggregation-order-free (the DSIR micro-nat rule; raw
+    double sums would hash-diverge from a sequential oracle).
+
+    Scale shape: one dedup groupBy over calls, one per-variant AF agg,
+    then the within-variant sample-pair self-join (r_i^2 rows for a
+    variant observed by r_i samples — GRM is inherently n^2 m) and one
+    (j, k)-keyed partial agg. At biobank n the blocked-matmul form over
+    standardized packed vectors is the substrate (the _all_pairs_matmul
+    analogue); this relation form is the oracle-checkable contract."""
+    d = _dose_flat(calls).where(F.col("d").isNotNull())
+    st = d.groupBy("variant_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("d").alias("_s")
+    )
+    # polymorphic variants only: 0 < p < 1  <=>  0 < S < 2n
+    st = st.where((F.col("_s") > 0) & (F.col("_s") < 2 * F.col("_n")))
+    dd = d.join(st, "variant_id")
+    a = dd.select(
+        "variant_id",
+        F.col("sample_id").alias("sample_i"),
+        F.col("d").alias("_x"),
+        "_n",
+        "_s",
+    )
+    b = dd.select(
+        "variant_id",
+        F.col("sample_id").alias("sample_j"),
+        F.col("d").alias("_y"),
+    )
+    scale = float(10 ** int(unit_scale))
+    twop = F.col("_s").cast("double") / F.col("_n").cast("double")
+    c = (
+        (F.col("_x").cast("double") - twop)
+        * (F.col("_y").cast("double") - twop)
+    ) / (twop * (F.lit(1.0) - twop / F.lit(2.0)))
+    return (
+        a.join(b, "variant_id")
+        .where(F.col("sample_i") < F.col("sample_j"))
+        .select(
+            "sample_i",
+            "sample_j",
+            F.round(c * F.lit(scale)).cast("bigint").alias("_u"),
+        )
+        .groupBy("sample_i", "sample_j")
+        .agg(F.count(F.lit(1)).alias("m_used"), F.sum("_u").alias("_su"))
+        .where(F.col("m_used") >= int(min_m))
+        .select(
+            "sample_i",
+            "sample_j",
+            "m_used",
+            (
+                (F.col("_su").cast("double") / F.lit(scale))
+                / F.col("m_used").cast("double")
+            ).alias("grm"),
+        )
+    )
+
+
+def grm_pairs_oracle_sql(min_m: int = 1, unit_scale: int = 6) -> str:
+    """DuckDB oracle twin of grm_pairs over the gcalls CTE (caller
+    prepends oracle_prelude()). The contribution expression tree is
+    spelled IDENTICALLY to the engine's Column form so every IEEE op
+    matches; quantized units are BIGINT before summing."""
+    scale = float(10 ** int(unit_scale))
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id,
+                 MIN(CASE WHEN a1 IS NULL OR a2 IS NULL THEN NULL
+                      ELSE (CASE WHEN a1 <> 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN a2 <> 0 THEN 1 ELSE 0 END) END) AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
+        ), st AS (
+          SELECT variant_id, COUNT(*) AS n_obs, CAST(SUM(d) AS BIGINT) AS s_sum
+          FROM dnn GROUP BY variant_id
+          HAVING CAST(SUM(d) AS BIGINT) > 0
+             AND CAST(SUM(d) AS BIGINT) < 2 * COUNT(*)
+        ), u AS (
+          SELECT a.sample_id AS sample_i, b.sample_id AS sample_j,
+                 CAST(round((((CAST(a.d AS DOUBLE)
+                               - (CAST(st.s_sum AS DOUBLE) / CAST(st.n_obs AS DOUBLE)))
+                              * (CAST(b.d AS DOUBLE)
+                                 - (CAST(st.s_sum AS DOUBLE) / CAST(st.n_obs AS DOUBLE))))
+                             / ((CAST(st.s_sum AS DOUBLE) / CAST(st.n_obs AS DOUBLE))
+                                * (1.0 - (CAST(st.s_sum AS DOUBLE)
+                                          / CAST(st.n_obs AS DOUBLE)) / 2.0)))
+                            * {scale!r}) AS BIGINT) AS u_units
+          FROM dnn a
+          JOIN dnn b ON a.variant_id = b.variant_id
+                    AND a.sample_id < b.sample_id
+          JOIN st ON st.variant_id = a.variant_id
+        )
+        SELECT sample_i, sample_j, COUNT(*) AS m_used,
+               (CAST(CAST(SUM(u_units) AS BIGINT) AS DOUBLE) / {scale!r})
+                 / CAST(COUNT(*) AS DOUBLE) AS grm
+        FROM u GROUP BY sample_i, sample_j
+        HAVING COUNT(*) >= {int(min_m)}
+    """

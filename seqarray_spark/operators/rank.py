@@ -176,14 +176,20 @@ def _bigrams(toks):
     """Word-bigram features ('tok_i tok_i+1') as a Column expression.
     Guarded for < 2 tokens: Spark's sequence(1, 0) yields a DESCENDING
     [1, 0], not empty, so the unguarded transform would fabricate
-    features from 1-token docs."""
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    features from 1-token docs. The token array is bind1-bound so the
+    tokenizer runs once per row, not once per bigram."""
+    from seqarray_spark.operators.text import bind1
+
+    def _bg(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind1(toks, _bg)
 
 
 def dsir_logratios(

@@ -93,15 +93,34 @@ def token_count(text: str | Column) -> Column:
     return F.size(tokens(text)).cast("int")
 
 
+def bind1(col: Column, f) -> Column:
+    """Evaluate `col` ONCE per row and hand it to `f` as a bound
+    higher-order-function lambda variable.
+
+    Catalyst's subexpression elimination does not reach inside lambda
+    bodies, so an expression like transform(seq, i -> slice(TOKS, i, n))
+    re-evaluates TOKS — the full regexp tokenization — PER ELEMENT: on
+    the sf0.1 documents table that made every shingle/window builder
+    ~4-5x slower (measured 3.4s -> 0.7-1.0s for a 5-gram explode).
+    Wrapping the value as the element of a 1-element transform turns it
+    into a NamedLambdaVariable, which nested lambdas read as a plain
+    variable. Works inside arbitrary expressions — no extra projection
+    step at call sites."""
+    return F.transform(F.array(col), f)[0]
+
+
 def word_shingles(text: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles — the unit of near-dup detection."""
-    toks = tokens(text)
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+
+    def _sh(toks):
+        return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
         )
-    )
+
+    return bind1(tokens(text), _sh)
 
 
 def quality_features(docs: DataFrame, text_col: str = "text",

@@ -90,3 +90,28 @@ def test_ld_prune_drops_dominated_later_variant(spark):
     v, c = _mk(spark, calls)
     kept = {r["variant_id"] for r in ld_prune(v, c, bp_window=5000, tau=0.3).collect()}
     assert kept == {1, 3, 4}
+
+
+def test_grm_pairs_planted(spark):
+    """GRM semantics on a planted trio: identical samples get a high
+    positive estimate, the unrelated one a negative/low estimate;
+    monomorphic variants are excluded from m_used."""
+    from seqarray_spark.operators.ld import grm_pairs
+
+    rows = []
+    # 6 polymorphic variants; S0 == S1; S2 complements
+    doses = [(0, 0, 2), (2, 2, 0), (1, 1, 1), (0, 0, 2), (2, 2, 0), (1, 1, 2)]
+    for vid, (d0, d1, d2) in enumerate(doses, start=1):
+        for s, d in (("S0", d0), ("S1", d1), ("S2", d2)):
+            al = [0, 0] if d == 0 else ([0, 1] if d == 1 else [1, 1])
+            rows.append((vid, s, al))
+    # one monomorphic variant — must not count toward m_used
+    rows += [(99, "S0", [0, 0]), (99, "S1", [0, 0]), (99, "S2", [0, 0])]
+    calls = spark.createDataFrame(
+        rows, "variant_id long, sample_id string, alleles array<int>"
+    )
+    out = {(r["sample_i"], r["sample_j"]): r for r in grm_pairs(calls).collect()}
+    assert set(out) == {("S0", "S1"), ("S0", "S2"), ("S1", "S2")}
+    assert out[("S0", "S1")]["m_used"] == 6
+    assert out[("S0", "S1")]["grm"] > 0.5
+    assert out[("S0", "S2")]["grm"] < out[("S0", "S1")]["grm"]
