@@ -1099,10 +1099,10 @@ def _ivf_pq_gate_shortlist(spark: SparkSession, sf_dir: str, k: int):
     emb_ivf_pq_rerank re-ranks it exactly — one stage-1 rule, two
     gates."""
     from seqarray_spark.operators.similarity import (
-        _round_half_up,
         kmeans_assign_exact,
         pq_adc_topk,
         pq_encode,
+        probe_cells_py,
     )
 
     emb = td.load_table(spark, sf_dir, "embeddings")
@@ -1110,25 +1110,10 @@ def _ivf_pq_gate_shortlist(spark: SparkSession, sf_dir: str, k: int):
     cents_rows = [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)]
     q = cents_rows[0][1]
 
-    # plain-Python SEQUENTIAL fold (not numpy dot), the same rule the
-    # residual gate uses: BLAS summation order differs by ~1e-15,
-    # enough in principle to flip a 6dp rounding boundary vs the
-    # oracle's SQL fold (r10 review — the docstring promised this fold;
-    # now the code keeps the promise)
-    def _cos(a, b):
-        import math
-
-        s = na = nb = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-            na += x * x
-            nb += y * y
-        return s / (math.sqrt(na) * math.sqrt(nb))
-
-    ranked = sorted(
-        (-_round_half_up(_cos(row, q), 6), i) for i, row in cents_rows
-    )
-    probe = [i for _, i in ranked[:2]]
+    # probe via the shared plain-Python sequential-fold rule
+    # (probe_cells_py — the single source of truth; a local re-derivation
+    # here is exactly the drift the r10 review removed)
+    probe = probe_cells_py([v for _, v in cents_rows], q, 2)
     assign = kmeans_assign_exact(emb, cents_rows, keep_vec=True)
     kept = assign.filter(F.col("centroid_ord").isin(probe))
     cbk = _pq_fixed_codebook(spark, init)
@@ -1228,51 +1213,32 @@ def emb_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector, probing its nprobe=2 nearest cells (rounded cosine DESC,
     ord ASC). Full-fidelity DuckDB oracle: assignment, probe, residual,
     encode, per-cell LUTs and ADC all replay in SQL, every comparison
-    on 6dp-rounded values. Driver-side folds here are plain-Python
-    SEQUENTIAL sums (not numpy dot) so the codebook/probe derivation
-    matches the engine/oracle fold exactly."""
-    import math
-
+    on 6dp-rounded values. Driver-side cell/probe ranking goes through
+    probe_cells_py — the shared plain-Python sequential-fold rule — so
+    the codebook/probe derivation matches the engine/oracle fold
+    exactly (a local re-derivation is the drift the r10 review
+    removed)."""
     from seqarray_spark.operators.similarity import (
-        _round_half_up,
         pq_adc_topk_residual,
         pq_encode_residual,
+        probe_cells_py,
     )
 
     emb = td.load_table(spark, sf_dir, "embeddings")
     init = emb.orderBy("vec_id").limit(12).collect()
     cents = [list(map(float, r["embedding"])) for r in init[:8]]
 
-    def _cos(a, b):
-        s = na = nb = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-            na += x * x
-            nb += y * y
-        return s / (math.sqrt(na) * math.sqrt(nb))
-
-    def _cell(v):
-        best = bi = None
-        for i, c in enumerate(cents):
-            cc = _round_half_up(_cos(v, c), 6)
-            if best is None or cc > best:
-                best, bi = cc, i
-        return bi
-
     cb_rows = []
     for code, r in enumerate(init[8:12]):
         v = list(map(float, r["embedding"]))
-        res = [a - b for a, b in zip(v, cents[_cell(v)])]
+        res = [a - b for a, b in zip(v, cents[probe_cells_py(cents, v, 1)[0]])]
         for j in range(4):
             cb_rows.append((j, code, res[j * 16:(j + 1) * 16]))
     cbk = spark.createDataFrame(
         cb_rows, "sub_ord int, code int, cvec array<double>"
     )
     qv = cents[0]
-    ranked = sorted(
-        (-_round_half_up(_cos(c, qv), 6), i) for i, c in enumerate(cents)
-    )
-    probe = [i for _, i in ranked[:2]]
+    probe = probe_cells_py(cents, qv, 2)
     codes = pq_encode_residual(emb, cents, cbk, m=4)
     return pq_adc_topk_residual(
         codes, qv, cents, cbk, m=4, k=20, probe_cells=probe

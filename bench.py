@@ -115,12 +115,16 @@ def main() -> None:
     shared_r9 = shared_r8 + [
         "emb_semantic_dedup", "emb_pq_codes", "emb_pq_adc_topk",
     ]
-    # r10 additions on top of r9 (the 80-name set = r9 + these; the
-    # full round-10 registry as the driver records BENCH_r10.json):
+    # r10 additions on top of r9 (the 86-name set = r9 + these; the
+    # full round-10 registry as the driver records BENCH_r10.json —
+    # keep in lockstep with _queries() or the subtotal silently
+    # under-covers the registry while claiming it):
     shared_r10 = shared_r9 + [
         "emb_incremental_dedup", "emb_ivf_pq_topk",
         "emb_ivf_pq_residual_topk", "emb_knn_join", "emb_ivf_pq_rerank",
         "emb_knn_join_pq", "doc_chunk_windows",
+        "doc_bm25_topk", "doc_dsir_weights", "doc_window_dups",
+        "seq_ld_pairs", "seq_ld_prune", "seq_grm_pairs",
     ]
 
     def subtotal(names: list[str]) -> float | None:

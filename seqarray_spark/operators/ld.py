@@ -66,6 +66,11 @@ def ld_pairs(
     floor(pos/W), side B exploded to {bin, bin-1}, so each variant is
     compared against only its window neighbours — the plan contains a
     bounded-fanout equi-join, not a per-chromosome cross join."""
+    if int(min_n) < 1:
+        # at min_n=0 the engine would emit (va, vb, 0, NULL) rows for
+        # pairs with zero co-observed samples, which the inner-join
+        # oracle can never produce — keep the parity contract honest
+        raise ValueError("min_n must be >= 1")
     w = int(bp_window)
     v = variants.select("variant_id", "chromosome", "position")
     dm = _dose_map(calls)

@@ -995,8 +995,10 @@ def pq_adc_topk_residual(
             "silently drop the tail dims"
         )
     sub_d = len(q) // int(m)
-    crows = _centroid_rows(coarse_centroids)
-    cmap = {o: np.asarray(v, dtype=np.float64) for o, v in crows}
+    cmap = {
+        i: np.asarray(v, dtype=np.float64)
+        for i, v in enumerate(_centroid_vec_list(coarse_centroids))
+    }
     cells = (
         sorted(cmap) if probe_cells is None
         else [int(c) for c in probe_cells]
@@ -1110,8 +1112,20 @@ def _centroid_rows(centroids) -> list:
 
 def _centroid_vec_list(centroids) -> list:
     """Ordinal-ordered vector list (see _centroid_rows for accepted
-    forms) — what cell_assign_expr inlines."""
-    return [v for _, v in _centroid_rows(centroids)]
+    forms) — what cell_assign_expr inlines. Ordinals must be exactly
+    0..k-1: every consumer of the bare list treats a vector's POSITION
+    as its cell id (cell_assign_expr, residual_expr, probe_cells_py),
+    so a model with gaps (e.g. empty cells dropped) would silently
+    store/probe cells under renumbered ids that no longer match a
+    kmeans_assign_exact assignment keyed by the true ordinal."""
+    rows = _centroid_rows(centroids)
+    ords = [o for o, _ in rows]
+    if ords != list(range(len(rows))):
+        raise ValueError(
+            f"centroid ordinals must be contiguous 0..{len(rows) - 1} "
+            f"for positional cell ids, got {ords}"
+        )
+    return [v for _, v in rows]
 
 
 def embedding_cell_keys(
@@ -1466,9 +1480,7 @@ def ivf_pq_topk(
     what the codes mean, not which cells are near the query."""
     import numpy as np
 
-    cn0 = np.asarray(
-        [v for _, v in _centroid_rows(coarse_centroids)], dtype=np.float64
-    )
+    cn0 = np.asarray(_centroid_vec_list(coarse_centroids), dtype=np.float64)
     # probe under THE pinned rule (rounded sequential-fold cosine DESC,
     # ties -> lowest ordinal) via the shared helper — r10 review twice:
     # first the unrounded argsort, then a rounded-but-BLAS

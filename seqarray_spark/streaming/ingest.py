@@ -11,6 +11,20 @@ Scale notes: the VCF stream reuses the exact batch parse expressions
 hash-derived (no global ordering exists in a stream). Windowed aggs use
 watermark + window(), so state is bounded and late rows beyond the
 watermark are dropped deterministically.
+
+Delivery contract of the foreachBatch ingest loops (exact / near-dup /
+semantic / PQ-codes): AT-LEAST-ONCE into the corpus and disk indexes.
+Each loop performs two non-transactional appends per micro-batch
+(corpus parquet + index), so a crash between an append and the
+streaming checkpoint commit re-delivers the batch on restart and the
+pre-crash copy is stranded under the same ids (duplicates dedupe
+against the CORPUS, never against their own prior write — the
+`_id != corpus_id` filter). Exactly-once needs idempotent writes keyed
+by `batchId` (partition-overwrite per batch) in BOTH sinks, which the
+bucketed one-file-per-bucket index layout does not currently admit —
+operational mitigation: after a crash, re-run compaction with a
+dedupe-by-id pass, or replay into a fresh index. Flagged by the r10
+review; a redesign, not a patch.
 """
 
 from __future__ import annotations
