@@ -115,3 +115,25 @@ def test_grm_pairs_planted(spark):
     assert out[("S0", "S1")]["m_used"] == 6
     assert out[("S0", "S1")]["grm"] > 0.5
     assert out[("S0", "S2")]["grm"] < out[("S0", "S1")]["grm"]
+
+
+def test_grm_blas_matches_relation_form(spark):
+    """grm_pairs_blas (blocked matmul) must reproduce grm_pairs up to
+    the relation form's 1e-6 quantization grid (sf0.001 gcalls: 100
+    samples, 200 variants, real missingness + duplicate observations)."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import grm_pairs, grm_pairs_blas
+    from seqarray_spark.sources import testdata as td
+
+    c = td.gcalls(spark, "/root/testdata/sf0.001")
+    a = grm_pairs(c).toPandas().set_index(["sample_i", "sample_j"]).sort_index()
+    b = (
+        grm_pairs_blas(c, blocks=4)
+        .toPandas()
+        .set_index(["sample_i", "sample_j"])
+        .sort_index()
+    )
+    assert (a.index == b.index).all()
+    assert (a["m_used"] == b["m_used"]).all()
+    assert np.abs(a["grm"] - b["grm"]).max() < 2e-6
