@@ -179,6 +179,33 @@ def _agg_luts() -> tuple[np.ndarray, np.ndarray]:
     return _AGG_LUTS
 
 
+def decode_packed_matrix(pk, n: int, stride: int) -> np.ndarray:
+    """Arrow binary array -> (n, stride) uint8 matrix, zero-copy when the
+    rows are fixed-width (the pack writer's invariant, checked PER ROW —
+    a total-length check would accept ragged rows whose widths merely
+    sum to n*stride and misparse every row after the first). Ragged or
+    null-bearing input falls back to a copying path with 0xff (= all
+    lanes missing) padding."""
+    import pyarrow as pa
+
+    bufs = pk.buffers()
+    width = np.int64 if pa.types.is_large_binary(pk.type) else np.int32
+    offs = np.frombuffer(
+        bufs[1], dtype=width, count=n + 1,
+        offset=pk.offset * np.dtype(width).itemsize,
+    )
+    if pk.null_count == 0 and bool(np.all(np.diff(offs) == stride)):
+        return np.frombuffer(
+            bufs[2], dtype=np.uint8, count=n * stride, offset=int(offs[0])
+        ).reshape(n, stride)
+    return np.frombuffer(
+        b"".join(
+            (v.as_py() or b"").ljust(stride, b"\xff")[:stride] for v in pk
+        ),
+        dtype=np.uint8,
+    ).reshape(n, stride)
+
+
 def af_from_packed(packed: DataFrame, ploidy: int = 2) -> DataFrame:
     """Fused AF+AC+missing scan over the 2-bit packed genotype column —
     the engine's answer to the reference's headline benchmark (bit2
@@ -241,38 +268,7 @@ def af_from_packed(packed: DataFrame, ploidy: int = 2) -> DataFrame:
             pk = rb.column(names.index("packed"))
             n_samp = int(rb.column(names.index("n_samples"))[0].as_py())
             stride = (n_samp + 3) // 4
-            bufs = pk.buffers()
-            width = (
-                np.int64 if pa.types.is_large_binary(pk.type) else np.int32
-            )
-            offs = np.frombuffer(
-                bufs[1], dtype=width, count=n + 1,
-                offset=pk.offset * np.dtype(width).itemsize,
-            )
-            if pk.null_count == 0 and bool(
-                np.all(np.diff(offs) == stride)
-            ):
-                # fixed-width rows (the pack writer's invariant),
-                # checked PER ROW — a total-length check would accept
-                # ragged rows whose widths merely sum to n*stride and
-                # misparse every row after the first (r10 review). The
-                # values buffer IS the byte matrix — zero copies
-                mat = np.frombuffer(
-                    bufs[2], dtype=np.uint8, count=n * stride,
-                    offset=int(offs[0]),
-                ).reshape(n, stride)
-            else:
-                # ragged/null-bearing input (not produced by
-                # pack_2bit_genotypes; kept so a hand-built frame still
-                # computes correctly rather than misreading the buffer).
-                # Null/short rows pad with 0xff = all lanes missing
-                mat = np.frombuffer(
-                    b"".join(
-                        (v.as_py() or b"").ljust(stride, b"\xff")[:stride]
-                        for v in pk
-                    ),
-                    dtype=np.uint8,
-                ).reshape(n, stride)
+            mat = decode_packed_matrix(pk, n, stride)
             alt, miss = _stats(mat, n_samp, alt_lut, miss_lut, codes_lut)
             an = ploidy * (n_samp - miss)
             with np.errstate(invalid="ignore", divide="ignore"):

@@ -137,3 +137,80 @@ def test_grm_blas_matches_relation_form(spark):
     assert (a.index == b.index).all()
     assert (a["m_used"] == b["m_used"]).all()
     assert np.abs(a["grm"] - b["grm"]).max() < 2e-6
+
+
+def _packed_frame(spark, codes, sids):
+    import numpy as np
+
+    V, S = codes.shape
+    stride = (S + 3) // 4
+    rows = []
+    for v in range(V):
+        padded = np.concatenate([codes[v], np.full(stride * 4 - S, 3, np.uint8)])
+        b = bytearray(stride)
+        for k in range(stride * 4):
+            b[k // 4] |= int(padded[k]) << (2 * (k % 4))
+        rows.append((v, S, bytes(b)))
+    return spark.createDataFrame(rows, "variant_id long, n_samples int, packed binary")
+
+
+def test_grm_from_packed_matches_blas(spark):
+    """Packed-column GRM == long-format blas GRM on data where the
+    2-bit dosage semantics coincide (full-missing-only): float64 to
+    ~1e-15, float32 within 1e-4 (the documented fast-mode contract)."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import grm_from_packed, grm_pairs_blas
+
+    rng = np.random.default_rng(7)
+    V, S = 300, 40
+    codes = rng.integers(0, 3, size=(V, S)).astype(np.uint8)
+    codes[rng.random((V, S)) < 0.07] = 3
+    sids = [f"S{i:03d}" for i in range(S)]
+    packed = _packed_frame(spark, codes, sids)
+    rows = []
+    for v in range(V):
+        for s in range(S):
+            c = int(codes[v, s])
+            al = (
+                None
+                if c == 3
+                else ([0, 0] if c == 0 else ([0, 1] if c == 1 else [1, 1]))
+            )
+            rows.append((v, sids[s], al))
+    calls = spark.createDataFrame(
+        rows, "variant_id long, sample_id string, alleles array<int>"
+    )
+    a = (
+        grm_pairs_blas(calls, blocks=4, assume_unique=True)
+        .toPandas()
+        .set_index(["sample_i", "sample_j"])
+        .sort_index()
+    )
+    for dt, tol in [("float64", 1e-9), ("float32", 1e-4)]:
+        b = (
+            grm_from_packed(packed, sids, dtype=dt)
+            .toPandas()
+            .set_index(["sample_i", "sample_j"])
+            .sort_index()
+        )
+        assert (a.index == b.index).all()
+        assert (a["m_used"] == b["m_used"]).all()
+        assert np.abs(a["grm"] - b["grm"]).max() < tol
+
+
+def test_grm_from_packed_guards(spark):
+    import numpy as np
+    import pytest
+
+    from seqarray_spark.operators.ld import grm_from_packed
+
+    codes = np.zeros((4, 8), dtype=np.uint8)
+    packed = _packed_frame(spark, codes, [f"S{i}" for i in range(8)])
+    with pytest.raises(ValueError, match="float32 or float64"):
+        grm_from_packed(packed, [f"S{i}" for i in range(8)], dtype="int8")
+    with pytest.raises(ValueError, match=">= 2 samples"):
+        grm_from_packed(packed, ["S0"])
+    # n_samples mismatch surfaces as a kernel error
+    with pytest.raises(Exception, match="n_samples"):
+        grm_from_packed(packed, [f"S{i}" for i in range(12)]).collect()
