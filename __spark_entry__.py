@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
+        "seq_ld_pairs_packed": seq_ld_pairs_packed,
         "seq_grm_pairs": seq_grm_pairs,
         "seq_ld_prune": seq_ld_prune,
         "seq_ld_pairs": seq_ld_pairs,
@@ -666,6 +667,21 @@ def seq_ld_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
     return ld_pairs(v, c, bp_window=5000)
+
+
+def seq_ld_pairs_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LD r² over the 2-bit PACKED genotype column (new r10): the full
+    pack -> zero-copy Arrow decode -> per-bin exact-integer kernel
+    pipeline, end-to-end against a SQL oracle replaying the packed
+    column's dosage semantics ($dosage_alt2, MAX-dedupe). Measured 43M
+    calls/s / 0.9M pairs/s at 1G calls (SCALE.md); bit-identical r²
+    to the relation form where dosage semantics coincide."""
+    from seqarray_spark.operators.ld import ld_pairs_from_packed
+    from seqarray_spark.sources.packed import pack_2bit_genotypes
+
+    ds = td.variant_dataset(spark, sf_dir)
+    packed = pack_2bit_genotypes(ds)
+    return ld_pairs_from_packed(packed, td.gvariants(spark, sf_dir), bp_window=5000)
 
 
 def seq_grm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1720,6 +1736,9 @@ def _pii_scrub_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import ld_pairs_oracle_sql as _ld_oracle
     from seqarray_spark.operators.ld import grm_pairs_oracle_sql as _grm_oracle
+    from seqarray_spark.operators.ld import (
+        ld_pairs_packed_oracle_sql as _ldpk_oracle,
+    )
     from seqarray_spark.operators.ld import ld_prune_oracle_sql as _ldp_oracle
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
@@ -1730,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_ld_pairs": P + _ld_oracle(bp_window=5000),
         "seq_ld_prune": P + _ldp_oracle(bp_window=5000, tau=0.3),
         "seq_grm_pairs": P + _grm_oracle(),
+        "seq_ld_pairs_packed": P + _ldpk_oracle(bp_window=5000),
         "doc_bm25_topk": bm25_topk_sql("spark hash join window", k=20),
         "doc_dsir_weights": dsir_logratios_sql("source = 'src18'"),
         "doc_window_dups": """

@@ -155,17 +155,30 @@ def ld_pairs(
     )
 
 
-def _ld_ctes(bp_window: int) -> str:
+# dosage-per-cell SQL for the two LD substrates: the long-format rule
+# ('$dosage_alt': any missing slot -> NULL; duplicate observations
+# collapse by MIN) and the packed column's rule (seqGet2bGeno
+# '$dosage_alt2' codes: only fully-missing is missing; duplicates
+# collapse by MAX of non-missing codes — sources/packed.py's writer and
+# the seq_pack_genotypes oracle pin the same rule)
+_DOSE_ALT_SQL = """MIN(CASE WHEN a1 IS NULL OR a2 IS NULL THEN NULL
+                      ELSE (CASE WHEN a1 <> 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN a2 <> 0 THEN 1 ELSE 0 END) END)"""
+_DOSE_PACKED_SQL = """MAX(CASE WHEN a1 IS NULL AND a2 IS NULL THEN NULL
+                      ELSE LEAST(2,
+                        (CASE WHEN a1 IS NOT NULL AND a1 <> 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN a2 IS NOT NULL AND a2 <> 0 THEN 1 ELSE 0 END))
+                      END)"""
+
+
+def _ld_ctes(bp_window: int, dose_sql: str = _DOSE_ALT_SQL) -> str:
     """Shared CTE chain (dose → pr → j → s) for the LD oracles. Sums
     CAST to BIGINT immediately — DuckDB SUM yields HUGEINT, whose float
     rendering drifts from int64 (the r9 doc_boilerplate lesson)."""
     w = int(bp_window)
     return f"""
         , dose AS (
-          SELECT variant_id, sample_id,
-                 MIN(CASE WHEN a1 IS NULL OR a2 IS NULL THEN NULL
-                      ELSE (CASE WHEN a1 <> 0 THEN 1 ELSE 0 END)
-                         + (CASE WHEN a2 <> 0 THEN 1 ELSE 0 END) END) AS d
+          SELECT variant_id, sample_id, {dose_sql} AS d
           FROM gcalls GROUP BY variant_id, sample_id
         ), pr AS (
           SELECT a.variant_id AS va, b.variant_id AS vb
@@ -624,3 +637,152 @@ def grm_from_packed(
             (F.col("_dot") / F.col("m_used").cast("double")).alias("grm"),
         )
     )
+
+
+def ld_pairs_from_packed(
+    packed: DataFrame,
+    variants: DataFrame,
+    bp_window: int = 50_000,
+    min_n: int = 1,
+) -> DataFrame:
+    """LD r² over the 2-bit PACKED genotype column — ld_pairs' scale
+    substrate (the af_from_packed / grm_from_packed pattern).
+
+    Same output contract as ld_pairs — (va, vb, n_used, r2), va before
+    vb in (position, variant_id) order, NULL r² on zero variance — and
+    the SAME exact-integer numerics (all sums int64 in the kernel, the
+    identical two-multiplies-one-divide ending), so results are
+    value-hash-stable. Dosage semantics are the packed column's own
+    ('$dosage_alt2': partial-missing keeps observed ALT count, 3 =
+    fully missing), which differs from long-format ld_pairs exactly at
+    partially-missing calls (pytest-pinned agreement elsewhere).
+
+    Plan: join packed rows to (chromosome, position), replicate each
+    variant to position bins {k, k+1} (k = floor(pos/W)); each
+    (chromosome, bin) group decodes its rows ONCE and emits every pair
+    whose LATER variant natively lives in that bin — each in-window
+    pair lands in exactly one group (the later side's own bin; the
+    earlier side is always present there because in-window bins differ
+    by <= 1). One applyInArrow over 2x-replicated packed rows — the
+    r1 relation form's per-pair map-zip fold becomes a per-task numpy
+    sweep with no pair-scale shuffle at all."""
+    import numpy as np
+    import pyarrow as pa
+
+    from seqarray_spark.sources.packed import _code_lut, decode_packed_matrix
+
+    w = int(bp_window)
+    if int(min_n) < 1:
+        raise ValueError("min_n must be >= 1")
+    meta = packed.join(
+        variants.select("variant_id", "chromosome", "position"), "variant_id"
+    )
+    k = F.floor(F.col("position") / w)
+    repl = meta.select(
+        "variant_id",
+        "chromosome",
+        "position",
+        "n_samples",
+        "packed",
+        F.explode(F.array(k, k + 1)).alias("_bin"),
+    )
+
+    out_schema = pa.schema(
+        [
+            ("va", pa.int64()),
+            ("vb", pa.int64()),
+            ("n_used", pa.int64()),
+            ("r2", pa.float64()),
+        ]
+    )
+    empty = pa.Table.from_pydict(
+        {"va": [], "vb": [], "n_used": [], "r2": []}, schema=out_schema
+    )
+
+    def kernel(t: "pa.Table") -> "pa.Table":
+        codes_lut = _code_lut()
+        if not t.num_rows:
+            return empty
+        t = t.combine_chunks()
+        pos = t.column("position").to_numpy()
+        vid = t.column("variant_id").to_numpy()
+        bins = t.column("_bin").to_numpy()
+        n_samp = int(t.column("n_samples")[0].as_py())
+        stride = (n_samp + 3) // 4
+        pk = t.column("packed").chunk(0) if t.column("packed").num_chunks else None
+        if pk is None:
+            return empty
+        mat = decode_packed_matrix(pk, len(pos), stride)
+        order = np.lexsort((vid, pos))
+        pos, vid, bins, mat = pos[order], vid[order], bins[order], mat[order]
+        codes = codes_lut[mat].reshape(len(pos), stride * 4)[:, :n_samp]
+        mask = (codes != 3)
+        x = np.where(mask, codes, 0).astype(np.int64)
+        out_va, out_vb, out_n, out_r2 = [], [], [], []
+        gbin = bins[0] if len(bins) else 0
+        for b in range(len(pos)):
+            # emit pairs only where the LATER side natively lives here
+            if pos[b] // w != gbin:
+                continue
+            lo = int(np.searchsorted(pos, pos[b] - w, side="left"))
+            if lo >= b:
+                continue
+            sl = slice(lo, b)
+            both = mask[sl] & mask[b]
+            n = both.sum(axis=1).astype(np.int64)
+            xa = np.where(both, x[sl], 0)
+            xb = np.where(both, x[b], 0)
+            sx = xa.sum(axis=1)
+            sy = xb.sum(axis=1)
+            sxy = (xa * xb).sum(axis=1)
+            sxx = (xa * xa).sum(axis=1)
+            syy = (xb * xb).sum(axis=1)
+            num = n * sxy - sx * sy
+            d1 = n * sxx - sx * sx
+            d2 = n * syy - sy * sy
+            with np.errstate(invalid="ignore", divide="ignore"):
+                r2 = np.where(
+                    (d1 != 0) & (d2 != 0),
+                    (num.astype(np.float64) * num.astype(np.float64))
+                    / (d1.astype(np.float64) * d2.astype(np.float64)),
+                    np.nan,
+                )
+            keep = n >= int(min_n)
+            # same-position rows sorted before b need the id tiebreak
+            tie = pos[sl] == pos[b]
+            if tie.any():
+                keep &= ~tie | (vid[sl] < vid[b])
+            idx = np.flatnonzero(keep)
+            if not len(idx):
+                continue
+            out_va.append(vid[sl][idx])
+            out_vb.append(np.full(len(idx), vid[b], dtype=np.int64))
+            out_n.append(n[idx])
+            out_r2.append(r2[idx])
+        if not out_va:
+            return empty
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_va)),
+                pa.array(np.concatenate(out_vb)),
+                pa.array(np.concatenate(out_n)),
+                pa.array(np.concatenate(out_r2), from_pandas=True),  # NaN -> NULL
+            ],
+            schema=out_schema,
+        )
+
+    return repl.groupBy("chromosome", "_bin").applyInArrow(
+        kernel, schema="va long, vb long, n_used long, r2 double"
+    )
+
+
+def ld_pairs_packed_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
+    """DuckDB oracle twin of pack_2bit_genotypes -> ld_pairs_from_packed
+    over the gvariants/gcalls CTEs: the ld_pairs relation with the
+    packed column's dosage semantics (_DOSE_PACKED_SQL). The engine path
+    exercises the real pack -> 2-bit decode -> kernel pipeline; the
+    oracle replays its arithmetic from the raw calls."""
+    return f"""{_ld_ctes(bp_window, _DOSE_PACKED_SQL)}
+        SELECT va, vb, n_used, {_LD_R2_SQL} AS r2
+        FROM s WHERE n_used >= {int(min_n)}
+    """

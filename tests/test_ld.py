@@ -214,3 +214,45 @@ def test_grm_from_packed_guards(spark):
     # n_samples mismatch surfaces as a kernel error
     with pytest.raises(Exception, match="n_samples"):
         grm_from_packed(packed, [f"S{i}" for i in range(12)]).collect()
+
+
+def test_ld_pairs_from_packed_bit_identical(spark):
+    """Packed-column LD == relation-form ld_pairs BIT-FOR-BIT on data
+    where the dosage semantics coincide (full-missing-only): both
+    pipelines are exact-int64 sums ending in the identical float ops."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import ld_pairs, ld_pairs_from_packed
+
+    rng = np.random.default_rng(11)
+    V, S = 400, 30
+    codes = rng.integers(0, 3, size=(V, S)).astype(np.uint8)
+    codes[rng.random((V, S)) < 0.1] = 3
+    sids = [f"S{i:02d}" for i in range(S)]
+    packed = _packed_frame(spark, codes, sids)
+    vrows, crows = [], []
+    for v in range(V):
+        vrows.append((v, str(1 + v % 3), 100 + (v // 3) * 997))
+        for s in range(S):
+            c = int(codes[v, s])
+            al = (
+                None
+                if c == 3
+                else ([0, 0] if c == 0 else ([0, 1] if c == 1 else [1, 1]))
+            )
+            crows.append((v, sids[s], al))
+    variants = spark.createDataFrame(
+        vrows, "variant_id long, chromosome string, position int"
+    )
+    calls = spark.createDataFrame(
+        crows, "variant_id long, sample_id string, alleles array<int>"
+    )
+    a = ld_pairs(variants, calls, bp_window=5000).toPandas()
+    b = ld_pairs_from_packed(packed, variants, bp_window=5000).toPandas()
+    a = a.set_index(["va", "vb"]).sort_index()
+    b = b.set_index(["va", "vb"]).sort_index()
+    assert len(a) == len(b) and set(a.index) == set(b.index)
+    assert (a["n_used"] == b["n_used"]).all()
+    am, bm = a["r2"].isna(), b["r2"].isna()
+    assert (am == bm).all()
+    assert (a["r2"][~am] == b["r2"][~bm]).all()  # bit-identical
