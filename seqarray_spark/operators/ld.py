@@ -786,3 +786,122 @@ def ld_pairs_packed_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
         SELECT va, vb, n_used, {_LD_R2_SQL} AS r2
         FROM s WHERE n_used >= {int(min_n)}
     """
+
+
+def ibs_from_packed(
+    packed: DataFrame,
+    sample_ids: list[str],
+    min_m: int = 1,
+) -> DataFrame:
+    """Identity-by-state for every sample pair over the 2-bit packed
+    column (SNPRelate's snpgdsIBS, the model-free cousin of the GRM):
+    ibs = mean over co-called variants of (2 - |x_i - x_j|) / 2, i.e.
+    1 for identical genotypes, 0.5 one allele apart, 0 opposite
+    homozygotes.
+
+    Same zero-wide-shuffle shape as grm_from_packed. The pairwise
+    |x_i - x_j| sum is NOT a single Gram product, but over one-hot
+    indicators I_c (c = 0,1,2) it decomposes exactly:
+    sum|x_i - x_j| = (I0'I1 + I1'I0 + I1'I2 + I2'I1) + 2*(I0'I2 + I2'I0)
+    and m = (I0+I1+I2)'(I0+I1+I2) — four 0/1 matmuls per batch, every
+    count an exact small integer in float64, so the final
+    (2m - sumd) / (2m) division is the only real float op and the
+    result value-hashes against a SQL oracle replaying |dx - dy|."""
+    import numpy as np
+    import pyarrow as pa
+
+    from seqarray_spark.sources.packed import _code_lut, decode_packed_matrix
+
+    n_samp_expected = len(sample_ids)
+    if n_samp_expected < 2:
+        raise ValueError("IBS needs >= 2 samples")
+    iu, ju = np.triu_indices(n_samp_expected, k=1)
+
+    def kernel(batches):
+        codes_lut = _code_lut()
+        sumd = np.zeros((n_samp_expected, n_samp_expected))
+        ms = np.zeros_like(sumd)
+        saw = False
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            names = rb.schema.names
+            pk = rb.column(names.index("packed"))
+            n_samp = int(rb.column(names.index("n_samples"))[0].as_py())
+            if n_samp != n_samp_expected:
+                raise ValueError(
+                    f"packed rows carry n_samples={n_samp}, caller supplied "
+                    f"{n_samp_expected} sample ids"
+                )
+            stride = (n_samp + 3) // 4
+            mat = decode_packed_matrix(pk, n, stride)
+            codes = codes_lut[mat].reshape(n, stride * 4)[:, :n_samp]
+            saw = True
+            i0 = (codes == 0).astype(np.float64)
+            i1 = (codes == 1).astype(np.float64)
+            i2 = (codes == 2).astype(np.float64)
+            m01 = i0.T @ i1
+            m12 = i1.T @ i2
+            m02 = i0.T @ i2
+            sumd += (m01 + m01.T + m12 + m12.T) + 2.0 * (m02 + m02.T)
+            known = i0 + i1 + i2
+            ms += known.T @ known
+        if saw:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(iu.astype(np.int32)),
+                    pa.array(ju.astype(np.int32)),
+                    pa.array(sumd[iu, ju]),
+                    pa.array(ms[iu, ju]),
+                ],
+                names=["_si", "_sj", "sumd", "pm"],
+            )
+
+    partials = packed.select("variant_id", "n_samples", "packed").mapInArrow(
+        kernel, schema="_si int, _sj int, sumd double, pm double"
+    )
+    labels = F.array(*[F.lit(s) for s in sample_ids])
+    return (
+        partials.groupBy("_si", "_sj")
+        .agg(
+            F.sum("pm").cast("bigint").alias("m_used"),
+            F.sum("sumd").cast("bigint").alias("_sd"),
+        )
+        .where(F.col("m_used") >= int(min_m))
+        .select(
+            F.element_at(labels, F.col("_si") + 1).alias("sample_i"),
+            F.element_at(labels, F.col("_sj") + 1).alias("sample_j"),
+            "m_used",
+            (
+                (2.0 * F.col("m_used").cast("double") - F.col("_sd").cast("double"))
+                / (2.0 * F.col("m_used").cast("double"))
+            ).alias("ibs"),
+        )
+    )
+
+
+def ibs_packed_oracle_sql(min_m: int = 1) -> str:
+    """DuckDB oracle twin of pack_2bit_genotypes -> ibs_from_packed over
+    the gvariants/gcalls CTEs: per-cell packed dosage (MAX-dedupe
+    $dosage_alt2), pairwise |dx - dy| sums, the identical final float
+    expression."""
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id, {_DOSE_PACKED_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
+        ), s AS (
+          SELECT a.sample_id AS sample_i, b.sample_id AS sample_j,
+                 COUNT(*) AS m_used,
+                 CAST(SUM(ABS(a.d - b.d)) AS BIGINT) AS sd
+          FROM dnn a JOIN dnn b ON a.variant_id = b.variant_id
+                              AND a.sample_id < b.sample_id
+          GROUP BY a.sample_id, b.sample_id
+        )
+        SELECT sample_i, sample_j, m_used,
+               (2.0 * CAST(m_used AS DOUBLE) - CAST(sd AS DOUBLE))
+                 / (2.0 * CAST(m_used AS DOUBLE)) AS ibs
+        FROM s WHERE m_used >= {int(min_m)}
+    """

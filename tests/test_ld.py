@@ -256,3 +256,38 @@ def test_ld_pairs_from_packed_bit_identical(spark):
     am, bm = a["r2"].isna(), b["r2"].isna()
     assert (am == bm).all()
     assert (a["r2"][~am] == b["r2"][~bm]).all()  # bit-identical
+
+
+def test_ibs_from_packed_planted(spark):
+    """IBS semantics: identical rows -> 1.0; one allele apart -> 0.75
+    mean on half the variants; opposite homozygotes -> 0.0; missing
+    cells drop from m_used."""
+    import math
+
+    import numpy as np
+
+    from seqarray_spark.operators.ld import ibs_from_packed
+
+    sids = ["S0", "S1", "S2", "S3"]
+    # variants x samples codes: S0 == S1; S2 opposite-homozygote of S0;
+    # S3 = one allele apart from S0 everywhere; last variant missing on S3
+    codes = np.array(
+        [
+            [0, 0, 2, 1],
+            [2, 2, 0, 1],
+            [0, 0, 2, 1],
+            [2, 2, 0, 3],
+        ],
+        dtype=np.uint8,
+    )
+    packed = _packed_frame(spark, codes, sids)
+    out = {
+        (r["sample_i"], r["sample_j"]): r
+        for r in ibs_from_packed(packed, sids).collect()
+    }
+    assert out[("S0", "S1")]["m_used"] == 4
+    assert out[("S0", "S1")]["ibs"] == 1.0
+    assert out[("S0", "S2")]["ibs"] == 0.0
+    r = out[("S0", "S3")]
+    assert r["m_used"] == 3  # the missing cell drops
+    assert math.isclose(r["ibs"], (2 * 3 - 3) / (2 * 3))  # |d|=1 each -> 0.5
