@@ -224,10 +224,11 @@ def ld_pairs_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
 
 def ld_prune(
     variants: DataFrame,
-    calls: DataFrame,
+    calls: DataFrame | None,
     bp_window: int = 50_000,
     tau: float = 0.2,
     min_n: int = 1,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Single-pass LD prune: drop every variant whose r² with ANY
     earlier variant (in (position, variant_id) order, within
@@ -242,8 +243,16 @@ def ld_prune(
     dominated-by-earlier rule is one anti-join over the ld_pairs
     relation — strictly more aggressive (kept ⊆ greedy-kept), same
     purpose (an approximately-independent marker set), and
-    SQL-expressible for the oracle."""
-    pairs = ld_pairs(variants, calls, bp_window=bp_window, min_n=min_n)
+    SQL-expressible for the oracle.
+
+    ``pairs=`` accepts a precomputed (va, vb, n_used, r2) relation —
+    e.g. ld_pairs_from_packed's output, so the pruning anti-join rides
+    the packed substrate at biobank scale — instead of building one
+    from ``calls``."""
+    if pairs is None:
+        if calls is None:
+            raise ValueError("ld_prune needs calls= or pairs=")
+        pairs = ld_pairs(variants, calls, bp_window=bp_window, min_n=min_n)
     dropped = (
         pairs.where(F.col("r2") > float(tau))
         .select(F.col("vb").alias("variant_id"))

@@ -291,3 +291,21 @@ def test_ibs_from_packed_planted(spark):
     r = out[("S0", "S3")]
     assert r["m_used"] == 3  # the missing cell drops
     assert math.isclose(r["ibs"], (2 * 3 - 3) / (2 * 3))  # |d|=1 each -> 0.5
+
+
+def test_ld_prune_accepts_precomputed_pairs(spark):
+    from seqarray_spark.operators.ld import ld_pairs, ld_prune
+
+    calls = []
+    for i, d in enumerate([0, 1, 2, 0, 2]):
+        al = [0, 0] if d == 0 else ([0, 1] if d == 1 else [1, 1])
+        calls += [(1, f"S{i}", al), (2, f"S{i}", al), (3, f"S{i}", al), (4, f"S{i}", al)]
+    v, c = _mk(spark, calls)
+    pre = ld_pairs(v, c, bp_window=5000)
+    a = sorted(r["variant_id"] for r in ld_prune(v, c, bp_window=5000, tau=0.3).collect())
+    b = sorted(r["variant_id"] for r in ld_prune(v, None, tau=0.3, pairs=pre).collect())
+    assert a == b == [1, 3, 4]
+    import pytest
+
+    with pytest.raises(ValueError, match="calls= or pairs="):
+        ld_prune(v, None)
