@@ -371,10 +371,7 @@ def grm_pairs_oracle_sql(min_m: int = 1, unit_scale: int = 6) -> str:
     scale = float(10 ** int(unit_scale))
     return f"""
         , dose AS (
-          SELECT variant_id, sample_id,
-                 MIN(CASE WHEN a1 IS NULL OR a2 IS NULL THEN NULL
-                      ELSE (CASE WHEN a1 <> 0 THEN 1 ELSE 0 END)
-                         + (CASE WHEN a2 <> 0 THEN 1 ELSE 0 END) END) AS d
+          SELECT variant_id, sample_id, {_DOSE_ALT_SQL} AS d
           FROM gcalls GROUP BY variant_id, sample_id
         ), dnn AS (
           SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
@@ -465,10 +462,12 @@ def grm_pairs_blas(
         return calls.sparkSession.createDataFrame(
             [], "sample_i string, sample_j string, m_used bigint, grm double"
         )
-    lab_arr = np.asarray(labels)
-    sid_map = F.map_from_arrays(
-        F.array(*[F.lit(s) for s in labels]),
-        F.array(*[F.lit(i) for i in range(len(labels))]),
+    # sample -> ordinal as a BROADCAST hash join (the pack_2bit_genotypes
+    # lesson: a literal map + element_at evaluates as a linear scan of
+    # the map per row — O(n_samp) per call entry — where the hash join
+    # probe is O(1))
+    ord_df = calls.sparkSession.createDataFrame(
+        [(s, i) for i, s in enumerate(labels)], "sample_id string, _sid int"
     )
     st = d.groupBy("variant_id").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("d").alias("_s")
@@ -478,11 +477,15 @@ def grm_pairs_blas(
     z = (F.col("d").cast("double") - twop) / F.sqrt(
         twop * (F.lit(1.0) - twop / F.lit(2.0))
     )
-    zd = d.join(st, "variant_id").select(
-        F.pmod(F.xxhash64("variant_id"), F.lit(g_num)).alias("_g"),
-        "variant_id",
-        F.element_at(sid_map, F.col("sample_id")).alias("_sid"),
-        z.alias("_z"),
+    zd = (
+        d.join(st, "variant_id")
+        .join(F.broadcast(ord_df), "sample_id")
+        .select(
+            F.pmod(F.xxhash64("variant_id"), F.lit(g_num)).alias("_g"),
+            "variant_id",
+            "_sid",
+            z.alias("_z"),
+        )
     )
     n_samp = len(labels)
 
@@ -500,32 +503,60 @@ def grm_pairs_blas(
         dots = zf @ zf.T
         ms = mask @ mask.T
         iu, ju = np.triu_indices(n_samp, k=1)
+        # partials ship 4-byte pair codes, not string ids — the label
+        # attach happens once, after the final (i, j)-keyed agg (the
+        # grm_from_packed ending)
         return pd.DataFrame(
             {
-                "sample_i": lab_arr[iu],
-                "sample_j": lab_arr[ju],
+                "_si": iu.astype(np.int32),
+                "_sj": ju.astype(np.int32),
                 "pdot": dots[iu, ju],
                 "pm": ms[iu, ju],
             }
         )
 
     partials = zd.groupBy("_g").applyInPandas(
-        _block, "sample_i string, sample_j string, pdot double, pm double"
+        _block, "_si int, _sj int, pdot double, pm double"
     )
+    lab_col = F.array(*[F.lit(s) for s in labels])
     return (
-        partials.groupBy("sample_i", "sample_j")
+        partials.groupBy("_si", "_sj")
         .agg(
             F.sum("pm").cast("bigint").alias("m_used"),
             F.sum("pdot").alias("_dot"),
         )
         .where(F.col("m_used") >= int(min_m))
         .select(
-            "sample_i",
-            "sample_j",
+            F.element_at(lab_col, F.col("_si") + 1).alias("sample_i"),
+            F.element_at(lab_col, F.col("_sj") + 1).alias("sample_j"),
             "m_used",
             (F.col("_dot") / F.col("m_used").cast("double")).alias("grm"),
         )
     )
+
+
+def _packed_batch_codes(rb, n_samp_expected: int, codes_lut):
+    """One Arrow batch of packed rows -> (n_rows, n_samp) 2-bit code
+    matrix with the pad lanes trimmed (None for empty batches),
+    validating each batch's n_samples against the caller's sample
+    axis — the decode scaffolding shared by the packed sample-pair
+    kernels (grm_from_packed / ibs_from_packed)."""
+    from seqarray_spark.sources.packed import decode_packed_matrix
+
+    n = rb.num_rows
+    if not n:
+        return None
+    names = rb.schema.names
+    pk = rb.column(names.index("packed"))
+    n_samp = int(rb.column(names.index("n_samples"))[0].as_py())
+    if n_samp != n_samp_expected:
+        raise ValueError(
+            f"packed rows carry n_samples={n_samp}, caller supplied "
+            f"{n_samp_expected} sample ids"
+        )
+    stride = (n_samp + 3) // 4
+    mat = decode_packed_matrix(pk, n, stride)
+    return codes_lut[mat].reshape(n, stride * 4)[:, :n_samp]
 
 
 def grm_from_packed(
@@ -565,7 +596,7 @@ def grm_from_packed(
     import numpy as np
     import pyarrow as pa
 
-    from seqarray_spark.sources.packed import _code_lut, decode_packed_matrix
+    from seqarray_spark.sources.packed import _code_lut
 
     dt = np.dtype(dtype)
     if dt not in (np.dtype("float32"), np.dtype("float64")):
@@ -581,21 +612,9 @@ def grm_from_packed(
         ms = np.zeros_like(dots)
         saw = False
         for rb in batches:
-            n = rb.num_rows
-            if not n:
+            codes = _packed_batch_codes(rb, n_samp_expected, codes_lut)
+            if codes is None:
                 continue
-            names = rb.schema.names
-            pk = rb.column(names.index("packed"))
-            n_samp = int(rb.column(names.index("n_samples"))[0].as_py())
-            if n_samp != n_samp_expected:
-                raise ValueError(
-                    f"packed rows carry n_samples={n_samp}, caller supplied "
-                    f"{n_samp_expected} sample ids"
-                )
-            stride = (n_samp + 3) // 4
-            mat = decode_packed_matrix(pk, n, stride)
-            # expand bytes -> 2-bit codes, trim the pad lanes
-            codes = codes_lut[mat].reshape(n, stride * 4)[:, :n_samp]
             mask = codes != 3
             nonmiss = mask.sum(axis=1)
             alt = np.where(mask, codes, 0).sum(axis=1, dtype=np.int64)
@@ -757,7 +776,9 @@ def ld_pairs_from_packed(
                     np.nan,
                 )
             keep = n >= int(min_n)
-            # same-position rows sorted before b need the id tiebreak
+            # the lexsort already orders same-position rows by id (so
+            # vid[sl] < vid[b] holds for every tie); this guard only
+            # protects against duplicate variant rows reaching the kernel
             tie = pos[sl] == pos[b]
             if tie.any():
                 keep &= ~tie | (vid[sl] < vid[b])
@@ -819,7 +840,7 @@ def ibs_from_packed(
     import numpy as np
     import pyarrow as pa
 
-    from seqarray_spark.sources.packed import _code_lut, decode_packed_matrix
+    from seqarray_spark.sources.packed import _code_lut
 
     n_samp_expected = len(sample_ids)
     if n_samp_expected < 2:
@@ -832,20 +853,9 @@ def ibs_from_packed(
         ms = np.zeros_like(sumd)
         saw = False
         for rb in batches:
-            n = rb.num_rows
-            if not n:
+            codes = _packed_batch_codes(rb, n_samp_expected, codes_lut)
+            if codes is None:
                 continue
-            names = rb.schema.names
-            pk = rb.column(names.index("packed"))
-            n_samp = int(rb.column(names.index("n_samples"))[0].as_py())
-            if n_samp != n_samp_expected:
-                raise ValueError(
-                    f"packed rows carry n_samples={n_samp}, caller supplied "
-                    f"{n_samp_expected} sample ids"
-                )
-            stride = (n_samp + 3) // 4
-            mat = decode_packed_matrix(pk, n, stride)
-            codes = codes_lut[mat].reshape(n, stride * 4)[:, :n_samp]
             saw = True
             i0 = (codes == 0).astype(np.float64)
             i1 = (codes == 1).astype(np.float64)
