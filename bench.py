@@ -18,6 +18,53 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+shared_r7 = [
+    "doc_incremental_dedup", "doc_dup_clusters", "emb_dup_pairs",
+    "doc_vocab_top", "seq_chrom_rle", "seq_geno_gt", "doc_domain_mix",
+    "seq_row_ranges", "seq_col_data", "doc_repetition",
+    "doc_pack_batches", "doc_stratified_sample", "doc_contamination",
+    "doc_pii_scrub", "doc_lm_score", "mm_media_meta",
+    "mm_feature_extract", "mm_real_decode", "seq_af_at_allele",
+    "seq_per_allele_counts", "seq_af_ac_missing", "seq_num_allele",
+    "seq_summary_chrom", "seq_qual_quantiles", "seq_filter_chrom_range",
+    "seq_filter_cond", "seq_filter_pos", "seq_filter_ranges",
+    "seq_chrom_pos2", "seq_dosage_alt", "seq_allele_string",
+    "seq_dosage_sparse", "seq_dosage_sparse2", "seq_block_apply",
+    "seq_sliding_windows", "seq_window_dosage", "seq_merge_variant_af",
+    "seq_merge_sample_af", "seq_digest_chrom", "seq_dosage_af",
+    "seq_pack_genotypes", "gds_read_af", "ev_hourly_by_type",
+    "ev_sessionize", "ev_asof_join", "seq_interval_annotate",
+    "doc_token_count", "dedup_exact", "doc_quality", "doc_lang_guess",
+    "doc_minhash_dups", "doc_ngram_dups", "doc_simhash",
+    "doc_fingerprint", "emb_cosine_topk", "emb_ivf_topk",
+    "emb_ivf_topk_full", "doc_normalize", "q1_pricing_summary",
+    "q3_top_revenue", "q5_region_volume", "q_topk_per_group",
+    "seq_allele_freq_ref", "seq_allele_count_minor",
+    "seq_missing_variant", "seq_missing_sample",
+]
+# r8 additions on top of r7 (BENCH_r08.json's 70-name set = r7 + these):
+shared_r8 = shared_r7 + [
+    "doc_incremental_exact", "seq_header_catalogs", "doc_boilerplate",
+    "emb_kmeans_cells",
+]
+# r9 additions on top of r8 (BENCH_r09.json's 73-name set = r8 + these):
+shared_r9 = shared_r8 + [
+    "emb_semantic_dedup", "emb_pq_codes", "emb_pq_adc_topk",
+]
+# r10 additions on top of r9 (the 88-name set = r9 + these; the
+# full round-10 registry as the driver records BENCH_r10.json —
+# keep in lockstep with _queries() or the subtotal silently
+# under-covers the registry while claiming it):
+shared_r10 = shared_r9 + [
+    "emb_incremental_dedup", "emb_ivf_pq_topk",
+    "emb_ivf_pq_residual_topk", "emb_knn_join", "emb_ivf_pq_rerank",
+    "emb_knn_join_pq", "doc_chunk_windows",
+    "doc_bm25_topk", "doc_dsir_weights", "doc_window_dups",
+    "seq_ld_pairs", "seq_ld_prune", "seq_grm_pairs",
+    "seq_ld_pairs_packed", "seq_ibs_pairs",
+]
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -82,50 +129,6 @@ def main() -> None:
     # These subtotals are computed over FROZEN query sets so the next
     # verdict can read like-for-like deltas straight off the BENCH file.
     # BENCH_r07.json's query set (66 names), recorded verbatim:
-    shared_r7 = [
-        "doc_incremental_dedup", "doc_dup_clusters", "emb_dup_pairs",
-        "doc_vocab_top", "seq_chrom_rle", "seq_geno_gt", "doc_domain_mix",
-        "seq_row_ranges", "seq_col_data", "doc_repetition",
-        "doc_pack_batches", "doc_stratified_sample", "doc_contamination",
-        "doc_pii_scrub", "doc_lm_score", "mm_media_meta",
-        "mm_feature_extract", "mm_real_decode", "seq_af_at_allele",
-        "seq_per_allele_counts", "seq_af_ac_missing", "seq_num_allele",
-        "seq_summary_chrom", "seq_qual_quantiles", "seq_filter_chrom_range",
-        "seq_filter_cond", "seq_filter_pos", "seq_filter_ranges",
-        "seq_chrom_pos2", "seq_dosage_alt", "seq_allele_string",
-        "seq_dosage_sparse", "seq_dosage_sparse2", "seq_block_apply",
-        "seq_sliding_windows", "seq_window_dosage", "seq_merge_variant_af",
-        "seq_merge_sample_af", "seq_digest_chrom", "seq_dosage_af",
-        "seq_pack_genotypes", "gds_read_af", "ev_hourly_by_type",
-        "ev_sessionize", "ev_asof_join", "seq_interval_annotate",
-        "doc_token_count", "dedup_exact", "doc_quality", "doc_lang_guess",
-        "doc_minhash_dups", "doc_ngram_dups", "doc_simhash",
-        "doc_fingerprint", "emb_cosine_topk", "emb_ivf_topk",
-        "emb_ivf_topk_full", "doc_normalize", "q1_pricing_summary",
-        "q3_top_revenue", "q5_region_volume", "q_topk_per_group",
-        "seq_allele_freq_ref", "seq_allele_count_minor",
-        "seq_missing_variant", "seq_missing_sample",
-    ]
-    # r8 additions on top of r7 (BENCH_r08.json's 70-name set = r7 + these):
-    shared_r8 = shared_r7 + [
-        "doc_incremental_exact", "seq_header_catalogs", "doc_boilerplate",
-        "emb_kmeans_cells",
-    ]
-    # r9 additions on top of r8 (BENCH_r09.json's 73-name set = r8 + these):
-    shared_r9 = shared_r8 + [
-        "emb_semantic_dedup", "emb_pq_codes", "emb_pq_adc_topk",
-    ]
-    # r10 additions on top of r9 (the 86-name set = r9 + these; the
-    # full round-10 registry as the driver records BENCH_r10.json —
-    # keep in lockstep with _queries() or the subtotal silently
-    # under-covers the registry while claiming it):
-    shared_r10 = shared_r9 + [
-        "emb_incremental_dedup", "emb_ivf_pq_topk",
-        "emb_ivf_pq_residual_topk", "emb_knn_join", "emb_ivf_pq_rerank",
-        "emb_knn_join_pq", "doc_chunk_windows",
-        "doc_bm25_topk", "doc_dsir_weights", "doc_window_dups",
-        "seq_ld_pairs", "seq_ld_prune", "seq_grm_pairs",
-    ]
 
     def subtotal(names: list[str]) -> float | None:
         vals = [timings[n] for n in names if n in timings and timings[n] >= 0]

@@ -87,3 +87,15 @@ def test_plans_md_covers_whole_registry():
         dumped = {ln[3:].strip() for ln in fh if ln.startswith("## ")}
     missing = set(entry_mod.queries()) - dumped
     assert not missing, f"PLANS.md missing plans for: {sorted(missing)}"
+
+
+def test_bench_shared_r10_covers_full_registry():
+    """The shared_r10 frozen set is documented as the full round-10
+    registry; this pins the lockstep so a new queries() entry cannot
+    ship outside the like-for-like subtotal (the r10 review's bench
+    drift, made structural)."""
+    import bench
+
+    import __spark_entry__ as entry_mod
+
+    assert set(bench.shared_r10) == set(entry_mod.queries())
