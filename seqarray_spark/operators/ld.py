@@ -924,3 +924,57 @@ def ibs_packed_oracle_sql(min_m: int = 1) -> str:
                  / (2.0 * CAST(m_used AS DOUBLE)) AS ibs
         FROM s WHERE m_used >= {int(min_m)}
     """
+
+
+def grm_pca(
+    grm: DataFrame,
+    k: int = 10,
+    diag: float = 1.0,
+) -> DataFrame:
+    """Sample principal components from a GRM pair relation — the
+    SNPRelate snpgdsPCA step downstream of grm_pairs/grm_from_packed
+    (population-structure axes for association-study covariates).
+
+    Input: (sample_i, sample_j, m_used, grm) upper-triangle pairs (any
+    of the three GRM forms). The symmetric matrix is assembled
+    DRIVER-SIDE — n_samples^2 doubles, the operator's documented bound
+    (n <= ~30k fits a driver comfortably; past that, distributed
+    tricks like randomized sketching belong in front) — with `diag` on
+    the diagonal (the GCTA self-relatedness diagonal is ~1; it shifts
+    eigenvalues but not eigenvectors when constant). numpy.linalg.eigh
+    returns the top-k eigenpairs; each eigenvector's sign is fixed
+    deterministically (largest-|loading| entry made positive) since
+    eigenvectors are sign-ambiguous across LAPACK builds.
+
+    Output: one row per sample — (sample_id, pc array<double> of k
+    loadings) — plus eigenvalues in DataFrame metadata-free form: the
+    first row ordering is lexicographic sample_id, matching the pair
+    relation's orientation."""
+    import numpy as np
+
+    rows = grm.select("sample_i", "sample_j", "grm").collect()
+    ids = sorted({r["sample_i"] for r in rows} | {r["sample_j"] for r in rows})
+    if not ids:
+        return grm.sparkSession.createDataFrame(
+            [], "sample_id string, pc array<double>"
+        )
+    pos = {s: i for i, s in enumerate(ids)}
+    n = len(ids)
+    a = np.full((n, n), float(diag)) * np.eye(n)
+    for r in rows:
+        i, j = pos[r["sample_i"]], pos[r["sample_j"]]
+        v = float(r["grm"]) if r["grm"] is not None else 0.0
+        a[i, j] = v
+        a[j, i] = v
+    vals, vecs = np.linalg.eigh(a)
+    order = np.argsort(vals)[::-1][: int(k)]
+    comps = vecs[:, order]
+    # deterministic sign: the largest-magnitude loading is positive
+    for c in range(comps.shape[1]):
+        m = int(np.argmax(np.abs(comps[:, c])))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    return grm.sparkSession.createDataFrame(
+        [(s, [float(x) for x in comps[i]]) for i, s in enumerate(ids)],
+        "sample_id string, pc array<double>",
+    )

@@ -309,3 +309,31 @@ def test_ld_prune_accepts_precomputed_pairs(spark):
 
     with pytest.raises(ValueError, match="calls= or pairs="):
         ld_prune(v, None)
+
+
+def test_grm_pca_separates_planted_populations(spark):
+    """Two planted populations (distinct allele-frequency profiles)
+    must separate on PC1, and eigenvector sign is deterministic."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import grm_from_packed, grm_pca
+
+    rng = np.random.default_rng(3)
+    V, S = 500, 30
+    pops = np.array([0] * 15 + [1] * 15)
+    codes = np.empty((V, S), dtype=np.uint8)
+    for v in range(V):
+        p = (0.1, 0.9) if v % 2 == 0 else (0.9, 0.1)
+        for s in range(S):
+            maf = p[pops[s]]
+            codes[v, s] = (rng.random() < maf) + (rng.random() < maf)
+    sids = [f"S{i:02d}" for i in range(S)]
+    grm = grm_from_packed(_packed_frame(spark, codes, sids), sids)
+    out = {r["sample_id"]: r["pc"] for r in grm_pca(grm, k=2).collect()}
+    pc1 = np.array([out[s][0] for s in sids])
+    g0, g1 = pc1[pops == 0], pc1[pops == 1]
+    # the two populations occupy disjoint PC1 ranges
+    assert max(g0.max(), g1.max()) > 0 and (g0.max() < g1.min() or g1.max() < g0.min())
+    # determinism across two runs
+    out2 = {r["sample_id"]: r["pc"] for r in grm_pca(grm, k=2).collect()}
+    assert out == out2
