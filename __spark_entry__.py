@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r10 additions (newest first) ------------------------------------
+        "seq_king_kinship": seq_king_kinship,
         "seq_ibs_pairs": seq_ibs_pairs,
         "seq_ld_pairs_packed": seq_ld_pairs_packed,
         "seq_grm_pairs": seq_grm_pairs,
@@ -683,6 +684,20 @@ def seq_ld_pairs_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = td.variant_dataset(spark, sf_dir)
     packed = pack_2bit_genotypes(ds)
     return ld_pairs_from_packed(packed, td.gvariants(spark, sf_dir), bp_window=5000)
+
+
+def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KING-robust kinship over the packed column (new r10; Manichaikul
+    et al. 2010 — the relatedness estimator biobank QC runs, robust to
+    population structure): one-hot matmul kernel, exact integer counts,
+    zero wide shuffles; same substrate as seq_ibs_pairs/seq_grm_pairs."""
+    from seqarray_spark.dataset import ordered_sample_ids
+    from seqarray_spark.operators.ld import king_from_packed
+    from seqarray_spark.sources.packed import pack_2bit_genotypes
+
+    ds = td.variant_dataset(spark, sf_dir)
+    sids = ordered_sample_ids(ds.samples)
+    return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
 
 
 def seq_ibs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1752,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import ld_pairs_oracle_sql as _ld_oracle
     from seqarray_spark.operators.ld import grm_pairs_oracle_sql as _grm_oracle
     from seqarray_spark.operators.ld import ibs_packed_oracle_sql as _ibs_oracle
+    from seqarray_spark.operators.ld import king_packed_oracle_sql as _king_oracle
     from seqarray_spark.operators.ld import (
         ld_pairs_packed_oracle_sql as _ldpk_oracle,
     )
@@ -1767,6 +1783,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_grm_pairs": P + _grm_oracle(),
         "seq_ld_pairs_packed": P + _ldpk_oracle(bp_window=5000),
         "seq_ibs_pairs": P + _ibs_oracle(),
+        "seq_king_kinship": P + _king_oracle(),
         "doc_bm25_topk": bm25_topk_sql("spark hash join window", k=20),
         "doc_dsir_weights": dsir_logratios_sql("source = 'src18'"),
         "doc_window_dups": """

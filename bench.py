@@ -61,7 +61,7 @@ shared_r10 = shared_r9 + [
     "emb_knn_join_pq", "doc_chunk_windows",
     "doc_bm25_topk", "doc_dsir_weights", "doc_window_dups",
     "seq_ld_pairs", "seq_ld_prune", "seq_grm_pairs",
-    "seq_ld_pairs_packed", "seq_ibs_pairs",
+    "seq_ld_pairs_packed", "seq_ibs_pairs", "seq_king_kinship",
 ]
 
 

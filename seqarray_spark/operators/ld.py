@@ -978,3 +978,131 @@ def grm_pca(
         [(s, [float(x) for x in comps[i]]) for i, s in enumerate(ids)],
         "sample_id string, pc array<double>",
     )
+
+
+def king_from_packed(
+    packed: DataFrame,
+    sample_ids: list[str],
+    min_n: int = 1,
+) -> DataFrame:
+    """KING-robust kinship for every sample pair over the 2-bit packed
+    column (Manichaikul et al. 2010, the estimator biobank QC actually
+    runs — robust to population structure, unlike the allele-frequency-
+    standardized GRM):
+
+        phi_ij = (N_het,het − 2·N_opp-hom) / (N_het(i;j) + N_het(j;i))
+
+    over co-called sites, where N_het(i;j) counts sites where i is
+    heterozygous among those co-called with j. Every term is an exact
+    integer from the same one-hot matmuls as IBS: N_het,het = I1'I1,
+    N_opp-hom = I0'I2 + I2'I0, and the het-given-co-called matrix
+    H = I1'(I0+I1+I2) gives both asymmetric terms as H_ij and H_ji.
+    Same zero-wide-shuffle mapInArrow shape; kinship is NULL when
+    neither sample is ever het on co-called sites (denominator 0 —
+    e.g. fully homozygous pairs). Thresholds: ~0.354+ duplicates/MZ
+    twins, 0.177-0.354 first degree, 0.088-0.177 second degree."""
+    import numpy as np
+    import pyarrow as pa
+
+    from seqarray_spark.sources.packed import _code_lut
+
+    n_samp_expected = len(sample_ids)
+    if n_samp_expected < 2:
+        raise ValueError("KING needs >= 2 samples")
+    iu, ju = np.triu_indices(n_samp_expected, k=1)
+
+    def kernel(batches):
+        codes_lut = _code_lut()
+        hh = np.zeros((n_samp_expected, n_samp_expected))
+        opp = np.zeros_like(hh)
+        het = np.zeros_like(hh)  # H[i, j] = co-called sites where i het
+        ms = np.zeros_like(hh)
+        saw = False
+        for rb in batches:
+            codes = _packed_batch_codes(rb, n_samp_expected, codes_lut)
+            if codes is None:
+                continue
+            saw = True
+            i0 = (codes == 0).astype(np.float64)
+            i1 = (codes == 1).astype(np.float64)
+            i2 = (codes == 2).astype(np.float64)
+            known = i0 + i1 + i2
+            hh += i1.T @ i1
+            m02 = i0.T @ i2
+            opp += m02 + m02.T
+            het += i1.T @ known
+            ms += known.T @ known
+        if saw:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(iu.astype(np.int32)),
+                    pa.array(ju.astype(np.int32)),
+                    pa.array(hh[iu, ju]),
+                    pa.array(opp[iu, ju]),
+                    pa.array(het[iu, ju]),
+                    pa.array(het.T[iu, ju]),
+                    pa.array(ms[iu, ju]),
+                ],
+                names=["_si", "_sj", "hh", "opp", "het_i", "het_j", "pm"],
+            )
+
+    partials = packed.select("variant_id", "n_samples", "packed").mapInArrow(
+        kernel,
+        schema=(
+            "_si int, _sj int, hh double, opp double, het_i double, "
+            "het_j double, pm double"
+        ),
+    )
+    labels = F.array(*[F.lit(s) for s in sample_ids])
+    hsum = (F.sum("het_i") + F.sum("het_j")).cast("bigint")
+    phi = F.when(
+        hsum > 0,
+        (F.sum("hh").cast("bigint").cast("double")
+         - 2.0 * F.sum("opp").cast("bigint").cast("double"))
+        / hsum.cast("double"),
+    )
+    return (
+        partials.groupBy("_si", "_sj")
+        .agg(
+            F.sum("pm").cast("bigint").alias("m_used"),
+            phi.alias("kinship"),
+        )
+        .where(F.col("m_used") >= int(min_m := int(min_n)))
+        .select(
+            F.element_at(labels, F.col("_si") + 1).alias("sample_i"),
+            F.element_at(labels, F.col("_sj") + 1).alias("sample_j"),
+            "m_used",
+            "kinship",
+        )
+    )
+
+
+def king_packed_oracle_sql(min_n: int = 1) -> str:
+    """DuckDB oracle twin of pack_2bit_genotypes -> king_from_packed
+    over the gvariants/gcalls CTEs: pairwise het/opp-hom counts with
+    the packed ($dosage_alt2, MAX-dedupe) semantics, identical final
+    float expression."""
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id, {_DOSE_PACKED_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
+        ), s AS (
+          SELECT a.sample_id AS sample_i, b.sample_id AS sample_j,
+                 COUNT(*) AS m_used,
+                 CAST(SUM(CASE WHEN a.d = 1 AND b.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hh,
+                 CAST(SUM(CASE WHEN ABS(a.d - b.d) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS opp,
+                 CAST(SUM(CASE WHEN a.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS het_i,
+                 CAST(SUM(CASE WHEN b.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS het_j
+          FROM dnn a JOIN dnn b ON a.variant_id = b.variant_id
+                              AND a.sample_id < b.sample_id
+          GROUP BY a.sample_id, b.sample_id
+        )
+        SELECT sample_i, sample_j, m_used,
+               CASE WHEN het_i + het_j > 0
+                    THEN (CAST(hh AS DOUBLE) - 2.0 * CAST(opp AS DOUBLE))
+                         / CAST(het_i + het_j AS DOUBLE)
+               END AS kinship
+        FROM s WHERE m_used >= {int(min_n)}
+    """

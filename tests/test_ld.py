@@ -337,3 +337,43 @@ def test_grm_pca_separates_planted_populations(spark):
     # determinism across two runs
     out2 = {r["sample_id"]: r["pc"] for r in grm_pca(grm, k=2).collect()}
     assert out == out2
+
+
+def test_king_from_packed_planted_relationships(spark):
+    """KING-robust semantics: duplicate samples -> phi == 0.5 on het
+    sites (hh == het counts, no opposite homozygotes); unrelated
+    opposite-profile samples -> strongly negative; all-homozygous pair
+    -> NULL (denominator 0)."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import king_from_packed
+
+    sids = ["DUP1", "DUP2", "HOMA", "HOMB", "OPP"]
+    # 6 variants: DUP1 == DUP2 (mixed het/hom); OPP = opposite
+    # homozygote on DUP1's het sites; HOMA/HOMB all-homozygous
+    codes = np.array(
+        [
+            [1, 1, 0, 2, 1],
+            [0, 0, 0, 0, 2],
+            [1, 1, 2, 0, 1],
+            [2, 2, 0, 2, 0],
+            [1, 1, 0, 0, 1],
+            [0, 0, 2, 2, 2],
+        ],
+        dtype=np.uint8,
+    )
+    packed = _packed_frame(spark, codes, sids)
+    out = {
+        (r["sample_i"], r["sample_j"]): r
+        for r in king_from_packed(packed, sids).collect()
+    }
+    dup = out[("DUP1", "DUP2")]
+    # identical: hh = 3 het sites, opp = 0, het_i + het_j = 6 -> 0.5
+    assert dup["kinship"] == 0.5
+    # DUP1 vs OPP: het-mirroring at 3 sites (hh = 3), opposite
+    # homozygotes at the other 3 (opp = 3), het sums 3 + 3
+    # -> (3 - 6) / 6 = -0.5
+    assert out[("DUP1", "OPP")]["kinship"] == -0.5
+    # two all-homozygous samples: zero het on both sides -> NULL
+    assert out[("HOMA", "HOMB")]["kinship"] is None
+    assert out[("HOMA", "HOMB")]["m_used"] == 6
