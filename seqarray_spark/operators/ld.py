@@ -1067,7 +1067,7 @@ def king_from_packed(
             F.sum("pm").cast("bigint").alias("m_used"),
             phi.alias("kinship"),
         )
-        .where(F.col("m_used") >= int(min_m := int(min_n)))
+        .where(F.col("m_used") >= int(min_n))
         .select(
             F.element_at(labels, F.col("_si") + 1).alias("sample_i"),
             F.element_at(labels, F.col("_sj") + 1).alias("sample_j"),

@@ -390,29 +390,38 @@ def test_no_pinned_storage_after_queries(spark, docs):
     from seqarray_spark.operators.aggregates import missing_rate
     from seqarray_spark.operators.dedup import ngram_jaccard_pairs
 
-    jsc_sc = spark.sparkContext._jsc.sc()
-    base = jsc_sc.getPersistentRDDs().size()
+    def pinned_ids() -> set:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
 
+    # track the ngram persist's OWN rdd ids, not the global count: in the
+    # shared pytest session other tests' release_on_gc frames may be
+    # collected by OUR gc.collect(), so count deltas race (one full-suite
+    # flake observed r10) while id-set membership cannot
+    base = pinned_ids()
     res = ngram_jaccard_pairs(docs, tau=0.5)
     res.count()
-    assert jsc_sc.getPersistentRDDs().size() > base  # persist in force
+    ours = pinned_ids() - base
+    assert ours  # persist in force
     del res
     gc.collect()
-    assert jsc_sc.getPersistentRDDs().size() <= base, "ngram cand still pinned"
+    assert not (pinned_ids() & ours), "ngram cand still pinned"
 
     calls = docs.limit(4).select(
         F.monotonically_increasing_id().alias("variant_id"),
         F.lit("s").alias("sample_id"),
         F.array(F.lit(0), F.lit(1)).alias("alleles"),
     )
+    base = pinned_ids()
     v, s = missing_rate(calls, per="both")
     assert v.count() > 0 and s.count() == 1
     del v
     gc.collect()  # one result still alive -> aggregate stays cached
-    assert jsc_sc.getPersistentRDDs().size() > base
+    ours = pinned_ids() - base
+    assert ours
     del s
     gc.collect()
-    assert jsc_sc.getPersistentRDDs().size() <= base, "both-agg still pinned"
+    assert not (pinned_ids() & ours), "both-agg still pinned"
 
 
 def test_dup_clusters_transitive(spark):
