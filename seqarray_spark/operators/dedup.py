@@ -682,9 +682,18 @@ def ngram_jaccard_pairs(
             F.slice(
                 F.array_sort(F.collect_list(F.struct("df", "shingle"))),
                 F.lit(1),
+                # +1e-9 before floor: (1-tau)*|d| lands EXACTLY on an
+                # integer for boundary sizes (e.g. tau=0.8, |d|=10 ->
+                # exact 2.0) but the double 1-0.8 = 0.19999999999999996
+                # truncates it to 1, cutting the prefix one short and
+                # silently LOSING true boundary pairs (found by the
+                # sf0.1 oracle sweep: a J=0.8 pair at tau=0.8 vanished).
+                # The epsilon only ever LENGTHENS the prefix — pruning
+                # stays exact, marginally looser.
                 (
                     F.floor(
                         F.lit(1.0 - float(tau)) * F.count(F.lit(1))
+                        + F.lit(1e-9)
                     ).cast("int")
                     + 1
                 ),
@@ -720,12 +729,18 @@ def ngram_jaccard_pairs(
     # dropped), so the in-bucket k^2 is the same candidate count the
     # join produced.
     t = float(tau)
+    # Every pruning bound gets a 1e-9 slack in the KEEP direction: at
+    # exact boundaries the float products overshoot (0.8*10 =
+    # 8.000000000000002 > 8 rejected a true J=0.8 pair on the length
+    # filter; ceil of a barely-overshot alpha would do the same on the
+    # positional filter). Slack only admits extra candidates — the
+    # exact verify step still decides — so the operator stays exact.
     pair_expr = (
         "flatten(transform(ps, a -> transform(filter(ps, b -> "
         "b._id > a._id "
-        f"AND least(a.__len, b.__len) >= {t} * greatest(a.__len, b.__len) "
+        f"AND least(a.__len, b.__len) >= {t} * greatest(a.__len, b.__len) - 1e-9 "
         "AND least(a.__len - a.__pos, b.__len - b.__pos) >= "
-        f"ceil({t} / (1.0 + {t}) * (a.__len + b.__len))"
+        f"ceil({t} / (1.0 + {t}) * (a.__len + b.__len) - 1e-9)"
         "), b -> struct(a._id AS id_a, b._id AS id_b))))"
     )
     cand = (

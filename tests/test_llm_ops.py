@@ -2016,3 +2016,23 @@ def test_window_dup_pairs_semantics(spark):
     # raising the cap brings the hot family back
     out2 = D.window_dup_pairs(docs, w=8, max_hot=5).collect()
     assert any(r["doc_a"] >= 100 for r in out2)
+
+
+def test_ngram_jaccard_exact_boundary_pair(spark):
+    """Float-truncation regression (sf0.1 sweep find): at tau=0.8 a
+    J=0.8 pair with |B|=10 shingles sat exactly on every pruning
+    boundary — (1-tau)*10 is exactly 2.0 in real math but
+    1.9999999999999996 in doubles (prefix one short), and 0.8*10 =
+    8.000000000000002 > 8 failed the length filter. The epsilon-guarded
+    bounds must keep it."""
+    toks_a = [f"w{i}" for i in range(10)]            # 8 trigrams
+    toks_b = toks_a + ["x1", "x2"]                   # 10 trigrams, 8 shared
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks_a)), (2, " ".join(toks_b)),
+         (3, "completely different words with no shared trigrams at all")],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(docs, shingle_n=3, tau=0.8).collect()}
+    assert (1, 2) in out, "exact-boundary J=0.8 pair lost by pruning"
+    assert abs(out[(1, 2)] - 0.8) < 1e-12
