@@ -311,3 +311,57 @@ def dsir_logratios_sql(
         FROM feats f JOIN w ON f.b = w.b
         GROUP BY f.{id_col}
     """
+
+
+def write_bm25_stats(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the BM25 collection statistics as a stored index —
+    the serve-path twin of the dedup corpus indexes: a per-term
+    document-frequency table plus a 1-row totals file. With it, ANY
+    query runs in ONE corpus scan (the scoring projection): the
+    per-query stats reduce becomes k lookups against the stored table
+    (predicate-pushdown `term IN (...)` on a term-sorted parquet, so
+    row groups prune). Terms the corpus never saw simply miss — df 0.
+
+    Layout: `{path}/terms` (term string, df long; sorted by term) and
+    `{path}/totals` (n_docs, total_len)."""
+    toks = tokens(text_col)
+    per_doc = docs.select(F.col(id_col), toks.alias("_t"))
+    (
+        per_doc.select(F.explode(F.array_distinct("_t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/terms")
+    )
+    (
+        per_doc.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.sum(F.size("_t").cast("long")).cast("double").alias("total_len"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/totals")
+    )
+
+
+def bm25_stats_from_index(spark, path: str, terms: list[str]) -> DataFrame:
+    """Rebuild the 1-row stats frame bm25_topk expects from a stored
+    write_bm25_stats index: a bounded k-row lookup (IN-filter pushed to
+    the terms parquet) + the totals row — no corpus scan."""
+    hits = {
+        r["term"]: float(r["df"])
+        for r in spark.read.parquet(f"{path}/terms")
+        .where(F.col("term").isin(list(terms)))
+        .collect()
+    }
+    tot = spark.read.parquet(f"{path}/totals").collect()[0]
+    row = {"n_docs": float(tot["n_docs"]), "total_len": float(tot["total_len"])}
+    for i, t in enumerate(terms):
+        row[f"df_{i}"] = hits.get(t, 0.0)
+    cols = ", ".join(f"{c} double" for c in row)
+    return spark.createDataFrame([tuple(row.values())], cols)

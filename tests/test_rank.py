@@ -125,3 +125,24 @@ def test_dsir_plan_broadcast_bucket_join(spark):
     plan = E.plan_string(df, "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_stored_stats_index_identical(spark, corpus, tmp_path):
+    """The stored-stats serve path (write_bm25_stats +
+    bm25_stats_from_index) must reproduce the self-computed scores
+    exactly, including unseen query terms (df 0)."""
+    from seqarray_spark.operators.rank import (
+        _query_terms,
+        bm25_stats_from_index,
+        bm25_topk,
+        write_bm25_stats,
+    )
+
+    path = str(tmp_path / "bm25idx")
+    write_bm25_stats(corpus, path)
+    q = "spark join neverseenterm"
+    terms = _query_terms(q)
+    pre = bm25_stats_from_index(spark, path, terms)
+    a = sorted(bm25_topk(corpus, q, k=10).collect())
+    b = sorted(bm25_topk(corpus, q, k=10, stats=pre).collect())
+    assert a == b and a
