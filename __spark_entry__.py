@@ -62,6 +62,10 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_registry_sweep.py::test_rotation_invariant): any entry
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
+        # -- r11 additions (newest first) ------------------------------------
+        "seq_grm_sketch": seq_grm_sketch,
+        "seq_ld_prune_greedy": seq_ld_prune_greedy,
+        "emb_pq_drift_probe": emb_pq_drift_probe,
         # -- r10 additions (newest first) ------------------------------------
         "seq_king_kinship": seq_king_kinship,
         "seq_ibs_pairs": seq_ibs_pairs,
@@ -726,6 +730,18 @@ def seq_grm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grm_pairs(c)
 
 
+def seq_grm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed randomized-range-finder pass Y = (G + I) @ Omega
+    over the GRM pair relation (new r11) — the oracle-checkable twin of
+    the _grm_matmul kernel grm_pca_distributed iterates (VERDICT r10
+    item 1: PCA at biobank n without ever assembling G). Deterministic
+    Rademacher Omega (md5 parity) on a BIGINT unit grid keeps every sum
+    aggregation-order-free."""
+    from seqarray_spark.operators.ld import grm_pairs, grm_sketch_y
+
+    return grm_sketch_y(grm_pairs(td.gcalls(spark, sf_dir)), n_cols=4)
+
+
 def seq_ld_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass LD pruning (new r10): drop variants with r² > 0.3
     against ANY earlier in-window variant — the embarrassingly-parallel
@@ -736,6 +752,19 @@ def seq_ld_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
     return ld_prune(v, c, bp_window=5000, tau=0.3)
+
+
+def seq_ld_prune_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-greedy LD pruning (new r11, VERDICT r10 item 4): the
+    PLINK --indep-pairwise / SNPRelate snpgdsLDpruning kept-set
+    semantics — a variant drops only against a KEPT earlier variant.
+    Distributed pair build + one walk task per chromosome; the oracle
+    replays the walk as a DuckDB recursive CTE."""
+    from seqarray_spark.operators.ld import ld_prune
+
+    v = td.gvariants(spark, sf_dir)
+    c = td.gcalls(spark, sf_dir)
+    return ld_prune(v, c, bp_window=5000, tau=0.3, method="greedy")
 
 
 def seq_dosage_af(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1245,6 +1274,25 @@ def emb_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return knn_join_codes(qs, codes, cents, cbk, m=4, k=5, nprobe=2)
+
+
+def emb_pq_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-staleness probe (new r11, VERDICT r10 item 6): every
+    50th vector probes the rest of the corpus — top-1 by ADC over the
+    pinned m=4 codebooks vs top-1 by exact 6dp-rounded squared L2 over
+    the floats; per-probe agreement rows whose mean is the drift
+    metric the streamed ANN index logs per batch. Same coarse model /
+    codebook conventions as emb_knn_join_pq; full-fidelity oracle
+    (probe, encode, LUT, exact L2 and both rankings replay in SQL)."""
+    from seqarray_spark.operators.similarity import pq_drift_probe
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    init = emb.orderBy("vec_id").limit(8).collect()
+    cents = [(i, list(map(float, r["embedding"]))) for i, r in enumerate(init)]
+    cbk = _pq_fixed_codebook(spark, init[:4])
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    cs = emb.where(F.col("vec_id") % 50 != 0)
+    return pq_drift_probe(qs, cs, cents, cbk, m=4, nprobe=2)
 
 
 def emb_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1772,6 +1820,12 @@ def oracle_sql() -> dict[str, str]:
         ld_pairs_packed_oracle_sql as _ldpk_oracle,
     )
     from seqarray_spark.operators.ld import ld_prune_oracle_sql as _ldp_oracle
+    from seqarray_spark.operators.ld import (
+        grm_sketch_oracle_sql as _grm_sketch_oracle,
+    )
+    from seqarray_spark.operators.ld import (
+        ld_prune_greedy_oracle_sql as _ldpg_oracle,
+    )
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
@@ -1780,6 +1834,11 @@ def oracle_sql() -> dict[str, str]:
         # the scoring expressions stay in lockstep
         "seq_ld_pairs": P + _ld_oracle(bp_window=5000),
         "seq_ld_prune": P + _ldp_oracle(bp_window=5000, tau=0.3),
+        "seq_grm_sketch": P + _grm_sketch_oracle(n_cols=4),
+        # the greedy walk is a recursive CTE — DuckDB needs RECURSIVE
+        # declared at the head of the whole WITH chain
+        "seq_ld_prune_greedy": P.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _ldpg_oracle(bp_window=5000, tau=0.3),
         "seq_grm_pairs": P + _grm_oracle(),
         "seq_ld_pairs_packed": P + _ldpk_oracle(bp_window=5000),
         "seq_ibs_pairs": P + _ibs_oracle(),
@@ -2987,6 +3046,147 @@ def oracle_sql() -> dict[str, str]:
                      list_slice(toks, co * 48 + 1, co * 48 + 64)
                    ) AS INT) AS n_tokens
             FROM e
+        """,
+        "emb_pq_drift_probe": """
+            WITH cents AS (
+              SELECT embedding AS cvec,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS centroid_ord
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), qs AS (
+              SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+              WHERE vec_id % 50 = 0
+            ), qcz AS (
+              SELECT qs.q_id, c.centroid_ord,
+                     UNNEST(qs.qv) AS x, UNNEST(c.cvec) AS y
+              FROM qs CROSS JOIN cents c
+            ), qc AS (
+              SELECT q_id, centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS qcos
+              FROM qcz GROUP BY q_id, centroid_ord
+            ), probe AS (
+              SELECT q_id, centroid_ord FROM (
+                SELECT q_id, centroid_ord,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY qcos DESC, centroid_ord)
+                         AS rn
+                FROM qc
+              ) t WHERE rn <= 2
+            ), z AS (
+              SELECT e.vec_id, c.centroid_ord,
+                     UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+              FROM embeddings e CROSS JOIN cents c
+              WHERE e.vec_id % 50 <> 0
+            ), scored AS (
+              SELECT vec_id, centroid_ord,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS cos
+              FROM z GROUP BY vec_id, centroid_ord
+            ), pts AS (
+              SELECT vec_id, centroid_ord FROM (
+                SELECT vec_id, centroid_ord,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, centroid_ord)
+                         AS rn
+                FROM scored
+              ) t WHERE rn = 1
+            ), kept AS (
+              SELECT pr.q_id, p.vec_id FROM pts p
+              JOIN probe pr ON pr.centroid_ord = p.centroid_ord
+            ), cb AS (
+              SELECT embedding,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS code
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ), subs AS (
+              SELECT UNNEST(generate_series(0, 3)) AS sub_ord
+            ), cbk AS (
+              SELECT s.sub_ord, cb.code,
+                     list_slice(cb.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS cvec
+              FROM cb CROSS JOIN subs s
+            ), ev AS (
+              SELECT e.vec_id, s.sub_ord,
+                     list_slice(e.embedding,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS sv
+              FROM embeddings e CROSS JOIN subs s
+              WHERE e.vec_id % 50 <> 0
+            ), ez AS (
+              SELECT ev.vec_id, ev.sub_ord, cbk.code,
+                     UNNEST(ev.sv) AS x, UNNEST(cbk.cvec) AS y
+              FROM ev JOIN cbk ON cbk.sub_ord = ev.sub_ord
+            ), d AS (
+              SELECT vec_id, sub_ord, code,
+                ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6) AS dd
+              FROM ez GROUP BY vec_id, sub_ord, code
+            ), best AS (
+              SELECT vec_id, sub_ord, code FROM (
+                SELECT vec_id, sub_ord, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub_ord
+                                          ORDER BY dd, code) AS rn
+                FROM d
+              ) t WHERE rn = 1
+            ), qsub AS (
+              SELECT qs.q_id, s.sub_ord,
+                     list_slice(qs.qv,
+                                s.sub_ord * 16 + 1,
+                                s.sub_ord * 16 + 16) AS qslice
+              FROM qs CROSS JOIN subs s
+            ), lz AS (
+              SELECT q.q_id, q.sub_ord, cbk.code,
+                     UNNEST(q.qslice) AS x, UNNEST(cbk.cvec) AS y
+              FROM qsub q JOIN cbk ON cbk.sub_ord = q.sub_ord
+            ), lut AS (
+              SELECT q_id, sub_ord, code,
+                ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6) AS ld
+              FROM lz GROUP BY q_id, sub_ord, code
+            ), dist AS (
+              SELECT k.q_id, b.vec_id AS c_id, ROUND(SUM(l.ld), 6) AS dist
+              FROM kept k
+              JOIN best b ON b.vec_id = k.vec_id
+              JOIN lut l ON l.q_id = k.q_id AND l.sub_ord = b.sub_ord
+                        AND l.code = b.code
+              GROUP BY k.q_id, b.vec_id
+            ), adc1 AS (
+              SELECT q_id, c_id AS adc_top1 FROM (
+                SELECT q_id, c_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY dist, c_id) AS rn
+                FROM dist
+              ) r WHERE rn = 1
+            ), xz AS (
+              -- exact squared L2: probes x corpus floats
+              SELECT qs.q_id, e.vec_id AS c_id,
+                     UNNEST(qs.qv) AS x, UNNEST(e.embedding) AS y
+              FROM qs CROSS JOIN embeddings e
+              WHERE e.vec_id % 50 <> 0
+            ), xd AS (
+              SELECT q_id, c_id,
+                ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6)
+                  AS xdist
+              FROM xz GROUP BY q_id, c_id
+            ), ex1 AS (
+              SELECT q_id, c_id AS exact_top1 FROM (
+                SELECT q_id, c_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY xdist, c_id) AS rn
+                FROM xd
+              ) r WHERE rn = 1
+            )
+            SELECT a.q_id, a.adc_top1, e.exact_top1,
+                   CAST(CASE WHEN a.adc_top1 = e.exact_top1
+                             THEN 1 ELSE 0 END AS INT) AS agree
+            FROM adc1 a JOIN ex1 e ON e.q_id = a.q_id
         """,
         "emb_knn_join_pq": """
             WITH cents AS (

@@ -51,7 +51,7 @@ shared_r8 = shared_r7 + [
 shared_r9 = shared_r8 + [
     "emb_semantic_dedup", "emb_pq_codes", "emb_pq_adc_topk",
 ]
-# r10 additions on top of r9 (the 88-name set = r9 + these; the
+# r10 additions on top of r9 (the 89-name set = r9 + these; the
 # full round-10 registry as the driver records BENCH_r10.json —
 # keep in lockstep with _queries() or the subtotal silently
 # under-covers the registry while claiming it):
@@ -62,6 +62,10 @@ shared_r10 = shared_r9 + [
     "doc_bm25_topk", "doc_dsir_weights", "doc_window_dups",
     "seq_ld_pairs", "seq_ld_prune", "seq_grm_pairs",
     "seq_ld_pairs_packed", "seq_ibs_pairs", "seq_king_kinship",
+]
+# r11 additions on top of r10 (keep in lockstep with _queries()):
+shared_r11 = shared_r10 + [
+    "seq_ld_prune_greedy", "seq_grm_sketch", "emb_pq_drift_probe",
 ]
 
 
@@ -134,21 +138,30 @@ def main() -> None:
         vals = [timings[n] for n in names if n in timings and timings[n] >= 0]
         return round(sum(vals), 3) if len(vals) == len(names) else None
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "shared_r7_subtotal": subtotal(shared_r7),
-                "shared_r8_subtotal": subtotal(shared_r8),
-                "shared_r9_subtotal": subtotal(shared_r9),
-                "shared_r10_subtotal": subtotal(shared_r10),
-            }
-        )
-    )
+    payload = {
+        "metric": "total_headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "shared_r7_subtotal": subtotal(shared_r7),
+        "shared_r8_subtotal": subtotal(shared_r8),
+        "shared_r9_subtotal": subtotal(shared_r9),
+        "shared_r10_subtotal": subtotal(shared_r10),
+        "shared_r11_subtotal": subtotal(shared_r11),
+    }
+    print(json.dumps(payload))
+    # self-archive (VERDICT r10 item 3): the driver's BENCH_r{N}.json
+    # capture truncates long lines, losing exactly the newest queries'
+    # numbers two rounds running — so the full dict is also written
+    # into the repo where it survives verbatim (committed each round)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_local.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as e:
+        print(f"bench: BENCH_local.json not written: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -100,6 +100,21 @@ def bm25_topk(
         raise ValueError("BM25 query has no tokens under TOKEN_RE")
     if stats is None:
         stats = bm25_stats(docs, terms, text_col)
+    else:
+        # df_i columns bind POSITIONALLY to _query_terms(query): a stats
+        # frame built for a different query (or a reordered terms list)
+        # would score silently wrong, so the shape mismatch must fail
+        # loudly — stats= callers must build via bm25_stats(docs,
+        # _query_terms(query)) / bm25_stats_from_index(index, query)
+        want = {"n_docs", "total_len"} | {f"df_{i}" for i in range(len(terms))}
+        have = set(stats.columns)
+        if have != want:
+            raise ValueError(
+                "stats= frame does not match _query_terms(query): "
+                f"expected exactly columns {sorted(want)}, got "
+                f"{sorted(have)} — build it from the SAME query string "
+                "via bm25_stats/bm25_stats_from_index"
+            )
     toks = tokens(text_col)
     scored = docs.select(id_col, toks.alias("_t")).crossJoin(F.broadcast(stats))
     dl = F.size("_t").cast("double")

@@ -1920,6 +1920,95 @@ def knn_join_codes(
     )
 
 
+def pq_drift_probe(
+    probes: DataFrame,
+    corpus: DataFrame,
+    coarse_centroids,
+    codebooks,
+    m: int,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes: DataFrame | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Codebook-staleness probe (VERDICT r10 item 6): for each probe
+    vector, the top-1 neighbour by ADC over the PINNED codebooks vs
+    the top-1 by exact squared L2 over the floats — per-probe
+    agreement rows whose MEAN is the drift metric a streamed index
+    logs per batch (ingest_pq_codes_stream(probe_every=)). Frozen
+    centroids/codebooks quantize a drifting embedding distribution
+    ever more coarsely; falling top-1 agreement is the earliest
+    externally-visible symptom (recall loss), and it is computable
+    from a batch's OWN floats — no ground-truth labels, no access to
+    the historical corpus floats.
+
+    Stage 1 reuses knn_join_codes (k=1) — the gated ADC serving path;
+    stage 2 is a bounded broadcast cross join of the probes against
+    the corpus floats (probes are a SAMPLE — tens, not the corpus) with
+    the same rounded squared-L2 the encode uses, ties to lowest id.
+    Both stages exclude nothing: pass a corpus that excludes the
+    probes when self-matches would trivialize agreement.
+
+    Output: (q_id, adc_top1, exact_top1, agree int) — exact math on
+    6dp-rounded values end to end, so the whole probe is
+    oracle-checkable (the emb_pq_drift_probe gate)."""
+    if codes is None:
+        cvecs = _centroid_vec_list(coarse_centroids)
+        cbk = codebooks
+        if not isinstance(cbk, DataFrame):
+            # rows form (the streaming loop's driver-pinned copy) —
+            # pq_encode collects a bounded frame, so materialize one
+            cbk = corpus.sparkSession.createDataFrame(
+                [(int(s), int(c), [float(x) for x in v]) for s, c, v in cbk],
+                "sub_ord int, code int, cvec array<double>",
+            )
+        codes = pq_encode(
+            corpus, cbk, m, vec_col, id_col, round_to,
+            extra_cols={
+                "ivf_cell": cell_assign_expr(cvecs, vec_col, round_to)
+            },
+        )
+    adc1 = knn_join_codes(
+        probes, codes, coarse_centroids, codebooks, m,
+        k=1, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+        round_to=round_to,
+    ).select("q_id", F.col("c_id").alias("adc_top1"))
+
+    from pyspark.sql import Window
+
+    q = probes.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("__cv")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            "__qv", "__cv",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("__d"), F.col("c_id"))
+    exact1 = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("q_id", "c_id", F.round(l2, int(round_to)).alias("__d"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("q_id", F.col("c_id").alias("exact_top1"))
+    )
+    return adc1.join(exact1, "q_id").select(
+        "q_id",
+        "adc_top1",
+        "exact_top1",
+        (F.col("adc_top1") == F.col("exact_top1")).cast("int").alias("agree"),
+    )
+
+
 def recover_pq_codes_index(path: str) -> None:
     """Heal an interrupted compact swap (r10 review): a crash between
     compact_pq_codes_index's two renames leaves NO live index dir — a
@@ -1976,6 +2065,53 @@ def compact_pq_codes_index(spark, path: str, cell_col: str = "ivf_cell"):
     old = path.rstrip("/") + "__old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def retrain_pq_codes_index(
+    spark,
+    path: str,
+    emb: DataFrame,
+    coarse_centroids,
+    codebooks: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    round_to: int = 6,
+    residual: bool = False,
+    assign: str = "exact",
+) -> None:
+    """Rebuild the stored PQ codes index under NEW coarse centroids /
+    codebooks — the remediation once pq_drift_probe's agreement decays
+    (codes are only comparable under one model, so refreshing the model
+    implies re-encoding the corpus; appends alone can never fix drift).
+
+    The rebuild reuses compact_pq_codes_index's swap discipline: encode
+    the full corpus into the '__compacting' staging dir (its _SUCCESS
+    marker gates promotion), rename the live index to '__old', promote
+    the stage, drop '__old'. Every crash point is recoverable by
+    recover_pq_codes_index — which ingest_pq_codes_stream already runs
+    before each append — so a retrain can run between stream batches
+    with the same guarantees as compaction. Not atomic against
+    concurrent readers (local-FS rename semantics; an object-store
+    deployment swaps a manifest/prefix)."""
+    import os
+    import shutil
+
+    recover_pq_codes_index(path)
+    stage = path.rstrip("/") + "__compacting"
+    shutil.rmtree(stage, ignore_errors=True)
+    write_pq_codes_index(
+        emb, coarse_centroids, codebooks, m, stage,
+        vec_col=vec_col, id_col=id_col, cell_col=cell_col,
+        round_to=round_to, residual=residual, assign=assign,
+    )
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
     os.rename(stage, path)
     shutil.rmtree(old, ignore_errors=True)
 

@@ -529,6 +529,8 @@ def ingest_pq_codes_stream(
     checkpoint_dir: str | None = None,
     assign: str = "exact",
     compact_every: int | None = None,
+    probe_sample: int | None = None,
+    nprobe: int = 2,
 ):
     """ANN-index ingest loop — keep the cells-partitioned PQ codes
     index (the write_pq_codes_index layout) FRESH as the corpus streams
@@ -551,6 +553,18 @@ def ingest_pq_codes_stream(
     `codebooks` may be the (sub_ord, code, cvec) DataFrame or its
     collected rows; it is materialized ONCE driver-side (bounded m·k)
     and re-created per batch — no per-batch Spark job to re-read it.
+
+    `probe_sample=K` (VERDICT r10 item 6) turns on codebook-staleness
+    monitoring: per batch, the K lowest-id batch vectors probe the
+    REST OF THE BATCH — top-1 by ADC under the pinned codebooks vs
+    top-1 by exact squared L2 over the batch's own floats
+    (similarity.pq_drift_probe) — and the mean agreement is appended
+    to '<index>_drift.jsonl' with the batch id and row counts. A
+    drifting embedding distribution quantizes ever more coarsely under
+    frozen codebooks, and this self-contained metric (no historical
+    floats needed) decays with it; when it does, rebuild with
+    retrain_pq_codes_index under refreshed models. Probing costs one
+    bounded K x batch scoring pass per batch.
     `assign` passes through to pq_encode_residual ('fast' = the numpy
     build kernel; pick ONE rule for an index's whole lifetime —
     batches appended under a different rule than the bootstrap would
@@ -616,6 +630,39 @@ def ingest_pq_codes_stream(
             .partitionBy(cell_col)
             .parquet(index_path)
         )
+        if probe_sample:
+            import json as _json
+
+            from seqarray_spark.operators.similarity import pq_drift_probe
+
+            probes = (
+                batch_df.orderBy(id_col).limit(int(probe_sample))
+                # pin the sampled ids: limit over a streaming batch is
+                # re-evaluated per action, and the corpus anti-split
+                # below must exclude EXACTLY the probe rows
+                .localCheckpoint()
+            )
+            rest = batch_df.join(
+                probes.select(id_col), id_col, "left_anti"
+            )
+            rows = pq_drift_probe(
+                probes, rest, cvecs, cb_rows, m,
+                nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+            ).collect()
+            n_probes = len(rows)
+            record = {
+                "batch_id": int(batch_id),
+                "n_probes": n_probes,
+                "mean_top1_agreement": (
+                    round(sum(r["agree"] for r in rows) / n_probes, 4)
+                    if n_probes
+                    else None
+                ),
+            }
+            with open(
+                index_path.rstrip("/") + "_drift.jsonl", "a"
+            ) as fh:
+                fh.write(_json.dumps(record) + "\n")
         if compact_every and (batch_id + 1) % compact_every == 0:
             from seqarray_spark.operators.similarity import (
                 compact_pq_codes_index,

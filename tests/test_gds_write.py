@@ -946,3 +946,38 @@ def test_gds_roundtrip_per_variant_format_presence(spark, tmp_path):
     assert lines["200"][8] == "GT"
     assert lines["300"][8] == "GT:GQ"
     assert lines["300"][9] == "0/1:33" and lines["300"][10] == "./.:."
+
+
+def test_recompressed_container_digests_verify(spark, tmp_path):
+    """Parity review r11 (VERDICT r10 item 8): seqSummary(check='full')
+    re-verifies digests AFTER seqRecompress, because seqRecompress
+    re-stamps md5 over the NEW coder's streams (R/UtilsExport.R:432-435,
+    digest.gdsn(action='add') post-rewrite). The engine twin:
+    recompress_gds(CEU, coder='ZIP_ra') must yield a container whose
+    every md5 attribute matches its own re-coded stream — stale digests
+    copied from the source's LZMA streams would all mismatch."""
+    from seqarray_spark.operators.mutate import recompress_gds
+    from seqarray_spark.sources.gds import GdsFile, verify_digests
+    from seqarray_spark.sources.gds_spark import from_gds
+
+    ceu = "/root/reference/inst/extdata/CEU_Exon.gds"
+    if not os.path.exists(ceu):
+        pytest.skip("no reference fixture")
+    out = str(tmp_path / "ceu_zip.gds")
+    recompress_gds(spark, ceu, out, coder="ZIP_ra")
+    f = GdsFile(out)
+    assert f.node("genotype/data").coder.upper().startswith("ZIP")
+    r = verify_digests(out)
+    assert len(r) >= 20 and all(r.values()), {
+        k: v for k, v in r.items() if not v
+    }
+    # and the re-coded streams decode: same genotype content as source
+    src = from_gds(spark, ceu)
+    dst = from_gds(spark, out)
+    from pyspark.sql import functions as F
+
+    key = lambda d: {  # noqa: E731
+        (r3["variant_id"], r3["sample_id"]): tuple(r3["alleles"] or [])
+        for r3 in d.calls.filter(F.col("variant_id") <= 100).collect()
+    }
+    assert key(src) == key(dst) and len(key(src)) > 0

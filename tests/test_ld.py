@@ -377,3 +377,228 @@ def test_king_from_packed_planted_relationships(spark):
     # two all-homozygous samples: zero het on both sides -> NULL
     assert out[("HOMA", "HOMB")]["kinship"] is None
     assert out[("HOMA", "HOMB")]["m_used"] == 6
+
+
+def _planted_grm(spark, seed=5, n=40, lam_top=(12.0, 6.0, 3.0)):
+    """Synthetic GRM pair relation G = Q diag(lam) Q^T with a
+    well-separated top spectrum (so the randomized path is expected to
+    agree with the exact eigensolve to tight tolerance)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    lam = np.concatenate([list(lam_top), np.linspace(0.4, 0.1, n - len(lam_top))])
+    g = (q * lam) @ q.T
+    ids = [f"S{i:02d}" for i in range(n)]
+    rows = [
+        (ids[i], ids[j], 100, float(g[i, j]))
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    grm = spark.createDataFrame(
+        rows, "sample_i string, sample_j string, m_used int, grm double"
+    )
+    return grm, g, ids
+
+
+def test_grm_pca_block_assembly_matches_numpy(spark):
+    """The blocked-Arrow assembly (r11: no per-pair Row objects) must
+    reproduce the direct numpy eigensolve exactly — same matrix, same
+    eigh, same sign rule — including with a block size smaller than n
+    (multiple tiles per axis)."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import _fix_signs, grm_pca
+
+    grm, g, ids = _planted_grm(spark, n=25)
+    a = g.copy()
+    np.fill_diagonal(a, 1.0)
+    vals, vecs = np.linalg.eigh(a)
+    order = np.argsort(vals)[::-1][:3]
+    want = _fix_signs(vecs[:, order])
+    got = np.array(
+        [r["pc"] for r in grm_pca(grm, k=3, block=8).orderBy("sample_id").collect()]
+    )
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_grm_pca_sample_ids_keeps_isolated_samples(spark):
+    """ADVICE r10: a sample with no surviving pair silently vanishes
+    unless the cohort list is passed; with sample_ids= it appears (its
+    row is diag-only, so its loading is whatever the eigensolve gives a
+    decoupled coordinate — presence is the contract)."""
+    from seqarray_spark.operators.ld import grm_pca
+
+    grm, _, ids = _planted_grm(spark, n=10)
+    out_derived = grm_pca(grm, k=2)
+    assert out_derived.count() == 10
+    out_pinned = grm_pca(grm, k=2, sample_ids=ids + ["ZZ_ISOLATED"])
+    assert out_pinned.count() == 11
+    assert out_pinned.where("sample_id = 'ZZ_ISOLATED'").count() == 1
+    try:
+        grm_pca(grm, k=2, sample_ids=ids + [ids[0]])
+        raise AssertionError("duplicate sample_ids must raise")
+    except ValueError:
+        pass
+
+
+def test_grm_pca_distributed_matches_exact(spark):
+    """The randomized range-finder path (never assembles G) agrees with
+    the exact eigensolve on a separated spectrum, and is deterministic
+    (seeded Omega)."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import grm_pca, grm_pca_distributed
+
+    grm, _, ids = _planted_grm(spark, n=40)
+    exact = np.array(
+        [r["pc"] for r in grm_pca(grm, k=3).orderBy("sample_id").collect()]
+    )
+    sk = np.array(
+        [
+            r["pc"]
+            for r in grm_pca_distributed(grm, k=3, power_iters=6)
+            .orderBy("sample_id")
+            .collect()
+        ]
+    )
+    assert np.allclose(sk, exact, atol=1e-3)
+    sk2 = np.array(
+        [
+            r["pc"]
+            for r in grm_pca_distributed(grm, k=3, power_iters=6)
+            .orderBy("sample_id")
+            .collect()
+        ]
+    )
+    assert np.array_equal(sk, sk2)
+
+
+def test_grm_sketch_y_matches_matmul_kernel(spark):
+    """grm_sketch_y (the oracle-checkable DataFrame form of ONE
+    range-finder pass) agrees with the _grm_matmul kernel
+    grm_pca_distributed actually iterates, on the same Rademacher
+    Omega — the gate-the-replayable-form / ship-the-fast-form pairing
+    (grm_pairs vs grm_pairs_blas precedent). Tolerance is the sketch
+    form's documented 1e-9 unit grid."""
+    import hashlib
+
+    import numpy as np
+
+    from seqarray_spark.operators.ld import (
+        _grm_matmul,
+        _grm_pair_positions,
+        grm_sketch_y,
+    )
+
+    grm, _, ids = _planted_grm(spark, n=15)
+    n_cols = 4
+    omega = np.array(
+        [
+            [
+                1.0
+                if hashlib.md5(f"{s}:{c}".encode()).hexdigest()[0] in "02468ace"
+                else -1.0
+                for c in range(n_cols)
+            ]
+            for s in ids
+        ]
+    )
+    pairs = _grm_pair_positions(grm, ids)
+    want = _grm_matmul(pairs, len(ids), omega, diag=1.0)
+    got_rows = {
+        r["sample_id"]: [r[f"y_{c}"] for c in range(n_cols)]
+        for r in grm_sketch_y(grm, n_cols=n_cols, diag=1.0).collect()
+    }
+    got = np.array([got_rows[s] for s in ids])
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_packed_stack_on_reference_container(spark):
+    """VERDICT r10 item 5: the r10 packed pair kernels compose with the
+    r8/r9 GDS container reader on the reference's own released bytes —
+    1KG chr22 fixture (inst/extdata/1KG_phase1_release_v3_chr22.gds) ->
+    from_gds -> pack_2bit_genotypes -> grm_from_packed /
+    king_from_packed, with the GRM cross-checked against the
+    long-format relation twin on the SAME container data and KING
+    against a direct numpy replay of the Manichaikul estimator."""
+    import os
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    KG = "/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds"
+    if not os.path.exists(KG):
+        pytest.skip("reference fixtures not available")
+
+    from seqarray_spark.operators.ld import (
+        grm_from_packed,
+        grm_pairs_blas,
+        king_from_packed,
+    )
+    from seqarray_spark.sources.gds_spark import from_gds
+    from seqarray_spark.sources.packed import pack_2bit_genotypes
+
+    probe = from_gds(spark, KG, block_variants=2048)
+    sids = [
+        r["sample_id"]
+        for r in probe.samples.orderBy("sample_ordinal").limit(12).collect()
+    ]
+    ds = from_gds(spark, KG, block_variants=2048, samples=sids)
+    ds.set_filter_variant(F.col("variant_id") <= 800)
+    packed = pack_2bit_genotypes(ds, sorted(sids))
+
+    # GRM: packed kernel vs the long-format twin on identical data
+    a = (
+        grm_pairs_blas(ds.calls, blocks=4, assume_unique=True)
+        .toPandas()
+        .set_index(["sample_i", "sample_j"])
+        .sort_index()
+    )
+    b = (
+        grm_from_packed(packed, sorted(sids))
+        .toPandas()
+        .set_index(["sample_i", "sample_j"])
+        .sort_index()
+    )
+    assert len(b) == 12 * 11 // 2 and (a.index == b.index).all()
+    assert (a["m_used"] == b["m_used"]).all()
+    assert np.abs(a["grm"] - b["grm"]).max() < 1e-9
+
+    # KING: packed kernel vs a direct numpy replay from the same calls
+    dose = {
+        (r["variant_id"], r["sample_id"]): r["d"]
+        for r in ds.calls.select(
+            "variant_id",
+            "sample_id",
+            F.expr(
+                "CASE WHEN alleles IS NULL OR size(filter(alleles, x -> x IS NULL)) > 0 "
+                "THEN 3 ELSE size(filter(alleles, x -> x > 0)) END"
+            ).alias("d"),
+        ).collect()
+    }
+    vids = sorted({v for v, _ in dose})
+    ss = sorted(sids)
+    mat = np.array(
+        [[dose.get((v, s), 3) for s in ss] for v in vids], dtype=np.int64
+    )
+    got = {
+        (r["sample_i"], r["sample_j"]): (r["m_used"], r["kinship"])
+        for r in king_from_packed(packed, ss).collect()
+    }
+    assert len(got) == 12 * 11 // 2
+    for i in range(len(ss)):
+        for j in range(i + 1, len(ss)):
+            di, dj = mat[:, i], mat[:, j]
+            both = (di != 3) & (dj != 3)
+            hh = int(((di == 1) & (dj == 1) & both).sum())
+            opp = int((((di == 0) & (dj == 2)) | ((di == 2) & (dj == 0)))[both].sum())
+            het = int((di[both] == 1).sum()) + int((dj[both] == 1).sum())
+            m_used, phi = got[(ss[i], ss[j])]
+            assert m_used == int(both.sum())
+            if het == 0:
+                assert phi is None
+            else:
+                want = (hh - 2.0 * opp) / het
+                assert abs(phi - want) < 1e-12

@@ -22,7 +22,7 @@ def test_all_registry_queries_match_oracles(spark):
     # the sweep only proves anything if it saw the whole registry
     # (VERDICT r8 item 8: pin the actual count so an accidental registry
     # truncation fails loudly; bump when adding queries)
-    assert len(entry_mod.queries()) >= 89
+    assert len(entry_mod.queries()) >= 92
 
 
 def test_every_query_has_oracle_or_documented_exemption():
@@ -89,13 +89,13 @@ def test_plans_md_covers_whole_registry():
     assert not missing, f"PLANS.md missing plans for: {sorted(missing)}"
 
 
-def test_bench_shared_r10_covers_full_registry():
-    """The shared_r10 frozen set is documented as the full round-10
-    registry; this pins the lockstep so a new queries() entry cannot
-    ship outside the like-for-like subtotal (the r10 review's bench
-    drift, made structural)."""
+def test_bench_newest_shared_set_covers_full_registry():
+    """The newest frozen bench set is documented as the full
+    current-round registry; this pins the lockstep so a new queries()
+    entry cannot ship outside the like-for-like subtotal (the r10
+    review's bench drift, made structural)."""
     import bench
 
     import __spark_entry__ as entry_mod
 
-    assert set(bench.shared_r10) == set(entry_mod.queries())
+    assert set(bench.shared_r11) == set(entry_mod.queries())

@@ -561,3 +561,101 @@ def test_recover_bucketed_index_heals_interrupted_swap(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
+
+
+def test_ingest_pq_codes_stream_drift_log(spark, tmp_path):
+    """probe_sample=K (r11): every micro-batch appends one drift record
+    to <index>_drift.jsonl — the K lowest-id batch vectors' ADC-vs-exact
+    top-1 agreement against the rest of the batch under the PINNED
+    codebooks. Identity codebooks built FROM the data keep agreement
+    high here; the planted-drift decay is tools/pq_drift_stress.py."""
+    import json
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim, m = 16, 4
+    vecs = {i: [float(x) for x in rng.randn(dim)] for i in range(40)}
+    cents = [vecs[0], vecs[1]]
+    cb_rows = [
+        (j, c, vecs[2 + c][j * 4:(j + 1) * 4]) for j in range(m) for c in range(4)
+    ]
+    cbk = spark.createDataFrame(
+        cb_rows, "sub_ord int, code int, cvec array<double>"
+    )
+    in_dir = tmp_path / "pqd_in"
+    in_dir.mkdir()
+    for name, ids in (("a.json", range(0, 20)), ("b.json", range(20, 40))):
+        with open(in_dir / name, "w") as fh:
+            for i in ids:
+                fh.write(json.dumps({"vec_id": i, "embedding": vecs[i]}) + "\n")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    idx = str(tmp_path / "pqd_idx")
+    q = S.ingest_pq_codes_stream(
+        stream, idx, cents, cbk, m=m,
+        checkpoint_dir=str(tmp_path / "ck_pqd"), probe_sample=4,
+    )
+    q.awaitTermination()
+    with open(idx + "_drift.jsonl") as fh:
+        recs = [json.loads(line) for line in fh]
+    assert len(recs) == 2
+    assert sorted(r["batch_id"] for r in recs) == [0, 1]
+    for r in recs:
+        assert r["n_probes"] == 4
+        assert 0.0 <= r["mean_top1_agreement"] <= 1.0
+
+
+def test_retrain_pq_codes_index_rebuilds_under_new_model(spark, tmp_path):
+    """retrain_pq_codes_index (r11): the remediation once drift is
+    detected — the stored index is atomically replaced by a re-encode
+    under NEW codebooks, row-for-row equal to a fresh
+    write_pq_codes_index, with no staging/backup dirs left behind."""
+    import os
+
+    import numpy as np
+
+    from seqarray_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(11)
+    dim, m = 16, 4
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(dim)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    stored = {r["vec_id"]: [float(x) for x in r["embedding"]]
+              for r in emb.collect()}
+    cents = [stored[0], stored[1]]
+
+    def _cbk(seed):
+        r2 = np.random.RandomState(seed)
+        return spark.createDataFrame(
+            [(j, c, [float(x) for x in r2.randn(4)])
+             for j in range(m) for c in range(4)],
+            "sub_ord int, code int, cvec array<double>",
+        )
+
+    idx = str(tmp_path / "rt_idx")
+    SIM.write_pq_codes_index(emb, cents, _cbk(1), m, idx)
+    old_rows = sorted(
+        (r["vec_id"], list(r["codes"]))
+        for r in spark.read.parquet(idx).collect()
+    )
+    SIM.retrain_pq_codes_index(spark, idx, emb, cents, _cbk(2), m)
+    got = sorted(
+        (r["vec_id"], list(r["codes"]), r["dist"], r["ivf_cell"])
+        for r in spark.read.parquet(idx).collect()
+    )
+    fresh = str(tmp_path / "rt_fresh")
+    SIM.write_pq_codes_index(emb, cents, _cbk(2), m, fresh)
+    want = sorted(
+        (r["vec_id"], list(r["codes"]), r["dist"], r["ivf_cell"])
+        for r in spark.read.parquet(fresh).collect()
+    )
+    assert got == want and len(got) == 30
+    assert sorted((v, c) for v, c, _, _ in got) != old_rows  # model changed
+    assert not os.path.exists(idx + "__compacting")
+    assert not os.path.exists(idx + "__old")
