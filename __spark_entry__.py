@@ -63,6 +63,9 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r11 additions (newest first) ------------------------------------
+        "seq_ibd_mom": seq_ibd_mom,
+        "seq_pca_loadings": seq_pca_loadings,
+        "seq_pca_project": seq_pca_project,
         "seq_grm_sketch": seq_grm_sketch,
         "seq_ld_prune_greedy": seq_ld_prune_greedy,
         "emb_pq_drift_probe": emb_pq_drift_probe,
@@ -704,6 +707,22 @@ def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
 
 
+def seq_ibd_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLINK method-of-moments IBD over the packed column (new r11 —
+    SNPRelate's snpgdsIBDMoM / plink --genome): observed IBS counts vs
+    allele-frequency expectations give k0/k1/kinship per sample pair;
+    expectation sums are weighted one-hot matmuls on the same
+    zero-wide-shuffle substrate as IBS/KING, weights on a half-up 1e-6
+    integer grid so the whole estimator value-hashes."""
+    from seqarray_spark.dataset import ordered_sample_ids
+    from seqarray_spark.operators.ld import ibd_mom_from_packed
+    from seqarray_spark.sources.packed import pack_2bit_genotypes
+
+    ds = td.variant_dataset(spark, sf_dir)
+    sids = ordered_sample_ids(ds.samples)
+    return ibd_mom_from_packed(pack_2bit_genotypes(ds, sids), sids)
+
+
 def seq_ibs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identity-by-state sample-pair matrix over the packed column (new
     r10; SNPRelate's snpgdsIBS): one-hot-matmul kernel, zero wide
@@ -752,6 +771,60 @@ def seq_ld_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
     return ld_prune(v, c, bp_window=5000, tau=0.3)
+
+
+def _rademacher_weights(calls: DataFrame, n_cols: int = 4) -> DataFrame:
+    """Deterministic per-sample md5-Rademacher weight vectors — the
+    gate stand-in for real sample PCs (which need an eigensolve no SQL
+    oracle can replay); pins the loading/projection pipeline's math at
+    full value fidelity."""
+    from seqarray_spark.operators.ld import _omega_col
+
+    return calls.select("sample_id").distinct().select(
+        "sample_id",
+        F.array(
+            *[
+                _omega_col(F.col("sample_id"), c).cast("double")
+                for c in range(n_cols)
+            ]
+        ).alias("w"),
+    )
+
+
+def seq_pca_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant PCA loadings L = Z'W (new r11 — SNPRelate's
+    snpgdsPCASNPLoading): frequency-standardized dosage against
+    per-sample component weights, integer-unit quantized sums. Gate
+    weights are deterministic md5-Rademacher vectors; production
+    weights are grm_pca*/grm_pca_distributed sample PCs."""
+    from seqarray_spark.operators.ld import pca_snp_loadings
+
+    c = td.gcalls(spark, sf_dir)
+    out = pca_snp_loadings(c, _rademacher_weights(c))
+    return out.select(
+        "variant_id",
+        *[F.element_at("l", i + 1).alias(f"l_{i}") for i in range(4)],
+    )
+
+
+def seq_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample projection P = Z'L (new r11 — SNPRelate's
+    snpgdsPCASampLoading): places samples in a reference PC space
+    without re-running the eigensolve — the new-cohort ancestry
+    workflow. Composed end to end on the gate's Rademacher weights so
+    the two-stage integer-unit pipeline replays fully in SQL."""
+    from seqarray_spark.operators.ld import (
+        pca_project_samples,
+        pca_snp_loadings,
+    )
+
+    c = td.gcalls(spark, sf_dir)
+    loadings = pca_snp_loadings(c, _rademacher_weights(c))
+    out = pca_project_samples(c, loadings)
+    return out.select(
+        "sample_id",
+        *[F.element_at("p", i + 1).alias(f"p_{i}") for i in range(4)],
+    )
 
 
 def seq_ld_prune_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1826,6 +1899,15 @@ def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import (
         ld_prune_greedy_oracle_sql as _ldpg_oracle,
     )
+    from seqarray_spark.operators.ld import (
+        pca_loadings_oracle_sql as _pca_load_oracle,
+    )
+    from seqarray_spark.operators.ld import (
+        pca_project_oracle_sql as _pca_proj_oracle,
+    )
+    from seqarray_spark.operators.ld import (
+        ibd_mom_packed_oracle_sql as _ibd_oracle,
+    )
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
@@ -1835,6 +1917,9 @@ def oracle_sql() -> dict[str, str]:
         "seq_ld_pairs": P + _ld_oracle(bp_window=5000),
         "seq_ld_prune": P + _ldp_oracle(bp_window=5000, tau=0.3),
         "seq_grm_sketch": P + _grm_sketch_oracle(n_cols=4),
+        "seq_pca_loadings": P + _pca_load_oracle(n_cols=4),
+        "seq_pca_project": P + _pca_proj_oracle(n_cols=4),
+        "seq_ibd_mom": P + _ibd_oracle(),
         # the greedy walk is a recursive CTE — DuckDB needs RECURSIVE
         # declared at the head of the whole WITH chain
         "seq_ld_prune_greedy": P.replace("WITH ", "WITH RECURSIVE ", 1)

@@ -1153,20 +1153,25 @@ def grm_pca(
     tiles = coded.groupBy("_bi", "_bj").applyInPandas(
         _tile, schema="bi int, bj int, blob binary"
     ).persist()
-    # materialize in PARALLEL before streaming: toLocalIterator runs one
-    # single-task job per partition, which would otherwise SERIALIZE the
-    # expensive tile builds (measured: 32 sequential reduce tasks at
-    # n=30k); the count() computes them all at once and the iterator
-    # then streams cached blobs, keeping Python-side peak at matrix +
-    # one tile
+    # materialize every tile in ONE parallel job (count), then pull
+    # them down one BLOCK-ROW at a time from the cache: a single
+    # collect() of all blobs (n^2/2 bytes) trips
+    # spark.driver.maxResultSize at n=30k (measured: 3.6 GB vs the 1 GB
+    # default), and toLocalIterator re-ran the expensive tile builds
+    # serially (one job per partition, 32 x ~30s at n=30k, even
+    # persisted). A block-row is <= ceil(n/block) tiles ~ 0.5 GB at
+    # n=30k/block=2048 — under the default result cap through n ~ 60k,
+    # past which the O(n^3) eigensolve is the binding limit anyway.
+    # Driver peak = the matrix + one block-row of blobs.
     tiles.count()
     a = np.zeros((n, n), dtype=np.float64)
-    for r in tiles.toLocalIterator():
-        bi, bj = int(r["bi"]), int(r["bj"])
-        h = min(b, n - bi * b)
-        w = min(b, n - bj * b)
-        m = np.frombuffer(r["blob"], dtype=np.float64).reshape(h, w)
-        a[bi * b : bi * b + h, bj * b : bj * b + w] += m
+    for bi in range((n + b - 1) // b):
+        for r in tiles.where(F.col("bi") == bi).collect():
+            bj = int(r["bj"])
+            h = min(b, n - bi * b)
+            w = min(b, n - bj * b)
+            m = np.frombuffer(r["blob"], dtype=np.float64).reshape(h, w)
+            a[bi * b : bi * b + h, bj * b : bj * b + w] += m
     tiles.unpersist()
     a = a + a.T  # pairs fill the upper triangle only; diag is 0 so far
     np.fill_diagonal(a, float(diag))
@@ -1431,6 +1436,281 @@ def grm_pca_distributed(
     )
 
 
+def _stats_from_dose(d: DataFrame) -> DataFrame:
+    """Polymorphic per-variant stats from an already-deduped dosage
+    frame — built from the SAME DataFrame the caller scans so the dedup
+    exchange canonicalizes identically and Catalyst's ReuseExchange
+    collapses it to one shuffle (building from `calls` again would
+    shuffle the full calls relation twice; plan-checked)."""
+    st = d.groupBy("variant_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("d").cast("bigint").alias("dose_sum"),
+    )
+    return st.where(
+        (F.col("dose_sum") > 0) & (F.col("dose_sum") < 2 * F.col("n_obs"))
+    )
+
+
+def dosage_stats(calls: DataFrame) -> DataFrame:
+    """Per-variant dosage stats (n_obs, dose_sum) over polymorphic
+    variants — the reference-cohort allele frequencies PCA projection
+    standardizes NEW samples against (SNPRelate keeps the same stats on
+    its pca object). Same dedup + polymorphic rule as grm_pairs."""
+    return _stats_from_dose(_dose_flat(calls).where(F.col("d").isNotNull()))
+
+
+def _z_expr():
+    """Frequency-standardized dosage z = (x - 2p)/sqrt(2p(1 - p)),
+    spelled with t = 2p = dose_sum/n_obs exactly as grm_pairs spells its
+    product form — one fixed IEEE expression tree both engines share."""
+    twop = F.col("dose_sum").cast("double") / F.col("n_obs").cast("double")
+    return (F.col("d").cast("double") - twop) / F.sqrt(
+        twop * (F.lit(1.0) - twop / F.lit(2.0))
+    )
+
+
+def _dose_once(calls: DataFrame, assume_unique: bool):
+    """Non-null dosage observations evaluated ONCE for operators whose
+    plan scans them from two branches: unique-cell producers skip the
+    dedup groupBy entirely; otherwise the deduped frame is persisted
+    (released with the result via release_on_gc) so the calls-width
+    shuffle doesn't run once per branch. Returns (frame, wrap) where
+    wrap(result) arranges the release."""
+    if assume_unique:
+        d = calls.select(
+            "variant_id",
+            "sample_id",
+            dosage_alt("alleles", partial_missing=False).alias("d"),
+        ).where(F.col("d").isNotNull())
+        return d, (lambda result: result)
+    d = _dose_flat(calls).where(F.col("d").isNotNull()).persist()
+
+    from seqarray_spark.plans.lifecycle import release_on_gc
+
+    return d, (lambda result: release_on_gc(d, result))
+
+
+def pca_snp_loadings(
+    calls: DataFrame,
+    weights: DataFrame,
+    unit_scale: int = 6,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Per-variant PCA loadings — the SNPRelate snpgdsPCASNPLoading
+    step (reference ecosystem; SeqArray delegates): given per-sample
+    component weights W (normally grm_pca*/grm_pca_distributed's PCs),
+    L_vc = sum_s z_vs * W_sc over the frequency-standardized dosage z.
+    With W the sample eigenvectors, L is the variant-axis eigenbasis —
+    what projects NEW cohorts onto reference PCs (pca_project_samples)
+    and what per-variant PC-correlation screens read.
+
+    `weights`: (sample_id, w array<double>) — k small; the frame is
+    broadcast (bounded by n_samples rows). Per-(variant, sample, c)
+    products are quantized to integer 10^-unit_scale units before the
+    BIGINT sum (the grm_pairs rule), so loadings are
+    aggregation-order-free and oracle-checkable. Plan: one dedup
+    groupBy (PERSISTED — the stats branch and the scoring branch both
+    read it, and Catalyst's ReuseExchange does not canonicalize the
+    two agg lineages together; measured: without the persist the full
+    calls-width dedup shuffles twice), one stats agg, two broadcast
+    joins, one variant-keyed partial agg — no wide self-join anywhere
+    (loadings are LINEAR in the data, unlike the GRM's pair blowup).
+    `assume_unique=True` skips the dedup groupBy entirely (producers
+    that guarantee one observation per cell — the engine's own
+    VCF/GDS imports), leaving NO shuffle before the final agg.
+
+    Output: (variant_id, l array<double> of k loadings). Scaling
+    conventions (1/sqrt(eigenvalue), 1/m) vary across tools; this is
+    the raw Z'W — callers apply their convention."""
+    k = weights.select(F.size("w").alias("_k")).first()
+    if k is None:
+        raise ValueError("weights frame is empty")
+    k = int(k["_k"])
+    d, release = _dose_once(calls, assume_unique)
+    dd = d.join(F.broadcast(_stats_from_dose(d)), "variant_id").join(
+        F.broadcast(weights), "sample_id"
+    )
+    scale = float(10 ** int(unit_scale))
+    z = _z_expr()
+    aggs = [
+        F.sum(
+            F.round(z * F.element_at("w", c + 1) * F.lit(scale)).cast(
+                "bigint"
+            )
+        ).alias(f"_u{c}")
+        for c in range(k)
+    ]
+    out = dd.groupBy("variant_id").agg(*aggs)
+    return release(
+        out.select(
+            "variant_id",
+            F.array(
+                *[
+                    (F.col(f"_u{c}").cast("double") / F.lit(scale))
+                    for c in range(k)
+                ]
+            ).alias("l"),
+        )
+    )
+
+
+def pca_project_samples(
+    calls: DataFrame,
+    loadings: DataFrame,
+    freqs: DataFrame | None = None,
+    unit_scale: int = 6,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Project samples onto variant loadings — the SNPRelate
+    snpgdsPCASampLoading step: P_sc = sum_v z'_vs * L_vc, the biobank
+    workflow that places a NEW cohort in a reference cohort's PC space
+    (ancestry assignment for association-study covariates) without
+    re-running the eigensolve.
+
+    `freqs` MUST be the REFERENCE cohort's dosage_stats(...) when
+    projecting new samples — standardizing by the new cohort's own
+    frequencies shifts the projection (the classic projection bug);
+    omitted, stats come from `calls` itself (self-projection). Same
+    integer-unit quantization as pca_snp_loadings; variants absent
+    from `loadings` or `freqs` contribute nothing (inner joins), and
+    fully-missing dosages drop. Plan: two broadcast-able dimension
+    joins + one sample-keyed partial agg — linear in calls.
+
+    Output: (sample_id, p array<double> of k projections)."""
+    k = loadings.select(F.size("l").alias("_k")).first()
+    if k is None:
+        raise ValueError("loadings frame is empty")
+    k = int(k["_k"])
+    if freqs is None:
+        # self-projection: stats and scoring both scan the dose frame,
+        # so share one evaluation (see _dose_once)
+        d, release = _dose_once(calls, assume_unique)
+        freqs = _stats_from_dose(d)
+    elif assume_unique:
+        d, release = _dose_once(calls, True)
+    else:
+        # external reference freqs: the dose frame has ONE consumer —
+        # no persist needed
+        d = _dose_flat(calls).where(F.col("d").isNotNull())
+        release = lambda result: result  # noqa: E731
+    dd = d.join(freqs, "variant_id").join(loadings, "variant_id")
+    scale = float(10 ** int(unit_scale))
+    z = _z_expr()
+    aggs = [
+        F.sum(
+            F.round(z * F.element_at("l", c + 1) * F.lit(scale)).cast(
+                "bigint"
+            )
+        ).alias(f"_u{c}")
+        for c in range(k)
+    ]
+    out = dd.groupBy("sample_id").agg(*aggs)
+    return release(
+        out.select(
+            "sample_id",
+            F.array(
+                *[
+                    (F.col(f"_u{c}").cast("double") / F.lit(scale))
+                    for c in range(k)
+                ]
+            ).alias("p"),
+        )
+    )
+
+
+def _DOSE_ST_CTE_SQL() -> str:
+    """dose/dnn/st CTEs (dedup dosage + per-variant polymorphic stats)
+    shared by the loadings/projection oracles — the same text
+    _GRM_PAIRS_CTE_SQL inlines."""
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id, {_DOSE_ALT_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
+        ), st AS (
+          SELECT variant_id, COUNT(*) AS n_obs, CAST(SUM(d) AS BIGINT) AS s_sum
+          FROM dnn GROUP BY variant_id
+          HAVING CAST(SUM(d) AS BIGINT) > 0
+             AND CAST(SUM(d) AS BIGINT) < 2 * COUNT(*)
+        )
+    """
+
+
+_Z_SQL = """((CAST(dnn.d AS DOUBLE)
+              - (CAST(st.s_sum AS DOUBLE) / CAST(st.n_obs AS DOUBLE)))
+             / sqrt((CAST(st.s_sum AS DOUBLE) / CAST(st.n_obs AS DOUBLE))
+                    * (1.0 - (CAST(st.s_sum AS DOUBLE)
+                              / CAST(st.n_obs AS DOUBLE)) / 2.0)))"""
+
+
+def pca_loadings_oracle_sql(n_cols: int = 4, unit_scale: int = 6) -> str:
+    """DuckDB oracle twin of pca_snp_loadings under the deterministic
+    md5-Rademacher weights (the same omega rule as grm_sketch_y);
+    caller prepends oracle_prelude(). Output (variant_id, l_0..)
+    scalars — the gate flattens the array for dialect-stable hashing."""
+    evens = ", ".join(f"'{e}'" for e in _OMEGA_EVENS)
+    scale = float(10 ** int(unit_scale))
+
+    def om(c: int) -> str:
+        return (
+            f"(CASE WHEN substr(md5(dnn.sample_id || ':{c}'), 1, 1) "
+            f"IN ({evens}) THEN 1 ELSE -1 END)"
+        )
+
+    ls = ",\n               ".join(
+        f"CAST(SUM(CAST(round({_Z_SQL} * {om(c)} * {scale!r}) AS BIGINT)) "
+        f"AS DOUBLE) / {scale!r} AS l_{c}"
+        for c in range(int(n_cols))
+    )
+    return f"""{_DOSE_ST_CTE_SQL()}
+        SELECT dnn.variant_id,
+               {ls}
+        FROM dnn JOIN st ON st.variant_id = dnn.variant_id
+        GROUP BY dnn.variant_id
+    """
+
+
+def pca_project_oracle_sql(n_cols: int = 4, unit_scale: int = 6) -> str:
+    """DuckDB oracle twin of pca_snp_loadings -> pca_project_samples
+    composed end to end under the md5-Rademacher weights: stage 1's
+    integer-unit loadings feed stage 2's integer-unit projections, the
+    full two-stage replay."""
+    evens = ", ".join(f"'{e}'" for e in _OMEGA_EVENS)
+    scale = float(10 ** int(unit_scale))
+
+    def om(c: int) -> str:
+        return (
+            f"(CASE WHEN substr(md5(dnn.sample_id || ':{c}'), 1, 1) "
+            f"IN ({evens}) THEN 1 ELSE -1 END)"
+        )
+
+    ls = ",\n                 ".join(
+        f"CAST(SUM(CAST(round({_Z_SQL} * {om(c)} * {scale!r}) AS BIGINT)) "
+        f"AS DOUBLE) / {scale!r} AS l_{c}"
+        for c in range(int(n_cols))
+    )
+    ps = ",\n               ".join(
+        f"CAST(SUM(CAST(round({_Z_SQL} * ld.l_{c} * {scale!r}) AS BIGINT)) "
+        f"AS DOUBLE) / {scale!r} AS p_{c}"
+        for c in range(int(n_cols))
+    )
+    return f"""{_DOSE_ST_CTE_SQL()}
+        , ld AS (
+          SELECT dnn.variant_id,
+                 {ls}
+          FROM dnn JOIN st ON st.variant_id = dnn.variant_id
+          GROUP BY dnn.variant_id
+        )
+        SELECT dnn.sample_id,
+               {ps}
+        FROM dnn
+        JOIN st ON st.variant_id = dnn.variant_id
+        JOIN ld ON ld.variant_id = dnn.variant_id
+        GROUP BY dnn.sample_id
+    """
+
+
 def king_from_packed(
     packed: DataFrame,
     sample_ids: list[str],
@@ -1556,4 +1836,226 @@ def king_packed_oracle_sql(min_n: int = 1) -> str:
                          / CAST(het_i + het_j AS DOUBLE)
                END AS kinship
         FROM s WHERE m_used >= {int(min_n)}
+    """
+
+
+def ibd_mom_from_packed(
+    packed: DataFrame,
+    sample_ids: list[str],
+    min_m: int = 1,
+) -> DataFrame:
+    """PLINK-style method-of-moments IBD for every sample pair over the
+    2-bit packed column — the snpgdsIBDMoM / `plink --genome` estimator
+    (Purcell et al. 2007) the reference ecosystem runs for pedigree QC
+    beside KING: observed IBS-sharing counts vs their allele-frequency
+    expectations give the IBD-state mix
+
+        k0 = N_IBS0 / sum_S 2 p^2 q^2
+        k1 = (N_IBS1 - k0 * sum_S (4p^3q + 4pq^3)) / sum_S (2p^2q + 2pq^2)
+        kinship = (1 - k0 - k1)/2 + k1/4     (k2 = 1 - k0 - k1)
+
+    with every sum over the pair's CO-CALLED variants S and p the
+    variant's alt-allele frequency over its called samples (the same
+    $dosage_alt2 universe the packed column stores). Raw unconstrained
+    estimates — PLINK's optional small-sample corrections and [0,1]
+    clamping are presentation policy, applied by callers; documented
+    divergence, like ld_prune's dominated default.
+
+    Same zero-wide-shuffle mapInArrow shape as ibs/king: the observed
+    counts are the one-hot matmuls (N_IBS0 = I0'I2 + I2'I0, N_IBS1 =
+    the four one-apart products), and each expectation sum restricted
+    to S decomposes as ONE weighted matmul, (w ⊙ known)' known, with w
+    the per-variant expectation quantized to integer 1e-6 units
+    (np.floor(w*1e6 + 0.5) — half-up, the rounding Spark SQL and
+    DuckDB share; numpy's bankers' round would hash-diverge on exact
+    halves like p=1/4 -> 70312.5). All accumulated quantities are
+    exact integers in float64; k0/k1/kinship are the only real float
+    ops, spelled identically engine- and oracle-side. NULL k0 when the
+    pair's expectation mass is zero (co-called only at monomorphic
+    sites); k1/kinship NULL with it."""
+    import numpy as np
+    import pyarrow as pa
+
+    from seqarray_spark.sources.packed import _code_lut
+
+    n_samp_expected = len(sample_ids)
+    if n_samp_expected < 2:
+        raise ValueError("IBD MoM needs >= 2 samples")
+    iu, ju = np.triu_indices(n_samp_expected, k=1)
+
+    def kernel(batches):
+        codes_lut = _code_lut()
+        shape = (n_samp_expected, n_samp_expected)
+        n0 = np.zeros(shape)
+        n1 = np.zeros(shape)
+        ms = np.zeros(shape)
+        sw0 = np.zeros(shape)
+        sw10 = np.zeros(shape)
+        sw11 = np.zeros(shape)
+        saw = False
+        for rb in batches:
+            codes = _packed_batch_codes(rb, n_samp_expected, codes_lut)
+            if codes is None:
+                continue
+            saw = True
+            i0 = (codes == 0).astype(np.float64)
+            i1 = (codes == 1).astype(np.float64)
+            i2 = (codes == 2).astype(np.float64)
+            known = i0 + i1 + i2
+            m02 = i0.T @ i2
+            n0 += m02 + m02.T
+            m01 = i0.T @ i1
+            m12 = i1.T @ i2
+            n1 += m01 + m01.T + m12 + m12.T
+            ms += known.T @ known
+            cnt = known.sum(axis=1)
+            s = (i1 + 2.0 * i2).sum(axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                p = np.where(cnt > 0, s / (2.0 * cnt), 0.0)
+            q = 1.0 - p
+            w0 = np.floor(2.0 * p * p * q * q * 1000000.0 + 0.5)
+            w10 = np.floor(
+                (4.0 * p * p * p * q + 4.0 * p * q * q * q) * 1000000.0
+                + 0.5
+            )
+            w11 = np.floor(
+                (2.0 * p * p * q + 2.0 * p * q * q) * 1000000.0 + 0.5
+            )
+            sw0 += (w0[:, None] * known).T @ known
+            sw10 += (w10[:, None] * known).T @ known
+            sw11 += (w11[:, None] * known).T @ known
+        if saw:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(iu.astype(np.int32)),
+                    pa.array(ju.astype(np.int32)),
+                    pa.array(n0[iu, ju]),
+                    pa.array(n1[iu, ju]),
+                    pa.array(ms[iu, ju]),
+                    pa.array(sw0[iu, ju]),
+                    pa.array(sw10[iu, ju]),
+                    pa.array(sw11[iu, ju]),
+                ],
+                names=["_si", "_sj", "n0", "n1", "pm", "sw0", "sw10", "sw11"],
+            )
+
+    partials = packed.select("variant_id", "n_samples", "packed").mapInArrow(
+        kernel,
+        schema=(
+            "_si int, _sj int, n0 double, n1 double, pm double, "
+            "sw0 double, sw10 double, sw11 double"
+        ),
+    )
+    labels = F.array(*[F.lit(s) for s in sample_ids])
+    agg = (
+        partials.groupBy("_si", "_sj")
+        .agg(
+            F.sum("pm").cast("bigint").alias("m_used"),
+            F.sum("n0").cast("bigint").alias("_n0"),
+            F.sum("n1").cast("bigint").alias("_n1"),
+            F.sum("sw0").cast("bigint").alias("_sw0"),
+            F.sum("sw10").cast("bigint").alias("_sw10"),
+            F.sum("sw11").cast("bigint").alias("_sw11"),
+        )
+        .where(F.col("m_used") >= int(min_m))
+    )
+    # the SAME float expression tree the oracle spells (k0 inlined into
+    # k1 so both engines evaluate identical op sequences)
+    k0 = F.when(
+        F.col("_sw0") > 0,
+        F.col("_n0").cast("double")
+        / (F.col("_sw0").cast("double") / F.lit(1000000.0)),
+    )
+    k1 = F.when(
+        (F.col("_sw0") > 0) & (F.col("_sw11") > 0),
+        (
+            F.col("_n1").cast("double")
+            - k0 * (F.col("_sw10").cast("double") / F.lit(1000000.0))
+        )
+        / (F.col("_sw11").cast("double") / F.lit(1000000.0)),
+    )
+    kin = F.when(
+        (F.col("_sw0") > 0) & (F.col("_sw11") > 0),
+        (F.lit(1.0) - k0 - k1) / F.lit(2.0) + k1 / F.lit(4.0),
+    )
+    return agg.select(
+        F.element_at(labels, F.col("_si") + 1).alias("sample_i"),
+        F.element_at(labels, F.col("_sj") + 1).alias("sample_j"),
+        "m_used",
+        k0.alias("k0"),
+        k1.alias("k1"),
+        kin.alias("kinship"),
+    )
+
+
+def ibd_mom_packed_oracle_sql(min_m: int = 1) -> str:
+    """DuckDB oracle twin of pack_2bit_genotypes -> ibd_mom_from_packed
+    over the gvariants/gcalls CTEs: packed-dose dedup, per-variant
+    allele frequency over called samples, expectation weights on the
+    identical half-up 1e-6 unit grid, co-called pair sums, the same
+    final float tree."""
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id, {_DOSE_PACKED_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
+        ), stp AS (
+          SELECT variant_id,
+                 CAST(SUM(d) AS DOUBLE)
+                   / (2.0 * CAST(COUNT(*) AS DOUBLE)) AS p
+          FROM dnn GROUP BY variant_id
+        ), wts AS (
+          SELECT variant_id,
+                 CAST(floor(2.0 * p * p * (1.0 - p) * (1.0 - p)
+                            * 1000000.0 + 0.5) AS BIGINT) AS w0,
+                 CAST(floor((4.0 * p * p * p * (1.0 - p)
+                             + 4.0 * p * (1.0 - p) * (1.0 - p) * (1.0 - p))
+                            * 1000000.0 + 0.5) AS BIGINT) AS w10,
+                 CAST(floor((2.0 * p * p * (1.0 - p)
+                             + 2.0 * p * (1.0 - p) * (1.0 - p))
+                            * 1000000.0 + 0.5) AS BIGINT) AS w11
+          FROM stp
+        ), s AS (
+          SELECT a.sample_id AS sample_i, b.sample_id AS sample_j,
+                 COUNT(*) AS m_used,
+                 CAST(SUM(CASE WHEN ABS(a.d - b.d) = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n0,
+                 CAST(SUM(CASE WHEN ABS(a.d - b.d) = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                 CAST(SUM(w.w0) AS BIGINT) AS sw0,
+                 CAST(SUM(w.w10) AS BIGINT) AS sw10,
+                 CAST(SUM(w.w11) AS BIGINT) AS sw11
+          FROM dnn a
+          JOIN dnn b ON a.variant_id = b.variant_id
+                    AND a.sample_id < b.sample_id
+          JOIN wts w ON w.variant_id = a.variant_id
+          GROUP BY a.sample_id, b.sample_id
+        )
+        SELECT sample_i, sample_j, m_used,
+               CASE WHEN sw0 > 0
+                    THEN CAST(n0 AS DOUBLE)
+                         / (CAST(sw0 AS DOUBLE) / 1000000.0) END AS k0,
+               CASE WHEN sw0 > 0 AND sw11 > 0
+                    THEN (CAST(n1 AS DOUBLE)
+                          - (CAST(n0 AS DOUBLE)
+                             / (CAST(sw0 AS DOUBLE) / 1000000.0))
+                            * (CAST(sw10 AS DOUBLE) / 1000000.0))
+                         / (CAST(sw11 AS DOUBLE) / 1000000.0) END AS k1,
+               CASE WHEN sw0 > 0 AND sw11 > 0
+                    THEN (1.0
+                          - (CAST(n0 AS DOUBLE)
+                             / (CAST(sw0 AS DOUBLE) / 1000000.0))
+                          - ((CAST(n1 AS DOUBLE)
+                              - (CAST(n0 AS DOUBLE)
+                                 / (CAST(sw0 AS DOUBLE) / 1000000.0))
+                                * (CAST(sw10 AS DOUBLE) / 1000000.0))
+                             / (CAST(sw11 AS DOUBLE) / 1000000.0))) / 2.0
+                         + ((CAST(n1 AS DOUBLE)
+                             - (CAST(n0 AS DOUBLE)
+                                / (CAST(sw0 AS DOUBLE) / 1000000.0))
+                               * (CAST(sw10 AS DOUBLE) / 1000000.0))
+                            / (CAST(sw11 AS DOUBLE) / 1000000.0)) / 4.0
+                    END AS kinship
+        FROM s WHERE m_used >= {int(min_m)}
     """

@@ -409,3 +409,114 @@ def test_filter_cond_open_bounds(spark):
     ds.set_filter_cond(mac=(None, 2))     # mac < 2
     assert {r["variant_id"] for r in ds.variants.collect()} == {1, 3, 4}
     ds.reset_filter()
+
+
+def test_filter_pos_reference_edge_table(spark):
+    """Parity review r11 (VERDICT r10 item 8): the reference's whole
+    seqSetFilterPos unit-test table (inst/unitTests/test_filterpos.R:
+    10-206) replayed scenario by scenario on one planted dataset —
+    basic / multi-chr / ref-alt (wrong ref, NA ref) / multi.pos FALSE
+    <= TRUE / intersect-subset / no-match-empty / duplicated-input —
+    with exact expected selections where the reference only asserts
+    cardinality inequalities."""
+    from seqarray_spark.dataset import SeqDataset
+
+    v = spark.createDataFrame(
+        [
+            (1, "1", 100, "A", ["T"]),
+            (2, "1", 100, "A", ["G"]),      # dup position, same chrom
+            (3, "1", 200, "C", ["G", "T"]),  # multiallelic
+            (4, "1", 300, "G", ["A"]),
+            (5, "2", 100, "T", ["C"]),
+            (6, "2", 150, "A", ["C"]),
+            (7, "2", 150, "A", []),          # no ALT at all
+        ],
+        "variant_id long, chromosome string, position int, ref string, "
+        "alt array<string>",
+    )
+
+    def probes(rows, with_alleles=False):
+        schema = "probe_ord int, chromosome string, position int"
+        if with_alleles:
+            schema += ", ref string, alt_one string"
+        return spark.createDataFrame(rows, schema)
+
+    def sel(ds):
+        return sorted(r["variant_id"] for r in ds.variants.collect())
+
+    # 1. basic: single chr, all its positions -> exactly that chromosome
+    ds = SeqDataset(v)
+    ds.set_filter_pos(
+        probes([(1, "1", 100), (2, "1", 200), (3, "1", 300)]),
+        match_alleles=False,
+    )
+    assert sel(ds) == [1, 2, 3, 4]
+    # basic: subset of positions -> returned positions within the query
+    ds = SeqDataset(v)
+    ds.set_filter_pos(probes([(1, "1", 100)]), match_alleles=False)
+    assert sel(ds) == [1, 2]
+
+    # 2. multi-chr probes combine across chromosomes
+    ds = SeqDataset(v)
+    ds.set_filter_pos(
+        probes([(1, "1", 200), (2, "2", 150)]), match_alleles=False
+    )
+    assert sel(ds) == [3, 6, 7]
+
+    # 3. ref/alt: correct alleles match; the multiallelic variant needs
+    # the FULL comma-joined ALT (SEQ_FindMatchIndex src/Methods.cpp:
+    # 1363-1371 — 'G' alone must NOT match 'G,T')
+    ds = SeqDataset(v)
+    ds.set_filter_pos(probes([(1, "1", 200, "C", "G,T")], True))
+    assert sel(ds) == [3]
+    ds = SeqDataset(v)
+    ds.set_filter_pos(probes([(1, "1", 200, "C", "G")], True))
+    assert sel(ds) == []
+    # wrong ref -> fewer matches (here: none)
+    ds = SeqDataset(v)
+    ds.set_filter_pos(probes([(1, "1", 100, "ZZZ", "T")], True))
+    assert sel(ds) == []
+    # NA ref/alt matches anything (>= the strict form)
+    ds = SeqDataset(v)
+    ds.set_filter_pos(probes([(1, "1", 100, None, None)], True))
+    assert sel(ds) == [1, 2]
+    # a variant with no ALT never alt-matches
+    ds = SeqDataset(v)
+    ds.set_filter_pos(probes([(1, "2", 150, "A", "C")], True))
+    assert sel(ds) == [6]
+
+    # 4. multi.pos=FALSE keeps the first hit per probe: n_false <= n_true
+    ds_t = SeqDataset(v)
+    ds_t.set_filter_pos(probes([(1, "1", 100)]), match_alleles=False)
+    ds_f = SeqDataset(v)
+    ds_f.set_filter_pos(
+        probes([(1, "1", 100)]), match_alleles=False, multi_pos=False
+    )
+    assert sel(ds_f) == [1] and len(sel(ds_f)) <= len(sel(ds_t))
+
+    # 5. intersect=TRUE: result is a subset of the previous filter
+    ds = SeqDataset(v)
+    ds.set_filter_variant_id([2, 3, 5])
+    ds.set_filter_pos(
+        probes([(1, "1", 100), (2, "1", 200), (3, "2", 100)]),
+        match_alleles=False,
+        intersect=True,
+    )
+    assert sel(ds) == [2, 3, 5]
+
+    # 6. no match -> empty selection
+    ds = SeqDataset(v)
+    ds.set_filter_pos(probes([(1, "1", 999999999)]), match_alleles=False)
+    assert sel(ds) == []
+
+    # 7. duplicated input positions: selection unaffected by probe
+    # multiplicity; ret.idx returns one row PER PROBE ROW
+    ds = SeqDataset(v)
+    idx = ds.set_filter_pos(
+        probes([(1, "1", 100), (2, "1", 100), (3, "1", 300), (4, "1", 300)]),
+        match_alleles=False,
+        ret_idx=True,
+    )
+    assert sel(ds) == [1, 2, 4]
+    got = {r["probe_ord"]: r["idx"] for r in idx.collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}

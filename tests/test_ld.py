@@ -602,3 +602,155 @@ def test_packed_stack_on_reference_container(spark):
             else:
                 want = (hh - 2.0 * opp) / het
                 assert abs(phi - want) < 1e-12
+
+
+def test_ld_prune_greedy_vs_dominated(spark):
+    """The r11 greedy mode replays SNPRelate's kept-set semantics: on
+    the chain A—B—C (r2(A,B) and r2(B,C) > tau, r2(A,C) <= tau) greedy
+    KEEPS C because its only strong correlate B was itself dropped,
+    while the dominated rule drops both B and C (kept_dominated ⊆
+    kept_greedy — the documented divergence). Fed via pairs= so the
+    fixture is the hand-computed pair skeleton itself."""
+    from seqarray_spark.operators.ld import ld_prune
+
+    variants = spark.createDataFrame(
+        [(1, "1", 100), (2, "1", 150), (3, "1", 200)],
+        "variant_id long, chromosome string, position int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 10, 0.9), (2, 3, 10, 0.9), (1, 3, 10, 0.1)],
+        "va long, vb long, n_used long, r2 double",
+    )
+    dom = sorted(
+        r["variant_id"]
+        for r in ld_prune(variants, None, tau=0.2, pairs=pairs).collect()
+    )
+    greedy = sorted(
+        r["variant_id"]
+        for r in ld_prune(
+            variants, None, tau=0.2, pairs=pairs, method="greedy"
+        ).collect()
+    )
+    assert dom == [1]
+    assert greedy == [1, 3]
+    assert set(dom) <= set(greedy)
+
+    # unknown method refuses
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        ld_prune(variants, None, pairs=pairs, method="plink")
+
+
+def test_pca_loadings_projection_roundtrip(spark):
+    """Real-use PCA workflow (r11 — SNPRelate snpgdsPCASNPLoading /
+    snpgdsPCASampLoading): sample PCs from grm_pca -> variant loadings
+    (Z'W) -> project the SAME samples (Z'L). For the training cohort
+    the projection is Z'Z W = m-weighted GRM-ish W, so projected
+    component 1 must separate the planted populations exactly as PC1
+    does, and the projection must correlate with the PCs
+    component-wise (|r| > 0.99 on this clean fixture)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from seqarray_spark.operators.ld import (
+        grm_from_packed,
+        grm_pca,
+        pca_project_samples,
+        pca_snp_loadings,
+    )
+
+    rng = np.random.default_rng(3)
+    V, S = 400, 30
+    pops = np.array([0] * 15 + [1] * 15)
+    codes = np.empty((V, S), dtype=np.uint8)
+    for v in range(V):
+        p = (0.1, 0.9) if v % 2 == 0 else (0.9, 0.1)
+        for s in range(S):
+            maf = p[pops[s]]
+            codes[v, s] = (rng.random() < maf) + (rng.random() < maf)
+    sids = [f"S{i:02d}" for i in range(S)]
+    rows = []
+    for v in range(V):
+        for s in range(S):
+            c = int(codes[v, s])
+            al = [0, 0] if c == 0 else ([0, 1] if c == 1 else [1, 1])
+            rows.append((v, sids[s], al))
+    calls = spark.createDataFrame(
+        rows, "variant_id long, sample_id string, alleles array<int>"
+    )
+    grm = grm_from_packed(_packed_frame(spark, codes, sids), sids)
+    pcs = {r["sample_id"]: r["pc"] for r in grm_pca(grm, k=2).collect()}
+    weights = spark.createDataFrame(
+        [(s, [float(x) for x in pcs[s]]) for s in sids],
+        "sample_id string, w array<double>",
+    )
+    loadings = pca_snp_loadings(calls, weights)
+    assert loadings.count() > 0
+    proj = {
+        r["sample_id"]: r["p"]
+        for r in pca_project_samples(calls, loadings).collect()
+    }
+    p1 = np.array([proj[s][0] for s in sids])
+    g0, g1 = p1[pops == 0], p1[pops == 1]
+    assert g0.max() < g1.min() or g1.max() < g0.min()
+    pc_mat = np.array([pcs[s] for s in sids])
+    pr_mat = np.array([proj[s] for s in sids])
+    for c in range(2):
+        r = np.corrcoef(pc_mat[:, c], pr_mat[:, c])[0, 1]
+        assert abs(r) > 0.99, (c, r)
+
+
+def test_ibd_mom_planted_relationships(spark):
+    """PLINK MoM semantics on planted pedigree structure: duplicates
+    -> k0~0, kinship~0.5; unrelated pairs -> k0~1, kinship~0;
+    parent-child (one allele inherited from each parent) -> k1
+    dominant, kinship~0.25. Raw unconstrained estimates, so tolerances
+    are statistical, not exact."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import ibd_mom_from_packed
+
+    rng = np.random.default_rng(17)
+    V = 3000
+    p = rng.uniform(0.2, 0.8, V)
+
+    def draw():
+        return (rng.random(V) < p).astype(np.uint8) + (
+            rng.random(V) < p
+        ).astype(np.uint8)
+
+    # haplotype-level parent-child: child inherits one allele from
+    # each parent
+    pa_h = np.stack([(rng.random(V) < p), (rng.random(V) < p)])
+    ma_h = np.stack([(rng.random(V) < p), (rng.random(V) < p)])
+    father = pa_h.sum(axis=0).astype(np.uint8)
+    mother = ma_h.sum(axis=0).astype(np.uint8)
+    child = (
+        pa_h[rng.integers(0, 2, V), np.arange(V)]
+        + ma_h[rng.integers(0, 2, V), np.arange(V)]
+    ).astype(np.uint8)
+    u1, u2 = draw(), draw()
+    # background cohort so the per-variant allele-frequency estimate
+    # (the expectation side of MoM) isn't dominated by the planted
+    # samples — raw MoM has the small-sample bias PLINK's Ajk
+    # corrections exist for, and n=6 leaves k0 ~15% off for unrelated
+    bg = [draw() for _ in range(14)]
+    codes = np.stack([u1, u1, u2, father, mother, child] + bg, axis=1)
+    sids = ["dupA", "dupB", "lone", "father", "mother", "child"] + [
+        f"bg{i:02d}" for i in range(14)
+    ]
+    out = {
+        (r["sample_i"], r["sample_j"]): r
+        for r in ibd_mom_from_packed(
+            _packed_frame(spark, codes, sids), sids
+        ).collect()
+    }
+    dup = out[("dupA", "dupB")]
+    assert dup["k0"] < 0.05 and abs(dup["kinship"] - 0.5) < 0.05
+    unrel = out[("dupA", "lone")]
+    assert abs(unrel["k0"] - 1.0) < 0.1 and abs(unrel["kinship"]) < 0.05  # noqa: E501
+    pc = out[("father", "child")]
+    assert pc["k1"] > 0.8 and abs(pc["kinship"] - 0.25) < 0.05
+    parents = out[("father", "mother")]
+    assert abs(parents["k0"] - 1.0) < 0.1

@@ -14,7 +14,13 @@ The eigensolve itself (numpy.linalg.eigh, O(n^3)) is gated behind
 biobank n belongs on grm_pca_distributed, which never assembles G and
 whose driver memory is O(n * (k+oversample)).
 
-Usage: python tools/grm_pca_stress.py [n_samples] [--eigh]
+--distributed runs grm_pca_distributed's full randomized eigensolve
+instead (k=10, oversample 8, power_iters 2 -> 4 matmul passes over the
+pair relation): the driver never holds more than O(n * 18) floats, so
+its RSS stays flat where the exact path's grows as n^2 — the measured
+contrast that justifies routing biobank n to the distributed path.
+
+Usage: python tools/grm_pca_stress.py [n_samples] [--eigh|--distributed]
 Prints one JSON line.
 """
 
@@ -29,8 +35,9 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--eigh"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     do_eigh = "--eigh" in sys.argv
+    distributed = "--distributed" in sys.argv
     n = int(args[0]) if args else 30_000
 
     import numpy as np
@@ -60,6 +67,31 @@ def main() -> None:
              / 10000.0).alias("grm"),
         )
     )
+
+    if distributed:
+        from seqarray_spark.operators.ld import grm_pca_distributed
+
+        t0 = time.perf_counter()
+        out = grm_pca_distributed(pairs, k=10, sample_ids=ids)
+        n_rows = out.count()
+        print(
+            json.dumps(
+                {
+                    "mode": "distributed",
+                    "n_samples": n,
+                    "n_pairs": n * (n - 1) // 2,
+                    "pc_rows": n_rows,
+                    "wall_sec": round(time.perf_counter() - t0, 1),
+                    "driver_py_peak_rss_gb": round(
+                        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                        / 1e6,
+                        2,
+                    ),
+                }
+            )
+        )
+        assert n_rows == n
+        return
 
     # run the same assembly grm_pca performs, without paying the
     # eigensolve unless asked (import the internals so the measurement
@@ -91,17 +123,18 @@ def main() -> None:
     tiles = coded.groupBy("_bi", "_bj").applyInPandas(
         _tile, schema="bi int, bj int, blob binary"
     ).persist()
-    tiles.count()  # parallel tile build; iterator then streams cache
+    tiles.count()  # parallel build; chunks below read the cache
     a = np.zeros((n, n), dtype=np.float64)
     n_tiles = 0
-    for r in tiles.toLocalIterator():
-        bi, bj = int(r["bi"]), int(r["bj"])
-        h = min(b, n - bi * b)
-        w = min(b, n - bj * b)
-        a[bi * b : bi * b + h, bj * b : bj * b + w] += np.frombuffer(
-            r["blob"], dtype=np.float64
-        ).reshape(h, w)
-        n_tiles += 1
+    for bi in range((n + b - 1) // b):  # block-row chunks: each under
+        for r in tiles.where(F.col("bi") == bi).collect():  # maxResultSize
+            bj = int(r["bj"])
+            h = min(b, n - bi * b)
+            w = min(b, n - bj * b)
+            a[bi * b : bi * b + h, bj * b : bj * b + w] += np.frombuffer(
+                r["blob"], dtype=np.float64
+            ).reshape(h, w)
+            n_tiles += 1
     tiles.unpersist()
     a = a + a.T
     np.fill_diagonal(a, 1.0)
