@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r11 additions (newest first) ------------------------------------
+        "seq_inbreeding": seq_inbreeding,
         "seq_ibd_mom": seq_ibd_mom,
         "seq_pca_loadings": seq_pca_loadings,
         "seq_pca_project": seq_pca_project,
@@ -705,6 +706,16 @@ def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = td.variant_dataset(spark, sf_dir)
     sids = ordered_sample_ids(ds.samples)
     return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
+
+
+def seq_inbreeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sample method-of-moments inbreeding F (new r11 —
+    snpgdsIndInb / plink --het): observed vs HWE-expected homozygosity
+    over each sample's called polymorphic variants; one linear
+    sample-keyed agg, expectations on a 1e-6 integer grid."""
+    from seqarray_spark.operators.ld import inbreeding_coeff
+
+    return inbreeding_coeff(td.gcalls(spark, sf_dir))
 
 
 def seq_ibd_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1908,6 +1919,9 @@ def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import (
         ibd_mom_packed_oracle_sql as _ibd_oracle,
     )
+    from seqarray_spark.operators.ld import (
+        inbreeding_oracle_sql as _inb_oracle,
+    )
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
@@ -1920,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pca_loadings": P + _pca_load_oracle(n_cols=4),
         "seq_pca_project": P + _pca_proj_oracle(n_cols=4),
         "seq_ibd_mom": P + _ibd_oracle(),
+        "seq_inbreeding": P + _inb_oracle(),
         # the greedy walk is a recursive CTE — DuckDB needs RECURSIVE
         # declared at the head of the whole WITH chain
         "seq_ld_prune_greedy": P.replace("WITH ", "WITH RECURSIVE ", 1)

@@ -2059,3 +2059,95 @@ def ibd_mom_packed_oracle_sql(min_m: int = 1) -> str:
                     END AS kinship
         FROM s WHERE m_used >= {int(min_m)}
     """
+
+
+def inbreeding_coeff(
+    calls: DataFrame,
+    min_m: int = 1,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Per-sample method-of-moments inbreeding coefficient — the
+    snpgdsIndInb('mom.visscher') / `plink --het` F statistic the
+    reference ecosystem runs as a standard sample-QC column:
+
+        F_s = (O_hom(s) - E_hom(s)) / (m_s - E_hom(s))
+
+    over sample s's called polymorphic variants, where O_hom counts
+    observed homozygous genotypes (dosage 0 or 2) and E_hom sums the
+    per-variant HWE expectation 1 - 2pq (p the variant's alt frequency
+    over ITS called samples). Raw uncorrected expectation — PLINK's
+    2pq*n/(n-1) small-sample factor is caller policy, same divergence
+    note as ibd_mom_from_packed.
+
+    Fully linear: one shared dose evaluation (_dose_once), one
+    per-variant stats agg (broadcast back), one sample-keyed partial
+    agg — no pair blowup, no wide self-join. Expectations quantized to
+    half-up 1e-6 integer units before the BIGINT sum, so F is
+    aggregation-order-free and oracle-checkable (gate seq_inbreeding).
+    Monomorphic variants are excluded (they are uninformative for F
+    and PLINK excludes them too); F is NULL when m == E_hom exactly
+    (degenerate denominator). Output: (sample_id, m_used, o_hom,
+    inbreeding)."""
+    d, release = _dose_once(calls, assume_unique)
+    st = _stats_from_dose(d)  # polymorphic only
+    twop = F.col("dose_sum").cast("double") / F.col("n_obs").cast("double")
+    p = twop / F.lit(2.0)
+    e_units = F.round(
+        (F.lit(1.0) - F.lit(2.0) * p * (F.lit(1.0) - p)) * F.lit(1000000.0)
+    ).cast("bigint")
+    dd = d.join(F.broadcast(st.select("variant_id", e_units.alias("_e"))),
+                "variant_id")
+    agg = (
+        dd.groupBy("sample_id")
+        .agg(
+            F.count(F.lit(1)).alias("m_used"),
+            F.sum(F.col("d").isin(0, 2).cast("bigint")).alias("o_hom"),
+            F.sum("_e").alias("_se"),
+        )
+        .where(F.col("m_used") >= int(min_m))
+    )
+    e_hom = F.col("_se").cast("double") / F.lit(1000000.0)
+    denom = F.col("m_used").cast("double") - e_hom
+    out = agg.select(
+        "sample_id",
+        "m_used",
+        "o_hom",
+        F.when(
+            denom != 0.0,
+            (F.col("o_hom").cast("double") - e_hom) / denom,
+        ).alias("inbreeding"),
+    )
+    return release(out)
+
+
+def inbreeding_oracle_sql(min_m: int = 1) -> str:
+    """DuckDB oracle twin of inbreeding_coeff over the gcalls CTE
+    (caller prepends oracle_prelude()): same dedup dose, polymorphic
+    stats, half-up 1e-6 expectation units, same final float tree."""
+    return f"""{_DOSE_ST_CTE_SQL()}
+        , wts AS (
+          SELECT variant_id,
+                 CAST(round((1.0 - 2.0
+                             * ((CAST(s_sum AS DOUBLE) / CAST(n_obs AS DOUBLE)) / 2.0)
+                             * (1.0 - (CAST(s_sum AS DOUBLE) / CAST(n_obs AS DOUBLE)) / 2.0))
+                            * 1000000.0) AS BIGINT) AS e_units
+          FROM st
+        ), s AS (
+          SELECT dnn.sample_id,
+                 COUNT(*) AS m_used,
+                 CAST(SUM(CASE WHEN dnn.d IN (0, 2) THEN 1 ELSE 0 END)
+                      AS BIGINT) AS o_hom,
+                 CAST(SUM(w.e_units) AS BIGINT) AS se
+          FROM dnn JOIN wts w ON w.variant_id = dnn.variant_id
+          GROUP BY dnn.sample_id
+        )
+        SELECT sample_id, m_used, o_hom,
+               CASE WHEN (CAST(m_used AS DOUBLE)
+                          - CAST(se AS DOUBLE) / 1000000.0) <> 0.0
+                    THEN (CAST(o_hom AS DOUBLE)
+                          - CAST(se AS DOUBLE) / 1000000.0)
+                         / (CAST(m_used AS DOUBLE)
+                            - CAST(se AS DOUBLE) / 1000000.0) END
+                 AS inbreeding
+        FROM s WHERE m_used >= {int(min_m)}
+    """

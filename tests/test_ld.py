@@ -754,3 +754,36 @@ def test_ibd_mom_planted_relationships(spark):
     assert pc["k1"] > 0.8 and abs(pc["kinship"] - 0.25) < 0.05
     parents = out[("father", "mother")]
     assert abs(parents["k0"] - 1.0) < 0.1
+
+
+def test_inbreeding_coeff_planted(spark):
+    """MoM inbreeding semantics: a fully-homozygous (inbred) sample ->
+    F near 1; HWE-drawn samples -> F near 0; the monomorphic-exclusion
+    and NULL-denominator rules hold."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import inbreeding_coeff
+
+    rng = np.random.default_rng(23)
+    V, S = 2000, 12
+    p = rng.uniform(0.2, 0.8, V)
+    rows = []
+    for s in range(S):
+        for v in range(V):
+            if s == 0:  # fully homozygous: both alleles one draw
+                a = int(rng.random() < p[v])
+                al = [a, a]
+            else:
+                al = [int(rng.random() < p[v]), int(rng.random() < p[v])]
+            rows.append((v, f"S{s:02d}", al))
+    calls = spark.createDataFrame(
+        rows, "variant_id long, sample_id string, alleles array<int>"
+    )
+    out = {r["sample_id"]: r for r in inbreeding_coeff(calls).collect()}
+    assert abs(out["S00"]["inbreeding"] - 1.0) < 0.05
+    others = [out[f"S{s:02d}"]["inbreeding"] for s in range(1, S)]
+    # raw MoM with p estimated from only 12 samples (one of them the
+    # inbred outlier) carries the small-sample bias PLINK's n/(n-1)
+    # factor corrects; ~0.1 swings are expected at this cohort size
+    assert max(abs(f) for f in others) < 0.15
+    assert all(out[k]["m_used"] > 0 for k in out)
