@@ -1103,12 +1103,14 @@ def grm_pca(
     broadcast ordinal join, grouped into (block x block) tiles, and
     each tile arrives as ONE dense float64 blob from applyInPandas —
     so the n^2/2 pairs cross the driver boundary as ~ (n/block)^2 / 2
-    binary buffers (33 MB each at block=2048) streamed through
-    toLocalIterator, never as per-pair Python objects. Driver memory
-    is the n x n float64 matrix itself (7.2 GB at n=30k) plus one
-    in-flight tile; the eigensolve (numpy.linalg.eigh, O(n^3)) is the
-    real driver bound — n ~ 30k is hours of LAPACK, n ~ 10k minutes.
-    Past that, grm_pca_distributed never assembles the matrix at all.
+    binary buffers (33 MB each at block=2048) pulled one block-row
+    chunk at a time from the persisted tile frame, never as per-pair
+    Python objects. Measured at n=30k / 450M pairs
+    (tools/grm_pca_stress.py): driver Python peak RSS 11.1 GB for the
+    7.2 GB matrix — matrix plus transient blobs; the eigensolve
+    (numpy.linalg.eigh, O(n^3)) is the real driver bound — n ~ 30k is
+    hours of LAPACK, n ~ 10k minutes. Past that, grm_pca_distributed
+    never assembles the matrix at all.
 
     `diag` fills the diagonal (the GCTA self-relatedness diagonal is
     ~1; constant diag shifts eigenvalues, not eigenvectors).

@@ -701,3 +701,23 @@ def test_scan_in_filter_danger_zone_skipped(spark):
         assert "Filter" not in E.plan_string(out4, "simple")
     finally:
         spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", prev)
+
+
+def test_ngram_df_count_is_partial_agg_not_window(spark, sf_dir):
+    """VERDICT r10 item 2's done-criterion: the shingle document
+    frequency must reach its exchange PRE-COLLAPSED (partial_count in a
+    HashAggregate below the shuffle) and there must be NO Window node —
+    the r10 count-window shape put every occurrence of a hot shingle in
+    one task with no remedy at any scale."""
+    from seqarray_spark.operators.dedup import ngram_jaccard_pairs
+    from seqarray_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        ngram_jaccard_pairs(docs, tau=0.8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan
+    assert "Window" not in plan

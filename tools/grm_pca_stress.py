@@ -2,9 +2,10 @@
 
 r10's grm_pca collected n^2/2 pairs as Python Row objects; at n=30k
 that is 450M Rows (~10x memory overhead, hours of deserialization).
-r11 assembles via blocked Arrow blobs (applyInPandas tiles ->
-toLocalIterator), so the driver cost is the n x n float64 matrix itself
-plus one in-flight tile. This tool builds a synthetic n-sample pair
+r11 assembles via blocked Arrow blobs (applyInPandas tiles, persisted,
+pulled down one block-row chunk at a time so no single collect trips
+spark.driver.maxResultSize), so the driver cost is the n x n float64
+matrix itself plus one block-row of tiles. This tool builds a synthetic n-sample pair
 relation ENTIRELY executor-side (range x exploded sequence — no driver
 materialization of pairs), runs the assembly, and reports wall time and
 the Python driver's peak RSS so the docstring's claim is a measurement.
@@ -97,8 +98,6 @@ def main() -> None:
     # eigensolve unless asked (import the internals so the measurement
     # IS the shipped code path)
     import pandas as pd
-
-    from seqarray_spark.operators import ld as ld_mod
 
     t0 = time.perf_counter()
     b = 2048
