@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r11 additions (newest first) ------------------------------------
+        "seq_hwe": seq_hwe,
         "seq_inbreeding": seq_inbreeding,
         "seq_ibd_mom": seq_ibd_mom,
         "seq_pca_loadings": seq_pca_loadings,
@@ -706,6 +707,18 @@ def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = td.variant_dataset(spark, sf_dir)
     sids = ordered_sample_ids(ds.samples)
     return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
+
+
+def seq_hwe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant Hardy-Weinberg chi-square (new r11 — snpgdsHWE /
+    plink --hardy): genotype-class counts vs own-frequency HWE
+    expectations, one linear variant-keyed agg; NULL for monomorphic.
+    The Wigginton exact p (hwe_exact_p) rides the same counts as a
+    pandas-UDF projection, pytest-pinned against an exact-rational
+    reference implementation (its recurrence is not SQL-expressible)."""
+    from seqarray_spark.operators.ld import hwe_test
+
+    return hwe_test(td.gcalls(spark, sf_dir))
 
 
 def seq_inbreeding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1922,6 +1935,7 @@ def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import (
         inbreeding_oracle_sql as _inb_oracle,
     )
+    from seqarray_spark.operators.ld import hwe_oracle_sql as _hwe_oracle
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
@@ -1935,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pca_project": P + _pca_proj_oracle(n_cols=4),
         "seq_ibd_mom": P + _ibd_oracle(),
         "seq_inbreeding": P + _inb_oracle(),
+        "seq_hwe": P + _hwe_oracle(),
         # the greedy walk is a recursive CTE — DuckDB needs RECURSIVE
         # declared at the head of the whole WITH chain
         "seq_ld_prune_greedy": P.replace("WITH ", "WITH RECURSIVE ", 1)

@@ -67,7 +67,7 @@ shared_r10 = shared_r9 + [
 shared_r11 = shared_r10 + [
     "seq_ld_prune_greedy", "seq_grm_sketch", "emb_pq_drift_probe",
     "seq_pca_loadings", "seq_pca_project", "seq_ibd_mom",
-    "seq_inbreeding",
+    "seq_inbreeding", "seq_hwe",
 ]
 
 

@@ -2153,3 +2153,187 @@ def inbreeding_oracle_sql(min_m: int = 1) -> str:
                  AS inbreeding
         FROM s WHERE m_used >= {int(min_m)}
     """
+
+
+def hwe_test(
+    calls: DataFrame,
+    min_n: int = 1,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Per-variant Hardy-Weinberg equilibrium chi-square — the
+    snpgdsHWE / `plink --hardy` QC column (variants failing HWE flag
+    genotyping error): observed genotype counts (hom-ref, het, hom-alt
+    from the diploid dosage) vs expectations under the variant's own
+    allele frequency,
+
+        X^2 = sum_g (O_g - E_g)^2 / E_g,   E = n*(1-q)^2, 2nq(1-q), nq^2
+
+    with q the alt frequency (2*hom_alt + het) / 2n. One dedup dose
+    evaluation and ONE variant-keyed agg — fully linear, no joins.
+    Monomorphic variants get NULL chisq (zero expected cells; they are
+    trivially in HWE and PLINK skips them too). Dosage-1 calls on
+    ploidy>2 data would miscount genotype classes — this operator is
+    defined for diploid dosage 0/1/2, like the estimators upstream.
+    Every input to the float tree is an exact integer (counts), so the
+    statistic value-hashes against the SQL oracle (gate seq_hwe). The
+    exact-test p-value (Wigginton 2005) is the hwe_exact_p companion —
+    its per-variant recurrence is not SQL-expressible, so it is
+    pytest-pinned against an independent exact-rational implementation
+    instead of gated. Output: (variant_id, n_hom_ref, n_het,
+    n_hom_alt, hwe_chisq)."""
+    d, release = _dose_once(calls, assume_unique)
+    agg = (
+        d.groupBy("variant_id")
+        .agg(
+            F.sum((F.col("d") == 0).cast("bigint")).alias("n_hom_ref"),
+            F.sum((F.col("d") == 1).cast("bigint")).alias("n_het"),
+            F.sum((F.col("d") == 2).cast("bigint")).alias("n_hom_alt"),
+        )
+        .where(
+            (F.col("n_hom_ref") + F.col("n_het") + F.col("n_hom_alt"))
+            >= int(min_n)
+        )
+    )
+    n = (
+        F.col("n_hom_ref") + F.col("n_het") + F.col("n_hom_alt")
+    ).cast("double")
+    q = (
+        F.lit(2.0) * F.col("n_hom_alt").cast("double")
+        + F.col("n_het").cast("double")
+    ) / (F.lit(2.0) * n)
+    p = F.lit(1.0) - q
+    e_rr = n * p * p
+    e_het = F.lit(2.0) * n * p * q
+    e_aa = n * q * q
+    chisq = (
+        (F.col("n_hom_ref").cast("double") - e_rr)
+        * (F.col("n_hom_ref").cast("double") - e_rr)
+        / e_rr
+        + (F.col("n_het").cast("double") - e_het)
+        * (F.col("n_het").cast("double") - e_het)
+        / e_het
+        + (F.col("n_hom_alt").cast("double") - e_aa)
+        * (F.col("n_hom_alt").cast("double") - e_aa)
+        / e_aa
+    )
+    poly = (q > 0.0) & (q < 1.0)
+    out = agg.select(
+        "variant_id",
+        "n_hom_ref",
+        "n_het",
+        "n_hom_alt",
+        F.when(poly, chisq).alias("hwe_chisq"),
+    )
+    return release(out)
+
+
+def hwe_exact_p(counts: DataFrame) -> DataFrame:
+    """Wigginton et al. 2005 exact HWE p-value on top of hwe_test's
+    counts — what snpgdsHWE actually reports at low counts where the
+    chi-square approximation fails. Per variant: the conditional
+    distribution of the het count given the allele counts follows the
+    hypergeometric-like recurrence
+
+        P(het+2)/P(het) = 4 * nA' * nB' / ((het+2) * (het+1))
+
+    walked across the support from the mid het value; p = sum of all
+    P(h) <= P(obs) (SNPRelate's two-sided definition). Vectorized as
+    one Arrow-batched pandas UDF over the counts frame — per-variant
+    cost O(min(nA, nB)); everything stays a projection on the counts
+    relation. NULL for monomorphic variants."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _p(n_rr, n_het, n_aa):
+        out = np.full(len(n_rr), np.nan)
+        for i, (rr, het, aa) in enumerate(
+            zip(n_rr.to_numpy(), n_het.to_numpy(), n_aa.to_numpy())
+        ):
+            rr, het, aa = int(rr), int(het), int(aa)
+            n_tot = rr + het + aa
+            rare = 2 * min(rr, aa) + het  # rare-allele copies
+            if n_tot == 0 or rare == 0 or rare == 2 * n_tot:
+                continue  # monomorphic
+            # probabilities over het in {rare%2, rare%2+2, ..., rare},
+            # walked from mid-support for numeric stability
+            # (Wigginton's form)
+            mid = rare * (2 * n_tot - rare) // (2 * n_tot)
+            if mid % 2 != rare % 2:
+                mid += 1
+            probs = {mid: 1.0}
+            # downward recurrence: P(h-2) = P(h) * h*(h-1) /
+            #   (4 * nA(h-2... ) — derive from the ratio form
+            h = mid
+            while h > 1:
+                hom_r = (rare - h) // 2
+                hom_c = n_tot - (h + hom_r)
+                probs[h - 2] = probs[h] * h * (h - 1) / (
+                    4.0 * (hom_r + 1) * (hom_c + 1)
+                )
+                h -= 2
+            h = mid
+            while h <= rare - 2:
+                hom_r = (rare - h) // 2
+                hom_c = n_tot - (h + hom_r)
+                probs[h + 2] = probs[h] * 4.0 * hom_r * hom_c / (
+                    (h + 2.0) * (h + 1.0)
+                )
+                h += 2
+            total = sum(probs.values())
+            obs = probs.get(het)
+            if obs is None:
+                continue  # het inconsistent with allele parity
+            out[i] = min(
+                1.0,
+                sum(v for v in probs.values() if v <= obs * (1 + 1e-12))
+                / total,
+            )
+        return pd.Series(out)
+
+    return counts.select(
+        "*",
+        _p(
+            F.col("n_hom_ref"), F.col("n_het"), F.col("n_hom_alt")
+        ).alias("hwe_exact_p"),
+    )
+
+
+def hwe_oracle_sql(min_n: int = 1) -> str:
+    """DuckDB oracle twin of hwe_test over the gcalls CTE (caller
+    prepends oracle_prelude()): same dedup dose, genotype-class counts,
+    and the identical expectation/chisq float tree (q factored in a CTE
+    so both engines evaluate the same op sequence)."""
+    return f"""{_DOSE_ST_CTE_SQL()}
+        , g AS (
+          SELECT variant_id,
+                 CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hom_ref,
+                 CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_het,
+                 CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hom_alt
+          FROM dnn GROUP BY variant_id
+          HAVING COUNT(*) >= {int(min_n)}
+        ), e AS (
+          SELECT variant_id, n_hom_ref, n_het, n_hom_alt,
+                 CAST(n_hom_ref + n_het + n_hom_alt AS DOUBLE) AS nn,
+                 (2.0 * CAST(n_hom_alt AS DOUBLE) + CAST(n_het AS DOUBLE))
+                   / (2.0 * CAST(n_hom_ref + n_het + n_hom_alt AS DOUBLE))
+                   AS qq
+          FROM g
+        )
+        SELECT variant_id, n_hom_ref, n_het, n_hom_alt,
+               CASE WHEN qq > 0.0 AND qq < 1.0 THEN
+                 (CAST(n_hom_ref AS DOUBLE) - nn * (1.0 - qq) * (1.0 - qq))
+                   * (CAST(n_hom_ref AS DOUBLE) - nn * (1.0 - qq) * (1.0 - qq))
+                   / (nn * (1.0 - qq) * (1.0 - qq))
+                 + (CAST(n_het AS DOUBLE) - 2.0 * nn * (1.0 - qq) * qq)
+                   * (CAST(n_het AS DOUBLE) - 2.0 * nn * (1.0 - qq) * qq)
+                   / (2.0 * nn * (1.0 - qq) * qq)
+                 + (CAST(n_hom_alt AS DOUBLE) - nn * qq * qq)
+                   * (CAST(n_hom_alt AS DOUBLE) - nn * qq * qq)
+                   / (nn * qq * qq)
+               END AS hwe_chisq
+        FROM e
+    """

@@ -787,3 +787,65 @@ def test_inbreeding_coeff_planted(spark):
     # factor corrects; ~0.1 swings are expected at this cohort size
     assert max(abs(f) for f in others) < 0.15
     assert all(out[k]["m_used"] > 0 for k in out)
+
+
+def test_hwe_exact_p_matches_rational_reference(spark):
+    """hwe_exact_p's float recurrence (Wigginton 2005) vs an
+    independent EXACT-rational implementation (math.comb Fractions of
+    the conditional het-count distribution) across random genotype
+    tables and the degenerate cases; the chisq column's value parity
+    is the seq_hwe gate."""
+    import math
+    from fractions import Fraction
+
+    import numpy as np
+
+    from seqarray_spark.operators.ld import hwe_exact_p
+
+    def exact_ref(rr, het, aa):
+        n = rr + het + aa
+        rare = 2 * min(rr, aa) + het
+        if n == 0 or rare == 0 or rare == 2 * n:
+            return None
+        # P(h) proportional to n! / (hom_r! h! hom_c!) * 2^h
+        def weight(h):
+            hom_r = (rare - h) // 2
+            hom_c = n - h - hom_r
+            if hom_r < 0 or hom_c < 0:
+                return None
+            return Fraction(
+                math.factorial(n) * 2**h,
+                math.factorial(hom_r)
+                * math.factorial(h)
+                * math.factorial(hom_c),
+            )
+
+        support = [
+            h for h in range(rare % 2, rare + 1, 2)
+            if weight(h) is not None
+        ]
+        ws = {h: weight(h) for h in support}
+        tot = sum(ws.values())
+        obs = ws[het]
+        return float(sum(w for w in ws.values() if w <= obs) / tot)
+
+    rng = np.random.default_rng(31)
+    cases = [(5, 0, 5), (0, 10, 0), (10, 0, 0), (1469, 138, 5)]
+    for _ in range(25):
+        cases.append(tuple(int(x) for x in rng.integers(0, 40, 3)))
+    df = spark.createDataFrame(
+        [(i, rr, het, aa) for i, (rr, het, aa) in enumerate(cases)],
+        "variant_id long, n_hom_ref long, n_het long, n_hom_alt long",
+    )
+    got = {
+        r["variant_id"]: r["hwe_exact_p"]
+        for r in hwe_exact_p(df).collect()
+    }
+    for i, (rr, het, aa) in enumerate(cases):
+        want = exact_ref(rr, het, aa)
+        if want is None:
+            assert got[i] is None, (i, (rr, het, aa), got[i])
+        else:
+            assert got[i] is not None and abs(got[i] - want) < 1e-9, (
+                i, (rr, het, aa), got[i], want,
+            )
