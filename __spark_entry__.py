@@ -3298,10 +3298,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM xd
               ) r WHERE rn = 1
             )
-            SELECT a.q_id, a.adc_top1, e.exact_top1,
+            -- LEFT join from the exact side (ADVICE r11): a probe whose
+            -- probed cells hold no corpus vectors has no ADC top-1 and
+            -- must count agree=0, not vanish from the mean
+            SELECT e.q_id, a.adc_top1, e.exact_top1,
                    CAST(CASE WHEN a.adc_top1 = e.exact_top1
                              THEN 1 ELSE 0 END AS INT) AS agree
-            FROM adc1 a JOIN ex1 e ON e.q_id = a.q_id
+            FROM ex1 e LEFT JOIN adc1 a ON a.q_id = e.q_id
         """,
         "emb_knn_join_pq": """
             WITH cents AS (

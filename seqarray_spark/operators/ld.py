@@ -1066,7 +1066,15 @@ def _grm_pair_positions(
 ) -> DataFrame:
     """(pi, pj, v) integer-coded pair relation, pi < pj, NULL grm -> 0.
     The id -> ordinal map rides a broadcast hash join (the
-    grm_pairs_blas lesson: literal-map lookups scan linearly)."""
+    grm_pairs_blas lesson: literal-map lookups scan linearly).
+
+    The joins are LEFT + raise_error on an unmapped side (ADVICE r11):
+    an inner join would silently DISCARD every pair touching a sample
+    absent from an explicit sample_ids= list, so a typo'd or partial
+    cohort list yields PCs computed on a truncated relatedness matrix
+    with no error — the inverse of the derived-axis footgun documented
+    on _grm_sample_axis. The guard is executor-side (zero extra passes
+    over the pair relation) and names the offending id."""
     spark = grm.sparkSession
     ord_df = spark.createDataFrame(
         [(s, i) for i, s in enumerate(ids)], "sample_id string, _ord int"
@@ -1074,12 +1082,34 @@ def _grm_pair_positions(
     oi = F.broadcast(ord_df).alias("oi")
     oj = F.broadcast(ord_df).alias("oj")
     g = grm.alias("g")
+
+    def _guard(ord_col, id_col):
+        return F.when(
+            ord_col.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "grm pair references a sample absent from "
+                        "sample_ids= (its pairs would otherwise be "
+                        "silently dropped): "
+                    ),
+                    id_col,
+                )
+            ).cast("int"),
+        ).otherwise(ord_col)
+
     coded = (
-        g.join(oi, F.col("g.sample_i") == F.col("oi.sample_id"), "inner")
-        .join(oj, F.col("g.sample_j") == F.col("oj.sample_id"), "inner")
+        g.join(oi, F.col("g.sample_i") == F.col("oi.sample_id"), "left")
+        .join(oj, F.col("g.sample_j") == F.col("oj.sample_id"), "left")
         .select(
-            F.least("oi._ord", "oj._ord").alias("_pi"),
-            F.greatest("oi._ord", "oj._ord").alias("_pj"),
+            F.least(
+                _guard(F.col("oi._ord"), F.col("g.sample_i")),
+                _guard(F.col("oj._ord"), F.col("g.sample_j")),
+            ).alias("_pi"),
+            F.greatest(
+                _guard(F.col("oi._ord"), F.col("g.sample_i")),
+                _guard(F.col("oj._ord"), F.col("g.sample_j")),
+            ).alias("_pj"),
             F.coalesce(F.col("g.grm").cast("double"), F.lit(0.0)).alias("_v"),
         )
     )
@@ -1292,20 +1322,42 @@ def grm_sketch_y(
     The sample axis is derived from the pair rows (a sample with no
     surviving pair is absent — pass the cohort through grm_pca*'s
     sample_ids= when that matters; this gate form keeps the SQL twin
-    join-free). Output: (sample_id, y_0 .. y_{n_cols-1}) doubles."""
+    join-free). Output: (sample_id, y_0 .. y_{n_cols-1}) doubles.
+
+    Each pair row contributes to BOTH its samples' rows of Y. That is
+    expressed as one explode over a 2-struct array — NOT a Union of two
+    selects on `grm` — so the (expensive, possibly unpersisted) pair
+    relation is scanned exactly once: a Union embeds the full grm
+    lineage under both branches and Catalyst does not reuse the
+    exchanges (measured 2x cost on the grm_pairs build, VERDICT r11)."""
     units = F.round(F.col("grm") * F.lit(float(10**quant))).cast("bigint")
-    sides = []
-    for me, other in (("sample_i", "sample_j"), ("sample_j", "sample_i")):
-        sides.append(
-            grm.select(
-                F.col(me).alias("sample_id"),
-                *[
-                    (units * _omega_col(F.col(other), c)).alias(f"_u{c}")
-                    for c in range(int(n_cols))
-                ],
-            )
+    both = (
+        grm.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("sample_i").alias("sample_id"),
+                        F.col("sample_j").alias("other"),
+                        units.alias("units"),
+                    ),
+                    F.struct(
+                        F.col("sample_j").alias("sample_id"),
+                        F.col("sample_i").alias("other"),
+                        units.alias("units"),
+                    ),
+                )
+            ).alias("_e")
         )
-    both = sides[0].unionByName(sides[1])
+        .select(
+            F.col("_e.sample_id").alias("sample_id"),
+            *[
+                (F.col("_e.units") * _omega_col(F.col("_e.other"), c)).alias(
+                    f"_u{c}"
+                )
+                for c in range(int(n_cols))
+            ],
+        )
+    )
     diag_units = int(round(float(diag) * float(10**quant)))
     agg = both.groupBy("sample_id").agg(
         *[F.sum(f"_u{c}").alias(f"_u{c}") for c in range(int(n_cols))]

@@ -54,10 +54,36 @@ def _query_terms(query: str) -> list[str]:
     return list(seen)
 
 
+def _stamp_terms(stats: DataFrame, terms: list[str]) -> DataFrame:
+    """Stamp the source query's term list onto a stats frame as schema
+    metadata on a sentinel column (ADVICE r11): df_i columns bind
+    POSITIONALLY, so bm25_topk must be able to verify the stats were
+    built for ITS terms — column-name shape alone lets a same-length
+    stats frame for a different query score silently wrong. Schema
+    metadata is driver-side (zero jobs to read) and Spark persists it
+    through parquet round-trips."""
+    return stats.select(
+        "*",
+        F.lit(1).alias("_bm25_terms", metadata={"terms": list(terms)}),
+    )
+
+
+def stats_terms(stats: DataFrame) -> list[str] | None:
+    """The term list a stats frame was built for (None if unstamped)."""
+    try:
+        meta = stats.schema["_bm25_terms"].metadata
+    except KeyError:
+        return None
+    got = meta.get("terms")
+    return [str(t) for t in got] if got is not None else None
+
+
 def bm25_stats(docs: DataFrame, terms: list[str], text_col: str = "text") -> DataFrame:
     """One-row collection statistics for BM25: doc count, total token
     length (-> avgdl), and per-term document frequency. One full-scan
-    reduce; the result is a single row suitable for ``F.broadcast``."""
+    reduce; the result is a single row suitable for ``F.broadcast``.
+    The term list rides the schema (see _stamp_terms) so bm25_topk can
+    reject a stats frame built for a different query."""
     toks = tokens(text_col)
     aggs = [
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -67,7 +93,7 @@ def bm25_stats(docs: DataFrame, terms: list[str], text_col: str = "text") -> Dat
         aggs.append(
             F.sum(F.array_contains(toks, t).cast("long")).cast("double").alias(f"df_{i}")
         )
-    return docs.agg(*aggs)
+    return _stamp_terms(docs.agg(*aggs), terms)
 
 
 def bm25_topk(
@@ -102,11 +128,15 @@ def bm25_topk(
         stats = bm25_stats(docs, terms, text_col)
     else:
         # df_i columns bind POSITIONALLY to _query_terms(query): a stats
-        # frame built for a different query (or a reordered terms list)
-        # would score silently wrong, so the shape mismatch must fail
-        # loudly — stats= callers must build via bm25_stats(docs,
-        # _query_terms(query)) / bm25_stats_from_index(index, query)
-        want = {"n_docs", "total_len"} | {f"df_{i}" for i in range(len(terms))}
+        # frame built for a DIFFERENT query (even one with the same
+        # number of terms — the r11 advice case the column-shape check
+        # missed) would score silently wrong, so the stamped term list
+        # must match exactly — stats= callers must build via
+        # bm25_stats(docs, _query_terms(query)) /
+        # bm25_stats_from_index(index, query's terms)
+        want = {"n_docs", "total_len", "_bm25_terms"} | {
+            f"df_{i}" for i in range(len(terms))
+        }
         have = set(stats.columns)
         if have != want:
             raise ValueError(
@@ -114,6 +144,15 @@ def bm25_topk(
                 f"expected exactly columns {sorted(want)}, got "
                 f"{sorted(have)} — build it from the SAME query string "
                 "via bm25_stats/bm25_stats_from_index"
+            )
+        stamped = stats_terms(stats)
+        if stamped != terms:
+            raise ValueError(
+                "stats= frame was built for a different term list: "
+                f"stamped {stamped}, query needs {terms} — df_i columns "
+                "bind positionally, so this would score silently wrong. "
+                "Rebuild via bm25_stats/bm25_stats_from_index from the "
+                "SAME query string."
             )
     toks = tokens(text_col)
     scored = docs.select(id_col, toks.alias("_t")).crossJoin(F.broadcast(stats))
@@ -379,4 +418,6 @@ def bm25_stats_from_index(spark, path: str, terms: list[str]) -> DataFrame:
     for i, t in enumerate(terms):
         row[f"df_{i}"] = hits.get(t, 0.0)
     cols = ", ".join(f"{c} double" for c in row)
-    return spark.createDataFrame([tuple(row.values())], cols)
+    return _stamp_terms(
+        spark.createDataFrame([tuple(row.values())], cols), terms
+    )

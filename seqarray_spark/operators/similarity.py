@@ -2001,11 +2001,20 @@ def pq_drift_probe(
         .where(F.col("__rn") == 1)
         .select("q_id", F.col("c_id").alias("exact_top1"))
     )
-    return adc1.join(exact1, "q_id").select(
+    # LEFT join from the exact side (ADVICE r11): a probe whose nprobe
+    # coarse cells contain no corpus vectors has NO ADC top-1 at all —
+    # cell evacuation under drift is exactly the failure this metric
+    # exists to surface, so such a probe must count agree=0 (NULL
+    # adc_top1 kept visible), not silently drop and leave the mean
+    # optimistic while n_probes shrinks.
+    return exact1.join(adc1, "q_id", "left").select(
         "q_id",
         "adc_top1",
         "exact_top1",
-        (F.col("adc_top1") == F.col("exact_top1")).cast("int").alias("agree"),
+        F.coalesce(
+            (F.col("adc_top1") == F.col("exact_top1")).cast("int"),
+            F.lit(0),
+        ).alias("agree"),
     )
 
 

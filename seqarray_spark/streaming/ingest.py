@@ -515,6 +515,33 @@ def ingest_semantic_stream(
     return writer.start()
 
 
+def _append_drift_record(log_path: str, record: dict) -> bool:
+    """Append one drift record, idempotent under micro-batch REPLAY
+    (ADVICE r11): a failed/retried batch re-enters foreachBatch with
+    the same batch_id, and blindly appending would duplicate the
+    record and skew any aggregation of the drift series. Skips the
+    write when the log's LAST record already carries this batch_id —
+    the tail check suffices because batch_ids are monotonically
+    increasing, so a replay is always of the last appended batch,
+    never an earlier one. Returns True iff the record was written."""
+    import json as _json
+
+    last_id = None
+    try:
+        with open(log_path, "rb") as fh:
+            tail = fh.read()[-4096:]
+        lines = tail.splitlines()
+        if lines:
+            last_id = _json.loads(lines[-1]).get("batch_id")
+    except (OSError, ValueError):
+        pass  # no log yet / torn tail line — append normally
+    if last_id == record.get("batch_id"):
+        return False
+    with open(log_path, "a") as fh:
+        fh.write(_json.dumps(record) + "\n")
+    return True
+
+
 def ingest_pq_codes_stream(
     emb_stream: DataFrame,
     index_path: str,
@@ -631,8 +658,6 @@ def ingest_pq_codes_stream(
             .parquet(index_path)
         )
         if probe_sample:
-            import json as _json
-
             from seqarray_spark.operators.similarity import pq_drift_probe
 
             probes = (
@@ -659,10 +684,9 @@ def ingest_pq_codes_stream(
                     else None
                 ),
             }
-            with open(
-                index_path.rstrip("/") + "_drift.jsonl", "a"
-            ) as fh:
-                fh.write(_json.dumps(record) + "\n")
+            _append_drift_record(
+                index_path.rstrip("/") + "_drift.jsonl", record
+            )
         if compact_every and (batch_id + 1) % compact_every == 0:
             from seqarray_spark.operators.similarity import (
                 compact_pq_codes_index,

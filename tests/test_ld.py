@@ -849,3 +849,22 @@ def test_hwe_exact_p_matches_rational_reference(spark):
             assert got[i] is not None and abs(got[i] - want) < 1e-9, (
                 i, (rr, het, aa), got[i], want,
             )
+
+
+def test_grm_pca_rejects_partial_sample_ids(spark):
+    """ADVICE r11: with an explicit sample_ids= list, a pair whose
+    sample is ABSENT from the list must raise (naming the id) instead
+    of being silently inner-joined away — a typo'd or partial cohort
+    list must not yield PCs from a truncated relatedness matrix."""
+    import pytest as _pytest
+
+    from seqarray_spark.operators.ld import grm_pca
+
+    grm = spark.createDataFrame(
+        [("S1", "S2", 3, 0.5), ("S2", "S3", 3, 0.1)],
+        "sample_i string, sample_j string, m_used int, grm double",
+    )
+    with _pytest.raises(Exception, match="absent from"):
+        grm_pca(grm, k=1, sample_ids=["S1", "S2"]).collect()
+    # the full cohort passes
+    assert grm_pca(grm, k=1, sample_ids=["S1", "S2", "S3"]).count() == 3

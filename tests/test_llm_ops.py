@@ -2036,3 +2036,46 @@ def test_ngram_jaccard_exact_boundary_pair(spark):
            for r in D.ngram_jaccard_pairs(docs, shingle_n=3, tau=0.8).collect()}
     assert (1, 2) in out, "exact-boundary J=0.8 pair lost by pruning"
     assert abs(out[(1, 2)] - 0.8) < 1e-12
+
+
+def test_pq_drift_probe_counts_evacuated_cell_as_disagreement(spark):
+    """ADVICE r11: a probe whose nprobe coarse cells contain NO corpus
+    vectors has no ADC top-1 at all. The join with the exact top-1 must
+    be a LEFT join from the exact side so the probe stays in the output
+    with agree=0 — cell evacuation under drift must LOWER the metric,
+    not shrink n_probes while the mean stays optimistic."""
+    dim, m = 8, 2
+    cents = [
+        [10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [-10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    ]
+    cbk = [
+        (s, c, [float(c)] * 4) for s in range(m) for c in range(2)
+    ]
+    # corpus: every vector aligned with centroid 0 -> cell 1 is EMPTY
+    corpus = spark.createDataFrame(
+        [(i, [9.0 + 0.1 * i] + [0.1 * i] * (dim - 1)) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [
+            # probe 100 aligned with centroid 1 -> probes only the
+            # evacuated cell at nprobe=1
+            (100, [-9.0] + [0.0] * (dim - 1)),
+            # probe 101 aligned with the corpus -> normal agreement row
+            (101, [9.0] + [0.0] * (dim - 1)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["q_id"]: r
+        for r in S.pq_drift_probe(
+            probes, corpus, cents, cbk, m=m, nprobe=1
+        ).collect()
+    }
+    assert set(rows) == {100, 101}, "evacuated probe must not drop"
+    assert rows[100]["adc_top1"] is None
+    assert rows[100]["exact_top1"] is not None
+    assert rows[100]["agree"] == 0
+    assert rows[101]["agree"] in (0, 1)  # a real comparison happened
+    assert rows[101]["adc_top1"] is not None

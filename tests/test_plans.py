@@ -721,3 +721,21 @@ def test_ngram_df_count_is_partial_agg_not_window(spark, sf_dir):
     )
     assert "partial_count" in plan
     assert "Window" not in plan
+
+
+def test_grm_sketch_scans_pair_relation_once(spark, sf_dir):
+    """VERDICT r11 item 1's done-criterion: grm_sketch_y must not
+    duplicate its input lineage. The r11 Union-of-two-selects form
+    embedded the full grm_pairs build (the most expensive subtree in
+    the registry) under both branches with zero ReusedExchange; the
+    explode form adds ZERO source scans beyond what grm_pairs itself
+    plans, and no Union node at all."""
+    from seqarray_spark.operators.ld import grm_pairs, grm_sketch_y
+    from seqarray_spark.sources import testdata as td
+
+    grm = grm_pairs(td.gcalls(spark, sf_dir))
+    sketch = grm_sketch_y(grm, n_cols=4)
+    base_plan = E.plan_string(grm, "simple")
+    plan = E.plan_string(sketch, "simple")
+    assert "Union" not in plan
+    assert plan.count("Scan ") == base_plan.count("Scan ")

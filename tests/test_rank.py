@@ -146,3 +146,41 @@ def test_bm25_stored_stats_index_identical(spark, corpus, tmp_path):
     a = sorted(bm25_topk(corpus, q, k=10).collect())
     b = sorted(bm25_topk(corpus, q, k=10, stats=pre).collect())
     assert a == b and a
+
+
+def test_bm25_stats_for_wrong_query_raises(corpus, spark, tmp_path):
+    """ADVICE r11: a stats frame built for a DIFFERENT query with the
+    SAME number of terms passes the column-shape check but would bind
+    df_i positionally to the wrong terms — the stamped term list must
+    reject it. Covers both builders (in-memory and stored-index) and
+    the parquet round-trip of the stamp."""
+    from seqarray_spark.operators.rank import (
+        _query_terms,
+        bm25_stats_from_index,
+        stats_terms,
+        write_bm25_stats,
+    )
+
+    wrong = bm25_stats(corpus, _query_terms("hash partitions"))
+    with pytest.raises(ValueError, match="different term list"):
+        bm25_topk(corpus, "spark join", k=10, stats=wrong)
+    # reordered terms are positionally wrong too
+    reordered = bm25_stats(corpus, _query_terms("join spark"))
+    with pytest.raises(ValueError, match="different term list"):
+        bm25_topk(corpus, "spark join", k=10, stats=reordered)
+    # the stored-index builder stamps as well
+    path = str(tmp_path / "bm25_index")
+    write_bm25_stats(corpus, path)
+    idx_wrong = bm25_stats_from_index(spark, path, _query_terms("lazy dog"))
+    with pytest.raises(ValueError, match="different term list"):
+        bm25_topk(corpus, "spark join", k=10, stats=idx_wrong)
+    # the stamp survives a parquet round-trip (workload-amortized
+    # stats are stored once, served many times)
+    good = bm25_stats(corpus, _query_terms("spark join"))
+    pq = str(tmp_path / "stats.parquet")
+    good.write.parquet(pq)
+    reloaded = spark.read.parquet(pq)
+    assert stats_terms(reloaded) == ["spark", "join"]
+    a = sorted(bm25_topk(corpus, "spark join", k=10).collect())
+    b = sorted(bm25_topk(corpus, "spark join", k=10, stats=reloaded).collect())
+    assert a == b

@@ -659,3 +659,29 @@ def test_retrain_pq_codes_index_rebuilds_under_new_model(spark, tmp_path):
     assert sorted((v, c) for v, c, _, _ in got) != old_rows  # model changed
     assert not os.path.exists(idx + "__compacting")
     assert not os.path.exists(idx + "__old")
+
+
+def test_append_drift_record_idempotent_under_replay(tmp_path):
+    """ADVICE r11: the _drift.jsonl append inside foreachBatch must be
+    idempotent — a failed/retried micro-batch re-enters with the SAME
+    batch_id and must not duplicate its record."""
+    import json
+
+    from seqarray_spark.streaming.ingest import _append_drift_record
+
+    log = str(tmp_path / "idx_drift.jsonl")
+    r0 = {"batch_id": 0, "n_probes": 4, "mean_top1_agreement": 1.0}
+    r1 = {"batch_id": 1, "n_probes": 4, "mean_top1_agreement": 0.75}
+    assert _append_drift_record(log, r0) is True
+    assert _append_drift_record(log, r0) is False  # replay of batch 0
+    assert _append_drift_record(log, r1) is True
+    assert _append_drift_record(log, dict(r1)) is False  # replay of 1
+    with open(log) as fh:
+        recs = [json.loads(line) for line in fh]
+    assert [r["batch_id"] for r in recs] == [0, 1]
+    # torn tail line (crash mid-write) falls back to appending
+    with open(log, "a") as fh:
+        fh.write('{"batch_id": 2, "n_pro')
+    assert _append_drift_record(
+        log, {"batch_id": 2, "n_probes": 4, "mean_top1_agreement": 0.5}
+    ) is True
