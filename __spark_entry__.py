@@ -62,6 +62,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_registry_sweep.py::test_rotation_invariant): any entry
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
+        # -- r12 additions (newest first) ------------------------------------
+        "seq_fst": seq_fst,
         # -- r11 additions (newest first) ------------------------------------
         "seq_hwe": seq_hwe,
         "seq_inbreeding": seq_inbreeding,
@@ -707,6 +709,28 @@ def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = td.variant_dataset(spark, sf_dir)
     sids = ordered_sample_ids(ds.samples)
     return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
+
+
+def seq_fst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant Weir & Cockerham 1984 Fst (new r12 —
+    snpgdsFst('W&C84') / vcftools --weir-fst-pop parity): variance
+    components from one (variant, population) partial agg + one
+    variant agg on the shared dose substrate; the single non-integer
+    population sum rides the 1e-9 integer grid so the whole float tree
+    value-hashes. The two groups split sample ids by PARITY of the
+    numeric suffix — NOT gsamples.population, whose suppkey<50 rule
+    collapses to a single population at sf0.001 (10 samples), which
+    would make the gate vacuous where the sweep runs."""
+    from seqarray_spark.operators.ld import fst_wc
+
+    pops = td.gsamples(spark, sf_dir).select(
+        "sample_id",
+        F.expr(
+            "CONCAT('P', CAST(CAST(SUBSTRING(sample_id, 2) AS INT) % 2 "
+            "AS STRING))"
+        ).alias("population"),
+    )
+    return fst_wc(td.gcalls(spark, sf_dir), pops)
 
 
 def seq_hwe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1936,10 +1960,12 @@ def oracle_sql() -> dict[str, str]:
         inbreeding_oracle_sql as _inb_oracle,
     )
     from seqarray_spark.operators.ld import hwe_oracle_sql as _hwe_oracle
+    from seqarray_spark.operators.ld import fst_wc_oracle_sql as _fst_oracle
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
     return {
+        "seq_fst": P + _fst_oracle(),
         # engine/oracle twins live side by side in operators/rank.py so
         # the scoring expressions stay in lockstep
         "seq_ld_pairs": P + _ld_oracle(bp_window=5000),

@@ -69,6 +69,10 @@ shared_r11 = shared_r10 + [
     "seq_pca_loadings", "seq_pca_project", "seq_ibd_mom",
     "seq_inbreeding", "seq_hwe",
 ]
+# r12 additions on top of r11 (keep in lockstep with _queries()):
+shared_r12 = shared_r11 + [
+    "seq_fst",
+]
 
 
 def materialize(df) -> None:
@@ -109,6 +113,11 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
+    # per-query raw samples (sorted asc): the r11 verdict measured a
+    # 1.68x same-code host variance band, making single-number
+    # round-over-round deltas unreadable — the spread lets the next
+    # verdict separate code movement from host noise per query.
+    spreads: dict[str, list[float]] = {}
     for name, fn in entry_mod.queries().items():
         gc.collect()
         spark.catalog.clearCache()
@@ -116,17 +125,17 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-        best = None
+        samples: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             try:
                 materialize(fn(spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                samples.append(time.perf_counter() - t0)
             except Exception as e:
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
                 break
-        timings[name] = round(best, 3) if best is not None else -1.0
+        timings[name] = round(min(samples), 3) if samples else -1.0
+        spreads[name] = [round(s, 3) for s in sorted(samples)]
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Pinned cross-round subtotals (VERDICT r8 item 5): the registry grows
@@ -146,11 +155,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # protocol: per-query best-of-3 after a full-registry sf0.001
+        # warmup pass, gc+clearCache+System.gc() between queries;
+        # "queries"/subtotals are the per-query min, "spreads" the raw
+        # sorted samples
+        "protocol": "best-of-3",
+        "spreads": spreads,
         "shared_r7_subtotal": subtotal(shared_r7),
         "shared_r8_subtotal": subtotal(shared_r8),
         "shared_r9_subtotal": subtotal(shared_r9),
         "shared_r10_subtotal": subtotal(shared_r10),
         "shared_r11_subtotal": subtotal(shared_r11),
+        "shared_r12_subtotal": subtotal(shared_r12),
     }
     print(json.dumps(payload))
     # self-archive (VERDICT r10 item 3): the driver's BENCH_r{N}.json

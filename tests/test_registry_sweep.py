@@ -22,7 +22,7 @@ def test_all_registry_queries_match_oracles(spark):
     # the sweep only proves anything if it saw the whole registry
     # (VERDICT r8 item 8: pin the actual count so an accidental registry
     # truncation fails loudly; bump when adding queries)
-    assert len(entry_mod.queries()) >= 97
+    assert len(entry_mod.queries()) >= 98
 
 
 def test_every_query_has_oracle_or_documented_exemption():
@@ -98,4 +98,4 @@ def test_bench_newest_shared_set_covers_full_registry():
 
     import __spark_entry__ as entry_mod
 
-    assert set(bench.shared_r11) == set(entry_mod.queries())
+    assert set(bench.shared_r12) == set(entry_mod.queries())
