@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r12 additions (newest first) ------------------------------------
+        "seq_fst_genome": seq_fst_genome,
         "seq_fst": seq_fst,
         # -- r11 additions (newest first) ------------------------------------
         "seq_hwe": seq_hwe,
@@ -709,6 +710,25 @@ def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = td.variant_dataset(spark, sf_dir)
     sids = ordered_sample_ids(ds.samples)
     return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
+
+
+def seq_fst_genome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genome-wide W&C84 Fst (new r12): the ratio-of-sums multi-locus
+    combination over seq_fst's per-variant variance components (NOT the
+    mean of ratios, which over-weights noisy low-information variants —
+    Weir & Cockerham 1984's own combination, what vcftools prints as
+    'weighted Fst'). Components quantized to the 1e-9 grid before the
+    BIGINT sums, so the single-row reduce is aggregation-order-free."""
+    from seqarray_spark.operators.ld import fst_wc, fst_wc_genome
+
+    pops = td.gsamples(spark, sf_dir).select(
+        "sample_id",
+        F.expr(
+            "CONCAT('P', CAST(CAST(SUBSTRING(sample_id, 2) AS INT) % 2 "
+            "AS STRING))"
+        ).alias("population"),
+    )
+    return fst_wc_genome(fst_wc(td.gcalls(spark, sf_dir), pops))
 
 
 def seq_fst(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1961,11 +1981,15 @@ def oracle_sql() -> dict[str, str]:
     )
     from seqarray_spark.operators.ld import hwe_oracle_sql as _hwe_oracle
     from seqarray_spark.operators.ld import fst_wc_oracle_sql as _fst_oracle
+    from seqarray_spark.operators.ld import (
+        fst_wc_genome_oracle_sql as _fstg_oracle,
+    )
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
     return {
         "seq_fst": P + _fst_oracle(),
+        "seq_fst_genome": P + _fstg_oracle(),
         # engine/oracle twins live side by side in operators/rank.py so
         # the scoring expressions stay in lockstep
         "seq_ld_pairs": P + _ld_oracle(bp_window=5000),

@@ -286,18 +286,49 @@ def ld_prune(
     )
 
     def _walk(vpdf: "pd.DataFrame", ppdf: "pd.DataFrame") -> "pd.DataFrame":
+        """The sequential kept-set scan, array-backed: a dict-of-sets
+        predecessor index costs ~200+ bytes per strong pair in Python
+        object overhead (multi-GB per task at 10M variants/chromosome,
+        measured in tools/prune_walk_stress.py); here the skeleton is
+        two position-coded int arrays grouped CSR-style, so task state
+        is ~24 bytes/pair + the variant frame. Semantics are identical:
+        a pair partner that walks LATER is never in `kept` when its vb
+        is visited, and pairs referencing variants outside this
+        chromosome's frame are dropped (they can never be kept)."""
+        import numpy as np
+
         order = vpdf.sort_values(["position", "variant_id"])
-        preds: dict[int, set] = {}
-        for va, vb in zip(ppdf["va"], ppdf["vb"]):
-            preds.setdefault(vb, set()).add(va)
-        kept: set = set()
-        for vid in order["variant_id"]:
-            if preds.get(vid, set()) & kept:
+        vids = order["variant_id"].to_numpy()
+        n = len(vids)
+        if n == 0 or len(ppdf) == 0:
+            kept_mask = np.ones(n, dtype=bool)
+            return order[kept_mask][["variant_id", "chromosome", "position"]]
+        id_order = np.argsort(vids, kind="stable")
+        ids_sorted = vids[id_order]
+
+        def walk_pos(ids):
+            """variant_id -> walk index; -1 when absent from the frame."""
+            j = np.searchsorted(ids_sorted, ids)
+            j_safe = np.minimum(j, n - 1)
+            pos = id_order[j_safe]
+            return np.where(ids_sorted[j_safe] == ids, pos, -1)
+
+        va_pos = walk_pos(ppdf["va"].to_numpy())
+        vb_pos = walk_pos(ppdf["vb"].to_numpy())
+        good = (va_pos >= 0) & (vb_pos >= 0)
+        va_pos, vb_pos = va_pos[good], vb_pos[good]
+        # CSR group the predecessor lists by vb's walk index
+        grp = np.argsort(vb_pos, kind="stable")
+        vbp = vb_pos[grp]
+        vap = va_pos[grp]
+        bounds = np.searchsorted(vbp, np.arange(n + 1))
+        kept = np.zeros(n, dtype=bool)
+        for j in range(n):
+            s, e = bounds[j], bounds[j + 1]
+            if e > s and kept[vap[s:e]].any():
                 continue  # correlates with a KEPT earlier variant
-            kept.add(vid)
-        return order[order["variant_id"].isin(kept)][
-            ["variant_id", "chromosome", "position"]
-        ]
+            kept[j] = True
+        return order[kept][["variant_id", "chromosome", "position"]]
 
     return (
         vv.groupBy("chromosome")
@@ -2712,13 +2743,11 @@ def fst_wc_genome(
     )
 
 
-def fst_wc_oracle_sql(min_pops: int = 2, unit_scale: int = 9) -> str:
-    """DuckDB oracle twin of fst_wc over the gcalls/gsamples CTEs
-    (caller prepends oracle_prelude()): same dedup dose, same broadcast
-    population map, same half-up unit grid for sum n_i*p_i^2, and the
-    identical variance-component float tree (each factor spelled in
-    the same order so both engines evaluate the same IEEE op
-    sequence)."""
+def _FST_CTE_SQL(min_pops: int = 2, unit_scale: int = 9) -> str:
+    """The fst_wc oracle's CTE chain through the per-variant variance
+    components (comp3: wa, wb, wc per variant), shared by the
+    per-variant and genome-wide oracles so the component math cannot
+    drift between them."""
     scale = float(10 ** int(unit_scale))
     return f"""{_DOSE_ST_CTE_SQL()}
         , fpops AS (
@@ -2781,11 +2810,49 @@ def fst_wc_oracle_sql(min_pops: int = 2, unit_scale: int = 9) -> str:
                       - hb * (2.0 * nb - 1.0) / (4.0 * nb)) AS wb,
                  hb / 2.0 AS wc
           FROM comp2
-        )
+        )"""
+
+
+def fst_wc_oracle_sql(min_pops: int = 2, unit_scale: int = 9) -> str:
+    """DuckDB oracle twin of fst_wc over the gcalls/gsamples CTEs
+    (caller prepends oracle_prelude()): same dedup dose, same broadcast
+    population map, same half-up unit grid for sum n_i*p_i^2, and the
+    identical variance-component float tree (each factor spelled in
+    the same order so both engines evaluate the same IEEE op
+    sequence)."""
+    return f"""{_FST_CTE_SQL(min_pops, unit_scale)}
         SELECT variant_id, n_pops, n_total,
                CASE WHEN nb > 1.0 THEN wa END AS wc_a,
                CASE WHEN nb > 1.0 THEN wa + wb + wc END AS wc_abc,
                CASE WHEN nb > 1.0 AND wa + wb + wc <> 0.0
                     THEN wa / (wa + wb + wc) END AS fst
         FROM comp3
+    """
+
+
+def fst_wc_genome_oracle_sql(
+    min_pops: int = 2, unit_scale: int = 9, genome_unit_scale: int = 9
+) -> str:
+    """DuckDB oracle twin of fst_wc_genome over fst_wc's component
+    chain: the same per-variant wc_a / wc_abc projection quantized to
+    the 1e-genome_unit_scale grid, BIGINT-summed, ratio'd."""
+    gscale = float(10 ** int(genome_unit_scale))
+    return f"""{_FST_CTE_SQL(min_pops, unit_scale)}
+        , pv AS (
+          SELECT CASE WHEN nb > 1.0 THEN wa END AS wc_a,
+                 CASE WHEN nb > 1.0 THEN wa + wb + wc END AS wc_abc
+          FROM comp3
+        ), g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_variants,
+                 CAST(SUM(CAST(round(wc_a * {gscale!r}) AS BIGINT))
+                      AS BIGINT) AS sa,
+                 CAST(SUM(CAST(round(wc_abc * {gscale!r}) AS BIGINT))
+                      AS BIGINT) AS sd
+          FROM pv WHERE wc_a IS NOT NULL
+        )
+        SELECT n_variants,
+               CASE WHEN sd <> 0
+                    THEN CAST(sa AS DOUBLE) / CAST(sd AS DOUBLE) END
+                 AS fst_genome
+        FROM g
     """
