@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r12 additions (newest first) ------------------------------------
+        "seq_fst_windows": seq_fst_windows,
         "seq_fst_genome": seq_fst_genome,
         "seq_fst": seq_fst,
         # -- r11 additions (newest first) ------------------------------------
@@ -710,6 +711,27 @@ def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = td.variant_dataset(spark, sf_dir)
     sids = ordered_sample_ids(ds.samples)
     return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
+
+
+def seq_fst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window W&C84 Fst (new r12 — the vcftools
+    --fst-window-size selection-scan output): per-window ratio of
+    sums of seq_fst's variance components over the
+    seqUnitSlidingWindows grid; one component build + one
+    (chromosome, window) partial agg."""
+    from seqarray_spark.operators.ld import fst_wc_windows
+
+    pops = td.gsamples(spark, sf_dir).select(
+        "sample_id",
+        F.expr(
+            "CONCAT('P', CAST(CAST(SUBSTRING(sample_id, 2) AS INT) % 2 "
+            "AS STRING))"
+        ).alias("population"),
+    )
+    return fst_wc_windows(
+        td.gcalls(spark, sf_dir), pops, td.gvariants(spark, sf_dir),
+        win_size=WIN_SIZE, win_shift=WIN_SHIFT,
+    )
 
 
 def seq_fst_genome(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1984,12 +2006,17 @@ def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import (
         fst_wc_genome_oracle_sql as _fstg_oracle,
     )
+    from seqarray_spark.operators.ld import (
+        fst_wc_windows_oracle_sql as _fstw_oracle,
+    )
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
     return {
         "seq_fst": P + _fst_oracle(),
         "seq_fst_genome": P + _fstg_oracle(),
+        "seq_fst_windows": P + _fstw_oracle(win_size=WIN_SIZE,
+                                            win_shift=WIN_SHIFT),
         # engine/oracle twins live side by side in operators/rank.py so
         # the scoring expressions stay in lockstep
         "seq_ld_pairs": P + _ld_oracle(bp_window=5000),

@@ -2856,3 +2856,121 @@ def fst_wc_genome_oracle_sql(
                  AS fst_genome
         FROM g
     """
+
+
+def fst_wc_windows(
+    calls: DataFrame,
+    sample_pops: DataFrame,
+    variants: DataFrame,
+    win_size: int = 100_000,
+    win_shift: int = 50_000,
+    win_start: int = 0,
+    min_pops: int = 2,
+    unit_scale: int = 9,
+    genome_unit_scale: int = 9,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Sliding-window W&C84 Fst — the `vcftools --weir-fst-pop
+    --fst-window-size/--fst-window-step` selection-scan output: per
+    (chromosome, window), the ratio of sums of the per-variant
+    variance components over the window's variants (the same
+    multi-locus combination as fst_wc_genome, NOT the mean of
+    per-variant ratios). Composes fst_wc's component relation with
+    the seqUnitSlidingWindows grid (operators/windows.py), so the
+    expensive part — the component build — runs ONCE; the window agg
+    is a variant-keyed join + one (chromosome, window) partial agg.
+    Components quantized to the 1e-genome_unit_scale grid before the
+    BIGINT window sums (aggregation-order-free, gate
+    seq_fst_windows).
+
+    n_variants counts the window's variants with DEFINED components
+    (nb > 1) — that INCLUDES monomorphic variants, whose components
+    are defined zeros (counted in the window, contributing nothing to
+    either sum — vcftools' treatment); windows containing no
+    component-bearing variant are dropped, like vcftools.
+    Output: (chromosome, unit_start, unit_end, n_variants, fst)."""
+    from seqarray_spark.operators.windows import sliding_windows
+
+    comp = fst_wc(
+        calls, sample_pops, min_pops=min_pops,
+        assume_unique=assume_unique, unit_scale=unit_scale,
+    )
+    membership = sliding_windows(
+        variants, win_size=win_size, win_shift=win_shift,
+        win_start=win_start, dup_rm=False,
+    ).where(F.col("variant_id").isNotNull())
+    gscale = float(10 ** int(genome_unit_scale))
+    au = F.round(F.col("wc_a") * F.lit(gscale)).cast("bigint")
+    du = F.round(F.col("wc_abc") * F.lit(gscale)).cast("bigint")
+    agg = (
+        membership.join(
+            comp.where(F.col("wc_a").isNotNull()).select(
+                "variant_id", au.alias("_au"), du.alias("_du")
+            ),
+            "variant_id",
+        )
+        .groupBy("chromosome", "unit_start", "unit_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum("_au").alias("_sa"),
+            F.sum("_du").alias("_sd"),
+        )
+    )
+    return agg.select(
+        "chromosome",
+        "unit_start",
+        "unit_end",
+        "n_variants",
+        F.when(
+            F.col("_sd") != 0,
+            F.col("_sa").cast("double") / F.col("_sd").cast("double"),
+        ).alias("fst"),
+    )
+
+
+def fst_wc_windows_oracle_sql(
+    win_size: int = 100_000,
+    win_shift: int = 50_000,
+    min_pops: int = 2,
+    unit_scale: int = 9,
+    genome_unit_scale: int = 9,
+) -> str:
+    """DuckDB oracle twin of fst_wc_windows over fst_wc's component
+    chain + the sliding-window membership replay (the same
+    generate_series window assignment the seq_sliding_windows oracle
+    uses, win_start=0)."""
+    gscale = float(10 ** int(genome_unit_scale))
+    return f"""{_FST_CTE_SQL(min_pops, unit_scale)}
+        , pvu AS (
+          SELECT variant_id,
+                 CAST(round(wa * {gscale!r}) AS BIGINT) AS au,
+                 CAST(round((wa + wb + wc) * {gscale!r}) AS BIGINT) AS du
+          FROM comp3 WHERE nb > 1.0
+        ), membership AS (
+          SELECT chromosome,
+                 CAST(k * {int(win_shift)} AS BIGINT) AS unit_start,
+                 CAST(k * {int(win_shift)} + {int(win_size)} - 1 AS BIGINT)
+                   AS unit_end,
+                 variant_id
+          FROM (
+            SELECT chromosome, variant_id,
+                   UNNEST(generate_series(
+                     CAST(GREATEST(CEIL((position - {int(win_size)} + 1)
+                                        / {int(win_shift)}.0), 0) AS BIGINT),
+                     CAST(FLOOR(position / {int(win_shift)}.0) AS BIGINT)))
+                     AS k
+            FROM gvariants WHERE position >= 0
+          ) t
+        ), wagg AS (
+          SELECT m.chromosome, m.unit_start, m.unit_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_variants,
+                 CAST(SUM(p.au) AS BIGINT) AS sa,
+                 CAST(SUM(p.du) AS BIGINT) AS sd
+          FROM membership m JOIN pvu p ON p.variant_id = m.variant_id
+          GROUP BY m.chromosome, m.unit_start, m.unit_end
+        )
+        SELECT chromosome, unit_start, unit_end, n_variants,
+               CASE WHEN sd <> 0
+                    THEN CAST(sa AS DOUBLE) / CAST(sd AS DOUBLE) END AS fst
+        FROM wagg
+    """

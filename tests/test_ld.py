@@ -961,6 +961,39 @@ def test_fst_wc_planted_two_populations(spark):
     assert g["n_variants"] == 4
     assert abs(g["fst_genome"] - sa / sd) < 1e-6
 
+    # windowed (vcftools --fst-window-size): per-window ratio of sums.
+    # positions put variants 1,2 in windows [0,999]+[500,1499] overlap
+    # zones and variant 3 alone in a later window; the monomorphic
+    # variant 4 contributes nothing anywhere.
+    from seqarray_spark.operators.ld import fst_wc_windows
+
+    variants = spark.createDataFrame(
+        [(1, "7", 100), (2, "7", 600), (3, "7", 2100), (4, "7", 2200)],
+        "variant_id int, chromosome string, position int",
+    )
+    wrows = {
+        (r["chromosome"], r["unit_start"], r["unit_end"]):
+            (r["n_variants"], r["fst"])
+        for r in fst_wc_windows(
+            calls, sample_pops, variants, win_size=1000, win_shift=500
+        ).collect()
+    }
+    a1, d1 = wc84_ref(planted[1])
+    a2, d2 = wc84_ref(planted[2])
+    a3, d3 = wc84_ref(planted[3])
+    # window [0, 999]: variants 1 (pos 100) and 2 (pos 600)
+    n, f = wrows[("7", 0, 999)]
+    assert n == 2 and abs(f - (a1 + a2) / (d1 + d2)) < 1e-6
+    # window [500, 1499]: variant 2 only
+    n, f = wrows[("7", 500, 1499)]
+    assert n == 1 and abs(f - a2 / d2) < 1e-6
+    # window [2000, 2999]: variants 3 and 4 — the monomorphic 4 has
+    # DEFINED zero components (wa = abc = 0, exactly vcftools'
+    # treatment: counted in the window, contributing nothing to either
+    # sum), so n=2 but fst is still a3/d3
+    n, f = wrows[("7", 2000, 2999)]
+    assert n == 2 and abs(f - a3 / d3) < 1e-6
+
 
 def test_pca_family_on_reference_container(spark):
     """VERDICT r11 item 4: the r11 PCA estimators compose END-TO-END on
