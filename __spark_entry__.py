@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r12 additions (newest first) ------------------------------------
+        "seq_ld_composite": seq_ld_composite,
         "seq_fst_windows": seq_fst_windows,
         "seq_fst_genome": seq_fst_genome,
         "seq_fst": seq_fst,
@@ -711,6 +712,21 @@ def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = td.variant_dataset(spark, sf_dir)
     sids = ordered_sample_ids(ds.samples)
     return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
+
+
+def seq_ld_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weir composite digenic-disequilibrium correlation for windowed
+    variant pairs (new r12 — SNPRelate snpgdsLDMat's default
+    method='composite'): the SIGNED dosage correlation via Weir's
+    phase-free composite-Delta form (its square is seq_ld_pairs' r2 —
+    the sign is what score-based methods consume). Same binned range
+    self-join substrate as seq_ld_pairs; exact BIGINT sums in, one
+    IEEE float tree out."""
+    from seqarray_spark.operators.ld import ld_pairs
+
+    v = td.gvariants(spark, sf_dir)
+    c = td.gcalls(spark, sf_dir)
+    return ld_pairs(v, c, bp_window=5000, stat="composite")
 
 
 def seq_fst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2009,11 +2025,15 @@ def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import (
         fst_wc_windows_oracle_sql as _fstw_oracle,
     )
+    from seqarray_spark.operators.ld import (
+        ld_composite_oracle_sql as _ldc_oracle,
+    )
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
     return {
         "seq_fst": P + _fst_oracle(),
+        "seq_ld_composite": P + _ldc_oracle(bp_window=5000),
         "seq_fst_genome": P + _fstg_oracle(),
         "seq_fst_windows": P + _fstw_oracle(win_size=WIN_SIZE,
                                             win_shift=WIN_SHIFT),

@@ -52,20 +52,40 @@ def ld_pairs(
     calls: DataFrame,
     bp_window: int = 50_000,
     min_n: int = 1,
+    stat: str = "r2",
 ) -> DataFrame:
-    """r² (squared Pearson correlation of ALT-dosage) for every variant
-    pair on the same chromosome within ``bp_window`` base pairs.
+    """Pairwise LD for every variant pair on the same chromosome within
+    ``bp_window`` base pairs. Two statistics (SNPRelate's snpgdsLDMat
+    exposes both; its 'composite' is the package default):
 
-    Output: (va, vb, n_used, r2) where va precedes vb in (position,
-    variant_id) order, n_used counts samples with BOTH dosages known,
-    and r2 is NULL when either variant is monomorphic over those
-    samples (zero variance — the reference kernels emit NaN there).
-    Pairs with n_used < min_n are dropped.
+    stat='r2' (default): squared Pearson correlation of ALT-dosage —
+    (va, vb, n_used, r2), NULL when either variant is monomorphic over
+    the co-observed samples (zero variance — the reference kernels
+    emit NaN there).
 
-    Pair generation is the standard binned range join: side A keyed by
-    floor(pos/W), side B exploded to {bin, bin-1}, so each variant is
-    compared against only its window neighbours — the plan contains a
-    bounded-fanout equi-join, not a per-chromosome cross join."""
+    stat='composite': Weir's composite digenic disequilibrium
+    correlation (Weir 1996 §3; no phase needed):
+        Delta = mean(x*y)/2 - 2*pA*pB          (= cov(x, y)/2)
+        r_comp = Delta / sqrt((pA qA + D_A) * (pB qB + D_B))
+    with D_A = P(hom-ALT) - pA^2 the within-locus Hardy-Weinberg
+    disequilibrium. Since pq + D is exactly var(dosage)/2, r_comp is
+    the SIGNED Pearson correlation of the genotype codes (r_comp^2 ==
+    stat='r2' wherever both are defined — pinned by pytest); the sign
+    is what score-based methods and SNPRelate's default method
+    ('composite') report. Output (va, vb, n_used, ld_comp), NULL on a
+    zero denominator (either locus monomorphic — the same rows where
+    r2 is NULL). Every input to either float tree is an
+    exact BIGINT sum, so both stats value-hash against the SQL oracle
+    (gates seq_ld_pairs / seq_ld_composite); sqrt is IEEE
+    correctly-rounded in both engines.
+
+    Pairs with n_used < min_n are dropped. Pair generation is the
+    standard binned range join: side A keyed by floor(pos/W), side B
+    exploded to {bin, bin-1}, so each variant is compared against only
+    its window neighbours — the plan contains a bounded-fanout
+    equi-join, not a per-chromosome cross join."""
+    if stat not in ("r2", "composite"):
+        raise ValueError(f"unknown ld_pairs stat {stat!r}")
     if int(min_n) < 1:
         # at min_n=0 the engine would emit (va, vb, 0, NULL) rows for
         # pairs with zero co-observed samples, which the inner-join
@@ -118,29 +138,55 @@ def ld_pairs(
             ),
         )
     )
+    fields = [
+        ("n", lambda e: F.lit(1).cast("long")),
+        ("sx", lambda e: e["x"]),
+        ("sy", lambda e: e["y"]),
+        ("sxy", lambda e: e["x"] * e["y"]),
+        ("sxx", lambda e: e["x"] * e["x"]),
+        ("syy", lambda e: e["y"] * e["y"]),
+    ]
+    if stat == "composite":
+        # hom-ALT indicator sums for the HW-disequilibrium terms
+        fields += [
+            ("hx", lambda e: (e["x"] == 2).cast("long")),
+            ("hy", lambda e: (e["y"] == 2).cast("long")),
+        ]
     init = F.struct(
-        F.lit(0).cast("long").alias("n"),
-        F.lit(0).cast("long").alias("sx"),
-        F.lit(0).cast("long").alias("sy"),
-        F.lit(0).cast("long").alias("sxy"),
-        F.lit(0).cast("long").alias("sxx"),
-        F.lit(0).cast("long").alias("syy"),
+        *[F.lit(0).cast("long").alias(name) for name, _ in fields]
     )
 
     def _merge(acc, e):
         return F.when(e.isNull(), acc).otherwise(
             F.struct(
-                (acc["n"] + 1).alias("n"),
-                (acc["sx"] + e["x"]).alias("sx"),
-                (acc["sy"] + e["y"]).alias("sy"),
-                (acc["sxy"] + e["x"] * e["y"]).alias("sxy"),
-                (acc["sxx"] + e["x"] * e["x"]).alias("sxx"),
-                (acc["syy"] + e["y"] * e["y"]).alias("syy"),
+                *[
+                    (acc[name] + contrib(e)).alias(name)
+                    for name, contrib in fields
+                ]
             )
         )
 
     s = pairs.select("va", "vb", F.aggregate(zipped, init, _merge).alias("_s"))
     n = F.col("_s.n")
+    if stat == "composite":
+        nd = n.cast("double")
+        p_a = F.col("_s.sx").cast("double") / (F.lit(2.0) * nd)
+        p_b = F.col("_s.sy").cast("double") / (F.lit(2.0) * nd)
+        d_a = F.col("_s.hx").cast("double") / nd - p_a * p_a
+        d_b = F.col("_s.hy").cast("double") / nd - p_b * p_b
+        var_a = p_a * (F.lit(1.0) - p_a) + d_a
+        var_b = p_b * (F.lit(1.0) - p_b) + d_b
+        delta = (
+            (n * F.col("_s.sxy") - F.col("_s.sx") * F.col("_s.sy"))
+            .cast("double")
+            / (F.lit(2.0) * nd * nd)
+        )
+        denom2 = var_a * var_b
+        comp = F.when(denom2 > F.lit(0.0), delta / F.sqrt(denom2))
+        return (
+            s.where(n >= int(min_n))
+            .select("va", "vb", n.alias("n_used"), comp.alias("ld_comp"))
+        )
     num = n * F.col("_s.sxy") - F.col("_s.sx") * F.col("_s.sy")
     d1 = n * F.col("_s.sxx") - F.col("_s.sx") * F.col("_s.sx")
     d2 = n * F.col("_s.syy") - F.col("_s.sy") * F.col("_s.sy")
@@ -198,7 +244,11 @@ def _ld_ctes(bp_window: int, dose_sql: str = _DOSE_ALT_SQL) -> str:
                  CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
                  CAST(SUM(dx * dy) AS BIGINT) AS sxy,
                  CAST(SUM(dx * dx) AS BIGINT) AS sxx,
-                 CAST(SUM(dy * dy) AS BIGINT) AS syy
+                 CAST(SUM(dy * dy) AS BIGINT) AS syy,
+                 CAST(SUM(CASE WHEN dx = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hx,
+                 CAST(SUM(CASE WHEN dy = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hy
           FROM j GROUP BY va, vb
         )
     """
@@ -218,6 +268,28 @@ def ld_pairs_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
     (caller prepends seqarray_spark.sources.testdata.oracle_prelude())."""
     return f"""{_ld_ctes(bp_window)}
         SELECT va, vb, n_used, {_LD_R2_SQL} AS r2
+        FROM s WHERE n_used >= {int(min_n)}
+    """
+
+
+def ld_composite_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
+    """DuckDB oracle twin of ld_pairs(stat='composite') — the same s
+    CTE chain, the identical Weir-composite float tree (sqrt is IEEE
+    correctly-rounded in both engines, so the value-hash holds)."""
+    p_a = "(CAST(sx AS DOUBLE) / (2.0 * CAST(n_used AS DOUBLE)))"
+    p_b = "(CAST(sy AS DOUBLE) / (2.0 * CAST(n_used AS DOUBLE)))"
+    d_a = f"(CAST(hx AS DOUBLE) / CAST(n_used AS DOUBLE) - {p_a} * {p_a})"
+    d_b = f"(CAST(hy AS DOUBLE) / CAST(n_used AS DOUBLE) - {p_b} * {p_b})"
+    var_a = f"({p_a} * (1.0 - {p_a}) + {d_a})"
+    var_b = f"({p_b} * (1.0 - {p_b}) + {d_b})"
+    delta = (
+        "(CAST(n_used * sxy - sx * sy AS DOUBLE)"
+        " / (2.0 * CAST(n_used AS DOUBLE) * CAST(n_used AS DOUBLE)))"
+    )
+    return f"""{_ld_ctes(bp_window)}
+        SELECT va, vb, n_used,
+               CASE WHEN {var_a} * {var_b} > 0.0
+                    THEN {delta} / sqrt({var_a} * {var_b}) END AS ld_comp
         FROM s WHERE n_used >= {int(min_n)}
     """
 

@@ -1068,3 +1068,37 @@ def test_pca_family_on_reference_container(spark):
             assert r > 0.95, (c, r)
     finally:
         grm.unpersist()
+
+
+def test_ld_composite_is_signed_dosage_correlation(spark, sf_dir):
+    """ld_pairs(stat='composite') (new r12 — SNPRelate snpgdsLDMat's
+    default method): Weir's composite-Delta correlation. The identity
+    pq + D == var(dosage)/2 makes it the SIGNED genotype correlation,
+    so its square must equal the r2 stat row for row, its sign must
+    match the covariance, and the NULL rows (monomorphic loci) must
+    coincide."""
+    from seqarray_spark.operators.ld import ld_pairs
+    from seqarray_spark.sources import testdata as td
+
+    v = td.gvariants(spark, sf_dir)
+    c = td.gcalls(spark, sf_dir)
+    r2 = {
+        (r["va"], r["vb"]): r["r2"]
+        for r in ld_pairs(v, c, bp_window=5000).collect()
+    }
+    comp = {
+        (r["va"], r["vb"]): r["ld_comp"]
+        for r in ld_pairs(v, c, bp_window=5000, stat="composite").collect()
+    }
+    assert set(r2) == set(comp) and len(r2) > 100
+    n_neg = 0
+    for k, c_val in comp.items():
+        if c_val is None:
+            assert r2[k] is None, k
+            continue
+        assert r2[k] is not None
+        assert abs(c_val * c_val - r2[k]) < 1e-12, (k, c_val, r2[k])
+        n_neg += c_val < 0
+    # the derived data must actually exercise the sign (else this test
+    # would pass on |r|)
+    assert n_neg > 0
