@@ -481,3 +481,31 @@ def test_get_data_pad_na_reference_semantics(spark):
     only2 = ds.get_data("annotation/info/GL", pad_na=True).collect()
     assert len(only2) == 1 and only2[0]["GL"] == [9]
     ds.reset_filter()
+
+
+def test_dosage_plus_dosage_alt_identity(spark, sf_dir):
+    """Reference test.dosage_alt (inst/unitTests/test_func.R:336-357):
+    $dosage (REF count) and $dosage_alt share EXACTLY the same missing
+    cells, and wherever both are known their sum is the ploidy (2) —
+    replayed on the derived diploid calls, including the
+    partial-missing cells the derivation plants via l_discount."""
+    from pyspark.sql import functions as F
+
+    from seqarray_spark.functions.variant import dosage_alt, dosage_ref
+    from seqarray_spark.sources import testdata as td
+
+    c = td.gcalls(spark, sf_dir).select(
+        dosage_ref("alleles").alias("dr"),
+        dosage_alt("alleles", partial_missing=False).alias("da"),
+    )
+    bad = c.where(
+        (F.col("dr").isNull() != F.col("da").isNull())
+        | (F.col("dr").isNotNull() & (F.col("dr") + F.col("da") != 2))
+    )
+    assert bad.count() == 0
+    # both branches of the identity are actually exercised
+    stats = c.agg(
+        F.sum(F.col("dr").isNull().cast("long")).alias("n_missing"),
+        F.sum(F.col("dr").isNotNull().cast("long")).alias("n_known"),
+    ).collect()[0]
+    assert stats["n_missing"] > 0 and stats["n_known"] > 0
