@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r12 additions (newest first) ------------------------------------
+        "seq_ld_em": seq_ld_em,
         "seq_ld_composite": seq_ld_composite,
         "seq_fst_windows": seq_fst_windows,
         "seq_fst_genome": seq_fst_genome,
@@ -712,6 +713,21 @@ def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = td.variant_dataset(spark, sf_dir)
     sids = ordered_sample_ids(ds.samples)
     return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
+
+
+def seq_ld_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haplotype-frequency LD via the fixed-step two-locus EM (new r12
+    — snpgdsLDMat method='r'/'dprime', PLINK --ld): per windowed pair,
+    EM over the 3x3 genotype table resolves the double-het phase
+    ambiguity; signed r and Lewontin D' from the estimated haplotype
+    frequencies. The EM is a FIXED 30-step IEEE float tree replayed
+    step for step by the oracle's unrolled CTE chain; the Arrow numpy
+    kernel is the production form."""
+    from seqarray_spark.operators.ld import ld_pairs_em
+
+    v = td.gvariants(spark, sf_dir)
+    c = td.gcalls(spark, sf_dir)
+    return ld_pairs_em(v, c, bp_window=5000)
 
 
 def seq_ld_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2028,12 +2044,14 @@ def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import (
         ld_composite_oracle_sql as _ldc_oracle,
     )
+    from seqarray_spark.operators.ld import ld_em_oracle_sql as _ldem_oracle
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
     return {
         "seq_fst": P + _fst_oracle(),
         "seq_ld_composite": P + _ldc_oracle(bp_window=5000),
+        "seq_ld_em": P + _ldem_oracle(bp_window=5000),
         "seq_fst_genome": P + _fstg_oracle(),
         "seq_fst_windows": P + _fstw_oracle(win_size=WIN_SIZE,
                                             win_shift=WIN_SHIFT),

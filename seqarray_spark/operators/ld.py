@@ -1432,7 +1432,16 @@ def grm_sketch_y(
     selects on `grm` — so the (expensive, possibly unpersisted) pair
     relation is scanned exactly once: a Union embeds the full grm
     lineage under both branches and Catalyst does not reuse the
-    exchanges (measured 2x cost on the grm_pairs build, VERDICT r11)."""
+    exchanges (VERDICT r11). Same-session A/B at sf0.1 (SCALE.md):
+    the Union form can still WIN WALL-CLOCK there (4.8s vs 7.9s) —
+    its duplicated subtrees schedule as two parallel branches while
+    AQE has coalesced each tiny stage to 3-6 partitions, so the 2x
+    CPU hides on idle cores. That inversion is a small-data artifact:
+    at saturation (the 100 TB posture) stages fill the cluster, idle
+    cores don't exist, and the explode form's halved total work is
+    the real cost. Callers who iterate (grm_pca_distributed) persist
+    the pair relation anyway, which removes the duplication either
+    way."""
     units = F.round(F.col("grm") * F.lit(float(10**quant))).cast("bigint")
     both = (
         grm.select(
@@ -3045,4 +3054,279 @@ def fst_wc_windows_oracle_sql(
                CASE WHEN sd <> 0
                     THEN CAST(sa AS DOUBLE) / CAST(sd AS DOUBLE) END AS fst
         FROM wagg
+    """
+
+
+_EM_CELLS = ["n22", "n21", "n12", "n20", "n02", "n11", "n10", "n01", "n00"]
+
+
+def ld_pairs_em(
+    variants: DataFrame,
+    calls: DataFrame,
+    bp_window: int = 50_000,
+    min_n: int = 1,
+    em_iters: int = 30,
+) -> DataFrame:
+    """Haplotype-frequency LD via the two-locus EM (Excoffier &
+    Slatkin 1995) — SNPRelate snpgdsLDMat's method='r'/'dprime', the
+    phase-resolving statistics PLINK's --ld reports. From each pair's
+    3x3 genotype table, only the double-heterozygote cell is phase-
+    ambiguous; EM splits it by the current haplotype-frequency
+    estimate:
+
+        x <- pAB*pab / (pAB*pab + pAb*paB)        (E step)
+        pAB <- (cAB + x*n11) / (2n)  (and cyclically)   (M step)
+
+    run for a FIXED em_iters steps from x=0.5 — fixed, not
+    to-convergence, so the whole estimator is one deterministic IEEE
+    float tree that the SQL oracle replays step for step (gate
+    seq_ld_em; near-degenerate tables converge slowly — measured
+    worst-case |pAB_30 - pAB_converged| ~ 9e-3 over 4000 random
+    tables, typical cases are exact to 1e-12 — raise em_iters when
+    chasing the tail, the oracle generator takes the same knob).
+    Output per pair: haplotype frequency p_ab, the signed correlation
+    ld_r = D/sqrt(pA qA pB qB), and the normalized d_prime = D/Dmax
+    (Lewontin 1964), NULL where a locus is monomorphic (zero
+    denominator / zero Dmax).
+
+    The genotype-table build rides the same binned range self-join as
+    ld_pairs; the EM itself is an Arrow-batched numpy kernel over the
+    bounded per-pair table (9 BIGINT cells in, 3 doubles out) — one
+    vectorized 30-step loop per batch, no per-row Python."""
+    if int(min_n) < 1:
+        raise ValueError("min_n must be >= 1")
+    import pandas as pd
+
+    w = int(bp_window)
+    v = variants.select("variant_id", "chromosome", "position")
+    dm = _dose_map(calls)
+    va = (
+        v.withColumn("_bin", F.floor(F.col("position") / w))
+        .join(dm, "variant_id")
+        .select(
+            F.col("variant_id").alias("va"),
+            F.col("chromosome").alias("_ch"),
+            F.col("position").alias("_pa"),
+            "_bin",
+            F.col("_dm").alias("_ma"),
+        )
+    )
+    vb = (
+        v.select(
+            F.col("variant_id").alias("vb"),
+            F.col("chromosome").alias("_ch"),
+            F.col("position").alias("_pb"),
+            F.explode(
+                F.array(
+                    F.floor(F.col("position") / w),
+                    F.floor(F.col("position") / w) - 1,
+                )
+            ).alias("_bin"),
+        )
+        .join(
+            dm.select(F.col("variant_id").alias("vb"), F.col("_dm").alias("_mb")),
+            "vb",
+        )
+    )
+    pairs = va.join(vb, ["_ch", "_bin"]).where(
+        (
+            (F.col("_pb") > F.col("_pa"))
+            | ((F.col("_pb") == F.col("_pa")) & (F.col("vb") > F.col("va")))
+        )
+        & (F.col("_pb") - F.col("_pa") <= F.lit(w))
+    )
+    zipped = F.map_values(
+        F.map_zip_with(
+            F.col("_ma"),
+            F.col("_mb"),
+            lambda k, x, y: F.when(
+                x.isNotNull() & y.isNotNull(),
+                F.struct(x.cast("long").alias("x"), y.cast("long").alias("y")),
+            ),
+        )
+    )
+    cell_of = {
+        "n22": (2, 2), "n21": (2, 1), "n12": (1, 2), "n20": (2, 0),
+        "n02": (0, 2), "n11": (1, 1), "n10": (1, 0), "n01": (0, 1),
+        "n00": (0, 0),
+    }
+    fields = [("n", lambda e: F.lit(1).cast("long"))] + [
+        (
+            name,
+            lambda e, xy=cell_of[name]: (
+                (e["x"] == xy[0]) & (e["y"] == xy[1])
+            ).cast("long"),
+        )
+        for name in _EM_CELLS
+    ]
+    init = F.struct(
+        *[F.lit(0).cast("long").alias(name) for name, _ in fields]
+    )
+
+    def _merge(acc, e):
+        return F.when(e.isNull(), acc).otherwise(
+            F.struct(
+                *[
+                    (acc[name] + contrib(e)).alias(name)
+                    for name, contrib in fields
+                ]
+            )
+        )
+
+    s = pairs.select(
+        "va", "vb", F.aggregate(zipped, init, _merge).alias("_s")
+    ).select("va", "vb", "_s.*")
+
+    iters = int(em_iters)
+
+    @F.pandas_udf("p_ab double, ld_r double, d_prime double")
+    def _em(n, n22, n21, n12, n20, n02, n11, n10, n01, n00):
+        import numpy as np
+
+        out = _ld_em_kernel(
+            *(
+                c.to_numpy(dtype=np.int64)
+                for c in (n, n22, n21, n12, n20, n02, n11, n10, n01, n00)
+            ),
+            iters=iters,
+        )
+        return pd.DataFrame(
+            {"p_ab": out[0], "ld_r": out[1], "d_prime": out[2]}
+        )
+
+    res = s.where(F.col("n") >= int(min_n)).select(
+        "va",
+        "vb",
+        F.col("n").alias("n_used"),
+        _em("n", *_EM_CELLS).alias("_em"),
+    )
+    # the kernel marks undefined stats NaN (numpy has no NULL); the
+    # relational contract — and the SQL oracle — use NULL
+    def _nullify(c):
+        return F.when(~F.isnan(F.col(c)), F.col(c)).alias(c.split(".")[-1])
+
+    return res.select(
+        "va",
+        "vb",
+        "n_used",
+        F.col("_em.p_ab").alias("p_ab"),
+        _nullify("_em.ld_r"),
+        _nullify("_em.d_prime"),
+    )
+
+
+def _ld_em_kernel(n, n22, n21, n12, n20, n02, n11, n10, n01, n00, iters):
+    """Vectorized fixed-step EM over integer genotype-table arrays.
+    EVERY op below is written in the exact order the SQL oracle spells
+    it (ld_em_oracle_sql), so the two engines produce bit-identical
+    doubles — the value-hash contract."""
+    import numpy as np
+
+    nf = n.astype(np.float64)
+    cab_ = (2 * n22 + n21 + n12).astype(np.float64)  # known AB copies
+    cAb = (2 * n20 + n21 + n10).astype(np.float64)
+    caB = (2 * n02 + n12 + n01).astype(np.float64)
+    cxx = (2 * n00 + n10 + n01).astype(np.float64)  # known ab copies
+    ndh = n11.astype(np.float64)
+    two_n = 2.0 * nf
+    x = np.full(n.shape, 0.5)
+    for _ in range(int(iters)):
+        p_ab_ = (cab_ + x * ndh) / two_n
+        p_xx = (cxx + x * ndh) / two_n
+        p_Ab = (cAb + (1.0 - x) * ndh) / two_n
+        p_aB = (caB + (1.0 - x) * ndh) / two_n
+        den = p_ab_ * p_xx + p_Ab * p_aB
+        with np.errstate(invalid="ignore", divide="ignore"):
+            x = np.where(den > 0.0, (p_ab_ * p_xx) / den, 0.5)
+    p_ab = (cab_ + x * ndh) / two_n
+    s_a = (2 * (n22 + n21 + n20) + (n12 + n11 + n10)).astype(np.float64)
+    s_b = (2 * (n22 + n12 + n02) + (n21 + n11 + n01)).astype(np.float64)
+    p_a = s_a / two_n
+    p_b = s_b / two_n
+    q_a = 1.0 - p_a
+    q_b = 1.0 - p_b
+    d = p_ab - p_a * p_b
+    var4 = p_a * q_a * p_b * q_b
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ld_r = np.where(var4 > 0.0, d / np.sqrt(var4), np.nan)
+        dmax = np.where(
+            d >= 0.0,
+            np.minimum(p_a * q_b, q_a * p_b),
+            np.minimum(p_a * p_b, q_a * q_b),
+        )
+        d_prime = np.where(dmax > 0.0, d / dmax, np.nan)
+    return p_ab, ld_r, d_prime
+
+
+def ld_em_oracle_sql(
+    bp_window: int = 50_000, min_n: int = 1, em_iters: int = 30
+) -> str:
+    """DuckDB oracle twin of ld_pairs_em: the 3x3 genotype-table sums
+    over the shared j CTE, then the SAME fixed em_iters EM steps
+    unrolled as chained CTEs — each step's arithmetic spelled in the
+    kernel's op order, so both engines walk one float tree."""
+    cells = f"""
+        , t AS (
+          SELECT va, vb, COUNT(*) AS n_used,
+            {", ".join(
+              f"CAST(SUM(CASE WHEN dx = {x} AND dy = {y} THEN 1 ELSE 0 END)"
+              f" AS BIGINT) AS n{x}{y}"
+              for x, y in [(2,2),(2,1),(1,2),(2,0),(0,2),(1,1),(1,0),(0,1),(0,0)]
+            )}
+          FROM j GROUP BY va, vb
+          HAVING COUNT(*) >= {int(min_n)}
+        ), c0 AS (
+          SELECT va, vb, n_used,
+                 CAST(2 * n22 + n21 + n12 AS DOUBLE) AS h_ab,
+                 CAST(2 * n20 + n21 + n10 AS DOUBLE) AS h_an,
+                 CAST(2 * n02 + n12 + n01 AS DOUBLE) AS h_nb,
+                 CAST(2 * n00 + n10 + n01 AS DOUBLE) AS h_nn,
+                 CAST(n11 AS DOUBLE) AS ndh,
+                 2.0 * CAST(n_used AS DOUBLE) AS two_n,
+                 CAST(2 * (n22 + n21 + n20) + (n12 + n11 + n10) AS DOUBLE)
+                   AS s_a,
+                 CAST(2 * (n22 + n12 + n02) + (n21 + n11 + n01) AS DOUBLE)
+                   AS s_b,
+                 0.5 AS x
+          FROM t
+        )"""
+    steps = []
+    for i in range(int(em_iters)):
+        steps.append(f"""
+        , c{i + 1} AS (
+          SELECT va, vb, n_used, h_ab, h_an, h_nb, h_nn, ndh, two_n, s_a, s_b,
+                 CASE WHEN ((h_ab + x * ndh) / two_n) * ((h_nn + x * ndh) / two_n)
+                           + ((h_an + (1.0 - x) * ndh) / two_n)
+                             * ((h_nb + (1.0 - x) * ndh) / two_n) > 0.0
+                      THEN (((h_ab + x * ndh) / two_n) * ((h_nn + x * ndh) / two_n))
+                           / (((h_ab + x * ndh) / two_n) * ((h_nn + x * ndh) / two_n)
+                              + ((h_an + (1.0 - x) * ndh) / two_n)
+                                * ((h_nb + (1.0 - x) * ndh) / two_n))
+                      ELSE 0.5 END AS x
+          FROM c{i}
+        )""")
+    last = f"c{int(em_iters)}"
+    return f"""{_ld_ctes(bp_window)}{cells}{"".join(steps)}
+        , fin AS (
+          SELECT va, vb, n_used,
+                 (h_ab + x * ndh) / two_n AS p_ab,
+                 s_a / two_n AS p_a, s_b / two_n AS p_b
+          FROM {last}
+        ), fin2 AS (
+          SELECT va, vb, n_used, p_ab,
+                 p_ab - p_a * p_b AS d,
+                 p_a, p_b, 1.0 - p_a AS q_a, 1.0 - p_b AS q_b
+          FROM fin
+        )
+        SELECT va, vb, n_used, p_ab,
+               CASE WHEN p_a * q_a * p_b * q_b > 0.0
+                    THEN d / sqrt(p_a * q_a * p_b * q_b) END AS ld_r,
+               CASE WHEN (CASE WHEN d >= 0.0
+                               THEN LEAST(p_a * q_b, q_a * p_b)
+                               ELSE LEAST(p_a * p_b, q_a * q_b) END) > 0.0
+                    THEN d / (CASE WHEN d >= 0.0
+                                   THEN LEAST(p_a * q_b, q_a * p_b)
+                                   ELSE LEAST(p_a * p_b, q_a * q_b) END)
+               END AS d_prime
+        FROM fin2
     """

@@ -1102,3 +1102,109 @@ def test_ld_composite_is_signed_dosage_correlation(spark, sf_dir):
     # the derived data must actually exercise the sign (else this test
     # would pass on |r|)
     assert n_neg > 0
+
+
+def test_ld_em_planted_haplotypes(spark):
+    """ld_pairs_em (new r12 — snpgdsLDMat method='r'/'dprime'): on
+    PLANTED haplotype structure the EM must recover phase — perfect
+    coupling -> r=1, D'=1; perfect repulsion -> r=-1, D'=-1; an
+    independent pair -> |r| small — and on a mixed-phase table with
+    genuine double-het ambiguity it must match an independent
+    run-to-convergence scalar EM."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import _ld_em_kernel, ld_pairs_em
+
+    rng = np.random.default_rng(11)
+
+    def calls_from_haps(vid_a, vid_b, haps):
+        """haps: (n, 2) array of haplotype codes 0=AB 1=Ab 2=aB 3=ab;
+        emit unphased diploid calls for both variants."""
+        rows = []
+        for i, (h1, h2) in enumerate(haps):
+            sid = f"S{i:03d}"
+            a_allele = lambda h: 1 if h in (0, 1) else 0
+            b_allele = lambda h: 1 if h in (0, 2) else 0
+            rows.append((vid_a, sid, [a_allele(h1), a_allele(h2)], [False]))
+            rows.append((vid_b, sid, [b_allele(h1), b_allele(h2)], [False]))
+        return rows
+
+    n = 60
+    rows = []
+    # pair (1, 2): perfect coupling AB/ab only
+    hap_pool = np.array([0, 3])
+    rows += calls_from_haps(1, 2, hap_pool[rng.integers(0, 2, (n, 2))])
+    # pair (3, 4): perfect repulsion Ab/aB only
+    hap_pool = np.array([1, 2])
+    rows += calls_from_haps(3, 4, hap_pool[rng.integers(0, 2, (n, 2))])
+    # pair (5, 6): independent loci (all four haplotypes, p=0.25 each)
+    rows += calls_from_haps(5, 6, rng.integers(0, 4, (n, 2)))
+    # pair (7, 8): mixed-phase with real double-het mass
+    probs = np.array([0.45, 0.15, 0.1, 0.3])
+    rows += calls_from_haps(
+        7, 8, rng.choice(4, size=(n, 2), p=probs)
+    )
+    calls = spark.createDataFrame(
+        rows,
+        "variant_id int, sample_id string, alleles array<int>, "
+        "phased array<boolean>",
+    )
+    variants = spark.createDataFrame(
+        [(i, "1", 100 * i) for i in range(1, 9)],
+        "variant_id int, chromosome string, position int",
+    )
+    out = {
+        (r["va"], r["vb"]): r
+        for r in ld_pairs_em(variants, calls, bp_window=5000).collect()
+    }
+    assert out[(1, 2)]["ld_r"] > 0.999 and out[(1, 2)]["d_prime"] > 0.999
+    assert out[(3, 4)]["ld_r"] < -0.999 and out[(3, 4)]["d_prime"] < -0.999
+    assert abs(out[(5, 6)]["ld_r"]) < 0.25
+
+    # mixed-phase pair vs an independent run-to-convergence scalar EM
+    def em_converged(cells):
+        n22, n21, n12, n20, n02, n11, n10, n01, n00 = cells
+        ntot = sum(cells)
+        c_ab = 2 * n22 + n21 + n12
+        c_Ab = 2 * n20 + n21 + n10
+        c_aB = 2 * n02 + n12 + n01
+        c_xx = 2 * n00 + n10 + n01
+        x = 0.5
+        for _ in range(100_000):
+            p_ab = (c_ab + x * n11) / (2 * ntot)
+            p_xx = (c_xx + x * n11) / (2 * ntot)
+            p_Ab = (c_Ab + (1 - x) * n11) / (2 * ntot)
+            p_aB = (c_aB + (1 - x) * n11) / (2 * ntot)
+            den = p_ab * p_xx + p_Ab * p_aB
+            x_new = (p_ab * p_xx) / den if den > 0 else 0.5
+            if abs(x_new - x) < 1e-14:
+                x = x_new
+                break
+            x = x_new
+        return (c_ab + x * n11) / (2 * ntot)
+
+    # rebuild the pair's genotype table driver-side
+    import collections
+
+    dose = collections.defaultdict(dict)
+    for vid, sid, alleles, _ in rows:
+        if vid in (7, 8):
+            dose[sid][vid] = sum(1 for a in alleles if a > 0)
+    cells = collections.Counter(
+        (d[7], d[8]) for d in dose.values()
+    )
+    order = [(2, 2), (2, 1), (1, 2), (2, 0), (0, 2), (1, 1), (1, 0),
+             (0, 1), (0, 0)]
+    cvec = [cells.get(k, 0) for k in order]
+    want_pab = em_converged(cvec)
+    got = out[(7, 8)]
+    assert abs(got["p_ab"] - want_pab) < 1e-6
+    # and the Spark path must equal the local fixed-30 kernel exactly
+    k = _ld_em_kernel(
+        np.array([sum(cvec)]),
+        *(np.array([c]) for c in cvec),
+        iters=30,
+    )
+    assert abs(got["p_ab"] - k[0][0]) < 1e-15
+    assert abs(got["ld_r"] - k[1][0]) < 1e-15
+    assert abs(got["d_prime"] - k[2][0]) < 1e-15
