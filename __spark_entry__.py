@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r12 additions (newest first) ------------------------------------
+        "seq_pca_corr": seq_pca_corr,
         "seq_ld_em": seq_ld_em,
         "seq_ld_composite": seq_ld_composite,
         "seq_fst_windows": seq_fst_windows,
@@ -713,6 +714,25 @@ def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = td.variant_dataset(spark, sf_dir)
     sids = ordered_sample_ids(ds.samples)
     return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
+
+
+def seq_pca_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant dosage-vs-PC correlation (new r12 — SNPRelate's
+    snpgdsPCACorr, the which-SNPs-drive-this-PC screen): one dedup
+    dose pass + broadcast weights join + one variant-keyed agg, every
+    sum an exact BIGINT on the 1e-6 weight grid. Gate runs the same
+    deterministic md5-Rademacher weights as the loadings gate so the
+    whole statistic replays in SQL; the array output is flattened to
+    scalars for dialect-stable hashing."""
+    from seqarray_spark.operators.ld import pca_snp_corr
+
+    c = td.gcalls(spark, sf_dir)
+    out = pca_snp_corr(c, _rademacher_weights(c))
+    return out.select(
+        "variant_id",
+        "n_used",
+        *[F.element_at("corr", i + 1).alias(f"corr_{i}") for i in range(4)],
+    )
 
 
 def seq_ld_em(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2045,6 +2065,9 @@ def oracle_sql() -> dict[str, str]:
         ld_composite_oracle_sql as _ldc_oracle,
     )
     from seqarray_spark.operators.ld import ld_em_oracle_sql as _ldem_oracle
+    from seqarray_spark.operators.ld import (
+        pca_corr_oracle_sql as _pcac_oracle,
+    )
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
@@ -2052,6 +2075,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_fst": P + _fst_oracle(),
         "seq_ld_composite": P + _ldc_oracle(bp_window=5000),
         "seq_ld_em": P + _ldem_oracle(bp_window=5000),
+        "seq_pca_corr": P + _pcac_oracle(n_cols=4),
         "seq_fst_genome": P + _fstg_oracle(),
         "seq_fst_windows": P + _fstw_oracle(win_size=WIN_SIZE,
                                             win_shift=WIN_SHIFT),

@@ -72,7 +72,7 @@ shared_r11 = shared_r10 + [
 # r12 additions on top of r11 (keep in lockstep with _queries()):
 shared_r12 = shared_r11 + [
     "seq_fst", "seq_fst_genome", "seq_fst_windows",
-    "seq_ld_composite", "seq_ld_em",
+    "seq_ld_composite", "seq_ld_em", "seq_pca_corr",
 ]
 
 

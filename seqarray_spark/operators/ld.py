@@ -3330,3 +3330,127 @@ def ld_em_oracle_sql(
                END AS d_prime
         FROM fin2
     """
+
+
+def pca_snp_corr(
+    calls: DataFrame,
+    weights: DataFrame,
+    unit_scale: int = 6,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Per-variant correlation between dosage and each sample
+    eigenvector — SNPRelate's snpgdsPCACorr, the screen for which SNPs
+    DRIVE a PC (LD-region artifacts show as corr~1 blocks; ancestry
+    PCs correlate broadly). For component c with per-sample weights w:
+
+        corr_vc = (n*Sxw - Sx*Sw) / sqrt((n*Sxx - Sx^2)(n*Sww - Sw^2))
+
+    over the samples with a known dosage at v. Weights are quantized
+    once onto the 1e-unit_scale integer grid at the join (the
+    pca_snp_loadings rule) so EVERY sum is an exact BIGINT and the
+    statistic is aggregation-order-free / oracle-checkable (gate
+    seq_pca_corr; raw double sums would hash-diverge). Plan: one dedup
+    dose evaluation, one broadcast weights join, ONE variant-keyed
+    partial agg — linear, no pair blowup; NULL where the variant is
+    monomorphic over its called samples (zero dosage variance) or the
+    weight column is constant there.
+
+    Output: (variant_id, n_used, corr array<double> of k values)."""
+    k = weights.select(F.size("w").alias("_k")).first()
+    if k is None:
+        raise ValueError("weights frame is empty")
+    k = int(k["_k"])
+    d, release = _dose_once(calls, assume_unique)
+    scale = float(10 ** int(unit_scale))
+    wq = weights.select(
+        "sample_id",
+        *[
+            F.round(F.element_at("w", c + 1) * F.lit(scale))
+            .cast("bigint")
+            .alias(f"_w{c}")
+            for c in range(k)
+        ],
+    )
+    dd = d.join(F.broadcast(wq), "sample_id")
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("d").alias("_sx"),
+        F.sum(F.col("d") * F.col("d")).alias("_sxx"),
+    ]
+    for c in range(k):
+        aggs += [
+            F.sum(F.col(f"_w{c}")).alias(f"_sw{c}"),
+            F.sum(F.col(f"_w{c}") * F.col(f"_w{c}")).alias(f"_sww{c}"),
+            F.sum(F.col("d") * F.col(f"_w{c}")).alias(f"_sxw{c}"),
+        ]
+    agg = dd.groupBy("variant_id").agg(*aggs)
+    n = F.col("_n")
+    dx = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    comps = []
+    for c in range(k):
+        num = (
+            n * F.col(f"_sxw{c}") - F.col("_sx") * F.col(f"_sw{c}")
+        ).cast("double")
+        dw = (
+            n * F.col(f"_sww{c}") - F.col(f"_sw{c}") * F.col(f"_sw{c}")
+        ).cast("double")
+        comps.append(
+            F.when((dx > 0.0) & (dw > 0.0), num / F.sqrt(dx * dw))
+        )
+    return release(
+        agg.select(
+            "variant_id",
+            n.alias("n_used"),
+            F.array(*comps).alias("corr"),
+        )
+    )
+
+
+def pca_corr_oracle_sql(n_cols: int = 4, unit_scale: int = 6) -> str:
+    """DuckDB oracle twin of pca_snp_corr under the deterministic
+    md5-Rademacher weights (the same omega rule as the loadings gate);
+    caller prepends oracle_prelude(). Output (variant_id, n_used,
+    corr_0..) scalars — the gate flattens the array the same way.
+
+    Rademacher weights are +/-1 so the 1e-unit_scale grid is exact:
+    w_units = round(omega * scale) = omega * scale."""
+    evens = ", ".join(f"'{e}'" for e in _OMEGA_EVENS)
+    scale = float(10 ** int(unit_scale))
+
+    def om(c: int) -> str:
+        return (
+            f"(CASE WHEN substr(md5(dnn.sample_id || ':{c}'), 1, 1) "
+            f"IN ({evens}) THEN 1 ELSE -1 END)"
+        )
+
+    wsums = []
+    for c in range(int(n_cols)):
+        w = (
+            f"CAST(round({om(c)} * {scale!r}) AS BIGINT)"
+        )
+        wsums.append(
+            f"CAST(SUM({w}) AS BIGINT) AS sw{c}, "
+            f"CAST(SUM({w} * {w}) AS BIGINT) AS sww{c}, "
+            f"CAST(SUM(dnn.d * {w}) AS BIGINT) AS sxw{c}"
+        )
+    corr_cols = []
+    for c in range(int(n_cols)):
+        num = f"CAST(n_u * sxw{c} - sx * sw{c} AS DOUBLE)"
+        dx = "CAST(n_u * sxx - sx * sx AS DOUBLE)"
+        dw = f"CAST(n_u * sww{c} - sw{c} * sw{c} AS DOUBLE)"
+        corr_cols.append(
+            f"CASE WHEN {dx} > 0.0 AND {dw} > 0.0 "
+            f"THEN {num} / sqrt({dx} * {dw}) END AS corr_{c}"
+        )
+    return f"""{_DOSE_ST_CTE_SQL()}
+        , su AS (
+          SELECT variant_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_u,
+                 CAST(SUM(d) AS BIGINT) AS sx,
+                 CAST(SUM(d * d) AS BIGINT) AS sxx,
+                 {", ".join(wsums)}
+          FROM dnn GROUP BY variant_id
+        )
+        SELECT variant_id, n_u AS n_used, {", ".join(corr_cols)}
+        FROM su
+    """

@@ -1208,3 +1208,80 @@ def test_ld_em_planted_haplotypes(spark):
     assert abs(got["p_ab"] - k[0][0]) < 1e-15
     assert abs(got["ld_r"] - k[1][0]) < 1e-15
     assert abs(got["d_prime"] - k[2][0]) < 1e-15
+
+
+def test_pca_snp_corr_planted(spark):
+    """pca_snp_corr (new r12 — snpgdsPCACorr): on a planted
+    two-population cohort the differentiated variants must carry the
+    highest |corr| against the separating PC, and every value must
+    match a direct numpy Pearson correlation of (dosage, weight) to
+    within the 1e-6 weight-quantization grid."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import (
+        grm_pairs,
+        grm_pca,
+        pca_snp_corr,
+    )
+
+    rng = np.random.default_rng(23)
+    n_per, n_var = 20, 30
+    samples = [f"A{i:02d}" for i in range(n_per)] + [
+        f"B{i:02d}" for i in range(n_per)
+    ]
+    pop = np.array([0] * n_per + [1] * n_per)
+    doses = np.zeros((n_var, 2 * n_per), dtype=np.int64)
+    for v in range(n_var):
+        if v < 10:  # differentiated: pop A ref-ish, pop B alt-ish
+            pa, pb = 0.1, 0.9
+        else:  # shared frequency
+            pa = pb = rng.uniform(0.2, 0.8)
+        p = np.where(pop == 0, pa, pb)
+        doses[v] = rng.binomial(2, p)
+    rows = []
+    for v in range(n_var):
+        for s in range(2 * n_per):
+            d = int(doses[v, s])
+            al = [0, 0] if d == 0 else ([0, 1] if d == 1 else [1, 1])
+            rows.append((v, samples[s], al))
+    calls = spark.createDataFrame(
+        rows, "variant_id long, sample_id string, alleles array<int>"
+    )
+    pcs = {
+        r["sample_id"]: r["pc"]
+        for r in grm_pca(
+            grm_pairs(calls), k=2, sample_ids=samples
+        ).collect()
+    }
+    w = spark.createDataFrame(
+        [(s, [float(x) for x in pcs[s]]) for s in samples],
+        "sample_id string, w array<double>",
+    )
+    out = {
+        r["variant_id"]: r
+        for r in pca_snp_corr(calls, w, assume_unique=True).collect()
+    }
+    assert set(out) == set(range(n_var))
+    wmat = np.array([pcs[s] for s in samples])
+    for v in range(n_var):
+        got = out[v]["corr"]
+        assert out[v]["n_used"] == 2 * n_per
+        for c in range(2):
+            x = doses[v].astype(float)
+            y = wmat[:, c]
+            if x.std() == 0 or y.std() == 0:
+                assert got[c] is None
+            else:
+                want = np.corrcoef(x, y)[0, 1]
+                assert abs(got[c] - want) < 1e-5, (v, c, got[c], want)
+    # PC1 separates the populations, so the 10 differentiated variants
+    # must dominate the |corr| ranking on that component
+    pc_sep = int(
+        np.argmax(
+            [abs(np.corrcoef(pop, wmat[:, c])[0, 1]) for c in range(2)]
+        )
+    )
+    ranked = sorted(
+        range(n_var), key=lambda v: -abs(out[v]["corr"][pc_sep] or 0.0)
+    )
+    assert set(ranked[:8]) <= set(range(10))
