@@ -716,6 +716,22 @@ def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
 
 
+def _parity_pops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fst gates' two-group split — sample-suffix parity (the
+    shared gsamples.population suppkey<50 rule collapses to ONE
+    population at sf0.001's 10 samples, which would make the gates
+    vacuous where the sweep runs). ONE definition for all three fst
+    gates; the oracle-side twin is _FST_CTE_SQL's fpops CTE — keep the
+    expressions in lockstep (r12 review)."""
+    return td.gsamples(spark, sf_dir).select(
+        "sample_id",
+        F.expr(
+            "CONCAT('P', CAST(CAST(SUBSTRING(sample_id, 2) AS INT) % 2 "
+            "AS STRING))"
+        ).alias("population"),
+    )
+
+
 def seq_pca_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-variant dosage-vs-PC correlation (new r12 — SNPRelate's
     snpgdsPCACorr, the which-SNPs-drive-this-PC screen): one dedup
@@ -773,13 +789,7 @@ def seq_fst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chromosome, window) partial agg."""
     from seqarray_spark.operators.ld import fst_wc_windows
 
-    pops = td.gsamples(spark, sf_dir).select(
-        "sample_id",
-        F.expr(
-            "CONCAT('P', CAST(CAST(SUBSTRING(sample_id, 2) AS INT) % 2 "
-            "AS STRING))"
-        ).alias("population"),
-    )
+    pops = _parity_pops(spark, sf_dir)
     return fst_wc_windows(
         td.gcalls(spark, sf_dir), pops, td.gvariants(spark, sf_dir),
         win_size=WIN_SIZE, win_shift=WIN_SHIFT,
@@ -795,13 +805,7 @@ def seq_fst_genome(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT sums, so the single-row reduce is aggregation-order-free."""
     from seqarray_spark.operators.ld import fst_wc, fst_wc_genome
 
-    pops = td.gsamples(spark, sf_dir).select(
-        "sample_id",
-        F.expr(
-            "CONCAT('P', CAST(CAST(SUBSTRING(sample_id, 2) AS INT) % 2 "
-            "AS STRING))"
-        ).alias("population"),
-    )
+    pops = _parity_pops(spark, sf_dir)
     return fst_wc_genome(fst_wc(td.gcalls(spark, sf_dir), pops))
 
 
@@ -817,13 +821,7 @@ def seq_fst(spark: SparkSession, sf_dir: str) -> DataFrame:
     would make the gate vacuous where the sweep runs."""
     from seqarray_spark.operators.ld import fst_wc
 
-    pops = td.gsamples(spark, sf_dir).select(
-        "sample_id",
-        F.expr(
-            "CONCAT('P', CAST(CAST(SUBSTRING(sample_id, 2) AS INT) % 2 "
-            "AS STRING))"
-        ).alias("population"),
-    )
+    pops = _parity_pops(spark, sf_dir)
     return fst_wc(td.gcalls(spark, sf_dir), pops)
 
 

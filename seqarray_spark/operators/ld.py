@@ -47,6 +47,94 @@ def _dose_map(calls: DataFrame) -> DataFrame:
     )
 
 
+def _windowed_pair_sums(
+    variants: DataFrame,
+    calls: DataFrame,
+    bp_window: int,
+    fields,
+) -> DataFrame:
+    """Shared substrate for every windowed pairwise-LD statistic:
+    the binned range self-join (side A keyed by floor(pos/W), side B
+    exploded to {bin, bin-1} — a bounded-fanout equi-join, never a
+    per-chromosome cross join), the (position, variant_id) pair
+    ordering, and the map_zip_with fold over co-observed dosages.
+    `fields` is [(name, contrib(e))] with e = struct(x, y) of the two
+    BIGINT dosages; each contribution is BIGINT-summed into the output
+    struct `_s` (plus the leading co-observation count `n`). The
+    ordering predicate and window bound here are LOAD-BEARING for
+    oracle parity across ld_pairs / ld_pairs_em — one definition only
+    (r12 review)."""
+    w = int(bp_window)
+    v = variants.select("variant_id", "chromosome", "position")
+    dm = _dose_map(calls)
+    va = (
+        v.withColumn("_bin", F.floor(F.col("position") / w))
+        .join(dm, "variant_id")
+        .select(
+            F.col("variant_id").alias("va"),
+            F.col("chromosome").alias("_ch"),
+            F.col("position").alias("_pa"),
+            "_bin",
+            F.col("_dm").alias("_ma"),
+        )
+    )
+    vb = (
+        v.select(
+            F.col("variant_id").alias("vb"),
+            F.col("chromosome").alias("_ch"),
+            F.col("position").alias("_pb"),
+            F.explode(
+                F.array(
+                    F.floor(F.col("position") / w),
+                    F.floor(F.col("position") / w) - 1,
+                )
+            ).alias("_bin"),
+        )
+        .join(
+            dm.select(F.col("variant_id").alias("vb"), F.col("_dm").alias("_mb")),
+            "vb",
+        )
+    )
+    pairs = va.join(vb, ["_ch", "_bin"]).where(
+        (
+            (F.col("_pb") > F.col("_pa"))
+            | ((F.col("_pb") == F.col("_pa")) & (F.col("vb") > F.col("va")))
+        )
+        & (F.col("_pb") - F.col("_pa") <= F.lit(w))
+    )
+    # zip the two dosage maps on sample key; entries where either side
+    # is unknown (missing call, or sample absent from one variant) fold
+    # away
+    zipped = F.map_values(
+        F.map_zip_with(
+            F.col("_ma"),
+            F.col("_mb"),
+            lambda k, x, y: F.when(
+                x.isNotNull() & y.isNotNull(),
+                F.struct(x.cast("long").alias("x"), y.cast("long").alias("y")),
+            ),
+        )
+    )
+    all_fields = [("n", lambda e: F.lit(1).cast("long"))] + list(fields)
+    init = F.struct(
+        *[F.lit(0).cast("long").alias(name) for name, _ in all_fields]
+    )
+
+    def _merge(acc, e):
+        return F.when(e.isNull(), acc).otherwise(
+            F.struct(
+                *[
+                    (acc[name] + contrib(e)).alias(name)
+                    for name, contrib in all_fields
+                ]
+            )
+        )
+
+    return pairs.select(
+        "va", "vb", F.aggregate(zipped, init, _merge).alias("_s")
+    )
+
+
 def ld_pairs(
     variants: DataFrame,
     calls: DataFrame,
@@ -91,55 +179,7 @@ def ld_pairs(
         # pairs with zero co-observed samples, which the inner-join
         # oracle can never produce — keep the parity contract honest
         raise ValueError("min_n must be >= 1")
-    w = int(bp_window)
-    v = variants.select("variant_id", "chromosome", "position")
-    dm = _dose_map(calls)
-    va = (
-        v.withColumn("_bin", F.floor(F.col("position") / w))
-        .join(dm, "variant_id")
-        .select(
-            F.col("variant_id").alias("va"),
-            F.col("chromosome").alias("_ch"),
-            F.col("position").alias("_pa"),
-            "_bin",
-            F.col("_dm").alias("_ma"),
-        )
-    )
-    vb = (
-        v.select(
-            F.col("variant_id").alias("vb"),
-            F.col("chromosome").alias("_ch"),
-            F.col("position").alias("_pb"),
-            F.explode(
-                F.array(
-                    F.floor(F.col("position") / w),
-                    F.floor(F.col("position") / w) - 1,
-                )
-            ).alias("_bin"),
-        )
-        .join(dm.select(F.col("variant_id").alias("vb"), F.col("_dm").alias("_mb")), "vb")
-    )
-    pairs = va.join(vb, ["_ch", "_bin"]).where(
-        (
-            (F.col("_pb") > F.col("_pa"))
-            | ((F.col("_pb") == F.col("_pa")) & (F.col("vb") > F.col("va")))
-        )
-        & (F.col("_pb") - F.col("_pa") <= F.lit(w))
-    )
-    # zip the two dosage maps on sample key; entries where either side is
-    # unknown (missing call, or sample absent from one variant) fold away
-    zipped = F.map_values(
-        F.map_zip_with(
-            F.col("_ma"),
-            F.col("_mb"),
-            lambda k, x, y: F.when(
-                x.isNotNull() & y.isNotNull(),
-                F.struct(x.cast("long").alias("x"), y.cast("long").alias("y")),
-            ),
-        )
-    )
     fields = [
-        ("n", lambda e: F.lit(1).cast("long")),
         ("sx", lambda e: e["x"]),
         ("sy", lambda e: e["y"]),
         ("sxy", lambda e: e["x"] * e["y"]),
@@ -152,21 +192,7 @@ def ld_pairs(
             ("hx", lambda e: (e["x"] == 2).cast("long")),
             ("hy", lambda e: (e["y"] == 2).cast("long")),
         ]
-    init = F.struct(
-        *[F.lit(0).cast("long").alias(name) for name, _ in fields]
-    )
-
-    def _merge(acc, e):
-        return F.when(e.isNull(), acc).otherwise(
-            F.struct(
-                *[
-                    (acc[name] + contrib(e)).alias(name)
-                    for name, contrib in fields
-                ]
-            )
-        )
-
-    s = pairs.select("va", "vb", F.aggregate(zipped, init, _merge).alias("_s"))
+    s = _windowed_pair_sums(variants, calls, bp_window, fields)
     n = F.col("_s.n")
     if stat == "composite":
         nd = n.cast("double")
@@ -3097,60 +3123,12 @@ def ld_pairs_em(
         raise ValueError("min_n must be >= 1")
     import pandas as pd
 
-    w = int(bp_window)
-    v = variants.select("variant_id", "chromosome", "position")
-    dm = _dose_map(calls)
-    va = (
-        v.withColumn("_bin", F.floor(F.col("position") / w))
-        .join(dm, "variant_id")
-        .select(
-            F.col("variant_id").alias("va"),
-            F.col("chromosome").alias("_ch"),
-            F.col("position").alias("_pa"),
-            "_bin",
-            F.col("_dm").alias("_ma"),
-        )
-    )
-    vb = (
-        v.select(
-            F.col("variant_id").alias("vb"),
-            F.col("chromosome").alias("_ch"),
-            F.col("position").alias("_pb"),
-            F.explode(
-                F.array(
-                    F.floor(F.col("position") / w),
-                    F.floor(F.col("position") / w) - 1,
-                )
-            ).alias("_bin"),
-        )
-        .join(
-            dm.select(F.col("variant_id").alias("vb"), F.col("_dm").alias("_mb")),
-            "vb",
-        )
-    )
-    pairs = va.join(vb, ["_ch", "_bin"]).where(
-        (
-            (F.col("_pb") > F.col("_pa"))
-            | ((F.col("_pb") == F.col("_pa")) & (F.col("vb") > F.col("va")))
-        )
-        & (F.col("_pb") - F.col("_pa") <= F.lit(w))
-    )
-    zipped = F.map_values(
-        F.map_zip_with(
-            F.col("_ma"),
-            F.col("_mb"),
-            lambda k, x, y: F.when(
-                x.isNotNull() & y.isNotNull(),
-                F.struct(x.cast("long").alias("x"), y.cast("long").alias("y")),
-            ),
-        )
-    )
     cell_of = {
         "n22": (2, 2), "n21": (2, 1), "n12": (1, 2), "n20": (2, 0),
         "n02": (0, 2), "n11": (1, 1), "n10": (1, 0), "n01": (0, 1),
         "n00": (0, 0),
     }
-    fields = [("n", lambda e: F.lit(1).cast("long"))] + [
+    fields = [
         (
             name,
             lambda e, xy=cell_of[name]: (
@@ -3159,23 +3137,9 @@ def ld_pairs_em(
         )
         for name in _EM_CELLS
     ]
-    init = F.struct(
-        *[F.lit(0).cast("long").alias(name) for name, _ in fields]
+    s = _windowed_pair_sums(variants, calls, bp_window, fields).select(
+        "va", "vb", "_s.*"
     )
-
-    def _merge(acc, e):
-        return F.when(e.isNull(), acc).otherwise(
-            F.struct(
-                *[
-                    (acc[name] + contrib(e)).alias(name)
-                    for name, contrib in fields
-                ]
-            )
-        )
-
-    s = pairs.select(
-        "va", "vb", F.aggregate(zipped, init, _merge).alias("_s")
-    ).select("va", "vb", "_s.*")
 
     iters = int(em_iters)
 
@@ -3385,14 +3349,29 @@ def pca_snp_corr(
         ]
     agg = dd.groupBy("variant_id").agg(*aggs)
     n = F.col("_n")
-    dx = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+
+    # variance/covariance terms in DECIMAL(38,0): with unit-magnitude
+    # weights on the 1e-unit_scale grid, sww ~ n*1e12 and n*sww - sw^2
+    # ~ n^2*1e12 BLOWS PAST int64 at n >= ~3037 samples — Spark's
+    # non-ANSI long multiply would wrap silently while DuckDB raises
+    # (r12 review). DECIMAL(38,0) holds ~1e38, exact to n ~ 1e13;
+    # both engines evaluate it exactly and the final cast to double is
+    # correctly rounded, so the value-hash contract survives.
+    def _dec(col):
+        return col.cast("decimal(38,0)")
+
+    dx = (
+        _dec(n) * _dec(F.col("_sxx")) - _dec(F.col("_sx")) * _dec(F.col("_sx"))
+    ).cast("double")
     comps = []
     for c in range(k):
         num = (
-            n * F.col(f"_sxw{c}") - F.col("_sx") * F.col(f"_sw{c}")
+            _dec(n) * _dec(F.col(f"_sxw{c}"))
+            - _dec(F.col("_sx")) * _dec(F.col(f"_sw{c}"))
         ).cast("double")
         dw = (
-            n * F.col(f"_sww{c}") - F.col(f"_sw{c}") * F.col(f"_sw{c}")
+            _dec(n) * _dec(F.col(f"_sww{c}"))
+            - _dec(F.col(f"_sw{c}")) * _dec(F.col(f"_sw{c}"))
         ).cast("double")
         comps.append(
             F.when((dx > 0.0) & (dw > 0.0), num / F.sqrt(dx * dw))
@@ -3434,10 +3413,14 @@ def pca_corr_oracle_sql(n_cols: int = 4, unit_scale: int = 6) -> str:
             f"CAST(SUM(dnn.d * {w}) AS BIGINT) AS sxw{c}"
         )
     corr_cols = []
+    D = "DECIMAL(38,0)"
     for c in range(int(n_cols)):
-        num = f"CAST(n_u * sxw{c} - sx * sw{c} AS DOUBLE)"
-        dx = "CAST(n_u * sxx - sx * sx AS DOUBLE)"
-        dw = f"CAST(n_u * sww{c} - sw{c} * sw{c} AS DOUBLE)"
+        num = (f"CAST(CAST(n_u AS {D}) * CAST(sxw{c} AS {D})"
+               f" - CAST(sx AS {D}) * CAST(sw{c} AS {D}) AS DOUBLE)")
+        dx = (f"CAST(CAST(n_u AS {D}) * CAST(sxx AS {D})"
+              f" - CAST(sx AS {D}) * CAST(sx AS {D}) AS DOUBLE)")
+        dw = (f"CAST(CAST(n_u AS {D}) * CAST(sww{c} AS {D})"
+              f" - CAST(sw{c} AS {D}) * CAST(sw{c} AS {D}) AS DOUBLE)")
         corr_cols.append(
             f"CASE WHEN {dx} > 0.0 AND {dw} > 0.0 "
             f"THEN {num} / sqrt({dx} * {dw}) END AS corr_{c}"

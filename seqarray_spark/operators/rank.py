@@ -143,7 +143,12 @@ def bm25_topk(
                 "stats= frame does not match _query_terms(query): "
                 f"expected exactly columns {sorted(want)}, got "
                 f"{sorted(have)} — build it from the SAME query string "
-                "via bm25_stats/bm25_stats_from_index"
+                "via bm25_stats/bm25_stats_from_index. NOTE: stats "
+                "frames persisted before the term stamp (_bm25_terms) "
+                "was introduced must be rebuilt ONCE — an unstamped "
+                "frame cannot prove which query its df_i columns bind "
+                "to, which is exactly the silent-wrong-scoring case "
+                "this check exists to prevent."
             )
         stamped = stats_terms(stats)
         if stamped != terms:

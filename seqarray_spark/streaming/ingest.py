@@ -525,11 +525,18 @@ def _append_drift_record(log_path: str, record: dict) -> bool:
     increasing, so a replay is always of the last appended batch,
     never an earlier one. Returns True iff the record was written."""
     import json as _json
+    import os as _os
 
     last_id = None
     try:
+        # seek-read only the tail: a long-lived stream appends one
+        # record per micro-batch, and re-reading the whole file every
+        # batch would be O(n_batches^2) cumulative I/O (r12 review)
         with open(log_path, "rb") as fh:
-            tail = fh.read()[-4096:]
+            fh.seek(0, _os.SEEK_END)
+            size = fh.tell()
+            fh.seek(max(0, size - 4096))
+            tail = fh.read()
         lines = tail.splitlines()
         if lines:
             last_id = _json.loads(lines[-1]).get("batch_id")

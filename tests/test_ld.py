@@ -1285,3 +1285,39 @@ def test_pca_snp_corr_planted(spark):
         range(n_var), key=lambda v: -abs(out[v]["corr"][pc_sep] or 0.0)
     )
     assert set(ranked[:8]) <= set(range(10))
+
+
+def test_pca_snp_corr_wide_cohort_no_overflow(spark):
+    """r12 review: with unit-magnitude weights on the 1e-6 grid,
+    n*sww - sw^2 passes int64 at n >= ~3037 samples — the variance
+    terms must run in DECIMAL(38,0), not wrap. 5000 samples with
+    Rademacher weights must still match numpy Pearson exactly."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import pca_snp_corr
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    sids = [f"S{i:05d}" for i in range(n)]
+    w = rng.choice([-1.0, 1.0], size=n)
+    doses = rng.integers(0, 3, size=(3, n))
+    rows = []
+    for v in range(3):
+        for i in range(n):
+            d = int(doses[v, i])
+            al = [0, 0] if d == 0 else ([0, 1] if d == 1 else [1, 1])
+            rows.append((v, sids[i], al))
+    calls = spark.createDataFrame(
+        rows, "variant_id long, sample_id string, alleles array<int>"
+    )
+    wdf = spark.createDataFrame(
+        [(sids[i], [float(w[i])]) for i in range(n)],
+        "sample_id string, w array<double>",
+    )
+    out = {
+        r["variant_id"]: r["corr"][0]
+        for r in pca_snp_corr(calls, wdf, assume_unique=True).collect()
+    }
+    for v in range(3):
+        want = np.corrcoef(doses[v].astype(float), w)[0, 1]
+        assert abs(out[v] - want) < 1e-9, (v, out[v], want)
