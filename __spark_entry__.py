@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r12 additions (newest first) ------------------------------------
+        "seq_inbreeding_weir": seq_inbreeding_weir,
         "seq_pca_corr": seq_pca_corr,
         "seq_ld_em": seq_ld_em,
         "seq_ld_composite": seq_ld_composite,
@@ -714,6 +715,18 @@ def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = td.variant_dataset(spark, sf_dir)
     sids = ordered_sample_ids(ds.samples)
     return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
+
+
+def seq_inbreeding_weir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weir-moment per-sample inbreeding (new r12 —
+    snpgdsIndInb('mom.weir'), the GCTA F-hat-III estimator): mean of
+    per-variant standardized terms over each sample's called
+    polymorphic variants — the rare-variant-sensitive companion to
+    seq_inbreeding's Visscher ratio-of-sums; same linear plan, terms
+    on a half-up 1e-9 grid."""
+    from seqarray_spark.operators.ld import inbreeding_coeff_weir
+
+    return inbreeding_coeff_weir(td.gcalls(spark, sf_dir))
 
 
 def _parity_pops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2066,6 +2079,9 @@ def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import (
         pca_corr_oracle_sql as _pcac_oracle,
     )
+    from seqarray_spark.operators.ld import (
+        inbreeding_weir_oracle_sql as _inbw_oracle,
+    )
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
@@ -2074,6 +2090,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_ld_composite": P + _ldc_oracle(bp_window=5000),
         "seq_ld_em": P + _ldem_oracle(bp_window=5000),
         "seq_pca_corr": P + _pcac_oracle(n_cols=4),
+        "seq_inbreeding_weir": P + _inbw_oracle(),
         "seq_fst_genome": P + _fstg_oracle(),
         "seq_fst_windows": P + _fstw_oracle(win_size=WIN_SIZE,
                                             win_shift=WIN_SHIFT),

@@ -3437,3 +3437,100 @@ def pca_corr_oracle_sql(n_cols: int = 4, unit_scale: int = 6) -> str:
         SELECT variant_id, n_u AS n_used, {", ".join(corr_cols)}
         FROM su
     """
+
+
+def inbreeding_coeff_weir(
+    calls: DataFrame,
+    min_m: int = 1,
+    assume_unique: bool = False,
+    unit_scale: int = 9,
+) -> DataFrame:
+    """Per-sample Weir-moment inbreeding coefficient — SNPRelate's
+    snpgdsIndInb(method='mom.weir') companion to the Visscher form
+    (inbreeding_coeff), the GCTA F-hat-III estimator (Yang et al. 2011,
+    AJHG 88:76 eq. for F_hat_3):
+
+        F_s = (1/m) * sum_v [x^2 - (1 + 2p)x + 2p^2] / (2p(1-p))
+
+    with x the dosage and p the variant's alt frequency over ITS
+    called samples. Unlike the Visscher ratio-of-sums, this is a MEAN
+    of per-variant standardized terms, so rare variants carry more
+    weight (the two estimators' documented divergence; both are
+    unbiased under their own models). Same linear plan as
+    inbreeding_coeff: one shared dose evaluation, one per-variant
+    stats agg broadcast back, one sample-keyed agg. The per-(variant,
+    sample) term is quantized half-up to the 1e-unit_scale grid
+    before the BIGINT sum — order-free, oracle-checkable (gate
+    seq_inbreeding_weir). Monomorphic variants excluded (undefined
+    term). Output: (sample_id, m_used, inbreeding_weir)."""
+    d, release = _dose_once(calls, assume_unique)
+    st = _stats_from_dose(d)  # polymorphic only
+    twop = F.col("dose_sum").cast("double") / F.col("n_obs").cast("double")
+    p = twop / F.lit(2.0)
+    scale = float(10 ** int(unit_scale))
+    dd = d.join(
+        F.broadcast(
+            st.select(
+                "variant_id",
+                p.alias("_p"),
+            )
+        ),
+        "variant_id",
+    )
+    x = F.col("d").cast("double")
+    pp = F.col("_p")
+    term = (
+        x * x
+        - (F.lit(1.0) + F.lit(2.0) * pp) * x
+        + F.lit(2.0) * pp * pp
+    ) / (F.lit(2.0) * pp * (F.lit(1.0) - pp))
+    units = F.round(term * F.lit(scale)).cast("bigint")
+    agg = (
+        dd.groupBy("sample_id")
+        .agg(
+            F.count(F.lit(1)).alias("m_used"),
+            F.sum(units).alias("_su"),
+        )
+        .where(F.col("m_used") >= int(min_m))
+    )
+    return release(
+        agg.select(
+            "sample_id",
+            "m_used",
+            (
+                (F.col("_su").cast("double") / F.lit(scale))
+                / F.col("m_used").cast("double")
+            ).alias("inbreeding_weir"),
+        )
+    )
+
+
+def inbreeding_weir_oracle_sql(min_m: int = 1, unit_scale: int = 9) -> str:
+    """DuckDB oracle twin of inbreeding_coeff_weir over the dose/st
+    CTEs (caller prepends oracle_prelude()): same polymorphic stats,
+    same per-cell standardized term on the half-up unit grid, same
+    final mean."""
+    scale = float(10 ** int(unit_scale))
+    return f"""{_DOSE_ST_CTE_SQL()}
+        , wp AS (
+          SELECT variant_id,
+                 (CAST(s_sum AS DOUBLE) / CAST(n_obs AS DOUBLE)) / 2.0 AS p
+          FROM st
+        ), u AS (
+          SELECT dnn.sample_id,
+                 CAST(round(((CAST(dnn.d AS DOUBLE) * CAST(dnn.d AS DOUBLE)
+                              - (1.0 + 2.0 * w.p) * CAST(dnn.d AS DOUBLE)
+                              + 2.0 * w.p * w.p)
+                             / (2.0 * w.p * (1.0 - w.p)))
+                            * {scale!r}) AS BIGINT) AS tu
+          FROM dnn JOIN wp w ON w.variant_id = dnn.variant_id
+        ), s2 AS (
+          SELECT sample_id, COUNT(*) AS m_used,
+                 CAST(SUM(tu) AS BIGINT) AS su
+          FROM u GROUP BY sample_id
+        )
+        SELECT sample_id, m_used,
+               (CAST(su AS DOUBLE) / {scale!r})
+                 / CAST(m_used AS DOUBLE) AS inbreeding_weir
+        FROM s2 WHERE m_used >= {int(min_m)}
+    """

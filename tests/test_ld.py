@@ -1321,3 +1321,68 @@ def test_pca_snp_corr_wide_cohort_no_overflow(spark):
     for v in range(3):
         want = np.corrcoef(doses[v].astype(float), w)[0, 1]
         assert abs(out[v] - want) < 1e-9, (v, out[v], want)
+
+
+def test_inbreeding_weir_planted(spark):
+    """inbreeding_coeff_weir (new r12 — snpgdsIndInb('mom.weir') /
+    GCTA F-hat-III): an inbred sample (excess homozygosity) scores
+    high positive, an HWE-consistent one near 0; every value matches
+    the direct numpy mean of standardized terms; and the two moment
+    estimators agree in RANKING but not value (the documented
+    rare-variant weighting divergence)."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import (
+        inbreeding_coeff,
+        inbreeding_coeff_weir,
+    )
+
+    rng = np.random.default_rng(29)
+    n_s, n_v = 24, 60
+    sids = [f"S{i:02d}" for i in range(n_s)]
+    doses = np.zeros((n_v, n_s), dtype=np.int64)
+    for v in range(n_v):
+        p = rng.uniform(0.1, 0.9)
+        # samples 0-7 inbred (F=0.6): draw one allele, duplicate w.p. F
+        for s in range(n_s):
+            if s < 8:
+                if rng.random() < 0.6:
+                    doses[v, s] = 2 * rng.binomial(1, p)
+                else:
+                    doses[v, s] = rng.binomial(2, p)
+            else:
+                doses[v, s] = rng.binomial(2, p)
+    rows = []
+    for v in range(n_v):
+        for s in range(n_s):
+            d = int(doses[v, s])
+            al = [0, 0] if d == 0 else ([0, 1] if d == 1 else [1, 1])
+            rows.append((v, sids[s], al))
+    calls = spark.createDataFrame(
+        rows, "variant_id long, sample_id string, alleles array<int>"
+    )
+    got = {
+        r["sample_id"]: r
+        for r in inbreeding_coeff_weir(calls, assume_unique=True).collect()
+    }
+    # numpy replay: per-variant p over called samples, standardized term
+    p_hat = doses.mean(axis=1) / 2.0
+    poly = (p_hat > 0) & (p_hat < 1)
+    for s in range(n_s):
+        x = doses[poly, s].astype(float)
+        p = p_hat[poly]
+        terms = (x * x - (1 + 2 * p) * x + 2 * p * p) / (2 * p * (1 - p))
+        want = terms.mean()
+        assert got[sids[s]]["m_used"] == int(poly.sum())
+        assert abs(got[sids[s]]["inbreeding_weir"] - want) < 1e-6
+    inbred = np.mean([got[sids[s]]["inbreeding_weir"] for s in range(8)])
+    outbred = np.mean(
+        [got[sids[s]]["inbreeding_weir"] for s in range(8, n_s)]
+    )
+    assert inbred > 0.35 and abs(outbred) < 0.15
+    # both moment estimators separate the planted groups
+    gv = {
+        r["sample_id"]: r["inbreeding"]
+        for r in inbreeding_coeff(calls, assume_unique=True).collect()
+    }
+    assert np.mean([gv[sids[s]] for s in range(8)]) > 0.35
