@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r12 additions (newest first) ------------------------------------
+        "seq_unrelated": seq_unrelated,
         "seq_inbreeding_weir": seq_inbreeding_weir,
         "seq_pca_corr": seq_pca_corr,
         "seq_ld_em": seq_ld_em,
@@ -715,6 +716,27 @@ def seq_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = td.variant_dataset(spark, sf_dir)
     sids = ordered_sample_ids(ds.samples)
     return king_from_packed(pack_2bit_genotypes(ds, sids), sids)
+
+
+def seq_unrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal unrelated sample set (new r12 — KING --unrelated
+    / PLINK2 --king-cutoff at the standard 2^(-7/2) 3rd-degree
+    cutoff): the kept-set walk over the KING kinship graph, the step
+    every mixed-model/PCA pipeline runs between relatedness estimation
+    and analysis. Distributed pair build (the gated seq_king_kinship
+    substrate) + one bounded walk task; the oracle replays the walk as
+    a recursive CTE."""
+    from seqarray_spark.dataset import ordered_sample_ids
+    from seqarray_spark.operators.ld import (
+        king_from_packed,
+        unrelated_samples,
+    )
+    from seqarray_spark.sources.packed import pack_2bit_genotypes
+
+    ds = td.variant_dataset(spark, sf_dir)
+    sids = ordered_sample_ids(ds.samples)
+    kin = king_from_packed(pack_2bit_genotypes(ds, sids), sids)
+    return unrelated_samples(kin, tau=0.0884, samples=ds.samples)
 
 
 def seq_inbreeding_weir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2082,6 +2104,9 @@ def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import (
         inbreeding_weir_oracle_sql as _inbw_oracle,
     )
+    from seqarray_spark.operators.ld import (
+        unrelated_oracle_sql as _unrel_oracle,
+    )
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
@@ -2091,6 +2116,8 @@ def oracle_sql() -> dict[str, str]:
         "seq_ld_em": P + _ldem_oracle(bp_window=5000),
         "seq_pca_corr": P + _pcac_oracle(n_cols=4),
         "seq_inbreeding_weir": P + _inbw_oracle(),
+        "seq_unrelated": P.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _unrel_oracle(tau=0.0884),
         "seq_fst_genome": P + _fstg_oracle(),
         "seq_fst_windows": P + _fstw_oracle(win_size=WIN_SIZE,
                                             win_shift=WIN_SHIFT),

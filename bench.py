@@ -73,7 +73,7 @@ shared_r11 = shared_r10 + [
 shared_r12 = shared_r11 + [
     "seq_fst", "seq_fst_genome", "seq_fst_windows",
     "seq_ld_composite", "seq_ld_em", "seq_pca_corr",
-    "seq_inbreeding_weir",
+    "seq_inbreeding_weir", "seq_unrelated",
 ]
 
 

@@ -3534,3 +3534,134 @@ def inbreeding_weir_oracle_sql(min_m: int = 1, unit_scale: int = 9) -> str:
                  / CAST(m_used AS DOUBLE) AS inbreeding_weir
         FROM s2 WHERE m_used >= {int(min_m)}
     """
+
+
+def unrelated_samples(
+    kinship: DataFrame,
+    tau: float = 0.0884,
+    samples: DataFrame | None = None,
+) -> DataFrame:
+    """Greedy maximal unrelated sample set — the KING `--unrelated` /
+    PLINK2 `--king-cutoff` workflow step that every mixed-model /
+    PCA pipeline runs between relatedness estimation and analysis:
+    walking samples in lexicographic id order, keep a sample unless
+    its kinship with an ALREADY-KEPT sample exceeds ``tau`` (default
+    0.0884 = 2^(-7/2), the standard 3rd-degree cutoff). Same kept-set
+    semantics as ld_prune(method='greedy'), applied to the sample
+    graph: a sample survives when its relative was itself dropped.
+
+    ``kinship``: (sample_i, sample_j, ..., kinship) with sample_i <
+    sample_j — king_from_packed / ibd_mom_from_packed output. NULL
+    kinship (zero het denominator) never blocks. ``samples``: optional
+    (sample_id) universe so samples with no surviving pair are kept;
+    derived from the pair endpoints when omitted.
+
+    The pair relation is distributed; the walk itself is ONE cogrouped
+    pandas task holding only sample ids + the >tau skeleton (the
+    ld_prune walk bound, measured in tools/prune_walk_stress.py —
+    sample counts are orders of magnitude below the 10M-variant
+    measurement). Output: (sample_id) kept rows."""
+    strong = kinship.where(F.col("kinship") > float(tau)).select(
+        "sample_i", "sample_j"
+    )
+    if samples is None:
+        samples = kinship.select(
+            F.explode(F.array("sample_i", "sample_j")).alias("sample_id")
+        ).distinct()
+    univ = samples.select("sample_id").distinct()
+
+    import pandas as pd
+
+    def _walk(spdf: "pd.DataFrame", ppdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = np.sort(spdf["sample_id"].to_numpy())
+        n = len(ids)
+        if n == 0:
+            return spdf[["sample_id"]]
+        if len(ppdf) == 0:
+            return pd.DataFrame({"sample_id": ids})
+
+        def pos(v):
+            j = np.searchsorted(ids, v)
+            j_safe = np.minimum(j, n - 1)
+            return np.where(ids[j_safe] == v, j_safe, -1)
+
+        # lexicographic walk order == sorted ids, and sample_i <
+        # sample_j, so i is always the earlier (predecessor) side
+        pa = pos(ppdf["sample_i"].to_numpy())
+        pb = pos(ppdf["sample_j"].to_numpy())
+        good = (pa >= 0) & (pb >= 0)
+        pa, pb = pa[good], pb[good]
+        grp = np.argsort(pb, kind="stable")
+        pbs = pb[grp]
+        pas = pa[grp]
+        bounds = np.searchsorted(pbs, np.arange(n + 1))
+        kept = np.zeros(n, dtype=bool)
+        for j in range(n):
+            s, e = bounds[j], bounds[j + 1]
+            if e > s and kept[pas[s:e]].any():
+                continue  # related to a KEPT earlier sample
+            kept[j] = True
+        return pd.DataFrame({"sample_id": ids[kept]})
+
+    return (
+        univ.groupBy(F.lit(0).alias("_g"))
+        .cogroup(
+            strong.select(
+                F.lit(0).alias("_g"), "sample_i", "sample_j"
+            ).groupBy("_g")
+        )
+        .applyInPandas(
+            lambda s, p: _walk(s, p), schema="sample_id string"
+        )
+    )
+
+
+def unrelated_oracle_sql(tau: float = 0.0884, min_n: int = 1) -> str:
+    """DuckDB oracle twin of king_from_packed -> unrelated_samples:
+    the KING pair chain (king_packed_oracle_sql's CTEs) feeding the
+    sequential kept-set walk replayed as a RECURSIVE CTE over the
+    gsamples universe — the ld_prune_greedy oracle pattern on the
+    sample graph (caller prepends oracle_prelude() with its WITH
+    upgraded to WITH RECURSIVE)."""
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id, {_DOSE_PACKED_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
+        ), kp AS (
+          SELECT a.sample_id AS sample_i, b.sample_id AS sample_j,
+                 COUNT(*) AS m_used,
+                 CAST(SUM(CASE WHEN a.d = 1 AND b.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hh,
+                 CAST(SUM(CASE WHEN ABS(a.d - b.d) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS opp,
+                 CAST(SUM(CASE WHEN a.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS het_i,
+                 CAST(SUM(CASE WHEN b.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS het_j
+          FROM dnn a JOIN dnn b ON a.variant_id = b.variant_id
+                              AND a.sample_id < b.sample_id
+          GROUP BY a.sample_id, b.sample_id
+        ), strongk AS (
+          SELECT sample_i, sample_j FROM kp
+          WHERE m_used >= {int(min_n)} AND het_i + het_j > 0
+            AND (CAST(hh AS DOUBLE) - 2.0 * CAST(opp AS DOUBLE))
+                / CAST(het_i + het_j AS DOUBLE) > {float(tau)!r}
+        ), ordsmp AS (
+          SELECT sample_id,
+                 ROW_NUMBER() OVER (ORDER BY sample_id) AS rn
+          FROM (SELECT DISTINCT sample_id FROM gsamples) u
+        ), kwalk AS (
+          SELECT rn, [sample_id] AS kept FROM ordsmp WHERE rn = 1
+          UNION ALL
+          SELECT v.rn,
+                 CASE WHEN EXISTS (
+                        SELECT 1 FROM strongk st
+                        WHERE st.sample_j = v.sample_id
+                          AND list_contains(w.kept, st.sample_i))
+                      THEN w.kept
+                      ELSE list_append(w.kept, v.sample_id) END
+          FROM kwalk w JOIN ordsmp v ON v.rn = w.rn + 1
+        )
+        SELECT UNNEST(kept) AS sample_id FROM kwalk
+        WHERE rn = (SELECT MAX(rn) FROM kwalk)
+    """

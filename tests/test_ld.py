@@ -1386,3 +1386,36 @@ def test_inbreeding_weir_planted(spark):
         for r in inbreeding_coeff(calls, assume_unique=True).collect()
     }
     assert np.mean([gv[sids[s]] for s in range(8)]) > 0.35
+
+
+def test_unrelated_samples_kept_set_semantics(spark):
+    """unrelated_samples (new r12 — KING --unrelated / PLINK2
+    --king-cutoff): on the chain A~B, B~C (A!~C) the walk keeps A,
+    drops B, and KEEPS C because its only relative was itself dropped
+    — the kept-set semantics, same as greedy LD pruning; pair-less
+    samples from the universe always survive, NULL kinship never
+    blocks."""
+    from seqarray_spark.operators.ld import unrelated_samples
+
+    kin = spark.createDataFrame(
+        [
+            ("A", "B", 100, 0.25),
+            ("B", "C", 100, 0.25),
+            ("A", "C", 100, 0.01),
+            ("A", "D", 100, None),  # NULL kinship: never blocks
+        ],
+        "sample_i string, sample_j string, m_used int, kinship double",
+    )
+    universe = spark.createDataFrame(
+        [("A",), ("B",), ("C",), ("D",), ("E",)], "sample_id string"
+    )
+    kept = {
+        r["sample_id"]
+        for r in unrelated_samples(kin, tau=0.0884, samples=universe).collect()
+    }
+    assert kept == {"A", "C", "D", "E"}
+    # derived-universe form: E (absent from pairs) is unknown there
+    kept2 = {
+        r["sample_id"] for r in unrelated_samples(kin, tau=0.0884).collect()
+    }
+    assert kept2 == {"A", "C", "D"}
