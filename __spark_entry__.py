@@ -757,11 +757,16 @@ def _parity_pops(spark: SparkSession, sf_dir: str) -> DataFrame:
     population at sf0.001's 10 samples, which would make the gates
     vacuous where the sweep runs). ONE definition for all three fst
     gates; the oracle-side twin is _FST_CTE_SQL's fpops CTE — keep the
-    expressions in lockstep (r12 review)."""
+    expressions in lockstep (r12 review). TOTAL expression (ADVICE
+    r12): Spark CONCAT propagates NULL while DuckDB CONCAT skips it,
+    so a suffix that fails the INT cast would silently diverge the two
+    sides — TRY_CAST + COALESCE(..., 9) pins the fallback label 'P9'
+    identically in both dialects."""
     return td.gsamples(spark, sf_dir).select(
         "sample_id",
         F.expr(
-            "CONCAT('P', CAST(CAST(SUBSTRING(sample_id, 2) AS INT) % 2 "
+            "CONCAT('P', CAST(COALESCE("
+            "TRY_CAST(SUBSTRING(sample_id, 2) AS INT) % 2, 9) "
             "AS STRING))"
         ).alias("population"),
     )

@@ -2862,7 +2862,8 @@ def _FST_CTE_SQL(min_pops: int = 2, unit_scale: int = 9) -> str:
           -- shared gsamples.population suppkey<50 rule yields ONE
           -- population at sf0.001's 10 samples — vacuous for Fst)
           SELECT sample_id,
-                 CONCAT('P', CAST(CAST(SUBSTRING(sample_id, 2) AS INT) % 2
+                 CONCAT('P', CAST(COALESCE(
+                     TRY_CAST(SUBSTRING(sample_id, 2) AS INT) % 2, 9)
                              AS STRING)) AS population
           FROM gsamples
         ), dpp AS (
@@ -3344,7 +3345,14 @@ def pca_snp_corr(
     for c in range(k):
         aggs += [
             F.sum(F.col(f"_w{c}")).alias(f"_sw{c}"),
-            F.sum(F.col(f"_w{c}") * F.col(f"_w{c}")).alias(f"_sww{c}"),
+            # sum the squared-weight term in DECIMAL(38,0), not
+            # BIGINT: per-row w*w ~ 1e12 at unit_scale=6, so a BIGINT
+            # running sum wraps silently (non-ANSI) at n >= ~9.2e6
+            # samples — inside biobank range (ADVICE r12). The per-row
+            # long multiply itself is safe (<= 1e12 << 2^63).
+            F.sum(
+                (F.col(f"_w{c}") * F.col(f"_w{c}")).cast("decimal(38,0)")
+            ).alias(f"_sww{c}"),
             F.sum(F.col("d") * F.col(f"_w{c}")).alias(f"_sxw{c}"),
         ]
     agg = dd.groupBy("variant_id").agg(*aggs)
@@ -3354,9 +3362,12 @@ def pca_snp_corr(
     # weights on the 1e-unit_scale grid, sww ~ n*1e12 and n*sww - sw^2
     # ~ n^2*1e12 BLOWS PAST int64 at n >= ~3037 samples — Spark's
     # non-ANSI long multiply would wrap silently while DuckDB raises
-    # (r12 review). DECIMAL(38,0) holds ~1e38, exact to n ~ 1e13;
-    # both engines evaluate it exactly and the final cast to double is
-    # correctly rounded, so the value-hash contract survives.
+    # (r12 review). With _sww summed in DECIMAL above, the remaining
+    # BIGINT sums stay exact to n ~ 4.6e12 (sxw: per-row <= 2e6) and
+    # n ~ 9.2e12 (sw: per-row <= 1e6), and these cross-products are
+    # exact in DECIMAL(38,0) to n ~ 1e13; both engines evaluate them
+    # exactly and the final cast to double is correctly rounded, so
+    # the value-hash contract survives (bounds corrected, ADVICE r12).
     def _dec(col):
         return col.cast("decimal(38,0)")
 

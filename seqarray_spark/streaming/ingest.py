@@ -523,29 +523,56 @@ def _append_drift_record(log_path: str, record: dict) -> bool:
     write when the log's LAST record already carries this batch_id —
     the tail check suffices because batch_ids are monotonically
     increasing, so a replay is always of the last appended batch,
-    never an earlier one. Returns True iff the record was written."""
+    never an earlier one. Returns True iff the record was written.
+
+    Crash-safe against a TORN TAIL (ADVICE r12): a crash mid-write
+    leaves a final line with no trailing newline; appending straight
+    onto it would merge two records into one unparseable line, losing
+    the old record AND breaking the dedupe for the next replay. The
+    append therefore writes a leading newline whenever the file does
+    not end in one — the torn fragment stays isolated on its own
+    (unparseable, ignored) line and the new record is intact."""
     import json as _json
     import os as _os
 
     last_id = None
+    ends_nl = True
     try:
         # seek-read only the tail: a long-lived stream appends one
         # record per micro-batch, and re-reading the whole file every
-        # batch would be O(n_batches^2) cumulative I/O (r12 review)
+        # batch would be O(n_batches^2) cumulative I/O (r12 review).
+        # The window GROWS until it provably contains the whole final
+        # line (a preceding newline, or file start) — a fixed 4096
+        # would front-truncate an oversized record, fail the parse,
+        # and silently append a duplicate on every replay (ADVICE r12)
         with open(log_path, "rb") as fh:
             fh.seek(0, _os.SEEK_END)
             size = fh.tell()
-            fh.seek(max(0, size - 4096))
-            tail = fh.read()
+            window = 4096
+            tail = b""
+            while size:
+                fh.seek(max(0, size - window))
+                tail = fh.read()
+                ends_nl = tail.endswith(b"\n")
+                body = tail[:-1] if ends_nl else tail
+                if b"\n" in body or window >= size:
+                    break
+                window *= 2
         lines = tail.splitlines()
         if lines:
             last_id = _json.loads(lines[-1]).get("batch_id")
     except (OSError, ValueError):
         pass  # no log yet / torn tail line — append normally
     if last_id == record.get("batch_id"):
+        if not ends_nl:
+            # the crash hit between the json and its newline: the
+            # record itself is whole — repair the terminator so the
+            # NEXT record does not merge onto it, but do not duplicate
+            with open(log_path, "a") as fh:
+                fh.write("\n")
         return False
     with open(log_path, "a") as fh:
-        fh.write(_json.dumps(record) + "\n")
+        fh.write(("" if ends_nl else "\n") + _json.dumps(record) + "\n")
     return True
 
 

@@ -679,9 +679,65 @@ def test_append_drift_record_idempotent_under_replay(tmp_path):
     with open(log) as fh:
         recs = [json.loads(line) for line in fh]
     assert [r["batch_id"] for r in recs] == [0, 1]
-    # torn tail line (crash mid-write) falls back to appending
+    # torn tail line (crash mid-write) falls back to appending — and
+    # the retried record must land on its OWN line, not merge onto the
+    # fragment (ADVICE r12: a merged line loses the record and breaks
+    # the next replay's dedupe)
     with open(log, "a") as fh:
         fh.write('{"batch_id": 2, "n_pro')
     assert _append_drift_record(
         log, {"batch_id": 2, "n_probes": 4, "mean_top1_agreement": 0.5}
     ) is True
+    good = []
+    with open(log) as fh:
+        for line in fh:
+            try:
+                good.append(json.loads(line))
+            except ValueError:
+                pass
+    assert [r["batch_id"] for r in good] == [0, 1, 2]
+    assert good[-1]["mean_top1_agreement"] == 0.5
+    # ...and the replay of the recovered batch still dedupes
+    assert _append_drift_record(
+        log, {"batch_id": 2, "n_probes": 4, "mean_top1_agreement": 0.5}
+    ) is False
+    # torn tail where the json is COMPLETE but the newline is missing:
+    # the replay repairs the terminator without duplicating
+    with open(log, "a") as fh:
+        fh.write('{"batch_id": 3, "n_probes": 4}')
+    assert _append_drift_record(log, {"batch_id": 3, "n_probes": 4}) is False
+    assert _append_drift_record(log, {"batch_id": 4, "n_probes": 4}) is True
+    tail_ids = []
+    with open(log) as fh:
+        for line in fh:
+            try:
+                tail_ids.append(json.loads(line)["batch_id"])
+            except ValueError:
+                pass  # the torn fragment line
+    assert tail_ids[-2:] == [3, 4]
+
+
+def test_append_drift_record_oversized_line(tmp_path):
+    """ADVICE r12: a drift line longer than the 4096-byte tail window
+    must still dedupe — the window grows backward until it holds the
+    whole final line instead of front-truncating it (which made the
+    parse fail and appended a duplicate on every replay)."""
+    import json
+
+    from seqarray_spark.streaming.ingest import _append_drift_record
+
+    log = str(tmp_path / "idx_drift.jsonl")
+    big = {"batch_id": 7, "probe_sample": ["v%06d" % i for i in range(900)]}
+    assert len(json.dumps(big)) > 4096
+    assert _append_drift_record(log, big) is True
+    assert _append_drift_record(log, dict(big)) is False  # replay
+    # oversized line as the FIRST and ONLY line (window >= size path)
+    with open(log) as fh:
+        recs = [json.loads(line) for line in fh]
+    assert [r["batch_id"] for r in recs] == [7]
+    # and with a small line after it, a replay of the small one dedupes
+    assert _append_drift_record(log, {"batch_id": 8, "n_probes": 1}) is True
+    assert _append_drift_record(log, {"batch_id": 8, "n_probes": 1}) is False
+    with open(log) as fh:
+        recs = [json.loads(line) for line in fh]
+    assert [r["batch_id"] for r in recs] == [7, 8]
