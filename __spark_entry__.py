@@ -62,6 +62,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_registry_sweep.py::test_rotation_invariant): any entry
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
+        # -- r13 additions (newest first) ------------------------------------
+        "seq_ibd_mle": seq_ibd_mle,
         # -- r12 additions (newest first) ------------------------------------
         "seq_unrelated": seq_unrelated,
         "seq_inbreeding_weir": seq_inbreeding_weir,
@@ -885,6 +887,25 @@ def seq_inbreeding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqarray_spark.operators.ld import inbreeding_coeff
 
     return inbreeding_coeff(td.gcalls(spark, sf_dir))
+
+
+def seq_ibd_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-likelihood IBD over the packed column (new r13 —
+    SNPRelate's snpgdsIBDMLE, Milligan 2003): fixed-30-step EM over
+    each pair's (genotype-pair class, dyadic p-bin) cell counts, cells
+    built as one-hot matmuls per bin, posteriors on a half-up 1e-9
+    integer grid so the oracle replays the EM as chained CTEs. Gate
+    runs the standard cohort posture: the first-40-sorted sample
+    panel (all-pairs MLE is a refinement pass over KING/MoM-screened
+    candidates at scale; the panel keeps the oracle's unrolled
+    30-join chain tractable)."""
+    from seqarray_spark.dataset import ordered_sample_ids
+    from seqarray_spark.operators.ld import ibd_mle_from_packed
+    from seqarray_spark.sources.packed import pack_2bit_genotypes
+
+    ds = td.variant_dataset(spark, sf_dir)
+    sids = ordered_sample_ids(ds.samples)[:40]
+    return ibd_mle_from_packed(pack_2bit_genotypes(ds, sids), sids)
 
 
 def seq_ibd_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2112,10 +2133,14 @@ def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.ld import (
         unrelated_oracle_sql as _unrel_oracle,
     )
+    from seqarray_spark.operators.ld import (
+        ibd_mle_oracle_sql as _ibdmle_oracle,
+    )
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
     return {
+        "seq_ibd_mle": P + _ibdmle_oracle(limit_samples=40),
         "seq_fst": P + _fst_oracle(),
         "seq_ld_composite": P + _ldc_oracle(bp_window=5000),
         "seq_ld_em": P + _ldem_oracle(bp_window=5000),

@@ -3676,3 +3676,381 @@ def unrelated_oracle_sql(tau: float = 0.0884, min_n: int = 1) -> str:
         SELECT UNNEST(kept) AS sample_id FROM kwalk
         WHERE rn = (SELECT MAX(rn) FROM kwalk)
     """
+
+
+def ibd_mle_from_packed(
+    packed: DataFrame,
+    sample_ids: list[str],
+    n_bins: int = 128,
+    em_iters: int = 30,
+    min_m: int = 1,
+) -> DataFrame:
+    """Maximum-likelihood IBD for every sample pair over the 2-bit
+    packed column — snpgdsIBDMLE, the EM estimator (Milligan 2003;
+    Thompson 1975) SNPRelate runs beside the MoM/KING screens through
+    the reference's delegation surface (src/LinkSNPRelate.cpp:69-407).
+    Each co-called variant contributes P(g_i, g_j | IBD=m, p) for
+    m in {0,1,2}; EM re-weights variants by the posterior of their
+    IBD state under the current k=(k0,k1,k2) and re-estimates k as the
+    posterior mean, for a FIXED em_iters steps from k=(1/3,1/3,1/3) —
+    fixed, not to-convergence, so the whole estimator is one
+    deterministic float tree the SQL oracle replays step for step
+    (the ld_pairs_em precedent).
+
+    Two quantizations buy both the sufficient-statistic form and the
+    oracle, each documented divergence from SNPRelate's per-variant
+    float loop:
+
+    * allele frequency on a DYADIC grid: p_bin = floor(p*B + 0.5)/B
+      with B a power of two (exact in float64), monomorphic-rounded
+      bins (0, B) dropped as uninformative. Per pair the data then
+      collapse to counts over (genotype-pair class, p-bin) cells —
+      6 unordered classes x (B-1) bins — built as one-hot MATMULS per
+      bin on the ibs/king substrate: zero wide shuffle, and the EM
+      never rescans genotypes. Grid error on k is O(1/B).
+    * EM posteriors on a half-up 1e-9 integer grid each step, so every
+      per-pair reduction is an exact-integer sum — order-independent,
+      hash-stable — and k stays a pure function of the cell table.
+
+    Scale posture: the cell table is |pairs| x occupied cells
+    (<= min(M, 6(B-1))) rows and the kernel holds 6 x B x n^2 float64
+    accumulators per task (~48*B*n^2 bytes) — all-pairs MLE is for
+    COHORT-sized n (the gate restricts to a 40-sample panel); at
+    biobank n, screen pairs with KING/MoM first and run MLE on the
+    candidates, the standard toolchain division of labor, or coarsen
+    n_bins. Output: (sample_i, sample_j, m_used, k0, k1, kinship)
+    with kinship = (1-k0-k1)/2 + k1/4, raw unconstrained estimates
+    like ibd_mom (EM keeps k in the simplex up to 1e-9 rounding)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from seqarray_spark.sources.packed import _code_lut
+
+    n_samp = len(sample_ids)
+    if n_samp < 2:
+        raise ValueError("IBD MLE needs >= 2 samples")
+    B = int(n_bins)
+    if B < 2 or (B & (B - 1)) != 0:
+        raise ValueError(
+            "n_bins must be a power of two: p-grid points b/B must be "
+            "exact float64 dyadics or the oracle hash diverges"
+        )
+    iters = int(em_iters)
+    if iters < 1:
+        raise ValueError("em_iters must be >= 1")
+    iu, ju = np.triu_indices(n_samp, k=1)
+    bf = float(B)
+
+    def cells_kernel(batches):
+        codes_lut = _code_lut()
+        acc: dict = {}
+        for rb in batches:
+            codes = _packed_batch_codes(rb, n_samp, codes_lut)
+            if codes is None:
+                continue
+            i0 = (codes == 0).astype(np.float64)
+            i1 = (codes == 1).astype(np.float64)
+            i2 = (codes == 2).astype(np.float64)
+            cnt = (i0 + i1 + i2).sum(axis=1)
+            s = (i1 + 2.0 * i2).sum(axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                p = np.where(cnt > 0, s / (2.0 * cnt), 0.0)
+            binv = np.floor(p * bf + 0.5)
+            ok = (cnt > 0) & (binv > 0.0) & (binv < bf)
+            for b in np.unique(binv[ok]):
+                rows = ok & (binv == b)
+                a0, a1, a2 = i0[rows], i1[rows], i2[rows]
+                mats = acc.setdefault(
+                    int(b),
+                    [np.zeros((n_samp, n_samp)) for _ in range(6)],
+                )
+                m01 = a0.T @ a1
+                m02 = a0.T @ a2
+                m12 = a1.T @ a2
+                mats[0] += a0.T @ a0
+                mats[1] += m01 + m01.T
+                mats[2] += m02 + m02.T
+                mats[3] += a1.T @ a1
+                mats[4] += m12 + m12.T
+                mats[5] += a2.T @ a2
+        cols = {k: [] for k in ("si", "sj", "cls", "pbin", "n")}
+        for b, mats in acc.items():
+            for cls, m in enumerate(mats):
+                v = m[iu, ju]
+                nz = v > 0
+                if nz.any():
+                    cols["si"].append(iu[nz].astype(np.int32))
+                    cols["sj"].append(ju[nz].astype(np.int32))
+                    cols["cls"].append(
+                        np.full(int(nz.sum()), cls, np.int32)
+                    )
+                    cols["pbin"].append(
+                        np.full(int(nz.sum()), b, np.int32)
+                    )
+                    cols["n"].append(v[nz])
+        if cols["si"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(cols[k])) for k in cols],
+                names=["_si", "_sj", "cls", "pbin", "n"],
+            )
+
+    partials = packed.select("variant_id", "n_samples", "packed").mapInArrow(
+        cells_kernel,
+        schema="_si int, _sj int, cls int, pbin int, n double",
+    )
+    cells = partials.groupBy("_si", "_sj", "cls", "pbin").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+
+    def em_kernel(batches):
+        tbl = pa.Table.from_batches(
+            list(batches),
+            schema=pa.schema(
+                [
+                    ("_si", pa.int32()),
+                    ("_sj", pa.int32()),
+                    ("cls", pa.int32()),
+                    ("pbin", pa.int32()),
+                    ("n", pa.int64()),
+                ]
+            ),
+        )
+        if tbl.num_rows == 0:
+            return
+        si = tbl["_si"].to_numpy()
+        sj = tbl["_sj"].to_numpy()
+        cls = tbl["cls"].to_numpy()
+        pbin = tbl["pbin"].to_numpy()
+        n = tbl["n"].to_numpy().astype(np.float64)
+        pairkey = si.astype(np.int64) * n_samp + sj
+        uniq, pidx = np.unique(pairkey, return_inverse=True)
+        npairs = len(uniq)
+        m_used = np.bincount(pidx, weights=n, minlength=npairs)
+        # class-conditional pair-genotype probabilities: constants per
+        # cell, hoisted out of the EM loop; EVERY float op below is in
+        # the exact order ibd_mle_oracle_sql spells it (the bit-
+        # identical-doubles contract, _ld_em_kernel precedent)
+        p = pbin.astype(np.float64) / bf
+        q = 1.0 - p
+        sel = [cls == c for c in range(6)]
+        e0 = np.select(
+            sel,
+            [q * q * q * q, 2.0 * p * q * q * q, p * p * q * q,
+             4.0 * p * p * q * q, 2.0 * p * p * p * q, p * p * p * p],
+        )
+        e1 = np.select(
+            sel,
+            [q * q * q, p * q * q, np.zeros_like(p), p * q,
+             p * p * q, p * p * p],
+        )
+        e2 = np.select(
+            sel,
+            [q * q, np.zeros_like(p), np.zeros_like(p), 2.0 * p * q,
+             np.zeros_like(p), p * p],
+        )
+        grid = 1000000000.0
+        den2 = grid * m_used
+        k0 = np.full(npairs, 1.0 / 3.0)
+        k1 = np.full(npairs, 1.0 / 3.0)
+        k2 = np.full(npairs, 1.0 / 3.0)
+        for _ in range(iters):
+            a0 = k0[pidx] * e0
+            a1 = k1[pidx] * e1
+            a2 = k2[pidx] * e2
+            den = a0 + a1 + a2
+            with np.errstate(invalid="ignore", divide="ignore"):
+                u0 = np.where(
+                    den > 0.0,
+                    np.floor(a0 / den * grid + 0.5),
+                    np.floor(k0[pidx] * grid + 0.5),
+                )
+                u1 = np.where(
+                    den > 0.0,
+                    np.floor(a1 / den * grid + 0.5),
+                    np.floor(k1[pidx] * grid + 0.5),
+                )
+                u2 = np.where(
+                    den > 0.0,
+                    np.floor(a2 / den * grid + 0.5),
+                    np.floor(k2[pidx] * grid + 0.5),
+                )
+            k0 = np.bincount(pidx, weights=n * u0, minlength=npairs) / den2
+            k1 = np.bincount(pidx, weights=n * u1, minlength=npairs) / den2
+            k2 = np.bincount(pidx, weights=n * u2, minlength=npairs) / den2
+        kin = (1.0 - k0 - k1) / 2.0 + k1 / 4.0
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array((uniq // n_samp).astype(np.int32)),
+                pa.array((uniq % n_samp).astype(np.int32)),
+                pa.array(m_used.astype(np.int64)),
+                pa.array(k0),
+                pa.array(k1),
+                pa.array(kin),
+            ],
+            names=["_si", "_sj", "m_used", "k0", "k1", "kinship"],
+        )
+
+    # one hash shuffle co-locates each pair's cells; the EM task sees
+    # its whole partition (pairs are independent — linear over pairs)
+    res = cells.repartition("_si", "_sj").mapInArrow(
+        em_kernel,
+        schema=(
+            "_si int, _sj int, m_used long, k0 double, k1 double, "
+            "kinship double"
+        ),
+    )
+    labels = F.array(*[F.lit(s) for s in sample_ids])
+    return res.where(F.col("m_used") >= int(min_m)).select(
+        F.element_at(labels, F.col("_si") + 1).alias("sample_i"),
+        F.element_at(labels, F.col("_sj") + 1).alias("sample_j"),
+        "m_used",
+        "k0",
+        "k1",
+        "kinship",
+    )
+
+
+def ibd_mle_oracle_sql(
+    n_bins: int = 128,
+    em_iters: int = 30,
+    min_m: int = 1,
+    limit_samples: int | None = None,
+) -> str:
+    """DuckDB oracle twin of pack_2bit_genotypes -> ibd_mle_from_packed
+    over the gvariants/gcalls CTEs: packed-dose dedup, per-variant
+    allele frequency binned to the dyadic b/B grid, pooled (class,
+    p-bin) cell counts per co-called pair, then em_iters EM steps
+    unrolled as chained join+group CTEs — posteriors floored to the
+    identical 1e-9 unit grid, so each step's per-pair sums are exact
+    BIGINTs and the k's walk one float tree in both engines.
+    `limit_samples` mirrors the gate's first-K-sorted sample panel."""
+    B = int(n_bins)
+    bf = float(B)
+    lim = (
+        f"""AND a.sample_id IN (SELECT sample_id FROM ordlim)
+                    AND b.sample_id IN (SELECT sample_id FROM ordlim)"""
+        if limit_samples
+        else ""
+    )
+    ordlim = (
+        f"""
+        , ordlim AS (
+          SELECT sample_id
+          FROM (SELECT DISTINCT sample_id FROM gcalls) u
+          ORDER BY sample_id LIMIT {int(limit_samples)}
+        )"""
+        if limit_samples
+        else ""
+    )
+    # p over the SAME restricted panel the engine packs
+    plim = (
+        "WHERE sample_id IN (SELECT sample_id FROM ordlim)"
+        if limit_samples
+        else ""
+    )
+    head = f"""
+        , dosem AS (
+          SELECT variant_id, sample_id, {_DOSE_PACKED_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnnm AS (
+          SELECT variant_id, sample_id, d FROM dosem WHERE d IS NOT NULL
+        ){ordlim}, dpan AS (
+          SELECT variant_id, sample_id, d FROM dnnm {plim}
+        ), stpm AS (
+          SELECT variant_id,
+                 CAST(SUM(d) AS DOUBLE)
+                   / (2.0 * CAST(COUNT(*) AS DOUBLE)) AS p
+          FROM dpan GROUP BY variant_id
+        ), pbins AS (
+          SELECT variant_id, CAST(FLOOR(p * {bf!r} + 0.5) AS BIGINT) AS pbin
+          FROM stpm
+          WHERE FLOOR(p * {bf!r} + 0.5) > 0.0
+            AND FLOOR(p * {bf!r} + 0.5) < {bf!r}
+        ), mcell AS (
+          SELECT a.sample_id AS si, b.sample_id AS sj,
+                 CASE
+                   WHEN LEAST(a.d, b.d) = 0 AND GREATEST(a.d, b.d) = 0
+                     THEN 0
+                   WHEN LEAST(a.d, b.d) = 0 AND GREATEST(a.d, b.d) = 1
+                     THEN 1
+                   WHEN LEAST(a.d, b.d) = 0 AND GREATEST(a.d, b.d) = 2
+                     THEN 2
+                   WHEN LEAST(a.d, b.d) = 1 AND GREATEST(a.d, b.d) = 1
+                     THEN 3
+                   WHEN LEAST(a.d, b.d) = 1 AND GREATEST(a.d, b.d) = 2
+                     THEN 4
+                   ELSE 5 END AS cls,
+                 w.pbin,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM dpan a
+          JOIN dpan b ON a.variant_id = b.variant_id
+                     AND a.sample_id < b.sample_id {lim}
+          JOIN pbins w ON w.variant_id = a.variant_id
+          GROUP BY a.sample_id, b.sample_id, cls, w.pbin
+        ), cellsp AS MATERIALIZED (
+          -- class-conditional probabilities as cell constants; p, q
+          -- and every product in the kernel's op order
+          -- (MATERIALIZED: referenced by every unrolled EM step —
+          -- DuckDB's default inlining re-plans it per step and the
+          -- optimizer goes super-linear past ~12 steps: measured
+          -- 0.6s@10 -> 108s@18 iters inlined vs 0.4s@30 materialized)
+          SELECT si, sj, n,
+                 CASE cls
+                   WHEN 0 THEN q * q * q * q
+                   WHEN 1 THEN 2.0 * p * q * q * q
+                   WHEN 2 THEN p * p * q * q
+                   WHEN 3 THEN 4.0 * p * p * q * q
+                   WHEN 4 THEN 2.0 * p * p * p * q
+                   ELSE p * p * p * p END AS e0,
+                 CASE cls
+                   WHEN 0 THEN q * q * q
+                   WHEN 1 THEN p * q * q
+                   WHEN 2 THEN 0.0
+                   WHEN 3 THEN p * q
+                   WHEN 4 THEN p * p * q
+                   ELSE p * p * p END AS e1,
+                 CASE cls
+                   WHEN 0 THEN q * q
+                   WHEN 1 THEN 0.0
+                   WHEN 2 THEN 0.0
+                   WHEN 3 THEN 2.0 * p * q
+                   WHEN 4 THEN 0.0
+                   ELSE p * p END AS e2
+          FROM (SELECT si, sj, cls, n,
+                       CAST(pbin AS DOUBLE) / {bf!r} AS p,
+                       1.0 - CAST(pbin AS DOUBLE) / {bf!r} AS q
+                FROM mcell) raw
+        ), mit0 AS MATERIALIZED (
+          SELECT si, sj, CAST(SUM(n) AS BIGINT) AS m_used,
+                 1.0 / 3.0 AS k0, 1.0 / 3.0 AS k1, 1.0 / 3.0 AS k2
+          FROM cellsp GROUP BY si, sj
+        )"""
+
+    def ustep(km: str) -> str:
+        den = "t.k0 * c.e0 + t.k1 * c.e1 + t.k2 * c.e2"
+        return (
+            f"CAST(FLOOR((CASE WHEN {den} > 0.0 "
+            f"THEN t.{km} * c.e{km[1]} / ({den}) * 1000000000.0 "
+            f"ELSE t.{km} * 1000000000.0 END) + 0.5) AS BIGINT)"
+        )
+
+    steps = []
+    for i in range(int(em_iters)):
+        steps.append(f"""
+        , mit{i + 1} AS MATERIALIZED (
+          SELECT c.si, c.sj, t.m_used,
+                 CAST(CAST(SUM(c.n * {ustep("k0")}) AS BIGINT) AS DOUBLE)
+                   / (1000000000.0 * CAST(t.m_used AS DOUBLE)) AS k0,
+                 CAST(CAST(SUM(c.n * {ustep("k1")}) AS BIGINT) AS DOUBLE)
+                   / (1000000000.0 * CAST(t.m_used AS DOUBLE)) AS k1,
+                 CAST(CAST(SUM(c.n * {ustep("k2")}) AS BIGINT) AS DOUBLE)
+                   / (1000000000.0 * CAST(t.m_used AS DOUBLE)) AS k2
+          FROM cellsp c
+          JOIN mit{i} t ON t.si = c.si AND t.sj = c.sj
+          GROUP BY c.si, c.sj, t.m_used
+        )""")
+    return f"""{head}{"".join(steps)}
+        SELECT si AS sample_i, sj AS sample_j, m_used, k0, k1,
+               (1.0 - k0 - k1) / 2.0 + k1 / 4.0 AS kinship
+        FROM mit{int(em_iters)} WHERE m_used >= {int(min_m)}
+    """

@@ -1419,3 +1419,118 @@ def test_unrelated_samples_kept_set_semantics(spark):
         r["sample_id"] for r in unrelated_samples(kin, tau=0.0884).collect()
     }
     assert kept2 == {"A", "C", "D"}
+
+
+def test_ibd_mle_planted_relationships(spark):
+    """snpgdsIBDMLE semantics (Milligan 2003 EM) on planted pedigree
+    structure: duplicates -> k2 dominant, kinship~0.5; unrelated ->
+    k0~1; parent-child -> k1 dominant, kinship~0.25; full sibs ->
+    (k0,k1,k2)~(1/4,1/2,1/4), kinship~0.25 — the state the MoM
+    estimator can't pin without the likelihood. Statistical
+    tolerances: raw EM estimates on 3000 planted variants."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import ibd_mle_from_packed
+
+    rng = np.random.default_rng(29)
+    V = 3000
+    p = rng.uniform(0.2, 0.8, V)
+
+    def draw():
+        return (rng.random(V) < p).astype(np.uint8) + (
+            rng.random(V) < p
+        ).astype(np.uint8)
+
+    # NB: uint8 haplotypes, NOT bool — numpy bool + bool is logical
+    # OR, which silently caps planted children at genotype 1 and
+    # flattens the likelihood surface the MLE needs
+    pa_h = np.stack(
+        [(rng.random(V) < p), (rng.random(V) < p)]
+    ).astype(np.uint8)
+    ma_h = np.stack(
+        [(rng.random(V) < p), (rng.random(V) < p)]
+    ).astype(np.uint8)
+    father = pa_h.sum(axis=0).astype(np.uint8)
+    mother = ma_h.sum(axis=0).astype(np.uint8)
+
+    def child():
+        return (
+            pa_h[rng.integers(0, 2, V), np.arange(V)]
+            + ma_h[rng.integers(0, 2, V), np.arange(V)]
+        ).astype(np.uint8)
+
+    sib1, sib2 = child(), child()
+    u1 = draw()
+    # MLE is sensitive to allele-frequency error (the snpgdsIBDMLE
+    # docs say to bring reference-panel frequencies): 40 background
+    # samples keep the p estimate honest, where MoM got by with 14
+    bg = [draw() for _ in range(40)]
+    codes = np.stack(
+        [u1, u1, father, mother, sib1, sib2] + bg, axis=1
+    )
+    sids = ["dupA", "dupB", "father", "mother", "sib1", "sib2"] + [
+        f"bg{i:02d}" for i in range(40)
+    ]
+    out = {
+        (r["sample_i"], r["sample_j"]): r
+        for r in ibd_mle_from_packed(
+            # 150 steps: the full-sib interior point converges slower
+            # than the corner states the 30-step default resolves
+            _packed_frame(spark, codes, sids), sids, em_iters=150
+        ).collect()
+    }
+    dup = out[("dupA", "dupB")]
+    assert dup["k0"] < 0.02 and dup["k1"] < 0.1
+    assert abs(dup["kinship"] - 0.5) < 0.03
+    unrel = out[("dupA", "father")]
+    assert unrel["k0"] > 0.9 and abs(unrel["kinship"]) < 0.03
+    pc = out[("father", "sib1")]
+    assert pc["k1"] > 0.8 and abs(pc["kinship"] - 0.25) < 0.05
+    sibs = out[("sib1", "sib2")]
+    assert abs(sibs["k0"] - 0.25) < 0.1
+    assert abs(sibs["k1"] - 0.5) < 0.12
+    assert abs(sibs["kinship"] - 0.25) < 0.05
+    parents = out[("father", "mother")]
+    assert parents["k0"] > 0.9
+    # every pair saw (nearly) all informative variants
+    assert all(r["m_used"] > 2500 for r in out.values())
+
+
+def test_ibd_mle_validation_and_grid(spark):
+    """n_bins must be a power of two (dyadic p-grid = exact float64);
+    coarser grids shrink the cell table but keep estimates close."""
+    import numpy as np
+    import pytest
+
+    from seqarray_spark.operators.ld import ibd_mle_from_packed
+
+    rng = np.random.default_rng(31)
+    V = 800
+    p = rng.uniform(0.2, 0.8, V)
+    codes = np.stack(
+        [
+            (rng.random(V) < p).astype(np.uint8)
+            + (rng.random(V) < p).astype(np.uint8)
+            for _ in range(6)
+        ],
+        axis=1,
+    )
+    sids = [f"S{i}" for i in range(6)]
+    pf = _packed_frame(spark, codes, sids)
+    with pytest.raises(ValueError, match="power of two"):
+        ibd_mle_from_packed(pf, sids, n_bins=100)
+    with pytest.raises(ValueError, match="em_iters"):
+        ibd_mle_from_packed(pf, sids, em_iters=0)
+    with pytest.raises(ValueError, match=">= 2 samples"):
+        ibd_mle_from_packed(pf, ["S0"])
+    fine = {
+        (r["sample_i"], r["sample_j"]): r["k0"]
+        for r in ibd_mle_from_packed(pf, sids, n_bins=128).collect()
+    }
+    coarse = {
+        (r["sample_i"], r["sample_j"]): r["k0"]
+        for r in ibd_mle_from_packed(pf, sids, n_bins=32).collect()
+    }
+    assert set(fine) == set(coarse) and len(fine) == 15
+    for k in fine:
+        assert abs(fine[k] - coarse[k]) < 0.06, (k, fine[k], coarse[k])
