@@ -63,6 +63,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r13 additions (newest first) ------------------------------------
+        "seq_tajima_d": seq_tajima_d,
+        "seq_pi_windows": seq_pi_windows,
         "seq_ibd_mle": seq_ibd_mle,
         # -- r12 additions (newest first) ------------------------------------
         "seq_unrelated": seq_unrelated,
@@ -821,6 +823,33 @@ def seq_ld_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
     return ld_pairs(v, c, bp_window=5000, stat="composite")
+
+
+def seq_pi_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window nucleotide diversity (new r13 — vcftools
+    --window-pi): per-site heterozygosity on the half-up 1e-9 grid
+    summed per seqUnitSlidingWindows window and divided by window
+    size; one variant-keyed join + one (chromosome, window) agg."""
+    from seqarray_spark.operators.diversity import pi_windows
+
+    return pi_windows(
+        td.gcalls(spark, sf_dir), td.gvariants(spark, sf_dir),
+        win_size=WIN_SIZE, win_shift=WIN_SHIFT,
+    )
+
+
+def seq_tajima_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window Tajima's D (new r13 — vcftools --TajimaD on the
+    shared window grid): D = (theta_pi - S/a1)/sqrt(e1*S + e2*S(S-1))
+    from the same window sums as seq_pi_windows; the harmonic
+    constants walk an ascending loop the oracle replays as a
+    recursive CTE, so the whole statistic value-hashes."""
+    from seqarray_spark.operators.diversity import tajima_d_windows
+
+    return tajima_d_windows(
+        td.gcalls(spark, sf_dir), td.gvariants(spark, sf_dir),
+        win_size=WIN_SIZE, win_shift=WIN_SHIFT,
+    )
 
 
 def seq_fst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2139,7 +2168,18 @@ def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.rank import bm25_topk_sql, dsir_logratios_sql
 
     P = td.oracle_prelude()
+    from seqarray_spark.operators.diversity import (
+        pi_windows_oracle_sql as _piw_oracle,
+        tajima_d_oracle_sql as _tajd_oracle,
+    )
+
     return {
+        "seq_pi_windows": P + _piw_oracle(win_size=WIN_SIZE,
+                                          win_shift=WIN_SHIFT),
+        # harmonic constants are a recursive CTE — RECURSIVE must head
+        # the WITH chain (the seq_unrelated convention)
+        "seq_tajima_d": P.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _tajd_oracle(win_size=WIN_SIZE, win_shift=WIN_SHIFT),
         "seq_ibd_mle": P + _ibdmle_oracle(limit_samples=40),
         "seq_fst": P + _fst_oracle(),
         "seq_ld_composite": P + _ldc_oracle(bp_window=5000),

@@ -1,0 +1,311 @@
+"""Nucleotide-diversity and Tajima's D sliding windows — the
+selection-scan companions to fst_wc_windows (vcftools --window-pi /
+--TajimaD parity; the reference ecosystem runs these beside the
+SNPRelate estimators on the same window grid,
+seqUnitSlidingWindows R/UnitList.R:121-124).
+
+Both statistics are linear per-window aggregations over per-variant
+site stats, so they ride the seqUnitSlidingWindows membership join +
+one (chromosome, window) partial agg — no wide shuffle beyond the
+variant-keyed join, which broadcasts the window grid side at scale.
+
+Determinism contract (the value-hash gate): per-site pi is quantized
+to a half-up 1e-9 integer grid before the window sum (aggregation-
+order-free BIGINTs, the fst_wc_windows pattern), and the Tajima
+constants a1/a2 are built by an ASCENDING harmonic loop the oracle
+replays as a recursive CTE — same op order, bit-identical doubles —
+with every downstream constant (b1,b2,c1,c2,e1,e2) one shared
+expression tree.
+
+Site definition: collapsed-alt (ref vs any alt), the $dosage_alt
+universe shared by the Fst/GRM/HWE stack — a documented divergence
+from vcftools' per-allele multiallelic pi. Per-site pi uses the
+site's OWN called-allele count an (missingness-aware); the D
+constants use the cohort-wide n = 2 * n_samples, vcftools'
+assumption (it warns under missingness; so do our docs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from seqarray_spark.operators.ld import _DOSE_ALT_SQL, _dose_once
+from seqarray_spark.operators.windows import sliding_windows
+
+_GRID = 1_000_000_000.0
+
+
+def variant_diversity(
+    calls: DataFrame,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Per-variant site-diversity stats over called alleles: an
+    (called allele count), ac (alt allele count), pi_u (per-site
+    heterozygosity 2*ac*(an-ac)/(an*(an-1)) on the half-up 1e-9
+    integer grid — Nei & Li 1979, the vcftools --site-pi value), and
+    seg (1 iff polymorphic among called). Sites with an < 2 are
+    dropped (pi undefined)."""
+    d, release = _dose_once(calls, assume_unique)
+    g = d.groupBy("variant_id").agg(
+        (F.lit(2) * F.count(F.lit(1))).alias("an"),
+        F.sum("d").alias("ac"),
+    )
+    pi = (
+        F.lit(2.0)
+        * F.col("ac")
+        * (F.col("an") - F.col("ac"))
+        / (F.col("an") * (F.col("an") - F.lit(1.0)))
+        * F.lit(_GRID)
+    )
+    return release(
+        g.where(F.col("an") >= 2).select(
+            "variant_id",
+            "an",
+            "ac",
+            F.round(pi).cast("bigint").alias("pi_u"),
+            F.when(
+                (F.col("ac") > 0) & (F.col("ac") < F.col("an")), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("seg"),
+        )
+    )
+
+
+def _window_site_agg(
+    calls: DataFrame,
+    variants: DataFrame,
+    win_size: int,
+    win_shift: int,
+    win_start: int,
+    assume_unique: bool,
+) -> DataFrame:
+    """(chromosome, window) sums of the per-variant site stats:
+    n_variants (pi-defined sites), n_seg, s_pi (1e-9 units). Windows
+    with no pi-defined variant are dropped (vcftools' bins-with-data
+    output)."""
+    pv = variant_diversity(calls, assume_unique=assume_unique)
+    membership = sliding_windows(
+        variants,
+        win_size=win_size,
+        win_shift=win_shift,
+        win_start=win_start,
+        dup_rm=False,
+    ).where(F.col("variant_id").isNotNull())
+    return (
+        membership.join(pv, "variant_id")
+        .groupBy("chromosome", "unit_start", "unit_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum("seg").cast("bigint").alias("n_seg"),
+            F.sum("pi_u").alias("_sp"),
+        )
+    )
+
+
+def pi_windows(
+    calls: DataFrame,
+    variants: DataFrame,
+    win_size: int = 100_000,
+    win_shift: int = 50_000,
+    win_start: int = 0,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Sliding-window nucleotide diversity — vcftools --window-pi:
+    pi = (sum of per-site pi over the window's variants) / win_size,
+    monomorphic called sites contributing defined zeros. Output:
+    (chromosome, unit_start, unit_end, n_variants, n_seg, pi)."""
+    agg = _window_site_agg(
+        calls, variants, win_size, win_shift, win_start, assume_unique
+    )
+    return agg.select(
+        "chromosome",
+        "unit_start",
+        "unit_end",
+        "n_variants",
+        "n_seg",
+        (
+            F.col("_sp").cast("double")
+            / F.lit(_GRID)
+            / F.lit(float(win_size))
+        ).alias("pi"),
+    )
+
+
+def tajima_constants(n_chr: int) -> tuple[float, float, float, float]:
+    """(a1, a2, e1, e2) for Tajima's D at n_chr chromosomes (Tajima
+    1989 eqs. 3-4; the vcftools output_tajima_d constant block).
+    a1/a2 are ASCENDING harmonic partial sums — the SQL oracle
+    replays the identical op order as a recursive CTE, so both
+    engines hold bit-identical doubles."""
+    n = int(n_chr)
+    if n < 4:
+        raise ValueError("Tajima's D needs >= 4 chromosomes (2 samples)")
+    nf = float(n)
+    a1 = 1.0
+    a2 = 1.0
+    for i in range(2, n):
+        a1 = a1 + 1.0 / i
+        a2 = a2 + 1.0 / (i * i)
+    b1 = (nf + 1.0) / (3.0 * (nf - 1.0))
+    b2 = 2.0 * (nf * nf + nf + 3.0) / (9.0 * nf * (nf - 1.0))
+    c1 = b1 - 1.0 / a1
+    c2 = b2 - (nf + 2.0) / (a1 * nf) + a2 / (a1 * a1)
+    e1 = c1 / a1
+    e2 = c2 / (a1 * a1 + a2)
+    return a1, a2, e1, e2
+
+
+def tajima_d_windows(
+    calls: DataFrame,
+    variants: DataFrame,
+    win_size: int = 100_000,
+    win_shift: int = 50_000,
+    win_start: int = 0,
+    n_chromosomes: int | None = None,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Sliding-window Tajima's D — vcftools --TajimaD (generalized to
+    an overlapping grid via win_shift): per window,
+
+        D = (theta_pi - S/a1) / sqrt(e1*S + e2*S*(S-1))
+
+    with S the window's segregating-site count, theta_pi the summed
+    per-site pi, and a1/e1/e2 from the cohort chromosome count
+    n = 2 * n_samples (vcftools' fixed-N assumption; per-site pi
+    itself stays missingness-aware). D is NULL when S = 0 (vcftools'
+    nan). Output: (chromosome, unit_start, unit_end, n_variants,
+    n_seg, theta_pi, tajima_d)."""
+    if n_chromosomes is None:
+        n_chromosomes = 2 * calls.select("sample_id").distinct().count()
+    a1, _a2, e1, e2 = tajima_constants(n_chromosomes)
+    agg = _window_site_agg(
+        calls, variants, win_size, win_shift, win_start, assume_unique
+    )
+    pi_f = F.col("_sp").cast("double") / F.lit(_GRID)
+    sf = F.col("n_seg").cast("double")
+    d = (pi_f - sf / F.lit(a1)) / F.sqrt(
+        F.lit(e1) * sf + F.lit(e2) * sf * (sf - F.lit(1.0))
+    )
+    return agg.select(
+        "chromosome",
+        "unit_start",
+        "unit_end",
+        "n_variants",
+        "n_seg",
+        pi_f.alias("theta_pi"),
+        F.when(F.col("n_seg") > 0, d).alias("tajima_d"),
+    )
+
+
+def _DIV_CTE_SQL(win_size: int, win_shift: int) -> str:
+    """Shared oracle CTEs: dedup dose -> per-variant site stats on the
+    1e-9 pi grid -> sliding-window membership -> window sums. The
+    membership replay is the fst_wc_windows oracle's generate_series
+    form (win_start=0)."""
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id, {_DOSE_ALT_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
+        ), pv AS (
+          SELECT variant_id,
+                 CAST(2 * COUNT(*) AS BIGINT) AS an,
+                 CAST(SUM(d) AS BIGINT) AS ac
+          FROM dnn GROUP BY variant_id
+          HAVING 2 * COUNT(*) >= 2
+        ), pvd AS (
+          SELECT variant_id,
+                 CAST(round(2.0 * ac * (an - ac) / (an * (an - 1.0))
+                            * 1000000000.0) AS BIGINT) AS pi_u,
+                 CASE WHEN ac > 0 AND ac < an THEN 1 ELSE 0 END AS seg
+          FROM pv
+        ), membership AS (
+          SELECT chromosome,
+                 CAST(k * {int(win_shift)} AS BIGINT) AS unit_start,
+                 CAST(k * {int(win_shift)} + {int(win_size)} - 1 AS BIGINT)
+                   AS unit_end,
+                 variant_id
+          FROM (
+            SELECT chromosome, variant_id,
+                   UNNEST(generate_series(
+                     CAST(GREATEST(CEIL((position - {int(win_size)} + 1)
+                                        / {int(win_shift)}.0), 0) AS BIGINT),
+                     CAST(FLOOR(position / {int(win_shift)}.0) AS BIGINT)))
+                     AS k
+            FROM gvariants WHERE position >= 0
+          ) t
+        ), wagg AS (
+          SELECT m.chromosome, m.unit_start, m.unit_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_variants,
+                 CAST(SUM(p.seg) AS BIGINT) AS n_seg,
+                 CAST(SUM(p.pi_u) AS BIGINT) AS sp
+          FROM membership m JOIN pvd p ON p.variant_id = m.variant_id
+          GROUP BY m.chromosome, m.unit_start, m.unit_end
+        )"""
+
+
+def pi_windows_oracle_sql(
+    win_size: int = 100_000, win_shift: int = 50_000
+) -> str:
+    """DuckDB oracle twin of pi_windows."""
+    return f"""{_DIV_CTE_SQL(win_size, win_shift)}
+        SELECT chromosome, unit_start, unit_end, n_variants, n_seg,
+               CAST(sp AS DOUBLE) / 1000000000.0 / {float(win_size)!r}
+                 AS pi
+        FROM wagg
+    """
+
+
+def tajima_d_oracle_sql(
+    win_size: int = 100_000, win_shift: int = 50_000
+) -> str:
+    """DuckDB oracle twin of tajima_d_windows. The harmonic constants
+    walk the SAME ascending op order as tajima_constants via a
+    recursive CTE (caller must promote the prelude to WITH RECURSIVE,
+    the unrelated_oracle_sql convention); every downstream constant
+    is the identical expression tree, so D hash-matches."""
+    return f"""{_DIV_CTE_SQL(win_size, win_shift)}
+        , nchr AS (
+          SELECT 2 * COUNT(DISTINCT sample_id) AS n FROM gcalls
+        ), harm AS (
+          -- CAST anchors to DOUBLE: a bare 1.0 is DECIMAL(2,1) in
+          -- DuckDB and the whole recursion would run in decimal,
+          -- diverging from the engine's float64 harmonic loop
+          SELECT 1 AS i, CAST(1.0 AS DOUBLE) AS a1,
+                 CAST(1.0 AS DOUBLE) AS a2
+          UNION ALL
+          SELECT i + 1,
+                 a1 + CAST(1.0 AS DOUBLE) / (i + 1),
+                 a2 + CAST(1.0 AS DOUBLE) / ((i + 1) * (i + 1))
+          FROM harm WHERE i + 1 <= (SELECT n - 1 FROM nchr)
+        ), hfin AS (
+          SELECT a1, a2 FROM harm
+          WHERE i = (SELECT n - 1 FROM nchr)
+        ), tc1 AS (
+          SELECT a1, a2, nf,
+                 (nf + 1.0) / (3.0 * (nf - 1.0)) AS b1,
+                 2.0 * (nf * nf + nf + 3.0) / (9.0 * nf * (nf - 1.0))
+                   AS b2
+          FROM (SELECT h.a1, h.a2, CAST(nc.n AS DOUBLE) AS nf
+                FROM hfin h, nchr nc) x
+        ), tc2 AS (
+          SELECT a1, a2,
+                 b1 - 1.0 / a1 AS c1,
+                 b2 - (nf + 2.0) / (a1 * nf) + a2 / (a1 * a1) AS c2
+          FROM tc1
+        ), tc3 AS (
+          SELECT a1, c1 / a1 AS e1, c2 / (a1 * a1 + a2) AS e2 FROM tc2
+        )
+        SELECT w.chromosome, w.unit_start, w.unit_end, w.n_variants,
+               w.n_seg,
+               CAST(w.sp AS DOUBLE) / 1000000000.0 AS theta_pi,
+               CASE WHEN w.n_seg > 0 THEN
+                 (CAST(w.sp AS DOUBLE) / 1000000000.0
+                  - CAST(w.n_seg AS DOUBLE) / t.a1)
+                 / sqrt(t.e1 * CAST(w.n_seg AS DOUBLE)
+                        + t.e2 * CAST(w.n_seg AS DOUBLE)
+                          * (CAST(w.n_seg AS DOUBLE) - 1.0))
+               END AS tajima_d
+        FROM wagg w, tc3 t
+    """
