@@ -63,6 +63,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r13 additions (newest first) ------------------------------------
+        "seq_admix_prop": seq_admix_prop,
+        "seq_eigmix": seq_eigmix,
         "seq_tajima_d": seq_tajima_d,
         "seq_pi_windows": seq_pi_windows,
         "seq_ibd_mle": seq_ibd_mle,
@@ -823,6 +825,54 @@ def seq_ld_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
     return ld_pairs(v, c, bp_window=5000, stat="composite")
+
+
+def seq_eigmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIGMIX coancestry pair relation (new r13 — SNPRelate's
+    snpgdsEIGMIX, Zheng & Weir 2016): ratio-of-sums normalization —
+    one shared 2p(1-p) denominator per pair instead of GCTA's
+    per-variant weight — numerator/denominator terms on the half-up
+    1e-6 grid, exact BIGINT sums. The eigensolve on top (ancestry.
+    eigmix) is pytest-pinned, the grm_pca precedent."""
+    from seqarray_spark.operators.ancestry import eigmix_pairs
+
+    return eigmix_pairs(td.gcalls(spark, sf_dir))
+
+
+def _mod3_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admix gate's 3-way reference-group split — sample-suffix
+    mod 3, total under TRY_CAST failure (the _parity_pops convention);
+    oracle twin: ancestry.admix_prop_oracle_groups_sql."""
+    return td.gsamples(spark, sf_dir).select(
+        "sample_id",
+        F.expr(
+            "CONCAT('G', CAST(COALESCE("
+            "TRY_CAST(SUBSTRING(sample_id, 2) AS INT) % 3, 9) "
+            "AS STRING))"
+        ).alias("population"),
+    )
+
+
+def seq_admix_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admixture proportions (new r13 — SNPRelate's snpgdsAdmixProp):
+    barycentric coordinates against reference-group centroids in the
+    top K-1 eigen dims. Gate runs the K=3 closed-form tree on
+    deterministic 2-d md5-Rademacher coordinates (the eigensolve
+    stand-in, the pca_loadings convention) with suffix-mod-3 groups,
+    so the whole chain — centroid means included — replays in SQL."""
+    from seqarray_spark.operators.ancestry import admix_prop
+
+    c = td.gcalls(spark, sf_dir)
+    out = admix_prop(
+        _rademacher_weights(c, n_cols=2),
+        _mod3_groups(spark, sf_dir),
+        coord_col="w",
+        group_col="population",
+    )
+    return out.select(
+        "sample_id",
+        *[F.element_at("prop", i + 1).alias(f"prop_{i}") for i in range(3)],
+    )
 
 
 def seq_pi_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2172,8 +2222,14 @@ def oracle_sql() -> dict[str, str]:
         pi_windows_oracle_sql as _piw_oracle,
         tajima_d_oracle_sql as _tajd_oracle,
     )
+    from seqarray_spark.operators.ancestry import (
+        admix_prop_oracle_sql as _admix_oracle,
+        eigmix_pairs_oracle_sql as _eigmix_oracle,
+    )
 
     return {
+        "seq_admix_prop": P + _admix_oracle(),
+        "seq_eigmix": P + _eigmix_oracle(),
         "seq_pi_windows": P + _piw_oracle(win_size=WIN_SIZE,
                                           win_shift=WIN_SHIFT),
         # harmonic constants are a recursive CTE — RECURSIVE must head

@@ -1,0 +1,341 @@
+"""EIGMIX eigenanalysis + admixture proportions — SNPRelate's
+snpgdsEIGMIX / snpgdsAdmixProp (Zheng & Weir 2016, "Eigenanalysis of
+SNP genotypes"), the ancestry workflow the reference delegates through
+src/LinkSNPRelate.cpp:69-407, composed on the grm_pca substrate.
+
+EIGMIX differs from the GCTA GRM in its normalization: the coancestry
+matrix is the RATIO OF SUMS
+
+    M_ij = sum_v (d_i - 2p)(d_j - 2p)  /  sum_v 2p(1-p)
+
+over each pair's co-called polymorphic variants — one shared
+denominator per pair instead of a per-variant 1/(2pq) weight, which
+keeps rare variants from dominating (the same mean-of-ratios vs
+ratio-of-sums distinction as fst_wc_genome). Admixture proportions
+then come from the barycentric coordinates of each sample in the
+simplex spanned by reference-group centroids in the top K-1
+eigenvector space.
+
+Oracle split (the grm_pca precedent): the PAIR RELATION is gated with
+a full SQL oracle (integer-unit quantized contributions, exact BIGINT
+sums); the eigensolve is pytest-pinned (deterministic _fix_signs);
+admix_prop's K=3 closed-form barycentric tree is gated end to end on
+deterministic md5-Rademacher coordinates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from seqarray_spark.operators.ld import (
+    _DOSE_ALT_SQL,
+    _dose_flat,
+    grm_pca,
+)
+
+
+def eigmix_pairs(
+    calls: DataFrame,
+    min_m: int = 1,
+    unit_scale: int = 6,
+    include_diag: bool = False,
+) -> DataFrame:
+    """EIGMIX coancestry for sample pairs: numerator and denominator
+    terms quantized to the half-up 1e-unit_scale integer grid per
+    (variant, pair), BIGINT-summed per pair (aggregation-order-free),
+    final value = exact-sum ratio — the SAME dedup-dose + within-
+    variant self-join shape as grm_pairs, which is the oracle-
+    checkable contract; eigmix_from_packed is the matmul production
+    form. include_diag adds sample_i == sample_j rows (the
+    non-constant EIGMIX diagonal eigmix() assembles).
+
+    Output: (sample_i, sample_j, m_used, eigmix); NULL eigmix if the
+    pair's denominator mass rounds to zero."""
+    d = _dose_flat(calls).where(F.col("d").isNotNull())
+    st = d.groupBy("variant_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("d").alias("_s")
+    )
+    st = st.where((F.col("_s") > 0) & (F.col("_s") < 2 * F.col("_n")))
+    dd = d.join(st, "variant_id")
+    a = dd.select(
+        "variant_id",
+        F.col("sample_id").alias("sample_i"),
+        F.col("d").alias("_x"),
+        "_n",
+        "_s",
+    )
+    b = dd.select(
+        "variant_id",
+        F.col("sample_id").alias("sample_j"),
+        F.col("d").alias("_y"),
+    )
+    scale = float(10 ** int(unit_scale))
+    twop = F.col("_s").cast("double") / F.col("_n").cast("double")
+    nu = (F.col("_x").cast("double") - twop) * (
+        F.col("_y").cast("double") - twop
+    )
+    de = twop * (F.lit(1.0) - twop / F.lit(2.0))
+    cond = (
+        F.col("sample_i") <= F.col("sample_j")
+        if include_diag
+        else F.col("sample_i") < F.col("sample_j")
+    )
+    return (
+        a.join(b, "variant_id")
+        .where(cond)
+        .select(
+            "sample_i",
+            "sample_j",
+            F.round(nu * F.lit(scale)).cast("bigint").alias("_nu"),
+            F.round(de * F.lit(scale)).cast("bigint").alias("_de"),
+        )
+        .groupBy("sample_i", "sample_j")
+        .agg(
+            F.count(F.lit(1)).alias("m_used"),
+            F.sum("_nu").alias("_snu"),
+            F.sum("_de").alias("_sde"),
+        )
+        .where(F.col("m_used") >= int(min_m))
+        .select(
+            "sample_i",
+            "sample_j",
+            "m_used",
+            F.when(
+                F.col("_sde") != 0,
+                F.col("_snu").cast("double") / F.col("_sde").cast("double"),
+            ).alias("eigmix"),
+        )
+    )
+
+
+def eigmix_pairs_oracle_sql(min_m: int = 1, unit_scale: int = 6) -> str:
+    """DuckDB oracle twin of eigmix_pairs (off-diagonal form) over the
+    gcalls CTE; contribution expressions spelled in the engine's op
+    order, units BIGINT before summing (the grm_pairs pattern)."""
+    scale = float(10 ** int(unit_scale))
+    twop = "(CAST(st.s_sum AS DOUBLE) / CAST(st.n_obs AS DOUBLE))"
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id, {_DOSE_ALT_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
+        ), st AS (
+          SELECT variant_id, COUNT(*) AS n_obs,
+                 CAST(SUM(d) AS BIGINT) AS s_sum
+          FROM dnn GROUP BY variant_id
+          HAVING CAST(SUM(d) AS BIGINT) > 0
+             AND CAST(SUM(d) AS BIGINT) < 2 * COUNT(*)
+        ), u AS (
+          SELECT a.sample_id AS sample_i, b.sample_id AS sample_j,
+                 CAST(round(((CAST(a.d AS DOUBLE) - {twop})
+                             * (CAST(b.d AS DOUBLE) - {twop}))
+                            * {scale!r}) AS BIGINT) AS nu_units,
+                 CAST(round(({twop} * (1.0 - {twop} / 2.0))
+                            * {scale!r}) AS BIGINT) AS de_units
+          FROM dnn a
+          JOIN dnn b ON a.variant_id = b.variant_id
+                    AND a.sample_id < b.sample_id
+          JOIN st ON st.variant_id = a.variant_id
+        )
+        SELECT sample_i, sample_j, COUNT(*) AS m_used,
+               CASE WHEN CAST(SUM(de_units) AS BIGINT) <> 0
+                    THEN CAST(CAST(SUM(nu_units) AS BIGINT) AS DOUBLE)
+                         / CAST(CAST(SUM(de_units) AS BIGINT) AS DOUBLE)
+               END AS eigmix
+        FROM u GROUP BY sample_i, sample_j
+        HAVING COUNT(*) >= {int(min_m)}
+    """
+
+
+def eigmix(
+    calls: DataFrame,
+    k: int = 2,
+    min_m: int = 1,
+    unit_scale: int = 6,
+    sample_ids: list[str] | None = None,
+    block: int = 2048,
+) -> DataFrame:
+    """snpgdsEIGMIX: eigen-decomposition of the EIGMIX coancestry
+    matrix WITH its true (non-constant) diagonal — rides grm_pca's
+    blocked-Arrow assembly + deterministic-sign eigensolve (diag=None
+    keeps the sample_i == sample_j rows the pair build provides).
+    Output: (sample_id, pc array<double> of k eigenvector entries)."""
+    pairs = eigmix_pairs(
+        calls, min_m=min_m, unit_scale=unit_scale, include_diag=True
+    ).select(
+        "sample_i", "sample_j", "m_used", F.col("eigmix").alias("grm")
+    )
+    return grm_pca(
+        pairs, k=k, diag=None, sample_ids=sample_ids, block=block
+    )
+
+
+def admix_prop(
+    coords: DataFrame,
+    groups: DataFrame,
+    coord_col: str = "pc",
+    group_col: str = "population",
+    id_col: str = "sample_id",
+) -> DataFrame:
+    """snpgdsAdmixProp: admixture proportions relative to K reference
+    groups, as the barycentric coordinates of each sample against the
+    group CENTROIDS in the top K-1 eigenvector dimensions (Zheng &
+    Weir 2016 §'estimating admixture proportions'): solve
+    x = sum_k a_k c_k with sum_k a_k = 1 — an exactly-determined K x K
+    linear system. Estimates are raw (can fall outside [0,1] for
+    samples beyond the reference simplex — SNPRelate's bounded variant
+    is presentation policy, callers clamp).
+
+    `coords` is (id, array<double>) — eigmix()/grm_pca() output;
+    `groups` (id, group) lists the REFERENCE members only (typically a
+    labeled subset; every coords row gets proportions). K = distinct
+    groups; the first K-1 coordinate dims are used.
+
+    K=3 runs the closed-form triangle barycentric tree (what the
+    seq_admix_prop gate replays in SQL); general K solves the
+    centroid system driver-side (numpy) and applies it as literal
+    Column coefficients — either way ONE broadcast-size collect
+    (K rows) and a linear per-sample projection, no shuffle.
+
+    Output: (sample_id, prop array<double>) ordered by sorted group
+    label (prop[i] <-> i-th group)."""
+    import numpy as np
+
+    probe = coords.select(F.size(coord_col).alias("_w")).first()
+    if probe is None:
+        raise ValueError("coords frame is empty")
+    width = int(probe["_w"])
+    k = groups.select(group_col).distinct().count()
+    if k < 2:
+        raise ValueError("admix_prop needs >= 2 reference groups")
+    dims = k - 1
+    if width < dims:
+        raise ValueError(
+            f"coords carry {width} dims; K = {k} groups need >= {dims}"
+        )
+    cen_rows = (
+        coords.join(
+            groups.select(
+                F.col(id_col).alias("_aid"), F.col(group_col).alias("_g")
+            ),
+            F.col(id_col) == F.col("_aid"),
+        )
+        .groupBy("_g")
+        .agg(
+            *[
+                (
+                    F.sum(F.element_at(coord_col, t + 1))
+                    / F.count(F.lit(1))
+                ).alias(f"_c{t}")
+                for t in range(dims)
+            ],
+        )
+        .orderBy("_g")
+        .collect()
+    )
+    if len(cen_rows) != k:
+        raise ValueError(
+            "reference group lost all members in the coords join"
+        )
+    cen = [[float(r[f"_c{t}"]) for t in range(dims)] for r in cen_rows]
+    x = [F.element_at(coord_col, t + 1) for t in range(dims)]
+    if k == 3:
+        # closed-form triangle barycentric — the oracle-replayable
+        # float tree (admix_prop_oracle_sql spells the same ops)
+        (x1, y1), (x2, y2), (x3, y3) = cen
+        det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+        if det == 0.0:
+            raise ValueError("reference centroids are collinear")
+        a1 = (
+            F.lit(y2 - y3) * (x[0] - F.lit(x3))
+            + F.lit(x3 - x2) * (x[1] - F.lit(y3))
+        ) / F.lit(det)
+        a2 = (
+            F.lit(y3 - y1) * (x[0] - F.lit(x3))
+            + F.lit(x1 - x3) * (x[1] - F.lit(y3))
+        ) / F.lit(det)
+        props = [a1, a2, F.lit(1.0) - a1 - a2]
+    else:
+        mat = np.vstack(
+            [np.array(cen, dtype=np.float64).T, np.ones((1, k))]
+        )
+        inv = np.linalg.inv(mat)  # raises LinAlgError if degenerate
+        props = [
+            sum(
+                (F.lit(float(inv[r, t])) * x[t] for t in range(dims)),
+                F.lit(float(inv[r, dims])),
+            )
+            for r in range(k)
+        ]
+    return coords.select(
+        id_col, F.array(*props).alias("prop")
+    )
+
+
+def admix_prop_oracle_groups_sql(mod: int = 3) -> str:
+    """The seq_admix_prop gate's reference-group rule as SQL: sample
+    suffix mod `mod`, total under TRY_CAST failure (the _parity_pops
+    convention). Keep in lockstep with the engine's gate expression in
+    __spark_entry__._mod3_groups."""
+    return (
+        "CONCAT('G', CAST(COALESCE("
+        f"TRY_CAST(SUBSTRING(sample_id, 2) AS INT) % {int(mod)}, 9) "
+        "AS STRING))"
+    )
+
+
+def admix_prop_oracle_sql() -> str:
+    """DuckDB oracle twin of the seq_admix_prop gate: 2-d md5-
+    Rademacher coordinates (the shared omega rule), suffix-mod-3
+    reference groups, group centroids as SUM/COUNT (exact on the ±1
+    coordinate grid), then the SAME closed-form K=3 barycentric tree
+    admix_prop spells. Output (sample_id, prop_0, prop_1, prop_2)."""
+    from seqarray_spark.operators.ld import _OMEGA_EVENS
+
+    evens = ", ".join(f"'{e}'" for e in _OMEGA_EVENS)
+
+    def om(c: int) -> str:
+        return (
+            "(CASE WHEN SUBSTRING(md5(CONCAT(sample_id, "
+            f"':{c}')), 1, 1) IN ({evens}) THEN 1.0 ELSE -1.0 END)"
+        )
+
+    grp = admix_prop_oracle_groups_sql()
+    return f"""
+        , acoords AS (
+          SELECT sample_id, {om(0)} AS cx, {om(1)} AS cy, {grp} AS g
+          FROM (SELECT DISTINCT sample_id FROM gcalls) u
+        ), cgrp AS (
+          SELECT g, SUM(cx) / COUNT(*) AS mx, SUM(cy) / COUNT(*) AS my
+          FROM acoords GROUP BY g
+        ), cent AS (
+          SELECT
+            MAX(CASE WHEN rk = 1 THEN mx END) AS x1,
+            MAX(CASE WHEN rk = 1 THEN my END) AS y1,
+            MAX(CASE WHEN rk = 2 THEN mx END) AS x2,
+            MAX(CASE WHEN rk = 2 THEN my END) AS y2,
+            MAX(CASE WHEN rk = 3 THEN mx END) AS x3,
+            MAX(CASE WHEN rk = 3 THEN my END) AS y3
+          FROM (SELECT mx, my,
+                       ROW_NUMBER() OVER (ORDER BY g) AS rk
+                FROM cgrp) r
+        )
+        SELECT s.sample_id,
+               ((c.y2 - c.y3) * (s.cx - c.x3)
+                + (c.x3 - c.x2) * (s.cy - c.y3))
+               / ((c.y2 - c.y3) * (c.x1 - c.x3)
+                  + (c.x3 - c.x2) * (c.y1 - c.y3)) AS prop_0,
+               ((c.y3 - c.y1) * (s.cx - c.x3)
+                + (c.x1 - c.x3) * (s.cy - c.y3))
+               / ((c.y2 - c.y3) * (c.x1 - c.x3)
+                  + (c.x3 - c.x2) * (c.y1 - c.y3)) AS prop_1,
+               1.0 - ((c.y2 - c.y3) * (s.cx - c.x3)
+                      + (c.x3 - c.x2) * (s.cy - c.y3))
+                     / ((c.y2 - c.y3) * (c.x1 - c.x3)
+                        + (c.x3 - c.x2) * (c.y1 - c.y3))
+                   - ((c.y3 - c.y1) * (s.cx - c.x3)
+                      + (c.x1 - c.x3) * (s.cy - c.y3))
+                     / ((c.y2 - c.y3) * (c.x1 - c.x3)
+                        + (c.x3 - c.x2) * (c.y1 - c.y3)) AS prop_2
+        FROM acoords s, cent c
+    """

@@ -1248,7 +1248,7 @@ def _grm_pair_positions(
 def grm_pca(
     grm: DataFrame,
     k: int = 10,
-    diag: float = 1.0,
+    diag: float | None = 1.0,
     sample_ids: list[str] | None = None,
     block: int = 2048,
 ) -> DataFrame:
@@ -1272,7 +1272,11 @@ def grm_pca(
     never assembles the matrix at all.
 
     `diag` fills the diagonal (the GCTA self-relatedness diagonal is
-    ~1; constant diag shifts eigenvalues, not eigenvectors).
+    ~1; constant diag shifts eigenvalues, not eigenvectors). Pass
+    diag=None when the pair relation ITSELF carries sample_i ==
+    sample_j rows (eigmix's non-constant diagonal): assembly then
+    keeps the provided values (they land doubled by the a + a.T fold
+    and are halved back).
     `sample_ids` pins the sample axis explicitly; when omitted it is
     derived from the pair rows, so samples with NO surviving pair
     (min_m filtering, never co-observed) are dropped — pass the cohort
@@ -1334,8 +1338,13 @@ def grm_pca(
             m = np.frombuffer(r["blob"], dtype=np.float64).reshape(h, w)
             a[bi * b : bi * b + h, bj * b : bj * b + w] += m
     tiles.unpersist()
-    a = a + a.T  # pairs fill the upper triangle only; diag is 0 so far
-    np.fill_diagonal(a, float(diag))
+    a = a + a.T  # pairs fill the upper triangle (+ any provided diag)
+    if diag is None:
+        # diagonal came from sample_i == sample_j pair rows and was
+        # doubled by the symmetric fold just above
+        a[np.diag_indices(n)] *= 0.5
+    else:
+        np.fill_diagonal(a, float(diag))
     vals, vecs = np.linalg.eigh(a)
     order = np.argsort(vals)[::-1][: int(k)]
     comps = _fix_signs(vecs[:, order])
