@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r13 additions (newest first) ------------------------------------
+        "doc_hybrid_topk": doc_hybrid_topk,
         "seq_admix_prop": seq_admix_prop,
         "seq_eigmix": seq_eigmix,
         "seq_tajima_d": seq_tajima_d,
@@ -1937,6 +1938,35 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "spark hash join window", k=20)
 
 
+def doc_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (new r13): reciprocal-rank fusion of the BM25
+    keyword leg (doc_bm25_topk's query, top 50) and the exact-cosine
+    semantic leg (vec_id 0's embedding against the rest, top 50 — the
+    emb_knn_join machinery, doc_id <-> vec_id aligned by the testdata
+    contract), k_rrf=60, top 20. Contributions on the half-up 1e-12
+    unit grid so the fused order is exact; the oracle composes the two
+    legs' existing SQL chains verbatim."""
+    from pyspark.sql import Window
+
+    from seqarray_spark.operators.rank import bm25_topk, rrf_fuse
+    from seqarray_spark.operators.similarity import knn_join
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, "spark hash join window", k=50).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    sem = knn_join(
+        emb.where(F.col("vec_id") == 0),
+        emb.where(F.col("vec_id") != 0),
+        k=50,
+    ).select(F.col("c_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm, sem], k=20)
+
+
 def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance log-ratios (new r10; Xie et al. 2023,
     arXiv:2302.03169): hashed word-bigram buckets (md5 4-hex = 65536),
@@ -2266,6 +2296,63 @@ def oracle_sql() -> dict[str, str]:
         "seq_ibs_pairs": P + _ibs_oracle(),
         "seq_king_kinship": P + _king_oracle(),
         "doc_bm25_topk": bm25_topk_sql("spark hash join window", k=20),
+        # hybrid fusion: the two legs' oracle chains composed verbatim
+        # (bm25 nested as a WITH-in-CTE; the knn chain is the
+        # emb_knn_join oracle restricted to query vec_id 0, k=50),
+        # then the same 1e-12-unit RRF tree rrf_fuse spells
+        "doc_hybrid_topk": f"""
+            WITH bml AS ({bm25_topk_sql("spark hash join window", k=50)}
+            ), bmr AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                          AS INT) AS rank
+              FROM bml
+            ), hq AS (
+              SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+              WHERE vec_id = 0
+            ), hc AS (
+              SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+              WHERE vec_id <> 0
+            ), hz AS (
+              SELECT hq.q_id, hc.c_id,
+                     UNNEST(hq.qv) AS x, UNNEST(hc.cv) AS y
+              FROM hq CROSS JOIN hc
+            ), hs AS (
+              SELECT q_id, c_id,
+                ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                  AS sim
+              FROM hz GROUP BY q_id, c_id
+            ), semr AS (
+              SELECT doc_id, rank FROM (
+                SELECT c_id AS doc_id,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                               ORDER BY sim DESC, c_id)
+                            AS INT) AS rank
+                FROM hs
+              ) t WHERE rank <= 50
+            ), unioned AS (
+              SELECT doc_id,
+                     CAST(round(1000000000000.0
+                                / (60.0 + CAST(rank AS DOUBLE)))
+                          AS BIGINT) AS u
+              FROM bmr
+              UNION ALL
+              SELECT doc_id,
+                     CAST(round(1000000000000.0
+                                / (60.0 + CAST(rank AS DOUBLE)))
+                          AS BIGINT) AS u
+              FROM semr
+            ), fused AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_legs,
+                     CAST(SUM(u) AS BIGINT) AS su
+              FROM unioned GROUP BY doc_id
+            )
+            SELECT doc_id, n_legs,
+                   CAST(su AS DOUBLE) / 1000000000000.0 AS rrf
+            FROM fused ORDER BY su DESC, doc_id LIMIT 20
+        """,
         "doc_dsir_weights": dsir_logratios_sql("source = 'src18'"),
         "doc_window_dups": """
             WITH toks AS (

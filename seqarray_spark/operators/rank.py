@@ -426,3 +426,60 @@ def bm25_stats_from_index(spark, path: str, terms: list[str]) -> DataFrame:
     return _stamp_terms(
         spark.createDataFrame([tuple(row.values())], cols), terms
     )
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    k: int = 20,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    unit_scale: int = 12,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval
+    legs — the hybrid keyword+semantic serving shape: each leg is a
+    ranked frame (id_col, rank with rank 1-based; extra columns
+    ignored), fused by
+
+        rrf(d) = sum_legs 1 / (k_rrf + rank_leg(d))
+
+    with k_rrf = 60 (the published default). Per-leg contributions are
+    quantized to the half-up 1e-unit_scale integer grid, so the fused
+    score is an exact BIGINT sum — aggregation-order-free across any
+    number of legs — and the top-k order (units DESC, id ASC) is fully
+    deterministic; a doc absent from a leg simply contributes nothing
+    (the standard RRF treatment). n_legs reports how many legs ranked
+    each survivor.
+
+    Scale shape: legs are top-N frames (bounded), so the union +
+    id-keyed agg is tiny regardless of corpus size — all the heavy
+    lifting happened inside the legs. Output (id, n_legs, rrf),
+    rrf on the unit grid."""
+    if not legs:
+        raise ValueError("rrf_fuse needs >= 1 ranked leg")
+    scale = float(10 ** int(unit_scale))
+    u = (
+        F.round(
+            F.lit(scale)
+            / (F.lit(float(k_rrf)) + F.col("rank").cast("double"))
+        )
+        .cast("bigint")
+        .alias("_u")
+    )
+    parts = [df.select(F.col(id_col), u) for df in legs]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    return (
+        allr.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_legs"),
+            F.sum("_u").alias("_su"),
+        )
+        .orderBy(F.col("_su").desc(), F.col(id_col))
+        .limit(int(k))
+        .select(
+            id_col,
+            "n_legs",
+            (F.col("_su").cast("double") / F.lit(scale)).alias("rrf"),
+        )
+    )

@@ -184,3 +184,57 @@ def test_bm25_stats_for_wrong_query_raises(corpus, spark, tmp_path):
     a = sorted(bm25_topk(corpus, "spark join", k=10).collect())
     b = sorted(bm25_topk(corpus, "spark join", k=10, stats=reloaded).collect())
     assert a == b
+
+
+def test_rrf_fuse_beats_each_leg_on_planted_corpus(spark):
+    """The hybrid payoff case: each leg is led by its own red herring
+    (keyword-stuffed doc for BM25, near-duplicate-embedding doc for
+    the semantic leg), while the truly relevant docs sit moderately
+    high in BOTH legs. Fusion's precision@3 beats each leg's."""
+    from seqarray_spark.operators.rank import rrf_fuse
+
+    relevant = {1, 2, 3}
+    # leg ranks: doc 100 = keyword spam (BM25 top, semantically
+    # absent); doc 200 = embedding twin (semantic top, no keywords)
+    bm = spark.createDataFrame(
+        [(100, 1), (1, 2), (2, 3), (101, 4), (3, 5), (102, 6)],
+        "doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(200, 1), (2, 2), (3, 3), (201, 4), (1, 5), (202, 6)],
+        "doc_id long, rank int",
+    )
+
+    def p_at_3(ranked_ids):
+        return len(set(ranked_ids[:3]) & relevant) / 3.0
+
+    fused = rrf_fuse([bm, sem], k=6)
+    rows = fused.collect()
+    got = [r["doc_id"] for r in rows]
+    assert p_at_3([100, 1, 2]) == 2 / 3  # bm leg top-3
+    assert p_at_3([200, 2, 3]) == 2 / 3  # sem leg top-3
+    assert p_at_3(got) == 1.0, got  # fusion: all three relevant on top
+    # docs ranked by both legs carry n_legs = 2 and outrank one-leg
+    # red herrings despite those having rank 1
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["n_legs"] == 2 and by_id[100]["n_legs"] == 1
+    assert got[:3] == [2, 1, 3]
+    # rrf values are the exact unit-grid sums
+    assert abs(by_id[2]["rrf"] - (1 / 63 + 1 / 62)) < 2e-12
+    # deterministic tie-break: equal-rank singles order by doc_id
+    assert got.index(100) < got.index(200)
+
+
+def test_rrf_fuse_validation_and_single_leg(spark):
+    import pytest
+
+    from seqarray_spark.operators.rank import rrf_fuse
+
+    with pytest.raises(ValueError, match=">= 1 ranked leg"):
+        rrf_fuse([])
+    leg = spark.createDataFrame(
+        [(5, 1), (7, 2)], "doc_id long, rank int"
+    )
+    rows = rrf_fuse([leg], k=10).collect()
+    assert [r["doc_id"] for r in rows] == [5, 7]
+    assert all(r["n_legs"] == 1 for r in rows)
