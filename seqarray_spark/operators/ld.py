@@ -320,6 +320,44 @@ def ld_composite_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
     """
 
 
+def _greedy_kept_walk(n: int, pred, node):
+    """The sequential greedy kept-set scan shared by
+    ld_prune(method='greedy') (variant graph, per chromosome) and
+    unrelated_samples (sample graph) — ONE kernel so the two walks
+    cannot drift (VERDICT r12 item 5). Inputs are walk-position-coded
+    int arrays: pair k blocks `node[k]` iff `pred[k]` is KEPT when
+    node[k] is visited (walk order = ascending index). Pairs with
+    pred >= node are ignored — a later-walking partner is never in the
+    kept set when the node is visited (both producers emit
+    earlier-side pred by construction; the filter makes it a
+    contract). State is CSR int arrays, ~24 bytes/pair (measured in
+    tools/prune_walk_stress.py at 10M nodes); nodes with NO incoming
+    pair are kept without entering the Python loop, so the sequential
+    cost is O(nodes with predecessors), not O(n).
+
+    Returns a kept bool mask of length n."""
+    import numpy as np
+
+    kept = np.ones(n, dtype=bool)
+    if n == 0 or len(node) == 0:
+        return kept
+    fwd = pred < node
+    pred, node = pred[fwd], node[fwd]
+    if len(node) == 0:
+        return kept
+    grp = np.argsort(node, kind="stable")
+    nodes_s = node[grp]
+    preds_s = pred[grp]
+    bounds = np.searchsorted(nodes_s, np.arange(n + 1))
+    with_preds = np.unique(nodes_s)
+    kept[with_preds] = False  # decided sequentially below
+    for j in with_preds:
+        s, e = bounds[j], bounds[j + 1]
+        if not kept[preds_s[s:e]].any():
+            kept[j] = True
+    return kept
+
+
 def ld_prune(
     variants: DataFrame,
     calls: DataFrame | None,
@@ -414,18 +452,7 @@ def ld_prune(
         va_pos = walk_pos(ppdf["va"].to_numpy())
         vb_pos = walk_pos(ppdf["vb"].to_numpy())
         good = (va_pos >= 0) & (vb_pos >= 0)
-        va_pos, vb_pos = va_pos[good], vb_pos[good]
-        # CSR group the predecessor lists by vb's walk index
-        grp = np.argsort(vb_pos, kind="stable")
-        vbp = vb_pos[grp]
-        vap = va_pos[grp]
-        bounds = np.searchsorted(vbp, np.arange(n + 1))
-        kept = np.zeros(n, dtype=bool)
-        for j in range(n):
-            s, e = bounds[j], bounds[j + 1]
-            if e > s and kept[vap[s:e]].any():
-                continue  # correlates with a KEPT earlier variant
-            kept[j] = True
+        kept = _greedy_kept_walk(n, va_pos[good], vb_pos[good])
         return order[kept][["variant_id", "chromosome", "position"]]
 
     return (
@@ -3608,21 +3635,13 @@ def unrelated_samples(
             return np.where(ids[j_safe] == v, j_safe, -1)
 
         # lexicographic walk order == sorted ids, and sample_i <
-        # sample_j, so i is always the earlier (predecessor) side
+        # sample_j, so i is always the earlier (predecessor) side;
+        # the walk itself is the shared array-backed kernel
+        # (_greedy_kept_walk — unified with ld_prune's, r13)
         pa = pos(ppdf["sample_i"].to_numpy())
         pb = pos(ppdf["sample_j"].to_numpy())
         good = (pa >= 0) & (pb >= 0)
-        pa, pb = pa[good], pb[good]
-        grp = np.argsort(pb, kind="stable")
-        pbs = pb[grp]
-        pas = pa[grp]
-        bounds = np.searchsorted(pbs, np.arange(n + 1))
-        kept = np.zeros(n, dtype=bool)
-        for j in range(n):
-            s, e = bounds[j], bounds[j + 1]
-            if e > s and kept[pas[s:e]].any():
-                continue  # related to a KEPT earlier sample
-            kept[j] = True
+        kept = _greedy_kept_walk(n, pa[good], pb[good])
         return pd.DataFrame({"sample_id": ids[kept]})
 
     return (
