@@ -75,6 +75,11 @@ shared_r12 = shared_r11 + [
     "seq_ld_composite", "seq_ld_em", "seq_pca_corr",
     "seq_inbreeding_weir", "seq_unrelated",
 ]
+# r13 additions on top of r12 (keep in lockstep with _queries()):
+shared_r13 = shared_r12 + [
+    "seq_ibd_mle", "seq_pi_windows", "seq_tajima_d",
+    "seq_eigmix", "seq_admix_prop", "doc_hybrid_topk",
+]
 
 
 def materialize(df) -> None:
@@ -169,6 +174,7 @@ def main() -> None:
         "shared_r10_subtotal": subtotal(shared_r10),
         "shared_r11_subtotal": subtotal(shared_r11),
         "shared_r12_subtotal": subtotal(shared_r12),
+        "shared_r13_subtotal": subtotal(shared_r13),
     }
     print(json.dumps(payload))
     # self-archive (VERDICT r10 item 3): the driver's BENCH_r{N}.json

@@ -98,4 +98,4 @@ def test_bench_newest_shared_set_covers_full_registry():
 
     import __spark_entry__ as entry_mod
 
-    assert set(bench.shared_r12) == set(entry_mod.queries())
+    assert set(bench.shared_r13) == set(entry_mod.queries())
