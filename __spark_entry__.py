@@ -63,6 +63,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r13 additions (newest first) ------------------------------------
+        "seq_dist_ibs": seq_dist_ibs,
+        "seq_tstv": seq_tstv,
         "doc_hybrid_topk": doc_hybrid_topk,
         "seq_admix_prop": seq_admix_prop,
         "seq_eigmix": seq_eigmix,
@@ -826,6 +828,36 @@ def seq_ld_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
     return ld_pairs(v, c, bp_window=5000, stat="composite")
+
+
+def seq_dist_ibs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allele-sharing distance 1 - IBS (new r13 — PLINK --distance
+    1-ibs; the dissimilarity the snpgdsHCluster/snpgdsCutTree ancestry
+    workflow consumes): the gated ibs_from_packed chain + the
+    identical projection. The UPGMA dendrogram + cut on top
+    (ancestry.hcluster_average / cut_tree) is pytest-pinned, the
+    grm_pca eigensolve precedent."""
+    from seqarray_spark.dataset import ordered_sample_ids
+    from seqarray_spark.operators.ancestry import ibs_dist
+    from seqarray_spark.operators.ld import ibs_from_packed
+    from seqarray_spark.sources.packed import pack_2bit_genotypes
+
+    ds = td.variant_dataset(spark, sf_dir)
+    sids = ordered_sample_ids(ds.samples)
+    return ibs_dist(ibs_from_packed(pack_2bit_genotypes(ds, sids), sids))
+
+
+def seq_tstv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window transition/transversion ratio (new r13 —
+    vcftools --TsTv on the shared grid): biallelic-SNP sites classed
+    {A<->G, C<->T} vs the rest, one membership join + one
+    (chromosome, window) agg — the standard variant-calling QC scan,
+    pure variants-table plan (no calls read)."""
+    from seqarray_spark.operators.diversity import tstv_windows
+
+    return tstv_windows(
+        td.gvariants(spark, sf_dir), win_size=WIN_SIZE, win_shift=WIN_SHIFT
+    )
 
 
 def seq_eigmix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2251,13 +2283,18 @@ def oracle_sql() -> dict[str, str]:
     from seqarray_spark.operators.diversity import (
         pi_windows_oracle_sql as _piw_oracle,
         tajima_d_oracle_sql as _tajd_oracle,
+        tstv_windows_oracle_sql as _tstv_oracle,
     )
     from seqarray_spark.operators.ancestry import (
         admix_prop_oracle_sql as _admix_oracle,
         eigmix_pairs_oracle_sql as _eigmix_oracle,
+        ibs_dist_oracle_sql as _ibsd_oracle,
     )
 
     return {
+        "seq_dist_ibs": P + _ibsd_oracle(),
+        "seq_tstv": P + _tstv_oracle(win_size=WIN_SIZE,
+                                     win_shift=WIN_SHIFT),
         "seq_admix_prop": P + _admix_oracle(),
         "seq_eigmix": P + _eigmix_oracle(),
         "seq_pi_windows": P + _piw_oracle(win_size=WIN_SIZE,

@@ -339,3 +339,134 @@ def admix_prop_oracle_sql() -> str:
                         + (c.x3 - c.x2) * (c.y1 - c.y3)) AS prop_2
         FROM acoords s, cent c
     """
+
+
+def ibs_dist(ibs_pairs: DataFrame) -> DataFrame:
+    """Allele-sharing distance d = 1 - IBS from an ibs_from_packed
+    relation — PLINK's `--distance 1-ibs` matrix, the dissimilarity
+    snpgdsHCluster-style ancestry clustering consumes (the reference
+    ecosystem's snpgdsDiss fills the same role). Pure projection; the
+    1.0 - ibs expression is spelled identically in the oracle."""
+    return ibs_pairs.select(
+        "sample_i",
+        "sample_j",
+        "m_used",
+        (F.lit(1.0) - F.col("ibs")).alias("dist"),
+    )
+
+
+def ibs_dist_oracle_sql(min_m: int = 1) -> str:
+    """DuckDB oracle twin of pack_2bit_genotypes -> ibs_from_packed ->
+    ibs_dist (the ibs chain + the identical 1.0 - ibs projection)."""
+    from seqarray_spark.operators.ld import ibs_packed_oracle_sql
+
+    inner = ibs_packed_oracle_sql(min_m=min_m)
+    return f"""{inner.rsplit("SELECT", 1)[0]}
+        SELECT sample_i, sample_j, m_used,
+               1.0 - ((2.0 * CAST(m_used AS DOUBLE) - CAST(sd AS DOUBLE))
+                      / (2.0 * CAST(m_used AS DOUBLE))) AS dist
+        FROM s WHERE m_used >= {int(min_m)}
+    """
+
+
+def hcluster_average(
+    dist: DataFrame,
+    sample_ids: list[str] | None = None,
+    val_col: str = "dist",
+):
+    """UPGMA (average-linkage) agglomerative clustering over a pair
+    dissimilarity relation — the snpgdsHCluster step of the ancestry
+    workflow (dendrogram over 1-IBS / coancestry distance). The pair
+    relation is distributed; the agglomeration itself is driver-side
+    numpy over the collected n x n matrix (Lance-Williams average
+    update), O(n^2) memory / O(n^3) worst time — right for cohort
+    n <= ~5k dendrograms; at biobank n the workflow is eigmix/grm_pca
+    coordinates + a flat clusterer, not a dendrogram. Deterministic:
+    each step merges the globally closest pair, ties to the smallest
+    (i, j) in the row-major condensed scan; missing pairs (min_m
+    filtering) are treated as the maximum observed distance.
+
+    Returns (merges, ids): merges is a list of
+    (a, b, height, n_members) scipy-linkage-style rows (leaves are
+    0..n-1 in sorted-id order; the step-t merge creates node n+t);
+    ids is the sorted sample axis."""
+    import numpy as np
+
+    from seqarray_spark.operators.ld import _grm_sample_axis
+
+    renamed = dist.select(
+        "sample_i", "sample_j", F.col(val_col).alias("grm")
+    )
+    ids = _grm_sample_axis(renamed, sample_ids)
+    n = len(ids)
+    if n < 2:
+        raise ValueError("hcluster needs >= 2 samples")
+    pos = {s: i for i, s in enumerate(ids)}
+    d = np.full((n, n), np.nan)
+    for r in renamed.collect():
+        i, j = pos[r["sample_i"]], pos[r["sample_j"]]
+        d[i, j] = d[j, i] = float(r["grm"])
+    finite = d[np.isfinite(d)]
+    fill = float(finite.max()) if len(finite) else 1.0
+    d[~np.isfinite(d)] = fill
+    np.fill_diagonal(d, np.inf)
+
+    active = list(range(n))  # current node id per matrix row
+    sizes = np.ones(n)
+    merges = []
+    work = d.copy()
+    nxt = n
+    for _ in range(n - 1):
+        m = len(active)
+        sub = work[:m, :m]
+        flat = int(np.argmin(sub))  # ties -> smallest row-major (i, j)
+        i, j = divmod(flat, m)
+        if i > j:
+            i, j = j, i
+        h = float(sub[i, j])
+        na, nb = sizes[i], sizes[j]
+        merges.append(
+            (int(active[i]), int(active[j]), h, int(na + nb))
+        )
+        # Lance-Williams average update into row i, then drop row j
+        newrow = (na * sub[i, :m] + nb * sub[j, :m]) / (na + nb)
+        work[i, :m] = newrow
+        work[:m, i] = newrow
+        work[i, i] = np.inf
+        keep = [t for t in range(m) if t != j]
+        work[: m - 1, : m - 1] = work[np.ix_(keep, keep)]
+        sizes[i] = na + nb
+        sizes = np.concatenate([sizes[:j], sizes[j + 1 : m]])
+        active[i] = nxt
+        nxt += 1
+        del active[j]
+    return merges, ids
+
+
+def cut_tree(merges, ids, k: int) -> list[tuple[str, int]]:
+    """Cut an hcluster_average dendrogram into k flat clusters —
+    snpgdsCutTree: undo the last k-1 merges; cluster labels are
+    0..k-1 in order of each cluster's smallest member index
+    (deterministic). Returns [(sample_id, cluster)] sorted by id."""
+    import numpy as np
+
+    n = len(ids)
+    if not (1 <= k <= n):
+        raise ValueError(f"k must be in [1, {n}]")
+    parent = list(range(n + len(merges)))
+    for t, (a, b, _h, _sz) in enumerate(merges[: n - k]):
+        parent[a] = n + t
+        parent[b] = n + t
+
+    def root(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    roots = [root(i) for i in range(n)]
+    order = {}
+    for i in range(n):
+        order.setdefault(roots[i], len(order))
+    assert len(order) == k, (len(order), k)
+    return [(ids[i], order[roots[i]]) for i in np.argsort(np.array(ids))]

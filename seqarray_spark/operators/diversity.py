@@ -309,3 +309,119 @@ def tajima_d_oracle_sql(
                END AS tajima_d
         FROM wagg w, tc3 t
     """
+
+
+_TS_SET = (("A", "G"), ("G", "A"), ("C", "T"), ("T", "C"))
+
+
+def tstv_windows(
+    variants: DataFrame,
+    win_size: int = 100_000,
+    win_shift: int = 50_000,
+    win_start: int = 0,
+) -> DataFrame:
+    """Sliding-window transition/transversion ratio — vcftools --TsTv
+    (generalized from fixed bins to the shared overlapping grid): a
+    site counts iff it is a biallelic SNP (single-nucleotide ref AND
+    single single-nucleotide alt, ref != alt); transitions are the
+    purine-purine / pyrimidine-pyrimidine swaps {A<->G, C<->T}, all
+    other substitutions transversions. The genome-wide expectation
+    ~2-2.1 (random mutation would give 0.5) makes the windowed ratio a
+    standard variant-calling QC scan. Pure variants-table op — one
+    membership join + one (chromosome, window) agg, no calls scan.
+
+    Output: (chromosome, unit_start, unit_end, n_ts, n_tv, tstv);
+    tstv NULL where a window has no transversion (vcftools' inf)."""
+    nucs = list("ACGT")
+    a1 = F.element_at("alt", 1)
+    snp = (
+        (F.size("alt") == 1)
+        & F.col("ref").isin(*nucs)
+        & a1.isin(*nucs)
+        & (F.col("ref") != a1)
+    )
+    is_ts = F.when(
+        ((F.col("ref") == "A") & (a1 == "G"))
+        | ((F.col("ref") == "G") & (a1 == "A"))
+        | ((F.col("ref") == "C") & (a1 == "T"))
+        | ((F.col("ref") == "T") & (a1 == "C")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    klass = variants.where(snp).select(
+        "variant_id",
+        is_ts.alias("_ts"),
+        (F.lit(1) - is_ts).alias("_tv"),
+    )
+    membership = sliding_windows(
+        variants,
+        win_size=win_size,
+        win_shift=win_shift,
+        win_start=win_start,
+        dup_rm=False,
+    ).where(F.col("variant_id").isNotNull())
+    agg = (
+        membership.join(klass, "variant_id")
+        .groupBy("chromosome", "unit_start", "unit_end")
+        .agg(
+            F.sum("_ts").cast("bigint").alias("n_ts"),
+            F.sum("_tv").cast("bigint").alias("n_tv"),
+        )
+    )
+    return agg.select(
+        "chromosome",
+        "unit_start",
+        "unit_end",
+        "n_ts",
+        "n_tv",
+        F.when(
+            F.col("n_tv") > 0,
+            F.col("n_ts").cast("double") / F.col("n_tv").cast("double"),
+        ).alias("tstv"),
+    )
+
+
+def tstv_windows_oracle_sql(
+    win_size: int = 100_000, win_shift: int = 50_000
+) -> str:
+    """DuckDB oracle twin of tstv_windows over the gvariants CTE
+    (alt_str form: biallelic = no comma, single char)."""
+    return f"""
+        , tvk AS (
+          SELECT variant_id,
+                 CASE WHEN (ref = 'A' AND alt_str = 'G')
+                        OR (ref = 'G' AND alt_str = 'A')
+                        OR (ref = 'C' AND alt_str = 'T')
+                        OR (ref = 'T' AND alt_str = 'C')
+                      THEN 1 ELSE 0 END AS ts
+          FROM gvariants
+          WHERE ref IN ('A','C','G','T')
+            AND alt_str IN ('A','C','G','T')
+            AND ref <> alt_str
+        ), tmembership AS (
+          SELECT chromosome,
+                 CAST(k * {int(win_shift)} AS BIGINT) AS unit_start,
+                 CAST(k * {int(win_shift)} + {int(win_size)} - 1 AS BIGINT)
+                   AS unit_end,
+                 variant_id
+          FROM (
+            SELECT chromosome, variant_id,
+                   UNNEST(generate_series(
+                     CAST(GREATEST(CEIL((position - {int(win_size)} + 1)
+                                        / {int(win_shift)}.0), 0) AS BIGINT),
+                     CAST(FLOOR(position / {int(win_shift)}.0) AS BIGINT)))
+                     AS k
+            FROM gvariants WHERE position >= 0
+          ) t
+        ), twagg AS (
+          SELECT m.chromosome, m.unit_start, m.unit_end,
+                 CAST(SUM(v.ts) AS BIGINT) AS n_ts,
+                 CAST(SUM(1 - v.ts) AS BIGINT) AS n_tv
+          FROM tmembership m JOIN tvk v ON v.variant_id = m.variant_id
+          GROUP BY m.chromosome, m.unit_start, m.unit_end
+        )
+        SELECT chromosome, unit_start, unit_end, n_ts, n_tv,
+               CASE WHEN n_tv > 0
+                    THEN CAST(n_ts AS DOUBLE) / CAST(n_tv AS DOUBLE)
+               END AS tstv
+        FROM twagg
+    """

@@ -200,3 +200,103 @@ def test_admix_prop_general_k_matches_closed_form(spark):
     assert out["A"] == pytest.approx([1, 0, 0, 0], abs=1e-12)
     assert out["D"] == pytest.approx([0, 0, 0, 1], abs=1e-12)
     assert out["M"] == pytest.approx([0.25] * 4, abs=1e-12)
+
+
+def test_hcluster_cut_recovers_planted_populations(spark):
+    """UPGMA over 1-IBS distance + cut_tree(k=3) recovers 3 planted
+    populations exactly; dendrogram heights are monotone
+    non-decreasing (UPGMA on a metric-ish matrix)."""
+    import numpy as np
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from test_ld import _packed_frame
+
+    from seqarray_spark.operators.ancestry import (
+        cut_tree,
+        hcluster_average,
+        ibs_dist,
+    )
+    from seqarray_spark.operators.ld import ibs_from_packed
+
+    rng = np.random.default_rng(59)
+    V = 1200
+    base = rng.uniform(0.1, 0.9, V)
+    codes, sids, want = [], [], {}
+    for pop in range(3):
+        f = np.clip(base + rng.normal(0, 0.3, V), 0.02, 0.98)
+        for i in range(6):
+            sid = f"P{pop}_{i}"
+            codes.append(
+                (rng.random(V) < f).astype(np.uint8)
+                + (rng.random(V) < f).astype(np.uint8)
+            )
+            sids.append(sid)
+            want[sid] = pop
+    mat = np.stack(codes, axis=1)
+    dist = ibs_dist(
+        ibs_from_packed(_packed_frame(spark, mat, sids), sids)
+    )
+    merges, ids = hcluster_average(dist)
+    assert len(merges) == len(ids) - 1
+    heights = [h for (_a, _b, h, _n) in merges]
+    assert all(
+        heights[i] <= heights[i + 1] + 1e-12
+        for i in range(len(heights) - 1)
+    )
+    got = dict(cut_tree(merges, ids, k=3))
+    # cluster labels are arbitrary; the PARTITION must match
+    by_pop = {}
+    for sid, cl in got.items():
+        by_pop.setdefault(want[sid], set()).add(cl)
+    assert all(len(v) == 1 for v in by_pop.values()), by_pop
+    assert len({next(iter(v)) for v in by_pop.values()}) == 3
+    # k=1 puts everyone together; k=n singles everyone out
+    assert len({c for _s, c in cut_tree(merges, ids, k=1)}) == 1
+    assert len({c for _s, c in cut_tree(merges, ids, k=len(ids))}) == len(ids)  # noqa: E501
+
+
+def test_hcluster_matches_bruteforce_reference(spark):
+    """The driver-side Lance-Williams agglomeration agrees with an
+    independent O(n^3) recompute-from-scratch UPGMA on random
+    matrices (heights and merge partitions)."""
+    import numpy as np
+
+    from seqarray_spark.operators.ancestry import hcluster_average
+
+    rng = np.random.default_rng(61)
+    n = 12
+    m = rng.random((n, n))
+    m = (m + m.T) / 2
+    np.fill_diagonal(m, 0.0)
+    ids = [f"S{i:02d}" for i in range(n)]
+    rows = [
+        (ids[i], ids[j], 1, float(m[i, j]))
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    dist = spark.createDataFrame(
+        rows, "sample_i string, sample_j string, m_used int, dist double"
+    )
+    merges, axis = hcluster_average(dist)
+    assert axis == ids
+
+    # reference: recompute average linkage from scratch each step
+    clusters = [{i} for i in range(n)]
+    ref_heights = []
+    while len(clusters) > 1:
+        best = None
+        for a in range(len(clusters)):
+            for b in range(a + 1, len(clusters)):
+                dd = np.mean(
+                    [m[i, j] for i in clusters[a] for j in clusters[b]]
+                )
+                if best is None or dd < best[0] - 1e-15:
+                    best = (dd, a, b)
+        dd, a, b = best
+        ref_heights.append(dd)
+        clusters[a] = clusters[a] | clusters[b]
+        del clusters[b]
+    got_heights = [h for (_a, _b, h, _n) in merges]
+    assert np.allclose(sorted(got_heights), sorted(ref_heights), atol=1e-9)

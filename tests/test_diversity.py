@@ -125,3 +125,37 @@ def test_tajima_d_null_when_no_segregating(spark):
     assert len(rows) == 1
     assert rows[0]["n_seg"] == 0 and rows[0]["tajima_d"] is None
     assert rows[0]["theta_pi"] == 0.0
+
+
+def test_tstv_windows_classification(spark):
+    """Hand-built sites: transitions {A<->G, C<->T} vs transversions;
+    multiallelic / indel-ish / non-SNP rows excluded; inf -> NULL."""
+
+    from seqarray_spark.operators.diversity import tstv_windows
+
+    rows = [
+        # (vid, chrom, pos, ref, alt list)
+        (1, "1", 100, "A", ["G"]),    # ts
+        (2, "1", 200, "C", ["T"]),    # ts
+        (3, "1", 300, "A", ["C"]),    # tv
+        (4, "1", 400, "G", ["T"]),    # tv
+        (5, "1", 500, "A", ["G", "T"]),  # multiallelic: excluded
+        (6, "1", 600, "AT", ["A"]),   # indel: excluded
+        (7, "1", 700, "A", ["A"]),    # ref==alt: excluded
+        (8, "2", 100, "T", ["C"]),    # ts, chrom 2 (no tv -> NULL)
+    ]
+    variants = spark.createDataFrame(
+        rows,
+        "variant_id long, chromosome string, position int, "
+        "ref string, alt array<string>",
+    )
+    out = {
+        (r["chromosome"], r["unit_start"]): r
+        for r in tstv_windows(
+            variants, win_size=1000, win_shift=1000
+        ).collect()
+    }
+    w1 = out[("1", 0)]
+    assert w1["n_ts"] == 2 and w1["n_tv"] == 2 and w1["tstv"] == 1.0
+    w2 = out[("2", 0)]
+    assert w2["n_ts"] == 1 and w2["n_tv"] == 0 and w2["tstv"] is None
