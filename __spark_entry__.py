@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r13 additions (newest first) ------------------------------------
+        "seq_grm_beta": seq_grm_beta,
         "seq_dist_ibs": seq_dist_ibs,
         "seq_tstv": seq_tstv,
         "doc_hybrid_topk": doc_hybrid_topk,
@@ -828,6 +829,17 @@ def seq_ld_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
     return ld_pairs(v, c, bp_window=5000, stat="composite")
+
+
+def seq_grm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weir & Goudet 2017 individual-beta kinship (new r13 —
+    snpgdsGRM(method='IndivBeta')): allele-matching proportions, no
+    allele frequencies — beta = (M_ij - M_B)/(1 - M_B) with M_B the
+    all-pairs average matching; exact BIGINT matching sums + one
+    1-row global reduce broadcast back, full SQL oracle."""
+    from seqarray_spark.operators.ancestry import beta_pairs
+
+    return beta_pairs(td.gcalls(spark, sf_dir))
 
 
 def seq_dist_ibs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2290,8 +2302,12 @@ def oracle_sql() -> dict[str, str]:
         eigmix_pairs_oracle_sql as _eigmix_oracle,
         ibs_dist_oracle_sql as _ibsd_oracle,
     )
+    from seqarray_spark.operators.ancestry import (
+        beta_pairs_oracle_sql as _beta_oracle,
+    )
 
     return {
+        "seq_grm_beta": P + _beta_oracle(),
         "seq_dist_ibs": P + _ibsd_oracle(),
         "seq_tstv": P + _tstv_oracle(win_size=WIN_SIZE,
                                      win_shift=WIN_SHIFT),

@@ -470,3 +470,125 @@ def cut_tree(merges, ids, k: int) -> list[tuple[str, int]]:
         order.setdefault(roots[i], len(order))
     assert len(order) == k, (len(order), k)
     return [(ids[i], order[roots[i]]) for i in np.argsort(np.array(ids))]
+
+
+def beta_pairs(
+    calls: DataFrame,
+    min_m: int = 1,
+    unit_scale: int = 9,
+) -> DataFrame:
+    """Weir & Goudet (2017) individual-beta kinship for sample pairs —
+    SNPRelate's snpgdsGRM(method='IndivBeta') / snpgdsIndivBeta,
+    delegated by the reference like the rest of the GRM family
+    (src/LinkSNPRelate.cpp:69-407). Allele-matching based, no allele
+    frequencies anywhere:
+
+        M_ij   = (1/L) sum_v m_v,  m_v = (x_i x_j + (2-x_i)(2-x_j))/4
+        beta_ij = (M_ij - M_B) / (1 - M_B)
+
+    with m_v the proportion of matching allele comparisons between the
+    two genotypes, L the pair's co-called variant count, and M_B the
+    unweighted average of M over ALL pairs — the 'average pair in this
+    sample' reference point that makes beta a relative-kinship measure
+    robust to allele-frequency misspecification (the paper's point).
+    Off-diagonal (i < j) form, the grm_pairs convention.
+
+    Exactness: 4*m_v is an integer in {0,2,4}, so the per-pair sum S4
+    is an exact BIGINT and M_ij = S4/(4L) an exact-sum ratio; M_B
+    averages the pairs' M on the half-up 1e-unit_scale grid (exact
+    BIGINT over pairs) — the whole estimator is two exact reductions
+    + one shared float tree, fully oracle-replayable. Plan: the
+    within-variant pair self-join + pair agg (the GRM relation shape),
+    then ONE 1-row global reduce broadcast back — no extra wide
+    shuffle. Output (sample_i, sample_j, m_used, beta)."""
+    d = _dose_flat(calls).where(F.col("d").isNotNull())
+    a = d.select(
+        "variant_id",
+        F.col("sample_id").alias("sample_i"),
+        F.col("d").alias("_x"),
+    )
+    b = d.select(
+        "variant_id",
+        F.col("sample_id").alias("sample_j"),
+        F.col("d").alias("_y"),
+    )
+    m4 = F.col("_x") * F.col("_y") + (F.lit(2) - F.col("_x")) * (
+        F.lit(2) - F.col("_y")
+    )
+    pairs = (
+        a.join(b, "variant_id")
+        .where(F.col("sample_i") < F.col("sample_j"))
+        .select("sample_i", "sample_j", m4.alias("_m4"))
+        .groupBy("sample_i", "sample_j")
+        .agg(
+            F.count(F.lit(1)).alias("m_used"),
+            F.sum("_m4").cast("bigint").alias("_s4"),
+        )
+        .where(F.col("m_used") >= int(min_m))
+    )
+    scale = float(10 ** int(unit_scale))
+    mij = F.col("_s4").cast("double") / (
+        F.lit(4.0) * F.col("m_used").cast("double")
+    )
+    pq = pairs.select(
+        "sample_i",
+        "sample_j",
+        "m_used",
+        "_s4",
+        F.round(mij * F.lit(scale)).cast("bigint").alias("_mq"),
+    )
+    glob = pq.groupBy().agg(
+        F.sum("_mq").alias("_smq"),
+        F.count(F.lit(1)).alias("_np"),
+    )
+    mb = F.col("_smq").cast("double") / (
+        F.lit(scale) * F.col("_np").cast("double")
+    )
+    return pq.crossJoin(F.broadcast(glob)).select(
+        "sample_i",
+        "sample_j",
+        "m_used",
+        F.when(
+            F.lit(1.0) - mb != 0.0,
+            (mij - mb) / (F.lit(1.0) - mb),
+        ).alias("beta"),
+    )
+
+
+def beta_pairs_oracle_sql(min_m: int = 1, unit_scale: int = 9) -> str:
+    """DuckDB oracle twin of beta_pairs over the gcalls CTE: identical
+    matching-sum, pair grid, global average, and beta tree."""
+    scale = float(10 ** int(unit_scale))
+    mij = "CAST(s4 AS DOUBLE) / (4.0 * CAST(m_used AS DOUBLE))"
+    mb = f"(CAST(smq AS DOUBLE) / ({scale!r} * CAST(np_t AS DOUBLE)))"
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id, {_DOSE_ALT_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
+        ), bp AS (
+          SELECT a.sample_id AS sample_i, b.sample_id AS sample_j,
+                 COUNT(*) AS m_used,
+                 CAST(SUM(a.d * b.d + (2 - a.d) * (2 - b.d)) AS BIGINT)
+                   AS s4
+          FROM dnn a
+          JOIN dnn b ON a.variant_id = b.variant_id
+                    AND a.sample_id < b.sample_id
+          GROUP BY a.sample_id, b.sample_id
+          HAVING COUNT(*) >= {int(min_m)}
+        ), bq AS (
+          SELECT sample_i, sample_j, m_used, s4,
+                 CAST(round({mij} * {scale!r}) AS BIGINT) AS mq
+          FROM bp
+        ), bglob AS (
+          SELECT CAST(SUM(mq) AS BIGINT) AS smq,
+                 CAST(COUNT(*) AS BIGINT) AS np_t
+          FROM bq
+        )
+        SELECT q.sample_i, q.sample_j, q.m_used,
+               CASE WHEN 1.0 - {mb} <> 0.0
+                    THEN ({mij} - {mb}) / (1.0 - {mb})
+               END AS beta
+        FROM bq q, bglob g
+    """

@@ -300,3 +300,56 @@ def test_hcluster_matches_bruteforce_reference(spark):
         del clusters[b]
     got_heights = [h for (_a, _b, h, _n) in merges]
     assert np.allclose(sorted(got_heights), sorted(ref_heights), atol=1e-9)
+
+
+def test_beta_pairs_planted_relatedness(spark):
+    """Weir-Goudet beta semantics: duplicates -> beta near the maximum
+    (M=1 numerator), unrelated pairs -> beta near 0 (their matching IS
+    the sample average), parent-child in between — all WITHOUT allele
+    frequencies entering the estimator."""
+    import numpy as np
+
+    from seqarray_spark.operators.ancestry import beta_pairs
+
+    rng = np.random.default_rng(67)
+    V = 2500
+    p = rng.uniform(0.2, 0.8, V)
+
+    def draw():
+        return (rng.random(V) < p).astype(np.uint8) + (
+            rng.random(V) < p
+        ).astype(np.uint8)
+
+    pa_h = np.stack(
+        [(rng.random(V) < p), (rng.random(V) < p)]
+    ).astype(np.uint8)
+    ma_h = np.stack(
+        [(rng.random(V) < p), (rng.random(V) < p)]
+    ).astype(np.uint8)
+    father = pa_h.sum(axis=0).astype(np.uint8)
+    mother = ma_h.sum(axis=0).astype(np.uint8)
+    child = (
+        pa_h[rng.integers(0, 2, V), np.arange(V)]
+        + ma_h[rng.integers(0, 2, V), np.arange(V)]
+    ).astype(np.uint8)
+    u1 = draw()
+    bg = [draw() for _ in range(14)]
+    codes = np.stack([u1, u1, father, mother, child] + bg, axis=1)
+    sids = ["dupA", "dupB", "father", "mother", "child"] + [
+        f"bg{i:02d}" for i in range(14)
+    ]
+    calls = _calls_from_codes(spark, codes, sids)
+    out = {
+        (r["sample_i"], r["sample_j"]): r["beta"]
+        for r in beta_pairs(calls).collect()
+    }
+    dup = out[("dupA", "dupB")]
+    pc = out[("child", "father")]
+    unrel = out[("dupA", "father")]
+    # beta estimates COANCESTRY (kinship) relative to the sample
+    # average: duplicates theta = 1/2, parent-child 1/4, unrelated 0
+    # (pairs of 'average' relatedness define the zero point)
+    assert abs(dup - 0.5) < 0.06, dup
+    assert abs(pc - 0.25) < 0.06, pc
+    assert abs(unrel) < 0.1, unrel
+    assert dup > pc > unrel
