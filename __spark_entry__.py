@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r13 additions (newest first) ------------------------------------
+        "seq_roh": seq_roh,
         "seq_grm_beta": seq_grm_beta,
         "seq_dist_ibs": seq_dist_ibs,
         "seq_tstv": seq_tstv,
@@ -829,6 +830,18 @@ def seq_ld_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
     return ld_pairs(v, c, bp_window=5000, stat="composite")
+
+
+def seq_roh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs of homozygosity (new r13 — the PLINK --homozyg / bcftools
+    roh exact-scan core): per (sample, chromosome), maximal
+    consecutive homozygous stretches via the gaps-and-islands
+    cumulative-het window; one window + one run agg."""
+    from seqarray_spark.operators.diversity import roh_runs
+
+    return roh_runs(
+        td.gcalls(spark, sf_dir), td.gvariants(spark, sf_dir), min_sites=3
+    )
 
 
 def seq_grm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2297,6 +2310,9 @@ def oracle_sql() -> dict[str, str]:
         tajima_d_oracle_sql as _tajd_oracle,
         tstv_windows_oracle_sql as _tstv_oracle,
     )
+    from seqarray_spark.operators.diversity import (
+        roh_oracle_sql as _roh_oracle,
+    )
     from seqarray_spark.operators.ancestry import (
         admix_prop_oracle_sql as _admix_oracle,
         eigmix_pairs_oracle_sql as _eigmix_oracle,
@@ -2307,6 +2323,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "seq_roh": P + _roh_oracle(min_sites=3),
         "seq_grm_beta": P + _beta_oracle(),
         "seq_dist_ibs": P + _ibsd_oracle(),
         "seq_tstv": P + _tstv_oracle(win_size=WIN_SIZE,

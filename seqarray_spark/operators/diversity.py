@@ -425,3 +425,105 @@ def tstv_windows_oracle_sql(
                END AS tstv
         FROM twagg
     """
+
+
+def roh_runs(
+    calls: DataFrame,
+    variants: DataFrame,
+    min_sites: int = 3,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Runs of homozygosity — the PLINK --homozyg / bcftools roh
+    family's exact-scan core: per (sample, chromosome), maximal
+    stretches of consecutive HOMOZYGOUS called sites (dose 0 or 2),
+    broken by heterozygous calls; missing calls are skipped (they
+    neither extend nor break a run — the deterministic simplification
+    of PLINK's windowed-heuristic tolerance, documented divergence).
+    ROH burden is the standard inbreeding/consanguinity QC scan
+    (autozygosity mapping).
+
+    Plan: one dose pass + variant-position join, then the
+    gaps-and-islands pattern — a cumulative het-count window keyed
+    (sample, chromosome) ordered (position, variant_id) assigns each
+    homozygous site its run id, and one agg per run finishes it. The
+    window partitions by (sample, chromosome), so parallelism is
+    n_samples x n_chromosomes tasks of ~variants-per-chromosome rows —
+    the layout's natural grain. Output: (sample_id, chromosome,
+    start_pos, end_pos, n_sites, bp_len) for runs with >= min_sites
+    homozygous sites."""
+    from pyspark.sql import Window
+
+    from seqarray_spark.operators.ld import _dose_once
+
+    d, release = _dose_once(calls, assume_unique)
+    pos = variants.select("variant_id", "chromosome", "position")
+    dd = d.join(pos, "variant_id")
+    w = (
+        Window.partitionBy("sample_id", "chromosome")
+        .orderBy("position", "variant_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    het = F.when(F.col("d") == 1, F.lit(1)).otherwise(F.lit(0))
+    runs = (
+        dd.select(
+            "sample_id",
+            "chromosome",
+            "position",
+            "d",
+            F.sum(het).over(w).alias("_run"),
+        )
+        .where(F.col("d") != 1)
+        .groupBy("sample_id", "chromosome", "_run")
+        .agg(
+            F.min("position").alias("start_pos"),
+            F.max("position").alias("end_pos"),
+            F.count(F.lit(1)).alias("n_sites"),
+        )
+        .where(F.col("n_sites") >= int(min_sites))
+    )
+    return release(
+        runs.select(
+            "sample_id",
+            "chromosome",
+            "start_pos",
+            "end_pos",
+            "n_sites",
+            (
+                F.col("end_pos").cast("bigint")
+                - F.col("start_pos").cast("bigint")
+                + F.lit(1)
+            ).alias("bp_len"),
+        )
+    )
+
+
+def roh_oracle_sql(min_sites: int = 3) -> str:
+    """DuckDB oracle twin of roh_runs over the gvariants/gcalls CTEs:
+    the identical cumulative-het-count run assignment."""
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id, {_DOSE_ALT_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
+        ), rpos AS (
+          SELECT n.sample_id, v.chromosome, v.position, n.d,
+                 SUM(CASE WHEN n.d = 1 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY n.sample_id, v.chromosome
+                   ORDER BY v.position, n.variant_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM dnn n JOIN gvariants v ON v.variant_id = n.variant_id
+        ), rgrp AS (
+          SELECT sample_id, chromosome,
+                 CAST(MIN(position) AS INT) AS start_pos,
+                 CAST(MAX(position) AS INT) AS end_pos,
+                 CAST(COUNT(*) AS BIGINT) AS n_sites
+          FROM rpos WHERE d <> 1
+          GROUP BY sample_id, chromosome, run_id
+          HAVING COUNT(*) >= {int(min_sites)}
+        )
+        SELECT sample_id, chromosome, start_pos, end_pos, n_sites,
+               CAST(end_pos AS BIGINT) - CAST(start_pos AS BIGINT) + 1
+                 AS bp_len
+        FROM rgrp
+    """

@@ -159,3 +159,40 @@ def test_tstv_windows_classification(spark):
     assert w1["n_ts"] == 2 and w1["n_tv"] == 2 and w1["tstv"] == 1.0
     w2 = out[("2", 0)]
     assert w2["n_ts"] == 1 and w2["n_tv"] == 0 and w2["tstv"] is None
+
+
+def test_roh_runs_planted_blocks(spark):
+    """Hand-built runs: het breaks a run, missing is skipped (neither
+    breaks nor counts), min_sites filters, bp_len is inclusive."""
+    from seqarray_spark.operators.diversity import roh_runs
+
+    # sample S000: hom hom hom | het | hom hom
+    # sample S001: hom miss hom hom | het | het
+    geno = {
+        "1": [
+            [0, 2],      # pos 1000
+            [2, None],   # pos 2000
+            [0, 0],      # pos 3000
+            [1, 2],      # pos 4000
+            [2, 1],      # pos 5000
+            [2, 1],      # pos 6000
+        ],
+    }
+    calls, variants = _frames(spark, geno, 2)
+    out = {
+        (r["sample_id"], r["start_pos"]): r
+        for r in roh_runs(calls, variants, min_sites=2).collect()
+    }
+    # S000: run 1 = pos 1000..3000 (3 sites), run 2 = 5000..6000 (2)
+    r1 = out[("S000", 1000)]
+    assert r1["end_pos"] == 3000 and r1["n_sites"] == 3
+    assert r1["bp_len"] == 2001
+    r2 = out[("S000", 5000)]
+    assert r2["end_pos"] == 6000 and r2["n_sites"] == 2
+    # S001: missing at 2000 skipped -> one run 1000..4000 (3 sites);
+    # hets at 5000/6000 never appear in any run
+    r3 = out[("S001", 1000)]
+    assert r3["end_pos"] == 4000 and r3["n_sites"] == 3
+    assert len(out) == 3
+    # min_sites=4 drops everything except nothing (max run = 3)
+    assert roh_runs(calls, variants, min_sites=4).count() == 0
