@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r13 additions (newest first) ------------------------------------
+        "seq_singletons": seq_singletons,
         "seq_roh": seq_roh,
         "seq_grm_beta": seq_grm_beta,
         "seq_dist_ibs": seq_dist_ibs,
@@ -830,6 +831,31 @@ def seq_ld_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
     return ld_pairs(v, c, bp_window=5000, stat="composite")
+
+
+def seq_singletons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Singleton/private-doubleton report (new r13 — vcftools
+    --singletons): variants whose alt lives in exactly one sample,
+    with the carrier and class S/D; linear dose agg + carrier join.
+    Gate runs a first-4-sorted sample panel — the dense derived
+    cohort has no full-cohort singletons (every alt has many
+    carriers), which would make the gate vacuous; the oracle applies
+    the identical panel."""
+    from seqarray_spark.operators.diversity import singletons
+
+    c = td.gcalls(spark, sf_dir)
+    keep = [
+        r["sample_id"]
+        for r in c.select("sample_id")
+        .distinct()
+        .orderBy("sample_id")
+        .limit(4)
+        .collect()
+    ]
+    return singletons(
+        c.where(F.col("sample_id").isin(keep)),
+        td.gvariants(spark, sf_dir),
+    )
 
 
 def seq_roh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2312,6 +2338,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from seqarray_spark.operators.diversity import (
         roh_oracle_sql as _roh_oracle,
+        singletons_oracle_sql as _sing_oracle,
     )
     from seqarray_spark.operators.ancestry import (
         admix_prop_oracle_sql as _admix_oracle,
@@ -2323,6 +2350,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "seq_singletons": P + _sing_oracle(limit_samples=4),
         "seq_roh": P + _roh_oracle(min_sites=3),
         "seq_grm_beta": P + _beta_oracle(),
         "seq_dist_ibs": P + _ibsd_oracle(),

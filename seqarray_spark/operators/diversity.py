@@ -527,3 +527,92 @@ def roh_oracle_sql(min_sites: int = 3) -> str:
                  AS bp_len
         FROM rgrp
     """
+
+
+def singletons(
+    calls: DataFrame,
+    variants: DataFrame,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Singleton report — vcftools --singletons: for every variant
+    whose alt allele is carried by exactly ONE sample, emit that
+    carrier with the class 'S' (true singleton: ac = 1, one het) or
+    'D' (private doubleton: ac = 2 in one homozygous-alt sample).
+    The standard per-sample rare-variant burden / contamination QC
+    listing. One dose pass, one variant agg, one join back to find
+    the carrier — all linear.
+
+    Output: (variant_id, chromosome, position, singleton_type,
+    sample_id)."""
+    from seqarray_spark.operators.ld import _dose_once
+
+    d, release = _dose_once(calls, assume_unique)
+    st = (
+        d.groupBy("variant_id")
+        .agg(
+            F.sum("d").alias("_ac"),
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("_nc"),
+        )
+        .where(
+            (F.col("_nc") == 1)
+            & ((F.col("_ac") == 1) | (F.col("_ac") == 2))
+        )
+    )
+    carrier = d.where(F.col("d") > 0).select(
+        "variant_id", "sample_id", "d"
+    )
+    out = (
+        st.join(carrier, "variant_id")
+        .join(
+            variants.select("variant_id", "chromosome", "position"),
+            "variant_id",
+        )
+        .select(
+            "variant_id",
+            "chromosome",
+            "position",
+            F.when(F.col("_ac") == 1, F.lit("S"))
+            .otherwise(F.lit("D"))
+            .alias("singleton_type"),
+            "sample_id",
+        )
+    )
+    return release(out)
+
+
+def singletons_oracle_sql(limit_samples: int | None = None) -> str:
+    """DuckDB oracle twin of singletons over the gvariants/gcalls
+    CTEs; `limit_samples` mirrors the gate's first-K-sorted panel."""
+    plim = (
+        """WHERE sample_id IN (
+               SELECT sample_id
+               FROM (SELECT DISTINCT sample_id FROM gcalls) u
+               ORDER BY sample_id LIMIT %d)"""
+        % int(limit_samples)
+        if limit_samples
+        else ""
+    )
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id, {_DOSE_ALT_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM (
+            SELECT variant_id, sample_id, d FROM dose
+            WHERE d IS NOT NULL
+          ) q {plim}
+        ), sst AS (
+          SELECT variant_id, CAST(SUM(d) AS BIGINT) AS ac
+          FROM dnn GROUP BY variant_id
+          HAVING SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) = 1
+             AND (CAST(SUM(d) AS BIGINT) = 1
+                  OR CAST(SUM(d) AS BIGINT) = 2)
+        )
+        SELECT s.variant_id, v.chromosome, v.position,
+               CASE WHEN s.ac = 1 THEN 'S' ELSE 'D' END
+                 AS singleton_type,
+               c.sample_id
+        FROM sst s
+        JOIN dnn c ON c.variant_id = s.variant_id AND c.d > 0
+        JOIN gvariants v ON v.variant_id = s.variant_id
+    """

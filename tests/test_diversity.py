@@ -196,3 +196,31 @@ def test_roh_runs_planted_blocks(spark):
     assert len(out) == 3
     # min_sites=4 drops everything except nothing (max run = 3)
     assert roh_runs(calls, variants, min_sites=4).count() == 0
+
+
+def test_singletons_planted(spark):
+    """S = one het carrier (ac=1); D = one hom-alt carrier (ac=2 in
+    one sample); two carriers or common alleles never appear."""
+    from seqarray_spark.operators.diversity import singletons
+
+    geno = {
+        "1": [
+            [1, 0, 0, 0],   # S carried by S000
+            [0, 0, 2, 0],   # D carried by S002
+            [1, 1, 0, 0],   # two carriers: excluded
+            [0, 2, 1, 0],   # ac=3 over two carriers: excluded
+            [0, 0, 0, 0],   # monomorphic: excluded
+            [None, 1, None, None],  # S with missing elsewhere
+        ],
+    }
+    calls, variants = _frames(spark, geno, 4)
+    rows = singletons(calls, variants).collect()
+    got = {
+        (r["variant_id"], r["singleton_type"], r["sample_id"])
+        for r in rows
+    }
+    assert got == {
+        (1, "S", "S000"),
+        (2, "D", "S002"),
+        (6, "S", "S001"),
+    }
