@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r13 additions (newest first) ------------------------------------
+        "seq_allele_switch": seq_allele_switch,
         "seq_singletons": seq_singletons,
         "seq_roh": seq_roh,
         "seq_grm_beta": seq_grm_beta,
@@ -831,6 +832,47 @@ def seq_ld_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
     return ld_pairs(v, c, bp_window=5000, stat="composite")
+
+
+def seq_allele_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-panel allele harmonization (new r13 — snpgdsAlleleSwitch
+    / PLINK --flip pre-merge classification): panel B is gvariants
+    deterministically perturbed by variant_id % 4 (swap / strand-flip
+    / both / unchanged — the oracle spells the identical rule), then
+    matched on (chromosome, position) and classed same / swap / flip
+    / flip_swap / ambiguous(palindromic) / mismatch."""
+    from seqarray_spark.operators.merge import _comp, allele_harmonize
+
+    va = td.gvariants(spark, sf_dir)
+    a1 = F.element_at("alt", 1)
+    nucs = list("ACGT")
+    snp = va.where(
+        (F.size("alt") == 1)
+        & F.col("ref").isin(*nucs)
+        & a1.isin(*nucs)
+        & (F.col("ref") != a1)
+    )
+    mod = F.col("variant_id") % 4
+    pref = (
+        F.when(mod == 0, a1)
+        .when(mod == 1, _comp(F.col("ref")))
+        .when(mod == 2, _comp(a1))
+        .otherwise(F.col("ref"))
+    )
+    palt = (
+        F.when(mod == 0, F.col("ref"))
+        .when(mod == 1, _comp(a1))
+        .when(mod == 2, _comp(F.col("ref")))
+        .otherwise(a1)
+    )
+    vb = snp.select(
+        "variant_id",
+        "chromosome",
+        "position",
+        pref.alias("ref"),
+        F.array(palt).alias("alt"),
+    )
+    return allele_harmonize(va, vb)
 
 
 def seq_singletons(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2349,7 +2391,12 @@ def oracle_sql() -> dict[str, str]:
         beta_pairs_oracle_sql as _beta_oracle,
     )
 
+    from seqarray_spark.operators.merge import (
+        allele_harmonize_oracle_sql as _aswitch_oracle,
+    )
+
     return {
+        "seq_allele_switch": P + _aswitch_oracle(),
         "seq_singletons": P + _sing_oracle(limit_samples=4),
         "seq_roh": P + _roh_oracle(min_sites=3),
         "seq_grm_beta": P + _beta_oracle(),

@@ -80,7 +80,7 @@ shared_r13 = shared_r12 + [
     "seq_ibd_mle", "seq_pi_windows", "seq_tajima_d",
     "seq_eigmix", "seq_admix_prop", "doc_hybrid_topk",
     "seq_tstv", "seq_dist_ibs", "seq_grm_beta", "seq_roh",
-    "seq_singletons",
+    "seq_singletons", "seq_allele_switch",
 ]
 
 

@@ -398,3 +398,148 @@ def merge_samples_pair(a: SeqDataset, b: SeqDataset) -> SeqDataset:
     variants = variants.drop("__vid_a", "__vid_b")
     return SeqDataset(variants, calls, samples, ploidy=max(a.ploidy, b.ploidy),
                       meta=_merge_meta([a.meta, b.meta]))
+
+
+def _comp(col):
+    """Nucleotide complement as a dialect-stable CASE chain."""
+    return (
+        F.when(col == "A", F.lit("T"))
+        .when(col == "T", F.lit("A"))
+        .when(col == "C", F.lit("G"))
+        .when(col == "G", F.lit("C"))
+    )
+
+
+def allele_harmonize(
+    variants_a: DataFrame, variants_b: DataFrame
+) -> DataFrame:
+    """Cross-panel allele harmonization — the snpgdsAlleleSwitch /
+    PLINK --flip pre-merge step: match two variant panels on
+    (chromosome, position) and classify each biallelic-SNP match by
+    the transformation that reconciles panel B's alleles with A's:
+
+      * 'same'      — identical ref/alt
+      * 'swap'      — ref/alt exchanged (recode: dosage d -> 2 - d)
+      * 'flip'      — opposite strand (complement both; dosage keeps)
+      * 'flip_swap' — opposite strand AND exchanged
+      * 'ambiguous' — palindromic site (A/T or C/G on either side):
+                      strand is UNRESOLVABLE from alleles alone —
+                      classified FIRST, the standard drop list
+      * 'mismatch'  — alleles irreconcilable (tri-allelic across
+                      panels, indel vs SNP at same position, ...)
+
+    Non-SNP or multiallelic rows on either side are excluded (they
+    route through seqMerge's allele-string union instead). One
+    broadcast-size join per matched position; pure Column CASE tree —
+    fully SQL-expressible, gate seq_allele_switch.
+
+    Output: (chromosome, position, variant_id_a, variant_id_b,
+    ref_a, alt_a, ref_b, alt_b, action)."""
+    nucs = list("ACGT")
+
+    def snp(df, suf):
+        a1 = F.element_at("alt", 1)
+        return df.where(
+            (F.size("alt") == 1)
+            & F.col("ref").isin(*nucs)
+            & a1.isin(*nucs)
+            & (F.col("ref") != a1)
+        ).select(
+            "chromosome",
+            "position",
+            F.col("variant_id").alias(f"variant_id_{suf}"),
+            F.col("ref").alias(f"ref_{suf}"),
+            a1.alias(f"alt_{suf}"),
+        )
+
+    j = snp(variants_a, "a").join(
+        snp(variants_b, "b"), ["chromosome", "position"]
+    )
+    ra, aa = F.col("ref_a"), F.col("alt_a")
+    rb, ab = F.col("ref_b"), F.col("alt_b")
+    action = (
+        F.when(
+            (ra == _comp(aa)) | (rb == _comp(ab)), F.lit("ambiguous")
+        )
+        .when((ra == rb) & (aa == ab), F.lit("same"))
+        .when((ra == ab) & (aa == rb), F.lit("swap"))
+        .when(
+            (_comp(ra) == rb) & (_comp(aa) == ab), F.lit("flip")
+        )
+        .when(
+            (_comp(ra) == ab) & (_comp(aa) == rb), F.lit("flip_swap")
+        )
+        .otherwise(F.lit("mismatch"))
+    )
+    return j.select(
+        "chromosome",
+        "position",
+        "variant_id_a",
+        "variant_id_b",
+        "ref_a",
+        "alt_a",
+        "ref_b",
+        "alt_b",
+        action.alias("action"),
+    )
+
+
+_COMP_SQL = """CASE {c} WHEN 'A' THEN 'T' WHEN 'T' THEN 'A'
+                        WHEN 'C' THEN 'G' WHEN 'G' THEN 'C' END"""
+
+
+def allele_harmonize_oracle_sql(perturb_mod: int = 4) -> str:
+    """DuckDB oracle twin of the seq_allele_switch gate: panel B is
+    gvariants deterministically perturbed by variant_id % perturb_mod
+    (0 swap, 1 flip, 2 flip+swap, 3 unchanged — the engine gate
+    spells the identical rule), then the same match + CASE tree."""
+
+    def comp(c):
+        return _COMP_SQL.format(c=c)
+
+    return f"""
+        , snpa AS (
+          SELECT chromosome, position, variant_id AS variant_id_a,
+                 ref AS ref_a, alt_str AS alt_a
+          FROM gvariants
+          WHERE ref IN ('A','C','G','T') AND alt_str IN ('A','C','G','T')
+            AND ref <> alt_str
+        ), pertb AS (
+          SELECT chromosome, position, variant_id,
+                 CASE variant_id % {int(perturb_mod)}
+                   WHEN 0 THEN alt_str
+                   WHEN 1 THEN {comp("ref")}
+                   WHEN 2 THEN {comp("alt_str")}
+                   ELSE ref END AS ref,
+                 CASE variant_id % {int(perturb_mod)}
+                   WHEN 0 THEN ref
+                   WHEN 1 THEN {comp("alt_str")}
+                   WHEN 2 THEN {comp("ref")}
+                   ELSE alt_str END AS alt_str
+          FROM gvariants
+          WHERE ref IN ('A','C','G','T') AND alt_str IN ('A','C','G','T')
+            AND ref <> alt_str
+        ), snpb AS (
+          SELECT chromosome, position, variant_id AS variant_id_b,
+                 ref AS ref_b, alt_str AS alt_b
+          FROM pertb
+          WHERE ref IN ('A','C','G','T') AND alt_str IN ('A','C','G','T')
+            AND ref <> alt_str
+        )
+        SELECT a.chromosome, a.position, a.variant_id_a, b.variant_id_b,
+               a.ref_a, a.alt_a, b.ref_b, b.alt_b,
+               CASE
+                 WHEN a.ref_a = {comp("a.alt_a")}
+                   OR b.ref_b = {comp("b.alt_b")} THEN 'ambiguous'
+                 WHEN a.ref_a = b.ref_b AND a.alt_a = b.alt_b
+                   THEN 'same'
+                 WHEN a.ref_a = b.alt_b AND a.alt_a = b.ref_b
+                   THEN 'swap'
+                 WHEN {comp("a.ref_a")} = b.ref_b
+                  AND {comp("a.alt_a")} = b.alt_b THEN 'flip'
+                 WHEN {comp("a.ref_a")} = b.alt_b
+                  AND {comp("a.alt_a")} = b.ref_b THEN 'flip_swap'
+                 ELSE 'mismatch' END AS action
+        FROM snpa a JOIN snpb b
+          ON a.chromosome = b.chromosome AND a.position = b.position
+    """

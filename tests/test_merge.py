@@ -415,3 +415,51 @@ def test_preharmonized_sample_merge_respects_active_filters(spark):
     assert ("sA", 300) not in xa, xa
     assert ("sB", 300) in xa
     assert pos == [100, 200, 300]
+
+
+def test_allele_harmonize_classification(spark):
+    """Hand-built panels pin every class: same / swap / flip /
+    flip_swap / ambiguous (palindromic, classified FIRST even when a
+    'same' reading exists) / mismatch; multiallelic and indel rows
+    are excluded."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from seqarray_spark.operators.merge import allele_harmonize
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows,
+            "variant_id long, chromosome string, position int, "
+            "ref string, alt array<string>",
+        )
+
+    a = frame([
+        (1, "1", 100, "A", ["G"]),   # same
+        (2, "1", 200, "A", ["G"]),   # swap
+        (3, "1", 300, "A", ["G"]),   # flip: T/C
+        (4, "1", 400, "A", ["G"]),   # flip_swap: C/T
+        (5, "1", 500, "A", ["T"]),   # palindromic -> ambiguous
+        (6, "1", 600, "C", ["G"]),   # palindromic -> ambiguous
+        (7, "1", 700, "A", ["G"]),   # mismatch: C/A
+        (8, "1", 800, "A", ["G", "T"]),  # multiallelic: excluded
+        (9, "1", 900, "AT", ["A"]),  # indel: excluded
+    ])
+    b = frame([
+        (11, "1", 100, "A", ["G"]),
+        (12, "1", 200, "G", ["A"]),
+        (13, "1", 300, "T", ["C"]),
+        (14, "1", 400, "C", ["T"]),
+        (15, "1", 500, "A", ["T"]),
+        (16, "1", 600, "C", ["G"]),
+        (17, "1", 700, "C", ["A"]),
+        (18, "1", 800, "A", ["G"]),
+        (19, "1", 900, "A", ["T"]),
+    ])
+    got = {
+        r["position"]: r["action"]
+        for r in allele_harmonize(a, b).collect()
+    }
+    assert got == {
+        100: "same", 200: "swap", 300: "flip", 400: "flip_swap",
+        500: "ambiguous", 600: "ambiguous", 700: "mismatch",
+    }
