@@ -1534,3 +1534,58 @@ def test_ibd_mle_validation_and_grid(spark):
     assert set(fine) == set(coarse) and len(fine) == 15
     for k in fine:
         assert abs(fine[k] - coarse[k]) < 0.06, (k, fine[k], coarse[k])
+
+
+def test_greedy_kept_walk_matches_naive_reference():
+    """Property test (no Spark): the shared array-backed kernel agrees
+    with the obvious sequential set-based walk on random graphs,
+    including backward pairs (pred >= node, which the kernel must
+    ignore) and hub-heavy degree skew."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from seqarray_spark.operators.ld import _greedy_kept_walk
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(min_value=0, max_value=40))
+        n_pairs = data.draw(st.integers(min_value=0, max_value=120))
+        if n == 0:
+            pred = np.array([], dtype=np.int64)
+            node = np.array([], dtype=np.int64)
+        else:
+            pred = np.array(
+                data.draw(
+                    st.lists(
+                        st.integers(0, n - 1),
+                        min_size=n_pairs,
+                        max_size=n_pairs,
+                    )
+                ),
+                dtype=np.int64,
+            )
+            node = np.array(
+                data.draw(
+                    st.lists(
+                        st.integers(0, n - 1),
+                        min_size=n_pairs,
+                        max_size=n_pairs,
+                    )
+                ),
+                dtype=np.int64,
+            )
+        kept = _greedy_kept_walk(n, pred, node)
+        # naive reference: visit 0..n-1, drop j iff some forward pair
+        # (p < j) has p kept
+        preds_of: dict = {}
+        for p_, j_ in zip(pred, node):
+            if p_ < j_:
+                preds_of.setdefault(int(j_), []).append(int(p_))
+        ref = np.zeros(n, dtype=bool)
+        for j in range(n):
+            ref[j] = not any(ref[p_] for p_ in preds_of.get(j, ()))
+        assert (kept == ref).all(), (n, pred, node, kept, ref)
+
+    run()
