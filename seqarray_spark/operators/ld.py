@@ -3801,110 +3801,122 @@ def ibd_mle_from_packed(
                 mats[3] += a1.T @ a1
                 mats[4] += m12 + m12.T
                 mats[5] += a2.T @ a2
-        cols = {k: [] for k in ("si", "sj", "cls", "pbin", "n")}
+        # WIDE rows — one per (pair, bin) carrying all 6 class counts:
+        # 6x fewer shuffle rows than the long (pair, cls, bin) form
+        # (measured OOM-ing Arrow direct memory at 200 samples x 100k
+        # variants x 32 tasks in long form); the EM walks the same
+        # integer sums either way, so the oracle (which builds its
+        # cell table relationally) is unaffected
+        cols = {k: [] for k in ("si", "sj", "pbin")}
+        ncols = [[] for _ in range(6)]
         for b, mats in acc.items():
-            for cls, m in enumerate(mats):
-                v = m[iu, ju]
-                nz = v > 0
-                if nz.any():
-                    cols["si"].append(iu[nz].astype(np.int32))
-                    cols["sj"].append(ju[nz].astype(np.int32))
-                    cols["cls"].append(
-                        np.full(int(nz.sum()), cls, np.int32)
-                    )
-                    cols["pbin"].append(
-                        np.full(int(nz.sum()), b, np.int32)
-                    )
-                    cols["n"].append(v[nz])
+            stack = np.stack([m[iu, ju] for m in mats])
+            nz = stack.sum(axis=0) > 0
+            if nz.any():
+                cols["si"].append(iu[nz].astype(np.int32))
+                cols["sj"].append(ju[nz].astype(np.int32))
+                cols["pbin"].append(
+                    np.full(int(nz.sum()), b, np.int32)
+                )
+                for c in range(6):
+                    ncols[c].append(stack[c][nz])
         if cols["si"]:
             yield pa.RecordBatch.from_arrays(
-                [pa.array(np.concatenate(cols[k])) for k in cols],
-                names=["_si", "_sj", "cls", "pbin", "n"],
+                [pa.array(np.concatenate(cols[k])) for k in cols]
+                + [pa.array(np.concatenate(nc)) for nc in ncols],
+                names=["_si", "_sj", "pbin"]
+                + [f"n{c}" for c in range(6)],
             )
 
     partials = packed.select("variant_id", "n_samples", "packed").mapInArrow(
         cells_kernel,
-        schema="_si int, _sj int, cls int, pbin int, n double",
+        schema=(
+            "_si int, _sj int, pbin int, "
+            + ", ".join(f"n{c} double" for c in range(6))
+        ),
     )
-    cells = partials.groupBy("_si", "_sj", "cls", "pbin").agg(
-        F.sum("n").cast("bigint").alias("n")
+    cells = partials.groupBy("_si", "_sj", "pbin").agg(
+        *[F.sum(f"n{c}").cast("bigint").alias(f"n{c}") for c in range(6)]
     )
 
     def em_kernel(batches):
         tbl = pa.Table.from_batches(
             list(batches),
             schema=pa.schema(
-                [
-                    ("_si", pa.int32()),
-                    ("_sj", pa.int32()),
-                    ("cls", pa.int32()),
-                    ("pbin", pa.int32()),
-                    ("n", pa.int64()),
-                ]
+                [("_si", pa.int32()), ("_sj", pa.int32()),
+                 ("pbin", pa.int32())]
+                + [(f"n{c}", pa.int64()) for c in range(6)]
             ),
         )
         if tbl.num_rows == 0:
             return
         si = tbl["_si"].to_numpy()
         sj = tbl["_sj"].to_numpy()
-        cls = tbl["cls"].to_numpy()
         pbin = tbl["pbin"].to_numpy()
-        n = tbl["n"].to_numpy().astype(np.float64)
+        ns = [
+            tbl[f"n{c}"].to_numpy().astype(np.float64) for c in range(6)
+        ]
         pairkey = si.astype(np.int64) * n_samp + sj
         uniq, pidx = np.unique(pairkey, return_inverse=True)
         npairs = len(uniq)
-        m_used = np.bincount(pidx, weights=n, minlength=npairs)
+        ntot = ns[0] + ns[1] + ns[2] + ns[3] + ns[4] + ns[5]
+        m_used = np.bincount(pidx, weights=ntot, minlength=npairs)
         # class-conditional pair-genotype probabilities: constants per
-        # cell, hoisted out of the EM loop; EVERY float op below is in
-        # the exact order ibd_mle_oracle_sql spells it (the bit-
-        # identical-doubles contract, _ld_em_kernel precedent)
+        # (row, class), hoisted out of the EM loop; EVERY float op
+        # below is in the exact order ibd_mle_oracle_sql spells it
+        # (the bit-identical-doubles contract, _ld_em_kernel
+        # precedent). The engine's wide rows carry 6 class counts;
+        # the oracle's long cells sum the same integer terms, so the
+        # per-pair BIGINT sums agree exactly.
         p = pbin.astype(np.float64) / bf
         q = 1.0 - p
-        sel = [cls == c for c in range(6)]
-        e0 = np.select(
-            sel,
-            [q * q * q * q, 2.0 * p * q * q * q, p * p * q * q,
-             4.0 * p * p * q * q, 2.0 * p * p * p * q, p * p * p * p],
-        )
-        e1 = np.select(
-            sel,
-            [q * q * q, p * q * q, np.zeros_like(p), p * q,
-             p * p * q, p * p * p],
-        )
-        e2 = np.select(
-            sel,
-            [q * q, np.zeros_like(p), np.zeros_like(p), 2.0 * p * q,
-             np.zeros_like(p), p * p],
-        )
+        z = np.zeros_like(p)
+        e0s = [q * q * q * q, 2.0 * p * q * q * q, p * p * q * q,
+               4.0 * p * p * q * q, 2.0 * p * p * p * q, p * p * p * p]
+        e1s = [q * q * q, p * q * q, z, p * q, p * p * q, p * p * p]
+        e2s = [q * q, z, z, 2.0 * p * q, z, p * p]
         grid = 1000000000.0
         den2 = grid * m_used
         k0 = np.full(npairs, 1.0 / 3.0)
         k1 = np.full(npairs, 1.0 / 3.0)
         k2 = np.full(npairs, 1.0 / 3.0)
         for _ in range(iters):
-            a0 = k0[pidx] * e0
-            a1 = k1[pidx] * e1
-            a2 = k2[pidx] * e2
-            den = a0 + a1 + a2
-            with np.errstate(invalid="ignore", divide="ignore"):
-                u0 = np.where(
-                    den > 0.0,
-                    np.floor(a0 / den * grid + 0.5),
-                    np.floor(k0[pidx] * grid + 0.5),
+            k0r = k0[pidx]
+            k1r = k1[pidx]
+            k2r = k2[pidx]
+            s0 = np.zeros(npairs)
+            s1 = np.zeros(npairs)
+            s2 = np.zeros(npairs)
+            fb0 = np.floor(k0r * grid + 0.5)
+            fb1 = np.floor(k1r * grid + 0.5)
+            fb2 = np.floor(k2r * grid + 0.5)
+            for c in range(6):
+                a0 = k0r * e0s[c]
+                a1 = k1r * e1s[c]
+                a2 = k2r * e2s[c]
+                den = a0 + a1 + a2
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    u0 = np.where(
+                        den > 0.0, np.floor(a0 / den * grid + 0.5), fb0
+                    )
+                    u1 = np.where(
+                        den > 0.0, np.floor(a1 / den * grid + 0.5), fb1
+                    )
+                    u2 = np.where(
+                        den > 0.0, np.floor(a2 / den * grid + 0.5), fb2
+                    )
+                s0 += np.bincount(
+                    pidx, weights=ns[c] * u0, minlength=npairs
                 )
-                u1 = np.where(
-                    den > 0.0,
-                    np.floor(a1 / den * grid + 0.5),
-                    np.floor(k1[pidx] * grid + 0.5),
+                s1 += np.bincount(
+                    pidx, weights=ns[c] * u1, minlength=npairs
                 )
-                u2 = np.where(
-                    den > 0.0,
-                    np.floor(a2 / den * grid + 0.5),
-                    np.floor(k2[pidx] * grid + 0.5),
+                s2 += np.bincount(
+                    pidx, weights=ns[c] * u2, minlength=npairs
                 )
-            k0 = np.bincount(pidx, weights=n * u0, minlength=npairs) / den2
-            k1 = np.bincount(pidx, weights=n * u1, minlength=npairs) / den2
-            k2 = np.bincount(pidx, weights=n * u2, minlength=npairs) / den2
+            k0 = s0 / den2
+            k1 = s1 / den2
+            k2 = s2 / den2
         kin = (1.0 - k0 - k1) / 2.0 + k1 / 4.0
         yield pa.RecordBatch.from_arrays(
             [
