@@ -63,6 +63,16 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r13 additions (newest first) ------------------------------------
+        "seq_ld_decay": seq_ld_decay,
+        "seq_assoc_model": seq_assoc_model,
+        "seq_froh": seq_froh,
+        "seq_snp_density": seq_snp_density,
+        "seq_assoc_allelic": seq_assoc_allelic,
+        "seq_assoc_trend": seq_assoc_trend,
+        "seq_assoc_linear": seq_assoc_linear,
+        "seq_mendel": seq_mendel,
+        "seq_dup_discord": seq_dup_discord,
+        "seq_ld_score": seq_ld_score,
         "seq_allele_switch": seq_allele_switch,
         "seq_singletons": seq_singletons,
         "seq_roh": seq_roh,
@@ -782,6 +792,170 @@ def _parity_pops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "TRY_CAST(SUBSTRING(sample_id, 2) AS INT) % 2, 9) "
             "AS STRING))"
         ).alias("population"),
+    )
+
+
+# suffix-derived sample attributes for the association/QC gates — ONE
+# expression string shared engine-/oracle-side (the _parity_pops
+# lockstep + totality rule: TRY_CAST + COALESCE so an id scheme change
+# degrades loudly-identically in both dialects, never silently apart)
+_SK_SQL = "COALESCE(TRY_CAST(SUBSTRING(sample_id, 2) AS INT), -1)"
+_PHENO_CC_SQL = (
+    "SELECT sample_id, "
+    f"COALESCE(TRY_CAST(SUBSTRING(sample_id, 2) AS INT), 0) % 2 AS is_case "
+    "FROM gsamples"
+)
+_PHENO_Q_SQL = (
+    "SELECT sample_id, "
+    "(COALESCE(TRY_CAST(SUBSTRING(sample_id, 2) AS INT), 0) * 7) % 23 AS y "
+    "FROM gsamples"
+)
+_TRIO_SQL = f"""
+          SELECT c.sample_id AS child_id, f.sample_id AS father_id,
+                 m.sample_id AS mother_id
+          FROM (SELECT sample_id, {_SK_SQL} AS sk FROM gsamples) c
+          JOIN (SELECT sample_id, {_SK_SQL} AS sk FROM gsamples) f
+            ON f.sk = c.sk + 1
+          JOIN (SELECT sample_id, {_SK_SQL} AS sk FROM gsamples) m
+            ON m.sk = c.sk + 2
+          WHERE c.sk >= 0 AND c.sk % 3 = 0
+"""
+_DUPPAIR_SQL = f"""
+          SELECT a.sample_id AS id_a, b.sample_id AS id_b
+          FROM (SELECT sample_id, {_SK_SQL} AS sk FROM gsamples) a
+          JOIN (SELECT sample_id, {_SK_SQL} AS sk FROM gsamples) b
+            ON b.sk = a.sk + 1
+          WHERE a.sk >= 0 AND a.sk % 2 = 0
+"""
+
+
+def _planted_frame(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Evaluate one of the planting SELECTs over the derived gsamples
+    frame — registered as a temp view so the engine runs the IDENTICAL
+    SQL text the oracle embeds (zero room for expression drift)."""
+    td.gsamples(spark, sf_dir).createOrReplaceTempView("gsamples")
+    return spark.sql(sql)
+
+
+def seq_ld_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LD decay curve (new r13 — the PopLDdecay / plink --r2
+    post-aggregation): mean r^2 by distance bin composed on the gated
+    ld_pairs relation, r^2 on the 1e-9 grid, one n_bins-row agg."""
+    from seqarray_spark.operators.ld import ld_decay
+
+    return ld_decay(
+        td.gvariants(spark, sf_dir),
+        td.gcalls(spark, sf_dir),
+        bp_window=5000,
+        bin_size=500,
+    )
+
+
+def seq_assoc_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLINK --model genotypic/dominant/recessive chi-squares (new
+    r13): three Column statistics over ONE shared genotype-class agg
+    (same plan cost as any one of them); 2-df NULL where a class
+    margin is empty, the 2x2s NULL on zero margins."""
+    from seqarray_spark.operators.assoc import model_assoc
+
+    ph = _planted_frame(spark, sf_dir, _PHENO_CC_SQL)
+    return model_assoc(td.gcalls(spark, sf_dir), ph)
+
+
+def seq_froh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F_ROH genomic inbreeding (new r13 — McQuillan 2008 over the
+    PLINK --homozyg output): per-sample ROH bp burden over the spanned
+    assayed length; zero-ROH samples reported at 0."""
+    from seqarray_spark.operators.diversity import froh
+
+    return froh(
+        td.gcalls(spark, sf_dir),
+        td.gvariants(spark, sf_dir),
+        td.gsamples(spark, sf_dir),
+        min_sites=3,
+    )
+
+
+def seq_snp_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window variant density (new r13 — vcftools
+    --SNPdensity on the shared grid): pure variants-table membership
+    explode + one window agg."""
+    from seqarray_spark.operators.diversity import snp_density
+
+    return snp_density(
+        td.gvariants(spark, sf_dir), win_size=WIN_SIZE, win_shift=WIN_SHIFT
+    )
+
+
+def seq_assoc_allelic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant allelic 2x2 chi-square + odds ratio (new r13 —
+    PLINK --assoc, the classical GWAS screen; SeqArray's vignette
+    workflow runs it via SeqVarTools over the same containers):
+    case/control planted by sample-suffix parity, one broadcast
+    phenotype join + one variant agg — the AF-scan plan shape."""
+    from seqarray_spark.operators.assoc import case_control_assoc
+
+    ph = _planted_frame(spark, sf_dir, _PHENO_CC_SQL)
+    return case_control_assoc(td.gcalls(spark, sf_dir), ph)
+
+
+def seq_assoc_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage additive trend test (new r13 — PLINK --model
+    TREND / the 1-df GWAS default): genotype-class counts per group,
+    T and Var(T) exact BIGINTs, one final double division — same
+    plan, same planted phenotype as seq_assoc_allelic."""
+    from seqarray_spark.operators.assoc import trend_assoc
+
+    ph = _planted_frame(spark, sf_dir, _PHENO_CC_SQL)
+    return trend_assoc(td.gcalls(spark, sf_dir), ph)
+
+
+def seq_assoc_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant OLS of a planted integer quantitative phenotype on
+    ALT dosage (new r13 — SeqVarTools regression('linear') without
+    covariates): beta/se/t from exact BIGINT moment sums; one
+    broadcast join + one variant agg."""
+    from seqarray_spark.operators.assoc import linear_assoc
+
+    ph = _planted_frame(spark, sf_dir, _PHENO_Q_SQL)
+    return linear_assoc(td.gcalls(spark, sf_dir), ph)
+
+
+def seq_mendel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant Mendelian-error counts over planted suffix-adjacent
+    trios (new r13 — SeqVarTools mendelErr / PLINK --mendel / vcftools
+    --mendel on the collapsed-alt dose table): the dose relation
+    joined through the broadcast trio map three ways, one variant
+    agg."""
+    from seqarray_spark.operators.assoc import mendel_errors
+
+    trios = _planted_frame(spark, sf_dir, _TRIO_SQL)
+    return mendel_errors(td.gcalls(spark, sf_dir), trios)
+
+
+def seq_dup_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-sample genotype discordance (new r13 — SeqVarTools
+    duplicateDiscordance, the genotyping-QC concordance check) over
+    planted suffix-adjacent pairs: dose self-join through the
+    broadcast pair map, one pair agg."""
+    from seqarray_spark.operators.assoc import duplicate_discordance
+
+    pairs = _planted_frame(spark, sf_dir, _DUPPAIR_SQL)
+    return duplicate_discordance(td.gcalls(spark, sf_dir), pairs)
+
+
+def seq_ld_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant LD score (new r13 — the LDSC regression input,
+    Bulik-Sullivan 2015): 1 + window-sum of r^2 composed on the gated
+    ld_pairs relation, quantized to the 1e-9 grid so the both-endpoint
+    sum is aggregation-order-free; every variant scores (no-neighbor
+    variants exactly 1)."""
+    from seqarray_spark.operators.ld import ld_score
+
+    return ld_score(
+        td.gvariants(spark, sf_dir),
+        td.gcalls(spark, sf_dir),
+        bp_window=5000,
     )
 
 
@@ -2395,7 +2569,41 @@ def oracle_sql() -> dict[str, str]:
         allele_harmonize_oracle_sql as _aswitch_oracle,
     )
 
+    from seqarray_spark.operators.assoc import (
+        case_control_oracle_sql as _cc_oracle,
+        duplicate_discordance_oracle_sql as _dup_oracle,
+        linear_oracle_sql as _lin_oracle,
+        mendel_oracle_sql as _mendel_oracle,
+        trend_oracle_sql as _trend_oracle,
+    )
+    from seqarray_spark.operators.ld import (
+        ld_score_oracle_sql as _ldsc_oracle,
+    )
+
+    from seqarray_spark.operators.assoc import (
+        model_oracle_sql as _model_oracle,
+    )
+    from seqarray_spark.operators.diversity import (
+        froh_oracle_sql as _froh_oracle,
+        snp_density_oracle_sql as _snpd_oracle,
+    )
+
+    from seqarray_spark.operators.ld import (
+        ld_decay_oracle_sql as _lddecay_oracle,
+    )
+
     return {
+        "seq_ld_decay": P + _lddecay_oracle(bp_window=5000, bin_size=500),
+        "seq_assoc_model": P + _model_oracle(_PHENO_CC_SQL),
+        "seq_froh": P + _froh_oracle(min_sites=3),
+        "seq_snp_density": P + _snpd_oracle(win_size=WIN_SIZE,
+                                            win_shift=WIN_SHIFT),
+        "seq_assoc_allelic": P + _cc_oracle(_PHENO_CC_SQL),
+        "seq_assoc_trend": P + _trend_oracle(_PHENO_CC_SQL),
+        "seq_assoc_linear": P + _lin_oracle(_PHENO_Q_SQL),
+        "seq_mendel": P + _mendel_oracle(_TRIO_SQL),
+        "seq_dup_discord": P + _dup_oracle(_DUPPAIR_SQL),
+        "seq_ld_score": P + _ldsc_oracle(bp_window=5000),
         "seq_allele_switch": P + _aswitch_oracle(),
         "seq_singletons": P + _sing_oracle(limit_samples=4),
         "seq_roh": P + _roh_oracle(min_sites=3),

@@ -81,6 +81,9 @@ shared_r13 = shared_r12 + [
     "seq_eigmix", "seq_admix_prop", "doc_hybrid_topk",
     "seq_tstv", "seq_dist_ibs", "seq_grm_beta", "seq_roh",
     "seq_singletons", "seq_allele_switch",
+    "seq_assoc_allelic", "seq_assoc_trend", "seq_assoc_linear",
+    "seq_mendel", "seq_dup_discord", "seq_ld_score",
+    "seq_assoc_model", "seq_froh", "seq_snp_density", "seq_ld_decay",
 ]
 
 

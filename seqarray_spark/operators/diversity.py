@@ -616,3 +616,175 @@ def singletons_oracle_sql(limit_samples: int | None = None) -> str:
         JOIN dnn c ON c.variant_id = s.variant_id AND c.d > 0
         JOIN gvariants v ON v.variant_id = s.variant_id
     """
+
+
+def snp_density(
+    variants: DataFrame,
+    win_size: int = 100_000,
+    win_shift: int = 50_000,
+    win_start: int = 0,
+) -> DataFrame:
+    """Variant density per sliding window (vcftools --SNPdensity
+    generalized to the shared seqUnitSlidingWindows grid): window
+    variant count and variants-per-kb. Pure variants-table plan (no
+    calls scan) — one membership explode + one (chromosome, window)
+    agg, the tstv_windows shape. Output: (chromosome, unit_start,
+    unit_end, n_variants, per_kb)."""
+    membership = sliding_windows(
+        variants,
+        win_size=win_size,
+        win_shift=win_shift,
+        win_start=win_start,
+        dup_rm=False,
+    ).where(F.col("variant_id").isNotNull())
+    return (
+        membership.groupBy("chromosome", "unit_start", "unit_end")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+        .select(
+            "chromosome",
+            "unit_start",
+            "unit_end",
+            "n_variants",
+            (
+                F.col("n_variants").cast("double")
+                / F.lit(float(win_size) / 1000.0)
+            ).alias("per_kb"),
+        )
+    )
+
+
+def snp_density_oracle_sql(
+    win_size: int = 100_000, win_shift: int = 50_000
+) -> str:
+    """DuckDB oracle twin of snp_density over the gvariants CTE (the
+    generate_series membership replay, win_start=0)."""
+    return f"""
+        , smembership AS (
+          SELECT chromosome,
+                 CAST(k * {int(win_shift)} AS BIGINT) AS unit_start,
+                 CAST(k * {int(win_shift)} + {int(win_size)} - 1 AS BIGINT)
+                   AS unit_end,
+                 variant_id
+          FROM (
+            SELECT chromosome, variant_id,
+                   UNNEST(generate_series(
+                     CAST(GREATEST(CEIL((position - {int(win_size)} + 1)
+                                        / {int(win_shift)}.0), 0) AS BIGINT),
+                     CAST(FLOOR(position / {int(win_shift)}.0) AS BIGINT)))
+                     AS k
+            FROM gvariants WHERE position >= 0
+          ) t
+        )
+        SELECT chromosome, unit_start, unit_end,
+               CAST(COUNT(*) AS BIGINT) AS n_variants,
+               CAST(COUNT(*) AS DOUBLE) / {float(win_size) / 1000.0!r}
+                 AS per_kb
+        FROM smembership
+        GROUP BY chromosome, unit_start, unit_end
+    """
+
+
+def froh(
+    calls: DataFrame,
+    variants: DataFrame,
+    samples: DataFrame,
+    min_sites: int = 3,
+    min_len: int = 0,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Genomic inbreeding from ROH burden — F_ROH = (total bp in runs
+    of homozygosity >= min_len) / assayed genome length (McQuillan
+    2008; the consanguinity metric PLINK/bcftools pipelines derive
+    from their --homozyg/roh output). Composes roh_runs; the assayed
+    length is the spanned length sum over chromosomes of
+    (max position - min position + 1) from the variants frame — the
+    practical denominator when no capture manifest is present
+    (documented; callers with one pass their own via post-division).
+
+    Every sample in ``samples`` is reported (zero-ROH samples get
+    froh = 0 — the value downstream consanguinity screens expect, not
+    an absent row). Plan: the roh_runs window chain + one sample agg
+    + a broadcast 1-row genome-length reduce (the beta_pairs M_B
+    pattern). Output: (sample_id, n_roh, roh_bp, froh)."""
+    runs = roh_runs(
+        calls, variants, min_sites=min_sites, assume_unique=assume_unique
+    ).where(F.col("bp_len") >= int(min_len))
+    per = runs.groupBy("sample_id").agg(
+        F.count(F.lit(1)).alias("n_roh"),
+        F.sum("bp_len").cast("bigint").alias("roh_bp"),
+    )
+    glen = (
+        variants.groupBy("chromosome")
+        .agg(
+            (
+                F.max("position").cast("bigint")
+                - F.min("position").cast("bigint")
+                + F.lit(1)
+            ).alias("_clen")
+        )
+        .agg(F.sum("_clen").cast("bigint").alias("_glen"))
+    )
+    return (
+        samples.select("sample_id")
+        .join(per, "sample_id", "left")
+        .crossJoin(F.broadcast(glen))
+        .select(
+            "sample_id",
+            F.coalesce("n_roh", F.lit(0)).cast("bigint").alias("n_roh"),
+            F.coalesce("roh_bp", F.lit(0)).cast("bigint").alias("roh_bp"),
+            (
+                F.coalesce("roh_bp", F.lit(0)).cast("double")
+                / F.col("_glen").cast("double")
+            ).alias("froh"),
+        )
+    )
+
+
+def froh_oracle_sql(min_sites: int = 3, min_len: int = 0) -> str:
+    """DuckDB oracle twin of froh: the roh_runs CTE chain + the
+    spanned-length genome denominator + a LEFT join keeping zero-ROH
+    samples. Caller prepends oracle_prelude()."""
+    return f"""
+        , dose AS (
+          SELECT variant_id, sample_id, {_DOSE_ALT_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
+        ), rpos AS (
+          SELECT n.sample_id, v.chromosome, v.position, n.d,
+                 SUM(CASE WHEN n.d = 1 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY n.sample_id, v.chromosome
+                   ORDER BY v.position, n.variant_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM dnn n JOIN gvariants v ON v.variant_id = n.variant_id
+        ), rgrp AS (
+          SELECT sample_id, chromosome,
+                 CAST(MIN(position) AS BIGINT) AS rstart,
+                 CAST(MAX(position) AS BIGINT) AS rend,
+                 CAST(COUNT(*) AS BIGINT) AS n_sites
+          FROM rpos WHERE d <> 1
+          GROUP BY sample_id, chromosome, run_id
+          HAVING COUNT(*) >= {int(min_sites)}
+        ), rkeep AS (
+          SELECT sample_id, rend - rstart + 1 AS run_bp
+          FROM rgrp WHERE rend - rstart + 1 >= {int(min_len)}
+        ), rper AS (
+          SELECT sample_id, CAST(COUNT(*) AS BIGINT) AS n_roh,
+                 CAST(SUM(run_bp) AS BIGINT) AS roh_bp
+          FROM rkeep GROUP BY sample_id
+        ), rglen AS (
+          SELECT CAST(SUM(clen) AS BIGINT) AS glen_total FROM (
+            SELECT CAST(MAX(position) AS BIGINT)
+                   - CAST(MIN(position) AS BIGINT) + 1 AS clen
+            FROM gvariants GROUP BY chromosome
+          ) c
+        )
+        SELECT s.sample_id,
+               CAST(COALESCE(rper.n_roh, 0) AS BIGINT) AS n_roh,
+               CAST(COALESCE(rper.roh_bp, 0) AS BIGINT) AS roh_bp,
+               CAST(COALESCE(rper.roh_bp, 0) AS DOUBLE)
+                 / CAST(rglen.glen_total AS DOUBLE) AS froh
+        FROM gsamples s
+        LEFT JOIN rper ON rper.sample_id = s.sample_id
+        CROSS JOIN rglen
+    """

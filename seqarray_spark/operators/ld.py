@@ -298,6 +298,170 @@ def ld_pairs_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
     """
 
 
+def ld_score(
+    variants: DataFrame,
+    calls: DataFrame,
+    bp_window: int = 50_000,
+    min_n: int = 1,
+) -> DataFrame:
+    """Per-variant LD score — l2(j) = 1 + sum of r^2 with every OTHER
+    variant within ``bp_window`` bp on the same chromosome (the LDSC
+    regression input, Bulik-Sullivan 2015; the reference ecosystem
+    exports SeqArray genotypes into LDSC for exactly this). The +1 is
+    the variant's own r^2 with itself — emitted for EVERY variant in
+    the frame (a variant with no window neighbors scores exactly 1),
+    which is what the regression weights expect.
+
+    Composes the existing ld_pairs relation (binned range join, each
+    pair owned once with va < vb in position order): each pair's
+    defined r^2 is quantized to the half-up 1e-9 integer grid, summed
+    into BOTH endpoints via an explode (no second pair build), then
+    one variant-keyed agg — the established aggregation-order-free
+    pattern, so the score value-hashes against the SQL oracle. Output:
+    (variant_id, n_pairs, ldscore); n_pairs counts window neighbors
+    with DEFINED r^2 (monomorphic partners contribute neither)."""
+    pairs = ld_pairs(variants, calls, bp_window=bp_window, min_n=min_n)
+    r2u = F.round(F.col("r2") * F.lit(1e9)).cast("bigint")
+    both = pairs.where(F.col("r2").isNotNull()).select(
+        F.explode(F.array("va", "vb")).alias("variant_id"),
+        r2u.alias("_r2u"),
+    )
+    per = both.groupBy("variant_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_r2u").alias("_s"),
+    )
+    return (
+        variants.select("variant_id")
+        .join(per, "variant_id", "left")
+        .select(
+            "variant_id",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            (
+                F.lit(1.0)
+                + F.coalesce(F.col("_s"), F.lit(0)).cast("double")
+                / F.lit(1e9)
+            ).alias("ldscore"),
+        )
+    )
+
+
+def ld_score_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
+    """DuckDB oracle twin of ld_score — the shared s CTE chain, r^2
+    quantized to the 1e-9 grid, both-endpoint UNION ALL, LEFT join
+    back to the full variant frame. Caller prepends oracle_prelude()."""
+    return f"""{_ld_ctes(bp_window)}
+        , r AS (
+          SELECT va, vb,
+                 CAST(round(({_LD_R2_SQL}) * 1000000000.0) AS BIGINT) AS r2u
+          FROM s WHERE n_used >= {int(min_n)} AND ({_LD_R2_SQL}) IS NOT NULL
+        ), u AS (
+          SELECT va AS variant_id, r2u FROM r
+          UNION ALL
+          SELECT vb AS variant_id, r2u FROM r
+        ), per AS (
+          SELECT variant_id, COUNT(*) AS n_pairs,
+                 CAST(SUM(r2u) AS BIGINT) AS sr
+          FROM u GROUP BY variant_id
+        )
+        SELECT v.variant_id,
+               COALESCE(per.n_pairs, 0) AS n_pairs,
+               1.0 + CAST(COALESCE(per.sr, 0) AS DOUBLE) / 1000000000.0
+                 AS ldscore
+        FROM gvariants v LEFT JOIN per ON per.variant_id = v.variant_id
+    """
+
+
+def ld_decay(
+    variants: DataFrame,
+    calls: DataFrame,
+    bp_window: int = 50_000,
+    bin_size: int = 1_000,
+    min_n: int = 1,
+) -> DataFrame:
+    """LD decay curve — mean r^2 by pairwise-distance bin (the
+    standard population-genetics decay plot; PopLDdecay / the
+    plink --r2 post-aggregation). Composes the ld_pairs relation:
+    each defined-r^2 pair's distance (pos_b - pos_a, non-negative by
+    pair-ownership construction) is floored into ``bin_size`` bins,
+    r^2 quantized to the half-up 1e-9 grid, then ONE tiny
+    (n_bins-row) agg — so the curve is aggregation-order-free and
+    value-hashes. The two position lookups join on the pair
+    relation's own keys (broadcast at gate scale; co-partitioned
+    equi-joins at cohort scale). Output: (dist_lo, dist_hi, n_pairs,
+    mean_r2) per non-empty bin."""
+    pairs = ld_pairs(variants, calls, bp_window=bp_window, min_n=min_n)
+    pos = variants.select("variant_id", "position")
+    j = (
+        pairs.where(F.col("r2").isNotNull())
+        .join(
+            pos.select(
+                F.col("variant_id").alias("va"), F.col("position").alias("_pa")
+            ),
+            "va",
+        )
+        .join(
+            pos.select(
+                F.col("variant_id").alias("vb"), F.col("position").alias("_pb")
+            ),
+            "vb",
+        )
+    )
+    b = F.floor(
+        (F.col("_pb").cast("bigint") - F.col("_pa").cast("bigint"))
+        / F.lit(int(bin_size))
+    )
+    r2u = F.round(F.col("r2") * F.lit(1e9)).cast("bigint")
+    g = j.groupBy(b.alias("_bin")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(r2u).alias("_sr"),
+    )
+    return g.select(
+        (F.col("_bin") * int(bin_size)).cast("bigint").alias("dist_lo"),
+        (F.col("_bin") * int(bin_size) + int(bin_size) - 1)
+        .cast("bigint")
+        .alias("dist_hi"),
+        "n_pairs",
+        (
+            F.col("_sr").cast("double")
+            / F.col("n_pairs").cast("double")
+            / F.lit(1e9)
+        ).alias("mean_r2"),
+    )
+
+
+def ld_decay_oracle_sql(
+    bp_window: int = 50_000, bin_size: int = 1_000, min_n: int = 1
+) -> str:
+    """DuckDB oracle twin of ld_decay — the shared s CTE chain plus
+    position joins and the identical bin/mean tree. Caller prepends
+    oracle_prelude()."""
+    return f"""{_ld_ctes(bp_window)}
+        , rr AS (
+          SELECT s.va, s.vb,
+                 CAST(round(({_LD_R2_SQL}) * 1000000000.0) AS BIGINT)
+                   AS r2u,
+                 CAST(pb.position AS BIGINT) - CAST(pa.position AS BIGINT)
+                   AS dist
+          FROM s
+          JOIN gvariants pa ON pa.variant_id = s.va
+          JOIN gvariants pb ON pb.variant_id = s.vb
+          WHERE s.n_used >= {int(min_n)} AND ({_LD_R2_SQL}) IS NOT NULL
+        ), gb AS (
+          SELECT CAST(FLOOR(dist / {int(bin_size)}.0) AS BIGINT) AS dbin,
+                 COUNT(*) AS n_pairs,
+                 CAST(SUM(r2u) AS BIGINT) AS sr
+          FROM rr GROUP BY CAST(FLOOR(dist / {int(bin_size)}.0) AS BIGINT)
+        )
+        SELECT CAST(dbin * {int(bin_size)} AS BIGINT) AS dist_lo,
+               CAST(dbin * {int(bin_size)} + {int(bin_size)} - 1 AS BIGINT)
+                 AS dist_hi,
+               n_pairs,
+               CAST(sr AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000000.0
+                 AS mean_r2
+        FROM gb
+    """
+
+
 def ld_composite_oracle_sql(bp_window: int = 50_000, min_n: int = 1) -> str:
     """DuckDB oracle twin of ld_pairs(stat='composite') — the same s
     CTE chain, the identical Weir-composite float tree (sqrt is IEEE

@@ -739,3 +739,42 @@ def test_grm_sketch_scans_pair_relation_once(spark, sf_dir):
     plan = E.plan_string(sketch, "simple")
     assert "Union" not in plan
     assert plan.count("Scan ") == base_plan.count("Scan ")
+
+
+def test_assoc_phenotype_join_is_broadcast(spark, sf_dir):
+    """The association family's scale contract: the phenotype/trio/pair
+    attribute frame is broadcast (bounded by n_samples rows) — the big
+    dose relation must never shuffle to meet it, leaving one
+    variant-keyed agg exchange as the only wide movement."""
+    from seqarray_spark.operators.assoc import (
+        case_control_assoc,
+        trend_assoc,
+    )
+
+    calls = td.gcalls(spark, sf_dir)
+    ph = td.gsamples(spark, sf_dir).select(
+        "sample_id",
+        (F.length("sample_id") % 2).alias("is_case"),
+    )
+    for op in (case_control_assoc, trend_assoc):
+        plan = E.plan_string(op(calls, ph), "simple")
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+        assert "SortMergeJoin" not in plan
+
+
+def test_ld_score_single_pair_build(spark, sf_dir):
+    """ld_score composes ld_pairs once: the explode-to-both-endpoints
+    form must not duplicate the pair-build lineage (the grm_sketch_y
+    precedent — no Union of two pair scans)."""
+    from seqarray_spark.operators.ld import ld_pairs, ld_score
+
+    variants = td.gvariants(spark, sf_dir)
+    calls = td.gcalls(spark, sf_dir)
+    base = E.plan_string(
+        ld_pairs(variants, calls, bp_window=5000), "simple"
+    )
+    plan = E.plan_string(
+        ld_score(variants, calls, bp_window=5000), "simple"
+    )
+    # one extra scan allowed: the LEFT-join back to the variant frame
+    assert plan.count("Scan ") <= base.count("Scan ") + 1
