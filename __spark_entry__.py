@@ -63,6 +63,7 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r13 additions (newest first) ------------------------------------
+        "seq_inbreeding_mle": seq_inbreeding_mle,
         "seq_ld_decay": seq_ld_decay,
         "seq_assoc_model": seq_assoc_model,
         "seq_froh": seq_froh,
@@ -835,6 +836,18 @@ def _planted_frame(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     SQL text the oracle embeds (zero room for expression drift)."""
     td.gsamples(spark, sf_dir).createOrReplaceTempView("gsamples")
     return spark.sql(sql)
+
+
+def seq_inbreeding_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-likelihood per-sample inbreeding F (new r13 —
+    snpgdsIndInb method='mle', completing the IndInb family beside the
+    mom.visscher/mom.weir gates): fixed-30-step EM over (sample,
+    dyadic p-bin, genotype-class) BIGINT cells, posteriors on the 1e-9
+    grid; the oracle unrolls the steps as MATERIALIZED CTEs (the
+    seq_ibd_mle pattern, per-sample instead of per-pair)."""
+    from seqarray_spark.operators.ld import inbreeding_mle
+
+    return inbreeding_mle(td.gcalls(spark, sf_dir))
 
 
 def seq_ld_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2592,7 +2605,12 @@ def oracle_sql() -> dict[str, str]:
         ld_decay_oracle_sql as _lddecay_oracle,
     )
 
+    from seqarray_spark.operators.ld import (
+        inbreeding_mle_oracle_sql as _inbmle_oracle,
+    )
+
     return {
+        "seq_inbreeding_mle": P + _inbmle_oracle(),
         "seq_ld_decay": P + _lddecay_oracle(bp_window=5000, bin_size=500),
         "seq_assoc_model": P + _model_oracle(_PHENO_CC_SQL),
         "seq_froh": P + _froh_oracle(min_sites=3),

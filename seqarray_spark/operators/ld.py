@@ -4258,3 +4258,194 @@ def ibd_mle_oracle_sql(
                (1.0 - k0 - k1) / 2.0 + k1 / 4.0 AS kinship
         FROM mit{int(em_iters)} WHERE m_used >= {int(min_m)}
     """
+
+
+def inbreeding_mle(
+    calls: DataFrame,
+    n_bins: int = 128,
+    em_iters: int = 30,
+    min_m: int = 1,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Maximum-likelihood per-sample inbreeding F — snpgdsIndInb
+    (method='mle'; the reference delegates the whole IndInb family to
+    SNPRelate, src/LinkSNPRelate.cpp:69-407): the EM refinement of
+    inbreeding_coeff's moment estimators, the per-INDIVIDUAL analogue
+    of ibd_mle_from_packed's pair EM.
+
+    Model: each called genotype is IBD-derived with probability F —
+    P(g | F) = F*A_g + (1-F)*B_g with A = (q, 0, p) the autozygous
+    class probabilities and B = (q^2, 2pq, p^2) the HWE ones (p the
+    variant's cohort alt frequency). E-step posterior z = F*A /
+    (F*A + (1-F)*B); M-step F' = mean(z). Monotone in likelihood,
+    F stays in [0, 1].
+
+    Determinism contract (the seq_ld_em / seq_ibd_mle pattern): p is
+    binned to the dyadic round(p * n_bins) grid (bins 0 and n_bins —
+    monomorphic-in-effect — dropped as uninformative), cells are
+    exact BIGINT (sample, p-bin, genotype-class) counts, fixed
+    em_iters steps, and each step's posterior is floored to the
+    half-up 1e-9 unit grid so the per-sample reduction is an integer
+    sum — the oracle unrolls the identical float tree as chained
+    MATERIALIZED CTEs. Exactness bound: m_used * 1e9 must stay inside
+    double's 2^53 integer range -> m <= ~9e6 variants per sample
+    (document-checked; the engine's float64 bincount and DuckDB's
+    HUGEINT sum agree below it).
+
+    Plan: one dose pass, one per-variant stats agg broadcast back,
+    one (sample, p-bin, class) agg — cells bounded by n_samples *
+    (n_bins-1) * 3 rows — then the vectorized EM in ONE Arrow kernel
+    per sample partition. Strictly linear in calls; no pair relation
+    anywhere. Output: (sample_id, m_used, inb_f)."""
+    if int(n_bins) < 2 or (int(n_bins) & (int(n_bins) - 1)) != 0:
+        raise ValueError("n_bins must be a power of two >= 2")
+    if int(em_iters) < 1:
+        raise ValueError("em_iters must be >= 1")
+    bf = float(int(n_bins))
+    iters = int(em_iters)
+    grid = 1_000_000_000.0
+
+    d, release = _dose_once(calls, assume_unique)
+    st = d.groupBy("variant_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("d").cast("bigint").alias("_s"),
+    )
+    p_expr = F.col("_s").cast("double") / (
+        F.lit(2.0) * F.col("_n").cast("double")
+    )
+    pb = F.floor(p_expr * F.lit(bf) + F.lit(0.5))
+    pbins = st.select(
+        "variant_id", pb.cast("bigint").alias("pbin")
+    ).where((pb > 0.0) & (pb < F.lit(bf)))
+    cells = (
+        d.join(F.broadcast(pbins), "variant_id")
+        .groupBy("sample_id", "pbin", F.col("d").cast("int").alias("cls"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+    import numpy as np
+    import pyarrow as pa
+
+    def em_kernel(batches):
+        bl = list(batches)
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl)
+        if tbl.num_rows == 0:
+            return
+        sid = tbl["sample_id"].to_numpy(zero_copy_only=False)
+        pbin = tbl["pbin"].to_numpy()
+        cls = tbl["cls"].to_numpy()
+        n = tbl["n"].to_numpy().astype(np.float64)
+        uniq, sidx = np.unique(sid, return_inverse=True)
+        ns = len(uniq)
+        m_used = np.bincount(sidx, weights=n, minlength=ns)
+        # cell constants, hoisted: every float op below is in the
+        # exact order inbreeding_mle_oracle_sql spells it
+        p = pbin.astype(np.float64) / bf
+        q = 1.0 - p
+        a = np.select(
+            [cls == 0, cls == 1], [q, np.zeros_like(p)], default=p
+        )
+        b = np.select(
+            [cls == 0, cls == 1], [q * q, 2.0 * p * q], default=p * p
+        )
+        f = np.full(ns, 1.0 / 3.0)
+        den2 = grid * m_used
+        for _ in range(iters):
+            fr = f[sidx]
+            fa = fr * a
+            den = fa + (1.0 - fr) * b
+            with np.errstate(invalid="ignore", divide="ignore"):
+                u = np.where(
+                    den > 0.0,
+                    np.floor(fa / den * grid + 0.5),
+                    np.floor(fr * grid + 0.5),
+                )
+            f = np.bincount(sidx, weights=n * u, minlength=ns) / den2
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(uniq),
+                pa.array(m_used.astype(np.int64)),
+                pa.array(f),
+            ],
+            names=["sample_id", "m_used", "inb_f"],
+        )
+
+    out = (
+        cells.repartition("sample_id")
+        .mapInArrow(
+            em_kernel, schema="sample_id string, m_used bigint, inb_f double"
+        )
+        .where(F.col("m_used") >= int(min_m))
+    )
+    return release(out)
+
+
+def inbreeding_mle_oracle_sql(
+    n_bins: int = 128, em_iters: int = 30, min_m: int = 1
+) -> str:
+    """DuckDB oracle twin of inbreeding_mle over the gcalls CTE
+    (caller prepends oracle_prelude()): dedup dose, dyadic p-bins,
+    (sample, p-bin, class) BIGINT cells, then em_iters EM steps
+    unrolled as chained MATERIALIZED CTEs (the ibd_mle_oracle_sql
+    lesson: DuckDB's default CTE inlining goes super-linear past ~12
+    steps), posteriors floored to the identical 1e-9 unit grid."""
+    B = int(n_bins)
+    bf = float(B)
+    head = f"""
+        , dose AS (
+          SELECT variant_id, sample_id, {_DOSE_ALT_SQL} AS d
+          FROM gcalls GROUP BY variant_id, sample_id
+        ), dnn AS (
+          SELECT variant_id, sample_id, d FROM dose WHERE d IS NOT NULL
+        ), stf AS (
+          SELECT variant_id,
+                 CAST(SUM(d) AS DOUBLE)
+                   / (2.0 * CAST(COUNT(*) AS DOUBLE)) AS p
+          FROM dnn GROUP BY variant_id
+        ), fbins AS (
+          SELECT variant_id, CAST(FLOOR(p * {bf!r} + 0.5) AS BIGINT) AS pbin
+          FROM stf
+          WHERE FLOOR(p * {bf!r} + 0.5) > 0.0
+            AND FLOOR(p * {bf!r} + 0.5) < {bf!r}
+        ), fcell AS (
+          SELECT d.sample_id, w.pbin, d.d AS cls,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM dnn d JOIN fbins w ON w.variant_id = d.variant_id
+          GROUP BY d.sample_id, w.pbin, d.d
+        ), fcellp AS MATERIALIZED (
+          SELECT sample_id, n,
+                 CASE cls WHEN 0 THEN q WHEN 1 THEN 0.0 ELSE p END AS ap,
+                 CASE cls WHEN 0 THEN q * q WHEN 1 THEN 2.0 * p * q
+                          ELSE p * p END AS bp
+          FROM (SELECT sample_id, cls, n,
+                       CAST(pbin AS DOUBLE) / {bf!r} AS p,
+                       1.0 - CAST(pbin AS DOUBLE) / {bf!r} AS q
+                FROM fcell) raw
+        ), fit0 AS MATERIALIZED (
+          SELECT sample_id, CAST(SUM(n) AS BIGINT) AS m_used,
+                 1.0 / 3.0 AS f
+          FROM fcellp GROUP BY sample_id
+        )"""
+    den = "t.f * c.ap + (1.0 - t.f) * c.bp"
+    ustep = (
+        f"CAST(FLOOR((CASE WHEN {den} > 0.0 "
+        f"THEN t.f * c.ap / ({den}) * 1000000000.0 "
+        f"ELSE t.f * 1000000000.0 END) + 0.5) AS BIGINT)"
+    )
+    steps = []
+    for i in range(int(em_iters)):
+        steps.append(f"""
+        , fit{i + 1} AS MATERIALIZED (
+          SELECT c.sample_id, t.m_used,
+                 CAST(CAST(SUM(c.n * {ustep}) AS BIGINT) AS DOUBLE)
+                   / (1000000000.0 * CAST(t.m_used AS DOUBLE)) AS f
+          FROM fcellp c
+          JOIN fit{i} t ON t.sample_id = c.sample_id
+          GROUP BY c.sample_id, t.m_used
+        )""")
+    return f"""{head}{"".join(steps)}
+        SELECT sample_id, m_used, f AS inb_f
+        FROM fit{int(em_iters)} WHERE m_used >= {int(min_m)}
+    """

@@ -313,3 +313,61 @@ def test_ld_decay_identity(spark):
         assert out[b]["n_pairs"] == n
         assert out[b]["dist_hi"] == out[b]["dist_lo"] + 249
         assert abs(out[b]["mean_r2"] - s / n / 1e9) < 1e-15
+
+
+def test_inbreeding_mle_recompute_and_ordering(spark):
+    """Engine EM equals a from-scratch Python replay of the cell
+    definition, and a fully-homozygous sample's F exceeds an
+    outbred-looking one's."""
+    from seqarray_spark.operators.ld import inbreeding_mle
+
+    rng = np.random.default_rng(5)
+    n_var, n_s = 60, 8
+    mat = rng.integers(0, 3, (n_var, n_s))
+    mat[:, 0] = np.where(mat[:, 0] >= 1, 2, 0)  # S0: all homozygous
+    calls = _calls(spark, mat.tolist())
+    out = {
+        r["sample_id"]: r
+        for r in inbreeding_mle(calls, n_bins=64, em_iters=20).collect()
+    }
+
+    # independent replay from the raw matrix
+    bf, grid, iters = 64.0, 1e9, 20
+    p_by_var = mat.mean(axis=1) / 2.0
+    pbin = np.floor(p_by_var * bf + 0.5)
+    keep = (pbin > 0) & (pbin < bf)
+    for s in range(n_s):
+        cells = {}
+        for v in range(n_var):
+            if not keep[v]:
+                continue
+            key = (int(pbin[v]), int(mat[v, s]))
+            cells[key] = cells.get(key, 0) + 1
+        m = sum(cells.values())
+        f = 1.0 / 3.0
+        for _ in range(iters):
+            tot = 0.0
+            for (pb, cls), n in cells.items():
+                p = pb / bf
+                q = 1.0 - p
+                a = (q, 0.0, p)[cls]
+                b = (q * q, 2.0 * p * q, p * p)[cls]
+                den = f * a + (1.0 - f) * b
+                u = (
+                    np.floor(f * a / den * grid + 0.5)
+                    if den > 0.0
+                    else np.floor(f * grid + 0.5)
+                )
+                tot += n * u
+            f = tot / (grid * m)
+        row = out[f"S{s}"]
+        assert row["m_used"] == m
+        assert abs(row["inb_f"] - f) < 1e-15, s
+    assert out["S0"]["inb_f"] > 0.9
+    assert out["S0"]["inb_f"] > max(
+        out[f"S{s}"]["inb_f"] for s in range(1, n_s)
+    )
+    with pytest.raises(ValueError):
+        inbreeding_mle(calls, n_bins=100)
+    with pytest.raises(ValueError):
+        inbreeding_mle(calls, em_iters=0)
