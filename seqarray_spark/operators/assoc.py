@@ -176,10 +176,13 @@ def trend_assoc(
     With per-variant case class counts (r0, r1, r2), control counts
     (s0, s1, s2), R = sum r, S = sum s, N = R + S, n_i = r_i + s_i:
         T    = (r1*S - s1*R) + 2*(r2*S - s2*R)        [exact BIGINT]
-        VarN = R*S * (N*(n1 + 4*n2) - (n1 + 2*n2)^2)  [exact BIGINT]
+        VarN = R*S * (N*(n1 + 4*n2) - (n1 + 2*n2)^2)
         chisq_trend = T^2 * N / VarN
-    (the N/N^2 normalization folded so both numerator and denominator
-    stay integer until ONE final double division). NULL when VarN == 0
+    (the N/N^2 normalization folded). T and VarN's INNER term are
+    exact BIGINTs (|T| <= 2n^2, inner <= 6n^2 — safe to n ~ 1.2e9
+    samples); the outer R*S*inner product would overflow int64 past
+    n ~ 1.5e4, so it is taken in DOUBLE in a fixed op order shared
+    with the oracle. NULL when VarN == 0
     (variant monomorphic over called samples or a group empty in the
     degenerate direction). Output: (variant_id, n_case, n_ctrl,
     chisq_trend)."""
@@ -216,13 +219,17 @@ def trend_assoc(
     n1 = r1 + s1
     n2 = r2 + s2
     t = (r1 * ss - s1 * rr) + F.lit(2) * (r2 * ss - s2 * rr)
-    varn = rr * ss * (
-        nn * (n1 + F.lit(4) * n2) - (n1 + F.lit(2) * n2) * (n1 + F.lit(2) * n2)
+    # inner term stays an exact BIGINT (<= 6n^2, safe to n ~ 1.2e9);
+    # the OUTER product R*S*inner would overflow int64 past n ~ 1.5e4
+    # samples (ANSI throw), so it is taken in DOUBLE in a fixed order
+    # the oracle mirrors — the guard and the ratio see the same tree
+    inner = nn * (n1 + F.lit(4) * n2) - (n1 + F.lit(2) * n2) * (
+        n1 + F.lit(2) * n2
     )
+    varn = rr.cast("double") * ss.cast("double") * inner.cast("double")
     chisq = F.when(
-        varn > 0,
-        t.cast("double") * t.cast("double") * nn.cast("double")
-        / varn.cast("double"),
+        varn > F.lit(0.0),
+        t.cast("double") * t.cast("double") * nn.cast("double") / varn,
     )
     return release(
         g.select(
@@ -261,19 +268,21 @@ def trend_oracle_sql(pheno_sql: str) -> str:
                       AS BIGINT) > 0
         )
         SELECT variant_id, rr AS n_case, ss AS n_ctrl,
-               CASE WHEN rr * ss * ((rr + ss) * ((r1 + s1) + 4 * (r2 + s2))
-                         - ((r1 + s1) + 2 * (r2 + s2))
-                           * ((r1 + s1) + 2 * (r2 + s2))) > 0
+               CASE WHEN CAST(rr AS DOUBLE) * CAST(ss AS DOUBLE)
+                         * CAST((rr + ss) * ((r1 + s1) + 4 * (r2 + s2))
+                                - ((r1 + s1) + 2 * (r2 + s2))
+                                  * ((r1 + s1) + 2 * (r2 + s2)) AS DOUBLE)
+                         > 0.0
                     THEN CAST((r1 * ss - s1 * rr)
                               + 2 * (r2 * ss - s2 * rr) AS DOUBLE)
                          * CAST((r1 * ss - s1 * rr)
                                 + 2 * (r2 * ss - s2 * rr) AS DOUBLE)
                          * CAST(rr + ss AS DOUBLE)
-                         / CAST(rr * ss
-                                * ((rr + ss) * ((r1 + s1) + 4 * (r2 + s2))
+                         / (CAST(rr AS DOUBLE) * CAST(ss AS DOUBLE)
+                            * CAST((rr + ss) * ((r1 + s1) + 4 * (r2 + s2))
                                    - ((r1 + s1) + 2 * (r2 + s2))
-                                     * ((r1 + s1) + 2 * (r2 + s2)))
-                                AS DOUBLE)
+                                     * ((r1 + s1) + 2 * (r2 + s2))
+                                   AS DOUBLE))
                END AS chisq_trend
         FROM g
     """

@@ -410,7 +410,12 @@ def ld_decay(
         (F.col("_pb").cast("bigint") - F.col("_pa").cast("bigint"))
         / F.lit(int(bin_size))
     )
-    r2u = F.round(F.col("r2") * F.lit(1e9)).cast("bigint")
+    # a distance bin can hold ~all pairs of a chromosome; at 100 TB
+    # pair counts the 1e9-unit BIGINT sum would overflow int64 (ANSI
+    # throw) — sum in DECIMAL(38,0) (the pca_corr precedent); the
+    # double cast of the same exact integer matches the oracle's
+    # HUGEINT-summed value bit-for-bit at any gate scale
+    r2u = F.round(F.col("r2") * F.lit(1e9)).cast("decimal(38,0)")
     g = j.groupBy(b.alias("_bin")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(r2u).alias("_sr"),
