@@ -63,6 +63,8 @@ def _queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without a green row in some CORRECTNESS_r*.json MUST sit at
         # index < 50 so the next driver run checks it ------------------------
         # -- r13 additions (newest first) ------------------------------------
+        "seq_diff_site": seq_diff_site,
+        "seq_diff_indv": seq_diff_indv,
         "seq_inbreeding_mle": seq_inbreeding_mle,
         "seq_ld_decay": seq_ld_decay,
         "seq_assoc_model": seq_assoc_model,
@@ -836,6 +838,63 @@ def _planted_frame(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     SQL text the oracle embeds (zero room for expression drift)."""
     td.gsamples(spark, sf_dir).createOrReplaceTempView("gsamples")
     return spark.sql(sql)
+
+
+# the seq_diff_* planted B-callset: allele-status flip on variant_id
+# % 5 == 0, full-cell dropout on % 7 == 3 — applied to the RAW
+# alleles BEFORE the dose dedup on BOTH sides (engine: array
+# transform; oracle: the same CASE on gcalls' a1/a2 columns), so the
+# two pipelines stay op-for-op identical
+_DIFF_B_ENGINE_EXPR = (
+    "CASE WHEN variant_id % 7 = 3 THEN array(CAST(NULL AS INT),"
+    " CAST(NULL AS INT))"
+    " WHEN variant_id % 5 = 0 THEN transform(alleles,"
+    " x -> CASE WHEN x IS NULL THEN CAST(NULL AS INT)"
+    " WHEN x = 0 THEN 1 ELSE 0 END)"
+    " ELSE alleles END"
+)
+
+
+def _diff_b_oracle_sql() -> str:
+    def flip(col: str) -> str:
+        return (
+            f"CASE WHEN variant_id % 7 = 3 THEN NULL"
+            f" WHEN variant_id % 5 = 0 THEN"
+            f" (CASE WHEN {col} IS NULL THEN NULL"
+            f" WHEN {col} = 0 THEN 1 ELSE 0 END)"
+            f" ELSE {col} END"
+        )
+
+    return (
+        f"SELECT variant_id, sample_id, {flip('a1')} AS a1,"
+        f" {flip('a2')} AS a2 FROM gcalls"
+    )
+
+
+def _diff_gate(spark: SparkSession, sf_dir: str, by: str) -> DataFrame:
+    from seqarray_spark.operators.assoc import diff_discordance
+
+    a = td.gcalls(spark, sf_dir)
+    b = a.select(
+        "variant_id",
+        "sample_id",
+        F.expr(_DIFF_B_ENGINE_EXPR).alias("alleles"),
+    )
+    return diff_discordance(a, b, by=by)
+
+
+def seq_diff_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-callset per-site genotype discordance (new r13 — vcftools
+    --diff-site-discordance): one full-outer co-keyed join of the two
+    dose relations + one variant agg, against a planted flip/dropout
+    perturbation of the same cohort."""
+    return _diff_gate(spark, sf_dir, "site")
+
+
+def seq_diff_indv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-callset per-sample discordance (new r13 — vcftools
+    --diff-indv-discordance): the same join grouped per sample."""
+    return _diff_gate(spark, sf_dir, "sample")
 
 
 def seq_inbreeding_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2609,7 +2668,13 @@ def oracle_sql() -> dict[str, str]:
         inbreeding_mle_oracle_sql as _inbmle_oracle,
     )
 
+    from seqarray_spark.operators.assoc import (
+        diff_discordance_oracle_sql as _diff_oracle,
+    )
+
     return {
+        "seq_diff_site": P + _diff_oracle(_diff_b_oracle_sql(), by="site"),
+        "seq_diff_indv": P + _diff_oracle(_diff_b_oracle_sql(), by="sample"),
         "seq_inbreeding_mle": P + _inbmle_oracle(),
         "seq_ld_decay": P + _lddecay_oracle(bp_window=5000, bin_size=500),
         "seq_assoc_model": P + _model_oracle(_PHENO_CC_SQL),

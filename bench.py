@@ -84,7 +84,7 @@ shared_r13 = shared_r12 + [
     "seq_assoc_allelic", "seq_assoc_trend", "seq_assoc_linear",
     "seq_mendel", "seq_dup_discord", "seq_ld_score",
     "seq_assoc_model", "seq_froh", "seq_snp_density", "seq_ld_decay",
-    "seq_inbreeding_mle",
+    "seq_inbreeding_mle", "seq_diff_site", "seq_diff_indv",
 ]
 
 

@@ -725,3 +725,111 @@ def duplicate_discordance_oracle_sql(pair_sql: str) -> str:
                  AS discord_rate
         FROM g
     """
+
+
+def diff_discordance(
+    calls_a: DataFrame,
+    calls_b: DataFrame,
+    by: str = "site",
+    assume_unique: bool = False,
+) -> DataFrame:
+    """Cross-callset genotype concordance — the vcftools --diff-site-
+    discordance / --diff-indv-discordance pair (the standard QC when
+    the same cohort is genotyped twice: array vs sequencing, two
+    pipeline versions, two batches). SeqArray users run this through
+    vcftools on exported VCFs; here it is one co-keyed join.
+
+    Both inputs are calls frames over the SAME id universe (run
+    merge.allele_harmonize first when panels disagree on strand/allele
+    order — the gated pre-merge step). Per (variant, sample) cell
+    called in BOTH sets, a discordance is any collapsed-dose
+    disagreement. by='site' groups per variant (--diff-site), 
+    by='sample' per sample (--diff-indv). Cells called in only one
+    set are counted separately (n_only_a / n_only_b — vcftools'
+    'files' column split).
+
+    Plan: each side's dose dedup, then ONE full-outer co-keyed
+    equi-join on (variant_id, sample_id) + one grouped agg — the join
+    keys are the dose relations' own grouping keys, so at scale both
+    sides arrive pre-shuffled from their dedup exchange and the join
+    adds no extra wide movement. Output: (variant_id|sample_id,
+    n_both, n_discord, n_only_a, n_only_b, discord_rate)."""
+    if by not in ("site", "sample"):
+        raise ValueError(f"unknown diff_discordance grouping {by!r}")
+    da, rel_a = _dose_once(calls_a, assume_unique)
+    db, rel_b = _dose_once(calls_b, assume_unique)
+    j = da.select(
+        "variant_id", "sample_id", F.col("d").alias("_da")
+    ).join(
+        db.select("variant_id", "sample_id", F.col("d").alias("_db")),
+        ["variant_id", "sample_id"],
+        "full_outer",
+    )
+    key = "variant_id" if by == "site" else "sample_id"
+    both = F.col("_da").isNotNull() & F.col("_db").isNotNull()
+    g = j.groupBy(key).agg(
+        F.sum(both.cast("bigint")).alias("n_both"),
+        F.sum((both & (F.col("_da") != F.col("_db"))).cast("bigint")).alias(
+            "n_discord"
+        ),
+        F.sum(
+            (F.col("_da").isNotNull() & F.col("_db").isNull()).cast("bigint")
+        ).alias("n_only_a"),
+        F.sum(
+            (F.col("_da").isNull() & F.col("_db").isNotNull()).cast("bigint")
+        ).alias("n_only_b"),
+    )
+    out = g.select(
+        key,
+        "n_both",
+        "n_discord",
+        "n_only_a",
+        "n_only_b",
+        F.when(
+            F.col("n_both") > 0,
+            F.col("n_discord").cast("double") / F.col("n_both").cast("double"),
+        ).alias("discord_rate"),
+    )
+    return rel_a(rel_b(out))
+
+
+def diff_discordance_oracle_sql(calls_b_sql: str, by: str = "site") -> str:
+    """DuckDB oracle twin of diff_discordance. ``calls_b_sql``: a
+    SELECT yielding the B-side (variant_id, sample_id, a1, a2) —
+    for the gate, the planted perturbation of gcalls (flip applied to
+    the RAW a1/a2 before the dose dedup, exactly the engine's
+    allele-level transform ordering). Caller prepends
+    oracle_prelude()."""
+    key = "variant_id" if by == "site" else "sample_id"
+    return f"""{_DNN_CTE_SQL}
+        , gcalls_b AS ({calls_b_sql}
+        ), dose_b AS (
+          SELECT variant_id, sample_id, {_DOSE_ALT_SQL} AS d
+          FROM gcalls_b GROUP BY variant_id, sample_id
+        ), dnn_b AS (
+          SELECT variant_id, sample_id, d FROM dose_b WHERE d IS NOT NULL
+        ), dj AS (
+          SELECT COALESCE(a.variant_id, b.variant_id) AS variant_id,
+                 COALESCE(a.sample_id, b.sample_id) AS sample_id,
+                 a.d AS da, b.d AS db
+          FROM dnn a FULL OUTER JOIN dnn_b b
+            ON b.variant_id = a.variant_id AND b.sample_id = a.sample_id
+        ), dg AS (
+          SELECT {key},
+                 CAST(SUM(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+                 CAST(SUM(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+                               AND da <> db THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_discord,
+                 CAST(SUM(CASE WHEN da IS NOT NULL AND db IS NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+                 CAST(SUM(CASE WHEN da IS NULL AND db IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
+          FROM dj GROUP BY {key}
+        )
+        SELECT {key}, n_both, n_discord, n_only_a, n_only_b,
+               CASE WHEN n_both > 0
+                    THEN CAST(n_discord AS DOUBLE) / CAST(n_both AS DOUBLE)
+               END AS discord_rate
+        FROM dg
+    """

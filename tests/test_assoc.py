@@ -371,3 +371,41 @@ def test_inbreeding_mle_recompute_and_ordering(spark):
         inbreeding_mle(calls, n_bins=100)
     with pytest.raises(ValueError):
         inbreeding_mle(calls, em_iters=0)
+
+
+def test_diff_discordance_hand_computed(spark):
+    """Two callsets with planted disagreement/missingness: per-site
+    and per-sample groupings, both only_* directions, rate NULL when
+    nothing co-called."""
+    from seqarray_spark.operators.assoc import diff_discordance
+
+    # A: v1 (0,1), v2 (2,2), v3 (1,None), v4 (None,0)
+    a = _calls(spark, [[0, 1], [2, 2], [1, None], [None, 0]])
+    # B: v1 (0,2) -> one discord; v2 (None,2) -> only_a on S0;
+    #    v3 (1,1) -> only_b on S1; v4 (None,0) -> same
+    b = _calls(spark, [[0, 2], [None, 2], [1, 1], [None, 0]])
+    site = {
+        r["variant_id"]: r
+        for r in diff_discordance(a, b, by="site").collect()
+    }
+    assert (site[1]["n_both"], site[1]["n_discord"]) == (2, 1)
+    assert abs(site[1]["discord_rate"] - 0.5) < 1e-15
+    assert (site[2]["n_both"], site[2]["n_only_a"]) == (1, 1)
+    assert (site[3]["n_both"], site[3]["n_only_b"]) == (1, 1)
+    assert (site[4]["n_both"], site[4]["n_discord"]) == (1, 0)
+    smp = {
+        r["sample_id"]: r
+        for r in diff_discordance(a, b, by="sample").collect()
+    }
+    # S0: co-called v1,v3 (agree), A-only v2 -> (2, 0, 1, 0)
+    assert (
+        smp["S0"]["n_both"], smp["S0"]["n_discord"],
+        smp["S0"]["n_only_a"], smp["S0"]["n_only_b"],
+    ) == (2, 0, 1, 0)
+    # S1: co-called v1 (discord), v2 (agree), v4 (agree); B-only v3
+    assert (
+        smp["S1"]["n_both"], smp["S1"]["n_discord"],
+        smp["S1"]["n_only_b"],
+    ) == (3, 1, 1)
+    with pytest.raises(ValueError):
+        diff_discordance(a, b, by="variant")
