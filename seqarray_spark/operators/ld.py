@@ -47,23 +47,257 @@ def _dose_map(calls: DataFrame) -> DataFrame:
     )
 
 
+# Bitset-plane substrate cutover (r13 optimization): beyond this many
+# samples the per-variant planes stop being a handful of BIGINT words
+# and the unrolled popcount columns stop being a sane projection —
+# fall back to the map-fold form (the packed mapInArrow kernels,
+# ld_pairs_from_packed, are the production substrate at that width
+# anyway, as documented since r10).
+_PLANE_MAX_SAMPLES = 4096
+
+
+def _stat_fields(stats: str):
+    """The map-fold `fields` contribution list for each supported
+    statistic family — used only by the wide-cohort fallback path;
+    sums are identical to the popcount forms by construction."""
+    if stats in ("moments", "moments_hom"):
+        fields = [
+            ("sx", lambda e: e["x"]),
+            ("sy", lambda e: e["y"]),
+            ("sxy", lambda e: e["x"] * e["y"]),
+            ("sxx", lambda e: e["x"] * e["x"]),
+            ("syy", lambda e: e["y"] * e["y"]),
+        ]
+        if stats == "moments_hom":
+            fields += [
+                ("hx", lambda e: (e["x"] == 2).cast("long")),
+                ("hy", lambda e: (e["y"] == 2).cast("long")),
+            ]
+        return fields
+    if stats == "cells":
+        cell_of = {
+            "n22": (2, 2), "n21": (2, 1), "n12": (1, 2), "n20": (2, 0),
+            "n02": (0, 2), "n11": (1, 1), "n10": (1, 0), "n01": (0, 1),
+            "n00": (0, 0),
+        }
+        return [
+            (
+                name,
+                lambda e, xy=cell_of[name]: (
+                    (e["x"] == xy[0]) & (e["y"] == xy[1])
+                ).cast("long"),
+            )
+            for name in _EM_CELLS
+        ]
+    raise ValueError(f"unknown pair stats {stats!r}")
+
+
 def _windowed_pair_sums(
     variants: DataFrame,
     calls: DataFrame,
     bp_window: int,
-    fields,
+    stats: str,
 ) -> DataFrame:
     """Shared substrate for every windowed pairwise-LD statistic:
     the binned range self-join (side A keyed by floor(pos/W), side B
     exploded to {bin, bin-1} — a bounded-fanout equi-join, never a
     per-chromosome cross join), the (position, variant_id) pair
-    ordering, and the map_zip_with fold over co-observed dosages.
-    `fields` is [(name, contrib(e))] with e = struct(x, y) of the two
-    BIGINT dosages; each contribution is BIGINT-summed into the output
-    struct `_s` (plus the leading co-observation count `n`). The
-    ordering predicate and window bound here are LOAD-BEARING for
-    oracle parity across ld_pairs / ld_pairs_em — one definition only
-    (r12 review)."""
+    ordering, and exact-integer per-pair sums. The ordering predicate
+    and window bound here are LOAD-BEARING for oracle parity across
+    ld_pairs / ld_pairs_em — one definition only (r12 review).
+
+    `stats` selects the summed struct `_s` (always led by the
+    co-observation count `n`): 'moments' (sx, sy, sxy, sxx, syy),
+    'moments_hom' (+ hx, hy hom-ALT counts), 'cells' (the 3x3
+    genotype table n22..n00).
+
+    r13 optimization (guide §2.3/§4.1): up to _PLANE_MAX_SAMPLES the
+    per-variant dosage state is THREE BIGINT bitset planes over a
+    canonical sample-ordinal space — k (called), a (dose>=1),
+    b (dose==2) — and every pair statistic is a short unrolled
+    popcount expression (bit_count over ANDed words, the PLINK bitset
+    trick), fully codegen-friendly. The previous map_zip_with +
+    aggregate fold evaluated an interpreted lambda per co-observed
+    sample per pair (~100x more interpreted work per pair; measured
+    dominating the whole LD family at sf0.1 — 24-39s task-time stages
+    collapse to popcounts). Every sum is the SAME exact integer as the
+    fold's, so r2/D'/EM trees and the oracle value-hash contract are
+    untouched. Wider cohorts fall back to the fold form
+    (_windowed_pair_sums_maps); the packed kernels remain the
+    documented production substrate at biobank width."""
+    ids = [
+        r[0]
+        for r in calls.select("sample_id").distinct().collect()
+    ]
+    if len(ids) > _PLANE_MAX_SAMPLES:
+        return _windowed_pair_sums_maps(
+            variants, calls, bp_window, _stat_fields(stats)
+        )
+    ids.sort()
+    n_words = max(1, (len(ids) + 63) // 64)
+    spark = calls.sparkSession
+    from seqarray_spark.plans.localrel import ordinal_frame
+
+    ord_df = ordinal_frame(spark, ids)
+    dose = calls.select(
+        "variant_id",
+        "sample_id",
+        dosage_alt("alleles", partial_missing=False).alias("_d"),
+    )
+    per = (
+        dose.groupBy("variant_id", "sample_id")
+        .agg(F.min("_d").alias("_d"))
+        .where(F.col("_d").isNotNull())
+        .join(F.broadcast(ord_df), "sample_id")
+    )
+    aggs = []
+    for wi in range(n_words):
+        bit = F.expr(
+            f"CASE WHEN __ord >= {wi * 64} AND __ord < {wi * 64 + 64} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), __ord - {wi * 64}) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+        zero = F.lit(0).cast("long")
+        aggs.append(F.bit_or(bit).alias(f"_k{wi}"))
+        aggs.append(
+            F.bit_or(F.when(F.col("_d") >= 1, bit).otherwise(zero)).alias(
+                f"_a{wi}"
+            )
+        )
+        aggs.append(
+            F.bit_or(F.when(F.col("_d") == 2, bit).otherwise(zero)).alias(
+                f"_b{wi}"
+            )
+        )
+    planes = per.groupBy("variant_id").agg(*aggs)
+
+    plane_cols = [f"_{p}{wi}" for wi in range(n_words) for p in "kab"]
+    w = int(bp_window)
+    v = variants.select("variant_id", "chromosome", "position")
+    va = (
+        v.withColumn("_bin", F.floor(F.col("position") / w))
+        .join(planes, "variant_id")
+        .select(
+            F.col("variant_id").alias("va"),
+            F.col("chromosome").alias("_ch"),
+            F.col("position").alias("_pa"),
+            "_bin",
+            *[F.col(c).alias(c + "x") for c in plane_cols],
+        )
+    )
+    vb = v.select(
+        F.col("variant_id").alias("vb"),
+        F.col("chromosome").alias("_ch"),
+        F.col("position").alias("_pb"),
+        F.explode(
+            F.array(
+                F.floor(F.col("position") / w),
+                F.floor(F.col("position") / w) - 1,
+            )
+        ).alias("_bin"),
+    ).join(
+        planes.select(
+            F.col("variant_id").alias("vb"),
+            *[F.col(c).alias(c + "y") for c in plane_cols],
+        ),
+        "vb",
+    )
+    pairs = va.join(vb, ["_ch", "_bin"]).where(
+        (
+            (F.col("_pb") > F.col("_pa"))
+            | ((F.col("_pb") == F.col("_pa")) & (F.col("vb") > F.col("va")))
+        )
+        & (F.col("_pb") - F.col("_pa") <= F.lit(w))
+    )
+
+    def pc(p_x, p_y):
+        """sum over words of popcount(plane_x & plane_y), as BIGINT."""
+        e = None
+        for wi in range(n_words):
+            t = F.bit_count(
+                F.col(f"_{p_x}{wi}x").bitwiseAND(F.col(f"_{p_y}{wi}y"))
+            )
+            e = t if e is None else (e + t)
+        return e.cast("long")
+
+    n = pc("k", "k")
+    if stats in ("moments", "moments_hom"):
+        a1k = pc("a", "k")
+        a2k = pc("b", "k")
+        b1k = None
+        b2k = None
+        # y-side planes against the x-side called mask
+        for wi in range(n_words):
+            t1 = F.bit_count(
+                F.col(f"_a{wi}y").bitwiseAND(F.col(f"_k{wi}x"))
+            )
+            t2 = F.bit_count(
+                F.col(f"_b{wi}y").bitwiseAND(F.col(f"_k{wi}x"))
+            )
+            b1k = t1 if b1k is None else (b1k + t1)
+            b2k = t2 if b2k is None else (b2k + t2)
+        b1k = b1k.cast("long")
+        b2k = b2k.cast("long")
+        p11 = pc("a", "a")
+        p12 = pc("a", "b")
+        p21 = pc("b", "a")
+        p22 = pc("b", "b")
+        members = [
+            n.alias("n"),
+            (a1k + a2k).alias("sx"),
+            (b1k + b2k).alias("sy"),
+            (p11 + p12 + p21 + p22).alias("sxy"),
+            (a1k + F.lit(3) * a2k).alias("sxx"),
+            (b1k + F.lit(3) * b2k).alias("syy"),
+        ]
+        if stats == "moments_hom":
+            members += [a2k.alias("hx"), b2k.alias("hy")]
+    else:  # cells
+        # genotype-class planes: h2 = b, h1 = a & ~b, h0 = k & ~a
+        def h(plane, side):
+            out = []
+            for wi in range(n_words):
+                k_ = F.col(f"_k{wi}{side}")
+                a_ = F.col(f"_a{wi}{side}")
+                b_ = F.col(f"_b{wi}{side}")
+                if plane == 2:
+                    out.append(b_)
+                elif plane == 1:
+                    out.append(a_.bitwiseAND(F.bitwise_not(b_)))
+                else:
+                    out.append(k_.bitwiseAND(F.bitwise_not(a_)))
+            return out
+
+        hx = {p: h(p, "x") for p in (0, 1, 2)}
+        hy = {p: h(p, "y") for p in (0, 1, 2)}
+
+        def cell(px, py):
+            e = None
+            for wi in range(n_words):
+                t = F.bit_count(hx[px][wi].bitwiseAND(hy[py][wi]))
+                e = t if e is None else (e + t)
+            return e.cast("long")
+
+        members = [n.alias("n")] + [
+            cell(int(name[1]), int(name[2])).alias(name)
+            for name in _EM_CELLS
+        ]
+
+    return pairs.select("va", "vb", F.struct(*members).alias("_s"))
+
+
+def _windowed_pair_sums_maps(
+    variants: DataFrame,
+    calls: DataFrame,
+    bp_window: int,
+    fields,
+) -> DataFrame:
+    """Wide-cohort fallback pair substrate: the same binned range join
+    and ordering predicate as _windowed_pair_sums, with per-pair sums
+    from a map_zip_with fold over co-observed dosages. `fields` is
+    [(name, contrib(e))] with e = struct(x, y) of the two BIGINT
+    dosages; each contribution is BIGINT-summed into the output struct
+    `_s` (plus the leading co-observation count `n`)."""
     w = int(bp_window)
     v = variants.select("variant_id", "chromosome", "position")
     dm = _dose_map(calls)
@@ -179,20 +413,12 @@ def ld_pairs(
         # pairs with zero co-observed samples, which the inner-join
         # oracle can never produce — keep the parity contract honest
         raise ValueError("min_n must be >= 1")
-    fields = [
-        ("sx", lambda e: e["x"]),
-        ("sy", lambda e: e["y"]),
-        ("sxy", lambda e: e["x"] * e["y"]),
-        ("sxx", lambda e: e["x"] * e["x"]),
-        ("syy", lambda e: e["y"] * e["y"]),
-    ]
-    if stat == "composite":
-        # hom-ALT indicator sums for the HW-disequilibrium terms
-        fields += [
-            ("hx", lambda e: (e["x"] == 2).cast("long")),
-            ("hy", lambda e: (e["y"] == 2).cast("long")),
-        ]
-    s = _windowed_pair_sums(variants, calls, bp_window, fields)
+    s = _windowed_pair_sums(
+        variants,
+        calls,
+        bp_window,
+        "moments_hom" if stat == "composite" else "moments",
+    )
     n = F.col("_s.n")
     if stat == "composite":
         nd = n.cast("double")
@@ -213,6 +439,24 @@ def ld_pairs(
             s.where(n >= int(min_n))
             .select("va", "vb", n.alias("n_used"), comp.alias("ld_comp"))
         )
+    _, d1, d2, r2 = _r2_moment_exprs()
+    return (
+        s.where(n >= int(min_n))
+        .select("va", "vb", n.alias("n_used"), r2.alias("r2"))
+    )
+
+
+def _r2_moment_exprs():
+    """(n, d1, d2, r2) Column expressions over a `_s` moment struct —
+    ONE definition of the r² float tree (oracle lockstep), shared by
+    ld_pairs and the sums-level consumers (ld_score/ld_decay/ld_prune).
+    Consumers that drop undefined-r² pairs should filter on the exact
+    integer denominators (d1 != 0 AND d2 != 0 — precisely when r2 is
+    non-NULL) BEFORE projecting r2: filtering on the r2 column itself
+    makes the optimizer duplicate the whole popcount+float tree into
+    the pushed-down predicate (measured 2.6x on the pair stage at
+    sf0.1; guide §4.4's duplicated-evaluation trap, expression-level)."""
+    n = F.col("_s.n")
     num = n * F.col("_s.sxy") - F.col("_s.sx") * F.col("_s.sy")
     d1 = n * F.col("_s.sxx") - F.col("_s.sx") * F.col("_s.sx")
     d2 = n * F.col("_s.syy") - F.col("_s.sy") * F.col("_s.sy")
@@ -221,10 +465,7 @@ def ld_pairs(
         (num.cast("double") * num.cast("double"))
         / (d1.cast("double") * d2.cast("double")),
     )
-    return (
-        s.where(n >= int(min_n))
-        .select("va", "vb", n.alias("n_used"), r2.alias("r2"))
-    )
+    return n, d1, d2, r2
 
 
 # dosage-per-cell SQL for the two LD substrates: the long-format rule
@@ -320,9 +561,14 @@ def ld_score(
     pattern, so the score value-hashes against the SQL oracle. Output:
     (variant_id, n_pairs, ldscore); n_pairs counts window neighbors
     with DEFINED r^2 (monomorphic partners contribute neither)."""
-    pairs = ld_pairs(variants, calls, bp_window=bp_window, min_n=min_n)
-    r2u = F.round(F.col("r2") * F.lit(1e9)).cast("bigint")
-    both = pairs.where(F.col("r2").isNotNull()).select(
+    if int(min_n) < 1:
+        raise ValueError("min_n must be >= 1")
+    # sums-level composition (r13): filter defined-r2 pairs on the exact
+    # integer denominators and project r2 ONCE — see _r2_moment_exprs
+    s = _windowed_pair_sums(variants, calls, bp_window, "moments")
+    n, d1, d2, r2 = _r2_moment_exprs()
+    r2u = F.round(r2 * F.lit(1e9)).cast("bigint")
+    both = s.where((n >= int(min_n)) & (d1 != 0) & (d2 != 0)).select(
         F.explode(F.array("va", "vb")).alias("variant_id"),
         r2u.alias("_r2u"),
     )
@@ -389,10 +635,18 @@ def ld_decay(
     relation's own keys (broadcast at gate scale; co-partitioned
     equi-joins at cohort scale). Output: (dist_lo, dist_hi, n_pairs,
     mean_r2) per non-empty bin."""
-    pairs = ld_pairs(variants, calls, bp_window=bp_window, min_n=min_n)
+    if int(min_n) < 1:
+        raise ValueError("min_n must be >= 1")
+    # sums-level composition (r13): defined-r2 filter on the integer
+    # denominators, r2 projected once — see _r2_moment_exprs
+    s = _windowed_pair_sums(variants, calls, bp_window, "moments")
+    n, d1, d2, r2 = _r2_moment_exprs()
+    pairs = s.where((n >= int(min_n)) & (d1 != 0) & (d2 != 0)).select(
+        "va", "vb", r2.alias("r2")
+    )
     pos = variants.select("variant_id", "position")
     j = (
-        pairs.where(F.col("r2").isNotNull())
+        pairs
         .join(
             pos.select(
                 F.col("variant_id").alias("va"), F.col("position").alias("_pa")
@@ -565,12 +819,24 @@ def ld_prune(
     ``calls``."""
     if method not in ("dominated", "greedy"):
         raise ValueError(f"unknown ld_prune method {method!r}")
+    vv = variants.select("variant_id", "chromosome", "position")
     if pairs is None:
         if calls is None:
             raise ValueError("ld_prune needs calls= or pairs=")
-        pairs = ld_pairs(variants, calls, bp_window=bp_window, min_n=min_n)
-    vv = variants.select("variant_id", "chromosome", "position")
-    strong = pairs.where(F.col("r2") > float(tau)).select("va", "vb")
+        if int(min_n) < 1:
+            raise ValueError("min_n must be >= 1")
+        # sums-level build (r13): the >tau test runs over the integer
+        # denominators + ONE r2 evaluation inside the filter — see
+        # _r2_moment_exprs (NULL r2 never exceeds tau, so the d1/d2
+        # guard preserves the exact row set)
+        s = _windowed_pair_sums(variants, calls, bp_window, "moments")
+        n, d1, d2, r2 = _r2_moment_exprs()
+        strong = s.where(
+            (n >= int(min_n)) & (d1 != 0) & (d2 != 0)
+            & (r2 > float(tau))
+        ).select("va", "vb")
+    else:
+        strong = pairs.where(F.col("r2") > float(tau)).select("va", "vb")
     if method == "dominated":
         dropped = strong.select(F.col("vb").alias("variant_id")).distinct()
         return vv.join(dropped, "variant_id", "left_anti")
@@ -3329,21 +3595,7 @@ def ld_pairs_em(
         raise ValueError("min_n must be >= 1")
     import pandas as pd
 
-    cell_of = {
-        "n22": (2, 2), "n21": (2, 1), "n12": (1, 2), "n20": (2, 0),
-        "n02": (0, 2), "n11": (1, 1), "n10": (1, 0), "n01": (0, 1),
-        "n00": (0, 0),
-    }
-    fields = [
-        (
-            name,
-            lambda e, xy=cell_of[name]: (
-                (e["x"] == xy[0]) & (e["y"] == xy[1])
-            ).cast("long"),
-        )
-        for name in _EM_CELLS
-    ]
-    s = _windowed_pair_sums(variants, calls, bp_window, fields).select(
+    s = _windowed_pair_sums(variants, calls, bp_window, "cells").select(
         "va", "vb", "_s.*"
     )
 

@@ -50,10 +50,11 @@ def pack_2bit_genotypes(ds: SeqDataset, sample_ids: list[str] | None = None) -> 
     # per row (O(n_samp) per call — measured dominating this operator),
     # where the hash join probe is O(1).
     spark = ds.calls.sparkSession
-    ord_df = spark.createDataFrame(
-        [(s, i) for i, s in enumerate(sample_ids)],
-        "sample_id string, __ord int",
-    )
+    from seqarray_spark.plans.localrel import ordinal_frame
+
+    # JVM-native local relation: the createDataFrame(list) path costs a
+    # 16-task Python parallelize job per query (profile r13)
+    ord_df = ordinal_frame(spark, sample_ids)
     # (sample-ordinal, 2-bit code) fused into one integer so the Arrow
     # batch arrives as plain int arrays — no Python-level struct decode.
     # NB: least() skips NULLs, so the missing case must be tested first.
