@@ -1439,7 +1439,10 @@ def _rademacher_weights(calls: DataFrame, n_cols: int = 4) -> DataFrame:
                 _omega_col(F.col("sample_id"), c).cast("double")
                 for c in range(n_cols)
             ]
-        ).alias("w"),
+            # `_k` width stamp: consumers (pca_snp_loadings / pca_snp_corr
+            # / admix_prop) read the width from the schema instead of
+            # materializing this frame in a driver probe job
+        ).alias("w", metadata={"_k": int(n_cols)}),
     )
 
 

@@ -55,25 +55,53 @@ def eigmix_pairs(
         F.count(F.lit(1)).alias("_n"), F.sum("d").alias("_s")
     )
     st = st.where((F.col("_s") > 0) & (F.col("_s") < 2 * F.col("_n")))
-    dd = d.join(st, "variant_id")
+    scale = float(10 ** int(unit_scale))
+    # Per-variant precompute (r13 opt, guide §1.2 step 2): 2p and the
+    # quantized denominator term depend ONLY on the variant, yet were
+    # re-evaluated per (variant, pair) row — the r_v^2 join blowup paid
+    # round + mul + divides ~10M times at sf0.1 for ~2000 distinct
+    # values. Storing them in `st` feeds the SAME doubles through the
+    # SAME remaining IEEE ops, so every quantized integer is
+    # bit-identical (pairwise value-checked vs the old form at sf0.1);
+    # `st` is bounded by n_variants rows, so broadcast it explicitly.
+    twop_v = F.col("_s").cast("double") / F.col("_n").cast("double")
+    st = st.select(
+        "variant_id",
+        twop_v.alias("_twop"),
+        F.round(
+            (twop_v * (F.lit(1.0) - twop_v / F.lit(2.0))) * F.lit(scale)
+        )
+        .cast("bigint")
+        .alias("_de"),
+    )
+    # The within-variant self-join's CPU cost is in the JOIN OUTPUT
+    # (r_v^2 rows per variant, each evaluating the quantization tree),
+    # but its parallelism was whatever AQE left the tiny dose-dedup
+    # exchange at — measured 10.75 s of task time on 2 tasks at sf0.1
+    # (guide §2.5: the shuffled BYTES are small, the downstream work is
+    # not). An explicit variant-keyed repartition to cluster parallelism
+    # sizes the stage by its compute; both join branches derive from the
+    # one exchange, and BIGINT sums are order-free so results are
+    # bit-identical.
+    par = max(2, calls.sparkSession.sparkContext.defaultParallelism)
+    dd = d.join(F.broadcast(st), "variant_id").repartition(
+        par, "variant_id"
+    )
     a = dd.select(
         "variant_id",
         F.col("sample_id").alias("sample_i"),
         F.col("d").alias("_x"),
-        "_n",
-        "_s",
+        "_twop",
+        "_de",
     )
     b = dd.select(
         "variant_id",
         F.col("sample_id").alias("sample_j"),
         F.col("d").alias("_y"),
     )
-    scale = float(10 ** int(unit_scale))
-    twop = F.col("_s").cast("double") / F.col("_n").cast("double")
-    nu = (F.col("_x").cast("double") - twop) * (
-        F.col("_y").cast("double") - twop
+    nu = (F.col("_x").cast("double") - F.col("_twop")) * (
+        F.col("_y").cast("double") - F.col("_twop")
     )
-    de = twop * (F.lit(1.0) - twop / F.lit(2.0))
     cond = (
         F.col("sample_i") <= F.col("sample_j")
         if include_diag
@@ -86,7 +114,7 @@ def eigmix_pairs(
             "sample_i",
             "sample_j",
             F.round(nu * F.lit(scale)).cast("bigint").alias("_nu"),
-            F.round(de * F.lit(scale)).cast("bigint").alias("_de"),
+            "_de",
         )
         .groupBy("sample_i", "sample_j")
         .agg(
@@ -201,10 +229,9 @@ def admix_prop(
     label (prop[i] <-> i-th group)."""
     import numpy as np
 
-    probe = coords.select(F.size(coord_col).alias("_w")).first()
-    if probe is None:
-        raise ValueError("coords frame is empty")
-    width = int(probe["_w"])
+    from seqarray_spark.operators.ld import _array_width
+
+    width = _array_width(coords, coord_col, None, "coords")
     k = groups.select(group_col).distinct().count()
     if k < 2:
         raise ValueError("admix_prop needs >= 2 reference groups")
@@ -491,7 +518,10 @@ def beta_pairs(
     unweighted average of M over ALL pairs — the 'average pair in this
     sample' reference point that makes beta a relative-kinship measure
     robust to allele-frequency misspecification (the paper's point).
-    Off-diagonal (i < j) form, the grm_pairs convention.
+    Off-diagonal (i < j) form, the grm_pairs convention. The dose
+    relation is variant-repartitioned to cluster parallelism before
+    the self-join (the eigmix_pairs fix: the pair blowup's CPU ran on
+    the 2 tasks AQE left the tiny upstream exchange at).
 
     Exactness: 4*m_v is an integer in {0,2,4}, so the per-pair sum S4
     is an exact BIGINT and M_ij = S4/(4L) an exact-sum ratio; M_B
@@ -501,7 +531,12 @@ def beta_pairs(
     within-variant pair self-join + pair agg (the GRM relation shape),
     then ONE 1-row global reduce broadcast back — no extra wide
     shuffle. Output (sample_i, sample_j, m_used, beta)."""
-    d = _dose_flat(calls).where(F.col("d").isNotNull())
+    par = max(2, calls.sparkSession.sparkContext.defaultParallelism)
+    d = (
+        _dose_flat(calls)
+        .where(F.col("d").isNotNull())
+        .repartition(par, "variant_id")
+    )
     a = d.select(
         "variant_id",
         F.col("sample_id").alias("sample_i"),

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from seqarray_spark.operators.ld import _DOSE_ALT_SQL, _dose_once
+from seqarray_spark.operators.ld import _DOSE_ALT_SQL, _dose_nn, _dose_once
 
 _DNN_CTE_SQL = f"""
         , dose AS (
@@ -66,7 +66,7 @@ def case_control_assoc(
     shared with the oracle. Rows require both groups to have at least
     one called sample. Output: (variant_id, case_ac, case_an,
     ctrl_ac, ctrl_an, chisq_allelic, odds_ratio)."""
-    d, release = _dose_once(calls, assume_unique)
+    d = _dose_nn(calls, assume_unique)
     ph = F.broadcast(
         phenotypes.select("sample_id", F.col("is_case").cast("int").alias("_cc"))
     )
@@ -107,7 +107,7 @@ def case_control_assoc(
     orat = F.when(
         b * c > 0, (a * r).cast("double") / (b * c).cast("double")
     )
-    return release(
+    return (
         g.select(
             "variant_id",
             "case_ac",
@@ -186,7 +186,7 @@ def trend_assoc(
     (variant monomorphic over called samples or a group empty in the
     degenerate direction). Output: (variant_id, n_case, n_ctrl,
     chisq_trend)."""
-    d, release = _dose_once(calls, assume_unique)
+    d = _dose_nn(calls, assume_unique)
     ph = F.broadcast(
         phenotypes.select("sample_id", F.col("is_case").cast("int").alias("_cc"))
     )
@@ -231,7 +231,7 @@ def trend_assoc(
         varn > F.lit(0.0),
         t.cast("double") * t.cast("double") * nn.cast("double") / varn,
     )
-    return release(
+    return (
         g.select(
             "variant_id",
             rr.alias("n_case"),
@@ -325,7 +325,7 @@ def model_assoc(
     both NULL on zero margins. Rows require both groups called.
     Output: (variant_id, n_case, n_ctrl, chisq_geno, chisq_dom,
     chisq_rec)."""
-    d, release = _dose_once(calls, assume_unique)
+    d = _dose_nn(calls, assume_unique)
     ph = F.broadcast(
         phenotypes.select("sample_id", F.col("is_case").cast("int").alias("_cc"))
     )
@@ -368,7 +368,7 @@ def model_assoc(
     )
     dom = _chi2x2(r1 + r2, r0, s1 + s2, s0)
     rec = _chi2x2(r2, r0 + r1, s2, s0 + s1)
-    return release(
+    return (
         g.where((rr > 0) & (ss > 0)).select(
             "variant_id",
             rr.alias("n_case"),
@@ -473,7 +473,7 @@ def linear_assoc(
     (variant_id, n_used, beta, se, t_stat)."""
     if int(min_n) < 3:
         raise ValueError("min_n must be >= 3 (n-2 df)")
-    d, release = _dose_once(calls, assume_unique)
+    d = _dose_nn(calls, assume_unique)
     ph = F.broadcast(
         phenotypes.select("sample_id", F.col("y").cast("bigint").alias("_y"))
     )
@@ -500,7 +500,7 @@ def linear_assoc(
         rss > F.lit(0.0),
         F.sqrt(rss / ((n.cast("double") - F.lit(2.0)) * sxx.cast("double"))),
     )
-    return release(
+    return (
         g.where(sxx != 0).select(
             "variant_id",
             "n_used",
@@ -756,8 +756,8 @@ def diff_discordance(
     n_both, n_discord, n_only_a, n_only_b, discord_rate)."""
     if by not in ("site", "sample"):
         raise ValueError(f"unknown diff_discordance grouping {by!r}")
-    da, rel_a = _dose_once(calls_a, assume_unique)
-    db, rel_b = _dose_once(calls_b, assume_unique)
+    da = _dose_nn(calls_a, assume_unique)
+    db = _dose_nn(calls_b, assume_unique)
     j = da.select(
         "variant_id", "sample_id", F.col("d").alias("_da")
     ).join(
@@ -790,7 +790,7 @@ def diff_discordance(
             F.col("n_discord").cast("double") / F.col("n_both").cast("double"),
         ).alias("discord_rate"),
     )
-    return rel_a(rel_b(out))
+    return out
 
 
 def diff_discordance_oracle_sql(calls_b_sql: str, by: str = "site") -> str:

@@ -965,12 +965,34 @@ def ld_prune_greedy_oracle_sql(
 def _dose_flat(calls: DataFrame) -> DataFrame:
     """Deduped (variant_id, sample_id, d) dosage observations — the
     MIN-collapse rule shared with _dose_map, kept flat for the
-    sample-pair operators."""
+    sample-pair operators.
+
+    Scan-layout-adaptive spread (r13 opt, guide §2.5): when the input
+    provides fewer partitions than the cluster has cores (the testdata
+    parquet is a single row group — the whole scan stage is ONE task),
+    the dedup's map-side partial aggregation runs single-threaded
+    (measured ~0.9 s over 600k rows at sf0.1, the floor under every
+    dose-shaped query). Hash-repartitioning on the grouping key BEFORE
+    the groupBy replaces partial+final with a one-level agg at cluster
+    parallelism: the exchange count is unchanged (the groupBy needed
+    one anyway), the shuffled rows grow only by the input's duplicate
+    factor (~7% here), and MIN is order-free so results are identical.
+    On multi-split inputs (the 100 TB posture) the condition is false
+    and the plan keeps its map-side partial aggregation."""
     dose = calls.select(
         "variant_id",
         "sample_id",
         dosage_alt("alleles", partial_missing=False).alias("_d"),
     )
+    sc = calls.sparkSession.sparkContext
+    try:
+        scan_parts = dose.rdd.getNumPartitions()
+    except Exception:
+        scan_parts = sc.defaultParallelism
+    if scan_parts < sc.defaultParallelism:
+        dose = dose.repartition(
+            sc.defaultParallelism, "variant_id", "sample_id"
+        )
     return dose.groupBy("variant_id", "sample_id").agg(F.min("_d").alias("d"))
 
 
@@ -1005,13 +1027,35 @@ def grm_pairs(
     )
     # polymorphic variants only: 0 < p < 1  <=>  0 < S < 2n
     st = st.where((F.col("_s") > 0) & (F.col("_s") < 2 * F.col("_n")))
-    dd = d.join(st, "variant_id")
+    # Per-variant precompute (r13 opt): 2p and the denominator
+    # 2p(1-p) depend ONLY on the variant, yet were re-evaluated per
+    # (variant, pair) row across the r_v^2 join blowup. Storing them in
+    # `st` feeds the SAME doubles through the SAME remaining IEEE ops
+    # (one subtract pair, one multiply, one divide, one round), so
+    # every quantized integer is bit-identical. `st` is bounded by
+    # n_variants rows — broadcast it explicitly.
+    twop_v = F.col("_s").cast("double") / F.col("_n").cast("double")
+    st = st.select(
+        "variant_id",
+        twop_v.alias("_twop"),
+        (twop_v * (F.lit(1.0) - twop_v / F.lit(2.0))).alias("_den"),
+    )
+    # variant-keyed repartition to cluster parallelism before the pair
+    # self-join: the join OUTPUT (r_v^2 rows, each evaluating the
+    # quantization tree) is the CPU cost, but its parallelism was
+    # whatever AQE left the tiny dose exchange at (2 tasks at sf0.1 —
+    # guide §2.5, small bytes but heavy downstream work). BIGINT sums
+    # are order-free, so results are bit-identical.
+    par = max(2, calls.sparkSession.sparkContext.defaultParallelism)
+    dd = d.join(F.broadcast(st), "variant_id").repartition(
+        par, "variant_id"
+    )
     a = dd.select(
         "variant_id",
         F.col("sample_id").alias("sample_i"),
         F.col("d").alias("_x"),
-        "_n",
-        "_s",
+        "_twop",
+        "_den",
     )
     b = dd.select(
         "variant_id",
@@ -1019,11 +1063,10 @@ def grm_pairs(
         F.col("d").alias("_y"),
     )
     scale = float(10 ** int(unit_scale))
-    twop = F.col("_s").cast("double") / F.col("_n").cast("double")
     c = (
-        (F.col("_x").cast("double") - twop)
-        * (F.col("_y").cast("double") - twop)
-    ) / (twop * (F.lit(1.0) - twop / F.lit(2.0)))
+        (F.col("_x").cast("double") - F.col("_twop"))
+        * (F.col("_y").cast("double") - F.col("_twop"))
+    ) / F.col("_den")
     return (
         a.join(b, "variant_id")
         .where(F.col("sample_i") < F.col("sample_j"))
@@ -1813,6 +1856,12 @@ def grm_pca(
     return grm.sparkSession.createDataFrame(
         [(s, [float(x) for x in comps[i]]) for i, s in enumerate(ids)],
         "sample_id string, pc array<double>",
+    ).select(
+        "sample_id",
+        # `_k` width stamp: downstream consumers (pca_snp_loadings /
+        # pca_snp_corr / admix_prop) read the component count from the
+        # schema instead of running a width-probe job
+        F.col("pc").alias("pc", metadata={"_k": int(k)}),
     )
 
 
@@ -2101,6 +2150,12 @@ def grm_pca_distributed(
     return grm.sparkSession.createDataFrame(
         [(s, [float(x) for x in comps[i]]) for i, s in enumerate(ids)],
         "sample_id string, pc array<double>",
+    ).select(
+        "sample_id",
+        # `_k` width stamp: downstream consumers (pca_snp_loadings /
+        # pca_snp_corr / admix_prop) read the component count from the
+        # schema instead of running a width-probe job
+        F.col("pc").alias("pc", metadata={"_k": int(k)}),
     )
 
 
@@ -2137,6 +2192,29 @@ def _z_expr():
     )
 
 
+def _array_width(df: DataFrame, col: str, k: int | None, what: str) -> int:
+    """Width of an array column without a driver job when avoidable: an
+    explicit `k` wins; else the producer's `_k` schema-metadata stamp
+    (pca_snp_loadings/grm_pca outputs — the BM25 stats-stamp precedent);
+    else the one-row probe. The probe is a full materialization of the
+    frame's subtree, so producers should stamp: measured at sf0.1, the
+    probe re-ran the entire loadings pipeline (~2.3 s) once per consumer
+    inside seq_pca_project before the stamp existed (guide §1/§5 — no
+    driver work in query paths)."""
+    if k is not None:
+        return int(k)
+    try:
+        meta = df.schema[col].metadata
+    except KeyError:
+        meta = None
+    if meta and "_k" in meta:
+        return int(meta["_k"])
+    probe = df.select(F.size(col).alias("_k")).first()
+    if probe is None:
+        raise ValueError(f"{what} frame is empty")
+    return int(probe["_k"])
+
+
 def _dose_once(calls: DataFrame, assume_unique: bool):
     """Non-null dosage observations evaluated ONCE for operators whose
     plan scans them from two branches: unique-cell producers skip the
@@ -2158,11 +2236,29 @@ def _dose_once(calls: DataFrame, assume_unique: bool):
     return d, (lambda result: release_on_gc(d, result))
 
 
+def _dose_nn(calls: DataFrame, assume_unique: bool) -> DataFrame:
+    """Non-null dosage observations for a SINGLE-consumer plan: the
+    `_dose_once` twin without the persist. Persisting only pays when
+    two or more branches of the returned plan scan the frame; for the
+    one-consumer operators (the assoc family, each diff_discordance
+    side) the persist was pure overhead — a serialize-into-storage
+    copy of the full dose relation per query that the very next
+    clearCache dropped (guide §5: cache only what is reused)."""
+    if assume_unique:
+        return calls.select(
+            "variant_id",
+            "sample_id",
+            dosage_alt("alleles", partial_missing=False).alias("d"),
+        ).where(F.col("d").isNotNull())
+    return _dose_flat(calls).where(F.col("d").isNotNull())
+
+
 def pca_snp_loadings(
     calls: DataFrame,
     weights: DataFrame,
     unit_scale: int = 6,
     assume_unique: bool = False,
+    k: int | None = None,
 ) -> DataFrame:
     """Per-variant PCA loadings — the SNPRelate snpgdsPCASNPLoading
     step (reference ecosystem; SeqArray delegates): given per-sample
@@ -2189,11 +2285,9 @@ def pca_snp_loadings(
 
     Output: (variant_id, l array<double> of k loadings). Scaling
     conventions (1/sqrt(eigenvalue), 1/m) vary across tools; this is
-    the raw Z'W — callers apply their convention."""
-    k = weights.select(F.size("w").alias("_k")).first()
-    if k is None:
-        raise ValueError("weights frame is empty")
-    k = int(k["_k"])
+    the raw Z'W — callers apply their convention. `k=` (or a producer
+    `_k` metadata stamp on `w`) skips the width-probe driver job."""
+    k = _array_width(weights, "w", k, "weights")
     d, release = _dose_once(calls, assume_unique)
     dd = d.join(F.broadcast(_stats_from_dose(d)), "variant_id").join(
         F.broadcast(weights), "sample_id"
@@ -2217,7 +2311,7 @@ def pca_snp_loadings(
                     (F.col(f"_u{c}").cast("double") / F.lit(scale))
                     for c in range(k)
                 ]
-            ).alias("l"),
+            ).alias("l", metadata={"_k": k}),
         )
     )
 
@@ -2228,6 +2322,7 @@ def pca_project_samples(
     freqs: DataFrame | None = None,
     unit_scale: int = 6,
     assume_unique: bool = False,
+    k: int | None = None,
 ) -> DataFrame:
     """Project samples onto variant loadings — the SNPRelate
     snpgdsPCASampLoading step: P_sc = sum_v z'_vs * L_vc, the biobank
@@ -2244,11 +2339,11 @@ def pca_project_samples(
     fully-missing dosages drop. Plan: two broadcast-able dimension
     joins + one sample-keyed partial agg — linear in calls.
 
-    Output: (sample_id, p array<double> of k projections)."""
-    k = loadings.select(F.size("l").alias("_k")).first()
-    if k is None:
-        raise ValueError("loadings frame is empty")
-    k = int(k["_k"])
+    Output: (sample_id, p array<double> of k projections). `k=` (or
+    the loadings producer's `_k` metadata stamp) skips the width-probe
+    driver job, which otherwise materializes the WHOLE loadings
+    pipeline once just to read the array length."""
+    k = _array_width(loadings, "l", k, "loadings")
     if freqs is None:
         # self-projection: stats and scoring both scan the dose frame,
         # so share one evaluation (see _dose_once)
@@ -2281,7 +2376,7 @@ def pca_project_samples(
                     (F.col(f"_u{c}").cast("double") / F.lit(scale))
                     for c in range(k)
                 ]
-            ).alias("p"),
+            ).alias("p", metadata={"_k": k}),
         )
     )
 
@@ -3759,6 +3854,7 @@ def pca_snp_corr(
     weights: DataFrame,
     unit_scale: int = 6,
     assume_unique: bool = False,
+    k: int | None = None,
 ) -> DataFrame:
     """Per-variant correlation between dosage and each sample
     eigenvector — SNPRelate's snpgdsPCACorr, the screen for which SNPs
@@ -3777,11 +3873,10 @@ def pca_snp_corr(
     monomorphic over its called samples (zero dosage variance) or the
     weight column is constant there.
 
-    Output: (variant_id, n_used, corr array<double> of k values)."""
-    k = weights.select(F.size("w").alias("_k")).first()
-    if k is None:
-        raise ValueError("weights frame is empty")
-    k = int(k["_k"])
+    Output: (variant_id, n_used, corr array<double> of k values).
+    `k=` (or a producer `_k` metadata stamp on `w`) skips the
+    width-probe driver job."""
+    k = _array_width(weights, "w", k, "weights")
     d, release = _dose_once(calls, assume_unique)
     scale = float(10 ** int(unit_scale))
     wq = weights.select(

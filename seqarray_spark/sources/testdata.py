@@ -181,7 +181,7 @@ def gcalls(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in cache:
         register_testdata(spark, sf_dir, ["lineitem"])
         df = spark.sql(GCALLS_SQL)
-        cache[key] = df.select(
+        out = df.select(
             "variant_id",
             "sample_id",
             F.array("a1", "a2").alias("alleles"),
@@ -190,6 +190,7 @@ def gcalls(spark: SparkSession, sf_dir: str) -> DataFrame:
             # produce and seq_check/write paths expect)
             F.array("is_phased").alias("phased"),
         )
+        cache[key] = out
     return cache[key]
 
 
