@@ -598,27 +598,44 @@ def seq_block_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        # alleles arrays are uniform ploidy-2 here: vectorize the whole
-        # batch instead of a per-row lambda (the practice every real
-        # pandas kernel should follow)
-        mat = np.array(
-            [[np.nan if x is None else x for x in a] for a in pdf["alleles"]],
-            dtype=np.float64,
-        )
-        dos = np.where(
-            np.isnan(mat).any(axis=1), np.nan, (mat != 0).sum(axis=1)
-        )
+        # alleles arrays are uniform ploidy-2 here: Arrow hands the
+        # batch over as float64 numpy arrays with NaN already in the
+        # NULL slots, so the whole computation is a stack + two
+        # vectorized passes (r13 opt, guide §4.2: the previous per-row
+        # list comprehensions did interpreted Python over every call —
+        # measured 5.5s task time at sf0.1 for what numpy does in ~0.1)
+        if not len(pdf):
+            return pd.DataFrame(
+                {"variant_id": [], "sample_id": [], "dos": []}
+            )
+        mat = np.stack(pdf["alleles"].to_numpy())
+        miss = np.isnan(mat).any(axis=1)
+        dos = (mat != 0).sum(axis=1).astype("int32")
+        out = pd.array(dos, dtype="Int32")
+        out[miss] = pd.NA
         return pd.DataFrame(
             {
                 "variant_id": pdf["variant_id"],
                 "sample_id": pdf["sample_id"],
-                "dos": pd.array(
-                    [None if np.isnan(d) else int(d) for d in dos], dtype="Int32"
-                ),
+                "dos": out,
             }
         )
 
-    return block_apply(calls, kernel, "variant_id long, sample_id string, dos int")
+    # gate-side shape (r13 opt): ship ONLY the columns the kernel reads
+    # (mapInPandas is opaque — Spark would otherwise read+transpose the
+    # unused phased column too, guide §4.1), and spread the single-
+    # row-group scan to cluster parallelism so the Python stage is not
+    # 3 tasks (guide §2.5; hash repartition, no sort; row-wise kernel,
+    # so batch composition cannot change results)
+    sel = calls.select("variant_id", "sample_id", "alleles")
+    sc = spark.sparkContext
+    try:
+        scan_parts = sel.rdd.getNumPartitions()
+    except Exception:
+        scan_parts = sc.defaultParallelism
+    if scan_parts < sc.defaultParallelism:
+        sel = sel.repartition(sc.defaultParallelism, "variant_id", "sample_id")
+    return block_apply(sel, kernel, "variant_id long, sample_id string, dos int")
 
 
 WIN_SIZE, WIN_SHIFT = 100000, 50000
@@ -1823,13 +1840,17 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_fixed_codebook(spark: SparkSession, init, m: int = 4, sub_d: int = 16):
     """The gates' deterministic PQ codebook: codes 0..3 are the 4
     lowest-vec_id vectors' per-subspace slices (init = those collected
-    rows, lowest first)."""
+    rows, lowest first). Returned as driver-held ROWS (r13 opt): every
+    PQ consumer needs the bounded model driver-side anyway, and the
+    previous createDataFrame form cost a Python parallelize job + a
+    worker collect per consumer (~1-2s wall per PQ gate, profile r13);
+    all similarity-module consumers accept both forms."""
     rows = []
     for code, r in enumerate(init[:4]):
         v = list(map(float, r["embedding"]))
         for j in range(m):
             rows.append((j, code, v[j * sub_d:(j + 1) * sub_d]))
-    return spark.createDataFrame(rows, "sub_ord int, code int, cvec array<float>")
+    return rows
 
 
 def emb_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2056,14 +2077,13 @@ def emb_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = [a - b for a, b in zip(v, cents[probe_cells_py(cents, v, 1)[0]])]
         for j in range(4):
             cb_rows.append((j, code, res[j * 16:(j + 1) * 16]))
-    cbk = spark.createDataFrame(
-        cb_rows, "sub_ord int, code int, cvec array<double>"
-    )
+    # cb_rows passes straight through as the driver-held rows form —
+    # see _pq_fixed_codebook (r13 opt)
     qv = cents[0]
     probe = probe_cells_py(cents, qv, 2)
-    codes = pq_encode_residual(emb, cents, cbk, m=4)
+    codes = pq_encode_residual(emb, cents, cb_rows, m=4)
     return pq_adc_topk_residual(
-        codes, qv, cents, cbk, m=4, k=20, probe_cells=probe
+        codes, qv, cents, cb_rows, m=4, k=20, probe_cells=probe
     )
 
 

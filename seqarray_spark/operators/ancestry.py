@@ -50,82 +50,60 @@ def eigmix_pairs(
 
     Output: (sample_i, sample_j, m_used, eigmix); NULL eigmix if the
     pair's denominator mass rounds to zero."""
-    d = _dose_flat(calls).where(F.col("d").isNotNull())
+    # r13 opt (see ld._pair_table_sums): the per-(variant, pair)
+    # numerator depends only on (variant, x, y) — a 3×3 quantized table
+    # per variant, each entry the ORIGINAL expression tree evaluated at
+    # literal dosages (same doubles, same IEEE ops, same HALF_UP round,
+    # so every summed integer is bit-identical); the quantized
+    # denominator _de is (x,y)-independent and sums once per
+    # co-observation. The blocked indicator-matmul kernel replaces the
+    # r_v² self-join blowup (measured 10.75s task time on 2 tasks at
+    # sf0.1 BEFORE the repartition fix; the blowup itself is gone now).
+    from seqarray_spark.operators.ld import _dose_once, _pair_table_sums
+
+    ids = [r[0] for r in calls.select("sample_id").distinct().collect()]
+    ids.sort()
+    d, release = _dose_once(calls, False)
     st = d.groupBy("variant_id").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("d").alias("_s")
     )
     st = st.where((F.col("_s") > 0) & (F.col("_s") < 2 * F.col("_n")))
     scale = float(10 ** int(unit_scale))
-    # Per-variant precompute (r13 opt, guide §1.2 step 2): 2p and the
-    # quantized denominator term depend ONLY on the variant, yet were
-    # re-evaluated per (variant, pair) row — the r_v^2 join blowup paid
-    # round + mul + divides ~10M times at sf0.1 for ~2000 distinct
-    # values. Storing them in `st` feeds the SAME doubles through the
-    # SAME remaining IEEE ops, so every quantized integer is
-    # bit-identical (pairwise value-checked vs the old form at sf0.1);
-    # `st` is bounded by n_variants rows, so broadcast it explicitly.
     twop_v = F.col("_s").cast("double") / F.col("_n").cast("double")
     st = st.select(
         "variant_id",
-        twop_v.alias("_twop"),
+        *[
+            F.round(
+                ((F.lit(float(x)) - twop_v) * (F.lit(float(y)) - twop_v))
+                * F.lit(scale)
+            )
+            .cast("bigint")
+            .alias(f"nu_{x}{y}")
+            for x in range(3)
+            for y in range(3)
+        ],
         F.round(
             (twop_v * (F.lit(1.0) - twop_v / F.lit(2.0))) * F.lit(scale)
         )
         .cast("bigint")
-        .alias("_de"),
+        .alias("de"),
     )
-    # The within-variant self-join's CPU cost is in the JOIN OUTPUT
-    # (r_v^2 rows per variant, each evaluating the quantization tree),
-    # but its parallelism was whatever AQE left the tiny dose-dedup
-    # exchange at — measured 10.75 s of task time on 2 tasks at sf0.1
-    # (guide §2.5: the shuffled BYTES are small, the downstream work is
-    # not). An explicit variant-keyed repartition to cluster parallelism
-    # sizes the stage by its compute; both join branches derive from the
-    # one exchange, and BIGINT sums are order-free so results are
-    # bit-identical.
-    par = max(2, calls.sparkSession.sparkContext.defaultParallelism)
-    dd = d.join(F.broadcast(st), "variant_id").repartition(
-        par, "variant_id"
+    sums = _pair_table_sums(
+        d, ids, st=st, tables=("nu",), consts=("de",),
+        include_diag=include_diag,
     )
-    a = dd.select(
-        "variant_id",
-        F.col("sample_id").alias("sample_i"),
-        F.col("d").alias("_x"),
-        "_twop",
-        "_de",
-    )
-    b = dd.select(
-        "variant_id",
-        F.col("sample_id").alias("sample_j"),
-        F.col("d").alias("_y"),
-    )
-    nu = (F.col("_x").cast("double") - F.col("_twop")) * (
-        F.col("_y").cast("double") - F.col("_twop")
-    )
-    cond = (
-        F.col("sample_i") <= F.col("sample_j")
-        if include_diag
-        else F.col("sample_i") < F.col("sample_j")
-    )
-    return (
-        a.join(b, "variant_id")
-        .where(cond)
-        .select(
-            "sample_i",
-            "sample_j",
-            F.round(nu * F.lit(scale)).cast("bigint").alias("_nu"),
-            "_de",
-        )
-        .groupBy("sample_i", "sample_j")
+    lab = F.array(*[F.lit(s) for s in ids])
+    out = (
+        sums.groupBy("_si", "_sj")
         .agg(
-            F.count(F.lit(1)).alias("m_used"),
-            F.sum("_nu").alias("_snu"),
-            F.sum("_de").alias("_sde"),
+            F.sum("m_used").alias("m_used"),
+            F.sum("_s_nu").alias("_snu"),
+            F.sum("_s_de").alias("_sde"),
         )
         .where(F.col("m_used") >= int(min_m))
         .select(
-            "sample_i",
-            "sample_j",
+            F.element_at(lab, F.col("_si") + 1).alias("sample_i"),
+            F.element_at(lab, F.col("_sj") + 1).alias("sample_j"),
             "m_used",
             F.when(
                 F.col("_sde") != 0,
@@ -133,6 +111,7 @@ def eigmix_pairs(
             ).alias("eigmix"),
         )
     )
+    return release(out)
 
 
 def eigmix_pairs_oracle_sql(min_m: int = 1, unit_scale: int = 6) -> str:
@@ -531,35 +510,33 @@ def beta_pairs(
     within-variant pair self-join + pair agg (the GRM relation shape),
     then ONE 1-row global reduce broadcast back — no extra wide
     shuffle. Output (sample_i, sample_j, m_used, beta)."""
-    par = max(2, calls.sparkSession.sparkContext.defaultParallelism)
-    d = (
-        _dose_flat(calls)
-        .where(F.col("d").isNotNull())
-        .repartition(par, "variant_id")
-    )
-    a = d.select(
-        "variant_id",
-        F.col("sample_id").alias("sample_i"),
-        F.col("d").alias("_x"),
-    )
-    b = d.select(
-        "variant_id",
-        F.col("sample_id").alias("sample_j"),
-        F.col("d").alias("_y"),
-    )
-    m4 = F.col("_x") * F.col("_y") + (F.lit(2) - F.col("_x")) * (
-        F.lit(2) - F.col("_y")
-    )
+    # r13 opt (see ld._pair_table_sums): 4·m_v = x·y + (2-x)(2-y) is a
+    # variant-INDEPENDENT 3×3 integer table, so the whole matching sum
+    # is 9 indicator matmuls per block — the r_v² self-join blowup and
+    # its per-row arithmetic are gone; the exact BIGINT sums (and
+    # everything downstream: the pair grid, the global average, the
+    # beta tree) are unchanged.
+    from seqarray_spark.operators.ld import _dose_nn, _pair_table_sums
+
+    ids = [r[0] for r in calls.select("sample_id").distinct().collect()]
+    ids.sort()
+    d = _dose_nn(calls, False)
+    m4_table = [[4, 2, 0], [2, 2, 2], [0, 2, 4]]
+    sums = _pair_table_sums(d, ids, const_tables={"m4": m4_table})
+    lab = F.array(*[F.lit(s) for s in ids])
     pairs = (
-        a.join(b, "variant_id")
-        .where(F.col("sample_i") < F.col("sample_j"))
-        .select("sample_i", "sample_j", m4.alias("_m4"))
-        .groupBy("sample_i", "sample_j")
+        sums.groupBy("_si", "_sj")
         .agg(
-            F.count(F.lit(1)).alias("m_used"),
-            F.sum("_m4").cast("bigint").alias("_s4"),
+            F.sum("m_used").alias("m_used"),
+            F.sum("_s_m4").cast("bigint").alias("_s4"),
         )
         .where(F.col("m_used") >= int(min_m))
+        .select(
+            F.element_at(lab, F.col("_si") + 1).alias("sample_i"),
+            F.element_at(lab, F.col("_sj") + 1).alias("sample_j"),
+            "m_used",
+            "_s4",
+        )
     )
     scale = float(10 ** int(unit_scale))
     mij = F.col("_s4").cast("double") / (
@@ -572,6 +549,12 @@ def beta_pairs(
         "_s4",
         F.round(mij * F.lit(scale)).cast("bigint").alias("_mq"),
     )
+    # pq feeds BOTH the global average and the final projection — the
+    # whole dose+kernel pipeline ran twice without a persist (r13 opt,
+    # guide §5: cache what is reused; pq is n_pairs rows — tiny)
+    pq = pq.persist()
+    from seqarray_spark.plans.lifecycle import release_on_gc
+
     glob = pq.groupBy().agg(
         F.sum("_mq").alias("_smq"),
         F.count(F.lit(1)).alias("_np"),
@@ -579,7 +562,7 @@ def beta_pairs(
     mb = F.col("_smq").cast("double") / (
         F.lit(scale) * F.col("_np").cast("double")
     )
-    return pq.crossJoin(F.broadcast(glob)).select(
+    out = pq.crossJoin(F.broadcast(glob)).select(
         "sample_i",
         "sample_j",
         "m_used",
@@ -588,6 +571,7 @@ def beta_pairs(
             (mij - mb) / (F.lit(1.0) - mb),
         ).alias("beta"),
     )
+    return release_on_gc(pq, out)
 
 
 def beta_pairs_oracle_sql(min_m: int = 1, unit_scale: int = 9) -> str:

@@ -150,6 +150,15 @@ def _windowed_pair_sums(
         .where(F.col("_d").isNotNull())
         .join(F.broadcast(ord_df), "sample_id")
     )
+    # Compute-sized parallelism for the plane build (r13 opt, guide
+    # §2.5): the planes agg's input bytes are tiny, so AQE coalesced its
+    # exchange to ~3 partitions and the 3*n_words bit_or columns built
+    # near-serially (measured 2.0s task time on 3 tasks at sf0.1).
+    # Repartitioning on the grouping key provides the groupBy's required
+    # distribution (exchange count unchanged), is not AQE-coalesced, and
+    # bit_or is order-free — results identical.
+    par = max(2, spark.sparkContext.defaultParallelism)
+    per = per.repartition(par, "variant_id")
     aggs = []
     for wi in range(n_words):
         bit = F.expr(
@@ -283,7 +292,12 @@ def _windowed_pair_sums(
             for name in _EM_CELLS
         ]
 
-    return pairs.select("va", "vb", F.struct(*members).alias("_s"))
+    # the pair build already holds both endpoints' positions — emit
+    # them so distance consumers (ld_decay) need no re-join; projection
+    # pruning drops them for everyone else (r13 opt, guide §2.4)
+    return pairs.select(
+        "va", "vb", "_pa", "_pb", F.struct(*members).alias("_s")
+    )
 
 
 def _windowed_pair_sums_maps(
@@ -365,7 +379,8 @@ def _windowed_pair_sums_maps(
         )
 
     return pairs.select(
-        "va", "vb", F.aggregate(zipped, init, _merge).alias("_s")
+        "va", "vb", "_pa", "_pb",
+        F.aggregate(zipped, init, _merge).alias("_s"),
     )
 
 
@@ -641,24 +656,11 @@ def ld_decay(
     # denominators, r2 projected once — see _r2_moment_exprs
     s = _windowed_pair_sums(variants, calls, bp_window, "moments")
     n, d1, d2, r2 = _r2_moment_exprs()
-    pairs = s.where((n >= int(min_n)) & (d1 != 0) & (d2 != 0)).select(
-        "va", "vb", r2.alias("r2")
-    )
-    pos = variants.select("variant_id", "position")
-    j = (
-        pairs
-        .join(
-            pos.select(
-                F.col("variant_id").alias("va"), F.col("position").alias("_pa")
-            ),
-            "va",
-        )
-        .join(
-            pos.select(
-                F.col("variant_id").alias("vb"), F.col("position").alias("_pb")
-            ),
-            "vb",
-        )
+    # the substrate emits both endpoints' positions — no re-join needed
+    # (r13 opt: two broadcast joins dropped; identical values, the join
+    # keys were unique so row multiplicity is unchanged)
+    j = pairs = s.where((n >= int(min_n)) & (d1 != 0) & (d2 != 0)).select(
+        "va", "vb", "_pa", "_pb", r2.alias("r2")
     )
     b = F.floor(
         (F.col("_pb").cast("bigint") - F.col("_pa").cast("bigint"))
@@ -890,9 +892,18 @@ def ld_prune(
         kept = _greedy_kept_walk(n, va_pos[good], vb_pos[good])
         return order[kept][["variant_id", "chromosome", "position"]]
 
+    # One walk task per chromosome needs the cogroup exchange to keep
+    # >= n_chromosomes partitions — AQE coalesced the tiny exchange to 2
+    # partitions, serializing ~11 chromosome walks per task (measured
+    # 2.7s on 2 tasks at sf0.1; guide §2.5). Repartitioning both sides
+    # on the cogroup key satisfies the distribution (no extra exchange)
+    # and is immune to AQE coalescing; each chromosome's walk input is
+    # unchanged.
+    par = max(2, vv.sparkSession.sparkContext.defaultParallelism)
     return (
-        vv.groupBy("chromosome")
-        .cogroup(strong_c.groupBy("chromosome"))
+        vv.repartition(par, "chromosome")
+        .groupBy("chromosome")
+        .cogroup(strong_c.repartition(par, "chromosome").groupBy("chromosome"))
         .applyInPandas(
             _walk, schema="variant_id long, chromosome string, position int"
         )
@@ -996,6 +1007,191 @@ def _dose_flat(calls: DataFrame) -> DataFrame:
     return dose.groupBy("variant_id", "sample_id").agg(F.min("_d").alias("d"))
 
 
+def _pair_table_sums(
+    d: DataFrame,
+    sample_ids: list[str],
+    st: DataFrame | None = None,
+    tables: tuple = (),
+    consts: tuple = (),
+    const_tables: dict | None = None,
+    include_diag: bool = False,
+    blocks: int | None = None,
+) -> DataFrame:
+    """Blocked exact kernel shared by the within-variant sample-pair
+    estimators (grm_pairs / eigmix_pairs / beta_pairs) — r13
+    optimization (guide §1.2 step 1: fix the distributed algorithm).
+
+    The old shape self-joined the dose relation within each variant
+    (r_v² rows per variant) and evaluated the per-(variant, pair)
+    contribution tree across the blowup — measured 207s of task time at
+    sf0.1 for grm_pairs alone, plus the dose pipeline built once per
+    join branch. But every contribution these estimators sum depends
+    only on (variant, x, y) with dosages x, y ∈ {0,1,2}: it is a
+    per-variant 3×3 BIGINT table T_v, and the per-pair sum decomposes
+    exactly into 9 integer matmuls over 0/1 indicator matrices
+    I_x (variant × sample):
+
+        S[i,j] = Σ_v T_v[x_vi, x_vj] = Σ_{x,y} I_xᵀ (T_·xy ∘ I_y)
+
+    The tables stay computed IN SPARK with each operator's original
+    expression tree (same IEEE ops, same HALF_UP rounding, reading the
+    same per-variant doubles), so every summed integer is bit-identical
+    to the self-join form's, and int64 sums are aggregation-order-free
+    — the oracle contract is untouched. The variant axis is
+    hash-blocked (deterministic xxhash64 — guide §2.5) so each task
+    holds all of its variants' observations; per-block partial pair
+    sums are summed by the caller's final (i, j) agg.
+
+    Inputs: `d` = (variant_id, sample_id, d) deduped non-null dosages;
+    `sample_ids` = the sorted id universe (ordinal order == the
+    relations' lexicographic sample_i < sample_j pair order); `st` =
+    per-variant table frame — inner semantics, restricting the variant
+    set exactly like the old join through st. `tables` names 9-column
+    groups f"{t}_{x}{y}" in st; `consts` names per-variant BIGINT
+    columns summed once per co-observation ((x,y)-independent);
+    `const_tables` maps a name to a driver-known variant-independent
+    3×3 int table (no st needed). Output: per-block partial rows
+    (_si, _sj, m_used, _s_{name}...) for pairs with m_used > 0 in the
+    block — the caller aggregates, filters min_m, and attaches labels.
+
+    Memory/scale: per task ~ (variants/blocks) × n_samples bytes of
+    codes + the n² output — the same n² the pair relation itself is;
+    the matmul substrate (grm_pairs_blas / *_from_packed) remains the
+    documented production form at biobank n. An explicit bound check
+    raises before any per-block int64 sum could wrap (the old ANSI
+    BIGINT sums threw loudly too)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = d.sparkSession
+    from seqarray_spark.plans.localrel import ordinal_frame
+
+    n_samp = len(sample_ids)
+    names = list(tables) + list(consts) + sorted(const_tables or {})
+    out_schema = "_si int, _sj int, m_used long, " + ", ".join(
+        f"_s_{t} long" for t in names
+    )
+    par = int(blocks) if blocks else max(
+        2, spark.sparkContext.defaultParallelism
+    )
+    ord_df = ordinal_frame(spark, sample_ids, ord_col="_sid")
+    dg = d.join(F.broadcast(ord_df), "sample_id").select(
+        F.pmod(F.xxhash64("variant_id"), F.lit(par)).alias("_g"),
+        "variant_id",
+        "_sid",
+        "d",
+    )
+    ct = {
+        k: np.asarray(v, dtype=np.int64)
+        for k, v in (const_tables or {}).items()
+    }
+    ktri = 0 if include_diag else 1
+    tables = tuple(tables)
+    consts = tuple(consts)
+
+    def _empty() -> "pd.DataFrame":
+        cols = {
+            "_si": pd.Series(dtype="int32"),
+            "_sj": pd.Series(dtype="int32"),
+            "m_used": pd.Series(dtype="int64"),
+        }
+        for t in names:
+            cols[f"_s_{t}"] = pd.Series(dtype="int64")
+        return pd.DataFrame(cols)
+
+    has_st = st is not None  # the closure must not capture the DataFrame
+
+    def _block(st_pdf, d_pdf) -> "pd.DataFrame":
+        if d_pdf is None or not len(d_pdf):
+            return _empty()
+        if has_st:
+            if st_pdf is None or not len(st_pdf):
+                return _empty()
+            svids = st_pdf["_vid"].to_numpy()
+            order = np.argsort(svids, kind="stable")
+            st_pdf = st_pdf.iloc[order]
+            svids = svids[order]
+            dv = d_pdf["variant_id"].to_numpy()
+            j = np.searchsorted(svids, dv)
+            j_safe = np.minimum(j, len(svids) - 1)
+            ok = svids[j_safe] == dv
+            vrow = j_safe[ok]
+            w = len(svids)
+        else:
+            dv = d_pdf["variant_id"].to_numpy()
+            _, vrow = np.unique(dv, return_inverse=True)
+            ok = slice(None)
+            w = int(vrow.max()) + 1 if len(vrow) else 0
+        if w == 0:
+            return _empty()
+        sid = d_pdf["_sid"].to_numpy()[ok]
+        dd = d_pdf["d"].to_numpy()[ok].astype(np.int64)
+        codes = np.full((w, n_samp), 3, dtype=np.int8)
+        codes[vrow, sid] = dd
+        ind = [(codes == x).astype(np.int64) for x in (0, 1, 2)]
+        known = ind[0] + ind[1] + ind[2]
+        res = {}
+        for t in tables:
+            tcols = [f"{t}_{x}{y}" for x in range(3) for y in range(3)]
+            tt = st_pdf[tcols].to_numpy(dtype=np.int64)
+            if np.abs(tt).max(initial=0) * w >= np.int64(1) << 62:
+                raise OverflowError(
+                    f"pair-table block sum for {t!r} could exceed int64"
+                )
+            s = np.zeros((n_samp, n_samp), np.int64)
+            for x in range(3):
+                for y in range(3):
+                    col = tt[:, 3 * x + y]
+                    s += ind[x].T @ (col[:, None] * ind[y])
+            res[t] = s
+        for t in consts:
+            c = st_pdf[t].to_numpy(dtype=np.int64)
+            if np.abs(c).max(initial=0) * w >= np.int64(1) << 62:
+                raise OverflowError(
+                    f"pair-table block sum for {t!r} could exceed int64"
+                )
+            res[t] = known.T @ (c[:, None] * known)
+        for t, tt in ct.items():
+            s = np.zeros((n_samp, n_samp), np.int64)
+            for x in range(3):
+                for y in range(3):
+                    if tt[x, y]:
+                        s += tt[x, y] * (ind[x].T @ ind[y])
+            res[t] = s
+        m = known.T @ known
+        iu, ju = np.triu_indices(n_samp, k=ktri)
+        keep = m[iu, ju] > 0
+        iu, ju = iu[keep], ju[keep]
+        out = {
+            "_si": iu.astype(np.int32),
+            "_sj": ju.astype(np.int32),
+            "m_used": m[iu, ju],
+        }
+        for t in names:
+            out[f"_s_{t}"] = res[t][iu, ju]
+        return pd.DataFrame(out)
+
+    if st is None:
+        return dg.groupBy("_g").applyInPandas(
+            lambda pdf: _block(None, pdf), schema=out_schema
+        )
+    # alias every st column (fresh attribute ids): st usually derives
+    # from d itself, and the cogroup of two lineages sharing attribute
+    # ids trips the ambiguous-self-join analyzer check
+    stg = st.select(
+        F.pmod(F.xxhash64("variant_id"), F.lit(par)).alias("_g"),
+        F.col("variant_id").alias("_vid"),
+        *[F.col(c).alias(c) for c in st.columns if c != "variant_id"],
+    )
+    return (
+        dg.groupBy("_g")
+        .cogroup(stg.groupBy("_g"))
+        .applyInPandas(
+            lambda left, right: _block(right, left), schema=out_schema
+        )
+    )
+
+
 def grm_pairs(
     calls: DataFrame,
     min_m: int = 1,
@@ -1015,72 +1211,59 @@ def grm_pairs(
     total is aggregation-order-free (the DSIR micro-nat rule; raw
     double sums would hash-diverge from a sequential oracle).
 
-    Scale shape: one dedup groupBy over calls, one per-variant AF agg,
-    then the within-variant sample-pair self-join (r_i^2 rows for a
-    variant observed by r_i samples — GRM is inherently n^2 m) and one
-    (j, k)-keyed partial agg. At biobank n the blocked-matmul form over
-    standardized packed vectors is the substrate (the _all_pairs_matmul
-    analogue); this relation form is the oracle-checkable contract."""
-    d = _dose_flat(calls).where(F.col("d").isNotNull())
+    Scale shape (r13 opt — see _pair_table_sums): one dedup groupBy
+    over calls, one per-variant agg computing the 3×3 quantized
+    contribution TABLE (each entry the ORIGINAL per-row expression tree
+    evaluated at a literal dosage pair, so every integer is
+    bit-identical to the old self-join form's), then the blocked
+    indicator-matmul kernel + one (i, j)-keyed agg. The r_v² self-join
+    blowup this replaces cost 207s of task time at sf0.1 and built the
+    dose pipeline once per join branch (4 scans; now 2 logical reads of
+    ONE persisted dedup). grm_pairs_blas stays the float production
+    form at biobank n; this relation form remains the oracle-checkable
+    contract."""
+    ids = [r[0] for r in calls.select("sample_id").distinct().collect()]
+    ids.sort()
+    d, release = _dose_once(calls, False)
     st = d.groupBy("variant_id").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("d").alias("_s")
     )
     # polymorphic variants only: 0 < p < 1  <=>  0 < S < 2n
     st = st.where((F.col("_s") > 0) & (F.col("_s") < 2 * F.col("_n")))
-    # Per-variant precompute (r13 opt): 2p and the denominator
-    # 2p(1-p) depend ONLY on the variant, yet were re-evaluated per
-    # (variant, pair) row across the r_v^2 join blowup. Storing them in
-    # `st` feeds the SAME doubles through the SAME remaining IEEE ops
-    # (one subtract pair, one multiply, one divide, one round), so
-    # every quantized integer is bit-identical. `st` is bounded by
-    # n_variants rows — broadcast it explicitly.
+    # the SAME doubles and IEEE op order as the old per-row expression:
+    # (x - 2p) * (y - 2p) / (2p(1 - p)), then round(c * scale) HALF_UP
     twop_v = F.col("_s").cast("double") / F.col("_n").cast("double")
+    den_v = twop_v * (F.lit(1.0) - twop_v / F.lit(2.0))
+    scale = float(10 ** int(unit_scale))
     st = st.select(
         "variant_id",
-        twop_v.alias("_twop"),
-        (twop_v * (F.lit(1.0) - twop_v / F.lit(2.0))).alias("_den"),
+        *[
+            F.round(
+                (
+                    (F.lit(float(x)) - twop_v)
+                    * (F.lit(float(y)) - twop_v)
+                    / den_v
+                )
+                * F.lit(scale)
+            )
+            .cast("bigint")
+            .alias(f"u_{x}{y}")
+            for x in range(3)
+            for y in range(3)
+        ],
     )
-    # variant-keyed repartition to cluster parallelism before the pair
-    # self-join: the join OUTPUT (r_v^2 rows, each evaluating the
-    # quantization tree) is the CPU cost, but its parallelism was
-    # whatever AQE left the tiny dose exchange at (2 tasks at sf0.1 —
-    # guide §2.5, small bytes but heavy downstream work). BIGINT sums
-    # are order-free, so results are bit-identical.
-    par = max(2, calls.sparkSession.sparkContext.defaultParallelism)
-    dd = d.join(F.broadcast(st), "variant_id").repartition(
-        par, "variant_id"
-    )
-    a = dd.select(
-        "variant_id",
-        F.col("sample_id").alias("sample_i"),
-        F.col("d").alias("_x"),
-        "_twop",
-        "_den",
-    )
-    b = dd.select(
-        "variant_id",
-        F.col("sample_id").alias("sample_j"),
-        F.col("d").alias("_y"),
-    )
-    scale = float(10 ** int(unit_scale))
-    c = (
-        (F.col("_x").cast("double") - F.col("_twop"))
-        * (F.col("_y").cast("double") - F.col("_twop"))
-    ) / F.col("_den")
-    return (
-        a.join(b, "variant_id")
-        .where(F.col("sample_i") < F.col("sample_j"))
-        .select(
-            "sample_i",
-            "sample_j",
-            F.round(c * F.lit(scale)).cast("bigint").alias("_u"),
+    sums = _pair_table_sums(d, ids, st=st, tables=("u",))
+    lab = F.array(*[F.lit(s) for s in ids])
+    out = (
+        sums.groupBy("_si", "_sj")
+        .agg(
+            F.sum("m_used").alias("m_used"),
+            F.sum("_s_u").alias("_su"),
         )
-        .groupBy("sample_i", "sample_j")
-        .agg(F.count(F.lit(1)).alias("m_used"), F.sum("_u").alias("_su"))
         .where(F.col("m_used") >= int(min_m))
         .select(
-            "sample_i",
-            "sample_j",
+            F.element_at(lab, F.col("_si") + 1).alias("sample_i"),
+            F.element_at(lab, F.col("_sj") + 1).alias("sample_j"),
             "m_used",
             (
                 (F.col("_su").cast("double") / F.lit(scale))
@@ -1088,6 +1271,7 @@ def grm_pairs(
             ).alias("grm"),
         )
     )
+    return release(out)
 
 
 def _GRM_PAIRS_CTE_SQL(min_m: int = 1, unit_scale: int = 6) -> str:
@@ -1547,8 +1731,21 @@ def ld_pairs_from_packed(
             schema=out_schema,
         )
 
-    return repl.groupBy("chromosome", "_bin").applyInArrow(
-        kernel, schema="va long, vb long, n_used long, r2 double"
+    # Compute-sized parallelism for the per-(chromosome, bin) kernel
+    # (r13 opt, guide §2.5): the replicated packed rows are tiny in
+    # BYTES, so AQE coalesced the groupBy exchange to 2-3 partitions and
+    # the ~4k-group Arrow kernel ran near-serially (measured 5.2s task
+    # time on 2 tasks at sf0.1). Repartitioning on the grouping keys to
+    # cluster parallelism satisfies the applyInArrow distribution (no
+    # extra exchange) and is not AQE-coalesced; group ownership and
+    # per-group results are unchanged.
+    par = max(2, repl.sparkSession.sparkContext.defaultParallelism)
+    return (
+        repl.repartition(par, "chromosome", "_bin")
+        .groupBy("chromosome", "_bin")
+        .applyInArrow(
+            kernel, schema="va long, vb long, n_used long, r2 double"
+        )
     )
 
 

@@ -616,16 +616,14 @@ def pq_encode(
     property). For codebooks too large to inline (m·k in the 10^4+
     range the literal plan would bloat codegen), slice-and-argmin
     inside ivf_assign's mapInPandas kernel instead — same contract."""
-    cb = codebooks.select("sub_ord", "code", "cvec").collect()
+    cb = _codebook_rows(codebooks)
     by_sub: dict[int, list] = {}
     sub_d = None
-    for r in cb:
-        by_sub.setdefault(int(r["sub_ord"]), []).append(
-            (int(r["code"]), [float(x) for x in r["cvec"]])
-        )
+    for s_, c_, v_ in cb:
+        by_sub.setdefault(s_, []).append((c_, v_))
         if sub_d is None:
-            sub_d = len(r["cvec"])
-        elif len(r["cvec"]) != sub_d:
+            sub_d = len(v_)
+        elif len(v_) != sub_d:
             raise ValueError("codebook subspace widths disagree")
     if sorted(by_sub) != list(range(int(m))):
         raise ValueError(
@@ -716,12 +714,11 @@ def pq_adc_topk(
             "silently drop the tail dims"
         )
     sub_d = len(q) // int(m)
-    cb = codebooks.select("sub_ord", "code", "cvec").collect()
-    n_codes = max(r["code"] for r in cb) + 1
+    cb = _codebook_rows(codebooks)
+    n_codes = max(c for _, c, _ in cb) + 1
     lut = np.zeros((int(m), int(n_codes)), dtype=np.float64)
-    for r in cb:
-        j, c = int(r["sub_ord"]), int(r["code"])
-        cv = np.asarray(r["cvec"], np.float64)
+    for j, c, v_ in cb:
+        cv = np.asarray(v_, np.float64)
         if len(cv) != sub_d:
             raise ValueError(
                 f"codebook subspace width {len(cv)} != query dim/m = {sub_d}"
@@ -822,14 +819,9 @@ def pq_encode_residual(
         )
     if assign != "exact":
         raise ValueError(f"unknown assign {assign!r} (exact|fast)")
-    if not isinstance(codebooks, DataFrame):
-        # rows form (the ingest loops hold the bounded m·k model
-        # driver-side) — materialize once for pq_encode's collect
-        codebooks = emb.sparkSession.createDataFrame(
-            [(int(s), int(c), [float(x) for x in v])
-             for s, c, v in codebooks],
-            "sub_ord int, code int, cvec array<double>",
-        )
+    # rows form passes straight through — pq_encode accepts both forms
+    # (r13 opt: the createDataFrame+collect round trip here cost a
+    # parallelize job + Python-worker collect per use)
     cvecs = _centroid_vec_list(coarse_centroids)
     base = emb.select(
         F.col(id_col),
@@ -873,13 +865,7 @@ def _pq_encode_residual_fast(
     cn = cents / np.maximum(
         np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
     )
-    if isinstance(codebooks, DataFrame):
-        cb_rows = [
-            (int(r["sub_ord"]), int(r["code"]), list(r["cvec"]))
-            for r in codebooks.select("sub_ord", "code", "cvec").collect()
-        ]
-    else:
-        cb_rows = [(int(s), int(c), list(v)) for s, c, v in codebooks]
+    cb_rows = _codebook_rows(codebooks)
     sub_d = len(cb_rows[0][2])
     n_codes = 1 + max(c for _, c, _ in cb_rows)
     cb = np.zeros((int(m), n_codes, sub_d), np.float64)
@@ -1003,17 +989,17 @@ def pq_adc_topk_residual(
         sorted(cmap) if probe_cells is None
         else [int(c) for c in probe_cells]
     )
-    cb = codebooks.select("sub_ord", "code", "cvec").collect()
+    cb = _codebook_rows(codebooks)
     by_key: dict = {}
     n_codes = 0
-    for r in cb:
-        cv = np.asarray(r["cvec"], dtype=np.float64)
+    for s_, c_, v_ in cb:
+        cv = np.asarray(v_, dtype=np.float64)
         if len(cv) != sub_d:
             raise ValueError(
                 f"codebook subspace width {len(cv)} != query dim/m = {sub_d}"
             )
-        by_key[(int(r["sub_ord"]), int(r["code"]))] = cv
-        n_codes = max(n_codes, int(r["code"]) + 1)
+        by_key[(s_, c_)] = cv
+        n_codes = max(n_codes, c_ + 1)
     # per-cell LUTs from the bounded model: qr = q - c, then the same
     # sequential-fold + HALF_UP rounding the engine/oracle folds use
     luts: dict[int, list] = {}
@@ -1108,6 +1094,23 @@ def _centroid_rows(centroids) -> list:
         else:
             out = [(i, [float(x) for x in v]) for i, v in enumerate(lst)]
     return sorted(out, key=lambda p: p[0])
+
+
+def _codebook_rows(codebooks) -> list:
+    """Normalized (sub_ord, code, cvec) codebook rows from either form:
+    a DataFrame (one bounded collect) or a driver-held iterable of
+    (sub_ord, code, cvec). Every PQ consumer needs the rows
+    driver-side; accepting the rows form lets gate/ingest call sites
+    that already HOLD the bounded model skip a createDataFrame →
+    collect round trip, which costs a Python parallelize job plus a
+    worker collect (~0.5-1s wall PER USE at local[32], profile r13 —
+    the ordinal_frame lesson applied to the model frames)."""
+    if isinstance(codebooks, DataFrame):
+        return [
+            (int(r["sub_ord"]), int(r["code"]), [float(x) for x in r["cvec"]])
+            for r in codebooks.select("sub_ord", "code", "cvec").collect()
+        ]
+    return [(int(s), int(c), [float(x) for x in v]) for s, c, v in codebooks]
 
 
 def _centroid_vec_list(centroids) -> list:
@@ -1809,16 +1812,7 @@ def knn_join_codes(
             "drop the tail dims"
         )
     sub_d = dim // int(m)
-    if isinstance(codebooks, DataFrame):
-        cb_rows = [
-            (int(r["sub_ord"]), int(r["code"]),
-             [float(x) for x in r["cvec"]])
-            for r in codebooks.select("sub_ord", "code", "cvec").collect()
-        ]
-    else:
-        cb_rows = [
-            (int(s), int(c), [float(x) for x in v]) for s, c, v in codebooks
-        ]
+    cb_rows = _codebook_rows(codebooks)
     n_codes = 1 + max(c for _, c, _ in cb_rows)
     cb = np.zeros((int(m), n_codes, sub_d), np.float64)
     for s, c, v in cb_rows:
@@ -1955,16 +1949,10 @@ def pq_drift_probe(
     oracle-checkable (the emb_pq_drift_probe gate)."""
     if codes is None:
         cvecs = _centroid_vec_list(coarse_centroids)
-        cbk = codebooks
-        if not isinstance(cbk, DataFrame):
-            # rows form (the streaming loop's driver-pinned copy) —
-            # pq_encode collects a bounded frame, so materialize one
-            cbk = corpus.sparkSession.createDataFrame(
-                [(int(s), int(c), [float(x) for x in v]) for s, c, v in cbk],
-                "sub_ord int, code int, cvec array<double>",
-            )
+        # either codebook form passes straight through (pq_encode
+        # normalizes via _codebook_rows)
         codes = pq_encode(
-            corpus, cbk, m, vec_col, id_col, round_to,
+            corpus, codebooks, m, vec_col, id_col, round_to,
             extra_cols={
                 "ivf_cell": cell_assign_expr(cvecs, vec_col, round_to)
             },

@@ -63,12 +63,31 @@ def pack_2bit_genotypes(ds: SeqDataset, sample_ids: list[str] | None = None) -> 
     # ALT count; only fully-missing calls pack as the missing code 3
     dos = dosage_alt("alleles", partial_missing=True)
     code = F.when(dos.isNull(), F.lit(3)).otherwise(F.least(dos, F.lit(2)))
-    pairs = (
-        ds.calls.join(F.broadcast(ord_df), "sample_id")
-        .select("variant_id", (F.col("__ord") * 4 + code).alias("oc"))
-        .groupBy("variant_id")
-        .agg(F.collect_list("oc").alias("ocs"))
+    sel = ds.calls.join(F.broadcast(ord_df), "sample_id").select(
+        "variant_id", (F.col("__ord") * 4 + code).alias("oc")
     )
+    # Scan-layout-adaptive spread (r13 opt, guide §2.5 — the _dose_flat
+    # rule): when the input scan provides fewer partitions than the
+    # cluster has cores (the single-row-group testdata layout), the
+    # collect_list agg AND everything downstream of it (the pack
+    # mapInPandas, the consumers' pair kernels) inherit that 1-3-task
+    # parallelism after AQE coalesces the tiny shuffle (measured: the
+    # KING/IBS kernels ran as ONE task at sf0.1). Hash-repartitioning
+    # on the grouping key BEFORE the groupBy sizes those stages by
+    # compute, not shuffle bytes; collect_list has no map-side partial
+    # aggregation to lose, and the per-variant list order stays
+    # arbitrary (pack() collapses it order-insensitively via
+    # np.maximum.at). REPARTITION_BY_NUM is not AQE-coalesced, so the
+    # pack and the kernels run at cluster width; multi-split inputs
+    # (the 100 TB posture) keep their native layout.
+    sc = spark.sparkContext
+    try:
+        scan_parts = ds.calls.rdd.getNumPartitions()
+    except Exception:
+        scan_parts = sc.defaultParallelism
+    if scan_parts < sc.defaultParallelism:
+        sel = sel.repartition(sc.defaultParallelism, "variant_id")
+    pairs = sel.groupBy("variant_id").agg(F.collect_list("oc").alias("ocs"))
     # A selected variant whose call rows were ALL removed (e.g. by a
     # sample filter) must still emit a packed row — all-missing, like the
     # reference's seqGet2bGeno grid over the full selection. Left join
