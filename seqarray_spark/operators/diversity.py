@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from seqarray_spark.operators.ld import _DOSE_ALT_SQL, _dose_once
+from seqarray_spark.operators.ld import _DOSE_ALT_SQL, _dose_nn, _dose_once
 from seqarray_spark.operators.windows import sliding_windows
 
 _GRID = 1_000_000_000.0
@@ -44,7 +44,7 @@ def variant_diversity(
     integer grid — Nei & Li 1979, the vcftools --site-pi value), and
     seg (1 iff polymorphic among called). Sites with an < 2 are
     dropped (pi undefined)."""
-    d, release = _dose_once(calls, assume_unique)
+    d = _dose_nn(calls, assume_unique)
     g = d.groupBy("variant_id").agg(
         (F.lit(2) * F.count(F.lit(1))).alias("an"),
         F.sum("d").alias("ac"),
@@ -56,7 +56,7 @@ def variant_diversity(
         / (F.col("an") * (F.col("an") - F.lit(1.0)))
         * F.lit(_GRID)
     )
-    return release(
+    return (
         g.where(F.col("an") >= 2).select(
             "variant_id",
             "an",
@@ -453,9 +453,9 @@ def roh_runs(
     homozygous sites."""
     from pyspark.sql import Window
 
-    from seqarray_spark.operators.ld import _dose_once
+    from seqarray_spark.operators.ld import _dose_nn
 
-    d, release = _dose_once(calls, assume_unique)
+    d = _dose_nn(calls, assume_unique)
     pos = variants.select("variant_id", "chromosome", "position")
     dd = d.join(pos, "variant_id")
     w = (
@@ -481,7 +481,7 @@ def roh_runs(
         )
         .where(F.col("n_sites") >= int(min_sites))
     )
-    return release(
+    return (
         runs.select(
             "sample_id",
             "chromosome",

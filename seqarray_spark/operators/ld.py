@@ -3139,7 +3139,7 @@ def hwe_test(
     pytest-pinned against an independent exact-rational implementation
     instead of gated. Output: (variant_id, n_hom_ref, n_het,
     n_hom_alt, hwe_chisq)."""
-    d, release = _dose_once(calls, assume_unique)
+    d = _dose_nn(calls, assume_unique)
     agg = (
         d.groupBy("variant_id")
         .agg(
@@ -3182,7 +3182,7 @@ def hwe_test(
         "n_hom_alt",
         F.when(poly, chisq).alias("hwe_chisq"),
     )
-    return release(out)
+    return out
 
 
 _HWE_BUFS: dict = {}  # _hwe_exact_p_grid's cross-call work-buffer pool
@@ -3526,7 +3526,7 @@ def fst_wc(
     REAL W&C output at low differentiation (the estimator is unbiased,
     not non-negative) — do not clamp. Genome-wide Fst is the ratio of
     sums, not the mean: fst_wc_genome on this frame."""
-    d, release = _dose_once(calls, assume_unique)
+    d = _dose_nn(calls, assume_unique)
     pops = sample_pops.select("sample_id", "population")
     dp = d.join(F.broadcast(pops), "sample_id")
     per_pop = dp.groupBy("variant_id", "population").agg(
@@ -3574,7 +3574,7 @@ def fst_wc(
     c = hb / F.lit(2.0)
     abc = a + b + c
     ok = nb > F.lit(1.0)
-    return release(
+    return (
         agg.select(
             "variant_id",
             "n_pops",
@@ -4074,7 +4074,7 @@ def pca_snp_corr(
     `k=` (or a producer `_k` metadata stamp on `w`) skips the
     width-probe driver job."""
     k = _array_width(weights, "w", k, "weights")
-    d, release = _dose_once(calls, assume_unique)
+    d = _dose_nn(calls, assume_unique)
     scale = float(10 ** int(unit_scale))
     wq = weights.select(
         "sample_id",
@@ -4136,7 +4136,7 @@ def pca_snp_corr(
         comps.append(
             F.when((dx > 0.0) & (dw > 0.0), num / F.sqrt(dx * dw))
         )
-    return release(
+    return (
         agg.select(
             "variant_id",
             n.alias("n_used"),
