@@ -33,7 +33,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from seqarray_spark.operators.text import TOKEN_RE, tokens
+from seqarray_spark.operators.text import TOKEN_RE, spread, tokens
 
 
 def _eq_term(term: str):
@@ -84,6 +84,7 @@ def bm25_stats(docs: DataFrame, terms: list[str], text_col: str = "text") -> Dat
     reduce; the result is a single row suitable for ``F.broadcast``.
     The term list rides the schema (see _stamp_terms) so bm25_topk can
     reject a stats frame built for a different query."""
+    docs = spread(docs)  # tokenizing the whole corpus on one core otherwise
     toks = tokens(text_col)
     aggs = [
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -159,6 +160,7 @@ def bm25_topk(
                 "Rebuild via bm25_stats/bm25_stats_from_index from the "
                 "SAME query string."
             )
+    docs = spread(docs)  # the scoring projection re-tokenizes every doc
     toks = tokens(text_col)
     scored = docs.select(id_col, toks.alias("_t")).crossJoin(F.broadcast(stats))
     dl = F.size("_t").cast("double")
@@ -284,6 +286,7 @@ def dsir_logratios(
     beyond the id-keyed partial agg; at 100 TB, fit on a sample and
     reuse (the fit table is O(B) and reusable across batches)."""
     n_b = 16 ** int(n_buckets_hex)
+    docs = spread(docs)  # two tokenize+explode passes ride this scan
     toks = tokens(text_col)
     feats = docs.select(
         F.col(id_col),
@@ -292,10 +295,17 @@ def dsir_logratios(
     ).select(
         id_col, F.substring(F.md5("_f"), 1, int(n_buckets_hex)).alias("_b"), "_is_tgt"
     )
+    # persist the fit table: it is bounded (<= B = 16^n_buckets_hex
+    # rows) but its lineage is a full tokenize+explode pass over the
+    # corpus, and BOTH `totals` and `w` below read it — unpersisted,
+    # Spark re-ran the whole corpus pass once per consumer (three
+    # single-task tokenize passes measured at sf0.1; guide §5: cache
+    # exactly the reused-and-expensive frame). Released with the
+    # result via release_on_gc.
     fit = feats.groupBy("_b").agg(
         F.sum("_is_tgt").cast("double").alias("tgt_cnt"),
         F.count(F.lit(1)).cast("double").alias("raw_cnt"),
-    )
+    ).persist()
     totals = fit.agg(
         F.sum("tgt_cnt").alias("T"), F.sum("raw_cnt").alias("R")
     )
@@ -319,7 +329,9 @@ def dsir_logratios(
         .cast("bigint")
         .alias("_w_units"),
     )
-    return (
+    from seqarray_spark.plans.lifecycle import release_on_gc
+
+    out = (
         feats.join(F.broadcast(w), "_b")
         .groupBy(id_col)
         .agg(
@@ -329,6 +341,7 @@ def dsir_logratios(
             ),
         )
     )
+    return release_on_gc(fit, out)
 
 
 def dsir_logratios_sql(

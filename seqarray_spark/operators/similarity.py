@@ -1716,7 +1716,14 @@ def knn_join(
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    from seqarray_spark.operators.text import spread
+
+    # the per-candidate cosine (a fold over the vector) is the heavy
+    # per-row work here, and a small parquet corpus arrives as ONE scan
+    # split — spread it to cluster parallelism first (guide §2.5 input
+    # layout; the same rule as the text operators). No-op on corpora
+    # already wider than the core count.
+    c = spread(corpus).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("__cv")
     )
     w = Window.partitionBy("q_id").orderBy(
