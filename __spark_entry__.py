@@ -729,7 +729,8 @@ def seq_ld_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
-    return ld_pairs(v, c, bp_window=5000)
+    return ld_pairs(v, c, bp_window=5000,
+                    sample_ids=td.gsample_ids_superset(sf_dir))
 
 
 def seq_ld_pairs_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,6 +938,7 @@ def seq_ld_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         td.gcalls(spark, sf_dir),
         bp_window=5000,
         bin_size=500,
+        sample_ids=td.gsample_ids_superset(sf_dir),
     )
 
 
@@ -1045,6 +1047,7 @@ def seq_ld_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         td.gvariants(spark, sf_dir),
         td.gcalls(spark, sf_dir),
         bp_window=5000,
+        sample_ids=td.gsample_ids_superset(sf_dir),
     )
 
 
@@ -1079,7 +1082,8 @@ def seq_ld_em(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
-    return ld_pairs_em(v, c, bp_window=5000)
+    return ld_pairs_em(v, c, bp_window=5000,
+                       sample_ids=td.gsample_ids_superset(sf_dir))
 
 
 def seq_ld_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,7 +1098,8 @@ def seq_ld_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
-    return ld_pairs(v, c, bp_window=5000, stat="composite")
+    return ld_pairs(v, c, bp_window=5000, stat="composite",
+                    sample_ids=td.gsample_ids_superset(sf_dir))
 
 
 def seq_allele_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1439,7 +1444,8 @@ def seq_ld_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
-    return ld_prune(v, c, bp_window=5000, tau=0.3)
+    return ld_prune(v, c, bp_window=5000, tau=0.3,
+                    sample_ids=td.gsample_ids_superset(sf_dir))
 
 
 def _rademacher_weights(calls: DataFrame, n_cols: int = 4) -> DataFrame:
@@ -1509,7 +1515,8 @@ def seq_ld_prune_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = td.gvariants(spark, sf_dir)
     c = td.gcalls(spark, sf_dir)
-    return ld_prune(v, c, bp_window=5000, tau=0.3, method="greedy")
+    return ld_prune(v, c, bp_window=5000, tau=0.3, method="greedy",
+                    sample_ids=td.gsample_ids_superset(sf_dir))
 
 
 def seq_dosage_af(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,6 +97,7 @@ def _windowed_pair_sums(
     calls: DataFrame,
     bp_window: int,
     stats: str,
+    sample_ids: list[str] | None = None,
 ) -> DataFrame:
     """Shared substrate for every windowed pairwise-LD statistic:
     the binned range self-join (side A keyed by floor(pos/W), side B
@@ -124,11 +125,23 @@ def _windowed_pair_sums(
     fold's, so r2/D'/EM trees and the oracle value-hash contract are
     untouched. Wider cohorts fall back to the fold form
     (_windowed_pair_sums_maps); the packed kernels remain the
-    documented production substrate at biobank width."""
-    ids = [
-        r[0]
-        for r in calls.select("sample_id").distinct().collect()
-    ]
+    documented production substrate at biobank width.
+
+    ``sample_ids``: optional sample inventory for the ordinal space —
+    any SUPERSET of the ids observed in ``calls`` is valid (plane bits
+    are set only for observed samples, and every popcount sum is
+    permutation- and padding-invariant), so callers with a cheap
+    samples DIMENSION can skip this function's full-scan
+    distinct+collect probe (guide §5: one driver job per LD query was
+    pure inventory). A SUBSET would silently drop calls at the
+    ordinal join — supersets only."""
+    if sample_ids is None:
+        ids = [
+            r[0]
+            for r in calls.select("sample_id").distinct().collect()
+        ]
+    else:
+        ids = list(sample_ids)
     if len(ids) > _PLANE_MAX_SAMPLES:
         return _windowed_pair_sums_maps(
             variants, calls, bp_window, _stat_fields(stats)
@@ -139,15 +152,12 @@ def _windowed_pair_sums(
     from seqarray_spark.plans.localrel import ordinal_frame
 
     ord_df = ordinal_frame(spark, ids)
-    dose = calls.select(
-        "variant_id",
-        "sample_id",
-        dosage_alt("alleles", partial_missing=False).alias("_d"),
-    )
+    # dose dedup via the shared scan-layout-adaptive _dose_flat (r13
+    # opt, guide §2.5): the previous inline groupBy ran its MIN
+    # partial-agg inside the narrow scan stage — same fix, one helper
     per = (
-        dose.groupBy("variant_id", "sample_id")
-        .agg(F.min("_d").alias("_d"))
-        .where(F.col("_d").isNotNull())
+        _dose_flat(calls)
+        .where(F.col("d").isNotNull())
         .join(F.broadcast(ord_df), "sample_id")
     )
     # Compute-sized parallelism for the plane build (r13 opt, guide
@@ -169,12 +179,12 @@ def _windowed_pair_sums(
         zero = F.lit(0).cast("long")
         aggs.append(F.bit_or(bit).alias(f"_k{wi}"))
         aggs.append(
-            F.bit_or(F.when(F.col("_d") >= 1, bit).otherwise(zero)).alias(
+            F.bit_or(F.when(F.col("d") >= 1, bit).otherwise(zero)).alias(
                 f"_a{wi}"
             )
         )
         aggs.append(
-            F.bit_or(F.when(F.col("_d") == 2, bit).otherwise(zero)).alias(
+            F.bit_or(F.when(F.col("d") == 2, bit).otherwise(zero)).alias(
                 f"_b{wi}"
             )
         )
@@ -390,6 +400,7 @@ def ld_pairs(
     bp_window: int = 50_000,
     min_n: int = 1,
     stat: str = "r2",
+    sample_ids: list[str] | None = None,
 ) -> DataFrame:
     """Pairwise LD for every variant pair on the same chromosome within
     ``bp_window`` base pairs. Two statistics (SNPRelate's snpgdsLDMat
@@ -433,6 +444,7 @@ def ld_pairs(
         calls,
         bp_window,
         "moments_hom" if stat == "composite" else "moments",
+        sample_ids=sample_ids,
     )
     n = F.col("_s.n")
     if stat == "composite":
@@ -559,6 +571,7 @@ def ld_score(
     calls: DataFrame,
     bp_window: int = 50_000,
     min_n: int = 1,
+    sample_ids: list[str] | None = None,
 ) -> DataFrame:
     """Per-variant LD score — l2(j) = 1 + sum of r^2 with every OTHER
     variant within ``bp_window`` bp on the same chromosome (the LDSC
@@ -580,7 +593,9 @@ def ld_score(
         raise ValueError("min_n must be >= 1")
     # sums-level composition (r13): filter defined-r2 pairs on the exact
     # integer denominators and project r2 ONCE — see _r2_moment_exprs
-    s = _windowed_pair_sums(variants, calls, bp_window, "moments")
+    s = _windowed_pair_sums(
+        variants, calls, bp_window, "moments", sample_ids=sample_ids
+    )
     n, d1, d2, r2 = _r2_moment_exprs()
     r2u = F.round(r2 * F.lit(1e9)).cast("bigint")
     both = s.where((n >= int(min_n)) & (d1 != 0) & (d2 != 0)).select(
@@ -638,6 +653,7 @@ def ld_decay(
     bp_window: int = 50_000,
     bin_size: int = 1_000,
     min_n: int = 1,
+    sample_ids: list[str] | None = None,
 ) -> DataFrame:
     """LD decay curve — mean r^2 by pairwise-distance bin (the
     standard population-genetics decay plot; PopLDdecay / the
@@ -654,7 +670,9 @@ def ld_decay(
         raise ValueError("min_n must be >= 1")
     # sums-level composition (r13): defined-r2 filter on the integer
     # denominators, r2 projected once — see _r2_moment_exprs
-    s = _windowed_pair_sums(variants, calls, bp_window, "moments")
+    s = _windowed_pair_sums(
+        variants, calls, bp_window, "moments", sample_ids=sample_ids
+    )
     n, d1, d2, r2 = _r2_moment_exprs()
     # the substrate emits both endpoints' positions — no re-join needed
     # (r13 opt: two broadcast joins dropped; identical values, the join
@@ -791,6 +809,7 @@ def ld_prune(
     min_n: int = 1,
     pairs: DataFrame | None = None,
     method: str = "dominated",
+    sample_ids: list[str] | None = None,
 ) -> DataFrame:
     """Windowed LD prune; return the kept variants. Two methods:
 
@@ -831,7 +850,9 @@ def ld_prune(
         # denominators + ONE r2 evaluation inside the filter — see
         # _r2_moment_exprs (NULL r2 never exceeds tau, so the d1/d2
         # guard preserves the exact row set)
-        s = _windowed_pair_sums(variants, calls, bp_window, "moments")
+        s = _windowed_pair_sums(
+            variants, calls, bp_window, "moments", sample_ids=sample_ids
+        )
         n, d1, d2, r2 = _r2_moment_exprs()
         strong = s.where(
             (n >= int(min_n)) & (d1 != 0) & (d2 != 0)
@@ -3856,6 +3877,7 @@ def ld_pairs_em(
     bp_window: int = 50_000,
     min_n: int = 1,
     em_iters: int = 30,
+    sample_ids: list[str] | None = None,
 ) -> DataFrame:
     """Haplotype-frequency LD via the two-locus EM (Excoffier &
     Slatkin 1995) — SNPRelate snpgdsLDMat's method='r'/'dprime', the
@@ -3887,9 +3909,9 @@ def ld_pairs_em(
         raise ValueError("min_n must be >= 1")
     import pandas as pd
 
-    s = _windowed_pair_sums(variants, calls, bp_window, "cells").select(
-        "va", "vb", "_s.*"
-    )
+    s = _windowed_pair_sums(
+        variants, calls, bp_window, "cells", sample_ids=sample_ids
+    ).select("va", "vb", "_s.*")
 
     iters = int(em_iters)
 

@@ -194,6 +194,27 @@ def gcalls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cache[key]
 
 
+def gsample_ids_superset(sf_dir: str) -> list[str] | None:
+    """Sample-inventory SUPERSET from the supplier DIMENSION table —
+    the ids a superset-tolerant ordinal space needs (the bitset-plane
+    LD substrate), without the full facts-scan distinct+collect the
+    operators otherwise run per query. gcalls derives sample_id as
+    CONCAT('S', l_suppkey % 100) and l_suppkey is a foreign key into
+    supplier, so {CONCAT('S', s_suppkey % 100)} ⊇ the observed ids.
+    Driver-side pyarrow read of the one small dimension column (the
+    n_variants_hint precedent); None when the file is unreadable —
+    callers fall back to the operator's own probe."""
+    try:
+        import pyarrow.parquet as pq
+
+        col = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+        ).column(0)
+        return sorted({f"S{int(k) % 100}" for k in col.to_pylist()})
+    except Exception:
+        return None
+
+
 def gsamples(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = _session_cache(spark)
     key = ("gsamples", sf_dir)
