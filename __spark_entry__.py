@@ -1431,8 +1431,14 @@ def seq_grm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rademacher Omega (md5 parity) on a BIGINT unit grid keeps every sum
     aggregation-order-free."""
     from seqarray_spark.operators.ld import grm_pairs, grm_sketch_y
+    from seqarray_spark.plans.lifecycle import tether
 
-    return grm_sketch_y(grm_pairs(td.gcalls(spark, sf_dir)), n_cols=4)
+    # tether: grm_pairs' persisted dose dedup is release_on_gc-tied to
+    # the PAIR frame — without pinning it to the sketch result, the
+    # persist died at this function's return and the sketch rebuilt the
+    # dose once per plan branch (plan lost its InMemoryRelation)
+    g = grm_pairs(td.gcalls(spark, sf_dir))
+    return tether(grm_sketch_y(g, n_cols=4), g)
 
 
 def seq_ld_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1476,12 +1482,18 @@ def seq_pca_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights are deterministic md5-Rademacher vectors; production
     weights are grm_pca*/grm_pca_distributed sample PCs."""
     from seqarray_spark.operators.ld import pca_snp_loadings
+    from seqarray_spark.plans.lifecycle import tether
 
     c = td.gcalls(spark, sf_dir)
     out = pca_snp_loadings(c, _rademacher_weights(c))
-    return out.select(
-        "variant_id",
-        *[F.element_at("l", i + 1).alias(f"l_{i}") for i in range(4)],
+    # tether: out carries the release_on_gc of the op's persisted dose
+    # — keep it alive with the derived frame (see seq_pca_project)
+    return tether(
+        out.select(
+            "variant_id",
+            *[F.element_at("l", i + 1).alias(f"l_{i}") for i in range(4)],
+        ),
+        out,
     )
 
 
@@ -1496,12 +1508,22 @@ def seq_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         pca_snp_loadings,
     )
 
+    from seqarray_spark.plans.lifecycle import tether
+
     c = td.gcalls(spark, sf_dir)
     loadings = pca_snp_loadings(c, _rademacher_weights(c))
     out = pca_project_samples(c, loadings)
-    return out.select(
-        "sample_id",
-        *[F.element_at("p", i + 1).alias(f"p_{i}") for i in range(4)],
+    # tether: the loadings subtree's persisted dose is release_on_gc-
+    # tied to the LOADINGS frame, and the projection's own persist to
+    # OUT; pin both to the returned frame or the persists are gone
+    # before execution and each subtree rebuilds per branch
+    return tether(
+        out.select(
+            "sample_id",
+            *[F.element_at("p", i + 1).alias(f"p_{i}") for i in range(4)],
+        ),
+        loadings,
+        out,
     )
 
 

@@ -39,3 +39,22 @@ def release_on_gc(resource, *results):
     for r in results:
         weakref.finalize(r, _done)
     return results[0] if len(results) == 1 else results
+
+
+def tether(result, *intermediates):
+    """Pin `intermediates`' Python wrappers to `result`'s lifetime.
+
+    A composed plan that consumes an operator output whose persist is
+    release_on_gc-tied to THAT output (e.g.
+    ``grm_sketch_y(grm_pairs(...))``) drops the intermediate's Python
+    reference the moment the composition returns — firing the
+    finalizer and unpersisting BEFORE the composed plan ever executes.
+    The cache substitution then silently vanishes from the physical
+    plan and every branch recomputes the shared subtree (measured: the
+    dose dedup built twice per sketch/projection query). Tethering the
+    intermediate to the final result restores the intended lifecycle:
+    released when the RESULT is dropped, exactly like the direct-use
+    case."""
+    existing = getattr(result, "_seqarray_tethered", ())
+    result._seqarray_tethered = tuple(existing) + tuple(intermediates)
+    return result
