@@ -16,8 +16,14 @@ def main():
     outdir = os.path.join(HERE, "plans", "r13")
     os.makedirs(outdir, exist_ok=True)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    keep = []  # hold every frame: rebinding df would GC the previous
+    # query's frame, firing release_on_gc finalizers that unpersist
+    # cache entries SHARED (by plan canonicalization) with queries not
+    # yet explained — their dumps would lose InMemoryRelation nodes
+    # that the bench's one-query-at-a-time flow does show
     for n in names:
         df = qs[n](spark, sf_dir)
+        keep.append(df)
         txt = df._jdf.queryExecution().explainString(mode)
         with open(os.path.join(outdir, f"{n}_{suffix}.txt"), "w") as fh:
             fh.write(txt)
