@@ -1188,7 +1188,8 @@ def seq_grm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row global reduce broadcast back, full SQL oracle."""
     from seqarray_spark.operators.ancestry import beta_pairs
 
-    return beta_pairs(td.gcalls(spark, sf_dir))
+    return beta_pairs(td.gcalls(spark, sf_dir),
+                      sample_ids=td.gsample_ids_superset(sf_dir))
 
 
 def seq_dist_ibs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,7 +1231,8 @@ def seq_eigmix(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigmix) is pytest-pinned, the grm_pca precedent."""
     from seqarray_spark.operators.ancestry import eigmix_pairs
 
-    return eigmix_pairs(td.gcalls(spark, sf_dir))
+    return eigmix_pairs(td.gcalls(spark, sf_dir),
+                        sample_ids=td.gsample_ids_superset(sf_dir))
 
 
 def _mod3_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1420,7 +1422,7 @@ def seq_grm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqarray_spark.operators.ld import grm_pairs
 
     c = td.gcalls(spark, sf_dir)
-    return grm_pairs(c)
+    return grm_pairs(c, sample_ids=td.gsample_ids_superset(sf_dir))
 
 
 def seq_grm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1437,7 +1439,8 @@ def seq_grm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the PAIR frame — without pinning it to the sketch result, the
     # persist died at this function's return and the sketch rebuilt the
     # dose once per plan branch (plan lost its InMemoryRelation)
-    g = grm_pairs(td.gcalls(spark, sf_dir))
+    g = grm_pairs(td.gcalls(spark, sf_dir),
+                  sample_ids=td.gsample_ids_superset(sf_dir))
     return tether(grm_sketch_y(g, n_cols=4), g)
 
 

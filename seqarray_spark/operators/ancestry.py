@@ -38,6 +38,7 @@ def eigmix_pairs(
     min_m: int = 1,
     unit_scale: int = 6,
     include_diag: bool = False,
+    sample_ids: list[str] | None = None,
 ) -> DataFrame:
     """EIGMIX coancestry for sample pairs: numerator and denominator
     terms quantized to the half-up 1e-unit_scale integer grid per
@@ -61,7 +62,15 @@ def eigmix_pairs(
     # sf0.1 BEFORE the repartition fix; the blowup itself is gone now).
     from seqarray_spark.operators.ld import _dose_once, _pair_table_sums
 
-    ids = [r[0] for r in calls.select("sample_id").distinct().collect()]
+    # sample_ids: superset-tolerant inventory (the grm_pairs rule —
+    # zero-observation ids produce only m_used = 0 pairs, dropped by
+    # min_m >= 1; diagonal rows included, same filter applies)
+    if sample_ids is not None and int(min_m) >= 1:
+        ids = list(sample_ids)
+    else:
+        ids = [
+            r[0] for r in calls.select("sample_id").distinct().collect()
+        ]
     ids.sort()
     d, release = _dose_once(calls, False)
     st = d.groupBy("variant_id").agg(
@@ -482,6 +491,7 @@ def beta_pairs(
     calls: DataFrame,
     min_m: int = 1,
     unit_scale: int = 9,
+    sample_ids: list[str] | None = None,
 ) -> DataFrame:
     """Weir & Goudet (2017) individual-beta kinship for sample pairs —
     SNPRelate's snpgdsGRM(method='IndivBeta') / snpgdsIndivBeta,
@@ -518,7 +528,15 @@ def beta_pairs(
     # beta tree) are unchanged.
     from seqarray_spark.operators.ld import _dose_nn, _pair_table_sums
 
-    ids = [r[0] for r in calls.select("sample_id").distinct().collect()]
+    # sample_ids: superset-tolerant inventory (the grm_pairs rule;
+    # M_B averages pairs AFTER the min_m filter, so zero-observation
+    # ids change nothing)
+    if sample_ids is not None and int(min_m) >= 1:
+        ids = list(sample_ids)
+    else:
+        ids = [
+            r[0] for r in calls.select("sample_id").distinct().collect()
+        ]
     ids.sort()
     d = _dose_nn(calls, False)
     m4_table = [[4, 2, 0], [2, 2, 2], [0, 2, 4]]

@@ -1192,6 +1192,15 @@ def _pair_table_sums(
             out[f"_s_{t}"] = res[t][iu, ju]
         return pd.DataFrame(out)
 
+    # Compute-sized parallelism for the kernel (guide §2.5 "small
+    # bytes, heavy downstream work"): the cogroup/groupBy exchange
+    # carries only ~MBs, so AQE coalesced it to a handful of tasks and
+    # each ran many blocks' matmuls serially (measured: the kernel
+    # stage at 4 tasks was the largest wall chunk of grm/eigmix).
+    # An explicit repartition on the SAME key provides the required
+    # distribution (no extra exchange) and is not AQE-coalescible;
+    # block membership and every per-block sum are unchanged.
+    dg = dg.repartition(par, "_g")
     if st is None:
         return dg.groupBy("_g").applyInPandas(
             lambda pdf: _block(None, pdf), schema=out_schema
@@ -1203,7 +1212,7 @@ def _pair_table_sums(
         F.pmod(F.xxhash64("variant_id"), F.lit(par)).alias("_g"),
         F.col("variant_id").alias("_vid"),
         *[F.col(c).alias(c) for c in st.columns if c != "variant_id"],
-    )
+    ).repartition(par, "_g")
     return (
         dg.groupBy("_g")
         .cogroup(stg.groupBy("_g"))
@@ -1217,6 +1226,7 @@ def grm_pairs(
     calls: DataFrame,
     min_m: int = 1,
     unit_scale: int = 6,
+    sample_ids: list[str] | None = None,
 ) -> DataFrame:
     """GCTA-style genetic-relationship estimates for every sample pair:
     A_jk = (1/m) * sum_i (x_ij - 2p_i)(x_ik - 2p_i) / (2 p_i (1 - p_i))
@@ -1242,8 +1252,20 @@ def grm_pairs(
     dose pipeline once per join branch (4 scans; now 2 logical reads of
     ONE persisted dedup). grm_pairs_blas stays the float production
     form at biobank n; this relation form remains the oracle-checkable
-    contract."""
-    ids = [r[0] for r in calls.select("sample_id").distinct().collect()]
+    contract.
+
+    ``sample_ids``: optional inventory for the pair ordinal space. Any
+    SUPERSET of the observed ids is valid when min_m >= 1: an id with
+    no observations yields all-zero indicator columns, so every pair
+    it joins has m_used = 0 and the min_m filter drops it — output
+    identical, one full-scan distinct+collect job saved (ignored at
+    min_m < 1, where zero-observation pairs would surface)."""
+    if sample_ids is not None and int(min_m) >= 1:
+        ids = list(sample_ids)
+    else:
+        ids = [
+            r[0] for r in calls.select("sample_id").distinct().collect()
+        ]
     ids.sort()
     d, release = _dose_once(calls, False)
     st = d.groupBy("variant_id").agg(
