@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 from seqarray_spark.operators.ld import (
     _DOSE_ALT_SQL,
     _dose_flat,
+    _spread_pairs,
     grm_pca,
 )
 
@@ -103,7 +104,7 @@ def eigmix_pairs(
     )
     lab = F.array(*[F.lit(s) for s in ids])
     out = (
-        sums.groupBy("_si", "_sj")
+        _spread_pairs(sums).groupBy("_si", "_sj")
         .agg(
             F.sum("m_used").alias("m_used"),
             F.sum("_s_nu").alias("_snu"),
@@ -543,7 +544,7 @@ def beta_pairs(
     sums = _pair_table_sums(d, ids, const_tables={"m4": m4_table})
     lab = F.array(*[F.lit(s) for s in ids])
     pairs = (
-        sums.groupBy("_si", "_sj")
+        _spread_pairs(sums).groupBy("_si", "_sj")
         .agg(
             F.sum("m_used").alias("m_used"),
             F.sum("_s_m4").cast("bigint").alias("_s4"),

@@ -1222,6 +1222,21 @@ def _pair_table_sums(
     )
 
 
+def _spread_pairs(partials: DataFrame, *keys: str) -> DataFrame:
+    """Compute-sized parallelism for a final pair-keyed agg (guide
+    §2.5 "small bytes, heavy downstream work"): kernel partials are a
+    few MB, so AQE coalesces the agg's exchange to 1-2 tasks while the
+    agg plus the per-pair float trees run over up-to-n²/2 rows
+    (measured: king's final agg ran 0.84 s on ONE task). A same-key
+    repartition provides the groupBy's required distribution (exchange
+    count unchanged), is not AQE-coalescible, and every sum here is
+    order-free — results identical."""
+    sc = partials.sparkSession.sparkContext
+    return partials.repartition(
+        max(2, sc.defaultParallelism), *(keys or ("_si", "_sj"))
+    )
+
+
 def grm_pairs(
     calls: DataFrame,
     min_m: int = 1,
@@ -1298,7 +1313,7 @@ def grm_pairs(
     sums = _pair_table_sums(d, ids, st=st, tables=("u",))
     lab = F.array(*[F.lit(s) for s in ids])
     out = (
-        sums.groupBy("_si", "_sj")
+        _spread_pairs(sums).groupBy("_si", "_sj")
         .agg(
             F.sum("m_used").alias("m_used"),
             F.sum("_s_u").alias("_su"),
@@ -1484,7 +1499,7 @@ def grm_pairs_blas(
     )
     lab_col = F.array(*[F.lit(s) for s in labels])
     return (
-        partials.groupBy("_si", "_sj")
+        _spread_pairs(partials).groupBy("_si", "_sj")
         .agg(
             F.sum("pm").cast("bigint").alias("m_used"),
             F.sum("pdot").alias("_dot"),
@@ -1616,7 +1631,7 @@ def grm_from_packed(
     )
     labels = F.array(*[F.lit(s) for s in sample_ids])
     return (
-        partials.groupBy("_si", "_sj")
+        _spread_pairs(partials).groupBy("_si", "_sj")
         .agg(
             F.sum("pm").cast("bigint").alias("m_used"),
             F.sum("pdot").alias("_dot"),
@@ -1868,7 +1883,7 @@ def ibs_from_packed(
     )
     labels = F.array(*[F.lit(s) for s in sample_ids])
     return (
-        partials.groupBy("_si", "_sj")
+        _spread_pairs(partials).groupBy("_si", "_sj")
         .agg(
             F.sum("pm").cast("bigint").alias("m_used"),
             F.sum("sumd").cast("bigint").alias("_sd"),
@@ -2796,7 +2811,7 @@ def king_from_packed(
         / hsum.cast("double"),
     )
     return (
-        partials.groupBy("_si", "_sj")
+        _spread_pairs(partials).groupBy("_si", "_sj")
         .agg(
             F.sum("pm").cast("bigint").alias("m_used"),
             phi.alias("kinship"),
@@ -2951,7 +2966,7 @@ def ibd_mom_from_packed(
     )
     labels = F.array(*[F.lit(s) for s in sample_ids])
     agg = (
-        partials.groupBy("_si", "_sj")
+        _spread_pairs(partials).groupBy("_si", "_sj")
         .agg(
             F.sum("pm").cast("bigint").alias("m_used"),
             F.sum("n0").cast("bigint").alias("_n0"),
@@ -4592,7 +4607,7 @@ def ibd_mle_from_packed(
             + ", ".join(f"n{c} double" for c in range(6))
         ),
     )
-    cells = partials.groupBy("_si", "_sj", "pbin").agg(
+    cells = _spread_pairs(partials, "_si", "_sj", "pbin").groupBy("_si", "_sj", "pbin").agg(
         *[F.sum(f"n{c}").cast("bigint").alias(f"n{c}") for c in range(6)]
     )
 

@@ -1954,6 +1954,13 @@ def pq_drift_probe(
     Output: (q_id, adc_top1, exact_top1, agree int) — exact math on
     6dp-rounded values end to end, so the whole probe is
     oracle-checkable (the emb_pq_drift_probe gate)."""
+    from seqarray_spark.operators.text import spread
+
+    # both legs (PQ encode, exact L2 fold) are per-row-heavy over the
+    # corpus; a one-split parquet corpus otherwise pins each to a
+    # single task (two ~1-1.7 s single-task stages measured) — the
+    # knn_join rule (guide §2.5)
+    corpus = spread(corpus)
     if codes is None:
         cvecs = _centroid_vec_list(coarse_centroids)
         # either codebook form passes straight through (pq_encode
