@@ -754,6 +754,16 @@ def ngram_jaccard_pairs(
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+        # spread BEFORE the persist (r13 opt, guide §2.5): the distinct
+        # output AQE-coalesces to ~1 partition, and with the verify
+        # joins now broadcast (below) the per-pair array_intersect work
+        # would inherit that single task; the hash repartition caches
+        # the pairs already cluster-wide. Keyed on the pair id — no
+        # round-robin sort, deterministic placement.
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            "id_a", "id_b",
+        )
         # persisted once (tiny — id pairs) because it feeds the
         # candidate-ids semi join AND the verify join; without it the
         # expensive prefix build would run three times. Released
@@ -778,6 +788,11 @@ def ngram_jaccard_pairs(
     )
     from seqarray_spark.plans.lifecycle import release_on_gc
 
+    # the verify joins stay size-aware sort-merge/shuffled-hash: sets
+    # carries the candidate docs' full shingle ARRAYS, which at corpus
+    # scale exceed broadcast bounds — forcing a broadcast here would be
+    # a local-only win and a cluster OOM hazard (guide §3.1's cost
+    # caveat; examined r13, deliberately left alone)
     result = (
         cand.join(sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
