@@ -753,17 +753,18 @@ def ngram_jaccard_pairs(
         .filter(F.size("ps") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
-        .distinct()
-        # spread BEFORE the persist (r13 opt, guide §2.5): the distinct
-        # output AQE-coalesces to ~1 partition, and with the verify
-        # joins now broadcast (below) the per-pair array_intersect work
-        # would inherit that single task; the hash repartition caches
-        # the pairs already cluster-wide. Keyed on the pair id — no
-        # round-robin sort, deterministic placement.
+        # spread BELOW the distinct (r13 opt, guide §2.5): the
+        # distinct's own exchange is tiny so AQE coalesced the cached
+        # candidate pairs to ~1 partition and the verify work inherited
+        # that single task. Repartitioning on the SAME keys makes the
+        # distinct reuse this exchange (count unchanged) while the
+        # REPARTITION_BY_NUM origin keeps it un-coalescible; a
+        # repartition ABOVE the distinct would be elided as redundant.
         .repartition(
             docs.sparkSession.sparkContext.defaultParallelism,
             "id_a", "id_b",
         )
+        .distinct()
         # persisted once (tiny — id pairs) because it feeds the
         # candidate-ids semi join AND the verify join; without it the
         # expensive prefix build would run three times. Released
