@@ -897,32 +897,40 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     # then the 64 bit sums are plain shift/mask arithmetic. Majority of
     # +-1 votes == 2 * ones-count > n, tie (== n) excluded — identical
     # semantics to the vote-sum form the oracle mirrors.
-    nibs = tok.select(
+    #
+    # The whole 65-aggregate tree is rendered as SQL strings and parsed
+    # once (r14 opt, guide §4.1's relation-construction rule applied to
+    # EXPRESSION construction): building it out of per-node Column calls
+    # cost a py4j round trip per node — measured ~1.2 s of the gate's
+    # bench wall as pure driver-side tree assembly (plan_wall_r14:
+    # t_build 1.2-1.7 s vs t_plan 0.04 s), the same finding similarity.py
+    # documents for the inlined-centroid arrays. The parsed expression
+    # trees are identical (same functions, same literals), so plans and
+    # values are unchanged.
+    nibs = tok.selectExpr(
         "__id",
         *[
-            F.conv(F.substring("__h", i + 1, 1), 16, 10).cast("int").alias(f"__n{i}")
+            f"cast(conv(substring(__h, {i + 1}, 1), 16, 10) as int) as __n{i}"
             for i in range(16)
         ],
     )
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs = [F.expr("count(1)").alias("__n")]
     for i in range(16):
         for j in range(4):
             aggs.append(
-                F.sum(
-                    F.shiftright(F.col(f"__n{i}"), j).bitwiseAND(F.lit(1))
-                ).alias(f"__v_{i}_{j}")
+                F.expr(f"sum(shiftright(__n{i}, {j}) & 1)").alias(f"__v_{i}_{j}")
             )
     votes = nibs.groupBy("__id").agg(*aggs)
     chars = []
     for i in range(16):
-        nibble = None
-        for j in range(4):
-            t = F.when(
-                2 * F.col(f"__v_{i}_{j}") > F.col("__n"), F.lit(1 << j)
-            ).otherwise(F.lit(0))
-            nibble = t if nibble is None else nibble + t
-        chars.append(F.substr(F.lit(_HEX), nibble + 1, F.lit(1)))
-    sketch = votes.select("__id", F.concat(*chars).alias("simhash"))
+        nibble = " + ".join(
+            f"(CASE WHEN 2 * __v_{i}_{j} > __n THEN {1 << j} ELSE 0 END)"
+            for j in range(4)
+        )
+        chars.append(f"substr('{_HEX}', ({nibble}) + 1, 1)")
+    sketch = votes.selectExpr(
+        "__id", "concat(" + ", ".join(chars) + ") as simhash"
+    )
     return docs.join(sketch, docs[id_col] == sketch["__id"], "left").drop("__id")
 
 
