@@ -1796,8 +1796,16 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = td.load_table(spark, sf_dir, "documents")
     batch = docs.where(F.col("doc_id") % 5 == 0)
     corpus = docs.where(F.col("doc_id") % 5 != 0)
-    corpus_sigs = minhash_signature(corpus, num_hashes=16, shingle_n=3).select(
-        "doc_id", "mh_sig"
+    # attach=False (r14 opt): the stored-sig side needs only
+    # (doc_id, mh_sig); the attach join re-scanned documents to carry
+    # columns this gate immediately dropped. Zero-shingle corpus docs
+    # (absent here vs a NULL-sig row) cannot change the output: their
+    # band key is md5 of an empty concat, which no batch band key can
+    # equal, and the tau=0.7 jaccard verification would drop any such
+    # pair anyway (empty shingle set -> jaccard 0). Oracle-checked at
+    # sf0.001/0.01/0.1.
+    corpus_sigs = minhash_signature(
+        corpus, num_hashes=16, shingle_n=3, attach=False
     )
     return incremental_dup_pairs(
         batch, corpus_sigs, num_hashes=16, bands=4, shingle_n=3, tau=0.7,

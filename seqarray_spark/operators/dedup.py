@@ -234,15 +234,25 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_n: int = 3,
     id_col: str = "doc_id",
+    attach: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature: element j = min over shingles of 32-bit
     lane j%4 of md5(j//4:shingle). Adds `mh_sig ARRAY<STRING>[num_hashes]`
     (NULL for docs with no shingles). Same long-form build as
-    minhash_dup_pairs — one explode + one groupBy."""
+    minhash_dup_pairs — one explode + one groupBy.
+
+    ``attach=False`` returns just (id_col, mh_sig) straight off the
+    signature agg — no join back onto `docs` (r14 opt, guide §2.4: the
+    join exists only to carry the OTHER doc columns; a consumer that
+    immediately projects (id, mh_sig) paid a second docs scan + a join
+    for nothing). Docs with zero shingles produce no row in this form
+    (vs a NULL mh_sig row when attached)."""
     sigs = _minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     arr = sigs.select(
         "_id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("mh_sig")
     )
+    if not attach:
+        return arr.select(F.col("_id").alias(id_col), "mh_sig")
     return docs.join(arr, docs[id_col] == arr["_id"], "left").drop("_id")
 
 
